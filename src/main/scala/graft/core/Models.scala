@@ -1,0 +1,149 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A Monte Carlo model — the engine's equivalent of the reference's
+  * user-supplied Python callable with positional contract
+  * `model(number_points, rng[, parameters[, starting_point]])`
+  * (`parallel_simulations/parallel_simulations.py:80-95`, `README.md:50-54`).
+  *
+  * Two tiers (SURVEY §2.2 "UDF/UDAF/UDTF surface"):
+  *   - [[traceCol]]: a Catalyst `Column` expression over built-in functions —
+  *     fully whole-stage-codegen'd, the scale path;
+  *   - [[simulate]]: an arbitrary Scala function fed a sequential [[StepRng]] —
+  *     the flexibility path, executed via `Dataset.mapPartitions`.
+  * For models that draw exactly the same uniforms in the same order, the two
+  * tiers produce identical traces (asserted in ModelTierSpec).
+  *
+  * The reference's arity-dispatch hole (`starting_point` without `parameters`
+  * silently yields an empty trace, `parallel_simulations.py:80-95`) does not
+  * exist here: all four optional combinations are well-defined.
+  */
+trait MCModel {
+  def name: String
+
+  /** Column-tier generator. `seed`/`modelId`/`simId` are the RNG counters;
+    * returns an `array<string>` trace of length
+    * `numberPoints + startingPoint.size` (starting point prepended verbatim,
+    * matching demo notebook cells 29-33: width = 5 + number_points).
+    */
+  def traceCol(numberPoints: Int, parameters: Seq[Double], startingPoint: Seq[String],
+               seed: Column, modelId: Column, simId: Column): Column
+
+  /** Typed-tier generator (the reference's model contract, Scala-ified). */
+  def simulate(numberPoints: Int, rng: StepRng, parameters: Seq[Double],
+               startingPoint: Seq[String]): Seq[String]
+
+  protected def prepend(start: Seq[String], gen: Column): Column =
+    if (start.isEmpty) gen else concat(array(start.map(lit): _*), gen)
+}
+
+/** Bernoulli H/T sequence — the reference's demo model
+  * (`demos/demo_coin_sequences.ipynb` cell-14/cell-27): point `t` is 'H' iff
+  * uniform(t) < bias, bias = parameters(0) (default 0.5). One uniform per point.
+  */
+object CoinSequence extends MCModel {
+  val name = "coin_sequence"
+
+  def traceCol(n: Int, params: Seq[Double], start: Seq[String],
+               seed: Column, modelId: Column, simId: Column): Column = {
+    val bias = params.headOption.getOrElse(0.5)
+    val gen = transform(sequence(lit(0), lit(n - 1)), step =>
+      when(DeterministicRng.uniformCol(seed, modelId, simId, step) < bias, lit("H"))
+        .otherwise(lit("T")))
+    prepend(start, gen)
+  }
+
+  def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
+    val bias = params.headOption.getOrElse(0.5)
+    start ++ Seq.fill(n)(if (rng.nextUniform() < bias) "H" else "T")
+  }
+}
+
+/** Integer random walk: position(t) = start + Σ_{i<=t} ±1, P(+1) = bias.
+  * Values are exact integers formatted as strings (so the DuckDB oracle
+  * reproduces them bit-for-bit). Column tier computes each prefix sum with a
+  * fold over `sequence` — O(points²) uniform evaluations per trace, fine for
+  * MC batteries (many sims × few points); trace-length-heavy workloads should
+  * use the exploded long format + window cumsum instead.
+  */
+object RandomWalk extends MCModel {
+  val name = "random_walk"
+
+  def traceCol(n: Int, params: Seq[Double], start: Seq[String],
+               seed: Column, modelId: Column, simId: Column): Column = {
+    val bias = params.headOption.getOrElse(0.5)
+    val origin = start.headOption.map(_.toLong).getOrElse(0L)
+    def stepVal(i: Column): Column =
+      when(DeterministicRng.uniformCol(seed, modelId, simId, i) < bias, lit(1L)).otherwise(lit(-1L))
+    val gen = transform(sequence(lit(0), lit(n - 1)), t =>
+      (lit(origin) + aggregate(sequence(lit(0), t), lit(0L), (acc, i) => acc + stepVal(i)))
+        .cast("string"))
+    gen
+  }
+
+  def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
+    val bias = params.headOption.getOrElse(0.5)
+    var pos = start.headOption.map(_.toLong).getOrElse(0L)
+    (0 until n).map { _ =>
+      pos += (if (rng.nextUniform() < bias) 1L else -1L)
+      pos.toString
+    }
+  }
+}
+
+/** Geometric Brownian motion (the README's foreseen stock-price use case,
+  * `README.md` "stock prices"): S_t = S_0 · exp(Σ_{i<=t} ((μ−σ²/2)Δt + σ√Δt·Z_i)),
+  * Z from Box-Muller over uniform pairs (2t, 2t+1). parameters = [μ, σ, Δt];
+  * startingPoint(0) = S_0 (default 100). No DuckDB oracle (libm `cos`/`log`
+  * may differ in final ulp across engines); validated statistically instead.
+  */
+object GeometricBrownianMotion extends MCModel {
+  val name = "gbm"
+
+  private def p(params: Seq[Double]): (Double, Double, Double) = (
+    params.lift(0).getOrElse(0.05), params.lift(1).getOrElse(0.2), params.lift(2).getOrElse(1.0 / 252))
+
+  def traceCol(n: Int, params: Seq[Double], start: Seq[String],
+               seed: Column, modelId: Column, simId: Column): Column = {
+    val (mu, sigma, dt) = p(params)
+    val s0 = start.headOption.map(_.toDouble).getOrElse(100.0)
+    val drift = (mu - sigma * sigma / 2.0) * dt
+    val vol = sigma * math.sqrt(dt)
+    def z(i: Column): Column = {
+      val u1 = greatest(DeterministicRng.uniformCol(seed, modelId, simId, i * 2), lit(1e-300))
+      val u2 = DeterministicRng.uniformCol(seed, modelId, simId, i * 2 + 1)
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+    transform(sequence(lit(0), lit(n - 1)), t =>
+      (lit(s0) * exp(aggregate(sequence(lit(0), t), lit(0.0), (acc, i) => acc + (lit(drift) + lit(vol) * z(i)))))
+        .cast("string"))
+  }
+
+  def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
+    val (mu, sigma, dt) = p(params)
+    var s = start.headOption.map(_.toDouble).getOrElse(100.0)
+    val drift = (mu - sigma * sigma / 2.0) * dt
+    val vol = sigma * math.sqrt(dt)
+    (0 until n).map { _ =>
+      s = s * math.exp(drift + vol * rng.nextGaussian())
+      s.toString
+    }
+  }
+}
+
+/** Registry keyed by model name — replaces the reference's "pass callables
+  * positionally" API with named registration; users add models with
+  * [[ModelRegistry.register]].
+  */
+object ModelRegistry {
+  @volatile private var models: Map[String, MCModel] =
+    Seq(CoinSequence, RandomWalk, GeometricBrownianMotion).map(m => m.name -> m).toMap
+
+  def register(m: MCModel): Unit = synchronized { models += (m.name -> m) }
+  def apply(name: String): MCModel = models.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"Unknown model '$name'; registered: ${models.keys.toSeq.sorted.mkString(", ")}"))
+  def names: Set[String] = models.keySet
+}

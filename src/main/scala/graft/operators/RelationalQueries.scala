@@ -1,0 +1,401 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational query battery over the driver test tables (SURVEY §2.2):
+  * scans with pushdown, equi/broadcast/semi/anti/range/as-of joins, hash
+  * aggregation incl. rollup/cube/distinct, window functions, top-k, set ops,
+  * string/date/regex scalar functions, correlated-style subqueries.
+  *
+  * Every query has a DuckDB oracle with identical column names/types.
+  * Scale notes per query are in Scaladoc — each plan was chosen to survive a
+  * 100× scale-up: filters/projections push to the parquet scan, always-small
+  * dims (nation/region) are broadcast explicitly, everything else is left to
+  * Catalyst/AQE (which can pick broadcast at low SF and shuffled-hash/SMJ at
+  * high SF).
+  */
+object RelationalQueries {
+  import Tables._
+
+  private val dec = DecimalType(18, 2)
+  /** Exact revenue term: l_extendedprice * (1 - l_discount), decimal. */
+  private def revenue: Column =
+    col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
+  private val sqlRevenue =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / filters / projections -----------------------------------
+    // Predicate + projection pushdown to parquet (PushedFilters in explain).
+    "q2_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 50 && col("l_discount") === 0.0)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- aggregation ------------------------------------------------------
+    // TPC-H Q1 shape: full-scan hash aggregate with partial (map-side) agg.
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q6 shape: single-row agg, all predicates pushed to the scan.
+    "q6_revenue_forecast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+          .cast("double").as("promo_revenue"))),
+
+    // ROLLUP grouping sets.
+    "q9_rollup_lineitem" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // CUBE grouping sets.
+    "q10_cube_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    "q11_distinct_parts" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+        .orderBy("l_returnflag")),
+
+    // HAVING over hash aggregate.
+    "q15_having_suppliers" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+        .filter(col("total_qty") > 3000)
+        .orderBy("l_suppkey")),
+
+    // ---- joins ------------------------------------------------------------
+    // TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+    "q3_top_revenue_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "HOUSEHOLD")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < "1998-01-01")
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > "1998-01-01")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("orderdate"))
+        .agg(sum(revenue).cast("double").as("order_revenue"))
+        .orderBy(col("order_revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way join; nation/region are ALWAYS-small dims ->
+    // explicit broadcast (no shuffle for them at any scale).
+    "q5_region_revenue" -> ((s, d) => {
+      val nat = broadcast(t(s, d, "nation"))
+      val reg = broadcast(t(s, d, "region"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(revenue).cast("double").as("region_revenue"))
+        .orderBy(col("region_revenue").desc, col("n_name"))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q4_exists_orders" -> ((s, d) => {
+      val bigItems = t(s, d, "lineitem").filter(col("l_quantity") >= 48).select("l_orderkey")
+      t(s, d, "orders")
+        .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no high-value order.
+    "q21_anti_customers" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")),
+
+    // Left-outer join preserving zero-order customers; order-count histogram.
+    "q16_order_histogram" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")),
+
+    // Equi + range (band) join: ship lag distribution within the order.
+    "q19_ship_lag" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+        .filter(col("lag_days") >= 0 && col("lag_days") <= 30)
+        .groupBy("lag_days")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("lag_days")),
+
+    // ---- subquery shapes --------------------------------------------------
+    // TPC-H Q17 shape: agg subquery join + correlated threshold.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val partAvg = li.groupBy("l_partkey")
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+      li.join(t(s, d, "part").filter(col("p_brand") === "Brand#2"),
+          col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // ---- window functions -------------------------------------------------
+    // Rank per group, deterministic tie-break, top-3.
+    "q7_priority_top3" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Running total per customer (exact decimal accumulation in the frame).
+    "q8_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_spend"),
+          lag(col("o_totalprice"), 1).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+            .as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // As-of style: latest strictly-preceding click per user for each error.
+    // (events.ts arrives as int64 nanos — see Tables.t; `div 1000` = epoch µs.)
+    "q20_asof_clicks" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_type").isin("click", "error"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_us",
+          max(when(col("event_type") === "click", expr("ts div 1000"))).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("last_click_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---- set operations ---------------------------------------------------
+    "q12_setops" -> ((s, d) => {
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("k"))
+      val u = rich.union(big).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+      val i = rich.intersect(big).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      val e = rich.except(big).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+      u.union(i).union(e).orderBy("op")
+    }),
+
+    // ---- scalar functions -------------------------------------------------
+    "q13_string_part" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") < 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 3).as("name_pre"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")),
+
+    "q14_order_seasonality" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr", "mo")),
+
+    // Regex-based JSON field extraction (works identically in both engines
+    // without JSON extensions; see also get_json_object in EventQueries).
+    "q18_json_events" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "k_bucket")))
+
+  def oracleSql: Map[String, String] = Map(
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 50 AND l_discount = 0.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q9_rollup_lineitem" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q10_cube_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q11_distinct_parts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_having_suppliers" ->
+      s"""SELECT l_suppkey, ${sqlDsum("l_quantity")} AS total_qty, COUNT(*) AS n_items
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 3000
+         |ORDER BY l_suppkey""".stripMargin,
+    "q3_top_revenue_orders" ->
+      s"""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS order_revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'HOUSEHOLD'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+         |ORDER BY order_revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(SUM($sqlRevenue) AS DOUBLE) AS region_revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY region_revenue DESC, n_name""".stripMargin,
+    "q4_exists_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q21_anti_customers" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q16_order_histogram" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "q19_ship_lag" ->
+      """SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS lag_days, COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN (SELECT l_partkey AS ap_partkey, ${sqlDavg("l_quantity")} AS avg_qty
+         |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+         |WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q7_priority_top3" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q8_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders WHERE o_custkey < 20
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q20_asof_clicks" ->
+      """SELECT event_id, user_id, last_click_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |  FROM events WHERE event_type IN ('click', 'error')) x
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q12_setops" ->
+      """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+        |     big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000)
+        |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM rich UNION SELECT k FROM big) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM rich INTERSECT SELECT k FROM big) i
+        |UNION ALL
+        |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM rich EXCEPT SELECT k FROM big) e
+        |ORDER BY op""".stripMargin,
+    "q13_string_part" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  SUBSTRING(p_name, 1, 3) AS name_pre,
+        |  SPLIT_PART(p_name, ' ', 1) AS first_word,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
+    "q14_order_seasonality" ->
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_json_events" ->
+      s"""SELECT event_type,
+         |  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS k_bucket,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

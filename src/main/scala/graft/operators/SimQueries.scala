@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Simulation-surface queries for the driver contract.
+  *
+  * Every query here is DETERMINISTIC (pinned seeds) and — because the
+  * counter-based RNG is pure integer arithmetic expressible in DuckDB SQL
+  * ([[DeterministicRng.uniformSql]]) — even the Monte Carlo output gets a
+  * full value-level oracle: the DuckDB side regenerates identical traces from
+  * `generate_series` grids. This goes beyond the reference, whose only
+  * correctness artifact is manual notebook inspection (SURVEY §5.1).
+  *
+  * FP discipline for oracle parity: compared doubles are always a single
+  * correctly-rounded operation over exactly-representable integers
+  * (e.g. `h / 2147483647.0`, `SUM(int) / COUNT(*)`) — never an
+  * order-dependent float accumulation.
+  */
+object SimQueries {
+  import DeterministicRng.uniformSql
+
+  // Pinned workloads (scaled-down from the reference demo workloads A/B,
+  // BASELINE.md) — small enough for the DuckDB oracle, large enough to be real.
+  val coinSpecs: Seq[SimulationSpec] = Seq(
+    SimulationSpec(0, "coin_sequence", 200, 16, Seq(0.5), Nil, 42),
+    SimulationSpec(1, "coin_sequence", 200, 16, Seq(0.7), Nil, 43))
+  val estSpecs: Seq[SimulationSpec] = Seq(
+    SimulationSpec(0, "coin_sequence", 5000, 16, Seq(0.5), Nil, 42),
+    SimulationSpec(1, "coin_sequence", 5000, 16, Seq(0.7), Nil, 43))
+  val walkSpecs: Seq[SimulationSpec] = Seq(
+    SimulationSpec(0, "random_walk", 1000, 24, Seq(0.5), Nil, 7),
+    SimulationSpec(1, "random_walk", 1000, 24, Seq(0.55), Nil, 8))
+
+  private def coinValues(specs: Seq[SimulationSpec]): String =
+    specs.map(s => s"(${s.modelId}, ${s.parameters.head}, ${s.seed})")
+      .mkString("(VALUES ", ", ", ") AS m(model_id, bias, seed)")
+
+  private def u: String = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step")
+  private def flip: String = s"CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 'H' ELSE 'T' END"
+  private def walkStep: String = s"CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full trace content, one CSV string per simulation — bit-level parity.
+    "sim_coin_traces" -> ((spark, _) => {
+      new MCBattery(spark).simulate(coinSpecs)
+        .select(col("model_id"), col("sim_id"),
+          concat_ws(",", col("trace")).as("trace_csv"))
+    }),
+    // The flagship MC-estimator shape: heads fraction per model
+    // (posexplode -> groupBy -> avg), SURVEY §7.2 step 1.
+    "sim_coin_est" -> ((spark, _) => {
+      val traces = new MCBattery(spark).simulate(estSpecs)
+      MCBattery.explodeTraces(traces)
+        .groupBy(col("model_id"))
+        .agg(avg(when(col("value") === "H", 1).otherwise(0)).as("heads_frac"),
+          count(lit(1)).as("n_flips"))
+        .orderBy(col("model_id"))
+    }),
+    // Distribution of random-walk endpoints — exact integer aggregates.
+    "sim_walk_final" -> ((spark, _) => {
+      new MCBattery(spark).simulate(walkSpecs)
+        .select(col("model_id"), element_at(col("trace"), -1).cast("long").as("final_pos"))
+        .groupBy(col("model_id"))
+        .agg(avg(col("final_pos")).as("avg_final"),
+          min(col("final_pos")).as("min_final"),
+          max(col("final_pos")).as("max_final"),
+          count(lit(1)).as("n_sims"))
+        .orderBy(col("model_id"))
+    }),
+    // Convergence along the trace: per-step H fraction in long format.
+    "sim_trace_long" -> ((spark, _) => {
+      MCBattery.explodeTraces(new MCBattery(spark).simulate(coinSpecs))
+        .groupBy(col("model_id"), col("step"))
+        .agg(avg(when(col("value") === "H", 1).otherwise(0)).as("h_frac"))
+        .orderBy(col("model_id"), col("step"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_coin_traces" ->
+      s"""SELECT m.model_id, s.sim_id,
+         |  string_agg($flip, ',' ORDER BY st.step) AS trace_csv
+         |FROM ${coinValues(coinSpecs)}
+         |CROSS JOIN generate_series(0, 199) AS s(sim_id)
+         |CROSS JOIN generate_series(0, 15) AS st(step)
+         |GROUP BY m.model_id, s.sim_id
+         |ORDER BY m.model_id, s.sim_id""".stripMargin,
+    "sim_coin_est" ->
+      s"""SELECT m.model_id,
+         |  AVG(CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE 0 END) AS heads_frac,
+         |  COUNT(*) AS n_flips
+         |FROM ${coinValues(estSpecs)}
+         |CROSS JOIN generate_series(0, 4999) AS s(sim_id)
+         |CROSS JOIN generate_series(0, 15) AS st(step)
+         |GROUP BY m.model_id
+         |ORDER BY m.model_id""".stripMargin,
+    "sim_walk_final" ->
+      s"""WITH fin AS (
+         |  SELECT m.model_id, s.sim_id, CAST(SUM($walkStep) AS BIGINT) AS final_pos
+         |  FROM ${coinValues(walkSpecs)}
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 23) AS st(step)
+         |  GROUP BY 1, 2)
+         |SELECT model_id, AVG(final_pos) AS avg_final,
+         |  MIN(final_pos) AS min_final, MAX(final_pos) AS max_final,
+         |  COUNT(*) AS n_sims
+         |FROM fin GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_trace_long" ->
+      s"""SELECT m.model_id, CAST(st.step AS INTEGER) AS step,
+         |  AVG(CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE 0 END) AS h_frac
+         |FROM ${coinValues(coinSpecs)}
+         |CROSS JOIN generate_series(0, 199) AS s(sim_id)
+         |CROSS JOIN generate_series(0, 15) AS st(step)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,142 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Reference-parity semantics (SURVEY §5.2 behavioral table) + tier
+  * equivalence for the MCBattery engine core.
+  */
+class BatterySpec extends SparkTestBase {
+
+  private def battery = new MCBattery(spark)
+
+  test("trace length = numberPoints (demo notebook invariant)") {
+    val df = battery.simulate(Seq(SimulationSpec(0, "coin_sequence", 10, 7, Seq(0.5), Nil, 42)))
+    val sizes = df.select(size(col("trace"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(7))
+  }
+
+  test("starting point is prepended verbatim; width = start + points (cell-32: 5+12=17)") {
+    val start = Seq("T", "T", "T", "T", "T")
+    val df = battery.simulate(Seq(SimulationSpec(0, "coin_sequence", 20, 12, Seq(0.5), start, 42)))
+    val rows = df.select(col("trace")).collect().map(_.getSeq[String](0))
+    assert(rows.nonEmpty && rows.forall(_.length == 17))
+    assert(rows.forall(_.take(5) == start))
+  }
+
+  test("the reference's arity-dispatch hole is fixed: startingPoint without parameters works") {
+    // parallel_simulations.py:80-95 silently emits [] for this combination.
+    val df = battery.simulate(Seq(SimulationSpec(0, "coin_sequence", 5, 3, Nil, Seq("H"), 42)))
+    val rows = df.select(col("trace")).collect().map(_.getSeq[String](0))
+    assert(rows.forall(r => r.length == 4 && r.head == "H"))
+  }
+
+  test("row count = number_simulations per model; sim_ids dense from 0") {
+    val df = battery.simulate(Seq(
+      SimulationSpec(0, "coin_sequence", 13, 3, Seq(0.5), Nil, 1),
+      SimulationSpec(1, "coin_sequence", 29, 3, Seq(0.7), Nil, 2)))
+    val counts = df.groupBy("model_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 13L, 1 -> 29L))
+    val maxSim = df.groupBy("model_id").agg(max("sim_id"), min("sim_id")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(maxSim == Map(0 -> (12L, 0L), 1 -> (28L, 0L)))
+  }
+
+  test("fixed seed => identical traces across runs; different seeds differ") {
+    def run(seed: Long) = battery
+      .simulate(Seq(SimulationSpec(0, "coin_sequence", 50, 8, Seq(0.5), Nil, seed)))
+      .select(concat_ws(",", col("trace"))).collect().map(_.getString(0)).toSeq
+    assert(run(42) == run(42))
+    assert(run(42) != run(43))
+  }
+
+  test("no masterSeed and no spec seed => fresh seeds per call (reference utils.py:8-12)") {
+    def run() = new MCBattery(spark)
+      .simulate(Seq(SimulationSpec(0, "coin_sequence", 20, 8, Seq(0.5), Nil, 0)))
+      .select(concat_ws(",", col("trace"))).collect().map(_.getString(0)).toSeq
+    assert(run() != run()) // 2^-160-ish false-failure probability
+  }
+
+  test("masterSeed gives reproducible derived per-model seeds") {
+    def run() = new MCBattery(spark, masterSeed = Some(99L))
+      .simulate(Seq(
+        SimulationSpec(0, "coin_sequence", 10, 6, Seq(0.5), Nil, 0),
+        SimulationSpec(1, "coin_sequence", 10, 6, Seq(0.7), Nil, 0)))
+      .select(concat_ws(",", col("trace"))).collect().map(_.getString(0)).toSeq
+    assert(run() == run())
+  }
+
+  test("config validation bounds (models.py:45-61): sims>=1, points>=1") {
+    intercept[IllegalArgumentException] { SimulationSpec(0, "coin_sequence", 0, 5) }
+    intercept[IllegalArgumentException] { SimulationSpec(0, "coin_sequence", 5, 0) }
+  }
+
+  test("unknown model fails fast (deviation from reference's swallowed KeyError)") {
+    intercept[IllegalArgumentException] {
+      battery.simulate(Seq(SimulationSpec(0, "no_such_model", 1, 1))).collect()
+    }
+  }
+
+  test("default output path is ./{i}.txt (parallel_simulations.py:176-179)") {
+    assert(SimulationSpec(3, "coin_sequence", 1, 1).resolvedOutputPath == "./3.txt")
+    assert(SimulationSpec(3, "coin_sequence", 1, 1, outputPath = Some("/x/y.csv")).resolvedOutputPath == "/x/y.csv")
+  }
+
+  test("Column tier and typed tier produce identical traces (coin + walk)") {
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 40, 9, Seq(0.6), Seq("T", "T"), 42),
+      SimulationSpec(1, "random_walk", 40, 9, Seq(0.5), Nil, 43))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("model_id"), col("sim_id"), concat_ws(",", col("trace")).as("t"))
+        .orderBy("model_id", "sim_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dump(battery.simulate(specs)) == dump(battery.simulateTyped(specs)))
+  }
+
+  test("gbm tiers agree numerically") {
+    val specs = Seq(SimulationSpec(0, "gbm", 10, 6, Seq(0.05, 0.2, 1.0 / 252), Seq("100.0"), 7))
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sim_id").select(col("trace")).collect()
+        .map(_.getSeq[String](0).map(_.toDouble))
+    val a = vals(battery.simulate(specs))
+    val b = vals(battery.simulateTyped(specs))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (ta, tb) =>
+      ta.zip(tb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9 * math.max(1.0, math.abs(x))) }
+    }
+  }
+
+  test("heads fraction within CLT bounds of bias") {
+    val df = battery.simulate(Seq(SimulationSpec(0, "coin_sequence", 2000, 16, Seq(0.7), Nil, 42)))
+    val frac = MCBattery.explodeTraces(df)
+      .agg(avg(when(col("value") === "H", 1).otherwise(0))).collect()(0).getDouble(0)
+    val se = math.sqrt(0.7 * 0.3 / (2000 * 16))
+    assert(math.abs(frac - 0.7) < 5 * se, s"frac=$frac se=$se")
+  }
+
+  test("simulation plan is shuffle-free (Range -> Project, no Exchange)") {
+    val df = battery.simulate(Seq(
+      SimulationSpec(0, "coin_sequence", 1000, 8, Seq(0.5), Nil, 42),
+      SimulationSpec(1, "coin_sequence", 1000, 8, Seq(0.7), Nil, 43)))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), physical)
+    assert(physical.contains("Range"), physical)
+  }
+
+  test("reference CSV sink: one file per model, one row per sim, overwrite on rerun") {
+    val tmp = Files.createTempDirectory("graft-csv")
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 6, 4, Seq(0.5), Nil, 42, Some(s"$tmp/a.csv")),
+      SimulationSpec(1, "coin_sequence", 3, 4, Seq(0.7), Nil, 43, Some(s"$tmp/b.csv")))
+    val df = battery.simulate(specs)
+    TraceSink.writeReferenceCsv(df, specs)
+    val a = Files.readAllLines(Paths.get(s"$tmp/a.csv"))
+    val b = Files.readAllLines(Paths.get(s"$tmp/b.csv"))
+    assert(a.size == 6 && b.size == 3)
+    assert(a.get(0).split(",").length == 4)
+    TraceSink.writeReferenceCsv(df, specs) // overwrite, not append (utils.py:19 "w")
+    assert(Files.readAllLines(Paths.get(s"$tmp/a.csv")).size == 6)
+  }
+}
