@@ -34,12 +34,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SimQueries.queries ++ RelationalQueries.queries
+    SimQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      EventQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted only for non-SQL-expressible ops (driver then
     * records a rows-only check).
     */
   def oracleSql: Map[String, String] =
-    SimQueries.oracleSql ++ RelationalQueries.oracleSql
+    SimQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      EventQueries.oracleSql
 }

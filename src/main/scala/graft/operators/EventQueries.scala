@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Event-stream analytics over `events`, built on the StreamOps transforms
+  * (the same functions run under readStream — StreamingSpec proves it).
+  * Oracles reproduce the window semantics arithmetically:
+  * epoch-aligned tumbling buckets and lag/cumsum sessionization.
+  */
+object EventQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 15-min windows per event type (Spark window() function).
+    "ev_tumbling" -> ((s, d) =>
+      StreamOps.tumblingCounts(t(s, d, "events"))
+        .orderBy("window_start_us", "event_type")),
+
+    // Session windows (8h gap) per user (Spark session_window()).
+    "ev_sessions" -> ((s, d) =>
+      StreamOps.userSessions(t(s, d, "events"))
+        .orderBy("user_id", "session_start_us")),
+
+    // Session summary: sessions per user histogram — exercises the
+    // two-level agg on top of session_window.
+    "ev_session_histogram" -> ((s, d) =>
+      StreamOps.userSessions(t(s, d, "events"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .groupBy("n_sessions").agg(count(lit(1)).as("n_users"))
+        .orderBy("n_sessions")))
+
+  private val sessionsSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 28800000000
+      |         OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |sess AS (SELECT user_id, us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessions" ->
+      s"""$sessionsSql
+         |ORDER BY user_id, session_start_us""".stripMargin,
+    "ev_session_histogram" ->
+      s"""WITH s AS ($sessionsSql),
+         |pu AS (SELECT user_id, COUNT(*) AS n_sessions FROM s GROUP BY user_id)
+         |SELECT n_sessions, COUNT(*) AS n_users FROM pu
+         |GROUP BY n_sessions ORDER BY n_sessions""".stripMargin)
+}

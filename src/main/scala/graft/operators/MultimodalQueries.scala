@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.MediaStub
+
+/** Multimodal-column queries (north-star): binary payloads + stubbed decode.
+  * The stub derives metadata arithmetically from the payload length, so the
+  * DuckDB oracle reproduces the exact values from octet_length — the Spark
+  * side still runs the REAL plumbing (typed mapPartitions decode for
+  * mm_decode_meta; generated-column explode for mm_frame_sample).
+  */
+object MultimodalQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Typed mapPartitions decode -> extracted metadata (first 100 docs).
+    "mm_decode_meta" -> ((s, d) =>
+      MediaStub.decodeAll(s, t(s, d, "documents").filter(col("doc_id") < 100))
+        .toDF()
+        .select("doc_id", "n_bytes", "width", "height", "n_frames", "format")
+        .orderBy("doc_id")),
+
+    // Frame sampling: explode the (fake) frame index space, keep every 3rd
+    // frame — the classic video frame-sample shape (generator + filter).
+    "mm_frame_sample" -> ((s, d) =>
+      MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100))
+        .select(col("doc_id"), (lit(1) + expr("octet_length(payload) div 100")).cast("int").as("n_frames"))
+        .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 3 === 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+        .orderBy("doc_id")))
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(32 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) // 100 AS INTEGER) AS n_frames,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS format
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, 1 + octet_length(encode(text)) // 100 AS n_frames
+        |           FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM f)
+        |SELECT doc_id, COUNT(*) AS n_sampled, CAST(MAX(frame_idx) AS INTEGER) AS last_frame
+        |FROM fr WHERE frame_idx % 3 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

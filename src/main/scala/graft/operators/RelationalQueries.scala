@@ -256,7 +256,49 @@ object RelationalQueries {
         .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
         .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("event_type", "k_bucket")))
+        .orderBy("event_type", "k_bucket")),
+
+    // Exact interpolated percentiles (both engines use the same
+    // (n-1)p index + linear interpolation definition).
+    "q22_percentiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("approx_median"),
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .drop("approx_median") // exercised, but sketch output isn't oracle-comparable
+        .orderBy("o_orderstatus")),
+
+    // Pivot (dynamic column generation from values).
+    "q23_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
+    // Sorted array aggregation (deterministic collect).
+    "q24_array_agg" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_custkey") < 50)
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_totalprice") > 300000)
+        .groupBy("c_custkey")
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderkey")))).as("big_orders"))
+        .orderBy("c_custkey")),
+
+    // GROUPING SETS through the SQL surface (spark.sql on a temp view).
+    "q25_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q2_filter_project" ->
@@ -397,5 +439,28 @@ object RelationalQueries {
       s"""SELECT event_type,
          |  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS k_bucket,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q22_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q23_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q24_array_agg" ->
+      """SELECT c_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderkey)), ',') AS big_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey < 50 AND o_totalprice > 300000
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.DeterministicRng
+
+/** Similarity search over `embeddings` (`embedding ARRAY<FLOAT>`, dim 64).
+  *
+  * Three operators:
+  *   - [[cosine]] as a pure built-in expression (cast→zip_with→aggregate):
+  *     left-to-right fold, so the summation order is defined — that is what
+  *     lets DuckDB's sequential list_dot_product reproduce it (results are
+  *     rounded to 6 decimals on both sides to absorb any last-ulp skew);
+  *   - brute-force top-k: the exact baseline. O(Q·N) — fine for a handful of
+  *     query vectors even at 100 TB because it is a single broadcast-join
+  *     scan (queries broadcast, one pass over the corpus, partial top-k per
+  *     partition via window rank);
+  *   - LSH-bucketed ANN (random-hyperplane signatures from the deterministic
+  *     counter RNG): the scale path — candidates come from matching 8-bit
+  *     signature buckets (±1-bit multiprobe), so each query touches ~2^-8 of
+  *     the corpus per probe instead of all of it. Recall vs. the brute-force
+  *     baseline is asserted in SimilaritySpec.
+  */
+object SimilarityQueries {
+  import Tables._
+
+  private val DIM = 64
+  private val SIG_BITS = 8
+  private val N_TABLES = 6
+  private val NEAR_T = 0.40
+  private val TOP_K = 10
+  private val N_QUERIES = 5
+
+  /** Exact cosine between two float-array columns, deterministic fold order,
+    * rounded to 6 decimals.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val da = d(a); val db = d(b)
+    round(dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db))), 6)
+  }
+
+  private def sqlCosine(a: String, b: String): String =
+    s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+
+  /** Random-hyperplane signature: bit j = sign(Σ_i v[i]·(u(j,i)−0.5)) with
+    * u from the counter-based RNG — deterministic, no stored model.
+    */
+  def lshSignature(v: Column, seed: Long): Column =
+    (0 until SIG_BITS).map { j =>
+      val proj = aggregate(
+        zip_with(transform(v, x => x.cast("double")),
+          transform(sequence(lit(0), lit(DIM - 1)),
+            i => DeterministicRng.uniformCol(lit(seed), lit(j.toLong), lit(0L), i) - 0.5),
+          (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Embedding-cosine near-duplicate pairs (the embedding dedup stage).
+    "emb_near_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= NEAR_T)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Brute-force cosine top-k: exact ANN baseline. Query side is tiny and
+    // broadcast; rank window is per-query.
+    "knn_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val scored = e.join(q, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN: L independent hash tables (random-hyperplane
+    // signatures with per-table seeds), 1-bit multiprobe per table, union of
+    // candidates, exact re-rank. Each probe touches ~N/2^bits of the corpus,
+    // so cost scales with candidate count, not corpus size — the 100 TB
+    // shape. No oracle — approximate by design; recall vs knn_brute is
+    // asserted in SimilaritySpec.
+    "knn_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      // corpus side: L rows per vector — (table, signature)
+      val tables = (0 until N_TABLES).map { l =>
+        e.select(col("vec_id"), col("embedding"), lit(l).as("tbl"),
+          lshSignature(col("embedding"), 777L + l * 131L).as("sig"))
+      }.reduce(_ unionAll _)
+      val q = tables.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("tbl").as("qtbl"), col("sig").as("qsig"))
+      val probes = q.select(col("query_id"), col("qe"), col("qtbl"), col("qsig"),
+          explode(array(lit(0) +: (0 until SIG_BITS).map(j => lit(1 << j)): _*)).as("flip"))
+        .withColumn("probe_sig", col("qsig").bitwiseXOR(col("flip")))
+      val cand = probes.join(tables,
+          col("tbl") === col("qtbl") && col("sig") === col("probe_sig") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding")).distinct()
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "emb_near_pairs" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${sqlCosine("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $NEAR_T
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "knn_brute" ->
+      s"""SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $N_QUERIES) x
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID,
+  * quality-scoring, token-counting and fingerprinting stages of a large-scale
+  * training-data pipeline (north-star additions, SURVEY §2.2).
+  *
+  * All four are single-pass, shuffle-light (one hash aggregate at most) and
+  * fully expression-based — at 100 TB they run as a map-side scan with
+  * partial aggregation, no UDFs, whole-stage codegen throughout.
+  *
+  * Cross-engine notes: ratios are always exact-integer sums divided once at
+  * the end (never averaged doubles); word splitting is a plain single-space
+  * split identical to DuckDB's string_split.
+  */
+object TextQueries {
+  import Tables._
+
+  private def words: Column = split(col("text"), " ")
+  private val stop = Seq("the", "a", "of", "and", "to", "in")
+  private def stopCount(w: Column): Column =
+    size(filter(w, x => x.isin(stop.map(lit(_)): _*)))
+  private val sqlStop = stop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // Marker vocabularies for the language-ID heuristic (argmax of hit counts;
+  // ties resolved in fixed en>de>es>fr order both engines).
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "fr" -> Seq("le", "les", "et", "ou"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens, corpus stats
+    // per language label. One scan, one small hash agg.
+    "tx_token_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(words).as("ws_tokens"),
+          size(filter(split(col("text"), "[^a-z0-9]+"), x => x =!= "")).as("re_tokens"),
+          size(array_distinct(words)).as("uniq_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("ws_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(col("re_tokens")).as("total_re_tokens"),
+          (sum(col("uniq_tokens")).cast("double") / sum(col("ws_tokens"))).as("distinct_ratio"))
+        .orderBy("lang")),
+
+    // Per-document quality scoring: type-token ratio, stopword ratio, word
+    // length — combined into one deterministic score. Pure projection (no
+    // shuffle at all).
+    "tx_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(words).as("n_tokens"),
+          (size(array_distinct(words)).cast("double") / size(words)).as("ttr"),
+          (stopCount(words).cast("double") / size(words)).as("stop_ratio"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / size(words))
+            .as("avg_word_len"))
+        .withColumn("quality_score",
+          col("ttr") * 0.5 + col("stop_ratio") * 0.2 +
+            when(col("n_tokens") >= 30 && col("n_tokens") <= 120, 0.3).otherwise(0.0))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic: marker-word hit counts, argmax with fixed tie
+    // order; output is the label×prediction confusion matrix.
+    "tx_langid" -> ((s, d) => {
+      val w = words
+      val hits = markers.map { case (l, ms) =>
+        l -> size(filter(w, x => x.isin(ms.map(lit(_)): _*)))
+      }
+      val hitMap = hits.toMap
+      val predicted =
+        when(hitMap("en") >= greatest(hitMap("de"), hitMap("es"), hitMap("fr")), "en")
+          .when(hitMap("de") >= greatest(hitMap("es"), hitMap("fr")), "de")
+          .when(hitMap("es") >= hitMap("fr"), "es")
+          .otherwise("fr")
+      t(s, d, "documents")
+        .select(col("lang"), predicted.as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
+    // documents with identical word sets collapse to one fingerprint —
+    // word-order-insensitive near-dup detection in one agg pass.
+    "tx_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+          .as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+        .agg(
+          count(lit(1)).as("n_fingerprints"),
+          sum(col("cluster_size")).as("n_docs"),
+          sum(when(col("cluster_size") > 1, 1).otherwise(0)).as("n_multi_clusters"),
+          max(col("cluster_size")).as("max_cluster"))))
+
+  private def sqlMarkerCount(ms: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
+
+  def oracleSql: Map[String, String] = Map(
+    "tx_token_stats" ->
+      """WITH x AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS ws_tokens,
+        |    len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '')) AS re_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS uniq_tokens
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+        |  CAST(SUM(uniq_tokens) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE) AS distinct_ratio
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    "tx_quality" ->
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $sqlStop)) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT doc_id, n_tokens, ttr, stop_ratio, avg_word_len,
+         |  ttr * 0.5 + stop_ratio * 0.2 +
+         |    (CASE WHEN n_tokens >= 30 AND n_tokens <= 120 THEN 0.3 ELSE 0.0 END) AS quality_score
+         |FROM x ORDER BY doc_id""".stripMargin,
+    "tx_langid" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    ${sqlMarkerCount(markers(0)._2)} AS c_en,
+         |    ${sqlMarkerCount(markers(1)._2)} AS c_de,
+         |    ${sqlMarkerCount(markers(2)._2)} AS c_es,
+         |    ${sqlMarkerCount(markers(3)._2)} AS c_fr
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+         |       WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted,
+         |  COUNT(*) AS n_docs
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tx_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |cl AS (SELECT fp, COUNT(*) AS cluster_size FROM fp GROUP BY fp)
+        |SELECT COUNT(*) AS n_fingerprints,
+        |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+        |  MAX(cluster_size) AS max_cluster
+        |FROM cl""".stripMargin)
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming transforms over the events schema.
+  *
+  * Defined as plain DataFrame→DataFrame functions so the SAME code runs in
+  * both modes: batch (`spark.read.parquet` — used by the oracle-checked
+  * ev_* queries) and Structured Streaming (`spark.readStream` + watermark —
+  * exercised in StreamingSpec via files/memory sinks). That one-definition
+  * property is the point: at scale the streaming job IS the batch query with
+  * an incremental execution mode, exactly Structured Streaming's model.
+  *
+  * `ts` arrives as int64 nanoseconds (see Tables.t); [[eventTime]] converts
+  * once to a proper timestamp column for window()/watermark use.
+  */
+object StreamOps {
+
+  /** ns→µs must be INTEGER division: epoch nanos (~1.7e18) exceed double's
+    * 2^53 exact-integer range, so Column./ (double division) would corrupt
+    * the low digits. `div` keeps it in long arithmetic.
+    */
+  def eventTime(ts: Column): Column =
+    timestamp_micros(call_function("div", ts.cast("long"), lit(1000L)))
+
+  /** 15-minute tumbling-window counts and value sums per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("etime", eventTime(col("ts")))
+      .groupBy(window(col("etime"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Same transform with a watermark — the streaming entry point. */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    tumblingCounts(events.withColumn("etime0", eventTime(col("ts")))
+      .withWatermark("etime0", "30 minutes"))
+
+  /** Per-user session windows (8h inactivity gap): session start + size. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withColumn("etime", eventTime(col("ts")))
+      .groupBy(session_window(col("etime"), "8 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+
+  /** Typed event row for the stateful operators. */
+  final case class EvRow(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Stateful running per-user event counts via mapGroupsWithState — custom
+    * state that survives across micro-batches (asserted in StreamingSpec).
+    */
+  def runningUserCounts(ds: Dataset[EvRow]): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[EvRow], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          (uid, total)
+      }
+  }
+}
