@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the vector hot path.
+  *
+  * The built-in route for an array dot product —
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0d, (s,x) => s+x)` — evaluates
+  * interpreted lambda closures per element per row (higher-order functions
+  * are excluded from whole-stage codegen), which made the all-pairs cosine
+  * scan the bench bottleneck (110 s at sf0.1). This expression generates a
+  * tight primitive loop inside whole-stage codegen instead (~40× less work
+  * per pair), while keeping the exact same left-to-right double accumulation
+  * order — so results (and the DuckDB `list_dot_product` oracle parity) are
+  * bit-identical to the fold it replaces.
+  *
+  * Accepts `array<float>` / `array<double>` on either side; accumulates in
+  * double. Null elements are not expected (embedding columns); null arrays
+  * propagate null.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aF = elemType(left) == FloatType
+    val bF = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+      val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  // Spark 4 made Column representation-agnostic; the bridge converts
+  // Column <-> catalyst Expression (see graftbridge.Bridge).
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Column API for [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Cosine similarity on top of the native dot product, rounded to 6
+    * decimals (cross-engine FP discipline — see SimilarityQueries).
+    */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{round, sqrt}
+    round(dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b))), 6)
+  }
+}

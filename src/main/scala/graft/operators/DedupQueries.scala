@@ -34,18 +34,28 @@ object DedupQueries {
 
   private def wordsCol: Column = split(col("text"), " ")
 
-  /** Distinct 3-word shingles (the dedup literature's default unit). */
-  private def shinglesCol(w: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+  /** Distinct 3-word shingles (the dedup literature's default unit), via the
+    * native [[graft.functions.WordShingles]] expression (one string pass;
+    * the composable transform/element_at form cost ~4 s per pass at sf0.1).
+    */
+  private def shinglesCol(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.WordShingles(Bridge.expression(text), 3))
+  }
 
   private val sqlShingles =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
+  /** Shingle sets with an explicit repartition BEFORE the heavy projection:
+    * the documents table is one small parquet file (one scan partition), so
+    * without it the shingle+hash work runs on a single core no matter how
+    * many the executor has — the classic small-file parallelism trap.
+    */
   private def docShingleSets(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .filter(size(wordsCol) >= 3)
-      .select(col("doc_id"), col("lang"), col("n_chars"), shinglesCol(wordsCol).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("n_chars"), shinglesCol(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -66,31 +76,52 @@ object DedupQueries {
           (sum(col("copies")) - count(lit(1))).as("n_removed"))
     }),
 
-    // Blocked n-gram Jaccard: candidate pairs within (lang, size-bucket)
-    // blocks, exact 3-gram Jaccard ≥ 0.3.
+    // Blocked n-gram Jaccard via an INVERTED INDEX: explode shingles, join
+    // on (block, shingle), count shared shingles per pair, then
+    // jac = common / (|A| + |B| − common). Work is proportional to the
+    // number of shingle co-occurrences, not O(block²) array intersections —
+    // pairs sharing nothing are never materialized. Identical result to the
+    // all-pairs formulation (jac > 0 requires ≥ 1 shared shingle).
     "dd_ngram_jaccard" -> ((s, d) => {
       val docs = docShingleSets(s, d)
         .withColumn("bucket", expr("n_chars div 100"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("l"),
-        col("bucket").as("bkt"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("l2"),
-        col("bucket").as("bkt2"), col("sh").as("sh_b"))
-      a.join(b, col("l") === col("l2") && col("bkt") === col("bkt2") &&
-          col("doc_a") < col("doc_b"))
-        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .withColumn("sz", size(col("sh")))
+      // Join on a 64-bit hash of the shingle, not the string — 8-byte keys
+      // in the shuffle instead of ~25-byte strings (collisions: ~|shingles|²
+      // /2^64, irrelevant; the oracle compares final jaccards, unchanged).
+      val inv = docs.select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
+          xxhash64(col("shingle")).as("shx"))
+      val a = inv.select(col("lang"), col("bucket"), col("shx"),
+        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      val b = inv.select(col("lang").as("l2"), col("bucket").as("bkt2"),
+        col("shx").as("shx2"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      a.join(b, col("lang") === col("l2") && col("bucket") === col("bkt2") &&
+          col("shx") === col("shx2") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jac",
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
         .filter(col("jac") >= JACCARD_T)
         .select("doc_a", "doc_b", "jac")
         .orderBy("doc_a", "doc_b")
     }),
 
     // MinHash + LSH: k=16 universal-family minhashes in one aggregation
-    // pass, 4-band LSH join, candidates verified with true Jaccard.
+    // pass, 4-band LSH join, candidates verified with true Jaccard (via
+    // shared-shingle counts, like dd_ngram_jaccard). The exploded+hashed
+    // shingle lineage feeds signatures AND verification, so it is persisted
+    // instead of recomputed per branch — at 100 TB this intermediate is the
+    // natural checkpoint.
     "dd_minhash" -> ((s, d) => {
       val sets = docShingleSets(s, d).select(col("doc_id"), col("sh"))
-      val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .withColumn("sz", size(col("sh")))
+      val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
         .withColumn("h", mdint(col("shingle")))
+        .persist()
       val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
-      val sig = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bands = (0 until BANDS).map { bnd =>
         sig.select(col("doc_id"), lit(bnd).as("band"),
           concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
@@ -100,10 +131,16 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      val ia = hashed.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        col("shingle"))
+      val ib = hashed.select(col("doc_id").as("doc_b2"), col("sz").as("sz_b"),
+        col("shingle").as("shingle2"))
+      cand.join(ia, "doc_a")
+        .join(ib, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle2"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jac",
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
         .filter(col("jac") >= JACCARD_T)
         .select("doc_a", "doc_b", "jac")
         .orderBy("doc_a", "doc_b")
@@ -113,6 +150,7 @@ object DedupQueries {
     // near-dup pairs = hamming ≤ 3, found via 8-bit chunk blocking.
     "dd_simhash" -> ((s, d) => {
       val wc = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(wordsCol).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
         .withColumn("h", mdint(col("word")))
