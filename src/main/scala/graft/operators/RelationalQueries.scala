@@ -290,6 +290,17 @@ object RelationalQueries {
         .agg(concat_ws(",", sort_array(collect_set(col("o_orderkey")))).as("big_orders"))
         .orderBy("c_custkey")),
 
+    // Sketch aggregates: approx_count_distinct (HLL++) next to the exact
+    // count. No oracle — sketch estimates are engine-specific by nature;
+    // QueriesSpec asserts the estimate lands within HLL's error bound.
+    "q26_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+
     // GROUPING SETS through the SQL surface (spark.sql on a temp view).
     "q25_grouping_sets" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")

@@ -75,6 +75,37 @@ object SimQueries {
         .groupBy(col("model_id"), col("step"))
         .agg(avg(when(col("value") === "H", 1).otherwise(0)).as("h_frac"))
         .orderBy(col("model_id"), col("step"))
+    }),
+
+    // Single-pass trace statistics via the typed Aggregator (custom UDAF
+    // tier): one buffer per model instead of four separate aggregates.
+    "sim_trace_stats" -> ((spark, _) => {
+      import spark.implicits._
+      val binary = MCBattery.explodeTraces(new MCBattery(spark).simulate(estSpecs))
+        .select(col("model_id"),
+          when(col("value") === "H", 1.0).otherwise(0.0).as("v"))
+        .as[(Int, Double)]
+      binary.groupByKey(_._1)
+        .agg(graft.functions.TraceStats.aggOn[(Int, Double)](_._2).toColumn.name("stats"))
+        .select(col("key").as("model_id"),
+          col("stats.n_points").as("n_points"), col("stats.mean").as("mean"),
+          col("stats.variance").as("variance"), col("stats.min_v").as("min_v"),
+          col("stats.max_v").as("max_v"))
+        .orderBy("model_id")
+    }),
+
+    // Running estimator along the trace: cumulative H fraction per sim
+    // (window cumsum over the exploded long format).
+    "sim_running_mean" -> ((spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("model_id"), col("sim_id")).orderBy(col("step"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      MCBattery.explodeTraces(new MCBattery(spark).simulate(coinSpecs))
+        .filter(col("sim_id") < 5)
+        .withColumn("h", when(col("value") === "H", 1L).otherwise(0L))
+        .select(col("model_id"), col("sim_id"), col("step"),
+          (sum(col("h")).over(w).cast("double") / (col("step") + 1)).as("run_mean"))
+        .orderBy("model_id", "sim_id", "step")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -113,5 +144,28 @@ object SimQueries {
          |CROSS JOIN generate_series(0, 199) AS s(sim_id)
          |CROSS JOIN generate_series(0, 15) AS st(step)
          |GROUP BY 1, 2
-         |ORDER BY 1, 2""".stripMargin)
+         |ORDER BY 1, 2""".stripMargin,
+    "sim_trace_stats" ->
+      s"""WITH v AS (
+         |  SELECT m.model_id,
+         |    CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1.0 ELSE 0.0 END AS v
+         |  FROM ${coinValues(estSpecs)}
+         |  CROSS JOIN generate_series(0, 4999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 15) AS st(step))
+         |SELECT model_id, COUNT(*) AS n_points,
+         |  SUM(v) / COUNT(*) AS mean,
+         |  (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*) AS variance,
+         |  MIN(v) AS min_v, MAX(v) AS max_v
+         |FROM v GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_running_mean" ->
+      s"""WITH flips AS (
+         |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,
+         |    CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE 0 END AS h
+         |  FROM ${coinValues(coinSpecs)}
+         |  CROSS JOIN generate_series(0, 4) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 15) AS st(step))
+         |SELECT model_id, sim_id, step,
+         |  CAST(SUM(h) OVER (PARTITION BY model_id, sim_id ORDER BY step
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / (step + 1) AS run_mean
+         |FROM flips ORDER BY model_id, sim_id, step""".stripMargin)
 }

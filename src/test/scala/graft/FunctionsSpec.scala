@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.TraceSource
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("GraftExtensions registers SQL functions (graft_dot_product et al.)") {
+    // New session object over the same SparkContext, with extensions applied
+    // (both active AND default must be cleared or getOrCreate reuses them).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = ext.sql(
+        """SELECT graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       graft_md5int60('hello') AS h,
+          |       size(graft_word_shingles('a b c d', 3)) AS ns""".stripMargin).collect()(0)
+      assert(r.getDouble(0) == 11.0)
+      // md5('hello') = 5d41402abc4b2a76...; top 60 bits = 0x5d41402abc4b2a7
+      assert(r.getLong(1) == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+      assert(r.getInt(2) == 2)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("native md5int60 equals the composable conv(substr(md5)) form") {
+    val df = spark.range(200).select(
+      concat(lit("doc-"), col("id")).as("s"))
+    val both = df.select(
+      graft.functions.CrossHash.mdint(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("native word_shingles equals the composable transform form") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val w = split(col("s"), " ")
+    val composable = array_distinct(transform(sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+    val native = Bridge.column(graft.functions.WordShingles(Bridge.expression(col("s")), 3))
+    val df = operators.Tables.t(spark, sfDir, "documents")
+      .select(col("text").as("s"))
+      .select(array_sort(composable).as("a"), array_sort(native).as("b"))
+    assert(df.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("TraceSource round-trips the reference CSV format") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src")
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 20, 6, Seq(0.5), Nil, 42, Some(s"$tmp/m0.csv")),
+      SimulationSpec(1, "coin_sequence", 10, 9, Seq(0.7), Nil, 43, Some(s"$tmp/m1.csv")))
+    val bat = new MCBattery(spark)
+    val written = bat.simulate(specs)
+    TraceSink.writeReferenceCsv(written, specs)
+    val back = TraceSource.readReferenceCsvBattery(spark,
+      Map(0 -> s"$tmp/m0.csv", 1 -> s"$tmp/m1.csv"))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("model_id"), col("sim_id"), concat_ws(",", col("trace")))
+        .orderBy("model_id", "sim_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dump(back) == dump(written))
+  }
+
+  test("approx_count_distinct lands within its error bound") {
+    val r = SparkEntry.queries("q26_approx_distinct")(spark, sfDir).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("TraceStats aggregator matches naive statistics") {
+    import spark.implicits._
+    val vals = Seq(1.0, 0.0, 1.0, 1.0, 0.0, 1.0)
+    val ds = vals.toDS()
+    val s = ds.select(graft.functions.TraceStats.agg.toColumn).collect()(0)
+    val mean = vals.sum / vals.size
+    assert(s.n_points == 6 && s.mean == mean)
+    assert(math.abs(s.variance - vals.map(v => (v - mean) * (v - mean)).sum / 6) < 1e-12)
+    assert(s.min_v == 0.0 && s.max_v == 1.0)
+  }
+}
