@@ -94,6 +94,26 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // Max drawdown per random-walk trace (the classic MC risk statistic:
+    // max over t of runningMax(t) − pos(t)) — two stacked windows over the
+    // exploded long format; exact integers, fully oracle-checked.
+    "sim_walk_drawdown" -> ((spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val byStep = Window.partitionBy(col("model_id"), col("sim_id")).orderBy(col("step"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pos = MCBattery.explodeTraces(new MCBattery(spark).simulate(walkSpecs))
+        .select(col("model_id"), col("sim_id"), col("step"), col("value").cast("long").as("pos"))
+      pos
+        .withColumn("runmax", max(col("pos")).over(byStep))
+        .groupBy(col("model_id"), col("sim_id"))
+        .agg(max(col("runmax") - col("pos")).as("drawdown"))
+        .groupBy(col("model_id"))
+        .agg(avg(col("drawdown")).as("avg_drawdown"),
+          max(col("drawdown")).as("max_drawdown"),
+          count(lit(1)).as("n_sims"))
+        .orderBy("model_id")
+    }),
+
     // Running estimator along the trace: cumulative H fraction per sim
     // (window cumsum over the exploded long format).
     "sim_running_mean" -> ((spark, _) => {
@@ -157,6 +177,26 @@ object SimQueries {
          |  (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*) AS variance,
          |  MIN(v) AS min_v, MAX(v) AS max_v
          |FROM v GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_walk_drawdown" ->
+      s"""WITH pos AS (
+         |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,
+         |    CAST(SUM(CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END)
+         |      OVER (PARTITION BY m.model_id, s.sim_id ORDER BY st.step
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos
+         |  FROM ${coinValues(walkSpecs)}
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 23) AS st(step)),
+         |rm AS (
+         |  SELECT model_id, sim_id, pos,
+         |    CAST(MAX(pos) OVER (PARTITION BY model_id, sim_id ORDER BY step
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmax
+         |  FROM pos),
+         |dd AS (
+         |  SELECT model_id, sim_id, MAX(runmax - pos) AS drawdown
+         |  FROM rm GROUP BY model_id, sim_id)
+         |SELECT model_id, AVG(drawdown) AS avg_drawdown,
+         |  MAX(drawdown) AS max_drawdown, COUNT(*) AS n_sims
+         |FROM dd GROUP BY model_id ORDER BY model_id""".stripMargin,
     "sim_running_mean" ->
       s"""WITH flips AS (
          |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,

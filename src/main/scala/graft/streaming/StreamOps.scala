@@ -51,6 +51,21 @@ object StreamOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Streaming Monte Carlo: turn a stream of simulation REQUESTS
+    * (model_id, sim_id, seed, points, bias) into a stream of coin traces —
+    * the same counter-based generation as the batch tier, applied with
+    * per-row dynamic parameters. Because the RNG is a pure counter hash,
+    * the streaming output is bit-identical to batch generation with the
+    * same counters (asserted in StreamingSpec), and the operator is
+    * trivially parallel/stateless — the 100 TB "simulation service" shape.
+    */
+  def coinTraceStream(requests: DataFrame): DataFrame =
+    requests.select(col("model_id"), col("sim_id"), col("seed"),
+      transform(sequence(lit(0), col("points") - 1), step =>
+        when(graft.core.DeterministicRng.uniformCol(
+          col("seed"), col("model_id").cast("long"), col("sim_id"), step) < col("bias"),
+          lit("H")).otherwise(lit("T"))).as("trace"))
+
   /** Typed event row for the stateful operators. */
   final case class EvRow(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SkewJoin, Tables}
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 1000 executors" checks: pushdown reaches the scan, always-small dims
+  * broadcast, bucketing removes the join shuffle, salting preserves join
+  * semantics.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q2: filter and projection are pushed into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_quantity,50.0)"), p)
+    // pruned read schema: only the 5 selected columns (+filter cols) are read
+    assert(!p.contains("l_returnflag"), "unneeded column not pruned:\n" + p)
+  }
+
+  test("q6: all scan predicates pushed (shipdate range, discount band, qty)") {
+    val p = plan("q6_revenue_forecast")
+    // the PushedFilters list is elided in toString; DataFilters carries the
+    // full pushed set
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("l_quantity") && p.contains("24.0"), p)
+    assert(p.contains("l_shipdate") && p.contains("1996-01-01"), p)
+  }
+
+  test("q5: nation/region joins are broadcast (no shuffle for small dims)") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1: aggregation is two-phase (partial map-side combine before shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_"), "no partial aggregation found:\n" + p)
+  }
+
+  test("simulation is Range -> Project with no Exchange (shuffle-free)") {
+    val df = new graft.core.MCBattery(spark).simulate(graft.operators.SimQueries.coinSpecs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Range") && !p.contains("Exchange"), p)
+    // codegen'd stages render with a "*(n)" prefix
+    assert(p.contains("*("), p)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // force a sort-merge join so the bucketing (not broadcast) removes the
+    // shuffle — at real scale neither side would be broadcastable
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val or = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    or.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("or_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("or_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity"))
+    val p = joined.queryExecution.executedPlan.toString
+    // bucketed-bucketed equi-join on the bucket key: no Exchange before the join
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p)
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+      "bucketed join still shuffles:\n" + p)
+    assert(joined.count() > 0)
+  }
+
+  test("salted join equals the plain join (skew-handling preserves semantics)") {
+    val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val or = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    def summary(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)),
+        sum(col("l_quantity").cast("decimal(18,2)")),
+        sum(col("o_totalprice").cast("decimal(18,2)"))).collect()(0).toSeq
+    val plain = summary(li.join(or, col("l_orderkey") === col("o_orderkey")))
+    val salted = summary(
+      SkewJoin.saltedInnerJoin(li, or, col("l_orderkey"), col("o_orderkey"), 8))
+    assert(plain == salted)
+  }
+}

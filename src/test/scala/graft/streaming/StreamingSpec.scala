@@ -59,6 +59,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("coinTraceStream: streaming generation is bit-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Req(model_id: Int, sim_id: Long, seed: Long, points: Int, bias: Double)
+    val reqs = Seq(Req(0, 0, 42, 8, 0.5), Req(0, 1, 42, 8, 0.5), Req(1, 0, 43, 5, 0.7))
+    val input = MemoryStream[(Int, Long, Long, Int, Double)]
+    val sdf = input.toDF().toDF("model_id", "sim_id", "seed", "points", "bias")
+    val q = coinTraceStream(sdf)
+      .writeStream.format("memory").queryName("mc_out").outputMode("append").start()
+    try {
+      input.addData(reqs.map(r => (r.model_id, r.sim_id, r.seed, r.points, r.bias)))
+      q.processAllAvailable()
+      val streamed = spark.table("mc_out")
+        .select(col("model_id"), col("sim_id"), concat_ws(",", col("trace")))
+        .orderBy("model_id", "sim_id").collect().map(_.toSeq).toSeq
+      val batch = coinTraceStream(
+        reqs.map(r => (r.model_id, r.sim_id, r.seed, r.points, r.bias))
+          .toDF("model_id", "sim_id", "seed", "points", "bias"))
+        .select(col("model_id"), col("sim_id"), concat_ws(",", col("trace")))
+        .orderBy("model_id", "sim_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("userSessions groups events separated by more than the gap") {
     import spark.implicits._
     def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
