@@ -48,11 +48,13 @@ object CoinSequence extends MCModel {
 
   def traceCol(n: Int, params: Seq[Double], start: Seq[String],
                seed: Column, modelId: Column, simId: Column): Column = {
+    // Native codegen'd generator (see core.CoinTrace) — one loop per row
+    // instead of an interpreted per-point lambda; same counter-hash values.
+    import org.apache.spark.sql.graftbridge.Bridge
     val bias = params.headOption.getOrElse(0.5)
-    val gen = transform(sequence(lit(0), lit(n - 1)), step =>
-      when(DeterministicRng.uniformCol(seed, modelId, simId, step) < bias, lit("H"))
-        .otherwise(lit("T")))
-    prepend(start, gen)
+    Bridge.column(CoinTrace(
+      Bridge.expression(seed.cast("long")), Bridge.expression(modelId.cast("long")),
+      Bridge.expression(simId.cast("long")), n, bias, start))
   }
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {

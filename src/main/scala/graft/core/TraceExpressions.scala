@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static generation kernel shared by interpreted eval and generated code. */
+object McGenHelper {
+  private val H = UTF8String.fromString("H")
+  private val T = UTF8String.fromString("T")
+
+  def coinTrace(seed: Long, model: Long, sim: Long, n: Int, bias: Double,
+      prefix: Array[UTF8String]): ArrayData = {
+    val out = new Array[Any](prefix.length + n)
+    var i = 0
+    while (i < prefix.length) { out(i) = prefix(i); i += 1 }
+    var step = 0
+    while (step < n) {
+      out(prefix.length + step) =
+        if (DeterministicRng.uniform(seed, model, sim, step.toLong) < bias) H else T
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native coin-trace generator: the whole trace (starting point + n flips)
+  * in one tight loop per row, inside codegen. Replaces the
+  * `transform(sequence(...), step -> CASE WHEN uniform < bias ...)` form,
+  * whose lambda is interpreted per point. Values are identical (same
+  * counter-hash per (seed, model, sim, step)), so the DuckDB trace oracle is
+  * unchanged — asserted by sim_coin_traces in the correctness gate.
+  */
+case class CoinTrace(seed: Expression, model: Expression, sim: Expression,
+    numberPoints: Int, bias: Double, prefix: Seq[String])
+  extends TernaryExpression {
+
+  override def first: Expression = seed
+  override def second: Expression = model
+  override def third: Expression = sim
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(seed, model, sim).forall(_.dataType == LongType) && numberPoints >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"coin_trace expects (bigint, bigint, bigint) counters, points >= 1")
+
+  @transient private lazy val prefixArr: Array[UTF8String] =
+    prefix.map(UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(s: Any, m: Any, si: Any): Any =
+    McGenHelper.coinTrace(s.asInstanceOf[Long], m.asInstanceOf[Long],
+      si.asInstanceOf[Long], numberPoints, bias, prefixArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pref = ctx.addReferenceObj("prefix", prefixArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, (s, m, si) => {
+      s"${ev.value} = graft.core.McGenHelper.coinTrace($s, $m, $si, " +
+        s"$numberPoints, ${bias}D, $pref);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(seed = newFirst, model = newSecond, sim = newThird)
+}

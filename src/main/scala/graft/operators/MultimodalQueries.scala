@@ -22,6 +22,17 @@ object MultimodalQueries {
         .select("doc_id", "n_bytes", "width", "height", "n_frames", "format")
         .orderBy("doc_id")),
 
+    // Thumbnail/preview extraction shape: slice the leading bytes of the
+    // binary payload and fingerprint them (a real pipeline would decode and
+    // resize; the byte-slice + digest plumbing is identical). The oracle
+    // slices the source string — same bytes, the payloads are ASCII.
+    "mm_thumbnail" -> ((s, d) =>
+      MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100))
+        .select(col("doc_id"),
+          md5(substring(col("payload"), 1, 64)).as("thumb_md5"),
+          least(octet_length(col("payload")), lit(64)).as("thumb_bytes"))
+        .orderBy("doc_id")),
+
     // Frame sampling: explode the (fake) frame index space, keep every 3rd
     // frame — the classic video frame-sample shape (generator + filter).
     "mm_frame_sample" -> ((s, d) =>
@@ -41,6 +52,10 @@ object MultimodalQueries {
         |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) // 100 AS INTEGER) AS n_frames,
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS format
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "mm_thumbnail" ->
+      """SELECT doc_id, md5(substr(text, 1, 64)) AS thumb_md5,
+        |  CAST(least(octet_length(encode(text)), 64) AS INTEGER) AS thumb_bytes
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, 1 + octet_length(encode(text)) // 100 AS n_frames

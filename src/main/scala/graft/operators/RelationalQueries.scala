@@ -290,6 +290,32 @@ object RelationalQueries {
         .agg(concat_ws(",", sort_array(collect_set(col("o_orderkey")))).as("big_orders"))
         .orderBy("c_custkey")),
 
+    // Window-function suite: lead/lag offsets, ntile, percent_rank,
+    // first/last over frames — one query covering the window surface.
+    "q27_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          first(col("o_orderkey")).over(wf).as("first_order"),
+          last(col("o_orderkey")).over(wf).as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Date arithmetic: shifted dates, truncation, day-difference buckets.
+    "q28_date_arith" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due_date"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").cast("string").as("quarter_start"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_y2k"))
+        .orderBy("o_orderkey")),
+
     // Sketch aggregates: approx_count_distinct (HLL++) next to the exact
     // count. No oracle — sketch estimates are engine-specific by nature;
     // QueriesSpec asserts the estimate lands within HLL's error bound.
@@ -473,5 +499,23 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q27_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER wf AS last_order
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q28_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+        |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
 }
