@@ -25,6 +25,17 @@ object EventQueries {
       StreamOps.userSessions(t(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
 
+    // Stream-stream interval join shape, in batch mode: errors × preceding
+    // 30-min clicks per user (the same function runs under readStream with
+    // watermark-bounded state — StreamingSpec).
+    "ev_click_error_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StreamOps.clickErrorJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"))
+        .orderBy("error_id", "click_id")
+    }),
+
     // Session summary: sessions per user histogram — exercises the
     // two-level agg on top of session_window.
     "ev_session_histogram" -> ((s, d) =>
@@ -48,6 +59,15 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ev_click_error_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+        |  epoch_us(e.ts) AS error_us, epoch_us(c.ts) AS click_us
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        |  AND e.event_type = 'error' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(e.ts) - 1800000000
+        |  AND epoch_us(c.ts) < epoch_us(e.ts)
+        |ORDER BY error_id, click_id""".stripMargin,
     "ev_tumbling" ->
       """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
         |  event_type, COUNT(*) AS n_events,

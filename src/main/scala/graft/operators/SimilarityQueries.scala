@@ -28,6 +28,8 @@ object SimilarityQueries {
   private val DIM = 64
   private val SIG_BITS = 8
   private val N_TABLES = 6
+  private val N_CENTROIDS = 16
+  private val N_PROBE = 3
   private val NEAR_T = 0.40
   private val TOP_K = 10
   private val N_QUERIES = 5
@@ -86,6 +88,42 @@ object SimilarityQueries {
         .withColumn("cos", cosine(col("qe"), col("embedding")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-style ANN: a deterministic coarse quantizer (16 centroid vectors)
+    // partitions the corpus into inverted lists; each query probes its
+    // nprobe=3 nearest centroids and re-ranks only those lists. Per-query
+    // cost ∝ probed-list size — the other classic ANN scale shape next to
+    // LSH. Approximate by design → no oracle; recall floor in
+    // SimilaritySpec. (A production IVF would train centroids with k-means;
+    // the deterministic pick keeps the operator reproducible without a
+    // stored model, which is what the oracle-free gate can check.)
+    "knn_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+      val cents = broadcast(e.filter(col("vec_id") < N_CENTROIDS)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      val assigned = e.join(cents)
+        .withColumn("csim", cosine(col("embedding"), col("ce")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))
+      val probes = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .join(cents)
+        .withColumn("qcsim", cosine(col("qe"), col("ce")))
+        .withColumn("qrn", row_number().over(qw))
+        .filter(col("qrn") <= N_PROBE)
+        .select(col("query_id"), col("qe"), col("cid"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TOP_K)
         .select("query_id", "rank", "vec_id", "cos")
         .orderBy("query_id", "rank")

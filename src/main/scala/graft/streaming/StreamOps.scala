@@ -51,6 +51,28 @@ object StreamOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Interval join: each error joined to the clicks of the same user in the
+    * preceding 30 minutes. In batch this is an oracle-checked range join
+    * (ev_click_error_join); under readStream the watermarks bound the join
+    * state — the stream-stream join shape (asserted in StreamingSpec).
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("ctime", eventTime(col("ts")))
+      .withWatermark("ctime", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ctime"))
+    val er = errors
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "1 hour")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("etime"))
+    er.join(c,
+        col("e_user") === col("c_user") &&
+          col("ctime") >= col("etime") - expr("INTERVAL 30 MINUTES") &&
+          col("ctime") < col("etime"))
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"),
+        unix_micros(col("etime")).as("error_us"), unix_micros(col("ctime")).as("click_us"))
+  }
+
   /** Streaming Monte Carlo: turn a stream of simulation REQUESTS
     * (model_id, sim_id, seed, points, bias) into a stream of coin traces —
     * the same counter-based generation as the batch tier, applied with

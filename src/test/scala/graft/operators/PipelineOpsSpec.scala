@@ -55,6 +55,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.25, s"recall@10 = $recall")
   }
 
+  test("knn_ivf recall@10 vs knn_brute is above the nprobe floor") {
+    def pairs(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs("knn_brute")
+    val ivf = pairs("knn_ivf")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.15, s"recall@10 = $recall")
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     val e = Tables.t(spark, sfDir, "embeddings").limit(20)
     val self = e.select(SimilarityQueries.cosine(col("embedding"), col("embedding")).as("c"))

@@ -59,6 +59,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("clickErrorJoin: stream-stream interval join equals the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkDf(rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+    val m = 60L * 1000 * 1000 * 1000 // minutes in nanos
+    val clicks = Seq((1L, 10 * m, 7L, "click"), (2L, 50 * m, 7L, "click"),
+      (3L, 10 * m, 9L, "click"))
+    val errors = Seq((10L, 30 * m, 7L, "error"), (11L, 95 * m, 7L, "error"),
+      (12L, 200 * m, 9L, "error"))
+    val batch = clickErrorJoin(mkDf(clicks), mkDf(errors))
+      .orderBy("error_id", "click_id").collect().map(_.toSeq).toSeq
+    // error 10 @30min matches click 1 @10min (within 30min); error 11 @95min
+    // matches nothing (click 2 @50min is 45min prior); user 9's error @200min
+    // matches nothing.
+    assert(batch.map(r => (r(0), r(1))) == Seq((10L, 1L)))
+
+    val ci = MemoryStream[(Long, Long, Long, String)]
+    val ei = MemoryStream[(Long, Long, Long, String)]
+    val q = clickErrorJoin(
+        ci.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        ei.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      ci.addData(clicks); ei.addData(errors)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .orderBy("error_id", "click_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("coinTraceStream: streaming generation is bit-identical to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
