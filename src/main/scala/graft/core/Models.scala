@@ -75,14 +75,14 @@ object RandomWalk extends MCModel {
 
   def traceCol(n: Int, params: Seq[Double], start: Seq[String],
                seed: Column, modelId: Column, simId: Column): Column = {
+    // Native codegen'd cumulative loop (core.WalkTrace); the composable form
+    // needed an O(n²) prefix-sum fold per trace.
+    import org.apache.spark.sql.graftbridge.Bridge
     val bias = params.headOption.getOrElse(0.5)
     val origin = start.headOption.map(_.toLong).getOrElse(0L)
-    def stepVal(i: Column): Column =
-      when(DeterministicRng.uniformCol(seed, modelId, simId, i) < bias, lit(1L)).otherwise(lit(-1L))
-    val gen = transform(sequence(lit(0), lit(n - 1)), t =>
-      (lit(origin) + aggregate(sequence(lit(0), t), lit(0L), (acc, i) => acc + stepVal(i)))
-        .cast("string"))
-    gen
+    Bridge.column(WalkTrace(
+      Bridge.expression(seed.cast("long")), Bridge.expression(modelId.cast("long")),
+      Bridge.expression(simId.cast("long")), n, bias, origin))
   }
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {

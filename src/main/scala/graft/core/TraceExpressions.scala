@@ -25,6 +25,23 @@ object McGenHelper {
     }
     new GenericArrayData(out)
   }
+
+  /** Random-walk positions in one cumulative loop (vs the O(n²) prefix-sum
+    * fold of the composable form). Long.toString matches Spark's
+    * long→string cast, so values are unchanged.
+    */
+  def walkTrace(seed: Long, model: Long, sim: Long, n: Int, bias: Double,
+      origin: Long): ArrayData = {
+    val out = new Array[Any](n)
+    var pos = origin
+    var step = 0
+    while (step < n) {
+      pos += (if (DeterministicRng.uniform(seed, model, sim, step.toLong) < bias) 1L else -1L)
+      out(step) = UTF8String.fromString(java.lang.Long.toString(pos))
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native coin-trace generator: the whole trace (starting point + n flips)
@@ -66,6 +83,39 @@ case class CoinTrace(seed: Expression, model: Expression, sim: Expression,
         s"$numberPoints, ${bias}D, $pref);"
     })
   }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(seed = newFirst, model = newSecond, sim = newThird)
+}
+
+/** Native random-walk generator (see [[McGenHelper.walkTrace]]). */
+case class WalkTrace(seed: Expression, model: Expression, sim: Expression,
+    numberPoints: Int, bias: Double, startPos: Long)
+  extends TernaryExpression {
+
+  override def first: Expression = seed
+  override def second: Expression = model
+  override def third: Expression = sim
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(seed, model, sim).forall(_.dataType == LongType) && numberPoints >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"walk_trace expects (bigint, bigint, bigint) counters, points >= 1")
+
+  override protected def nullSafeEval(s: Any, m: Any, si: Any): Any =
+    McGenHelper.walkTrace(s.asInstanceOf[Long], m.asInstanceOf[Long],
+      si.asInstanceOf[Long], numberPoints, bias, startPos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, m, si) => {
+      s"${ev.value} = graft.core.McGenHelper.walkTrace($s, $m, $si, " +
+        s"$numberPoints, ${bias}D, ${startPos}L);"
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

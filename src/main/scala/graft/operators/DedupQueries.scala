@@ -122,10 +122,13 @@ object DedupQueries {
         .persist()
       val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
       val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = (0 until BANDS).map { bnd =>
-        sig.select(col("doc_id"), lit(bnd).as("band"),
+      // one explode, not a 4-way unionAll — a union recomputes the signature
+      // aggregate once per branch
+      val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
+        struct(lit(bnd).as("band"),
           concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
-      }.reduce(_ unionAll _)
+      }: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -157,13 +160,18 @@ object DedupQueries {
       val bitCols = (0 until 32).map(j =>
         sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
       val bitSums = wc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      // persist: the signature feeds both sides of the chunk self-join, and
+      // without it each side (x4 chunks before the explode rewrite) recomputes
+      // the word-count + 32-bit-sum lineage
       val sig = bitSums.select(col("doc_id"),
         (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("sig"))
-      val chunks = (0 until 4).map { c =>
-        sig.select(col("doc_id"), col("sig"), lit(c).as("chunk"),
-          shiftright(col("sig"), c * 8).bitwiseAND(lit(255L)).as("ck"))
-      }.reduce(_ unionAll _)
+        .persist()
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("sig"), c * 8).bitwiseAND(lit(255L)).as("ck"))): _*)).as("c"))
+        .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
       chunks.as("x").join(chunks.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
             col("x.doc_id") < col("y.doc_id"))

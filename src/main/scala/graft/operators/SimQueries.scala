@@ -94,6 +94,24 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // GBM price-path statistics (the README's stock-price use case): mean /
+    // dispersion of final prices plus a 5% quantile (~VaR shape). No DuckDB
+    // oracle — libm cos/log differ in final ulps across engines (SURVEY
+    // §7.4); validated statistically in SimModelSpec instead.
+    "sim_gbm_stats" -> ((spark, _) => {
+      val specs = Seq(
+        SimulationSpec(0, "gbm", 2000, 32, Seq(0.05, 0.2, 1.0 / 252), Seq("100.0"), 11),
+        SimulationSpec(1, "gbm", 2000, 32, Seq(0.10, 0.4, 1.0 / 252), Seq("100.0"), 12))
+      new MCBattery(spark).simulate(specs)
+        .select(col("model_id"), element_at(col("trace"), -1).cast("double").as("fin"))
+        .groupBy("model_id")
+        .agg(count(lit(1)).as("n_sims"),
+          round(avg(col("fin")), 4).as("mean_final"),
+          round(stddev_pop(col("fin")), 4).as("sd_final"),
+          round(expr("percentile(fin, 0.05)"), 4).as("p05_final"))
+        .orderBy("model_id")
+    }),
+
     // Max drawdown per random-walk trace (the classic MC risk statistic:
     // max over t of runningMax(t) − pos(t)) — two stacked windows over the
     // exploded long format; exact integers, fully oracle-checked.
