@@ -13,6 +13,13 @@ import graft.multimodal.MediaStub
 object MultimodalQueries {
   import Tables._
 
+  // SQL mirrors of MediaStub.decodeStub's arithmetic — single source for all
+  // mm_* oracle strings (change decodeStub => change these together).
+  private val sqlNBytes = "octet_length(encode(text))"
+  private val sqlWidth = s"CAST(32 + $sqlNBytes % 512 AS INTEGER)"
+  private val sqlHeight = s"CAST(32 + ($sqlNBytes * 7) % 512 AS INTEGER)"
+  private val sqlNFrames = s"CAST(1 + $sqlNBytes // 100 AS INTEGER)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Typed mapPartitions decode -> extracted metadata (first 100 docs).
@@ -33,6 +40,20 @@ object MultimodalQueries {
           least(octet_length(col("payload")), lit(64)).as("thumb_bytes"))
         .orderBy("doc_id")),
 
+    // Resize stage: scale the (stub-decoded) dimensions to fit a 128px box
+    // preserving aspect ratio — integer arithmetic only (floor semantics
+    // identical across engines), the standard thumbnail-resize contract.
+    "mm_resize" -> ((s, d) =>
+      MediaStub.decodeAll(s, t(s, d, "documents").filter(col("doc_id") < 100))
+        .toDF()
+        .withColumn("max_dim", greatest(col("width"), col("height")))
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("max_dim") <= 128, col("width"))
+            .otherwise(((col("width") * 128) / col("max_dim")).cast("int")).as("new_w"),
+          when(col("max_dim") <= 128, col("height"))
+            .otherwise(((col("height") * 128) / col("max_dim")).cast("int")).as("new_h"))
+        .orderBy("doc_id")),
+
     // Frame sampling: explode the (fake) frame index space, keep every 3rd
     // frame — the classic video frame-sample shape (generator + filter).
     "mm_frame_sample" -> ((s, d) =>
@@ -46,22 +67,31 @@ object MultimodalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CAST(32 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
-        |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
-        |  CAST(1 + octet_length(encode(text)) // 100 AS INTEGER) AS n_frames,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS format
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST($sqlNBytes AS INTEGER) AS n_bytes,
+         |  $sqlWidth AS width,
+         |  $sqlHeight AS height,
+         |  $sqlNFrames AS n_frames,
+         |  CASE WHEN $sqlNBytes % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS format
+         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "mm_thumbnail" ->
-      """SELECT doc_id, md5(substr(text, 1, 64)) AS thumb_md5,
-        |  CAST(least(octet_length(encode(text)), 64) AS INTEGER) AS thumb_bytes
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, md5(substr(text, 1, 64)) AS thumb_md5,
+         |  CAST(least($sqlNBytes, 64) AS INTEGER) AS thumb_bytes
+         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, $sqlWidth AS width, $sqlHeight AS height
+         |  FROM documents WHERE doc_id < 100),
+         |m AS (SELECT *, greatest(width, height) AS max_dim FROM dims)
+         |SELECT doc_id, width, height,
+         |  CAST(CASE WHEN max_dim <= 128 THEN width ELSE (width * 128) // max_dim END AS INTEGER) AS new_w,
+         |  CAST(CASE WHEN max_dim <= 128 THEN height ELSE (height * 128) // max_dim END AS INTEGER) AS new_h
+         |FROM m ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      """WITH f AS (SELECT doc_id, 1 + octet_length(encode(text)) // 100 AS n_frames
-        |           FROM documents WHERE doc_id < 100),
-        |fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM f)
-        |SELECT doc_id, COUNT(*) AS n_sampled, CAST(MAX(frame_idx) AS INTEGER) AS last_frame
-        |FROM fr WHERE frame_idx % 3 = 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      s"""WITH f AS (SELECT doc_id, $sqlNFrames AS n_frames
+         |           FROM documents WHERE doc_id < 100),
+         |fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM f)
+         |SELECT doc_id, COUNT(*) AS n_sampled, CAST(MAX(frame_idx) AS INTEGER) AS last_frame
+         |FROM fr WHERE frame_idx % 3 = 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

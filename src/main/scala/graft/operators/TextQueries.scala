@@ -1,15 +1,20 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the language-ID,
   * quality-scoring, token-counting and fingerprinting stages of a large-scale
   * training-data pipeline (north-star additions, SURVEY §2.2).
   *
-  * All four are single-pass, shuffle-light (one hash aggregate at most) and
-  * fully expression-based — at 100 TB they run as a map-side scan with
-  * partial aggregation, no UDFs, whole-stage codegen throughout.
+  * The four scan-shaped queries (token stats, quality, langid, bag-of-words
+  * fingerprint) are single-pass, shuffle-light and expression-based — at
+  * 100 TB they run as a map-side scan with partial aggregation. tx_winnow is
+  * the exception by nature: winnowing needs positional windows, so it
+  * shuffles by doc_id and its positional-shingle lambda is interpreted —
+  * bounded here to a 200-doc slice; a positional WordShingles variant is the
+  * upgrade path if it ever runs at corpus scale.
   *
   * Cross-engine notes: ratios are always exact-integer sums divided once at
   * the end (never averaged doubles); word splitting is a plain single-space
@@ -88,6 +93,30 @@ object TextQueries {
         .orderBy("lang", "predicted")
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): positional 3-gram hashes → minimum per sliding window of
+    // 8 → the distinct minima are the document's fingerprint set. Guarantees
+    // any shared run ≥ 10 words produces a shared fingerprint. Output:
+    // corpus summary of per-doc fingerprint counts.
+    "tx_winnow" -> ((s, d) => {
+      import graft.functions.CrossHash
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 7)
+      val sh = transform(sequence(lit(0), size(words) - 3), i =>
+        concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3)))
+      val fps = t(s, d, "documents")
+        .filter(col("doc_id") < 200).filter(size(words) >= 3)
+        .select(col("doc_id"), posexplode(sh).as(Seq("pos", "shingle")))
+        .withColumn("h", CrossHash.mdint(col("shingle")))
+        .withColumn("winmin", min(col("h")).over(w))
+        .select(col("doc_id"), col("winmin")).distinct()
+      fps.groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_fingerprints")).as("total_fps"),
+          min(col("n_fingerprints")).as("min_fps"),
+          max(col("n_fingerprints")).as("max_fps"))
+    }),
+
     // Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
     // documents with identical word sets collapse to one fingerprint —
     // word-order-insensitive near-dup detection in one agg pass.
@@ -146,6 +175,19 @@ object TextQueries {
          |       ELSE 'fr' END AS predicted,
          |  COUNT(*) AS n_docs
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tx_winnow" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+        |sh0 AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM ws WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |    ${graft.functions.CrossHash.sqlMdint("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM sh0),
+        |wm AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS winmin FROM sh),
+        |fp AS (SELECT DISTINCT doc_id, winmin FROM wm),
+        |pc AS (SELECT doc_id, COUNT(*) AS n_fingerprints FROM fp GROUP BY doc_id)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(n_fingerprints) AS BIGINT) AS total_fps,
+        |  MIN(n_fingerprints) AS min_fps, MAX(n_fingerprints) AS max_fps
+        |FROM pc""".stripMargin,
     "tx_fingerprint" ->
       """WITH fp AS (
         |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
