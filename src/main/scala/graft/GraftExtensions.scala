@@ -29,7 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Md5Int60(args(0))))
     e.injectFunction((FunctionIdentifier("graft_word_shingles"),
       info("graft_word_shingles", "_FUNC_(s, n) - distinct n-word shingles"),
-      (args: Seq[Expression]) => WordShingles(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_word_shingles(text, n) expects 2 arguments, got ${args.length}")
+        if (!args(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_word_shingles: n must be a literal integer")
+        val n = args(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_word_shingles: n must be an integer literal, got $other")
+        }
+        WordShingles(args(0), n)
+      }))
   }
 }

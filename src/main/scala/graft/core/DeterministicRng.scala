@@ -38,7 +38,17 @@ object DeterministicRng {
 
   @inline private def nn(x: Long): Long = { val r = x % M; if (r < 0) r + M else r }
 
-  /** Scala reference implementation. Returns a uniform double in [0, 1). */
+  /** Scala reference implementation. Returns a double in [0, 1).
+    *
+    * Quality caveat (documented, accepted): the modular squarings are 2→1
+    * maps over the field, so pairwise counter collisions occur at ~2/M per
+    * squaring round instead of the ideal 1/M, and the output support is a
+    * subset of [0, M). Immaterial for Monte Carlo estimation at these scales
+    * (validated statistically in RngSpec/RngPropertiesSpec) and the price of
+    * a mix that stays inside 63-bit SQL arithmetic; swap in a 64-bit
+    * counter hash (e.g. xxhash64-based) if cryptographic-grade uniformity
+    * ever matters more than oracle expressibility.
+    */
   def uniform(seed: Long, model: Long, sim: Long, step: Long): Double =
     hash(seed, model, sim, step).toDouble / M
 

@@ -104,10 +104,11 @@ final class MCBattery(
       .toDF("model_id", "sim_id", "trace")
   }
 
-  /** Per-model effective seeds: explicit spec seed wins; else derived from
-    * the master seed by counter hashing (split-stream style); else fresh
-    * random (the reference's behavior, `utils.py:8-12`). The RNG family salt
-    * is folded in so different families give decorrelated streams.
+  /** Per-model effective seeds: an explicit spec seed (>= 1; 0 is the
+    * documented auto sentinel) wins; else derived from the master seed by
+    * counter hashing (split-stream style); else fresh random (the
+    * reference's behavior, `utils.py:8-12`). The RNG family salt is folded
+    * in so different families give decorrelated streams.
     */
   private def resolveSeeds(specs: Seq[SimulationSpec]): Seq[SimulationSpec] =
     specs.zipWithIndex.map { case (s, i) =>

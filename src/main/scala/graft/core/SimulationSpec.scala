@@ -22,7 +22,10 @@ final case class SimulationSpec(
     outputPath: Option[String] = None) {
   require(numberSimulations >= 1, s"number_simulations must be >= 1, got $numberSimulations")
   require(numberPoints >= 1, s"number_points must be >= 1, got $numberPoints")
-  require(seed >= 0, s"seed must be non-negative, got $seed")
+  // seed = 0 is the "auto" sentinel: MCBattery assigns one (from masterSeed
+  // when set, else fresh random, matching the reference's unseeded draws).
+  // Pass any seed >= 1 for an explicit reproducible stream.
+  require(seed >= 0, s"seed must be non-negative (0 = auto-assign), got $seed")
 
   /** Reference default naming: `./{i}.txt` by model position
     * (`parallel_simulations.py:176-179`). Kept per-call — the reference's

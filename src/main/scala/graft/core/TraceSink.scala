@@ -43,8 +43,11 @@ object TraceSink {
         .select(concat_ws(",", col("trace")))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).text(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.startsWith("part-"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        finally listing.close()
       val dest = Paths.get(s.resolvedOutputPath)
       Option(dest.getParent).foreach(Files.createDirectories(_))
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
@@ -52,7 +55,11 @@ object TraceSink {
     }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively(_))
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.forEach(deleteRecursively(_))
+      finally listing.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -38,7 +38,11 @@ object WordShinglesHelper {
     * over sf0.1's 1.5 M shingles); this is one pass over the string.
     */
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val words = s.toString.split(' ')
+    // limit = -1 keeps trailing empty tokens — matching Spark SQL's
+    // split(text, ' ') and DuckDB's string_split (plain split(' ') drops
+    // them, which would silently desync shingle sets from the oracle for
+    // documents with trailing spaces)
+    val words = s.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.LinkedHashSet[String]()
     var i = 0

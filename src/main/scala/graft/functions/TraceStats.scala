@@ -28,6 +28,9 @@ object TraceStats {
       Buf(a.n + b.n, a.sum + b.sum, a.sumSq + b.sumSq,
         math.min(a.min, b.min), math.max(a.max, b.max))
     def finish(b: Buf): Stats = {
+      // empty input yields NaN moments and infinite extremes (like dividing
+      // by COUNT(*)=0); callers aggregating possibly-empty groups should
+      // filter first — matches the semantics of sum/count-derived stats
       val mean = b.sum / b.n
       Stats(b.n, mean, (b.sumSq - b.sum * b.sum / b.n) / b.n, b.min, b.max)
     }

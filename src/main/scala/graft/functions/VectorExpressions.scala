@@ -42,7 +42,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = DotProduct.checkedLength(a.numElements(), b.numElements())
     val aF = elemType(left) == FloatType
     val bF = elemType(right) == FloatType
     var s = 0.0
@@ -64,7 +64,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
       val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.DotProduct.checkedLength($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
@@ -75,6 +75,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Mismatched dimensions fail fast — silently truncating to the shorter
+    * array would produce plausible-looking but wrong similarities for
+    * corrupt/mixed-dimension embedding data (and DuckDB's list_dot_product
+    * errors on mismatch, so the oracle would desync anyway).
+    */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b)
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch ($a vs $b)")
+    a
+  }
 }
 
 object VectorFunctions {

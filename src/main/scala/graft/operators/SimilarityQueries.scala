@@ -145,15 +145,23 @@ object SimilarityQueries {
       val q = tables.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("tbl").as("qtbl"), col("sig").as("qsig"))
-      val probes = q.select(col("query_id"), col("qe"), col("qtbl"), col("qsig"),
+      val probes = q.select(col("query_id"), col("qtbl"), col("qsig"),
           explode(array(lit(0) +: (0 until SIG_BITS).map(j => lit(1 << j)): _*)).as("flip"))
         .withColumn("probe_sig", col("qsig").bitwiseXOR(col("flip")))
+      // dedup candidate IDs only (cheap 16-byte rows), then rejoin the
+      // vectors once — distinct over rows carrying the float arrays would
+      // hash/compare 64 floats per row per table per probe
       val cand = probes.join(tables,
           col("tbl") === col("qtbl") && col("sig") === col("probe_sig") &&
             col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding")).distinct()
+        .select(col("query_id"), col("vec_id")).distinct()
+      val qe = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("cos", cosine(col("qe"), col("embedding")))
+      cand
+        .join(broadcast(qe), "query_id")
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TOP_K)
         .select("query_id", "rank", "vec_id", "cos")

@@ -21,21 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val SaltCol = "__graft_salt"
+
   def saltedInnerJoin(
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       salts: Int = 16): DataFrame = {
     require(salts >= 1)
-    // left: random-but-deterministic salt per row (hash of whole row id via
-    // monotonic id is nondeterministic across retries — use a hash of the key
-    // plus a per-row uniform; pmod(xxhash64, salts) over all columns is the
-    // deterministic choice)
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)).cast("int"))
-    val replicated = right.withColumn("__salt",
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"inputs must not already have a $SaltCol column")
+    // rand(seed) is the right salt source: it varies across IDENTICAL rows
+    // (a content hash would send all duplicates of the hot key to one salt,
+    // defeating the split) and is deterministic per partition on retry. The
+    // salt value never affects the join RESULT — every salt matches exactly
+    // one replica of the right row — only the shuffle distribution.
+    val salted = left.withColumn(SaltCol,
+      floor(rand(42) * salts).cast("int"))
+    val replicated = right.withColumn(SaltCol,
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated,
-        leftKey === rightKey && salted("__salt") === replicated("__salt"))
-      .drop("__salt")
+        leftKey === rightKey && salted(SaltCol) === replicated(SaltCol))
+      .drop(SaltCol)
   }
 }

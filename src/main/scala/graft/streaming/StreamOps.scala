@@ -25,21 +25,31 @@ object StreamOps {
   def eventTime(ts: Column): Column =
     timestamp_micros(call_function("div", ts.cast("long"), lit(1000L)))
 
-  /** 15-minute tumbling-window counts and value sums per event type. */
-  def tumblingCounts(events: DataFrame): DataFrame =
-    events
-      .withColumn("etime", eventTime(col("ts")))
+  /** 15-minute tumbling-window counts and value sums per event type.
+    * Reuses an existing `etime` column when present so the streaming variant
+    * can attach its watermark to the SAME column the aggregation groups on
+    * (a watermark on a different column never reaches the window operator).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    val withTime =
+      if (events.columns.contains("etime")) events
+      else events.withColumn("etime", eventTime(col("ts")))
+    withTime
       .groupBy(window(col("etime"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
+  }
 
-  /** Same transform with a watermark — the streaming entry point. */
+  /** Same transform with a watermark — the streaming entry point. The
+    * watermark is on `etime`, the exact column the window aggregation uses,
+    * so state for closed windows is evicted (and append mode works).
+    */
   def tumblingCountsStream(events: DataFrame): DataFrame =
-    tumblingCounts(events.withColumn("etime0", eventTime(col("ts")))
-      .withWatermark("etime0", "30 minutes"))
+    tumblingCounts(events.withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "30 minutes"))
 
   /** Per-user session windows (8h inactivity gap): session start + size. */
   def userSessions(events: DataFrame): DataFrame =
