@@ -218,16 +218,36 @@ object RelationalQueries {
     }),
 
     // ---- set operations ---------------------------------------------------
+    // Distinct AND multiset (ALL) variants — exceptAll/intersectAll have
+    // genuinely different semantics (bag difference/intersection).
     "q12_setops" -> ((s, d) => {
       val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
         .select(col("c_custkey").as("k"))
       val big = t(s, d, "orders").filter(col("o_totalprice") > 450000)
         .select(col("o_custkey").as("k"))
-      val u = rich.union(big).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
-      val i = rich.intersect(big).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
-      val e = rich.except(big).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
-      u.union(i).union(e).orderBy("op")
+      def tag(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      tag(rich.union(big).distinct(), "union")
+        .union(tag(rich.unionAll(big), "union_all"))
+        .union(tag(rich.intersect(big), "intersect"))
+        .union(tag(rich.intersectAll(big), "intersect_all"))
+        .union(tag(rich.except(big), "except"))
+        .union(tag(rich.exceptAll(big), "except_all"))
+        .orderBy("op")
     }),
+
+    // JSON parsing via from_json (schema'd), not regex: per-key-decile
+    // event-value stats.
+    "q29_from_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        // integer div, not /: DuckDB casts float->int by ROUNDING, Spark by
+        // truncation — `div`/`//` floor identically for positive ints
+        .groupBy(expr("k div 10").cast("int").as("k_decile"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k_decile")),
 
     // ---- scalar functions -------------------------------------------------
     "q13_string_part" -> ((s, d) =>
@@ -454,10 +474,20 @@ object RelationalQueries {
         |     big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000)
         |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM rich UNION SELECT k FROM big) u
         |UNION ALL
-        |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM rich INTERSECT SELECT k FROM big) i
+        |SELECT 'union_all', COUNT(*) FROM (SELECT k FROM rich UNION ALL SELECT k FROM big) ua
         |UNION ALL
-        |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM rich EXCEPT SELECT k FROM big) e
+        |SELECT 'intersect', COUNT(*) FROM (SELECT k FROM rich INTERSECT SELECT k FROM big) i
+        |UNION ALL
+        |SELECT 'intersect_all', COUNT(*) FROM (SELECT k FROM rich INTERSECT ALL SELECT k FROM big) ia
+        |UNION ALL
+        |SELECT 'except', COUNT(*) FROM (SELECT k FROM rich EXCEPT SELECT k FROM big) e
+        |UNION ALL
+        |SELECT 'except_all', COUNT(*) FROM (SELECT k FROM rich EXCEPT ALL SELECT k FROM big) ea
         |ORDER BY op""".stripMargin,
+    "q29_from_json" ->
+      s"""SELECT CAST(CAST(props->>'k' AS INTEGER) // 10 AS INTEGER) AS k_decile,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_string_part" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS name_upper,
