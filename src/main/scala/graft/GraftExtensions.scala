@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.core.{CoinTrace, DeterministicRng}
 import graft.functions.{DotProduct, Md5Int60, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -44,6 +45,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_word_shingles: n must be an integer literal, got $other")
         }
         WordShingles(args(0), n)
+      }))
+    // simulation surface for SQL users (SURVEY §2.2 UDF tier b):
+    // the counter RNG and the coin generator as plain SQL functions
+    e.injectFunction((FunctionIdentifier("graft_uniform"),
+      info("graft_uniform", "_FUNC_(seed, model, sim, step) - deterministic counter-based uniform in [0,1)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_uniform expects 4 arguments, got ${args.length}")
+        DeterministicRng.uniformExpr(args(0), args(1), args(2), args(3))
+      }))
+    e.injectFunction((FunctionIdentifier("graft_coin_trace"),
+      info("graft_coin_trace", "_FUNC_(seed, model, sim, points, bias) - H/T trace array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_coin_trace expects 5 arguments, got ${args.length}")
+        require(args(3).foldable && args(4).foldable,
+          "graft_coin_trace: points and bias must be literals")
+        val points = args(3).eval() match {
+          case i: java.lang.Integer => i.intValue(); case l: java.lang.Long => l.intValue()
+          case other => throw new IllegalArgumentException(s"points must be integer, got $other")
+        }
+        val bias = args(4).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case i: java.lang.Integer => i.doubleValue()
+          case other => throw new IllegalArgumentException(s"bias must be numeric, got $other")
+        }
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        CoinTrace(Cast(args(0), LongType), Cast(args(1), LongType),
+          Cast(args(2), LongType), points, bias, Nil)
       }))
   }
 }

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
 
 /** Counter-based deterministic uniform generator.
   *
@@ -86,6 +87,26 @@ object DeterministicRng {
     h = (h * h) % M
     h = (h * A) % M
     h
+  }
+
+  /** Raw Catalyst-expression form — for SQL function registration
+    * (GraftExtensions), where the builder receives unresolved child
+    * Expressions and the Column API can't be round-tripped. Same chain as
+    * [[hashCol]]/[[hash]].
+    */
+  def uniformExpr(seed: CatalystExpr, model: CatalystExpr, sim: CatalystExpr,
+      step: CatalystExpr): CatalystExpr = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def l(x: Long) = Literal(x)
+    def m(e: CatalystExpr) = Pmod(Cast(e, LongType), l(M))
+    var h: CatalystExpr = m(seed)
+    def mix(add: CatalystExpr): Unit = {
+      h = Remainder(Add(Add(Multiply(h, l(A)), m(add)), l(1L)), l(M))
+      h = Remainder(Multiply(h, h), l(M))
+    }
+    mix(model); mix(sim); mix(step); mix(l(0L))
+    Divide(Cast(Remainder(Multiply(h, l(A)), l(M)), DoubleType), Literal(M.toDouble))
   }
 
   /** The identical chain as SQL text (DuckDB-compatible; plain ANSI

@@ -20,11 +20,17 @@ class FunctionsSpec extends SparkTestBase {
       val r = ext.sql(
         """SELECT graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
           |       graft_md5int60('hello') AS h,
-          |       size(graft_word_shingles('a b c d', 3)) AS ns""".stripMargin).collect()(0)
+          |       size(graft_word_shingles('a b c d', 3)) AS ns,
+          |       graft_uniform(42L, 0L, 7L, 3L) AS u,
+          |       graft_coin_trace(42L, 0L, 0L, 4, 0.5) AS ct""".stripMargin).collect()(0)
       assert(r.getDouble(0) == 11.0)
       // md5('hello') = 5d41402abc4b2a76...; top 60 bits = 0x5d41402abc4b2a7
       assert(r.getLong(1) == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
       assert(r.getInt(2) == 2)
+      assert(r.getDouble(3) == graft.core.DeterministicRng.uniform(42, 0, 7, 3))
+      val rng = new graft.core.StepRng(42, 0, 0)
+      assert(r.getSeq[String](4) ==
+        graft.core.CoinSequence.simulate(4, rng, Seq(0.5), Nil))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
