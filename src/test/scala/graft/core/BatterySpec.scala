@@ -108,6 +108,36 @@ class BatterySpec extends SparkTestBase {
     }
   }
 
+  test("user-defined models register and run through the typed tier") {
+    // the reference's core promise: bring your own model function
+    object Ar1 extends MCModel {
+      val name = "test_ar1"
+      def traceCol(n: Int, params: Seq[Double], start: Seq[String],
+          seed: org.apache.spark.sql.Column, modelId: org.apache.spark.sql.Column,
+          simId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        throw new UnsupportedOperationException("typed-tier-only model")
+      def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
+        val phi = params.headOption.getOrElse(0.8)
+        var x = start.headOption.map(_.toDouble).getOrElse(0.0)
+        (0 until n).map { _ =>
+          x = phi * x + (rng.nextUniform() - 0.5)
+          f"$x%.6f"
+        }
+      }
+    }
+    ModelRegistry.register(Ar1)
+    val df = battery.simulateTyped(
+      Seq(SimulationSpec(0, "test_ar1", 50, 10, Seq(0.8), Seq("1.0"), 42)))
+    assert(df.count() == 50)
+    val first = df.orderBy("sim_id").select("trace").collect()(0).getSeq[String](0)
+    assert(first.length == 10)
+    // deterministic: re-running gives identical traces
+    val again = battery.simulateTyped(
+      Seq(SimulationSpec(0, "test_ar1", 50, 10, Seq(0.8), Seq("1.0"), 42)))
+      .orderBy("sim_id").select("trace").collect()(0).getSeq[String](0)
+    assert(first == again)
+  }
+
   test("heads fraction within CLT bounds of bias") {
     val df = battery.simulate(Seq(SimulationSpec(0, "coin_sequence", 2000, 16, Seq(0.7), Nil, 42)))
     val frac = MCBattery.explodeTraces(df)
