@@ -94,6 +94,35 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // Continuous-valued MC with a FULL oracle — the trick that closes the
+    // "FP sums are order-dependent" gap for continuous models: quantize each
+    // uniform to 1/32768 units so every step is an exact integer multiple;
+    // integer sums are associative, so SUM order doesn't matter and both
+    // engines agree bit-for-bit. One final division rescales.
+    "sim_cwalk_final" -> ((spark, _) => {
+      val (sims, points) = (2000, 32)
+      val grid = MCBattery.explodeTraces(
+        new MCBattery(spark).simulate(Seq(
+          SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 21),
+          SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 22))))
+      // recompute the uniform from the counters (the trace content is not
+      // used — the exploded grid just provides (model, sim, step))
+      val u = DeterministicRng.uniformCol(
+        when(col("model_id") === 0, lit(21L)).otherwise(lit(22L)),
+        col("model_id").cast("long"), col("sim_id"), col("step").cast("long"))
+      grid
+        .withColumn("step_units", (floor(u * 32768) - lit(16384)).cast("long"))
+        .groupBy(col("model_id"), col("sim_id"))
+        .agg(sum(col("step_units")).as("final_units"))
+        .groupBy(col("model_id"))
+        .agg(
+          (sum(col("final_units")).cast("double") / lit(32768.0) / count(lit(1))).as("mean_final"),
+          (min(col("final_units")).cast("double") / lit(32768.0)).as("min_final"),
+          (max(col("final_units")).cast("double") / lit(32768.0)).as("max_final"),
+          count(lit(1)).as("n_sims"))
+        .orderBy("model_id")
+    }),
+
     // GBM price-path statistics (the README's stock-price use case): mean /
     // dispersion of final prices plus a 5% quantile (~VaR shape). No DuckDB
     // oracle — libm cos/log differ in final ulps across engines (SURVEY
@@ -195,6 +224,21 @@ object SimQueries {
          |  (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*) AS variance,
          |  MIN(v) AS min_v, MAX(v) AS max_v
          |FROM v GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_cwalk_final" ->
+      s"""WITH g AS (
+         |  SELECT m.model_id, s.sim_id,
+         |    CAST(floor($u * 32768) - 16384 AS BIGINT) AS step_units
+         |  FROM (VALUES (0, 21), (1, 22)) AS m(model_id, seed)
+         |  CROSS JOIN generate_series(0, 1999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 31) AS st(step)),
+         |f AS (SELECT model_id, sim_id, CAST(SUM(step_units) AS BIGINT) AS final_units
+         |      FROM g GROUP BY 1, 2)
+         |SELECT model_id,
+         |  CAST(SUM(final_units) AS DOUBLE) / 32768.0 / COUNT(*) AS mean_final,
+         |  CAST(MIN(final_units) AS DOUBLE) / 32768.0 AS min_final,
+         |  CAST(MAX(final_units) AS DOUBLE) / 32768.0 AS max_final,
+         |  COUNT(*) AS n_sims
+         |FROM f GROUP BY model_id ORDER BY model_id""".stripMargin,
     "sim_walk_drawdown" ->
       s"""WITH pos AS (
          |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,
