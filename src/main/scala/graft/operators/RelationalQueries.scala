@@ -351,7 +351,9 @@ object RelationalQueries {
     "q25_grouping_sets" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
       s.sql(
-        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
           |FROM graft_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -526,7 +528,9 @@ object RelationalQueries {
         |WHERE c_custkey < 50 AND o_totalprice > 300000
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q25_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

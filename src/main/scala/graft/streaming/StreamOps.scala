@@ -115,4 +115,37 @@ object StreamOps {
           (uid, total)
       }
   }
+
+  /** Watermark-expired sessions via flatMapGroupsWithState with
+    * EVENT-TIME timeout: per-user event counts are held as state and
+    * emitted only when the watermark passes (session end + 1h) — the
+    * bounded-state session-aggregation shape for unbounded user counts.
+    * Emits (user_id, n_events) once per expired session.
+    */
+  def expiringSessions(events: DataFrame): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "0 seconds")
+      .select(col("user_id"), col("etime"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator((uid, out._2))
+          } else {
+            var (maxTs, n) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r => maxTs = math.max(maxTs, r._2.getTime); n += 1 }
+            state.update((maxTs, n))
+            // expire once the watermark passes last event + 1 hour
+            state.setTimeoutTimestamp(maxTs + 3600 * 1000L)
+            Iterator.empty
+          }
+      }
+  }
 }

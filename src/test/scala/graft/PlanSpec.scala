@@ -75,6 +75,19 @@ class PlanSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("partition pruning: filter on the partition column prunes directories") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.t(spark, sfDir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("event_type") === "error")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    // the pruned read touches exactly one of five partitions' rows
+    val total = spark.read.parquet(tmp).count()
+    val one = pruned.count()
+    assert(one > 0 && one < total / 3, s"one=$one total=$total")
+  }
+
   test("salted join equals the plain join (skew-handling preserves semantics)") {
     val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val or = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")

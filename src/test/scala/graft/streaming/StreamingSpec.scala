@@ -144,6 +144,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("expiringSessions: event-time timeout emits state when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = expiringSessions(input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("expire_out")
+      .outputMode("append").start()
+    try {
+      // user 7: two events at t=1h and t=1.5h (away from epoch 0 — an event
+      // at exactly the initial watermark would be dropped as late data)
+      input.addData((1L, ns(1.0), 7L, "click", 1.0), (2L, ns(1.5), 7L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("expire_out").count() == 0) // state held, not expired
+      // an event at t=4h advances the watermark past 1.5h + 1h -> user 7 expires
+      input.addData((3L, ns(4.0), 9L, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the new watermark is applied to timeouts
+      input.addData((4L, ns(4.1), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("expire_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((7L, 2L)), s"user 7's session did not expire: $rows")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: stream restart resumes without reprocessing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
