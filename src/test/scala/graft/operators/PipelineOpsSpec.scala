@@ -62,6 +62,9 @@ class PipelineOpsSpec extends SparkTestBase {
     val ivf = pairs("knn_ivf")
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.15, s"recall@10 = $recall")
+    val trained = pairs("knn_ivf_trained")
+    val trainedRecall = (brute & trained).size.toDouble / brute.size
+    assert(trainedRecall >= 0.15, s"trained recall@10 = $trainedRecall")
   }
 
   test("cosine: self-similarity is 1, symmetry holds") {
