@@ -117,6 +117,33 @@ object TextQueries {
           max(col("n_fingerprints")).as("max_fps"))
     }),
 
+    // Stratified sampling (class rebalancing): sampleBy with per-language
+    // fractions downsamples the dominant class. Sampler randomness is
+    // engine-specific -> rows-only gate; per-class fraction tolerances are
+    // asserted in PipelineOpsSpec.
+    "tx_stratified_sample" -> ((s, d) => {
+      val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+      t(s, d, "documents")
+        .stat.sampleBy("lang", fractions, 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic train/val/test split — the canonical dataset-prep op.
+    // Hash-based assignment (not randomSplit) so membership is a pure
+    // function of doc_id: stable across runs, partitionings and engines —
+    // at 100 TB you want splits reproducible from the row itself, not from
+    // a sampler's partition-local state. Fully oracle-checkable.
+    "tx_train_val_test" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bucket", graft.functions.CrossHash.mdint(concat(lit("split:"), col("doc_id"))) % 10)
+        .withColumn("split",
+          when(col("bucket") <= 7, "train").when(col("bucket") === 8, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split")),
+
     // Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
     // documents with identical word sets collapse to one fingerprint —
     // word-order-insensitive near-dup detection in one agg pass.
@@ -188,6 +215,15 @@ object TextQueries {
         |SELECT COUNT(*) AS n_docs, CAST(SUM(n_fingerprints) AS BIGINT) AS total_fps,
         |  MIN(n_fingerprints) AS min_fps, MAX(n_fingerprints) AS max_fps
         |FROM pc""".stripMargin,
+    "tx_train_val_test" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${graft.functions.CrossHash.sqlMdint("'split:' || doc_id")} % 10 AS bucket
+         |  FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN bucket <= 7 THEN 'train'
+         |                          WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |      FROM b)
+         |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "tx_fingerprint" ->
       """WITH fp AS (
         |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp

@@ -74,6 +74,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("tx_stratified_sample downsamples the dominant class to its fraction") {
+    val counts = q("tx_stratified_sample").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at 0.25: expect binomial(n_en, 0.25) within 5 sigma
+    val nEn = full("en").toDouble
+    val se = math.sqrt(nEn * 0.25 * 0.75)
+    assert(math.abs(counts("en") - 0.25 * nEn) < 5 * se,
+      s"en sampled ${counts("en")} of $nEn")
+    // other classes kept whole
+    Seq("de", "es", "fr", "zh").foreach(l => assert(counts(l) == full(l), l))
+  }
+
+  test("tx_train_val_test is a partition: disjoint, exhaustive, stable") {
+    val rows = q("tx_train_val_test").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.values.sum == total, "splits must cover every document")
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows("train") > rows("val") && rows("train") > rows("test"))
+    // stability: rerun yields identical counts (hash-based, not sampler-based)
+    val again = q("tx_train_val_test").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows)
+  }
+
   test("tx_langid predictions cover every document exactly once") {
     val total = q("tx_langid").agg(sum("n_docs")).collect()(0).getLong(0)
     val docs = Tables.t(spark, sfDir, "documents").count()
