@@ -22,12 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+      if (args.length != n)
+        throw new IllegalArgumentException(s"$name expects $n arguments, got ${args.length}")
     e.injectFunction((FunctionIdentifier("graft_dot_product"),
       info("graft_dot_product", "_FUNC_(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("graft_dot_product", 2, args); DotProduct(args(0), args(1)) }))
     e.injectFunction((FunctionIdentifier("graft_md5int60"),
       info("graft_md5int60", "_FUNC_(s) - top 60 bits of md5(s) as bigint"),
-      (args: Seq[Expression]) => Md5Int60(args(0))))
+      (args: Seq[Expression]) => { arity("graft_md5int60", 1, args); Md5Int60(args(0)) }))
     e.injectFunction((FunctionIdentifier("graft_word_shingles"),
       info("graft_word_shingles", "_FUNC_(s, n) - distinct n-word shingles"),
       (args: Seq[Expression]) => {

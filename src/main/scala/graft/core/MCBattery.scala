@@ -82,6 +82,11 @@ final class MCBattery(
     val total = offsets.last
     val parts = numPartitions.getOrElse(math.max(spark.sparkContext.defaultParallelism, 1))
     val specArr = rs.toArray // small; serialized into the task closure
+    // Resolve models ON THE DRIVER and ship the instances in the closure:
+    // executor JVMs have a fresh ModelRegistry without any driver-side
+    // register() calls, so a name lookup inside mapPartitions would fail on
+    // a real cluster (and only accidentally work in local mode).
+    val modelArr: Array[MCModel] = rs.map(s => ModelRegistry(s.modelName)).toArray
 
     spark.range(0, total, 1, math.min(parts.toLong, total).toInt)
       .as[Long]
@@ -96,7 +101,7 @@ final class MCBattery(
           val stepRng = new StepRng(s.seed, s.modelId.toLong, sim)
           // Models return the full trace (starting point included when their
           // semantics prepend it, e.g. CoinSequence) — no double-prepend here.
-          val trace = ModelRegistry(s.modelName)
+          val trace = modelArr(i)
             .simulate(s.numberPoints, stepRng, s.parameters, s.startingPoint)
           (s.modelId, sim, trace)
         }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * silently yields an empty trace, `parallel_simulations.py:80-95`) does not
   * exist here: all four optional combinations are well-defined.
   */
-trait MCModel {
+trait MCModel extends Serializable {
   def name: String
 
   /** Column-tier generator. `seed`/`modelId`/`simId` are the RNG counters;
@@ -125,12 +125,17 @@ object GeometricBrownianMotion extends MCModel {
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
     val (mu, sigma, dt) = p(params)
-    var s = start.headOption.map(_.toDouble).getOrElse(100.0)
+    val s0 = start.headOption.map(_.toDouble).getOrElse(100.0)
     val drift = (mu - sigma * sigma / 2.0) * dt
     val vol = sigma * math.sqrt(dt)
+    // accumulate in LOG space exactly like the Column tier
+    // (s0·exp(Σ increments)) — iterating s *= exp(inc) differs in the low
+    // bits because exp(a+b) ≠ exp(a)·exp(b) in IEEE-754, which would break
+    // the cross-tier identical-traces invariant
+    var acc = 0.0
     (0 until n).map { _ =>
-      s = s * math.exp(drift + vol * rng.nextGaussian())
-      s.toString
+      acc += drift + vol * rng.nextGaussian()
+      (s0 * math.exp(acc)).toString
     }
   }
 }

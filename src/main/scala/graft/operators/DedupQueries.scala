@@ -111,15 +111,17 @@ object DedupQueries {
     // MinHash + LSH: k=16 universal-family minhashes in one aggregation
     // pass, 4-band LSH join, candidates verified with true Jaccard (via
     // shared-shingle counts, like dd_ngram_jaccard). The exploded+hashed
-    // shingle lineage feeds signatures AND verification, so it is persisted
-    // instead of recomputed per branch — at 100 TB this intermediate is the
-    // natural checkpoint.
+    // shingle lineage feeds signatures AND verification; it is recomputed
+    // per branch rather than persisted — a persist() from inside a query
+    // builder is never released (the API returns a lazy DataFrame) and
+    // would pin executor memory for the rest of the session. At 100 TB
+    // the caller should checkpoint this intermediate explicitly; with the
+    // native shingle/hash expressions the local recompute is ~1 s.
     "dd_minhash" -> ((s, d) => {
       val sets = docShingleSets(s, d).select(col("doc_id"), col("sh"))
         .withColumn("sz", size(col("sh")))
       val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
         .withColumn("h", mdint(col("shingle")))
-        .persist()
       val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
       val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       // one explode, not a 4-way unionAll — a union recomputes the signature
@@ -160,13 +162,11 @@ object DedupQueries {
       val bitCols = (0 until 32).map(j =>
         sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
       val bitSums = wc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      // persist: the signature feeds both sides of the chunk self-join, and
-      // without it each side (x4 chunks before the explode rewrite) recomputes
-      // the word-count + 32-bit-sum lineage
+      // (no persist: see dd_minhash — builder-scoped persists leak for the
+      // session; the two-sided recompute of this small aggregate is cheap)
       val sig = bitSums.select(col("doc_id"),
         (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("sig"))
-        .persist()
       val chunks = sig.select(col("doc_id"), col("sig"),
           explode(array((0 until 4).map(c =>
             struct(lit(c).as("chunk"),

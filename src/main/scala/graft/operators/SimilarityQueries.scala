@@ -69,7 +69,14 @@ object SimilarityQueries {
   private def lloydStep(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("cid", "dim").agg(avg(col("x").cast("double")).as("m"))
+      // decimal-exact mean, not avg(): double partial-aggregate buffers
+      // merge in shuffle-fetch order, so avg() can differ in the last ulp
+      // across runs — enough to flip an assignment on a rounding boundary.
+      // Decimal sums are exact regardless of order; one deterministic
+      // division at the end (the repo-wide FP discipline).
+      .groupBy("cid", "dim")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double") / count(lit(1))).as("m"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("ce"))

@@ -30,11 +30,17 @@ object SkewJoin {
     require(salts >= 1)
     require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
       s"inputs must not already have a $SaltCol column")
-    // rand(seed) is the right salt source: it varies across IDENTICAL rows
+    // rand(seed) is the salt source because it varies across IDENTICAL rows
     // (a content hash would send all duplicates of the hot key to one salt,
-    // defeating the split) and is deterministic per partition on retry. The
-    // salt value never affects the join RESULT — every salt matches exactly
-    // one replica of the right row — only the shuffle distribution.
+    // defeating the split); the salt value never affects the join RESULT —
+    // every salt matches exactly one replica of the right row — only the
+    // shuffle distribution. RETRY CAVEAT: rand() is deterministic only if
+    // the left input's per-partition row ORDER is deterministic (file scans
+    // yes; shuffle outputs no). Feeding a shuffle-produced left side risks
+    // duplicated/dropped rows under partial stage retries — for that case
+    // materialize the left side first, or prefer AQE's skew-join handling,
+    // which is retry-safe. No content-deterministic salt can split identical
+    // rows, so this trade-off is inherent to explicit salting.
     val salted = left.withColumn(SaltCol,
       floor(rand(42) * salts).cast("int"))
     val replicated = right.withColumn(SaltCol,

@@ -93,10 +93,15 @@ object StreamOps {
     */
   def coinTraceStream(requests: DataFrame): DataFrame =
     requests.select(col("model_id"), col("sim_id"), col("seed"),
-      transform(sequence(lit(0), col("points") - 1), step =>
-        when(graft.core.DeterministicRng.uniformCol(
-          col("seed"), col("model_id").cast("long"), col("sim_id"), step) < col("bias"),
-          lit("H")).otherwise(lit("T"))).as("trace"))
+      // points <= 0 yields an EMPTY trace: sequence(0, points-1) would
+      // otherwise count DOWN (Spark defaults step to -1 when start > stop)
+      // and fabricate flips at bogus negative counters for invalid requests
+      when(col("points") >= 1,
+        transform(sequence(lit(0), col("points") - 1), step =>
+          when(graft.core.DeterministicRng.uniformCol(
+            col("seed"), col("model_id").cast("long"), col("sim_id"), step) < col("bias"),
+            lit("H")).otherwise(lit("T"))))
+        .otherwise(array().cast("array<string>")).as("trace"))
 
   /** Typed event row for the stateful operators. */
   final case class EvRow(event_id: Long, ts: Long, user_id: Long,

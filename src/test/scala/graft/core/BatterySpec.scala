@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+object BatterySpec {
+  /** Typed-tier-only AR(1) model for the bring-your-own-model test. */
+  object Ar1 extends MCModel {
+    val name = "test_ar1"
+    def traceCol(n: Int, params: Seq[Double], start: Seq[String],
+        seed: org.apache.spark.sql.Column, modelId: org.apache.spark.sql.Column,
+        simId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      throw new UnsupportedOperationException("typed-tier-only model")
+    def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
+      val phi = params.headOption.getOrElse(0.8)
+      var x = start.headOption.map(_.toDouble).getOrElse(0.0)
+      (0 until n).map { _ =>
+        x = phi * x + (rng.nextUniform() - 0.5)
+        f"$x%.6f"
+      }
+    }
+  }
+}
+
 /** Reference-parity semantics (SURVEY §5.2 behavioral table) + tier
   * equivalence for the MCBattery engine core.
   */
@@ -95,7 +114,12 @@ class BatterySpec extends SparkTestBase {
     assert(dump(battery.simulate(specs)) == dump(battery.simulateTyped(specs)))
   }
 
-  test("gbm tiers agree numerically") {
+  test("gbm tiers agree to ulp precision (log-space accumulation aligned)") {
+    // Both tiers accumulate in log space (s0·exp(Σ inc)), which removed the
+    // systematic exp(a+b) ≠ exp(a)·exp(b) divergence; the residual is
+    // HotSpot's Math.exp/cos intrinsics, which may differ from the
+    // non-JIT path by ≤1 ulp per call — so compare to ~1e-12 relative,
+    // not bit-for-bit (coin/walk ARE bit-compared: integer-exact).
     val specs = Seq(SimulationSpec(0, "gbm", 10, 6, Seq(0.05, 0.2, 1.0 / 252), Seq("100.0"), 7))
     def vals(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("sim_id").select(col("trace")).collect()
@@ -104,28 +128,17 @@ class BatterySpec extends SparkTestBase {
     val b = vals(battery.simulateTyped(specs))
     assert(a.length == b.length)
     a.zip(b).foreach { case (ta, tb) =>
-      ta.zip(tb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9 * math.max(1.0, math.abs(x))) }
+      ta.zip(tb).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-12 * math.max(1.0, math.abs(x)), s"$x vs $y")
+      }
     }
   }
 
   test("user-defined models register and run through the typed tier") {
     // the reference's core promise: bring your own model function
-    object Ar1 extends MCModel {
-      val name = "test_ar1"
-      def traceCol(n: Int, params: Seq[Double], start: Seq[String],
-          seed: org.apache.spark.sql.Column, modelId: org.apache.spark.sql.Column,
-          simId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        throw new UnsupportedOperationException("typed-tier-only model")
-      def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
-        val phi = params.headOption.getOrElse(0.8)
-        var x = start.headOption.map(_.toDouble).getOrElse(0.0)
-        (0 until n).map { _ =>
-          x = phi * x + (rng.nextUniform() - 0.5)
-          f"$x%.6f"
-        }
-      }
-    }
-    ModelRegistry.register(Ar1)
+    // (top-level object — a method-local one would capture the enclosing
+    // test class in its serialized form)
+    ModelRegistry.register(BatterySpec.Ar1)
     val df = battery.simulateTyped(
       Seq(SimulationSpec(0, "test_ar1", 50, 10, Seq(0.8), Seq("1.0"), 42)))
     assert(df.count() == 50)
