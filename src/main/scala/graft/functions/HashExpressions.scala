@@ -37,32 +37,47 @@ object WordShinglesHelper {
     * replaces evaluated three interpreted lambdas per shingle (~4 s per pass
     * over sf0.1's 1.5 M shingles); this is one pass over the string.
     */
-  def shingles(s: UTF8String, n: Int): ArrayData = {
+  def shingles(s: UTF8String, n: Int): ArrayData = shingles(s, n, distinct = true)
+
+  def shingles(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // limit = -1 keeps trailing empty tokens — matching Spark SQL's
     // split(text, ' ') and DuckDB's string_split (plain split(' ') drops
     // them, which would silently desync shingle sets from the oracle for
     // documents with trailing spaces)
     val words = s.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    val set = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i + n <= words.length) {
+    def build(i: Int): String = {
       val sb = new java.lang.StringBuilder(words(i))
       var j = 1
       while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-      set.add(sb.toString)
-      i += 1
+      sb.toString
     }
-    val out = new Array[Any](set.size)
-    val it = set.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
+    if (distinct) {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= words.length) { set.add(build(i)); i += 1 }
+      val out = new Array[Any](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      // positional mode: every shingle in document order (winnowing needs
+      // positions, so duplicates stay)
+      val out = new Array[Any](words.length - n + 1)
+      var i = 0
+      while (i + n <= words.length) { out(i) = UTF8String.fromString(build(i)); i += 1 }
+      new GenericArrayData(out)
+    }
   }
 }
 
-/** Native distinct word-shingle generator (see [[WordShinglesHelper.shingles]]). */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+/** Native word-shingle generator (see [[WordShinglesHelper.shingles]]);
+  * `distinct = false` gives the positional (in-order, duplicates kept)
+  * form that winnowing needs.
+  */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -73,10 +88,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    WordShinglesHelper.shingles(v.asInstanceOf[UTF8String], n)
+    WordShinglesHelper.shingles(v.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShinglesHelper.shingles($c, $n)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShinglesHelper.shingles($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

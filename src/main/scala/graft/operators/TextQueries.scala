@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * The four scan-shaped queries (token stats, quality, langid, bag-of-words
   * fingerprint) are single-pass, shuffle-light and expression-based — at
-  * 100 TB they run as a map-side scan with partial aggregation. tx_winnow is
-  * the exception by nature: winnowing needs positional windows, so it
-  * shuffles by doc_id and its positional-shingle lambda is interpreted —
-  * bounded here to a 200-doc slice; a positional WordShingles variant is the
-  * upgrade path if it ever runs at corpus scale.
+  * 100 TB they run as a map-side scan with partial aggregation. tx_winnow
+  * shuffles by doc_id by nature (winnowing needs positional windows) but its
+  * shingle generation is the native positional WordShingles expression, so
+  * the per-row work stays codegen'd; the 200-doc slice only bounds the
+  * oracle's SQL cost.
   *
   * Cross-engine notes: ratios are always exact-integer sums divided once at
   * the end (never averaged doubles); word splitting is a plain single-space
@@ -100,10 +100,13 @@ object TextQueries {
     // corpus summary of per-doc fingerprint counts.
     "tx_winnow" -> ((s, d) => {
       import graft.functions.CrossHash
+      import org.apache.spark.sql.graftbridge.Bridge
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, 7)
-      val sh = transform(sequence(lit(0), size(words) - 3), i =>
-        concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3)))
+      // positional (non-distinct) native shingles — winnowing needs
+      // document order, and the interpreted transform form cost ~4s/pass
+      val sh = Bridge.column(
+        graft.functions.WordShingles(Bridge.expression(col("text")), 3, distinct = false))
       val fps = t(s, d, "documents")
         .filter(col("doc_id") < 200).filter(size(words) >= 3)
         .select(col("doc_id"), posexplode(sh).as(Seq("pos", "shingle")))
