@@ -123,6 +123,37 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // Gaussian-increment MC with a FULL oracle: Irwin–Hall normals
+    // (Σ of 12 uniforms − 6 ≈ N(0,1), the classic CLT construction) in the
+    // same 1/32768 integer units as sim_cwalk_final — so even normal-driven
+    // simulation output is bit-checkable in SQL. Inner 12-sum and outer
+    // step-sum are exact integer arithmetic; two scaled divisions at the end.
+    "sim_nwalk_final" -> ((spark, _) => {
+      val (sims, points) = (1000, 16)
+      val grid = MCBattery.explodeTraces(
+        new MCBattery(spark).simulate(Seq(
+          SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 31),
+          SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 32))))
+      val seedCol = when(col("model_id") === 0, lit(31L)).otherwise(lit(32L))
+      // z in units: sum over 12 quantized uniforms at counter steps 12t..12t+11
+      val zUnits = aggregate(sequence(lit(0), lit(11)), lit(0L), (acc, j) =>
+        acc + floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
+          col("sim_id"), col("step").cast("long") * 12 + j) * 32768).cast("long")) - lit(6L * 32768)
+      grid
+        .withColumn("z_units", zUnits)
+        .groupBy(col("model_id"), col("sim_id"))
+        .agg(sum(col("z_units")).as("final_units"))
+        .groupBy(col("model_id"))
+        .agg(
+          (sum(col("final_units")).cast("double") / lit(32768.0) / count(lit(1))).as("mean_final"),
+          ((sum(col("final_units") * col("final_units")).cast("double")
+            - sum(col("final_units")).cast("double") * sum(col("final_units")).cast("double")
+              / count(lit(1)))
+            / count(lit(1)) / lit(32768.0 * 32768.0)).as("var_final"),
+          count(lit(1)).as("n_sims"))
+        .orderBy("model_id")
+    }),
+
     // GBM price-path statistics (the README's stock-price use case): mean /
     // dispersion of final prices plus a 5% quantile (~VaR shape). No DuckDB
     // oracle — libm cos/log differ in final ulps across engines (SURVEY
@@ -224,6 +255,26 @@ object SimQueries {
          |  (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*) AS variance,
          |  MIN(v) AS min_v, MAX(v) AS max_v
          |FROM v GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_nwalk_final" -> {
+      val uj = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step * 12 + j.j")
+      s"""WITH z AS (
+         |  SELECT m.model_id, s.sim_id, st.step,
+         |    CAST(SUM(CAST(floor($uj * 32768) AS BIGINT)) - 196608 AS BIGINT) AS z_units
+         |  FROM (VALUES (0, 31), (1, 32)) AS m(model_id, seed)
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 15) AS st(step)
+         |  CROSS JOIN generate_series(0, 11) AS j(j)
+         |  GROUP BY 1, 2, 3),
+         |f AS (SELECT model_id, sim_id, CAST(SUM(z_units) AS BIGINT) AS final_units
+         |      FROM z GROUP BY 1, 2)
+         |SELECT model_id,
+         |  CAST(SUM(final_units) AS DOUBLE) / 32768.0 / COUNT(*) AS mean_final,
+         |  (CAST(SUM(final_units * final_units) AS DOUBLE)
+         |    - CAST(SUM(final_units) AS DOUBLE) * CAST(SUM(final_units) AS DOUBLE) / COUNT(*))
+         |    / COUNT(*) / 1073741824.0 AS var_final,
+         |  COUNT(*) AS n_sims
+         |FROM f GROUP BY model_id ORDER BY model_id""".stripMargin
+    },
     "sim_cwalk_final" ->
       s"""WITH g AS (
          |  SELECT m.model_id, s.sim_id,

@@ -36,6 +36,17 @@ class SimModelSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - expSd) / expSd < 0.10)
   }
 
+  test("sim_nwalk_final matches Irwin-Hall normal-walk theory") {
+    // 16 steps of ~N(0,1) increments: E[final]=0, Var[final]=16
+    val rows = graft.SparkEntry.queries("sim_nwalk_final")(spark, sfDir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (mean, varr, n) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(math.abs(mean) < 4 * math.sqrt(16.0 / n), s"mean=$mean")
+      assert(math.abs(varr - 16.0) < 4 * 16.0 * math.sqrt(2.0 / (n - 1)), s"var=$varr")
+    }
+  }
+
   test("sim_gbm_stats query returns sane rows") {
     val rows = graft.SparkEntry.queries("sim_gbm_stats")(spark, sfDir).collect()
     assert(rows.length == 2)
