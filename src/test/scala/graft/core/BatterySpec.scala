@@ -151,6 +151,23 @@ class BatterySpec extends SparkTestBase {
     assert(first == again)
   }
 
+  test("mixed battery: three model families generate in ONE shuffle-free plan") {
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 100, 8, Seq(0.5), Nil, 1),
+      SimulationSpec(1, "random_walk", 200, 12, Seq(0.6), Nil, 2),
+      SimulationSpec(2, "gbm", 50, 6, Seq(0.05, 0.2, 1.0 / 252), Seq("100.0"), 3))
+    val df = battery.simulate(specs)
+    val counts = df.groupBy("model_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 100L, 1 -> 200L, 2 -> 50L))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p) // still one Range -> Project stage
+    // each family produced its own value domain
+    val sample = df.filter(col("model_id") === 2).select(col("trace")).collect()(0)
+      .getSeq[String](0)
+    assert(sample.forall(_.toDouble > 0)) // gbm prices
+  }
+
   test("heads fraction within CLT bounds of bias") {
     val df = battery.simulate(Seq(SimulationSpec(0, "coin_sequence", 2000, 16, Seq(0.7), Nil, 42)))
     val frac = MCBattery.explodeTraces(df)
