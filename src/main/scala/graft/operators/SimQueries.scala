@@ -18,6 +18,16 @@ import graft.core._
   * (e.g. `h / 2147483647.0`, `SUM(int) / COUNT(*)`) — never an
   * order-dependent float accumulation.
   */
+/** GBM log-return constants, computed once in Scala and embedded as
+  * literals in BOTH the Spark plan and the oracle SQL (Double.toString
+  * round-trips exactly, so DuckDB parses back the identical double).
+  */
+object GbmLogRet {
+  val mu = 0.05; val sigma = 0.2; val dt = 1.0 / 252
+  val vol: Double = sigma * math.sqrt(dt)
+  def driftTotal(points: Int): Double = (mu - sigma * sigma / 2.0) * dt * points
+}
+
 object SimQueries {
   import DeterministicRng.uniformSql
 
@@ -154,6 +164,42 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // GBM with a FULL oracle, in log space: the excess log return of a GBM
+    // path is drift·n + vol·(Σ z)/32768 — affine in the exact integer z-sum
+    // from the Irwin–Hall units, with drift/vol embedded as round-tripping
+    // double literals. No libm call remains (sqrt is correctly rounded), so
+    // the multiplicative model's estimates are bit-checkable — closing the
+    // gap that kept GBM rows-only (prices need exp; log returns don't).
+    "sim_gbm_logret" -> ((spark, _) => {
+      val (sims, points) = (1000, 16)
+      val grid = MCBattery.explodeTraces(
+        new MCBattery(spark).simulate(Seq(
+          SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 51),
+          SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 52))))
+      val seedCol = when(col("model_id") === 0, lit(51L)).otherwise(lit(52L))
+      val zUnits = aggregate(sequence(lit(0), lit(11)), lit(0L), (acc, j) =>
+        acc + floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
+          col("sim_id"), col("step").cast("long") * 12 + j) * 32768).cast("long")) - lit(6L * 32768)
+      val driftTotal = GbmLogRet.driftTotal(points)
+      val vol = GbmLogRet.vol
+      grid
+        .withColumn("z_units", zUnits)
+        .groupBy(col("model_id"), col("sim_id"))
+        .agg(sum(col("z_units")).as("zsum"))
+        .withColumn("logret", lit(driftTotal) + lit(vol) * (col("zsum").cast("double") / lit(32768.0)))
+        .groupBy(col("model_id"))
+        // round(12): the a·b+c folding of drift/vol can differ by one ulp
+        // across engines (FMA contraction); 12 decimals on ~1e-3 values
+        // absorbs it with ~1e-9 headroom
+        .agg(
+          round(sum(col("zsum")).cast("double") / lit(32768.0) / count(lit(1)) * lit(vol)
+            + lit(driftTotal), 12).as("mean_logret"),
+          round(min(col("logret")), 12).as("min_logret"),
+          round(max(col("logret")), 12).as("max_logret"),
+          count(lit(1)).as("n_sims"))
+        .orderBy("model_id")
+    }),
+
     // GBM price-path statistics (the README's stock-price use case): mean /
     // dispersion of final prices plus a 5% quantile (~VaR shape). No DuckDB
     // oracle — libm cos/log differ in final ulps across engines (SURVEY
@@ -255,6 +301,28 @@ object SimQueries {
          |  (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*) AS variance,
          |  MIN(v) AS min_v, MAX(v) AS max_v
          |FROM v GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_gbm_logret" -> {
+      val uj = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step * 12 + j.j")
+      val drift = GbmLogRet.driftTotal(16)
+      val vol = GbmLogRet.vol
+      s"""WITH z AS (
+         |  SELECT m.model_id, s.sim_id, st.step,
+         |    CAST(SUM(CAST(floor($uj * 32768) AS BIGINT)) - 196608 AS BIGINT) AS z_units
+         |  FROM (VALUES (0, 51), (1, 52)) AS m(model_id, seed)
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 15) AS st(step)
+         |  CROSS JOIN generate_series(0, 11) AS j(j)
+         |  GROUP BY 1, 2, 3),
+         |f AS (SELECT model_id, sim_id, CAST(SUM(z_units) AS BIGINT) AS zsum
+         |      FROM z GROUP BY 1, 2),
+         |lr AS (SELECT model_id, zsum,
+         |    $drift + $vol * (CAST(zsum AS DOUBLE) / 32768.0) AS logret FROM f)
+         |SELECT model_id,
+         |  round(CAST(SUM(zsum) AS DOUBLE) / 32768.0 / COUNT(*) * $vol + $drift, 12) AS mean_logret,
+         |  round(MIN(logret), 12) AS min_logret, round(MAX(logret), 12) AS max_logret,
+         |  COUNT(*) AS n_sims
+         |FROM lr GROUP BY model_id ORDER BY model_id""".stripMargin
+    },
     "sim_nwalk_final" -> {
       val uj = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step * 12 + j.j")
       s"""WITH z AS (
