@@ -47,6 +47,18 @@ class SimModelSpec extends SparkTestBase {
     }
   }
 
+  test("sim_gbm_logret matches drift theory") {
+    import graft.operators.GbmLogRet
+    val rows = graft.SparkEntry.queries("sim_gbm_logret")(spark, sfDir).collect()
+    assert(rows.length == 2)
+    val expMean = GbmLogRet.driftTotal(16)
+    val se = GbmLogRet.vol * math.sqrt(16.0 / 1000)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - expMean) < 4 * se, s"mean=${r.getDouble(1)}")
+      assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3))
+    }
+  }
+
   test("sim_gbm_stats query returns sane rows") {
     val rows = graft.SparkEntry.queries("sim_gbm_stats")(spark, sfDir).collect()
     assert(rows.length == 2)
