@@ -18,7 +18,13 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // Materialize EVERY column via the noop sink: .count() would let
+      // Catalyst prune unreferenced projections/windows and skip final
+      // sorts, under-measuring queries whose work lives in the projection
+      // (trace generation, string ops, thumbnails).
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

@@ -15,6 +15,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clean slate: a stale per-query dump from a previous run would be
+    // silently compared (and could pass) if this run's query throws before
+    // overwriting it — delete the whole outDir up front so every result
+    // present afterwards was produced by THIS run.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -24,9 +24,14 @@ trait MCModel extends Serializable {
   def name: String
 
   /** Column-tier generator. `seed`/`modelId`/`simId` are the RNG counters;
-    * returns an `array<string>` trace of length
-    * `numberPoints + startingPoint.size` (starting point prepended verbatim,
-    * matching demo notebook cells 29-33: width = 5 + number_points).
+    * returns an `array<string>` trace. Starting-point semantics are
+    * MODEL-DEFINED (matching the reference's model-callable contract, where
+    * the callable receives `starting_point` and does what it likes):
+    * [[CoinSequence]] prepends it verbatim (length
+    * `numberPoints + startingPoint.size`, demo notebook cells 29-33);
+    * [[RandomWalk]] and [[GeometricBrownianMotion]] consume
+    * `startingPoint(0)` as the origin / S₀ and emit `numberPoints` values.
+    * Each model documents its own width behavior.
     */
   def traceCol(numberPoints: Int, parameters: Seq[Double], startingPoint: Seq[String],
                seed: Column, modelId: Column, simId: Column): Column
@@ -109,18 +114,17 @@ object GeometricBrownianMotion extends MCModel {
 
   def traceCol(n: Int, params: Seq[Double], start: Seq[String],
                seed: Column, modelId: Column, simId: Column): Column = {
+    // Native codegen'd cumulative log-space loop (core.GbmTrace) — the
+    // composable transform/aggregate form re-folded the whole prefix per
+    // point: O(n²) uniform draws in interpreted lambdas. Same values.
+    import org.apache.spark.sql.graftbridge.Bridge
     val (mu, sigma, dt) = p(params)
     val s0 = start.headOption.map(_.toDouble).getOrElse(100.0)
     val drift = (mu - sigma * sigma / 2.0) * dt
     val vol = sigma * math.sqrt(dt)
-    def z(i: Column): Column = {
-      val u1 = greatest(DeterministicRng.uniformCol(seed, modelId, simId, i * 2), lit(1e-300))
-      val u2 = DeterministicRng.uniformCol(seed, modelId, simId, i * 2 + 1)
-      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-    }
-    transform(sequence(lit(0), lit(n - 1)), t =>
-      (lit(s0) * exp(aggregate(sequence(lit(0), t), lit(0.0), (acc, i) => acc + (lit(drift) + lit(vol) * z(i)))))
-        .cast("string"))
+    Bridge.column(GbmTrace(
+      Bridge.expression(seed.cast("long")), Bridge.expression(modelId.cast("long")),
+      Bridge.expression(simId.cast("long")), n, drift, vol, s0))
   }
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {

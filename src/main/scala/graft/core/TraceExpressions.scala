@@ -26,6 +26,31 @@ object McGenHelper {
     new GenericArrayData(out)
   }
 
+  /** GBM prices in one cumulative LOG-SPACE loop: acc += drift + vol·Z_t,
+    * point t = S₀·exp(acc), Z from Box-Muller over uniforms (2t, 2t+1) —
+    * the exact evaluation order of both the typed tier
+    * ([[graft.core.GeometricBrownianMotion.simulate]]) and the composable
+    * `transform(sequence, t -> exp(aggregate(...)))` form this replaces,
+    * which re-folded the whole prefix per point (O(n²) uniform draws in
+    * interpreted lambdas). Double.toString matches Spark's double→string
+    * cast, so traces are bit-identical across tiers (ModelTierSpec).
+    */
+  def gbmTrace(seed: Long, model: Long, sim: Long, n: Int, drift: Double,
+      vol: Double, s0: Double): ArrayData = {
+    val out = new Array[Any](n)
+    var acc = 0.0
+    var t = 0
+    while (t < n) {
+      val u1 = math.max(DeterministicRng.uniform(seed, model, sim, 2L * t), 1e-300)
+      val u2 = DeterministicRng.uniform(seed, model, sim, 2L * t + 1L)
+      val z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      acc += drift + vol * z
+      out(t) = UTF8String.fromString(java.lang.Double.toString(s0 * math.exp(acc)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-walk positions in one cumulative loop (vs the O(n²) prefix-sum
     * fold of the composable form). Long.toString matches Spark's
     * long→string cast, so values are unchanged.
@@ -83,6 +108,39 @@ case class CoinTrace(seed: Expression, model: Expression, sim: Expression,
         s"$numberPoints, ${bias}D, $pref);"
     })
   }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(seed = newFirst, model = newSecond, sim = newThird)
+}
+
+/** Native geometric-Brownian-motion generator (see [[McGenHelper.gbmTrace]]). */
+case class GbmTrace(seed: Expression, model: Expression, sim: Expression,
+    numberPoints: Int, drift: Double, vol: Double, s0: Double)
+  extends TernaryExpression {
+
+  override def first: Expression = seed
+  override def second: Expression = model
+  override def third: Expression = sim
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(seed, model, sim).forall(_.dataType == LongType) && numberPoints >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gbm_trace expects (bigint, bigint, bigint) counters, points >= 1")
+
+  override protected def nullSafeEval(s: Any, m: Any, si: Any): Any =
+    McGenHelper.gbmTrace(s.asInstanceOf[Long], m.asInstanceOf[Long],
+      si.asInstanceOf[Long], numberPoints, drift, vol, s0)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, m, si) => {
+      s"${ev.value} = graft.core.McGenHelper.gbmTrace($s, $m, $si, " +
+        s"$numberPoints, ${drift}D, ${vol}D, ${s0}D);"
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

@@ -348,15 +348,20 @@ object RelationalQueries {
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
 
     // GROUPING SETS through the SQL surface (spark.sql on a temp view).
+    // The view is registered under a collision-proof name and dropped as
+    // soon as the statement is analyzed — sql() resolves eagerly, so the
+    // returned DataFrame stays valid and no session state leaks.
     "q25_grouping_sets" -> ((s, d) => {
-      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
-          |FROM graft_lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      val view = s"graft_lineitem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, d, "lineitem").createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+           |FROM $view
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      finally s.catalog.dropTempView(view)
     }))
 
   def oracleSql: Map[String, String] = Map(
