@@ -97,8 +97,15 @@ object DedupQueries {
         col("doc_id").as("doc_a"), col("sz").as("sz_a"))
       val b = inv.select(col("lang").as("l2"), col("bucket").as("bkt2"),
         col("shx").as("shx2"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      // Size-ratio prune: common <= min(sz) forces jac <= min(sz)/max(sz),
+      // so jac >= 0.3 requires 10*min >= 3*max — exact integer arithmetic
+      // (the -1 slack provably covers the pair-at-the-boundary case where
+      // the double-rounded jac clears the filter while the exact ratio sits
+      // an ulp under it). Drops hopeless co-occurrence pairs BEFORE the
+      // aggregate; output is unchanged by construction.
       a.join(b, col("lang") === col("l2") && col("bucket") === col("bkt2") &&
-          col("shx") === col("shx2") && col("doc_a") < col("doc_b"))
+          col("shx") === col("shx2") && col("doc_a") < col("doc_b") &&
+          least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 3 - 1)
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("common"))
         .withColumn("jac",

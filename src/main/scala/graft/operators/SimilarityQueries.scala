@@ -33,6 +33,16 @@ object SimilarityQueries {
   private val NEAR_T = 0.40
   private val TOP_K = 10
   private val N_QUERIES = 5
+  // emb_near_pairs_lsh blocking: NP_TABLES tables of NP_BITS-bit signatures.
+  // Sized for the 0.40 threshold (see the query's scaladoc): at cos 0.40 the
+  // per-hyperplane agreement probability is 1 − arccos(0.40)/π ≈ 0.631, so
+  // per-table collision is 0.631^4 ≈ 0.16 and the 32-table miss probability
+  // per threshold pair is (1 − 0.16)^48 ≈ 2.6e-4 — zero misses on the test
+  // corpus at sf0.01 AND sf0.1 (asserted against the exact formulation in
+  // SimilaritySpec at gate scale).
+  private val NP_BITS = 4
+  private val NP_TABLES = 48
+  private val NP_SEED = 4241L
 
   /** Exact cosine between two float-array columns, rounded to 6 decimals.
     * Delegates to the native codegen'd [[graft.functions.DotProduct]]
@@ -50,11 +60,11 @@ object SimilarityQueries {
   /** Random-hyperplane signature: bit j = sign(v · r_j) with hyperplane
     * components r_j[i] = u(seed, j, 0, i) − 0.5 from the counter-based RNG.
     * The hyperplanes are materialized driver-side as array literals (they
-    * are model constants — 8×64 doubles), so each bit is one native
+    * are model constants — bits×64 doubles), so each bit is one native
     * dot-product against a literal, not an interpreted per-element lambda.
     */
-  def lshSignature(v: Column, seed: Long): Column =
-    (0 until SIG_BITS).map { j =>
+  def lshSignature(v: Column, seed: Long, bits: Int = SIG_BITS): Column =
+    (0 until bits).map { j =>
       val plane = Array.tabulate(DIM)(i =>
         DeterministicRng.uniform(seed, j.toLong, 0L, i.toLong) - 0.5)
       val proj = graft.functions.VectorFunctions.dot_product(v, typedLit(plane))
@@ -102,11 +112,22 @@ object SimilarityQueries {
     // The point here is the training SHAPE: per-dimension explode ->
     // aggregate -> re-collect, fully distributed.
     "knn_ivf_trained" -> ((s, d) => {
+      import s.implicits._
       val e = t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
       var cents = e.filter(col("vec_id") < N_CENTROIDS)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       (0 until 2).foreach { _ =>
-        cents = lloydStep(assignToCentroids(e, cents))
+        // Materialize the centroid table DRIVER-SIDE between iterations:
+        // 16×64 doubles — legitimate tiny model state, the same pattern as
+        // lshSignature's literal hyperplanes. Without it every Lloyd
+        // iteration (and the final assignment) recomputes the full upstream
+        // lineage — at 100 TB that is ~6 corpus re-scans; with it each
+        // iteration is exactly one scan. Values are unchanged: lloydStep's
+        // decimal-exact means are deterministic, and re-injection as a
+        // local relation feeds the same doubles back in.
+        val local = lloydStep(assignToCentroids(e, cents)).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        cents = local.toSeq.toDF("cid", "ce")
       }
       val assigned = assignToCentroids(e, cents)
       val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))
@@ -136,6 +157,43 @@ object SimilarityQueries {
         .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= NEAR_T)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // LSH-BLOCKED near-dup pairs: candidates = pairs sharing any (table,
+    // signature) bucket across NP_TABLES hyperplane tables (one corpus scan
+    // computes all signatures, exploded to (tbl, sig) rows); candidates are
+    // then verified with the EXACT cosine, so precision is exact and only
+    // recall depends on the blocking. This is the bucketed shape that
+    // replaces emb_near_pairs' all-pairs nested-loop at scale: candidate
+    // generation is a shuffle equi-join on 12-byte keys, never a cross
+    // product of embeddings.
+    //
+    // Honest scale note (measured on this corpus): a 0.40 threshold is
+    // adversarial for hyperplane LSH — qualifying pairs here are the smooth
+    // tail of the random-cosine distribution (bit agreement 0.63 vs 0.50
+    // random), so near-total recall needs enough tables that candidate
+    // volume approaches all-pairs. The operator earns its keep on real
+    // near-dup corpora (cos ≥ 0.7–0.9, agreement ≥ 0.75): identical plan,
+    // exponentially sharper bucket separation per bit. emb_near_pairs stays
+    // as the exact oracle anchor; recall here is asserted 1.0 vs that
+    // anchor on the test corpus (SimilaritySpec).
+    "emb_near_pairs_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+      val sigArr = array((0 until NP_TABLES).map(l =>
+        lshSignature(col("embedding"), NP_SEED + l * 131L, NP_BITS)): _*)
+      val sigs = e.select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
+      val cand = sigs.as("x").join(sigs.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("cos", cosine(col("ea"), col("eb")))
         .filter(col("cos") >= NEAR_T)
         .select("vec_a", "vec_b", "cos")
@@ -201,11 +259,14 @@ object SimilarityQueries {
     // asserted in SimilaritySpec.
     "knn_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
-      // corpus side: L rows per vector — (table, signature)
-      val tables = (0 until N_TABLES).map { l =>
-        e.select(col("vec_id"), col("embedding"), lit(l).as("tbl"),
-          lshSignature(col("embedding"), 777L + l * 131L).as("sig"))
-      }.reduce(_ unionAll _)
+      // corpus side: ONE scan computes all L signatures (48 native literal
+      // dot products per row) and explodes to L (table, signature) rows —
+      // the earlier 6-way unionAll re-scanned the corpus and re-derived the
+      // signature projection once per table.
+      val sigArr = array((0 until N_TABLES).map(l =>
+        lshSignature(col("embedding"), 777L + l * 131L)): _*)
+      val tables = e.select(col("vec_id"), col("embedding"),
+        posexplode(sigArr).as(Seq("tbl", "sig")))
       val q = tables.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("tbl").as("qtbl"), col("sig").as("qsig"))
@@ -233,6 +294,14 @@ object SimilarityQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // The blocked path must reproduce the exact formulation's pairs —
+    // same oracle as emb_near_pairs (recall 1.0 on the test corpus).
+    "emb_near_pairs_lsh" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${sqlCosine("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $NEAR_T
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "emb_near_pairs" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${sqlCosine("a.embedding", "b.embedding")} AS cos

@@ -75,18 +75,29 @@ object TextQueries {
 
     // Language-ID heuristic: marker-word hit counts, argmax with fixed tie
     // order; output is the label×prediction confusion matrix.
+    // Plan: ONE word explode + four codegen'd conditional sums per doc —
+    // the earlier `size(filter(split(...)))` form split the text four times
+    // and ran the marker test as an interpreted per-element lambda (the
+    // repo's documented ~40× higher-order-function trap). The per-doc
+    // aggregate partially combines map-side, so the shuffle carries ~one
+    // row per document, not the exploded words.
     "tx_langid" -> ((s, d) => {
-      val w = words
-      val hits = markers.map { case (l, ms) =>
-        l -> size(filter(w, x => x.isin(ms.map(lit(_)): _*)))
+      val hitCols = markers.map { case (l, ms) =>
+        sum(when(col("word").isin(ms.map(lit(_)): _*), 1).otherwise(0)).as(s"c_$l")
       }
-      val hitMap = hits.toMap
+      // explode(split) emits >= 1 row per doc (split("") is [""]), so no
+      // document drops out of the per-doc aggregate
+      val counts = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), explode(words).as("word"))
+        .groupBy("doc_id", "lang")
+        .agg(hitCols.head, hitCols.tail: _*)
       val predicted =
-        when(hitMap("en") >= greatest(hitMap("de"), hitMap("es"), hitMap("fr")), "en")
-          .when(hitMap("de") >= greatest(hitMap("es"), hitMap("fr")), "de")
-          .when(hitMap("es") >= hitMap("fr"), "es")
+        when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+          .when(col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
+          .when(col("c_es") >= col("c_fr"), "es")
           .otherwise("fr")
-      t(s, d, "documents")
+      counts
         .select(col("lang"), predicted.as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n_docs"))

@@ -55,6 +55,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.25, s"recall@10 = $recall")
   }
 
+  test("emb_near_pairs_lsh reproduces the exact all-pairs result (recall 1.0)") {
+    // The blocked path must be pair-for-pair identical to the exact anchor
+    // at gate scale: candidates-only verification makes precision exact by
+    // construction, and the 48×4-bit table configuration is sized so the
+    // per-threshold-pair miss probability is ~2.6e-4 — zero misses on the
+    // pinned corpus (this is also what keeps its DuckDB oracle row green).
+    def pairs(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs("emb_near_pairs")
+    val blocked = pairs("emb_near_pairs_lsh")
+    assert(exact == blocked,
+      s"missed=${(exact -- blocked).size} extra=${(blocked -- exact).size}")
+  }
+
   test("knn_ivf recall@10 vs knn_brute is above the nprobe floor") {
     def pairs(name: String) = q(name).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
