@@ -134,19 +134,35 @@ object DeterministicRng {
   }
 }
 
+/** Static per-family uniform dispatch — shared by the native generated-code
+  * kernels ([[McGenHelper]]), [[StepRng]] and anything else that draws at a
+  * counter. `familyId` is [[RngFamily.id]]; the dispatch is a single int
+  * compare, JIT-friendly inside codegen'd loops.
+  */
+object Rngs {
+  def uniform(familyId: Int, seed: Long, model: Long, sim: Long, step: Long): Double =
+    if (familyId == RngFamily.Philox.id) Philox.uniform(seed, model, sim, step)
+    else DeterministicRng.uniform(seed, model, sim, step)
+}
+
 /** The reference's RNG-family enum (`models.py:17-33`, default PCG64).
   *
-  * NumPy bit generators are unavailable in a JVM/offline build, so each name
-  * selects a distinct salt folded into the master seed of the counter-based
-  * generator above — streams from different families are decorrelated, the
-  * four-name API surface and the PCG64 default are preserved exactly.
+  * `Philox` routes to the REAL Philox-4x32-10 backend ([[Philox]], Random123
+  * KAT-verified) — the one family whose public spec is itself counter-based
+  * and therefore fits this engine natively. The other three NumPy names
+  * (unavailable in a JVM/offline build) select distinct salts folded into
+  * the master seed of the counter-based generator above — streams from
+  * different families are decorrelated, the four-name API surface and the
+  * PCG64 default are preserved exactly. Philox keeps its salt too, so its
+  * seed-space stays disjoint from the hash families even at equal user
+  * seeds.
   */
-sealed abstract class RngFamily(val name: String, val salt: Long)
+sealed abstract class RngFamily(val name: String, val salt: Long, val id: Int)
 object RngFamily {
-  case object PCG64   extends RngFamily("PCG64",   0L)
-  case object Philox  extends RngFamily("Philox",  1000000007L)
-  case object SFC64   extends RngFamily("SFC64",   998244353L)
-  case object MT19937 extends RngFamily("MT19937", 754974721L)
+  case object PCG64   extends RngFamily("PCG64",   0L, 0)
+  case object Philox  extends RngFamily("Philox",  1000000007L, 1)
+  case object SFC64   extends RngFamily("SFC64",   998244353L, 2)
+  case object MT19937 extends RngFamily("MT19937", 754974721L, 3)
 
   val all: Seq[RngFamily] = Seq(PCG64, Philox, SFC64, MT19937)
 
@@ -163,15 +179,20 @@ object RngFamily {
   }
 }
 
-/** Sequential-draw view over the counter-based generator, for the typed
+/** Sequential-draw view over the counter-based generators, for the typed
   * (arbitrary Scala model function) tier: models that want a classic
   * `rng.nextUniform()` stream get one, deterministically derived from
-  * `(seed, model, sim)` with an internal step counter.
+  * `(seed, model, sim)` with an internal step counter. The family routes
+  * the backend ([[Rngs]]): Philox draws real Philox-4x32-10 words, the
+  * other families the salted counter hash — identical to what the Column
+  * tier's native kernels draw, preserving the cross-tier identical-trace
+  * invariant for every family.
   */
-final class StepRng(seed: Long, model: Long, sim: Long) {
+final class StepRng(seed: Long, model: Long, sim: Long,
+    family: RngFamily = RngFamily.PCG64) {
   private var step: Long = 0L
   def nextUniform(): Double = {
-    val u = DeterministicRng.uniform(seed, model, sim, step)
+    val u = Rngs.uniform(family.id, seed, model, sim, step)
     step += 1
     u
   }

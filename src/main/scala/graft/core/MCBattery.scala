@@ -62,7 +62,7 @@ final class MCBattery(
       val s = rs(i)
       ModelRegistry(s.modelName).traceCol(
         s.numberPoints, s.parameters, s.startingPoint,
-        lit(s.seed), lit(s.modelId.toLong), id - lit(offsets(i)))
+        lit(s.seed), lit(s.modelId.toLong), id - lit(offsets(i)), rng)
     }
     base.select(
       modelCol.cast("int").as("model_id"),
@@ -87,6 +87,9 @@ final class MCBattery(
     // register() calls, so a name lookup inside mapPartitions would fail on
     // a real cluster (and only accidentally work in local mode).
     val modelArr: Array[MCModel] = rs.map(s => ModelRegistry(s.modelName)).toArray
+    // local copy: referencing the `rng` field inside mapPartitions would
+    // capture `this` (and its SparkSession) in the task closure
+    val rngFamily = rng
 
     spark.range(0, total, 1, math.min(parts.toLong, total).toInt)
       .as[Long]
@@ -98,7 +101,7 @@ final class MCBattery(
           }
           val s = specArr(i)
           val sim = gid - offs(i)
-          val stepRng = new StepRng(s.seed, s.modelId.toLong, sim)
+          val stepRng = new StepRng(s.seed, s.modelId.toLong, sim, rngFamily)
           // Models return the full trace (starting point included when their
           // semantics prepend it, e.g. CoinSequence) — no double-prepend here.
           val trace = modelArr(i)

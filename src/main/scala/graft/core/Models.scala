@@ -31,10 +31,14 @@ trait MCModel extends Serializable {
     * `numberPoints + startingPoint.size`, demo notebook cells 29-33);
     * [[RandomWalk]] and [[GeometricBrownianMotion]] consume
     * `startingPoint(0)` as the origin / S₀ and emit `numberPoints` values.
-    * Each model documents its own width behavior.
+    * Each model documents its own width behavior. `family` selects the
+    * uniform backend (default: the SQL-oracle-expressible counter hash;
+    * [[RngFamily.Philox]]: real Philox-4x32-10) — models that draw through
+    * [[Rngs.uniform]] honor it automatically.
     */
   def traceCol(numberPoints: Int, parameters: Seq[Double], startingPoint: Seq[String],
-               seed: Column, modelId: Column, simId: Column): Column
+               seed: Column, modelId: Column, simId: Column,
+               family: RngFamily = RngFamily.PCG64): Column
 
   /** Typed-tier generator (the reference's model contract, Scala-ified). */
   def simulate(numberPoints: Int, rng: StepRng, parameters: Seq[Double],
@@ -52,14 +56,15 @@ object CoinSequence extends MCModel {
   val name = "coin_sequence"
 
   def traceCol(n: Int, params: Seq[Double], start: Seq[String],
-               seed: Column, modelId: Column, simId: Column): Column = {
+               seed: Column, modelId: Column, simId: Column,
+               family: RngFamily = RngFamily.PCG64): Column = {
     // Native codegen'd generator (see core.CoinTrace) — one loop per row
     // instead of an interpreted per-point lambda; same counter-hash values.
     import org.apache.spark.sql.graftbridge.Bridge
     val bias = params.headOption.getOrElse(0.5)
     Bridge.column(CoinTrace(
       Bridge.expression(seed.cast("long")), Bridge.expression(modelId.cast("long")),
-      Bridge.expression(simId.cast("long")), n, bias, start))
+      Bridge.expression(simId.cast("long")), n, bias, start, family.id))
   }
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
@@ -79,7 +84,8 @@ object RandomWalk extends MCModel {
   val name = "random_walk"
 
   def traceCol(n: Int, params: Seq[Double], start: Seq[String],
-               seed: Column, modelId: Column, simId: Column): Column = {
+               seed: Column, modelId: Column, simId: Column,
+               family: RngFamily = RngFamily.PCG64): Column = {
     // Native codegen'd cumulative loop (core.WalkTrace); the composable form
     // needed an O(n²) prefix-sum fold per trace.
     import org.apache.spark.sql.graftbridge.Bridge
@@ -87,7 +93,7 @@ object RandomWalk extends MCModel {
     val origin = start.headOption.map(_.toLong).getOrElse(0L)
     Bridge.column(WalkTrace(
       Bridge.expression(seed.cast("long")), Bridge.expression(modelId.cast("long")),
-      Bridge.expression(simId.cast("long")), n, bias, origin))
+      Bridge.expression(simId.cast("long")), n, bias, origin, family.id))
   }
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
@@ -113,7 +119,8 @@ object GeometricBrownianMotion extends MCModel {
     params.lift(0).getOrElse(0.05), params.lift(1).getOrElse(0.2), params.lift(2).getOrElse(1.0 / 252))
 
   def traceCol(n: Int, params: Seq[Double], start: Seq[String],
-               seed: Column, modelId: Column, simId: Column): Column = {
+               seed: Column, modelId: Column, simId: Column,
+               family: RngFamily = RngFamily.PCG64): Column = {
     // Native codegen'd cumulative log-space loop (core.GbmTrace) — the
     // composable transform/aggregate form re-folded the whole prefix per
     // point: O(n²) uniform draws in interpreted lambdas. Same values.
@@ -124,7 +131,7 @@ object GeometricBrownianMotion extends MCModel {
     val vol = sigma * math.sqrt(dt)
     Bridge.column(GbmTrace(
       Bridge.expression(seed.cast("long")), Bridge.expression(modelId.cast("long")),
-      Bridge.expression(simId.cast("long")), n, drift, vol, s0))
+      Bridge.expression(simId.cast("long")), n, drift, vol, s0, family.id))
   }
 
   def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {

@@ -13,14 +13,14 @@ object McGenHelper {
   private val T = UTF8String.fromString("T")
 
   def coinTrace(seed: Long, model: Long, sim: Long, n: Int, bias: Double,
-      prefix: Array[UTF8String]): ArrayData = {
+      prefix: Array[UTF8String], familyId: Int): ArrayData = {
     val out = new Array[Any](prefix.length + n)
     var i = 0
     while (i < prefix.length) { out(i) = prefix(i); i += 1 }
     var step = 0
     while (step < n) {
       out(prefix.length + step) =
-        if (DeterministicRng.uniform(seed, model, sim, step.toLong) < bias) H else T
+        if (Rngs.uniform(familyId, seed, model, sim, step.toLong) < bias) H else T
       step += 1
     }
     new GenericArrayData(out)
@@ -36,13 +36,13 @@ object McGenHelper {
     * cast, so traces are bit-identical across tiers (ModelTierSpec).
     */
   def gbmTrace(seed: Long, model: Long, sim: Long, n: Int, drift: Double,
-      vol: Double, s0: Double): ArrayData = {
+      vol: Double, s0: Double, familyId: Int): ArrayData = {
     val out = new Array[Any](n)
     var acc = 0.0
     var t = 0
     while (t < n) {
-      val u1 = math.max(DeterministicRng.uniform(seed, model, sim, 2L * t), 1e-300)
-      val u2 = DeterministicRng.uniform(seed, model, sim, 2L * t + 1L)
+      val u1 = math.max(Rngs.uniform(familyId, seed, model, sim, 2L * t), 1e-300)
+      val u2 = Rngs.uniform(familyId, seed, model, sim, 2L * t + 1L)
       val z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
       acc += drift + vol * z
       out(t) = UTF8String.fromString(java.lang.Double.toString(s0 * math.exp(acc)))
@@ -56,12 +56,12 @@ object McGenHelper {
     * long→string cast, so values are unchanged.
     */
   def walkTrace(seed: Long, model: Long, sim: Long, n: Int, bias: Double,
-      origin: Long): ArrayData = {
+      origin: Long, familyId: Int): ArrayData = {
     val out = new Array[Any](n)
     var pos = origin
     var step = 0
     while (step < n) {
-      pos += (if (DeterministicRng.uniform(seed, model, sim, step.toLong) < bias) 1L else -1L)
+      pos += (if (Rngs.uniform(familyId, seed, model, sim, step.toLong) < bias) 1L else -1L)
       out(step) = UTF8String.fromString(java.lang.Long.toString(pos))
       step += 1
     }
@@ -77,7 +77,7 @@ object McGenHelper {
   * unchanged — asserted by sim_coin_traces in the correctness gate.
   */
 case class CoinTrace(seed: Expression, model: Expression, sim: Expression,
-    numberPoints: Int, bias: Double, prefix: Seq[String])
+    numberPoints: Int, bias: Double, prefix: Seq[String], familyId: Int = 0)
   extends TernaryExpression {
 
   override def first: Expression = seed
@@ -98,14 +98,14 @@ case class CoinTrace(seed: Expression, model: Expression, sim: Expression,
 
   override protected def nullSafeEval(s: Any, m: Any, si: Any): Any =
     McGenHelper.coinTrace(s.asInstanceOf[Long], m.asInstanceOf[Long],
-      si.asInstanceOf[Long], numberPoints, bias, prefixArr)
+      si.asInstanceOf[Long], numberPoints, bias, prefixArr, familyId)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pref = ctx.addReferenceObj("prefix", prefixArr,
       "org.apache.spark.unsafe.types.UTF8String[]")
     nullSafeCodeGen(ctx, ev, (s, m, si) => {
       s"${ev.value} = graft.core.McGenHelper.coinTrace($s, $m, $si, " +
-        s"$numberPoints, ${bias}D, $pref);"
+        s"$numberPoints, ${bias}D, $pref, $familyId);"
     })
   }
 
@@ -116,7 +116,7 @@ case class CoinTrace(seed: Expression, model: Expression, sim: Expression,
 
 /** Native geometric-Brownian-motion generator (see [[McGenHelper.gbmTrace]]). */
 case class GbmTrace(seed: Expression, model: Expression, sim: Expression,
-    numberPoints: Int, drift: Double, vol: Double, s0: Double)
+    numberPoints: Int, drift: Double, vol: Double, s0: Double, familyId: Int = 0)
   extends TernaryExpression {
 
   override def first: Expression = seed
@@ -134,12 +134,12 @@ case class GbmTrace(seed: Expression, model: Expression, sim: Expression,
 
   override protected def nullSafeEval(s: Any, m: Any, si: Any): Any =
     McGenHelper.gbmTrace(s.asInstanceOf[Long], m.asInstanceOf[Long],
-      si.asInstanceOf[Long], numberPoints, drift, vol, s0)
+      si.asInstanceOf[Long], numberPoints, drift, vol, s0, familyId)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, m, si) => {
       s"${ev.value} = graft.core.McGenHelper.gbmTrace($s, $m, $si, " +
-        s"$numberPoints, ${drift}D, ${vol}D, ${s0}D);"
+        s"$numberPoints, ${drift}D, ${vol}D, ${s0}D, $familyId);"
     })
 
   override protected def withNewChildrenInternal(
@@ -149,7 +149,7 @@ case class GbmTrace(seed: Expression, model: Expression, sim: Expression,
 
 /** Native random-walk generator (see [[McGenHelper.walkTrace]]). */
 case class WalkTrace(seed: Expression, model: Expression, sim: Expression,
-    numberPoints: Int, bias: Double, startPos: Long)
+    numberPoints: Int, bias: Double, startPos: Long, familyId: Int = 0)
   extends TernaryExpression {
 
   override def first: Expression = seed
@@ -167,12 +167,12 @@ case class WalkTrace(seed: Expression, model: Expression, sim: Expression,
 
   override protected def nullSafeEval(s: Any, m: Any, si: Any): Any =
     McGenHelper.walkTrace(s.asInstanceOf[Long], m.asInstanceOf[Long],
-      si.asInstanceOf[Long], numberPoints, bias, startPos)
+      si.asInstanceOf[Long], numberPoints, bias, startPos, familyId)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, m, si) => {
       s"${ev.value} = graft.core.McGenHelper.walkTrace($s, $m, $si, " +
-        s"$numberPoints, ${bias}D, ${startPos}L);"
+        s"$numberPoints, ${bias}D, ${startPos}L, $familyId);"
     })
 
   override protected def withNewChildrenInternal(

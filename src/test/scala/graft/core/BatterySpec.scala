@@ -10,7 +10,8 @@ object BatterySpec {
     val name = "test_ar1"
     def traceCol(n: Int, params: Seq[Double], start: Seq[String],
         seed: org.apache.spark.sql.Column, modelId: org.apache.spark.sql.Column,
-        simId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        simId: org.apache.spark.sql.Column,
+        family: RngFamily): org.apache.spark.sql.Column =
       throw new UnsupportedOperationException("typed-tier-only model")
     def simulate(n: Int, rng: StepRng, params: Seq[Double], start: Seq[String]): Seq[String] = {
       val phi = params.headOption.getOrElse(0.8)
@@ -112,6 +113,30 @@ class BatterySpec extends SparkTestBase {
         .orderBy("model_id", "sim_id").collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
     assert(dump(battery.simulate(specs)) == dump(battery.simulateTyped(specs)))
+  }
+
+  test("Philox family: real Philox backend, tiers identical, streams distinct") {
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 40, 9, Seq(0.6), Seq("T", "T"), 42),
+      SimulationSpec(1, "random_walk", 40, 9, Seq(0.5), Nil, 43))
+    def dump(b: MCBattery, typed: Boolean) = {
+      val df = if (typed) b.simulateTyped(specs) else b.simulate(specs)
+      df.select(col("model_id"), col("sim_id"), concat_ws(",", col("trace")).as("t"))
+        .orderBy("model_id", "sim_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    }
+    val philox = new MCBattery(spark, RngFamily.Philox)
+    // cross-tier identity holds under the Philox backend too (both tiers
+    // draw through Rngs.uniform at the same counters)
+    val colTier = dump(philox, typed = false)
+    assert(colTier == dump(philox, typed = true))
+    // and the traces really come from a different generator than PCG64
+    assert(colTier != dump(battery, typed = false))
+    // routing sanity at the draw level
+    assert(Rngs.uniform(RngFamily.Philox.id, 7L, 0L, 0L, 0L) ==
+      Philox.uniform(7L, 0L, 0L, 0L))
+    assert(Rngs.uniform(RngFamily.PCG64.id, 7L, 0L, 0L, 0L) ==
+      DeterministicRng.uniform(7L, 0L, 0L, 0L))
   }
 
   test("gbm tiers agree to ulp precision (log-space accumulation aligned)") {
