@@ -146,9 +146,14 @@ object SimQueries {
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 32))))
       val seedCol = when(col("model_id") === 0, lit(31L)).otherwise(lit(32L))
       // z in units: sum over 12 quantized uniforms at counter steps 12t..12t+11
-      val zUnits = aggregate(sequence(lit(0), lit(11)), lit(0L), (acc, j) =>
-        acc + floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
-          col("sim_id"), col("step").cast("long") * 12 + j) * 32768).cast("long")) - lit(6L * 32768)
+      // unrolled 12-term sum: a pure codegen'd expression — the previous
+      // aggregate(sequence(0,11), ...) ran the same chain as an interpreted
+      // per-element lambda (the documented HOF trap). Long addition is
+      // exact, so the value is unchanged term-for-term.
+      val zUnits = (0 until 12).map(j =>
+        floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
+          col("sim_id"), col("step").cast("long") * 12 + lit(j)) * 32768).cast("long"))
+        .reduce(_ + _) - lit(6L * 32768)
       grid
         .withColumn("z_units", zUnits)
         .groupBy(col("model_id"), col("sim_id"))
@@ -177,9 +182,14 @@ object SimQueries {
           SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 51),
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 52))))
       val seedCol = when(col("model_id") === 0, lit(51L)).otherwise(lit(52L))
-      val zUnits = aggregate(sequence(lit(0), lit(11)), lit(0L), (acc, j) =>
-        acc + floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
-          col("sim_id"), col("step").cast("long") * 12 + j) * 32768).cast("long")) - lit(6L * 32768)
+      // unrolled 12-term sum: a pure codegen'd expression — the previous
+      // aggregate(sequence(0,11), ...) ran the same chain as an interpreted
+      // per-element lambda (the documented HOF trap). Long addition is
+      // exact, so the value is unchanged term-for-term.
+      val zUnits = (0 until 12).map(j =>
+        floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
+          col("sim_id"), col("step").cast("long") * 12 + lit(j)) * 32768).cast("long"))
+        .reduce(_ + _) - lit(6L * 32768)
       val driftTotal = GbmLogRet.driftTotal(points)
       val vol = GbmLogRet.vol
       grid

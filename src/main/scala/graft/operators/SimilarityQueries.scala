@@ -186,17 +186,24 @@ object SimilarityQueries {
       val sigArr = array((0 until NP_TABLES).map(l =>
         lshSignature(col("embedding"), NP_SEED + l * 131L, NP_BITS)): _*)
       val sigs = e.select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
+      // Candidates stay 16-byte id rows through the bucket join (the shuffle
+      // never ships embeddings), and are verified WITHOUT a pre-verification
+      // distinct: deduplicating millions of candidate rows is a full extra
+      // exchange, while re-verifying the ~L·2^-bits duplicate collisions is
+      // a few pipelined codegen'd dot products each — the vector attach
+      // joins, cosine and threshold filter all run in the same stage, and
+      // the distinct happens after the filter on the few surviving pairs.
       val cand = sigs.as("x").join(sigs.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
       val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("cos", cosine(col("ea"), col("eb")))
         .filter(col("cos") >= NEAR_T)
         .select("vec_a", "vec_b", "cos")
+        .distinct()
         .orderBy("vec_a", "vec_b")
     }),
 
