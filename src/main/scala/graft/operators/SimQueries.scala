@@ -214,17 +214,30 @@ object SimQueries {
     // dispersion of final prices plus a 5% quantile (~VaR shape). No DuckDB
     // oracle — libm cos/log differ in final ulps across engines (SURVEY
     // §7.4); validated statistically in SimModelSpec instead.
+    // GBM final-price stats with a FULL value oracle (round 2 — this was
+    // rows-only). The whole price chain (counter-hash uniforms → Box-Muller
+    // → log-space accumulation → 100·exp) is reproduced in DuckDB SQL;
+    // measured cross-engine libm skew on the 4000 finals is ≤ 2.9e-14 while
+    // the nearest 6-decimal rounding boundary sits 4.8e-11 away, so per-sim
+    // prices are quantized with round(…, 6) and every aggregate follows the
+    // repo FP discipline: decimal-exact sums (mean, variance) divided once,
+    // shared R-7 percentile definition, round(…, 4) on outputs.
     "sim_gbm_stats" -> ((spark, _) => {
+      import org.apache.spark.sql.types.DecimalType
       val specs = Seq(
         SimulationSpec(0, "gbm", 2000, 32, Seq(0.05, 0.2, 1.0 / 252), Seq("100.0"), 11),
         SimulationSpec(1, "gbm", 2000, 32, Seq(0.10, 0.4, 1.0 / 252), Seq("100.0"), 12))
+      val s1 = sum(col("qfin").cast(DecimalType(18, 6))).cast("double")
+      val s2 = sum((col("qfin") * col("qfin")).cast(DecimalType(30, 12))).cast("double")
+      val n = count(lit(1))
       new MCBattery(spark).simulate(specs)
-        .select(col("model_id"), element_at(col("trace"), -1).cast("double").as("fin"))
+        .select(col("model_id"),
+          round(element_at(col("trace"), -1).cast("double"), 6).as("qfin"))
         .groupBy("model_id")
-        .agg(count(lit(1)).as("n_sims"),
-          round(avg(col("fin")), 4).as("mean_final"),
-          round(stddev_pop(col("fin")), 4).as("sd_final"),
-          round(expr("percentile(fin, 0.05)"), 4).as("p05_final"))
+        .agg(n.as("n_sims"),
+          round(s1 / n, 4).as("mean_final"),
+          round(sqrt((s2 - s1 * s1 / n) / n), 4).as("sd_final"),
+          round(expr("percentile(qfin, 0.05)"), 4).as("p05_final"))
         .orderBy("model_id")
     }),
 
@@ -263,6 +276,38 @@ object SimQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "sim_gbm_stats" -> {
+      // drift/vol embedded as exact round-tripping double literals; the
+      // Box-Muller/exp chain mirrors core.McGenHelper.gbmTrace term for term
+      def dv(mu: Double, sigma: Double): (String, String) = {
+        val dt = 1.0 / 252
+        (((mu - sigma * sigma / 2.0) * dt).toString, (sigma * math.sqrt(dt)).toString)
+      }
+      val (d0, v0) = dv(0.05, 0.2)
+      val (d1, v1) = dv(0.10, 0.4)
+      val gu1 = uniformSql("m.seed", "m.model_id", "s.sim_id", "t.t * 2")
+      val gu2 = uniformSql("m.seed", "m.model_id", "s.sim_id", "t.t * 2 + 1")
+      s"""WITH inc AS (
+         |  SELECT m.model_id, s.sim_id,
+         |    SUM(m.drift + m.vol * (sqrt(-2.0 * ln(greatest($gu1, 1e-300)))
+         |      * cos(2.0 * pi() * $gu2))) AS acc
+         |  FROM (VALUES (0, 11, $d0, $v0), (1, 12, $d1, $v1))
+         |    AS m(model_id, seed, drift, vol)
+         |  CROSS JOIN generate_series(0, 1999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 31) AS t(t)
+         |  GROUP BY 1, 2),
+         |fins AS (SELECT model_id, round(100.0 * exp(acc), 6) AS qfin FROM inc),
+         |agg AS (SELECT model_id, COUNT(*) AS n,
+         |    CAST(SUM(CAST(qfin AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(qfin * qfin AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+         |    quantile_cont(qfin, 0.05) AS p05
+         |  FROM fins GROUP BY model_id)
+         |SELECT model_id, n AS n_sims,
+         |  round(s1 / n, 4) AS mean_final,
+         |  round(sqrt((s2 - s1 * s1 / n) / n), 4) AS sd_final,
+         |  round(p05, 4) AS p05_final
+         |FROM agg ORDER BY model_id""".stripMargin
+    },
     "sim_coin_traces" ->
       s"""SELECT m.model_id, s.sim_id,
          |  string_agg($flip, ',' ORDER BY st.step) AS trace_csv

@@ -45,7 +45,10 @@ object TextQueries {
       t(s, d, "documents")
         .select(col("lang"), col("n_chars"),
           size(words).as("ws_tokens"),
-          size(filter(split(col("text"), "[^a-z0-9]+"), x => x =!= "")).as("re_tokens"),
+          // count of maximal [a-z0-9]+ runs == count of non-empty tokens
+          // when splitting on [^a-z0-9]+ (the oracle's formulation), with
+          // no interpreted filter lambda and no token-array materialization
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("int").as("re_tokens"),
           size(array_distinct(words)).as("uniq_tokens"))
         .groupBy("lang")
         .agg(
