@@ -42,7 +42,23 @@ object EventQueries {
       StreamOps.userSessions(t(s, d, "events"))
         .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
         .groupBy("n_sessions").agg(count(lit(1)).as("n_users"))
-        .orderBy("n_sessions")))
+        .orderBy("n_sessions")),
+
+    // Ingestion dedup: the events feed doubled (simulating at-least-once
+    // redelivery), deduplicated on event_id, then summarized. event_id is
+    // unique in the source and the duplicates are bit-identical rows, so
+    // the surviving set is deterministic and equals the original table —
+    // which is exactly what the oracle checks. Streaming twin:
+    // StreamOps.dedupEventsStream (bounded watermark state).
+    "ev_dedup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      StreamOps.dedupEvents(ev.unionAll(ev))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }))
 
   private val sessionsSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -59,6 +75,10 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ev_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_click_error_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
         |  epoch_us(e.ts) AS error_us, epoch_us(c.ts) AS click_us

@@ -83,6 +83,26 @@ object StreamOps {
         unix_micros(col("etime")).as("error_us"), unix_micros(col("ctime")).as("click_us"))
   }
 
+  /** Event-id deduplication — the ingestion guard for at-least-once
+    * delivery. Batch twin: plain dropDuplicates over the complete input
+    * (oracle-checked as ev_dedup on a deliberately doubled feed).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Streaming form: dropDuplicatesWithinWatermark keeps an event_id in the
+    * state store only until the watermark passes it — BOUNDED dedup state,
+    * which is what makes exactly-once semantics affordable on an unbounded
+    * stream (a plain streaming dropDuplicates would grow state forever).
+    * Duplicates arriving within the 1-hour watermark horizon are dropped;
+    * the id is then forgotten. Asserted in StreamingSpec.
+    */
+  def dedupEventsStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming Monte Carlo: turn a stream of simulation REQUESTS
     * (model_id, sim_id, seed, points, bias) into a stream of coin traces —
     * the same counter-based generation as the batch tier, applied with

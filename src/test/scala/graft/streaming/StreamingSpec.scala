@@ -87,6 +87,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupEventsStream: duplicates within the watermark horizon are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000000L // epoch ns
+    def ns(s: Long) = base + s * 1000000000L
+    val input = MemoryStream[EvRow]
+    val q = dedupEventsStream(input.toDS().toDF())
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(EvRow(1, ns(0), 7, "click", 1.0), EvRow(2, ns(10), 8, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 (well inside the 1h watermark horizon)
+      // alongside a new event — the duplicate must be dropped
+      input.addData(EvRow(1, ns(0), 7, "click", 1.0), EvRow(3, ns(20), 9, "error", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once ids, got $ids")
+    } finally q.stop()
+  }
+
   test("clickErrorJoin: stream-stream interval join equals the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
