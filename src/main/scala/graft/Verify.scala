@@ -17,14 +17,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Clean slate: a stale per-query dump from a previous run would be
     // silently compared (and could pass) if this run's query throws before
-    // overwriting it — delete the whole outDir up front so every result
-    // present afterwards was produced by THIS run.
+    // overwriting it. Delete ONLY the artifacts Verify itself owns (one
+    // subdirectory per query name + oracle_sql.json) — never the whole
+    // outDir, so a mistyped argument can't recursively wipe an arbitrary
+    // directory. listFiles() is null for unreadable/raced paths.
     def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
       f.delete()
     }
-    rmrf(new java.io.File(outDir))
-    new java.io.File(outDir).mkdirs()
+    val outRoot = new java.io.File(outDir)
+    (SparkEntry.queries.keys.toSeq :+ "oracle_sql.json")
+      .foreach(n => rmrf(new java.io.File(outRoot, n)))
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

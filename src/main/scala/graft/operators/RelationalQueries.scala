@@ -339,13 +339,23 @@ object RelationalQueries {
     // Sketch aggregates: approx_count_distinct (HLL++) next to the exact
     // count. No oracle — sketch estimates are engine-specific by nature;
     // QueriesSpec asserts the estimate lands within HLL's error bound.
-    "q26_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
+    // Plan note: the exact counts run as separate two-phase
+    // distinct-then-count aggregates and the two sketches share one scan,
+    // glued with 1-row cross joins — a single agg with two countDistinct
+    // columns would go through Catalyst's multi-distinct Expand (3× every
+    // input row through the shuffle), the classic multi-distinct trap.
+    "q26_approx_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def exact(c: String, as: String) =
+        li.select(col(c)).filter(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).as(as))
+      exact("l_partkey", "exact_parts")
+        .crossJoin(li.agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
+        .crossJoin(exact("l_orderkey", "exact_orders"))
+        .select("exact_parts", "approx_parts", "exact_orders", "approx_orders")
+    }),
 
     // GROUPING SETS through the SQL surface (spark.sql on a temp view).
     // The view is registered under a collision-proof name and dropped as

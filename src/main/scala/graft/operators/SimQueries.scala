@@ -47,6 +47,19 @@ object SimQueries {
     specs.map(s => s"(${s.modelId}, ${s.parameters.head}, ${s.seed})")
       .mkString("(VALUES ", ", ", ") AS m(model_id, bias, seed)")
 
+  /** Irwin–Hall z in 1/32768 units: Σ of 12 quantized uniforms at counter
+    * steps 12t..12t+11, minus the 6·32768 mean — an unrolled codegen'd sum
+    * (the aggregate(sequence(0,11), ...) fold it replaced ran as an
+    * interpreted per-element lambda, the documented HOF trap). Long addition
+    * is exact, so values are unchanged term-for-term. Shared by
+    * sim_nwalk_final and sim_gbm_logret.
+    */
+  private def zUnitsCol(seedCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 12).map(j =>
+      floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
+        col("sim_id"), col("step").cast("long") * 12 + lit(j)) * 32768).cast("long"))
+      .reduce(_ + _) - lit(6L * 32768)
+
   private def u: String = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step")
   private def flip: String = s"CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 'H' ELSE 'T' END"
   private def walkStep: String = s"CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END"
@@ -146,14 +159,7 @@ object SimQueries {
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 32))))
       val seedCol = when(col("model_id") === 0, lit(31L)).otherwise(lit(32L))
       // z in units: sum over 12 quantized uniforms at counter steps 12t..12t+11
-      // unrolled 12-term sum: a pure codegen'd expression — the previous
-      // aggregate(sequence(0,11), ...) ran the same chain as an interpreted
-      // per-element lambda (the documented HOF trap). Long addition is
-      // exact, so the value is unchanged term-for-term.
-      val zUnits = (0 until 12).map(j =>
-        floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
-          col("sim_id"), col("step").cast("long") * 12 + lit(j)) * 32768).cast("long"))
-        .reduce(_ + _) - lit(6L * 32768)
+      val zUnits = zUnitsCol(seedCol)
       grid
         .withColumn("z_units", zUnits)
         .groupBy(col("model_id"), col("sim_id"))
@@ -182,14 +188,7 @@ object SimQueries {
           SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 51),
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 52))))
       val seedCol = when(col("model_id") === 0, lit(51L)).otherwise(lit(52L))
-      // unrolled 12-term sum: a pure codegen'd expression — the previous
-      // aggregate(sequence(0,11), ...) ran the same chain as an interpreted
-      // per-element lambda (the documented HOF trap). Long addition is
-      // exact, so the value is unchanged term-for-term.
-      val zUnits = (0 until 12).map(j =>
-        floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
-          col("sim_id"), col("step").cast("long") * 12 + lit(j)) * 32768).cast("long"))
-        .reduce(_ + _) - lit(6L * 32768)
+      val zUnits = zUnitsCol(seedCol)
       val driftTotal = GbmLogRet.driftTotal(points)
       val vol = GbmLogRet.vol
       grid
@@ -287,11 +286,16 @@ object SimQueries {
       val (d1, v1) = dv(0.10, 0.4)
       val gu1 = uniformSql("m.seed", "m.model_id", "s.sim_id", "t.t * 2")
       val gu2 = uniformSql("m.seed", "m.model_id", "s.sim_id", "t.t * 2 + 1")
+      // the CASTs are load-bearing: DuckDB types bare VALUES decimals as
+      // DECIMAL(p,s), and DECIMAL→DOUBLE conversion is not correctly
+      // rounded — without them the drift/vol doubles round-trip only by
+      // luck (the repo-wide VALUES-literal trap)
       s"""WITH inc AS (
          |  SELECT m.model_id, s.sim_id,
          |    SUM(m.drift + m.vol * (sqrt(-2.0 * ln(greatest($gu1, 1e-300)))
          |      * cos(2.0 * pi() * $gu2))) AS acc
-         |  FROM (VALUES (0, 11, $d0, $v0), (1, 12, $d1, $v1))
+         |  FROM (VALUES (0, 11, CAST('$d0' AS DOUBLE), CAST('$v0' AS DOUBLE)),
+         |               (1, 12, CAST('$d1' AS DOUBLE), CAST('$v1' AS DOUBLE)))
          |    AS m(model_id, seed, drift, vol)
          |  CROSS JOIN generate_series(0, 1999) AS s(sim_id)
          |  CROSS JOIN generate_series(0, 31) AS t(t)

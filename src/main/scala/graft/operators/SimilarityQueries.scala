@@ -36,10 +36,13 @@ object SimilarityQueries {
   // emb_near_pairs_lsh blocking: NP_TABLES tables of NP_BITS-bit signatures.
   // Sized for the 0.40 threshold (see the query's scaladoc): at cos 0.40 the
   // per-hyperplane agreement probability is 1 − arccos(0.40)/π ≈ 0.631, so
-  // per-table collision is 0.631^4 ≈ 0.16 and the 32-table miss probability
+  // per-table collision is 0.631^4 ≈ 0.16 and the 48-table miss probability
   // per threshold pair is (1 − 0.16)^48 ≈ 2.6e-4 — zero misses on the test
   // corpus at sf0.01 AND sf0.1 (asserted against the exact formulation in
-  // SimilaritySpec at gate scale).
+  // the spec at gate scale). Cost at this recall: a random pair shares
+  // ~48/2^4 = 3 buckets, so candidate volume is ~3× all-pairs — see the
+  // query scaladoc for why that is inherent at this threshold and where
+  // the blocking actually wins.
   private val NP_BITS = 4
   private val NP_TABLES = 48
   private val NP_SEED = 4241L
@@ -175,12 +178,17 @@ object SimilarityQueries {
     // Honest scale note (measured on this corpus): a 0.40 threshold is
     // adversarial for hyperplane LSH — qualifying pairs here are the smooth
     // tail of the random-cosine distribution (bit agreement 0.63 vs 0.50
-    // random), so near-total recall needs enough tables that candidate
-    // volume approaches all-pairs. The operator earns its keep on real
-    // near-dup corpora (cos ≥ 0.7–0.9, agreement ≥ 0.75): identical plan,
-    // exponentially sharper bucket separation per bit. emb_near_pairs stays
-    // as the exact oracle anchor; recall here is asserted 1.0 vs that
-    // anchor on the test corpus (SimilaritySpec).
+    // random, only a 1.26× separation per bit), so near-total recall needs
+    // enough tables that candidate volume EXCEEDS all-pairs (~3× at these
+    // constants: a random pair shares ~48/16 buckets). At this threshold
+    // the query is the correctness-checked demonstration of the bucketed
+    // SHAPE — no exact subquadratic method exists for dense low-threshold
+    // similarity joins on unstructured data. The operator earns its keep on
+    // real near-dup corpora (cos ≥ 0.8–0.9, agreement ≥ 0.86): identical
+    // plan, and e.g. at 0.9 a 94-table/16-bit configuration reaches the
+    // same 1e-4 miss rate while candidates drop to ~0.1% of all pairs.
+    // emb_near_pairs stays as the exact oracle anchor; recall here is
+    // asserted 1.0 vs that anchor on the test corpus (PipelineOpsSpec).
     "emb_near_pairs_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
       val sigArr = array((0 until NP_TABLES).map(l =>

@@ -88,15 +88,20 @@ object TextQueries {
       val hitCols = markers.map { case (l, ms) =>
         sum(when(col("word").isin(ms.map(lit(_)): _*), 1).otherwise(0)).as(s"c_$l")
       }
-      // explode(split) emits >= 1 row per doc (split("") is [""]), so no
-      // document drops out of the per-doc aggregate
+      // explode(split) emits >= 1 row per doc (split("") is [""]) — but
+      // split(NULL) is NULL and explode would DROP the document, while the
+      // oracle's CASE over NULL counts falls through to 'fr' and keeps it;
+      // coalescing text to '' plus an explicit null flag preserves parity
+      // on corpora with NULL text (all-NULL marker counts -> 'fr')
       val counts = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), explode(words).as("word"))
-        .groupBy("doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("text").isNull.as("tnull"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+        .groupBy("doc_id", "lang", "tnull")
         .agg(hitCols.head, hitCols.tail: _*)
       val predicted =
-        when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+        when(col("tnull"), "fr") // matches the oracle's NULL-falls-to-ELSE
+          .when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
           .when(col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
           .when(col("c_es") >= col("c_fr"), "es")
           .otherwise("fr")
