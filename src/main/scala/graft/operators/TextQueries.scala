@@ -139,6 +139,37 @@ object TextQueries {
           max(col("n_fingerprints")).as("max_fps"))
     }),
 
+    // Repetition filter (the Gopher-style quality signal): fraction of
+    // positional 3-grams that are duplicates within the document — boosted
+    // boilerplate/spam detection in every large-scale corpus pipeline.
+    // One native-shingle explode, per-doc exact integer counts (total vs
+    // distinct via a two-level aggregate — no countDistinct, so no Expand),
+    // per-language summary with a single division at the end; the 0.2
+    // flag threshold compares identically cross-engine because each ratio
+    // is ONE correctly-rounded division of exact integers.
+    "tx_repetition" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val sh = Bridge.column(
+        graft.functions.WordShingles(Bridge.expression(col("text")), 3, distinct = false))
+      val perShingle = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(size(words) >= 3)
+        .select(col("doc_id"), col("lang"), explode(sh).as("shingle"))
+        .groupBy("doc_id", "lang", "shingle")
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = perShingle.groupBy("doc_id", "lang")
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("uniq"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total")).as("total_shingles"),
+          sum(col("total") - col("uniq")).as("dup_shingles"),
+          (sum(col("total") - col("uniq")).cast("double") / sum(col("total")))
+            .as("dup_ratio"),
+          sum(when((col("total") - col("uniq")).cast("double") / col("total") >= 0.2, 1)
+            .otherwise(0)).as("n_flagged"))
+        .orderBy("lang")
+    }),
+
     // Stratified sampling (class rebalancing): sampleBy with per-language
     // fractions downsamples the dominant class. Sampler randomness is
     // engine-specific -> rows-only gate; per-class fraction tolerances are
@@ -184,6 +215,20 @@ object TextQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
   def oracleSql: Map[String, String] = Map(
+    "tx_repetition" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM ws WHERE len(w) >= 3),
+        |pc AS (SELECT doc_id, lang, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2, 3),
+        |pd AS (SELECT doc_id, lang, SUM(cnt) AS total, COUNT(*) AS uniq FROM pc GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(total) AS BIGINT) AS total_shingles,
+        |  CAST(SUM(total - uniq) AS BIGINT) AS dup_shingles,
+        |  CAST(SUM(total - uniq) AS DOUBLE) / CAST(SUM(total) AS DOUBLE) AS dup_ratio,
+        |  CAST(SUM(CASE WHEN CAST(total - uniq AS DOUBLE) / CAST(total AS DOUBLE) >= 0.2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     "tx_token_stats" ->
       """WITH x AS (
         |  SELECT lang, n_chars,
