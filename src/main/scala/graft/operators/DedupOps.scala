@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossHash
+
+/** Deduplication operators as DataFrame→DataFrame functions — the public
+  * library surface ([[DedupQueries]] binds them to the test tables for the
+  * gate). Input contract: a documents DataFrame with `doc_id BIGINT`,
+  * `lang STRING`, `text STRING` (single-space tokenized), `n_chars INT`.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup = one hash aggregate on a 128-bit digest — never on the
+  *     raw text (shuffle ships 16-byte keys, not documents);
+  *   - n-gram Jaccard joins only within blocking keys via an inverted
+  *     index — work ∝ shingle co-occurrences, not O(block²);
+  *   - MinHash: per-doc signature is ONE aggregation over exploded shingles
+  *     (k min-aggregates in the same pass); LSH band join ships only
+  *     (band, 4-int key) pairs; true Jaccard verified only for candidates;
+  *   - SimHash: 32 conditional sums in one aggregate pass; pair search
+  *     joins on 8-bit chunk equality (pigeonhole: hamming ≤ 3 over 4
+  *     chunks ⇒ some chunk equal), never all-pairs.
+  */
+object DedupOps {
+  import CrossHash._
+
+  private[operators] val K = 16     // minhash signature length
+  private[operators] val BANDS = 4  // 4 bands × 4 rows
+  private[operators] val JACCARD_T = 0.3
+
+  private def wordsCol: Column = split(col("text"), " ")
+
+  /** Distinct 3-word shingles (the dedup literature's default unit), via the
+    * native [[graft.functions.WordShingles]] expression (one string pass;
+    * the composable transform/element_at form cost ~4 s per pass at sf0.1).
+    */
+  private def shinglesCol(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.WordShingles(Bridge.expression(text), 3))
+  }
+
+  /** Shingle sets with an explicit repartition BEFORE the heavy projection:
+    * a corpus read from a handful of parquet files is a handful of scan
+    * partitions, so without it the shingle+hash work runs on a few cores no
+    * matter how many the executor has — the small-file parallelism trap.
+    */
+  private def docShingleSets(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("n_chars"), shinglesCol(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+
+  /** Exact dedup summary: digest-keyed aggregate over md5(text) with a
+    * keep-first policy; returns (n_input, n_unique, n_removed).
+    */
+  def exactDedupStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+      .agg(
+        sum(col("copies")).as("n_input"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("copies")) - count(lit(1))).as("n_removed"))
+
+  /** Blocked n-gram Jaccard via an INVERTED INDEX: explode shingles, join
+    * on (lang, size-bucket, 64-bit shingle hash), count shared shingles per
+    * pair, then jac = common / (|A| + |B| − common). Work is proportional
+    * to the number of shingle co-occurrences, not O(block²) array
+    * intersections — pairs sharing nothing are never materialized.
+    * Identical result to the all-pairs formulation (jac > 0 requires ≥ 1
+    * shared shingle).
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sets = docShingleSets(docs)
+      .withColumn("bucket", expr("n_chars div 100"))
+      .withColumn("sz", size(col("sh")))
+    // Join on a 64-bit hash of the shingle, not the string — 8-byte keys
+    // in the shuffle instead of ~25-byte strings (collisions: ~|shingles|²
+    // /2^64, irrelevant; the oracle compares final jaccards, unchanged).
+    val inv = sets.select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
+        xxhash64(col("shingle")).as("shx"))
+    val a = inv.select(col("lang"), col("bucket"), col("shx"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = inv.select(col("lang").as("l2"), col("bucket").as("bkt2"),
+      col("shx").as("shx2"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    // Size-ratio prune: common <= min(sz) forces jac <= min(sz)/max(sz),
+    // so jac >= 0.3 requires 10*min >= 3*max — exact integer arithmetic
+    // (the -1 slack provably covers the pair-at-the-boundary case where
+    // the double-rounded jac clears the filter while the exact ratio sits
+    // an ulp under it). Drops hopeless co-occurrence pairs BEFORE the
+    // aggregate; output is unchanged by construction.
+    a.join(b, col("lang") === col("l2") && col("bucket") === col("bkt2") &&
+        col("shx") === col("shx2") && col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 3 - 1)
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jac") >= JACCARD_T)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH: k=16 universal-family minhashes in one aggregation
+    * pass, 4-band LSH join, candidates verified with true Jaccard (via
+    * shared-shingle counts, like [[ngramJaccardPairs]]). The
+    * exploded+hashed shingle lineage feeds signatures AND verification; it
+    * is recomputed per branch rather than persisted — a persist() from
+    * inside a builder is never released (the API returns a lazy DataFrame)
+    * and would pin executor memory for the rest of the session. At 100 TB
+    * the caller should checkpoint this intermediate explicitly; with the
+    * native shingle/hash expressions the local recompute is ~1 s.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sets = docShingleSets(docs).select(col("doc_id"), col("sh"))
+      .withColumn("sz", size(col("sh")))
+    val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+      .withColumn("h", mdint(col("shingle")))
+    val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // one explode, not a 4-way unionAll — a union recomputes the signature
+    // aggregate once per branch
+    val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
+    }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ia = hashed.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("shingle"))
+    val ib = hashed.select(col("doc_id").as("doc_b2"), col("sz").as("sz_b"),
+      col("shingle").as("shingle2"))
+    cand.join(ia, "doc_a")
+      .join(ib, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle2"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jac") >= JACCARD_T)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 32-bit signature from term-frequency-weighted word-hash bits;
+    * near-dup pairs = hamming ≤ 3, found via 8-bit chunk blocking.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", mdint(col("word")))
+    val bitCols = (0 until 32).map(j =>
+      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
+    val bitSums = wc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    // (no persist: see minhashPairs — builder-scoped persists leak for the
+    // session; the two-sided recompute of this small aggregate is cheap)
+    val sig = bitSums.select(col("doc_id"),
+      (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), c * 8).bitwiseAND(lit(255L)).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+}

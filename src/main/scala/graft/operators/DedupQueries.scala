@@ -4,190 +4,32 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossHash
 
-/** Deduplication operators over `documents` — the dedup stages of a
-  * training-data pipeline: exact, blocked n-gram Jaccard, MinHash+LSH and
-  * SimHash. Every one is oracle-checked value-for-value in DuckDB (the
-  * cross-engine md5-int hash + universal-family permutations make even the
-  * MinHash signatures reproducible in SQL).
-  *
-  * Scale design (the part that matters at 100 TB):
-  *   - exact dedup = one hash aggregate on a 128-bit digest — never on the
-  *     raw text (shuffle ships 16-byte keys, not documents);
-  *   - n-gram Jaccard joins only within blocking keys — O(Σ block²), not
-  *     O(n²); skew in a hot block is the known failure mode, which is what
-  *     MinHash/LSH solves;
-  *   - MinHash: per-doc signature is ONE aggregation over exploded shingles
-  *     (k min-aggregates computed in the same pass — not k passes); LSH
-  *     band join ships only (band, 4-int key) pairs; true Jaccard is then
-  *     verified only for candidates;
-  *   - SimHash: 32 conditional sums in one aggregate pass; pair search joins
-  *     on 8-bit chunk equality (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ some
-  *     chunk equal), never all-pairs.
+/** Gate bindings of the [[DedupOps]] library surface to the test tables
+  * (dd_exact doubles the input via self-union so the keep-first policy is
+  * actually exercised), plus the DuckDB oracle SQL — every op is
+  * oracle-checked value-for-value (the cross-engine md5-int hash +
+  * universal-family permutations make even the MinHash signatures
+  * reproducible in SQL). Algorithm/plan documentation lives on the ops.
   */
 object DedupQueries {
   import Tables._
   import CrossHash._
 
-  private val K = 16          // minhash signature length
-  private val BANDS = 4       // 4 bands × 4 rows
-  private val JACCARD_T = 0.3
-
-  private def wordsCol: Column = split(col("text"), " ")
-
-  /** Distinct 3-word shingles (the dedup literature's default unit), via the
-    * native [[graft.functions.WordShingles]] expression (one string pass;
-    * the composable transform/element_at form cost ~4 s per pass at sf0.1).
-    */
-  private def shinglesCol(text: Column): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(graft.functions.WordShingles(Bridge.expression(text), 3))
-  }
+  private val K = DedupOps.K
+  private val BANDS = DedupOps.BANDS
+  private val JACCARD_T = DedupOps.JACCARD_T
 
   private val sqlShingles =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
-  /** Shingle sets with an explicit repartition BEFORE the heavy projection:
-    * the documents table is one small parquet file (one scan partition), so
-    * without it the shingle+hash work runs on a single core no matter how
-    * many the executor has — the classic small-file parallelism trap.
-    */
-  private def docShingleSets(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), col("n_chars"), shinglesCol(col("text")).as("sh"))
-      .filter(size(col("sh")) >= 1)
-
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // Exact dedup: digest-keyed aggregate; the self-union doubles the input
-    // so the keep-first policy is actually exercised.
     "dd_exact" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val doubled = docs.unionAll(docs)
-      doubled
-        .groupBy(md5(col("text")).as("digest"))
-        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
-        .agg(
-          sum(col("copies")).as("n_input"),
-          count(lit(1)).as("n_unique"),
-          (sum(col("copies")) - count(lit(1))).as("n_removed"))
+      DedupOps.exactDedupStats(docs.unionAll(docs))
     }),
-
-    // Blocked n-gram Jaccard via an INVERTED INDEX: explode shingles, join
-    // on (block, shingle), count shared shingles per pair, then
-    // jac = common / (|A| + |B| − common). Work is proportional to the
-    // number of shingle co-occurrences, not O(block²) array intersections —
-    // pairs sharing nothing are never materialized. Identical result to the
-    // all-pairs formulation (jac > 0 requires ≥ 1 shared shingle).
-    "dd_ngram_jaccard" -> ((s, d) => {
-      val docs = docShingleSets(s, d)
-        .withColumn("bucket", expr("n_chars div 100"))
-        .withColumn("sz", size(col("sh")))
-      // Join on a 64-bit hash of the shingle, not the string — 8-byte keys
-      // in the shuffle instead of ~25-byte strings (collisions: ~|shingles|²
-      // /2^64, irrelevant; the oracle compares final jaccards, unchanged).
-      val inv = docs.select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
-          explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
-          xxhash64(col("shingle")).as("shx"))
-      val a = inv.select(col("lang"), col("bucket"), col("shx"),
-        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      val b = inv.select(col("lang").as("l2"), col("bucket").as("bkt2"),
-        col("shx").as("shx2"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-      // Size-ratio prune: common <= min(sz) forces jac <= min(sz)/max(sz),
-      // so jac >= 0.3 requires 10*min >= 3*max — exact integer arithmetic
-      // (the -1 slack provably covers the pair-at-the-boundary case where
-      // the double-rounded jac clears the filter while the exact ratio sits
-      // an ulp under it). Drops hopeless co-occurrence pairs BEFORE the
-      // aggregate; output is unchanged by construction.
-      a.join(b, col("lang") === col("l2") && col("bucket") === col("bkt2") &&
-          col("shx") === col("shx2") && col("doc_a") < col("doc_b") &&
-          least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 3 - 1)
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(count(lit(1)).as("common"))
-        .withColumn("jac",
-          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-        .filter(col("jac") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jac")
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // MinHash + LSH: k=16 universal-family minhashes in one aggregation
-    // pass, 4-band LSH join, candidates verified with true Jaccard (via
-    // shared-shingle counts, like dd_ngram_jaccard). The exploded+hashed
-    // shingle lineage feeds signatures AND verification; it is recomputed
-    // per branch rather than persisted — a persist() from inside a query
-    // builder is never released (the API returns a lazy DataFrame) and
-    // would pin executor memory for the rest of the session. At 100 TB
-    // the caller should checkpoint this intermediate explicitly; with the
-    // native shingle/hash expressions the local recompute is ~1 s.
-    "dd_minhash" -> ((s, d) => {
-      val sets = docShingleSets(s, d).select(col("doc_id"), col("sh"))
-        .withColumn("sz", size(col("sh")))
-      val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-        .withColumn("h", mdint(col("shingle")))
-      val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
-      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      // one explode, not a 4-way unionAll — a union recomputes the signature
-      // aggregate once per branch
-      val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
-      }: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val ia = hashed.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-        col("shingle"))
-      val ib = hashed.select(col("doc_id").as("doc_b2"), col("sz").as("sz_b"),
-        col("shingle").as("shingle2"))
-      cand.join(ia, "doc_a")
-        .join(ib, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle2"))
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(count(lit(1)).as("common"))
-        .withColumn("jac",
-          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-        .filter(col("jac") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jac")
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // SimHash: 32-bit signature from term-frequency-weighted word-hash bits;
-    // near-dup pairs = hamming ≤ 3, found via 8-bit chunk blocking.
-    "dd_simhash" -> ((s, d) => {
-      val wc = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(wordsCol).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", mdint(col("word")))
-      val bitCols = (0 until 32).map(j =>
-        sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
-      val bitSums = wc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      // (no persist: see dd_minhash — builder-scoped persists leak for the
-      // session; the two-sided recompute of this small aggregate is cheap)
-      val sig = bitSums.select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("sig"))
-      val chunks = sig.select(col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(c =>
-            struct(lit(c).as("chunk"),
-              shiftright(col("sig"), c * 8).bitwiseAND(lit(255L)).as("ck"))): _*)).as("c"))
-        .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }))
+    "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"))),
+    "dd_minhash" -> ((s, d) => DedupOps.minhashPairs(t(s, d, "documents"))),
+    "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))))
 
   def oracleSql: Map[String, String] = {
     val minhashAggs = (0 until K)

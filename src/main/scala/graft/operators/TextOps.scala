@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators as DataFrame→DataFrame functions — the public
+  * library surface (same pattern as [[graft.streaming.StreamOps]]: the gate
+  * queries in [[TextQueries]] are thin bindings of these to the test
+  * tables, and a user points them at their own corpus).
+  *
+  * Input contract: a documents DataFrame with `doc_id BIGINT`,
+  * `lang STRING`, `text STRING` (single-space tokenized), `n_chars INT`.
+  * Ops that explode per-word/per-shingle repartition to the session's
+  * default parallelism first — a corpus read from a handful of files would
+  * otherwise run its heaviest projection on a handful of cores (the
+  * small-file parallelism trap).
+  *
+  * Cross-engine discipline (what keeps these DuckDB-oracle-checkable):
+  * ratios are exact-integer sums divided once at the end, never averaged
+  * doubles; word splitting is a plain single-space split identical to
+  * DuckDB's string_split.
+  */
+object TextOps {
+
+  private[operators] def words: Column = split(col("text"), " ")
+  private[operators] val stop = Seq("the", "a", "of", "and", "to", "in")
+  private def stopCount(w: Column): Column =
+    size(filter(w, x => x.isin(stop.map(lit(_)): _*)))
+
+  // Marker vocabularies for the language-ID heuristic (argmax of hit counts;
+  // ties resolved in fixed en>de>es>fr order both engines).
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "fr" -> Seq("le", "les", "et", "ou"))
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  private def positionalShingles: Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      graft.functions.WordShingles(Bridge.expression(col("text")), 3, distinct = false))
+  }
+
+  /** Corpus token statistics per language: whitespace tokens, BPE-ish regex
+    * tokens, distinct-token ratio. One scan, one small hash agg.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        size(words).as("ws_tokens"),
+        // count of maximal [a-z0-9]+ runs == count of non-empty tokens
+        // when splitting on [^a-z0-9]+ (the oracle's formulation), with
+        // no interpreted filter lambda and no token-array materialization
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("int").as("re_tokens"),
+        size(array_distinct(words)).as("uniq_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("ws_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        (sum(col("uniq_tokens")).cast("double") / sum(col("ws_tokens"))).as("distinct_ratio"))
+      .orderBy("lang")
+
+  /** Per-document quality scoring: type-token ratio, stopword ratio, word
+    * length — combined into one deterministic score. Pure projection (no
+    * shuffle at all).
+    */
+  def quality(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(words).as("n_tokens"),
+        (size(array_distinct(words)).cast("double") / size(words)).as("ttr"),
+        (stopCount(words).cast("double") / size(words)).as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(words))
+          .as("avg_word_len"))
+      .withColumn("quality_score",
+        col("ttr") * 0.5 + col("stop_ratio") * 0.2 +
+          when(col("n_tokens") >= 30 && col("n_tokens") <= 120, 0.3).otherwise(0.0))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: marker-word hit counts, argmax with fixed tie
+    * order; output is the label×prediction confusion matrix.
+    * Plan: ONE word explode + four codegen'd conditional sums per doc —
+    * a `size(filter(split(...)))` form would split the text four times and
+    * run the marker test as an interpreted per-element lambda (the repo's
+    * documented ~40× higher-order-function trap). The per-doc aggregate
+    * partially combines map-side, so the shuffle carries ~one row per
+    * document, not the exploded words.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val hitCols = markers.map { case (l, ms) =>
+      sum(when(col("word").isin(ms.map(lit(_)): _*), 1).otherwise(0)).as(s"c_$l")
+    }
+    // explode(split) emits >= 1 row per doc (split("") is [""]) — but
+    // split(NULL) is NULL and explode would DROP the document, while the
+    // oracle's CASE over NULL counts falls through to 'fr' and keeps it;
+    // coalescing text to '' plus an explicit null flag preserves parity
+    // on corpora with NULL text (all-NULL marker counts -> 'fr')
+    val counts = spread(docs)
+      .select(col("doc_id"), col("lang"), col("text").isNull.as("tnull"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .groupBy("doc_id", "lang", "tnull")
+      .agg(hitCols.head, hitCols.tail: _*)
+    val predicted =
+      when(col("tnull"), "fr") // matches the oracle's NULL-falls-to-ELSE
+        .when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+        .when(col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
+        .when(col("c_es") >= col("c_fr"), "es")
+        .otherwise("fr")
+    counts
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): positional 3-gram hashes → minimum per sliding window of
+    * 8 → the distinct minima are the document's fingerprint set. Guarantees
+    * any shared run ≥ 10 words produces a shared fingerprint. Output:
+    * corpus summary of per-doc fingerprint counts. Shuffles by doc_id by
+    * nature (winnowing needs positional windows), but the shingle
+    * generation is the native positional WordShingles expression, so the
+    * per-row work stays codegen'd.
+    */
+  def winnow(docs: DataFrame): DataFrame = {
+    import graft.functions.CrossHash
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val fps = docs
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), posexplode(positionalShingles).as(Seq("pos", "shingle")))
+      .withColumn("h", CrossHash.mdint(col("shingle")))
+      .withColumn("winmin", min(col("h")).over(w))
+      .select(col("doc_id"), col("winmin")).distinct()
+    fps.groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_fingerprints")).as("total_fps"),
+        min(col("n_fingerprints")).as("min_fps"),
+        max(col("n_fingerprints")).as("max_fps"))
+  }
+
+  /** Repetition filter (the Gopher-style quality signal): fraction of
+    * positional 3-grams that are duplicates within the document —
+    * boilerplate/spam detection in every large-scale corpus pipeline.
+    * One native-shingle explode, per-doc exact integer counts (total vs
+    * distinct via a two-level aggregate — no countDistinct, so no Expand),
+    * per-language summary with a single division at the end; the 0.2 flag
+    * threshold compares identically cross-engine because each ratio is ONE
+    * correctly-rounded division of exact integers.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val perShingle = spread(docs)
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), col("lang"), explode(positionalShingles).as("shingle"))
+      .groupBy("doc_id", "lang", "shingle")
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perShingle.groupBy("doc_id", "lang")
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("uniq"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("total")).as("total_shingles"),
+        sum(col("total") - col("uniq")).as("dup_shingles"),
+        (sum(col("total") - col("uniq")).cast("double") / sum(col("total")))
+          .as("dup_ratio"),
+        sum(when((col("total") - col("uniq")).cast("double") / col("total") >= 0.2, 1)
+          .otherwise(0)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
+  /** Stratified sampling (class rebalancing): sampleBy with per-class
+    * fractions. Sampler randomness is engine-specific — validate with
+    * per-class tolerances, not value oracles.
+    */
+  def stratifiedSample(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
+    docs.stat.sampleBy("lang", fractions, seed)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
+  /** Deterministic train/val/test split — the canonical dataset-prep op.
+    * Hash-based assignment (not randomSplit) so membership is a pure
+    * function of doc_id: stable across runs, partitionings and engines —
+    * at 100 TB you want splits reproducible from the row itself, not from
+    * a sampler's partition-local state. Fully oracle-checkable.
+    */
+  def trainValTest(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket",
+        graft.functions.CrossHash.mdint(concat(lit("split:"), col("doc_id"))) % 10)
+      .withColumn("split",
+        when(col("bucket") <= 7, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+
+  /** Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
+    * documents with identical word sets collapse to one fingerprint —
+    * word-order-insensitive near-dup detection in one agg pass.
+    */
+  def bowFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+        .as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1).otherwise(0)).as("n_multi_clusters"),
+        max(col("cluster_size")).as("max_cluster"))
+}
