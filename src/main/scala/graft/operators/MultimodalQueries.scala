@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.multimodal.MediaStub
+import graft.multimodal.{MediaOps, MediaStub}
 
 /** Multimodal-column queries (north-star): binary payloads + stubbed decode.
   * The stub derives metadata arithmetically from the payload length, so the
@@ -29,41 +29,18 @@ object MultimodalQueries {
         .select("doc_id", "n_bytes", "width", "height", "n_frames", "format")
         .orderBy("doc_id")),
 
-    // Thumbnail/preview extraction shape: slice the leading bytes of the
-    // binary payload and fingerprint them (a real pipeline would decode and
-    // resize; the byte-slice + digest plumbing is identical). The oracle
-    // slices the source string — same bytes, the payloads are ASCII.
+    // The oracle slices the source string — same bytes, payloads are ASCII.
     "mm_thumbnail" -> ((s, d) =>
-      MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100))
-        .select(col("doc_id"),
-          md5(substring(col("payload"), 1, 64)).as("thumb_md5"),
-          least(octet_length(col("payload")), lit(64)).as("thumb_bytes"))
-        .orderBy("doc_id")),
+      MediaOps.thumbnail(
+        MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))),
 
-    // Resize stage: scale the (stub-decoded) dimensions to fit a 128px box
-    // preserving aspect ratio — integer arithmetic only (floor semantics
-    // identical across engines), the standard thumbnail-resize contract.
     "mm_resize" -> ((s, d) =>
-      MediaStub.decodeAll(s, t(s, d, "documents").filter(col("doc_id") < 100))
-        .toDF()
-        .withColumn("max_dim", greatest(col("width"), col("height")))
-        .select(col("doc_id"), col("width"), col("height"),
-          when(col("max_dim") <= 128, col("width"))
-            .otherwise(((col("width") * 128) / col("max_dim")).cast("int")).as("new_w"),
-          when(col("max_dim") <= 128, col("height"))
-            .otherwise(((col("height") * 128) / col("max_dim")).cast("int")).as("new_h"))
-        .orderBy("doc_id")),
+      MediaOps.resizeToFit(
+        MediaStub.decodeAll(s, t(s, d, "documents").filter(col("doc_id") < 100)).toDF())),
 
-    // Frame sampling: explode the (fake) frame index space, keep every 3rd
-    // frame — the classic video frame-sample shape (generator + filter).
     "mm_frame_sample" -> ((s, d) =>
-      MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100))
-        .select(col("doc_id"), (lit(1) + expr("octet_length(payload) div 100")).cast("int").as("n_frames"))
-        .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
-        .filter(col("frame_idx") % 3 === 0)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
-        .orderBy("doc_id")))
+      MediaOps.frameSample(
+        MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))))
 
   def oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
