@@ -44,6 +44,19 @@ object EventQueries {
         .groupBy("n_sessions").agg(count(lit(1)).as("n_users"))
         .orderBy("n_sessions")),
 
+    // Stream-static enrichment (StreamOps.enrichEvents) + per-segment
+    // rollup: event counts and decimal-exact value sums per market segment
+    // and event type. The join side is the static customer dim — broadcast
+    // in batch, re-joined per micro-batch with no state under readStream
+    // (StreamingSpec).
+    "ev_enrich" -> ((s, d) =>
+      StreamOps.enrichEvents(t(s, d, "events"), t(s, d, "customer"))
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy("segment", "event_type")),
+
     // Ingestion dedup: the events feed doubled (simulating at-least-once
     // redelivery), deduplicated on event_id, then summarized. event_id is
     // unique in the source and the duplicates are bit-identical rows, so
@@ -75,6 +88,12 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ev_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_dedup" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

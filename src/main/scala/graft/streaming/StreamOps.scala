@@ -83,6 +83,21 @@ object StreamOps {
         unix_micros(col("etime")).as("error_us"), unix_micros(col("ctime")).as("click_us"))
   }
 
+  /** Stream-static enrichment: every event joined to its customer row from
+    * a STATIC dimension table — the classic streaming enrichment shape.
+    * Under readStream the static side is joined per micro-batch with NO
+    * streaming state (and a small dimension broadcasts), so this scales to
+    * unbounded streams; in batch it is an ordinary broadcast-able equi-join
+    * (oracle-checked through ev_enrich). Same one-definition property as
+    * the rest of StreamOps.
+    */
+  def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      customers.select(col("c_custkey"), col("c_mktsegment")),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment").as("segment"))
+
   /** Event-id deduplication — the ingestion guard for at-least-once
     * delivery. Batch twin: plain dropDuplicates over the complete input
     * (oracle-checked as ev_dedup on a deliberately doubled feed).

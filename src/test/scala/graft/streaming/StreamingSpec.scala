@@ -87,6 +87,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichEvents: stream-static join enriches each micro-batch statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Seq((7L, "AUTOMOBILE"), (8L, "BUILDING"), (9L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[EvRow]
+    val q = enrichEvents(input.toDS().toDF(), customers)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(EvRow(1, 1000L, 7, "click", 1.0), EvRow(2, 2000L, 8, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(EvRow(3, 3000L, 9, "error", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(4))).toSet
+      assert(rows == Set((1L, "AUTOMOBILE"), (2L, "BUILDING"), (3L, "MACHINERY")),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("dedupEventsStream: duplicates within the watermark horizon are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
