@@ -48,17 +48,23 @@ object SimQueries {
       .mkString("(VALUES ", ", ", ") AS m(model_id, bias, seed)")
 
   /** Irwin–Hall z in 1/32768 units: Σ of 12 quantized uniforms at counter
-    * steps 12t..12t+11, minus the 6·32768 mean — an unrolled codegen'd sum
-    * (the aggregate(sequence(0,11), ...) fold it replaced ran as an
-    * interpreted per-element lambda, the documented HOF trap). Long addition
-    * is exact, so values are unchanged term-for-term. Shared by
-    * sim_nwalk_final and sim_gbm_logret.
+    * steps 12t..12t+11, minus the 6·32768 mean. Shared by sim_nwalk_final
+    * and sim_gbm_logret.
+    *
+    * Deliberately the `aggregate(sequence(0,11), ...)` fold, NOT a 12-way
+    * unrolled sum: measured head-to-head (sf0.1 workload, noop sink), the
+    * unroll is ~2× SLOWER warm and ~3× cold — inlining twelve ~50-op
+    * uniform chains (each re-evaluating the seed CASE and casts; codegen
+    * does no CSE across them) explodes the generated method, while the
+    * fold evaluates one compact compiled tree 12 times. The repo's HOF
+    * trap is about per-row lambdas over exploded strings, not short
+    * numeric folds. Long addition is exact either way, so the two forms
+    * are value-identical.
     */
   private def zUnitsCol(seedCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 12).map(j =>
-      floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
-        col("sim_id"), col("step").cast("long") * 12 + lit(j)) * 32768).cast("long"))
-      .reduce(_ + _) - lit(6L * 32768)
+    aggregate(sequence(lit(0), lit(11)), lit(0L), (acc, j) =>
+      acc + floor(DeterministicRng.uniformCol(seedCol, col("model_id").cast("long"),
+        col("sim_id"), col("step").cast("long") * 12 + j) * 32768).cast("long")) - lit(6L * 32768)
 
   private def u: String = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step")
   private def flip: String = s"CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 'H' ELSE 'T' END"
