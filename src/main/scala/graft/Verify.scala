@@ -17,10 +17,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Clean slate: a stale per-query dump from a previous run would be
     // silently compared (and could pass) if this run's query throws before
-    // overwriting it. Delete ONLY the artifacts Verify itself owns (one
-    // subdirectory per query name + oracle_sql.json) — never the whole
-    // outDir, so a mistyped argument can't recursively wipe an arbitrary
-    // directory. listFiles() is null for unreadable/raced paths.
+    // overwriting it — and a dump from a since-RENAMED query would be
+    // reported by the gate as a live rows-only result. Delete the
+    // artifacts Verify owns: every current-query subdirectory plus
+    // oracle_sql.json, AND any other subdirectory carrying a Spark
+    // `_SUCCESS` write marker (an old query dump by construction). Never
+    // the outDir wholesale, so a mistyped argument can't recursively wipe
+    // an arbitrary directory tree. listFiles() is null for
+    // unreadable/raced paths.
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
       f.delete()
@@ -28,6 +32,9 @@ object Verify {
     val outRoot = new java.io.File(outDir)
     (SparkEntry.queries.keys.toSeq :+ "oracle_sql.json")
       .foreach(n => rmrf(new java.io.File(outRoot, n)))
+    Option(outRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+      .foreach(rmrf)
     outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

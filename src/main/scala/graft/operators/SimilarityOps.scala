@@ -90,6 +90,12 @@ object SimilarityOps {
     * one scan. Values are unchanged: lloydStep's decimal-exact means are
     * deterministic, and re-injection as a local relation feeds the same
     * doubles back in.
+    *
+    * Standard Lloyd empty-cluster behavior: a centroid that wins no
+    * vectors in an iteration produces no mean and is DROPPED, so the
+    * returned table can hold fewer rows than `initial` (easy to trigger
+    * with duplicate or outlier seeds on real data). Callers needing
+    * exactly k lists should check the count and re-seed.
     */
   def trainCentroids(e0: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
     val spark = e0.sparkSession
@@ -172,11 +178,17 @@ object SimilarityOps {
   }
 
   /** Brute-force cosine top-k: exact ANN baseline. Query side is tiny and
-    * broadcast; rank window is per-query.
+    * broadcast; rank window is per-query. `excludeQueryId` (default true)
+    * drops the corpus vector whose id equals the query id — correct when
+    * queries are drawn from the corpus (the gate setup); pass false when
+    * query ids live in their own namespace, or corpus vectors that happen
+    * to share an id would be silently excluded.
     */
-  def bruteTopK(e: DataFrame, queries: DataFrame, k: Int): DataFrame =
+  def bruteTopK(e: DataFrame, queries: DataFrame, k: Int,
+      excludeQueryId: Boolean = true): DataFrame =
     rankTopK(
-      e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      e.join(broadcast(queries),
+          if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
 
   /** LSH-bucketed ANN: `tables` independent hash tables (random-hyperplane
@@ -187,7 +199,7 @@ object SimilarityOps {
     * candidate count, not corpus size — the 100 TB shape.
     */
   def lshTopK(e0: DataFrame, queries: DataFrame, k: Int, tables: Int = 6,
-      bits: Int = 8, seed: Long = 777L): DataFrame = {
+      bits: Int = 8, seed: Long = 777L, excludeQueryId: Boolean = true): DataFrame = {
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val sigArr = array((0 until tables).map(l =>
       lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
@@ -204,9 +216,9 @@ object SimilarityOps {
     // dedup candidate IDs only (cheap 16-byte rows), then rejoin the
     // vectors once — distinct over rows carrying the float arrays would
     // hash/compare 64 floats per row per table per probe
+    val self = if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true)
     val cand = probes.join(corpus,
-        col("tbl") === col("qtbl") && col("sig") === col("probe_sig") &&
-          col("vec_id") =!= col("query_id"))
+        col("tbl") === col("qtbl") && col("sig") === col("probe_sig") && self)
       .select(col("query_id"), col("vec_id")).distinct()
     rankTopK(
       cand.join(broadcast(queries), "query_id")
@@ -220,7 +232,7 @@ object SimilarityOps {
     * size — the other classic ANN scale shape next to LSH.
     */
   def ivfTopK(e0: DataFrame, queries: DataFrame, cents: DataFrame, nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int, excludeQueryId: Boolean = true): DataFrame = {
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val assigned = assignToCentroids(e, cents)
     val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))
@@ -232,7 +244,7 @@ object SimilarityOps {
       .select(col("query_id"), col("qe"), col("cid"))
     rankTopK(
       probes.join(assigned, "cid")
-        .filter(col("vec_id") =!= col("query_id"))
+        .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
   }
 }

@@ -117,6 +117,9 @@ object StreamOps {
       .withColumn("etime", eventTime(col("ts")))
       .withWatermark("etime", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+      // drop the internal watermark column so the output schema matches
+      // the batch twin (callers union/sink both paths interchangeably)
+      .drop("etime")
 
   /** Streaming Monte Carlo: turn a stream of simulation REQUESTS
     * (model_id, sim_id, seed, points, bias) into a stream of coin traces —

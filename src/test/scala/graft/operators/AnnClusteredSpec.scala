@@ -46,29 +46,13 @@ class AnnClusteredSpec extends SparkTestBase {
     import spark.implicits._
     val df = vecs.toSeq.toDF("vec_id", "embedding", "cluster")
       .repartition(4)
-    // same one-scan exploded-signature plan as knn_lsh
-    val sigArr = array((0 until N_TABLES).map(l =>
-      SimilarityQueries.lshSignature(col("embedding"), 777L + l * 131L, SIG_BITS)): _*)
-    val tables = df.select(col("vec_id"), col("embedding"),
-      posexplode(sigArr).as(Seq("tbl", "sig")))
-    val q = tables.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"), col("sig").as("qsig"))
-    val probes = q.select(col("query_id"), col("qtbl"), col("qsig"),
-        explode(array(lit(0) +: (0 until SIG_BITS).map(j => lit(1 << j)): _*)).as("flip"))
-      .withColumn("probe_sig", col("qsig").bitwiseXOR(col("flip")))
-    val cand = probes.join(tables,
-        col("tbl") === col("qtbl") && col("sig") === col("probe_sig") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
+    // the SHIPPED operator, not a re-implementation — a regression in
+    // SimilarityOps.lshTopK fails this spec
     val qe = df.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id"))
-    val lsh = cand.join(broadcast(qe), "query_id")
-      .join(df.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("c", SimilarityQueries.cosine(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOP_K)
+    val lsh = SimilarityOps.lshTopK(
+        df.select(col("vec_id"), col("embedding")), qe, TOP_K,
+        tables = N_TABLES, bits = SIG_BITS)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
