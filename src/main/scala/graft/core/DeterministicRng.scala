@@ -27,9 +27,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
   *     division `h / 2147483647.0` is a single correctly-rounded IEEE-754
   *     operation, identical across engines.
   *
-  * The reference's four RNG family names are kept for API fidelity
-  * ([[RngFamily]]) as salts into the seed; the substitution is documented
-  * there.
+  * This generator is the engine-native [[RngFamily.CounterHash]] family;
+  * the reference's four NumPy family names route per [[RngFamily]] (PCG64
+  * and Philox to real KAT-verified backends, SFC64/MT19937 to salted
+  * streams of this hash).
   */
 object DeterministicRng {
   /** Modulus: the Mersenne prime 2^31 - 1. */
@@ -136,35 +137,55 @@ object DeterministicRng {
 
 /** Static per-family uniform dispatch — shared by the native generated-code
   * kernels ([[McGenHelper]]), [[StepRng]] and anything else that draws at a
-  * counter. `familyId` is [[RngFamily.id]]; the dispatch is a single int
-  * compare, JIT-friendly inside codegen'd loops.
+  * counter. `familyId` is [[RngFamily.id]]; the dispatch is a dense int
+  * tableswitch, JIT-friendly inside codegen'd loops. Unknown ids FAIL —
+  * a silent fallthrough to a default backend would hand a future
+  * mis-wired family plausible-looking draws from the wrong generator.
   */
 object Rngs {
   def uniform(familyId: Int, seed: Long, model: Long, sim: Long, step: Long): Double =
-    if (familyId == RngFamily.Philox.id) Philox.uniform(seed, model, sim, step)
-    else DeterministicRng.uniform(seed, model, sim, step)
+    familyId match {
+      case 0 => DeterministicRng.uniform(seed, model, sim, step) // CounterHash
+      case 1 => Philox.uniform(seed, model, sim, step)
+      case 2 => DeterministicRng.uniform(seed, model, sim, step) // SFC64 substitute
+      case 3 => DeterministicRng.uniform(seed, model, sim, step) // MT19937 substitute
+      case 4 => Pcg64.uniform(seed, model, sim, step)
+      case other => throw new IllegalArgumentException(
+        s"unknown RNG familyId $other; known: ${RngFamily.all.map(f => s"${f.id}=${f.name}").mkString(", ")}")
+    }
 }
 
-/** The reference's RNG-family enum (`models.py:17-33`, default PCG64).
+/** The reference's RNG-family enum (`models.py:17-33`, default PCG64),
+  * plus the engine-native `CounterHash` family.
   *
-  * `Philox` routes to the REAL Philox-4x32-10 backend ([[Philox]], Random123
-  * KAT-verified) — the one family whose public spec is itself counter-based
-  * and therefore fits this engine natively. The other three NumPy names
-  * (unavailable in a JVM/offline build) select distinct salts folded into
+  * `PCG64` — the reference's DEFAULT — routes to the REAL PCG64 backend
+  * ([[Pcg64]], pcg_setseq_128_xsl_rr_64, KAT-verified against the
+  * published demo vectors and NumPy's C implementation), stateless via
+  * LCG jump-ahead. `Philox` routes to the REAL Philox-4x32-10 backend
+  * ([[Philox]], Random123 KAT-verified), natively counter-based. The
+  * remaining two NumPy names (SFC64, MT19937 — chaotic/large-state
+  * sequential designs with no O(log n) jump, so a faithful backend cannot
+  * honor the stateless counter contract) select distinct salts folded into
   * the master seed of the counter-based generator above — streams from
-  * different families are decorrelated, the four-name API surface and the
-  * PCG64 default are preserved exactly. Philox keeps its salt too, so its
-  * seed-space stays disjoint from the hash families even at equal user
-  * seeds.
+  * different families are decorrelated and the four-name API surface is
+  * preserved exactly.
+  *
+  * `CounterHash` is the engine's own family: the SQL-expressible counter
+  * hash ([[DeterministicRng]]), bit-reproducible in DuckDB via
+  * [[DeterministicRng.uniformSql]] — which is what gives even Monte Carlo
+  * output a full value-level oracle. The gate's sim queries pin it
+  * explicitly; its stream is identical to what the pre-round-3 PCG64
+  * substitute produced (salt 0), so golden traces carry over unchanged.
   */
 sealed abstract class RngFamily(val name: String, val salt: Long, val id: Int)
 object RngFamily {
-  case object PCG64   extends RngFamily("PCG64",   0L, 0)
-  case object Philox  extends RngFamily("Philox",  1000000007L, 1)
-  case object SFC64   extends RngFamily("SFC64",   998244353L, 2)
-  case object MT19937 extends RngFamily("MT19937", 754974721L, 3)
+  case object PCG64       extends RngFamily("PCG64",   0L, 4)
+  case object Philox      extends RngFamily("Philox",  1000000007L, 1)
+  case object SFC64       extends RngFamily("SFC64",   998244353L, 2)
+  case object MT19937     extends RngFamily("MT19937", 754974721L, 3)
+  case object CounterHash extends RngFamily("CounterHash", 0L, 0)
 
-  val all: Seq[RngFamily] = Seq(PCG64, Philox, SFC64, MT19937)
+  val all: Seq[RngFamily] = Seq(PCG64, Philox, SFC64, MT19937, CounterHash)
 
   /** Name lookup with the reference's default; unknown names fail fast
     * (the reference logs-and-swallows a KeyError at

@@ -59,9 +59,12 @@ object Philox {
     * key: counter = (lo32(step), hi32(step), lo32(sim), hi32(sim)),
     * key = (fold32(seed), fold32(model)) where fold32(x) = lo32(x ^ x>>>32)
     * (battery seeds are < 2^32 after salting, so the fold is a no-op there;
-    * it keeps distinct wider seeds from silently aliasing). Output word 0
-    * scaled by 2^-32 — one draw per counter tick, matching the engine's
-    * one-uniform-per-step stream shape.
+    * it keeps distinct wider seeds from silently aliasing). The double gets
+    * a full 53-bit mantissa from output words 0 and 1 (32 + 21 bits) — one
+    * draw per counter tick, matching the engine's one-uniform-per-step
+    * stream shape; words 2-3 of the block are unused (accepted: the
+    * stateless counter contract regenerates the block per step, and
+    * buffering across steps would reintroduce sequential state).
     */
   def uniform(seed: Long, model: Long, sim: Long, step: Long): Double = {
     val w = block(
@@ -69,6 +72,6 @@ object Philox {
       sim & MASK, (sim >>> 32) & MASK,
       (seed ^ (seed >>> 32)) & MASK,
       (model ^ (model >>> 32)) & MASK)
-    w(0).toDouble / 4294967296.0
+    ((w(0) << 21) | (w(1) >>> 11)).toDouble / 9007199254740992.0
   }
 }

@@ -13,6 +13,12 @@ import graft.core._
   * `generate_series` grids. This goes beyond the reference, whose only
   * correctness artifact is manual notebook inspection (SURVEY §5.1).
   *
+  * All batteries pin [[RngFamily.CounterHash]] — the engine-native
+  * SQL-expressible family — precisely because the oracle must regenerate
+  * the draws in DuckDB. The engine default (real PCG64 since round 3) and
+  * Philox are KAT-verified in their own specs instead; their bit streams
+  * have no SQL form.
+  *
   * FP discipline for oracle parity: compared doubles are always a single
   * correctly-rounded operation over exactly-representable integers
   * (e.g. `h / 2147483647.0`, `SUM(int) / COUNT(*)`) — never an
@@ -73,14 +79,14 @@ object SimQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full trace content, one CSV string per simulation — bit-level parity.
     "sim_coin_traces" -> ((spark, _) => {
-      new MCBattery(spark).simulate(coinSpecs)
+      new MCBattery(spark, RngFamily.CounterHash).simulate(coinSpecs)
         .select(col("model_id"), col("sim_id"),
           concat_ws(",", col("trace")).as("trace_csv"))
     }),
     // The flagship MC-estimator shape: heads fraction per model
     // (posexplode -> groupBy -> avg), SURVEY §7.2 step 1.
     "sim_coin_est" -> ((spark, _) => {
-      val traces = new MCBattery(spark).simulate(estSpecs)
+      val traces = new MCBattery(spark, RngFamily.CounterHash).simulate(estSpecs)
       MCBattery.explodeTraces(traces)
         .groupBy(col("model_id"))
         .agg(avg(when(col("value") === "H", 1).otherwise(0)).as("heads_frac"),
@@ -89,7 +95,7 @@ object SimQueries {
     }),
     // Distribution of random-walk endpoints — exact integer aggregates.
     "sim_walk_final" -> ((spark, _) => {
-      new MCBattery(spark).simulate(walkSpecs)
+      new MCBattery(spark, RngFamily.CounterHash).simulate(walkSpecs)
         .select(col("model_id"), element_at(col("trace"), -1).cast("long").as("final_pos"))
         .groupBy(col("model_id"))
         .agg(avg(col("final_pos")).as("avg_final"),
@@ -100,7 +106,7 @@ object SimQueries {
     }),
     // Convergence along the trace: per-step H fraction in long format.
     "sim_trace_long" -> ((spark, _) => {
-      MCBattery.explodeTraces(new MCBattery(spark).simulate(coinSpecs))
+      MCBattery.explodeTraces(new MCBattery(spark, RngFamily.CounterHash).simulate(coinSpecs))
         .groupBy(col("model_id"), col("step"))
         .agg(avg(when(col("value") === "H", 1).otherwise(0)).as("h_frac"))
         .orderBy(col("model_id"), col("step"))
@@ -110,7 +116,7 @@ object SimQueries {
     // tier): one buffer per model instead of four separate aggregates.
     "sim_trace_stats" -> ((spark, _) => {
       import spark.implicits._
-      val binary = MCBattery.explodeTraces(new MCBattery(spark).simulate(estSpecs))
+      val binary = MCBattery.explodeTraces(new MCBattery(spark, RngFamily.CounterHash).simulate(estSpecs))
         .select(col("model_id"),
           when(col("value") === "H", 1.0).otherwise(0.0).as("v"))
         .as[(Int, Double)]
@@ -131,7 +137,7 @@ object SimQueries {
     "sim_cwalk_final" -> ((spark, _) => {
       val (sims, points) = (2000, 32)
       val grid = MCBattery.explodeTraces(
-        new MCBattery(spark).simulate(Seq(
+        new MCBattery(spark, RngFamily.CounterHash).simulate(Seq(
           SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 21),
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 22))))
       // recompute the uniform from the counters (the trace content is not
@@ -160,7 +166,7 @@ object SimQueries {
     "sim_nwalk_final" -> ((spark, _) => {
       val (sims, points) = (1000, 16)
       val grid = MCBattery.explodeTraces(
-        new MCBattery(spark).simulate(Seq(
+        new MCBattery(spark, RngFamily.CounterHash).simulate(Seq(
           SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 31),
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 32))))
       val seedCol = when(col("model_id") === 0, lit(31L)).otherwise(lit(32L))
@@ -190,7 +196,7 @@ object SimQueries {
     "sim_gbm_logret" -> ((spark, _) => {
       val (sims, points) = (1000, 16)
       val grid = MCBattery.explodeTraces(
-        new MCBattery(spark).simulate(Seq(
+        new MCBattery(spark, RngFamily.CounterHash).simulate(Seq(
           SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 51),
           SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 52))))
       val seedCol = when(col("model_id") === 0, lit(51L)).otherwise(lit(52L))
@@ -235,7 +241,7 @@ object SimQueries {
       val s1 = sum(col("qfin").cast(DecimalType(18, 6))).cast("double")
       val s2 = sum((col("qfin") * col("qfin")).cast(DecimalType(30, 12))).cast("double")
       val n = count(lit(1))
-      new MCBattery(spark).simulate(specs)
+      new MCBattery(spark, RngFamily.CounterHash).simulate(specs)
         .select(col("model_id"),
           round(element_at(col("trace"), -1).cast("double"), 6).as("qfin"))
         .groupBy("model_id")
@@ -253,7 +259,7 @@ object SimQueries {
       import org.apache.spark.sql.expressions.Window
       val byStep = Window.partitionBy(col("model_id"), col("sim_id")).orderBy(col("step"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pos = MCBattery.explodeTraces(new MCBattery(spark).simulate(walkSpecs))
+      val pos = MCBattery.explodeTraces(new MCBattery(spark, RngFamily.CounterHash).simulate(walkSpecs))
         .select(col("model_id"), col("sim_id"), col("step"), col("value").cast("long").as("pos"))
       pos
         .withColumn("runmax", max(col("pos")).over(byStep))
@@ -272,7 +278,7 @@ object SimQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("model_id"), col("sim_id")).orderBy(col("step"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      MCBattery.explodeTraces(new MCBattery(spark).simulate(coinSpecs))
+      MCBattery.explodeTraces(new MCBattery(spark, RngFamily.CounterHash).simulate(coinSpecs))
         .filter(col("sim_id") < 5)
         .withColumn("h", when(col("value") === "H", 1L).otherwise(0L))
         .select(col("model_id"), col("sim_id"), col("step"),

@@ -28,7 +28,9 @@ class FunctionsSpec extends SparkTestBase {
       assert(r.getLong(1) == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
       assert(r.getInt(2) == 2)
       assert(r.getDouble(3) == graft.core.DeterministicRng.uniform(42, 0, 7, 3))
-      val rng = new graft.core.StepRng(42, 0, 0)
+      // the SQL function draws familyId 0 (CounterHash) — pin it on the
+      // StepRng side too (the default family is the real PCG64 backend)
+      val rng = new graft.core.StepRng(42, 0, 0, graft.core.RngFamily.CounterHash)
       assert(r.getSeq[String](4) ==
         graft.core.CoinSequence.simulate(4, rng, Seq(0.5), Nil))
     } finally {

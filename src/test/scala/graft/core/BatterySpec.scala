@@ -136,7 +136,12 @@ class BatterySpec extends SparkTestBase {
     assert(Rngs.uniform(RngFamily.Philox.id, 7L, 0L, 0L, 0L) ==
       Philox.uniform(7L, 0L, 0L, 0L))
     assert(Rngs.uniform(RngFamily.PCG64.id, 7L, 0L, 0L, 0L) ==
+      Pcg64.uniform(7L, 0L, 0L, 0L))
+    assert(Rngs.uniform(RngFamily.CounterHash.id, 7L, 0L, 0L, 0L) ==
       DeterministicRng.uniform(7L, 0L, 0L, 0L))
+    // unknown family ids fail fast instead of silently drawing from a
+    // fallback backend
+    intercept[IllegalArgumentException] { Rngs.uniform(99, 7L, 0L, 0L, 0L) }
   }
 
   test("gbm tiers agree to ulp precision (log-space accumulation aligned)") {

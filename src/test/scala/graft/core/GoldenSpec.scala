@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import graft.SparkTestBase
 
@@ -9,6 +9,16 @@ import graft.SparkTestBase
   * every run — the reference repo's manual notebook inspection, made a test.
   * A diff here means the RNG chain, model semantics, or sink format changed:
   * all are breaking changes for reproducibility and for the DuckDB oracle.
+  *
+  * Two families are pinned: `CounterHash` (the SQL-oracle-expressible
+  * engine family — its files predate round 3's family rewiring unchanged,
+  * proving the oracle stream survived the refactor byte-for-byte) and the
+  * engine default `PCG64` (the real pcg_setseq_128_xsl_rr_64 backend).
+  *
+  * To regenerate after an INTENTIONAL change, run once with
+  * `GRAFT_REGEN_GOLDEN=1` in the environment: the spec rewrites
+  * src/test/resources/golden/ from the current engine and fails with a
+  * reminder to inspect the diff and rerun.
   */
 class GoldenSpec extends SparkTestBase {
 
@@ -16,15 +26,29 @@ class GoldenSpec extends SparkTestBase {
     SimulationSpec(0, "coin_sequence", 20, 8, Seq(0.5), Nil, 42),
     SimulationSpec(1, "random_walk", 10, 6, Seq(0.6), Nil, 7),
     SimulationSpec(2, "coin_sequence", 5, 4, Seq(0.7), Seq("T", "T"), 9))
-  private val goldenNames = Seq("golden_coin.csv", "golden_walk.csv", "golden_start.csv")
 
-  test("seeded battery output is byte-identical to the committed golden files") {
+  private def goldenNames(prefix: String) =
+    Seq(s"${prefix}coin.csv", s"${prefix}walk.csv", s"${prefix}start.csv")
+
+  private def checkFamily(family: RngFamily, prefix: String): Unit = {
+    val names = goldenNames(prefix)
     val tmp = Files.createTempDirectory("graft-golden")
-    val withPaths = specs.zip(goldenNames).map { case (s, n) =>
+    val withPaths = specs.zip(names).map { case (s, n) =>
       s.copy(outputPath = Some(s"$tmp/$n"))
     }
-    TraceSink.writeReferenceCsv(new MCBattery(spark).simulate(withPaths), withPaths)
-    goldenNames.foreach { n =>
+    TraceSink.writeReferenceCsv(
+      new MCBattery(spark, family).simulate(withPaths), withPaths)
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      val dir = Paths.get("src/test/resources/golden")
+      Files.createDirectories(dir)
+      names.foreach { n =>
+        Files.copy(Paths.get(s"$tmp/$n"), dir.resolve(n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      fail(s"GRAFT_REGEN_GOLDEN set: regenerated ${names.mkString(", ")} — " +
+        "inspect the diff, then rerun without the flag")
+    }
+    names.foreach { n =>
       val got = Files.readAllLines(Paths.get(s"$tmp/$n")).asScala.toList
       val want = {
         val in = getClass.getResourceAsStream(s"/golden/$n")
@@ -34,5 +58,13 @@ class GoldenSpec extends SparkTestBase {
       }
       assert(got == want, s"$n diverged from golden")
     }
+  }
+
+  test("seeded CounterHash battery output is byte-identical to the committed golden files") {
+    checkFamily(RngFamily.CounterHash, "golden_")
+  }
+
+  test("seeded default-family (real PCG64) output is byte-identical to the committed golden files") {
+    checkFamily(RngFamily.PCG64, "golden_pcg64_")
   }
 }

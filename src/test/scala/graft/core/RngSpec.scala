@@ -71,10 +71,14 @@ class RngSpec extends AnyFunSuite {
   }
 
   test("StepRng draws the counter stream sequentially") {
-    val r = new StepRng(42, 0, 7)
+    val r = new StepRng(42, 0, 7, RngFamily.CounterHash)
     val direct = (0 until 5).map(s => DeterministicRng.uniform(42, 0, 7, s))
     val drawn = (0 until 5).map(_ => r.nextUniform())
     assert(direct == drawn)
+    // the default family is the real PCG64 backend (reference default)
+    val d = new StepRng(42, 0, 7)
+    val pcg = (0 until 5).map(s => Pcg64.uniform(42, 0, 7, s))
+    assert((0 until 5).map(_ => d.nextUniform()) == pcg)
   }
 
   test("nextGaussian has roughly standard moments") {

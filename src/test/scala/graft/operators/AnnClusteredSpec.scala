@@ -56,11 +56,16 @@ class AnnClusteredSpec extends SparkTestBase {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // independent exact brute force on the driver
+    // independent exact brute force on the driver; quantize with the SAME
+    // rounding the shipped cosine uses (6 decimals HALF_UP, not rint's
+    // half-even) so a cosine landing exactly on a 0.5e-6 tie can't rank
+    // differently between operator and reference
     val byId = vecs.map(v => v._1 -> v._2).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val brute = (0L until N_QUERIES).flatMap { qid =>
       vecs.filter(_._1 != qid)
-        .map(v => (v._1, math.rint(cos(byId(qid), v._2) * 1e6) / 1e6))
+        .map(v => (v._1, round6(cos(byId(qid), v._2))))
         .sortBy { case (id, c) => (-c, id) }
         .take(TOP_K).map(p => (qid, p._1))
     }.toSet
