@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.DeterministicRng
 
 /** Gate bindings of the [[SimilarityOps]] library surface to the test
   * tables, plus the DuckDB oracle SQL. All algorithm/plan documentation
@@ -115,5 +116,86 @@ object SimilarityQueries {
          |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
          |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $N_QUERIES) x
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin,
+
+    // Full value oracle for the LSH ANN pipeline — possible because every
+    // stage is deterministic: hyperplane weights come from the counter-based
+    // RNG (regenerated here via uniformSql over a generate_series grid),
+    // signatures/probes are integer arithmetic, and the re-rank is the same
+    // round-6 cosine the exact queries already oracle. The one cross-engine
+    // hazard is a projection landing within float-noise of 0 flipping a
+    // signature bit; projections are O(0.5)-magnitude sums of 64 terms, so
+    // a <1e-14 |proj| is a ~1e-11 event across the whole corpus — accepted.
+    "knn_lsh" -> {
+      val u = DeterministicRng.uniformSql("(777 + l.l*131)", "j.j", "0", "i.i")
+      s"""WITH planes AS (
+         |  SELECT l.l, j.j, i.i, ($u) - 0.5 AS w
+         |  FROM generate_series(0,5) l(l), generate_series(0,7) j(j),
+         |       generate_series(0,63) i(i)
+         |), plane_vecs AS (
+         |  SELECT l, j, list(w ORDER BY i) AS plane FROM planes GROUP BY l, j
+         |), sigs AS (
+         |  SELECT e.vec_id, p.l AS tbl,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+         |             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
+         |  FROM embeddings e CROSS JOIN plane_vecs p
+         |  GROUP BY e.vec_id, p.l
+         |), flips AS (
+         |  SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS flip
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM sigs q CROSS JOIN flips f
+         |  JOIN sigs c ON c.tbl = q.tbl AND c.sig = xor(q.sig, f.flip)
+         |    AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $N_QUERIES
+         |), scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos
+         |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+         |            JOIN embeddings e ON e.vec_id = cand.vec_id
+         |)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) x
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Full value oracle for IVF: the deterministic coarse quantizer (first
+    // N_CENTROIDS vectors), nearest-centroid assignment, nprobe probe
+    // selection and exact re-rank are all round-6-cosine + integer
+    // tie-breaks — the same FP-discipline as knn_brute.
+    "knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $N_CENTROIDS
+         |), assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+         |    FROM embeddings e CROSS JOIN cents c) x
+         |  WHERE crn = 1
+         |), probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCosine("q.embedding", "c.ce")} DESC, c.cid) AS qrn
+         |    FROM embeddings q CROSS JOIN cents c
+         |    WHERE q.vec_id < $N_QUERIES) x
+         |  WHERE qrn <= $N_PROBE
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, cand.vec_id) AS rank
+         |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+         |            JOIN embeddings e ON e.vec_id = cand.vec_id) x
          |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin)
 }

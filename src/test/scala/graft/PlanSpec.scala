@@ -88,6 +88,33 @@ class PlanSpec extends SparkTestBase {
     assert(one > 0 && one < total / 3, s"one=$one total=$total")
   }
 
+  test("TraceSink.writeParquet partitions prune: a model_id filter reads ONE directory") {
+    // the 100 TB scan shape: traces written partitionBy(model_id), a query
+    // over one model must list/read only that model's partition directories
+    val specs = Seq(
+      graft.core.SimulationSpec(0, "coin_sequence", 50, 8, Seq(0.5), Nil, 11),
+      graft.core.SimulationSpec(1, "coin_sequence", 50, 8, Seq(0.6), Nil, 12),
+      graft.core.SimulationSpec(2, "coin_sequence", 50, 8, Seq(0.7), Nil, 13))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tracepart").toString
+    graft.core.TraceSink.writeParquet(
+      new graft.core.MCBattery(spark).simulate(specs), tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("model_id") === 1)
+    // execute THIS queryExecution (a .write would plan a fresh instance
+    // whose metrics we couldn't see)
+    pruned.queryExecution.toRdd.count()
+    val scans = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    // partition-count assertion: of the 3 model_id=<m> directories written,
+    // the pruned scan selected exactly 1
+    val partsRead = scans.map(_.metrics("numPartitions").value).sum
+    assert(partsRead == 1, s"pruned scan read $partsRead partition dirs, want 1")
+    assert(pruned.count() == 50)
+    // and the unpruned read sees all three (the writer really partitioned)
+    assert(new java.io.File(tmp).listFiles().count(_.getName.startsWith("model_id=")) == 3)
+  }
+
   test("salted join equals the plain join (skew-handling preserves semantics)") {
     val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val or = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")

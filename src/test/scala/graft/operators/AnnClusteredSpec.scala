@@ -42,33 +42,40 @@ class AnnClusteredSpec extends SparkTestBase {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  test("LSH bucket shape reaches recall@10 >= 0.8 on clustered data") {
-    import spark.implicits._
-    val df = vecs.toSeq.toDF("vec_id", "embedding", "cluster")
-      .repartition(4)
-    // the SHIPPED operator, not a re-implementation — a regression in
-    // SimilarityOps.lshTopK fails this spec
-    val qe = df.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val lsh = SimilarityOps.lshTopK(
-        df.select(col("vec_id"), col("embedding")), qe, TOP_K,
-        tables = N_TABLES, bits = SIG_BITS)
-      .select("query_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-
-    // independent exact brute force on the driver; quantize with the SAME
-    // rounding the shipped cosine uses (6 decimals HALF_UP, not rint's
-    // half-even) so a cosine landing exactly on a 0.5e-6 tie can't rank
-    // differently between operator and reference
+  // independent exact brute force on the driver; quantize with the SAME
+  // rounding the shipped cosine uses (6 decimals HALF_UP, not rint's
+  // half-even) so a cosine landing exactly on a 0.5e-6 tie can't rank
+  // differently between operator and reference
+  private lazy val brute: Set[(Long, Long)] = {
     val byId = vecs.map(v => v._1 -> v._2).toMap
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val brute = (0L until N_QUERIES).flatMap { qid =>
+    (0L until N_QUERIES).flatMap { qid =>
       vecs.filter(_._1 != qid)
         .map(v => (v._1, round6(cos(byId(qid), v._2))))
         .sortBy { case (id, c) => (-c, id) }
         .take(TOP_K).map(p => (qid, p._1))
     }.toSet
+  }
+
+  private def corpusDf = {
+    import spark.implicits._
+    vecs.toSeq.toDF("vec_id", "embedding", "cluster").repartition(4)
+  }
+
+  private def queriesDf(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  test("LSH bucket shape reaches recall@10 >= 0.8 on clustered data") {
+    val df = corpusDf
+    // the SHIPPED operator, not a re-implementation — a regression in
+    // SimilarityOps.lshTopK fails this spec
+    val lsh = SimilarityOps.lshTopK(
+        df.select(col("vec_id"), col("embedding")), queriesDf(df), TOP_K,
+        tables = N_TABLES, bits = SIG_BITS)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"clustered recall@10 = $recall")
@@ -76,5 +83,27 @@ class AnnClusteredSpec extends SparkTestBase {
     val cluster = vecs.map(v => v._1 -> v._3).toMap
     val intra = brute.count { case (q, n) => cluster(q) == cluster(n) }
     assert(intra.toDouble / brute.size >= 0.9, s"intra-cluster fraction ${intra.toDouble / brute.size}")
+  }
+
+  test("trained IVF reaches recall@10 >= 0.8 on clustered data") {
+    // the gate's knn_ivf floor on the driver's RANDOM corpus is 0.15 — a
+    // property of structureless data. This is the operator-quality proof:
+    // stride-seeded centroids (no label peeking), distributed Lloyd through
+    // the SHIPPED trainCentroids, probe/re-rank through the SHIPPED ivfTopK,
+    // recall vs the independent driver-side brute force.
+    val df = corpusDf
+    val e = df.select(col("vec_id"), col("embedding"))
+    val kCents = 16
+    val stride = N / kCents // 31: deliberately NOT aligned to cluster size
+    val init = e.filter(col("vec_id") % stride === 0)
+      .select((col("vec_id") / stride).cast("long").as("cid"),
+        col("embedding").as("ce"))
+    val cents = SimilarityOps.trainCentroids(e, init, 3)
+    val ivf = SimilarityOps.ivfTopK(e, queriesDf(df), cents, nprobe = 3, k = TOP_K)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"trained-IVF clustered recall@10 = $recall")
   }
 }
