@@ -33,26 +33,39 @@ object TraceSink {
     * `parallel_simulations.py:176-179`), rows ordered by sim_id, overwritten
     * on rerun. Funnels each model through one task — use only at
     * demo/parity scale; the reference itself is single-file-per-model too.
+    *
+    * ONE Spark job for the whole battery (not one per model): rows are
+    * hash-repartitioned on model_id and sorted (model_id, sim_id) within
+    * partitions, then written `partitionBy(model_id)` — the writer's
+    * required ordering (partition columns) is already a prefix of ours, so
+    * no extra sort is inserted and each model lands as a single
+    * sim_id-ordered part file, which the driver then just renames. (Single
+    * file per model relies on the default
+    * `spark.sql.files.maxRecordsPerFile = 0`; a battery big enough to
+    * trip a configured cap has outgrown the parity sink.)
     */
-  def writeReferenceCsv(traces: DataFrame, specs: Seq[SimulationSpec]): Unit =
+  def writeReferenceCsv(traces: DataFrame, specs: Seq[SimulationSpec]): Unit = {
+    if (specs.isEmpty) return
+    val tmp = Files.createTempDirectory("graft-sink")
+    traces
+      .filter(col("model_id").isin(specs.map(_.modelId): _*))
+      .repartition(col("model_id"))
+      .sortWithinPartitions(col("model_id"), col("sim_id"))
+      .select(col("model_id"), concat_ws(",", col("trace")).as("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("model_id").text(tmp.toString)
     specs.foreach { s =>
-      val tmp = Files.createTempDirectory("graft-sink")
-      traces
-        .filter(col("model_id") === s.modelId)
-        .orderBy(col("sim_id"))
-        .select(concat_ws(",", col("trace")))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).text(tmp.toString)
-      val listing = Files.list(tmp)
+      val dir = tmp.resolve(s"model_id=${s.modelId}")
+      val listing = Files.list(dir)
       val part =
         try listing.filter(_.getFileName.toString.startsWith("part-"))
-          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
         finally listing.close()
       val dest = Paths.get(s.resolvedOutputPath)
       Option(dest.getParent).foreach(Files.createDirectories(_))
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-      deleteRecursively(tmp)
     }
+    deleteRecursively(tmp)
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
