@@ -178,4 +178,53 @@ object DedupOps {
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Near-dup CLUSTERS from a pair list — the step that turns pairwise
+    * similarity into a keep-one-per-group dedup decision: connected
+    * components over the (doc_a, doc_b) graph, each doc labeled with the
+    * minimum doc_id reachable from it (the canonical survivor).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint —
+    * label(v) ← min(label(v), min of neighbors' labels) — converging in
+    * O(component diameter) rounds. The iterated set is only the docs that
+    * appear in a pair (the near-dup subgraph, tiny next to the corpus) and
+    * each round is one join + one min-aggregate; labels are
+    * `localCheckpoint`ed per round so the plan doesn't grow with the
+    * iteration count (on a cluster, use reliable checkpointing). Dedup
+    * components are short chains/cliques in practice; pathological
+    * diameters (> maxIters) fail fast rather than return a partial
+    * clustering. For adversarial graph shapes at extreme scale the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) converges in
+    * O(log n) rounds with the same per-round join shape.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"nearDupClusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds the cap; raise maxIters or switch to star-contraction")
+    labels.orderBy("doc_id")
+  }
 }

@@ -29,6 +29,8 @@ object DedupQueries {
     }),
     "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"))),
     "dd_minhash" -> ((s, d) => DedupOps.minhashPairs(t(s, d, "documents"))),
+    "dd_clusters" -> ((s, d) =>
+      DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))),
     "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))))
 
   def oracleSql: Map[String, String] = {
@@ -45,6 +47,25 @@ object DedupQueries {
     val chunkSelects = (0 until 4)
       .map(c => s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 8}) & 255 AS ck FROM sig")
       .mkString("\n  UNION ALL\n  ")
+    // shared CTE chain: shingles -> minhash signatures -> LSH bands ->
+    // verified pairs; dd_minhash selects from it directly, dd_clusters
+    // appends the recursive connected-components step
+    val minhashCtes =
+      s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sets AS (SELECT doc_id, $sqlShingles AS sh FROM ws WHERE len(w) >= 3),
+         |ex AS (SELECT doc_id, ${sqlMdint("sx")} AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS sx FROM sets)),
+         |sig AS (SELECT doc_id,
+         |    $minhashAggs
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |jacs AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+         |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)""".stripMargin
 
     Map(
       "dd_exact" ->
@@ -65,23 +86,23 @@ object DedupQueries {
            |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dd_minhash" ->
-        s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |sets AS (SELECT doc_id, $sqlShingles AS sh FROM ws WHERE len(w) >= 3),
-           |ex AS (SELECT doc_id, ${sqlMdint("sx")} AS h
-           |       FROM (SELECT doc_id, unnest(sh) AS sx FROM sets)),
-           |sig AS (SELECT doc_id,
-           |    $minhashAggs
-           |  FROM ex GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-           |jacs AS (SELECT doc_a, doc_b,
-           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-           |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+        s"""WITH $minhashCtes
            |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= $JACCARD_T
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // connected components over the minhash pairs: each doc's cluster_id
+      // is the MIN doc_id reachable from it (recursive closure; the Spark
+      // side computes the same fixpoint by min-label propagation)
+      "dd_clusters" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+           |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+           |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+           |GROUP BY id ORDER BY doc_id""".stripMargin,
       "dd_simhash" ->
         s"""WITH wc AS (SELECT doc_id, wx AS word, COUNT(*) AS cnt
            |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)

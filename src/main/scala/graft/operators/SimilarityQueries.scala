@@ -35,6 +35,31 @@ object SimilarityQueries {
     s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
+  /** Nearest-centroid assignment as SQL text (argmax by round-6 cosine,
+    * cid tie-break) — mirrors [[SimilarityOps.assignToCentroids]].
+    */
+  private def sqlAssign(cents: String): String =
+    s"""SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN $cents c) x
+       |  WHERE crn = 1""".stripMargin
+
+  /** One Lloyd step as SQL text — mirrors [[SimilarityOps]]' lloydStep:
+    * per-(cid, dim) decimal-exact sum cast once to double, divided by the
+    * member count, re-collected in dimension order.
+    */
+  private def sqlLloyd(assign: String): String =
+    s"""SELECT cid, list(m ORDER BY dim) AS ce FROM (
+       |    SELECT a.cid, d.dim,
+       |      CAST(SUM(CAST(e.embedding[d.dim + 1] AS DECIMAL(28, 12))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM $assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |    CROSS JOIN generate_series(0, 63) d(dim)
+       |    GROUP BY a.cid, d.dim) y
+       |  GROUP BY cid""".stripMargin
+
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -161,6 +186,51 @@ object SimilarityQueries {
          |  FROM scored) x
          |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
     },
+
+    // Full value oracle for TRAINED IVF: two distributed Lloyd iterations
+    // unrolled as CTEs. Reproducible cross-engine because every stage obeys
+    // the repo FP discipline: assignments order by the ROUND-6 cosine with
+    // integer tie-breaks, and centroid means are decimal-exact sums cast
+    // ONCE to double then divided by an integer count — no order-dependent
+    // double accumulation anywhere. (Float→decimal(…,12) rounding is
+    // mode-insensitive here: float values are ~24-bit binary fractions
+    // whose decimal expansions don't terminate by digit 13, so exact
+    // half-way ties at scale 12 cannot occur.)
+    "knn_ivf_trained" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+         |  WHERE vec_id < $N_CENTROIDS
+         |), a0 AS (
+         |  ${sqlAssign("c0")}
+         |), c1 AS (
+         |  ${sqlLloyd("a0")}
+         |), a1 AS (
+         |  ${sqlAssign("c1")}
+         |), c2 AS (
+         |  ${sqlLloyd("a1")}
+         |), assigned AS (
+         |  ${sqlAssign("c2")}
+         |), probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCosine("q.embedding", "c.ce")} DESC, c.cid) AS qrn
+         |    FROM embeddings q CROSS JOIN c2 c
+         |    WHERE q.vec_id < $N_QUERIES) x
+         |  WHERE qrn <= $N_PROBE
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, cand.vec_id) AS rank
+         |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+         |            JOIN embeddings e ON e.vec_id = cand.vec_id) x
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin,
 
     // Full value oracle for IVF: the deterministic coarse quantizer (first
     // N_CENTROIDS vectors), nearest-centroid assignment, nprobe probe

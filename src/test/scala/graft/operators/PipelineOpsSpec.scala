@@ -20,6 +20,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nRemoved == nUnique)
   }
 
+  test("nearDupClusters: components, canonical minimum, convergence guard") {
+    import spark.implicits._
+    // triangle {1,2,3}, 4-chain {10,11,12,13} (propagation needs >1 round),
+    // isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // diameter beyond the round cap fails fast instead of returning a
+    // partial clustering
+    val longChain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      DedupOps.nearDupClusters(longChain, maxIters = 3)
+    }
+  }
+
   test("dd_minhash finds every high-similarity pair the exact blocked scan finds") {
     // MinHash-LSH (probabilistic recall) must catch all strongly-similar
     // pairs; at jaccard >= 0.5 the 4x4-band miss probability is
