@@ -20,6 +20,13 @@ object EventQueries {
       StreamOps.tumblingCounts(t(s, d, "events"))
         .orderBy("window_start_us", "event_type")),
 
+    // Sliding windows (30 min every 15 min): each event in exactly 2
+    // overlapping windows — the oracle replicates rows over a 2-element
+    // offset series.
+    "ev_sliding" -> ((s, d) =>
+      StreamOps.slidingCounts(t(s, d, "events"))
+        .orderBy("window_start_us", "event_type")),
+
     // Session windows (8h gap) per user (Spark session_window()).
     "ev_sessions" -> ((s, d) =>
       StreamOps.userSessions(t(s, d, "events"))
@@ -112,6 +119,12 @@ object EventQueries {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sliding" ->
+      """SELECT ((epoch_us(ts) // 900000000) - j.j) * 900000000 AS window_start_us,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN generate_series(0, 1) j(j)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_sessions" ->
       s"""$sessionsSql
          |ORDER BY user_id, session_start_us""".stripMargin,

@@ -177,6 +177,26 @@ object TextOps {
     * fractions. Sampler randomness is engine-specific — validate with
     * per-class tolerances, not value oracles.
     */
+  /** Per-language top-k terms by DOCUMENT frequency (number of docs
+    * containing the term, not raw occurrences — the dedup-robust corpus
+    * statistic). distinct (lang, doc, term) then count: two exchanges on
+    * small post-distinct data; at 100 TB the distinct's map-side combine on
+    * (doc, term) does the heavy lifting since in-document repeats collapse
+    * locally before the shuffle.
+    */
+  def topTerms(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("df").desc, col("term"))
+    spread(docs)
+      .select(col("lang"), col("doc_id"), explode(words).as("term"))
+      .distinct()
+      .groupBy("lang", "term").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "term", "df")
+      .orderBy("lang", "rank")
+  }
+
   def stratifiedSample(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
     docs.stat.sampleBy("lang", fractions, seed)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))

@@ -24,6 +24,7 @@ object TextQueries {
     "tx_winnow" -> ((s, d) =>
       TextOps.winnow(t(s, d, "documents").filter(col("doc_id") < 200))),
     "tx_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
     "tx_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"),
         Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)),
@@ -34,6 +35,16 @@ object TextQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
   def oracleSql: Map[String, String] = Map(
+    "tx_topterms" ->
+      """WITH tw AS (SELECT DISTINCT lang, doc_id, term FROM (
+        |    SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)),
+        |df AS (SELECT lang, term, COUNT(*) AS df FROM tw GROUP BY lang, term)
+        |SELECT lang, rank, term, df FROM (
+        |  SELECT lang, term, df,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rank
+        |  FROM df) x
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "tx_repetition" ->
       """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, lang,

@@ -51,6 +51,30 @@ object StreamOps {
     tumblingCounts(events.withColumn("etime", eventTime(col("ts")))
       .withWatermark("etime", "30 minutes"))
 
+  /** SLIDING-window counts: 30-minute windows every 15 minutes — each event
+    * lands in exactly windowDuration/slideDuration = 2 windows (Spark emits
+    * the replicated window rows before the aggregation; the shuffle carries
+    * 2× rows, which is the inherent cost of overlap, not a plan flaw).
+    * Completes the window-family surface next to tumbling and session.
+    */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    val withTime =
+      if (events.columns.contains("etime")) events
+      else events.withColumn("etime", eventTime(col("ts")))
+    withTime
+      .groupBy(window(col("etime"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming form of [[slidingCounts]] (watermark on the window column). */
+  def slidingCountsStream(events: DataFrame): DataFrame =
+    slidingCounts(events.withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "45 minutes"))
+
   /** Per-user session windows (8h inactivity gap): session start + size. */
   def userSessions(events: DataFrame): DataFrame =
     events

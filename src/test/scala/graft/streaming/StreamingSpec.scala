@@ -63,6 +63,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingCountsStream: overlapping windows close under the watermark") {
+    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val sdf = spark.readStream.schema(batchDf.schema).parquet(tmp.toString)
+    val q = slidingCountsStream(sdf)
+      .writeStream.format("memory").queryName("sliding_append")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding_append")
+      val batch = slidingCounts(batchDf)
+      val joined = got.as("g").join(batch.as("b"),
+        got("window_start_us") === batch("window_start_us") &&
+          got("event_type") === batch("event_type"))
+      assert(got.count() > 0)
+      assert(joined.count() == got.count(), "append rows must match batch rows")
+    } finally q.stop()
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -41,6 +41,7 @@ def runLibcheck(): Unit = {
   check("TextOps.langId")(TextOps.langId(docs))
   check("TextOps.repetition")(TextOps.repetition(docs))
   check("TextOps.trainValTest")(TextOps.trainValTest(docs))
+  check("TextOps.topTerms")(TextOps.topTerms(docs))
   // dedup
   check("DedupOps.exactDedupStats")(DedupOps.exactDedupStats(docs))
   check("DedupOps.minhashPairs")(DedupOps.minhashPairs(docs))
@@ -56,6 +57,7 @@ def runLibcheck(): Unit = {
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
   // streaming ops, batch twins
   check("StreamOps.tumblingCounts")(StreamOps.tumblingCounts(events))
+  check("StreamOps.slidingCounts")(StreamOps.slidingCounts(events))
   check("StreamOps.userSessions")(StreamOps.userSessions(events))
   check("StreamOps.dedupEvents")(StreamOps.dedupEvents(events))
   check("StreamOps.enrichEvents")(StreamOps.enrichEvents(events, customers))
