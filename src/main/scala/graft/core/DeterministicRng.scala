@@ -135,40 +135,96 @@ object DeterministicRng {
   }
 }
 
-/** Static per-family uniform dispatch — shared by the native generated-code
-  * kernels ([[McGenHelper]]), [[StepRng]] and anything else that draws at a
-  * counter. `familyId` is [[RngFamily.id]]; the dispatch is a dense int
-  * tableswitch, JIT-friendly inside codegen'd loops. Unknown ids FAIL —
-  * a silent fallthrough to a default backend would hand a future
-  * mis-wired family plausible-looking draws from the wrong generator.
+/** Sequential view of one RNG stream at a fixed (seed, model, sim) —
+  * what the trace kernels and [[StepRng]] actually consume: a trace row
+  * draws its uniforms in step order inside one kernel invocation, so the
+  * engine only needs STATELESS access ACROSS streams (that is what keeps
+  * generation shuffle-free), never within one.
+  */
+trait UniformStream { def next(): Double }
+
+/** Static per-family dispatch — shared by the native generated-code
+  * kernels ([[McGenHelper]]), [[StepRng]] and anything else that draws.
+  * `familyId` is [[RngFamily.id]]. Unknown ids FAIL — a silent
+  * fallthrough to a default backend would hand a future mis-wired family
+  * plausible-looking draws from the wrong generator.
+  *
+  * [[stream]] is the primary entry point. For the counter-based families
+  * (CounterHash, Philox, PCG64) the stream's draw k equals
+  * `uniform(familyId, …, step = k)` — point access is O(1) (PCG64 via
+  * LCG jump-ahead). The sequential families (SFC64, MT19937 — real
+  * KAT-verified backends with no jump-ahead, see [[Sfc64]]/[[Mt19937]])
+  * only exist as streams; their point-access [[uniform]] honestly costs
+  * O(step) by drawing forward from the stream head.
   */
 object Rngs {
   def uniform(familyId: Int, seed: Long, model: Long, sim: Long, step: Long): Double =
     familyId match {
       case 0 => DeterministicRng.uniform(seed, model, sim, step) // CounterHash
       case 1 => Philox.uniform(seed, model, sim, step)
-      case 2 => DeterministicRng.uniform(seed, model, sim, step) // SFC64 substitute
-      case 3 => DeterministicRng.uniform(seed, model, sim, step) // MT19937 substitute
       case 4 => Pcg64.uniform(seed, model, sim, step)
+      case 2 | 3 => // sequential designs: skip-ahead by iteration, O(step)
+        val s = stream(familyId, seed, model, sim)
+        var k = 0L
+        while (k < step) { s.next(); k += 1 }
+        s.next()
+      case other => throw new IllegalArgumentException(
+        s"unknown RNG familyId $other; known: ${RngFamily.all.map(f => s"${f.id}=${f.name}").mkString(", ")}")
+    }
+
+  def stream(familyId: Int, seed: Long, model: Long, sim: Long): UniformStream =
+    familyId match {
+      case 0 => new UniformStream {
+        private var step = 0L
+        def next(): Double = {
+          val u = DeterministicRng.uniform(seed, model, sim, step); step += 1; u
+        }
+      }
+      case 1 => new UniformStream {
+        private var step = 0L
+        def next(): Double = {
+          val u = Philox.uniform(seed, model, sim, step); step += 1; u
+        }
+      }
+      case 2 => new UniformStream {
+        private val g = Sfc64.stream(seed, model, sim)
+        def next(): Double = g.nextDouble()
+      }
+      case 3 => new UniformStream {
+        private val g = Mt19937.stream(seed, model, sim)
+        def next(): Double = g.nextDouble()
+      }
+      case 4 => new UniformStream {
+        // sequential PCG64: one seeding, one LCG step per draw — same
+        // values as uniform(4, …, k) (PcgSpec pins the equivalence), far
+        // cheaper than a jump-ahead per step
+        private val g = Pcg64.seeded(seed, model, 0L, sim)
+        def next(): Double = g.nextDouble()
+      }
       case other => throw new IllegalArgumentException(
         s"unknown RNG familyId $other; known: ${RngFamily.all.map(f => s"${f.id}=${f.name}").mkString(", ")}")
     }
 }
 
 /** The reference's RNG-family enum (`models.py:17-33`, default PCG64),
-  * plus the engine-native `CounterHash` family.
+  * plus the engine-native `CounterHash` family. ALL FOUR NumPy names route
+  * to real KAT-verified backends:
   *
-  * `PCG64` — the reference's DEFAULT — routes to the REAL PCG64 backend
-  * ([[Pcg64]], pcg_setseq_128_xsl_rr_64, KAT-verified against the
-  * published demo vectors and NumPy's C implementation), stateless via
-  * LCG jump-ahead. `Philox` routes to the REAL Philox-4x32-10 backend
-  * ([[Philox]], Random123 KAT-verified), natively counter-based. The
-  * remaining two NumPy names (SFC64, MT19937 — chaotic/large-state
-  * sequential designs with no O(log n) jump, so a faithful backend cannot
-  * honor the stateless counter contract) select distinct salts folded into
-  * the master seed of the counter-based generator above — streams from
-  * different families are decorrelated and the four-name API surface is
-  * preserved exactly.
+  *   - `PCG64` (the reference's DEFAULT): [[Pcg64]],
+  *     pcg_setseq_128_xsl_rr_64 — verified against the published demo
+  *     vectors and NumPy's C implementation; stateless point access via
+  *     LCG jump-ahead;
+  *   - `Philox`: [[Philox]]-4x32-10 per Random123 — natively counter-based;
+  *   - `SFC64`: [[Sfc64]] — verified against NumPy by raw-state injection;
+  *   - `MT19937`: [[Mt19937]] — verified against the published
+  *     default-seed vectors and CPython's MT by state injection.
+  *
+  * SFC64 and MT19937 are sequential designs with no jump-ahead, so they
+  * run as per-(seed, model, sim) streams ([[Rngs.stream]]) — independent
+  * across simulations (generation stays shuffle-free), consumed in step
+  * order within a trace; their per-point [[Rngs.uniform]] costs O(step).
+  * The family salts remain folded into battery seeds so equal user seeds
+  * still give decorrelated streams across families.
   *
   * `CounterHash` is the engine's own family: the SQL-expressible counter
   * hash ([[DeterministicRng]]), bit-reproducible in DuckDB via
@@ -200,23 +256,17 @@ object RngFamily {
   }
 }
 
-/** Sequential-draw view over the counter-based generators, for the typed
-  * (arbitrary Scala model function) tier: models that want a classic
+/** Sequential-draw view over one RNG stream, for the typed (arbitrary
+  * Scala model function) tier: models that want a classic
   * `rng.nextUniform()` stream get one, deterministically derived from
-  * `(seed, model, sim)` with an internal step counter. The family routes
-  * the backend ([[Rngs]]): Philox draws real Philox-4x32-10 words, the
-  * other families the salted counter hash — identical to what the Column
-  * tier's native kernels draw, preserving the cross-tier identical-trace
-  * invariant for every family.
+  * `(seed, model, sim)`. Thin facade over [[Rngs.stream]] — the SAME
+  * streams the Column tier's native kernels draw, preserving the
+  * cross-tier identical-trace invariant for every family.
   */
 final class StepRng(seed: Long, model: Long, sim: Long,
     family: RngFamily = RngFamily.PCG64) {
-  private var step: Long = 0L
-  def nextUniform(): Double = {
-    val u = Rngs.uniform(family.id, seed, model, sim, step)
-    step += 1
-    u
-  }
+  private val s = Rngs.stream(family.id, seed, model, sim)
+  def nextUniform(): Double = s.next()
   /** Box-Muller standard normal (consumes two uniforms). */
   def nextGaussian(): Double = {
     val u1 = math.max(nextUniform(), 1e-300) // guard log(0)

@@ -7,7 +7,16 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Static generation kernel shared by interpreted eval and generated code. */
+/** Static generation kernel shared by interpreted eval and generated code.
+  *
+  * Each kernel opens ONE [[Rngs.stream]] per trace row and consumes draws
+  * in step order — for the counter-based families this yields exactly the
+  * draws `Rngs.uniform(familyId, …, step)` would (the stream is a step
+  * counter over the same function), and it is what lets the sequential
+  * SFC64/MT19937 backends run at full fidelity: the whole trace is
+  * generated inside one kernel invocation, so no cross-step stateless
+  * access is ever needed.
+  */
 object McGenHelper {
   private val H = UTF8String.fromString("H")
   private val T = UTF8String.fromString("T")
@@ -17,18 +26,18 @@ object McGenHelper {
     val out = new Array[Any](prefix.length + n)
     var i = 0
     while (i < prefix.length) { out(i) = prefix(i); i += 1 }
+    val rs = Rngs.stream(familyId, seed, model, sim)
     var step = 0
     while (step < n) {
-      out(prefix.length + step) =
-        if (Rngs.uniform(familyId, seed, model, sim, step.toLong) < bias) H else T
+      out(prefix.length + step) = if (rs.next() < bias) H else T
       step += 1
     }
     new GenericArrayData(out)
   }
 
   /** GBM prices in one cumulative LOG-SPACE loop: acc += drift + vol·Z_t,
-    * point t = S₀·exp(acc), Z from Box-Muller over uniforms (2t, 2t+1) —
-    * the exact evaluation order of both the typed tier
+    * point t = S₀·exp(acc), Z from Box-Muller over stream draws (2t, 2t+1)
+    * — the exact evaluation order of both the typed tier
     * ([[graft.core.GeometricBrownianMotion.simulate]]) and the composable
     * `transform(sequence, t -> exp(aggregate(...)))` form this replaces,
     * which re-folded the whole prefix per point (O(n²) uniform draws in
@@ -38,11 +47,12 @@ object McGenHelper {
   def gbmTrace(seed: Long, model: Long, sim: Long, n: Int, drift: Double,
       vol: Double, s0: Double, familyId: Int): ArrayData = {
     val out = new Array[Any](n)
+    val rs = Rngs.stream(familyId, seed, model, sim)
     var acc = 0.0
     var t = 0
     while (t < n) {
-      val u1 = math.max(Rngs.uniform(familyId, seed, model, sim, 2L * t), 1e-300)
-      val u2 = Rngs.uniform(familyId, seed, model, sim, 2L * t + 1L)
+      val u1 = math.max(rs.next(), 1e-300)
+      val u2 = rs.next()
       val z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
       acc += drift + vol * z
       out(t) = UTF8String.fromString(java.lang.Double.toString(s0 * math.exp(acc)))
@@ -58,10 +68,11 @@ object McGenHelper {
   def walkTrace(seed: Long, model: Long, sim: Long, n: Int, bias: Double,
       origin: Long, familyId: Int): ArrayData = {
     val out = new Array[Any](n)
+    val rs = Rngs.stream(familyId, seed, model, sim)
     var pos = origin
     var step = 0
     while (step < n) {
-      pos += (if (Rngs.uniform(familyId, seed, model, sim, step.toLong) < bias) 1L else -1L)
+      pos += (if (rs.next() < bias) 1L else -1L)
       out(step) = UTF8String.fromString(java.lang.Long.toString(pos))
       step += 1
     }

@@ -144,6 +144,28 @@ class BatterySpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Rngs.uniform(99, 7L, 0L, 0L, 0L) }
   }
 
+  test("all five families: tiers identical, streams pairwise distinct") {
+    // every family (4 real NumPy backends + CounterHash) must satisfy the
+    // cross-tier identical-trace invariant, and equal user seeds must give
+    // different traces across families
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 10, 9, Seq(0.6), Seq("T"), 42),
+      SimulationSpec(1, "random_walk", 10, 9, Seq(0.5), Nil, 43))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("model_id"), col("sim_id"), concat_ws(",", col("trace")).as("t"))
+        .orderBy("model_id", "sim_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    val perFamily = RngFamily.all.map { fam =>
+      val b = new MCBattery(spark, fam)
+      val colTier = dump(b.simulate(specs))
+      assert(colTier == dump(b.simulateTyped(specs)), s"tier mismatch for ${fam.name}")
+      fam.name -> colTier
+    }
+    perFamily.combinations(2).foreach { case Seq((n1, d1), (n2, d2)) =>
+      assert(d1 != d2, s"families $n1 and $n2 produced identical traces")
+    }
+  }
+
   test("gbm tiers agree to ulp precision (log-space accumulation aligned)") {
     // Both tiers accumulate in log space (s0·exp(Σ inc)), which removed the
     // systematic exp(a+b) ≠ exp(a)·exp(b) divergence; the residual is

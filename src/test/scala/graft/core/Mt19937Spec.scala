@@ -1,0 +1,51 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the MT19937 backend against the canonical
+  * mt19937ar reference outputs (Matsumoto & Nishimura), plus the engine
+  * stream-mapping properties. The generator was additionally
+  * cross-validated word-for-word against CPython's MT implementation via
+  * `random.setstate` raw 624-word state injection (tools-side; CPython's
+  * `random` IS mt19937ar).
+  */
+class Mt19937Spec extends AnyFunSuite {
+
+  test("KAT: init_genrand(5489) reproduces the published default-seed sequence") {
+    val g = Mt19937.seeded(5489)
+    assert((0 until 5).map(_ => g.next32()) ==
+      Seq(3499211612L, 581869302L, 3890346734L, 3586334585L, 545404204L))
+  }
+
+  test("KAT: init_by_array({0x123,0x234,0x345,0x456}) matches mt19937ar.out") {
+    val g = Mt19937.seededByArray(Array(0x123, 0x234, 0x345, 0x456))
+    assert((0 until 5).map(_ => g.next32()) ==
+      Seq(1067595299L, 955945823L, 477289528L, 4107218783L, 4228976476L))
+  }
+
+  test("engine stream mapping (seed=42, model=7, sim=3) is pinned") {
+    // five-word init_by_array split of the three counters; vector from the
+    // CPython-validated arbitrary-precision model
+    val g = Mt19937.stream(42L, 7L, 3L)
+    assert((0 until 4).map(_ => g.next32()) ==
+      Seq(4085426664L, 1319616860L, 1292313166L, 4243879981L))
+  }
+
+  test("uniforms are in [0,1), streams distinct across counters, stats sane") {
+    val a = Mt19937.stream(1L, 0L, 0L)
+    val b = Mt19937.stream(1L, 0L, 1L)
+    val da = (0 until 2000).map(_ => a.nextDouble())
+    val db = (0 until 2000).map(_ => b.nextDouble())
+    assert(da != db)
+    assert(da.forall(u => u >= 0.0 && u < 1.0))
+    val mean = da.sum / da.size
+    assert(math.abs(mean - 0.5) < 0.03, s"mean = $mean")
+  }
+
+  test("Rngs routing: stream and O(step) point access agree") {
+    val s = Rngs.stream(RngFamily.MT19937.id, 9L, 2L, 5L)
+    val seq = (0 until 8).map(_ => s.next())
+    val pts = (0 until 8).map(k => Rngs.uniform(RngFamily.MT19937.id, 9L, 2L, 5L, k.toLong))
+    assert(seq == pts)
+  }
+}
