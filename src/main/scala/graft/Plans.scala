@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: formatted physical plans of the headline queries,
+  * the artifact backing the "is this the plan you'd want at 1000
+  * executors" review (pushdown reaches the scan, small dims broadcast,
+  * partial aggregation before every shuffle, simulation shuffle-free).
+  *
+  *   sbt "runMain graft.Plans /root/testdata/sf0.001 PLANS.md"
+  */
+object Plans {
+  // queries whose plan shape carries the scale argument; dd_clusters is
+  // deliberately absent (its result is a localCheckpoint scan — the
+  // interesting structure is the per-round loop, documented on the op)
+  private val headline = Seq(
+    "q1_pricing_summary", "q2_filter_project", "q5_region_revenue",
+    "q6_revenue_forecast", "sim_coin_traces", "sim_gbm_stats",
+    "dd_minhash", "dd_simhash", "emb_near_pairs_lsh",
+    "knn_lsh", "tx_langid", "tx_topterms", "ev_sliding", "q20_asof_clicks")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical plans of headline queries (sf0.001, local[4])\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.Plans\"`. Reviewed per the design\n")
+    sb.append("rules: filters/projections reach the scan, always-small dims broadcast,\n")
+    sb.append("partial aggregation before every shuffle, simulation stays shuffle-free.\n")
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n").append(plan.trim).append("\n```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[plans] wrote ${headline.size} plans to $out")
+    spark.stop()
+  }
+}
