@@ -110,6 +110,34 @@ object SimilarityOps {
     cents
   }
 
+  /** Max-abs int8 quantization of the embedding column — the standard
+    * compression step before ANN at scale (4× smaller than float32, dot
+    * products stay proportional): per-vector scale = max |x_i|, each
+    * component rounded to round(127·x/scale) ∈ [-127, 127]. Quantized
+    * components are emitted as a CSV string (exact integer→string, so the
+    * result is value-oracle-comparable cross-engine); `scale` is the
+    * exact float max widened to double. Zero vectors quantize to zeros.
+    *
+    * FP discipline: 127·x and the division are two correctly-rounded
+    * double ops over exact inputs (float→double is exact), and both
+    * engines round .5 ties away from zero — bit-reproducible. The
+    * per-element lambda is interpreted (the HOF cost note on
+    * [[graft.functions.DotProduct]]); quantization is a one-pass
+    * write-side transform, not a query hot path, so clarity wins here.
+    */
+  def quantizeInt8(e: DataFrame): DataFrame = {
+    val scaleF = array_max(transform(col("embedding"), x => abs(x)))
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("scale_f", scaleF)
+      .select(col("vec_id"), col("scale_f").cast("double").as("scale"),
+        concat_ws(",", transform(col("embedding"), x =>
+          when(col("scale_f") === 0f, lit(0))
+            .otherwise(round(x.cast("double") * lit(127.0) /
+              col("scale_f").cast("double"), 0).cast("int"))
+            .cast("string"))).as("q_csv"))
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs near-duplicate pairs at `threshold` — O(N²), the
     * oracle anchor. Use [[nearPairsLsh]] at corpus scale.
     */

@@ -116,9 +116,22 @@ object SimilarityQueries {
     "knn_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.lshTopK(e, queriesOf(e), TOP_K)
-    }))
+    }),
+
+    "emb_quantize" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(t(s, d, "embeddings"))))
 
   def oracleSql: Map[String, String] = Map(
+    "emb_quantize" ->
+      """SELECT e.vec_id, CAST(s.scale AS DOUBLE) AS scale,
+        |  array_to_string(list_transform(e.embedding, x ->
+        |    CAST(CASE WHEN s.scale = 0 THEN 0
+        |         ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / CAST(s.scale AS DOUBLE)) AS INTEGER)
+        |         END AS VARCHAR)), ',') AS q_csv
+        |FROM embeddings e JOIN (
+        |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(x))) AS scale
+        |  FROM embeddings) s ON s.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     // The blocked path must reproduce the exact formulation's pairs —
     // same oracle as emb_near_pairs (recall 1.0 on the test corpus).
     "emb_near_pairs_lsh" ->

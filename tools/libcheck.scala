@@ -51,6 +51,7 @@ def runLibcheck(): Unit = {
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
   check("SimilarityOps.bruteTopK")(SimilarityOps.bruteTopK(embs, queries, 5))
+  check("SimilarityOps.quantizeInt8")(SimilarityOps.quantizeInt8(embs))
   check("SimilarityOps.lshTopK")(SimilarityOps.lshTopK(embs, queries, 5))
   // multimodal plumbing (stub decode, real Spark shapes)
   check("MediaOps.thumbnail")(
