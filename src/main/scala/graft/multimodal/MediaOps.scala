@@ -18,7 +18,8 @@ object MediaOps {
     * resize; the byte-slice + digest plumbing is identical).
     */
   def thumbnail(docsWithPayload: DataFrame, nBytes: Int = 64): DataFrame =
-    docsWithPayload
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.thumbnail", "doc_id", "payload")
       .select(col("doc_id"),
         md5(substring(col("payload"), 1, nBytes)).as("thumb_md5"),
         least(octet_length(col("payload")), lit(nBytes)).as("thumb_bytes"))
@@ -31,7 +32,8 @@ object MediaOps {
     * [[MediaStub.decodeAll]]).
     */
   def resizeToFit(dims: DataFrame, box: Int = 128): DataFrame =
-    dims
+    graft.operators.OpContract.requireCols(dims,
+        "MediaOps.resizeToFit", "doc_id", "width", "height")
       .withColumn("max_dim", greatest(col("width"), col("height")))
       .select(col("doc_id"), col("width"), col("height"),
         when(col("max_dim") <= box, col("width"))

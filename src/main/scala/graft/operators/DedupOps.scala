@@ -45,7 +45,7 @@ object DedupOps {
     * matter how many the executor has — the small-file parallelism trap.
     */
   private def docShingleSets(docs: DataFrame): DataFrame =
-    docs
+    OpContract.requireCols(docs, "DedupOps shingle ops", "doc_id", "lang", "n_chars", "text")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("n_chars"), shinglesCol(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
@@ -54,7 +54,7 @@ object DedupOps {
     * keep-first policy; returns (n_input, n_unique, n_removed).
     */
   def exactDedupStats(docs: DataFrame): DataFrame =
-    docs
+    OpContract.requireCols(docs, "DedupOps.exactDedupStats", "doc_id", "text")
       .groupBy(md5(col("text")).as("digest"))
       .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
       .agg(
@@ -151,7 +151,7 @@ object DedupOps {
     * near-dup pairs = hamming ≤ 3, found via 8-bit chunk blocking.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val wc = docs
+    val wc = OpContract.requireCols(docs, "DedupOps.simhashPairs", "doc_id", "text")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(wordsCol).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
@@ -199,7 +199,7 @@ object DedupOps {
     * O(log n) rounds with the same per-round join shape.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = pairs
+    val sym = OpContract.requireCols(pairs, "DedupOps.nearDupClusters", "doc_a", "doc_b")
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()

@@ -1,0 +1,21 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-contract validation shared by the public ops ([[TextOps]],
+  * [[DedupOps]], [[SimilarityOps]], media/stream ops): fail AT THE CALL
+  * SITE with the op name, the required contract and the actual schema,
+  * instead of an unresolved-column AnalysisException surfacing from deep
+  * inside a lazily-built plan (possibly several transformations away from
+  * the mistake).
+  */
+private[graft] object OpContract {
+  def requireCols(df: DataFrame, op: String, cols: String*): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$op requires input columns ${cols.mkString("(", ", ", ")")} but " +
+        s"${missing.mkString("(", ", ", ")")} are missing from the given " +
+        s"schema ${df.columns.mkString("(", ", ", ")")}")
+    df
+  }
+}

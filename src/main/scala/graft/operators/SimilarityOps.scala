@@ -98,6 +98,8 @@ object SimilarityOps {
     * exactly k lists should check the count and re-seed.
     */
   def trainCentroids(e0: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    OpContract.requireCols(e0, "SimilarityOps.trainCentroids corpus", "vec_id", "embedding")
+    OpContract.requireCols(initial, "SimilarityOps.trainCentroids initial", "cid", "ce")
     val spark = e0.sparkSession
     import spark.implicits._
     val e = e0.repartition(spark.sparkContext.defaultParallelism)
@@ -126,6 +128,7 @@ object SimilarityOps {
     * write-side transform, not a query hot path, so clarity wins here.
     */
   def quantizeInt8(e: DataFrame): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.quantizeInt8", "vec_id", "embedding")
     val scaleF = array_max(transform(col("embedding"), x => abs(x)))
     e.repartition(e.sparkSession.sparkContext.defaultParallelism)
       .withColumn("scale_f", scaleF)
@@ -142,6 +145,7 @@ object SimilarityOps {
     * oracle anchor. Use [[nearPairsLsh]] at corpus scale.
     */
   def nearPairs(e: DataFrame, threshold: Double): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.nearPairs", "vec_id", "embedding")
     val a = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -179,6 +183,7 @@ object SimilarityOps {
     */
   def nearPairsLsh(e0: DataFrame, threshold: Double, bits: Int, tables: Int,
       seed: Long): DataFrame = {
+    OpContract.requireCols(e0, "SimilarityOps.nearPairsLsh", "vec_id", "embedding")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val sigArr = array((0 until tables).map(l =>
       lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
@@ -213,11 +218,14 @@ object SimilarityOps {
     * to share an id would be silently excluded.
     */
   def bruteTopK(e: DataFrame, queries: DataFrame, k: Int,
-      excludeQueryId: Boolean = true): DataFrame =
+      excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.bruteTopK corpus", "vec_id", "embedding")
+    OpContract.requireCols(queries, "SimilarityOps.bruteTopK queries", "query_id", "qe")
     rankTopK(
       e.join(broadcast(queries),
           if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
+  }
 
   /** LSH-bucketed ANN: `tables` independent hash tables (random-hyperplane
     * signatures with per-table seeds), 1-bit multiprobe per table, union of
@@ -228,6 +236,8 @@ object SimilarityOps {
     */
   def lshTopK(e0: DataFrame, queries: DataFrame, k: Int, tables: Int = 6,
       bits: Int = 8, seed: Long = 777L, excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(e0, "SimilarityOps.lshTopK corpus", "vec_id", "embedding")
+    OpContract.requireCols(queries, "SimilarityOps.lshTopK queries", "query_id", "qe")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val sigArr = array((0 until tables).map(l =>
       lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
@@ -261,6 +271,9 @@ object SimilarityOps {
     */
   def ivfTopK(e0: DataFrame, queries: DataFrame, cents: DataFrame, nprobe: Int,
       k: Int, excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(e0, "SimilarityOps.ivfTopK corpus", "vec_id", "embedding")
+    OpContract.requireCols(queries, "SimilarityOps.ivfTopK queries", "query_id", "qe")
+    OpContract.requireCols(cents, "SimilarityOps.ivfTopK centroids", "cid", "ce")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val assigned = assignToCentroids(e, cents)
     val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))

@@ -49,7 +49,7 @@ object TextOps {
     * tokens, distinct-token ratio. One scan, one small hash agg.
     */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs
+    OpContract.requireCols(docs, "TextOps.tokenStats", "lang", "n_chars", "text")
       .select(col("lang"), col("n_chars"),
         size(words).as("ws_tokens"),
         // count of maximal [a-z0-9]+ runs == count of non-empty tokens
@@ -71,7 +71,7 @@ object TextOps {
     * shuffle at all).
     */
   def quality(docs: DataFrame): DataFrame =
-    docs
+    OpContract.requireCols(docs, "TextOps.quality", "doc_id", "text")
       .select(col("doc_id"),
         size(words).as("n_tokens"),
         (size(array_distinct(words)).cast("double") / size(words)).as("ttr"),
@@ -129,6 +129,7 @@ object TextOps {
     * per-row work stays codegen'd.
     */
   def winnow(docs: DataFrame): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.winnow", "doc_id", "text")
     import graft.functions.CrossHash
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 7)
@@ -155,7 +156,8 @@ object TextOps {
     * correctly-rounded division of exact integers.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val perShingle = spread(docs)
+    val perShingle = spread(OpContract.requireCols(docs,
+        "TextOps.repetition", "doc_id", "lang", "text"))
       .filter(size(words) >= 3)
       .select(col("doc_id"), col("lang"), explode(positionalShingles).as("shingle"))
       .groupBy("doc_id", "lang", "shingle")
@@ -187,7 +189,7 @@ object TextOps {
   def topTerms(docs: DataFrame, k: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("df").desc, col("term"))
-    spread(docs)
+    spread(OpContract.requireCols(docs, "TextOps.topTerms", "lang", "doc_id", "text"))
       .select(col("lang"), col("doc_id"), explode(words).as("term"))
       .distinct()
       .groupBy("lang", "term").agg(count(lit(1)).as("df"))
@@ -198,7 +200,7 @@ object TextOps {
   }
 
   def stratifiedSample(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
-    docs.stat.sampleBy("lang", fractions, seed)
+    OpContract.requireCols(docs, "TextOps.stratifiedSample", "lang").stat.sampleBy("lang", fractions, seed)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
@@ -209,7 +211,7 @@ object TextOps {
     * a sampler's partition-local state. Fully oracle-checkable.
     */
   def trainValTest(docs: DataFrame): DataFrame =
-    docs
+    OpContract.requireCols(docs, "TextOps.trainValTest", "doc_id")
       .withColumn("bucket",
         graft.functions.CrossHash.mdint(concat(lit("split:"), col("doc_id"))) % 10)
       .withColumn("split",
@@ -224,7 +226,7 @@ object TextOps {
     * word-order-insensitive near-dup detection in one agg pass.
     */
   def bowFingerprint(docs: DataFrame): DataFrame =
-    docs
+    OpContract.requireCols(docs, "TextOps.bowFingerprint", "text")
       .select(md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
         .as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("cluster_size"))

@@ -31,6 +31,7 @@ object StreamOps {
     * (a watermark on a different column never reaches the window operator).
     */
   def tumblingCounts(events: DataFrame): DataFrame = {
+    graft.operators.OpContract.requireCols(events, "StreamOps.tumblingCounts", "event_type", "value")
     val withTime =
       if (events.columns.contains("etime")) events
       else events.withColumn("etime", eventTime(col("ts")))
@@ -58,6 +59,7 @@ object StreamOps {
     * Completes the window-family surface next to tumbling and session.
     */
   def slidingCounts(events: DataFrame): DataFrame = {
+    graft.operators.OpContract.requireCols(events, "StreamOps.slidingCounts", "event_type", "value")
     val withTime =
       if (events.columns.contains("etime")) events
       else events.withColumn("etime", eventTime(col("ts")))
@@ -77,7 +79,7 @@ object StreamOps {
 
   /** Per-user session windows (8h inactivity gap): session start + size. */
   def userSessions(events: DataFrame): DataFrame =
-    events
+    graft.operators.OpContract.requireCols(events, "StreamOps.userSessions", "ts", "user_id")
       .withColumn("etime", eventTime(col("ts")))
       .groupBy(session_window(col("etime"), "8 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -91,6 +93,8 @@ object StreamOps {
     * state — the stream-stream join shape (asserted in StreamingSpec).
     */
   def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    graft.operators.OpContract.requireCols(clicks, "StreamOps.clickErrorJoin clicks", "ts", "user_id", "event_id")
+    graft.operators.OpContract.requireCols(errors, "StreamOps.clickErrorJoin errors", "ts", "user_id", "event_id")
     val c = clicks
       .withColumn("ctime", eventTime(col("ts")))
       .withWatermark("ctime", "1 hour")
@@ -115,19 +119,22 @@ object StreamOps {
     * (oracle-checked through ev_enrich). Same one-definition property as
     * the rest of StreamOps.
     */
-  def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame =
+  def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame = {
+    graft.operators.OpContract.requireCols(events, "StreamOps.enrichEvents events", "event_id", "user_id", "event_type", "value")
+    graft.operators.OpContract.requireCols(customers, "StreamOps.enrichEvents customers", "c_custkey", "c_mktsegment")
     events.join(
       customers.select(col("c_custkey"), col("c_mktsegment")),
       col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment").as("segment"))
+  }
 
   /** Event-id deduplication — the ingestion guard for at-least-once
     * delivery. Batch twin: plain dropDuplicates over the complete input
     * (oracle-checked as ev_dedup on a deliberately doubled feed).
     */
   def dedupEvents(events: DataFrame): DataFrame =
-    events.dropDuplicates("event_id")
+    graft.operators.OpContract.requireCols(events, "StreamOps.dedupEvents", "event_id").dropDuplicates("event_id")
 
   /** Streaming form: dropDuplicatesWithinWatermark keeps an event_id in the
     * state store only until the watermark passes it — BOUNDED dedup state,

@@ -20,6 +20,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nRemoved == nUnique)
   }
 
+  test("ops fail at the call site with the contract and actual schema") {
+    import spark.implicits._
+    val wrong = Seq((1L, "x")).toDF("id", "body")
+    Seq(
+      () => TextOps.tokenStats(wrong),
+      () => DedupOps.minhashPairs(wrong),
+      () => SimilarityOps.quantizeInt8(wrong),
+      () => graft.streaming.StreamOps.dedupEvents(wrong)
+    ).foreach { op =>
+      val e = intercept[IllegalArgumentException](op())
+      // message names the op, the required columns, and what was passed —
+      // not an unresolved-column error from deep inside a lazy plan
+      assert(e.getMessage.contains("requires input columns"), e.getMessage)
+      assert(e.getMessage.contains("(id, body)"), e.getMessage)
+    }
+  }
+
   test("nearDupClusters: components, canonical minimum, convergence guard") {
     import spark.implicits._
     // triangle {1,2,3}, 4-chain {10,11,12,13} (propagation needs >1 round),
