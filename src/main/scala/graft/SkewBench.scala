@@ -6,8 +6,8 @@ import graft.operators.SkewJoin
 
 /** Standalone skew-join measurement (NOT part of the correctness gate —
   * timings are not oracleable). Joins an artificially skewed events key
-  * (one hot key holding ~70% of the fact side) against a per-user build
-  * table three ways:
+  * (one hot key holding ~90% of the fact side) against a per-user build
+  * table four ways:
   *
   *   - naive sort-merge join with AQE's skew handling (Spark's default);
   *   - naive sort-merge join with AQE disabled (what a non-adaptive

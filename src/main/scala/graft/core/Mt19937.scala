@@ -96,13 +96,14 @@ object Mt19937 {
     g
   }
 
-  /** Engine stream mapping: the three counters split into five 32-bit
-    * key words for init_by_array — injective, so distinct
-    * (seed, model, sim) get independent streams.
+  /** Engine stream mapping: the three counters split into six 32-bit
+    * key words (low/high halves of each) for init_by_array — injective
+    * over the full 64-bit range of all three, so distinct
+    * (seed, model, sim) always get independent streams.
     */
   def stream(seed: Long, model: Long, sim: Long): Mt19937 =
     seededByArray(Array(
       seed.toInt, (seed >>> 32).toInt,
-      model.toInt,
+      model.toInt, (model >>> 32).toInt,
       sim.toInt, (sim >>> 32).toInt))
 }

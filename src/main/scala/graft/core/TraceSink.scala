@@ -55,14 +55,24 @@ object TraceSink {
       .write.mode(SaveMode.Overwrite).partitionBy("model_id").text(tmp.toString)
     specs.foreach { s =>
       val dir = tmp.resolve(s"model_id=${s.modelId}")
-      val listing = Files.list(dir)
-      val part =
-        try listing.filter(_.getFileName.toString.startsWith("part-"))
-          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
-        finally listing.close()
       val dest = Paths.get(s.resolvedOutputPath)
       Option(dest.getParent).foreach(Files.createDirectories(_))
-      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val part =
+          try listing.filter(_.getFileName.toString.startsWith("part-"))
+            .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
+          finally listing.close()
+        // COPY, not move: two specs may (ab)use the same modelId with
+        // different output paths — each must receive the file, as the old
+        // per-spec jobs produced
+        Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // a spec whose model has no rows in `traces`: dynamic partitionBy
+        // writes no directory for it — preserve the previous per-spec
+        // behavior (an empty output file) instead of failing the battery
+        Files.write(dest, Array.emptyByteArray)
+      }
     }
     deleteRecursively(tmp)
   }

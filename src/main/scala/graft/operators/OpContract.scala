@@ -11,7 +11,10 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object OpContract {
   def requireCols(df: DataFrame, op: String, cols: String*): DataFrame = {
-    val missing = cols.filterNot(df.columns.contains)
+    // case-insensitive, matching Spark's default column resolution — the
+    // guard must never reject an input the ops would resolve fine
+    val have = df.columns.map(_.toLowerCase)
+    val missing = cols.filterNot(c => have.contains(c.toLowerCase))
     require(missing.isEmpty,
       s"$op requires input columns ${cols.mkString("(", ", ", ")")} but " +
         s"${missing.mkString("(", ", ", ")")} are missing from the given " +

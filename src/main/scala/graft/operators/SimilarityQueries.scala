@@ -46,6 +46,32 @@ object SimilarityQueries {
        |    FROM embeddings e CROSS JOIN $cents c) x
        |  WHERE crn = 1""".stripMargin
 
+  /** Probe selection as SQL text (per-query top-nprobe centroids by
+    * round-6 cosine, cid tie-break) — mirrors the probe stage of
+    * [[SimilarityOps.ivfTopK]].
+    */
+  private def sqlProbes(cents: String): String =
+    s"""SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCosine("q.embedding", "c.ce")} DESC, c.cid) AS qrn
+       |    FROM embeddings q CROSS JOIN $cents c
+       |    WHERE q.vec_id < $N_QUERIES) x
+       |  WHERE qrn <= $N_PROBE""".stripMargin
+
+  /** Candidate re-rank as SQL text (exact round-6 cosine, vec_id
+    * tie-break, top-[[TOP_K]]) — the shared tail of every ANN oracle.
+    */
+  private def sqlRerank(cand: String): String =
+    s"""SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT $cand.query_id, $cand.vec_id,
+       |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY $cand.query_id
+       |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, $cand.vec_id) AS rank
+       |  FROM $cand JOIN embeddings q ON q.vec_id = $cand.query_id
+       |            JOIN embeddings e ON e.vec_id = $cand.vec_id) x
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+
   /** One Lloyd step as SQL text — mirrors [[SimilarityOps]]' lloydStep:
     * per-(cid, dim) decimal-exact sum cast once to double, divided by the
     * member count, re-collected in dimension order.
@@ -186,18 +212,8 @@ object SimilarityQueries {
          |  JOIN sigs c ON c.tbl = q.tbl AND c.sig = xor(q.sig, f.flip)
          |    AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $N_QUERIES
-         |), scored AS (
-         |  SELECT cand.query_id, cand.vec_id,
-         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos
-         |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-         |            JOIN embeddings e ON e.vec_id = cand.vec_id
          |)
-         |SELECT query_id, rank, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored) x
-         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+         |${sqlRerank("cand")}""".stripMargin
     },
 
     // Full value oracle for TRAINED IVF: two distributed Lloyd iterations
@@ -224,26 +240,13 @@ object SimilarityQueries {
          |), assigned AS (
          |  ${sqlAssign("c2")}
          |), probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.vec_id AS query_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${sqlCosine("q.embedding", "c.ce")} DESC, c.cid) AS qrn
-         |    FROM embeddings q CROSS JOIN c2 c
-         |    WHERE q.vec_id < $N_QUERIES) x
-         |  WHERE qrn <= $N_PROBE
+         |  ${sqlProbes("c2")}
          |), cand AS (
          |  SELECT p.query_id, a.vec_id
          |  FROM probes p JOIN assigned a ON a.cid = p.cid
          |  WHERE a.vec_id <> p.query_id
          |)
-         |SELECT query_id, rank, vec_id, cos FROM (
-         |  SELECT cand.query_id, cand.vec_id,
-         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
-         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, cand.vec_id) AS rank
-         |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-         |            JOIN embeddings e ON e.vec_id = cand.vec_id) x
-         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin,
+         |${sqlRerank("cand")}""".stripMargin,
 
     // Full value oracle for IVF: the deterministic coarse quantizer (first
     // N_CENTROIDS vectors), nearest-centroid assignment, nprobe probe
@@ -254,31 +257,13 @@ object SimilarityQueries {
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
          |  WHERE vec_id < $N_CENTROIDS
          |), assigned AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqlCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
-         |    FROM embeddings e CROSS JOIN cents c) x
-         |  WHERE crn = 1
+         |  ${sqlAssign("cents")}
          |), probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.vec_id AS query_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${sqlCosine("q.embedding", "c.ce")} DESC, c.cid) AS qrn
-         |    FROM embeddings q CROSS JOIN cents c
-         |    WHERE q.vec_id < $N_QUERIES) x
-         |  WHERE qrn <= $N_PROBE
+         |  ${sqlProbes("cents")}
          |), cand AS (
          |  SELECT p.query_id, a.vec_id
          |  FROM probes p JOIN assigned a ON a.cid = p.cid
          |  WHERE a.vec_id <> p.query_id
          |)
-         |SELECT query_id, rank, vec_id, cos FROM (
-         |  SELECT cand.query_id, cand.vec_id,
-         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
-         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, cand.vec_id) AS rank
-         |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-         |            JOIN embeddings e ON e.vec_id = cand.vec_id) x
-         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin)
+         |${sqlRerank("cand")}""".stripMargin)
 }

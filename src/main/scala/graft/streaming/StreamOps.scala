@@ -31,7 +31,9 @@ object StreamOps {
     * (a watermark on a different column never reaches the window operator).
     */
   def tumblingCounts(events: DataFrame): DataFrame = {
-    graft.operators.OpContract.requireCols(events, "StreamOps.tumblingCounts", "event_type", "value")
+    graft.operators.OpContract.requireCols(events, "StreamOps.tumblingCounts",
+      Seq("event_type", "value") ++
+        (if (events.columns.contains("etime")) Nil else Seq("ts")): _*)
     val withTime =
       if (events.columns.contains("etime")) events
       else events.withColumn("etime", eventTime(col("ts")))
@@ -59,7 +61,9 @@ object StreamOps {
     * Completes the window-family surface next to tumbling and session.
     */
   def slidingCounts(events: DataFrame): DataFrame = {
-    graft.operators.OpContract.requireCols(events, "StreamOps.slidingCounts", "event_type", "value")
+    graft.operators.OpContract.requireCols(events, "StreamOps.slidingCounts",
+      Seq("event_type", "value") ++
+        (if (events.columns.contains("etime")) Nil else Seq("ts")): _*)
     val withTime =
       if (events.columns.contains("etime")) events
       else events.withColumn("etime", eventTime(col("ts")))

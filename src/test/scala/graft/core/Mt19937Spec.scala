@@ -24,11 +24,16 @@ class Mt19937Spec extends AnyFunSuite {
   }
 
   test("engine stream mapping (seed=42, model=7, sim=3) is pinned") {
-    // five-word init_by_array split of the three counters; vector from the
-    // CPython-validated arbitrary-precision model
+    // six-word init_by_array split of the three counters (injective over
+    // the full 64-bit range of each); vector from the CPython-validated
+    // arbitrary-precision model
     val g = Mt19937.stream(42L, 7L, 3L)
     assert((0 until 4).map(_ => g.next32()) ==
-      Seq(4085426664L, 1319616860L, 1292313166L, 4243879981L))
+      Seq(4230880599L, 201472326L, 4192722157L, 2392934904L))
+    // injectivity across the high halves the old five-word split dropped
+    val a = Mt19937.stream(1L, 1L << 32, 0L)
+    val b = Mt19937.stream(1L, 0L, 0L)
+    assert((0 until 4).map(_ => a.next32()) != (0 until 4).map(_ => b.next32()))
   }
 
   test("uniforms are in [0,1), streams distinct across counters, stats sane") {
