@@ -26,6 +26,24 @@ class SinkSpec extends SparkTestBase {
     assert(spark.read.text(s"$out/model_id=0").count() == 30)
   }
 
+  test("writeReferenceCsv edge cases: rowless spec -> empty file; shared modelId -> both paths served") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-edge")
+    val traces = new MCBattery(spark).simulate(
+      Seq(SimulationSpec(0, "coin_sequence", 4, 3, Seq(0.5), Nil, 42)))
+    // spec 9 has no rows in traces; specs 0a/0b share modelId 0 with
+    // different output paths — both degraded gracefully in the per-spec
+    // implementation and must keep doing so in the one-job form
+    val outSpecs = Seq(
+      SimulationSpec(0, "coin_sequence", 4, 3, Seq(0.5), Nil, 42, Some(s"$tmp/a.csv")),
+      SimulationSpec(0, "coin_sequence", 4, 3, Seq(0.5), Nil, 42, Some(s"$tmp/b.csv")),
+      SimulationSpec(9, "coin_sequence", 1, 1, Seq(0.5), Nil, 1, Some(s"$tmp/none.csv")))
+    TraceSink.writeReferenceCsv(traces, outSpecs)
+    val a = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(s"$tmp/a.csv"))
+    val b = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(s"$tmp/b.csv"))
+    assert(a.size == 4 && a == b)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(s"$tmp/none.csv")) == 0)
+  }
+
   test("writeParquet round-trips the array column and partitions by model") {
     val out = java.nio.file.Files.createTempDirectory("graft-pparq").toString
     val traces = new MCBattery(spark).simulate(specs)
