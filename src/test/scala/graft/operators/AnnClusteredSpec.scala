@@ -85,6 +85,44 @@ class AnnClusteredSpec extends SparkTestBase {
     assert(intra.toDouble / brute.size >= 0.9, s"intra-cluster fraction ${intra.toDouble / brute.size}")
   }
 
+  test("nearPairsLsh wins its intended regime: exact pairs at cos>=0.9, candidates << all-pairs") {
+    // The gate's 0.40-threshold corpus is the documented adversarial case
+    // (near pairs are the smooth tail of random cosine, so near-total
+    // recall costs MORE candidates than all-pairs — analysis on the op).
+    // THIS is the regime the op exists for: sparse genuine near-dups
+    // (100 clusters x 5 members, ~0.8% of pairs are dups at cos >= 0.9).
+    import spark.implicits._
+    val nClusters = 100; val perCluster = 5; val n = nClusters * perCluster
+    val sparse = (0 until n).map { id =>
+      val c = id / perCluster
+      val v = Array.tabulate(DIM) { i =>
+        val center = DeterministicRng.uniform(7001L, c.toLong, 0L, i.toLong) - 0.5
+        val noise = (DeterministicRng.uniform(7002L, id.toLong, 0L, i.toLong) - 0.5) * 0.15
+        (center + noise).toFloat
+      }
+      (id.toLong, v)
+    }
+    val df = sparse.toDF("vec_id", "embedding").repartition(4)
+    val bits = 12; val tables = 24; val seed = 99L
+    val blocked = SimilarityOps.nearPairsLsh(df, 0.9, bits, tables, seed)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilarityOps.nearPairs(df, 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain genuine near-dups")
+    assert(blocked == exact, s"blocked path missed ${(exact -- blocked).size} pairs")
+    // and the blocking actually PAYS here: candidate volume (bucket
+    // collisions, the quantity the join materializes) well under all-pairs
+    val sigArr = array((0 until tables).map(l =>
+      SimilarityOps.lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
+    val sigs = df.select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
+    val candidates = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id")).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(candidates < allPairs / 4,
+      s"candidates=$candidates not << all-pairs=$allPairs")
+  }
+
   test("trained IVF reaches recall@10 >= 0.8 on clustered data") {
     // the gate's knn_ivf floor on the driver's RANDOM corpus is 0.15 — a
     // property of structureless data. This is the operator-quality proof:
