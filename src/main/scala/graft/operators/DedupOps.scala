@@ -227,4 +227,72 @@ object DedupOps {
         "diameter exceeds the cap; raise maxIters or switch to star-contraction")
     labels.orderBy("doc_id")
   }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * extreme-scale alternative to [[nearDupClusters]]: O(log n) rounds
+    * regardless of component diameter, where min-label propagation needs
+    * O(diameter). Same output contract ((doc_id, cluster_id = minimum
+    * reachable id), one row per doc appearing in a pair) — asserted equal
+    * to the propagation implementation in PipelineOpsSpec, and gated
+    * against the same recursive-CTE oracle (dd_clusters_star).
+    *
+    * Each round is two half-steps over the edge list:
+    *   - large-star: every node u links its LARGER neighbors to
+    *     m = min(Γ(u) ∪ u);
+    *   - small-star: keyed by the larger endpoint, every node links its
+    *     smaller neighbors (and itself) to the minimum.
+    * Edges stay canonical (min, max) pairs; the edge list shrinks toward
+    * star graphs centered at component minima. Same per-round shape as
+    * propagation (join-free aggregates + one equality check), same
+    * localCheckpoint lineage discipline.
+    */
+  def nearDupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    OpContract.requireCols(pairs, "DedupOps.nearDupClustersStar", "doc_a", "doc_b")
+    val nodes = pairs.select(col("doc_a").as("n"))
+      .unionAll(pairs.select(col("doc_b").as("n"))).distinct().localCheckpoint()
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct()
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      // large-star groups the SYMMETRIC adjacency by u and links neighbors
+      // v > u; small-star groups by the larger endpoint and links all of
+      // (smaller neighbors ∪ itself) except the minimum
+      val adj =
+        if (large)
+          edges.select(col("a").as("u"), col("b").as("v"))
+            .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+        else edges.select(col("b").as("u"), col("a").as("v"))
+      val m = adj.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val linked = adj.join(m, "u")
+      val re =
+        if (large) linked.filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+        else linked.select(col("v").as("x"), col("m").as("y"))
+          .unionAll(m.select(col("u").as("x"), col("m").as("y")))
+      canon(re)
+    }
+    var edges = canon(pairs.select(col("doc_a").as("x"), col("doc_b").as("y")))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged,
+      s"nearDupClustersStar did not converge in $maxRounds rounds")
+    // converged edges are stars rooted at component minima: every
+    // non-root node has exactly the edge (root, node); roots label
+    // themselves
+    val rooted = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+    nodes.join(rooted, col("n") === col("doc_id"), "left")
+      .select(col("n").as("doc_id"),
+        coalesce(col("cluster_id"), col("n")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

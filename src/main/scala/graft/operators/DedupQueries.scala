@@ -31,6 +31,8 @@ object DedupQueries {
     "dd_minhash" -> ((s, d) => DedupOps.minhashPairs(t(s, d, "documents"))),
     "dd_clusters" -> ((s, d) =>
       DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))),
+    "dd_clusters_star" -> ((s, d) =>
+      DedupOps.nearDupClustersStar(DedupOps.minhashPairs(t(s, d, "documents")))),
     "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))))
 
   def oracleSql: Map[String, String] = {
@@ -67,6 +69,18 @@ object DedupQueries {
          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
          |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)""".stripMargin
 
+    val clustersOracle =
+      s"""WITH RECURSIVE $minhashCtes,
+         |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+
     Map(
       "dd_exact" ->
         """WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
@@ -90,19 +104,12 @@ object DedupQueries {
            |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= $JACCARD_T
            |ORDER BY doc_a, doc_b""".stripMargin,
       // connected components over the minhash pairs: each doc's cluster_id
-      // is the MIN doc_id reachable from it (recursive closure; the Spark
-      // side computes the same fixpoint by min-label propagation)
-      "dd_clusters" ->
-        s"""WITH RECURSIVE $minhashCtes,
-           |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
-           |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
-           |reach(id, r) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-           |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
-           |GROUP BY id ORDER BY doc_id""".stripMargin,
+      // is the MIN doc_id reachable from it (recursive closure). TWO Spark
+      // implementations compute the same fixpoint — min-label propagation
+      // (dd_clusters) and alternating star contraction (dd_clusters_star)
+      // — and both hash-match this one oracle.
+      "dd_clusters" -> clustersOracle,
+      "dd_clusters_star" -> clustersOracle,
       "dd_simhash" ->
         s"""WITH wc AS (SELECT doc_id, wx AS word, COUNT(*) AS cnt
            |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)

@@ -55,6 +55,31 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("star contraction equals min-label propagation, and handles deep chains in O(log n) rounds") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture with a triangle, a chain, an isolated pair
+    val fixture = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("doc_a", "doc_b")
+    assert(labels(DedupOps.nearDupClustersStar(fixture)) ==
+      labels(DedupOps.nearDupClusters(fixture)))
+    // seeded random graph: 120 nodes, 90 edges — many nontrivial components
+    val rnd = (0 until 90).map { i =>
+      val a = (graft.core.DeterministicRng.uniform(5L, 0L, i.toLong, 0L) * 120).toLong
+      val b = (graft.core.DeterministicRng.uniform(5L, 1L, i.toLong, 0L) * 120).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    assert(labels(DedupOps.nearDupClustersStar(rnd)) ==
+      labels(DedupOps.nearDupClusters(rnd)))
+    // a 40-deep chain: min-label needs ~40 rounds (fails its default cap of
+    // 20), star contraction converges within its default O(log n) budget
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = labels(DedupOps.nearDupClustersStar(chain))
+    assert(star.values.toSet == Set(0L) && star.size == 41)
+    intercept[IllegalArgumentException] { DedupOps.nearDupClusters(chain) }
+  }
+
   test("dd_minhash finds every high-similarity pair the exact blocked scan finds") {
     // MinHash-LSH (probabilistic recall) must catch all strongly-similar
     // pairs; at jaccard >= 0.5 the 4x4-band miss probability is

@@ -47,6 +47,8 @@ def runLibcheck(): Unit = {
   check("DedupOps.minhashPairs")(DedupOps.minhashPairs(docs))
   check("DedupOps.simhashPairs")(DedupOps.simhashPairs(docs))
   check("DedupOps.ngramJaccardPairs")(DedupOps.ngramJaccardPairs(docs))
+  check("DedupOps.nearDupClustersStar")(
+    DedupOps.nearDupClustersStar(DedupOps.minhashPairs(docs)))
   // similarity search
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
