@@ -204,6 +204,32 @@ object TextOps {
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** DETERMINISTIC stratified sampler: membership is a pure function of
+    * (doc_id, lang) — doc kept iff hash(doc_id)/2^60 < fraction(lang) —
+    * so the sample is stable across runs, partitionings and engines
+    * (fully value-oracled, unlike [[stratifiedSample]]'s engine-specific
+    * sampler RNG). This is the sampler a reproducible 100 TB pipeline
+    * wants: re-running anywhere selects the same documents, and the
+    * sample composes with splits/dedup keyed off the same ids. The
+    * hash→double cast and the division by 2^60 are one rounding + one
+    * exact scale, identical cross-engine; languages absent from
+    * `fractions` are dropped (fraction 0).
+    */
+  def stratifiedSampleHash(docs: DataFrame, fractions: Map[String, Double]): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.stratifiedSampleHash", "doc_id", "lang")
+    val u = graft.functions.CrossHash.mdint(concat(lit("strat:"), col("doc_id")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val fracCol = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (l, f)) =>
+        acc.when(col("lang") === l, lit(f))
+      }.otherwise(lit(0.0))
+    docs.filter(u < fracCol)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
   /** Deterministic train/val/test split — the canonical dataset-prep op.
     * Hash-based assignment (not randomSplit) so membership is a pure
     * function of doc_id: stable across runs, partitionings and engines —

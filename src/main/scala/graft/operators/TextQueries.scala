@@ -28,6 +28,9 @@ object TextQueries {
     "tx_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"),
         Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)),
+    "tx_stratified_hash" -> ((s, d) =>
+      TextOps.stratifiedSampleHash(t(s, d, "documents"),
+        Map("en" -> 0.25, "de" -> 0.5, "es" -> 1.0, "fr" -> 0.75))),
     "tx_train_val_test" -> ((s, d) => TextOps.trainValTest(t(s, d, "documents"))),
     "tx_fingerprint" -> ((s, d) => TextOps.bowFingerprint(t(s, d, "documents"))))
 
@@ -35,6 +38,19 @@ object TextQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
   def oracleSql: Map[String, String] = Map(
+    // deterministic sampler: membership = hash(doc_id)/2^60 < fraction(lang);
+    // same single long->double rounding + exact power-of-two scale both
+    // engines, so the SAMPLE ITSELF is reproduced, not just its size
+    "tx_stratified_hash" ->
+      s"""WITH s AS (
+         |  SELECT lang, doc_id FROM documents
+         |  WHERE CAST(${graft.functions.CrossHash.sqlMdint("'strat:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |      / 1152921504606846976.0
+         |    < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+         |        WHEN 'es' THEN 1.0 WHEN 'fr' THEN 0.75 ELSE 0.0 END)
+         |SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc,
+         |  MAX(doc_id) AS max_doc
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "tx_topterms" ->
       """WITH tw AS (SELECT DISTINCT lang, doc_id, term FROM (
         |    SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term

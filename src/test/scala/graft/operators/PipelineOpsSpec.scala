@@ -20,6 +20,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nRemoved == nUnique)
   }
 
+  test("stratifiedSampleHash: deterministic membership, fractions honored, absent langs dropped") {
+    import spark.implicits._
+    val docs = (0 until 4000)
+      .map(i => (i.toLong, if (i % 2 == 0) "en" else "de", "t", 1))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    def run() = TextOps.stratifiedSampleHash(docs, Map("en" -> 0.25, "de" -> 0.75))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val s1 = run()
+    assert(s1 == run()) // pure function of the rows — identical on re-run
+    // binomial(2000, f) within 5 sigma
+    def within(n: Long, f: Double): Boolean =
+      math.abs(n - 2000 * f) < 5 * math.sqrt(2000 * f * (1 - f))
+    assert(within(s1("en"), 0.25), s1.toString)
+    assert(within(s1("de"), 0.75), s1.toString)
+    // languages without a fraction are dropped entirely
+    val zh = (0 until 100).map(i => (i.toLong + 10000, "zh", "t", 1))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    assert(!TextOps.stratifiedSampleHash(docs.unionAll(zh),
+      Map("en" -> 0.25, "de" -> 0.75)).collect().map(_.getString(0)).contains("zh"))
+  }
+
   test("ops fail at the call site with the contract and actual schema") {
     import spark.implicits._
     val wrong = Seq((1L, "x")).toDF("id", "body")

@@ -42,6 +42,8 @@ def runLibcheck(): Unit = {
   check("TextOps.repetition")(TextOps.repetition(docs))
   check("TextOps.trainValTest")(TextOps.trainValTest(docs))
   check("TextOps.topTerms")(TextOps.topTerms(docs))
+  check("TextOps.stratifiedSampleHash")(
+    TextOps.stratifiedSampleHash(docs, Map("en" -> 0.5, "de" -> 0.5)))
   // dedup
   check("DedupOps.exactDedupStats")(DedupOps.exactDedupStats(docs))
   check("DedupOps.minhashPairs")(DedupOps.minhashPairs(docs))
