@@ -247,8 +247,12 @@ object DedupOps {
     * propagation (join-free aggregates + one equality check), same
     * localCheckpoint lineage discipline.
     */
-  def nearDupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    OpContract.requireCols(pairs, "DedupOps.nearDupClustersStar", "doc_a", "doc_b")
+  def nearDupClustersStar(pairs0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    OpContract.requireCols(pairs0, "DedupOps.nearDupClustersStar", "doc_a", "doc_b")
+    // checkpoint the INPUT once: nodes and the initial edge set both
+    // derive from it, and without this the (possibly expensive) upstream
+    // lineage — e.g. a full MinHash pass — would evaluate twice
+    val pairs = pairs0.localCheckpoint()
     val nodes = pairs.select(col("doc_a").as("n"))
       .unionAll(pairs.select(col("doc_b").as("n"))).distinct().localCheckpoint()
     def canon(df: DataFrame): DataFrame =
@@ -280,7 +284,10 @@ object DedupOps {
     var converged = false
     while (!converged && round < maxRounds) {
       val next = star(star(edges, large = true), large = false).localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // both sides are DISTINCT canonical pair sets, so equal counts plus
+      // an empty one-sided difference imply equality — one exceptAll scan
+      // per round, not two
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
       round += 1
     }
