@@ -12,7 +12,10 @@ import graft.operators.SkewJoin
   *   - naive sort-merge join with AQE's skew handling (Spark's default);
   *   - naive sort-merge join with AQE disabled (what a non-adaptive
   *     engine, or a plan shape AQE can't rewrite, would run);
-  *   - [[SkewJoin.saltedInnerJoin]] — the explicit salted form.
+  *   - [[SkewJoin.saltedInnerJoin]] with AQE disabled — the explicit
+  *     salted form on its own;
+  *   - the salted join with AQE back on (the combination a real cluster
+  *     would run).
   *
   * Broadcast is disabled: at the 100 TB design point the build side does
   * not fit an executor, and a broadcast join would sidestep the skew

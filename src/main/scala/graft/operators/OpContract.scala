@@ -11,10 +11,11 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object OpContract {
   def requireCols(df: DataFrame, op: String, cols: String*): DataFrame = {
-    // case-insensitive, matching Spark's default column resolution — the
-    // guard must never reject an input the ops would resolve fine
-    val have = df.columns.map(_.toLowerCase)
-    val missing = cols.filterNot(c => have.contains(c.toLowerCase))
+    // case-insensitive via equalsIgnoreCase, matching Spark's default
+    // column resolution — the guard must never reject an input the ops
+    // would resolve fine (locale-independent: a toLowerCase comparison
+    // would mis-match e.g. I/i under a Turkish default locale)
+    val missing = cols.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
       s"$op requires input columns ${cols.mkString("(", ", ", ")")} but " +
         s"${missing.mkString("(", ", ", ")")} are missing from the given " +

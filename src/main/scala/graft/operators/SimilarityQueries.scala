@@ -99,13 +99,14 @@ object SimilarityQueries {
     // IVF with TRAINED centroids: seed from the first vectors, run two
     // distributed Lloyd iterations (driver-materialized between steps),
     // then probe/re-rank as in knn_ivf. Deterministic end-to-end (seeded
-    // init, exact arithmetic), rows-only gate; recall floor in
-    // PipelineOpsSpec. Measured on the synthetic corpus: 0.84 recall@10 vs
-    // 0.90 untrained — this corpus has no real cluster structure, so Lloyd
-    // tightens lists without aligning them to neighborhoods; on clustered
-    // real-world embeddings training is the win (AnnClusteredSpec shows the
-    // bucketed shapes deliver there). The point here is the training SHAPE:
-    // per-dimension explode -> aggregate -> re-collect, fully distributed.
+    // init, exact arithmetic) — since round 3 FULLY value-oracled (the
+    // Lloyd iterations unroll as SQL CTEs below); recall floor in
+    // PipelineOpsSpec, planted-cluster recall proof in AnnClusteredSpec.
+    // Measured on the synthetic corpus: 0.84 recall@10 vs 0.90 untrained —
+    // this corpus has no real cluster structure, so Lloyd tightens lists
+    // without aligning them to neighborhoods; on clustered real-world
+    // embeddings training is the win. The point here is the training
+    // SHAPE: per-dimension explode -> aggregate -> re-collect, distributed.
     "knn_ivf_trained" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cents = SimilarityOps.trainCentroids(e, firstCentroids(e), 2)
@@ -130,8 +131,8 @@ object SimilarityQueries {
     }),
 
     // Deterministic coarse quantizer (first 16 vectors as centroids) keeps
-    // the operator reproducible without a stored model, which is what the
-    // oracle-free gate can check; a production IVF trains via
+    // the operator reproducible without a stored model — and fully
+    // value-oracled since round 3; a production IVF trains via
     // SimilarityOps.trainCentroids (knn_ivf_trained).
     "knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
