@@ -57,6 +57,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 4, s"graft_uniform expects 4 arguments, got ${args.length}")
         DeterministicRng.uniformExpr(args(0), args(1), args(2), args(3))
       }))
+    // every RNG family (4 real NumPy backends + CounterHash) from SQL; the
+    // family name must be a literal so the dispatch constant-folds into the
+    // generated code
+    e.injectFunction((FunctionIdentifier("graft_rng_uniform"),
+      info("graft_rng_uniform",
+        "_FUNC_(family, seed, model, sim, step) - uniform in [0,1) from the " +
+          "named RNG family (PCG64/Philox/SFC64/MT19937/CounterHash); " +
+          "SFC64/MT19937 cost O(step) per draw"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_rng_uniform expects 5 arguments, got ${args.length}")
+        require(args.head.foldable, "graft_rng_uniform: family must be a string literal")
+        val family = core.RngFamily.fromName(Option(args.head.eval()).map(_.toString))
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        core.RngUniform(Cast(args(1), LongType), Cast(args(2), LongType),
+          Cast(args(3), LongType), Cast(args(4), LongType), family.id)
+      }))
     e.injectFunction((FunctionIdentifier("graft_coin_trace"),
       info("graft_coin_trace", "_FUNC_(seed, model, sim, points, bias) - H/T trace array"),
       (args: Seq[Expression]) => {

@@ -190,3 +190,45 @@ case class WalkTrace(seed: Expression, model: Expression, sim: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(seed = newFirst, model = newSecond, sim = newThird)
 }
+
+/** Native per-family uniform draw — the SQL-surface form of
+  * [[Rngs.uniform]]: any registered family's generator callable from
+  * plain SQL at a (seed, model, sim, step) counter, inside whole-stage
+  * codegen (the generated code is one static call). Registered as
+  * `graft_rng_uniform(family, seed, model, sim, step)` by
+  * [[graft.GraftExtensions]]. Families PCG64/Philox/CounterHash draw in
+  * O(1); the sequential SFC64/MT19937 backends cost O(step) per call
+  * (documented on [[Rngs]]) — use them through the battery/stream tiers
+  * for bulk generation.
+  */
+case class RngUniform(seed: Expression, model: Expression, sim: Expression,
+    step: Expression, familyId: Int)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = seed
+  override def second: Expression = model
+  override def third: Expression = sim
+  override def fourth: Expression = step
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(seed, model, sim, step).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "rng_uniform expects (bigint, bigint, bigint, bigint) counters")
+
+  override protected def nullSafeEval(s: Any, m: Any, si: Any, st: Any): Any =
+    Rngs.uniform(familyId, s.asInstanceOf[Long], m.asInstanceOf[Long],
+      si.asInstanceOf[Long], st.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, m, si, st) =>
+      s"${ev.value} = graft.core.Rngs.uniform($familyId, $s, $m, $si, $st);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(seed = newFirst, model = newSecond, sim = newThird, step = newFourth)
+}

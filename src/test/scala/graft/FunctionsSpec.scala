@@ -28,6 +28,19 @@ class FunctionsSpec extends SparkTestBase {
       assert(r.getLong(1) == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
       assert(r.getInt(2) == 2)
       assert(r.getDouble(3) == graft.core.DeterministicRng.uniform(42, 0, 7, 3))
+      // every family reachable from SQL, routed to its real backend
+      val fam = ext.sql(
+        """SELECT graft_rng_uniform('PCG64', 42L, 0L, 7L, 3L) AS pcg,
+          |       graft_rng_uniform('Philox', 42L, 0L, 7L, 3L) AS phx,
+          |       graft_rng_uniform('SFC64', 42L, 0L, 7L, 3L) AS sfc,
+          |       graft_rng_uniform('MT19937', 42L, 0L, 7L, 3L) AS mt,
+          |       graft_rng_uniform('CounterHash', 42L, 0L, 7L, 3L) AS ch""".stripMargin)
+        .collect()(0)
+      assert(fam.getDouble(0) == graft.core.Pcg64.uniform(42, 0, 7, 3))
+      assert(fam.getDouble(1) == graft.core.Philox.uniform(42, 0, 7, 3))
+      assert(fam.getDouble(2) == graft.core.Rngs.uniform(2, 42, 0, 7, 3))
+      assert(fam.getDouble(3) == graft.core.Rngs.uniform(3, 42, 0, 7, 3))
+      assert(fam.getDouble(4) == graft.core.DeterministicRng.uniform(42, 0, 7, 3))
       // the SQL function draws familyId 0 (CounterHash) — pin it on the
       // StepRng side too (the default family is the real PCG64 backend)
       val rng = new graft.core.StepRng(42, 0, 0, graft.core.RngFamily.CounterHash)
