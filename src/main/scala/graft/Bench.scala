@@ -42,12 +42,17 @@ object Bench {
       }
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision and Locale.ROOT formatting: full double repr
+    // made the 74-query line ~3.8 KB, which overflowed the driver's output
+    // tail window and broke its JSON parse (BENCH_r03 "parsed": null). 3
+    // decimals is finer than run-to-run variance and keeps the line <2 KB.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).keys.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

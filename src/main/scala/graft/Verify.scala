@@ -26,6 +26,14 @@ object Verify {
     // never touched, so pointing --out at a directory holding other
     // parquet data cannot delete it. listFiles() is null for
     // unreadable/raced paths.
+    // Migration note (one-time): the manifest was introduced in round 3;
+    // on the FIRST run against an older outDir, dumps of queries renamed
+    // or dropped BEFORE that round are not in any manifest and linger.
+    // That window has passed for the driver's gate dir (the round-3 gate
+    // reported exactly the live query set, no strays); for a fresh outDir
+    // the manifest exists from run one. We deliberately do NOT sweep
+    // unmanifested _SUCCESS-marked directories: outDir may legitimately
+    // hold a user's own Spark outputs, which such a sweep would delete.
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
       f.delete()

@@ -207,14 +207,18 @@ object Rngs {
 }
 
 /** The reference's RNG-family enum (`models.py:17-33`, default PCG64),
-  * plus the engine-native `CounterHash` family. ALL FOUR NumPy names route
-  * to real KAT-verified backends:
+  * plus the engine-native `CounterHash` family. All four NumPy names route
+  * to real KAT-verified backends (Philox modulo the 4x32-vs-4x64 variant
+  * noted below):
   *
   *   - `PCG64` (the reference's DEFAULT): [[Pcg64]],
   *     pcg_setseq_128_xsl_rr_64 — verified against the published demo
   *     vectors and NumPy's C implementation; stateless point access via
   *     LCG jump-ahead;
-  *   - `Philox`: [[Philox]]-4x32-10 per Random123 — natively counter-based;
+  *   - `Philox`: [[Philox]]-4x32-10 per Random123 — natively
+  *     counter-based. NOTE: NumPy's `np.random.Philox` ships the 4x64-10
+  *     variant, so this family is KAT-faithful to Random123, not
+  *     bit-compatible with NumPy (see the caveat in Philox.scala);
   *   - `SFC64`: [[Sfc64]] — verified against NumPy by raw-state injection;
   *   - `MT19937`: [[Mt19937]] — verified against the published
   *     default-seed vectors and CPython's MT by state injection.

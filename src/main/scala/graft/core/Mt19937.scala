@@ -16,7 +16,7 @@ package graft.core
   * (polynomial jump methods exist but cost more than they save at trace
   * lengths), so it backs the engine as a SEQUENTIAL STREAM per
   * (seed, model, sim): each trace row seeds its own generator via the
-  * canonical `init_by_array` over the five 32-bit words of the three
+  * canonical `init_by_array` over the six 32-bit words of the three
   * counters — parallelism across simulations is preserved (streams are
   * independent), and within a trace the kernel consumes draws in step
   * order. Stateless single-point access ([[Rngs.uniform]]) costs O(step)

@@ -10,10 +10,14 @@ import graft.SparkTestBase
   * A diff here means the RNG chain, model semantics, or sink format changed:
   * all are breaking changes for reproducibility and for the DuckDB oracle.
   *
-  * Two families are pinned: `CounterHash` (the SQL-oracle-expressible
+  * ALL FIVE families are pinned: `CounterHash` (the SQL-oracle-expressible
   * engine family — its files predate round 3's family rewiring unchanged,
-  * proving the oracle stream survived the refactor byte-for-byte) and the
-  * engine default `PCG64` (the real pcg_setseq_128_xsl_rr_64 backend).
+  * proving the oracle stream survived the refactor byte-for-byte), the
+  * engine default `PCG64` (the real pcg_setseq_128_xsl_rr_64 backend),
+  * and — added after round 3's silent Philox 32→53-bit uniform change
+  * showed KAT specs alone don't catch value-stream breaks — `Philox`,
+  * `SFC64` and `MT19937`, so ANY future change to ANY family's uniform
+  * stream is caught byte-for-byte here.
   *
   * To regenerate after an INTENTIONAL change, run once with
   * `GRAFT_REGEN_GOLDEN=1` in the environment: the spec rewrites
@@ -66,5 +70,17 @@ class GoldenSpec extends SparkTestBase {
 
   test("seeded default-family (real PCG64) output is byte-identical to the committed golden files") {
     checkFamily(RngFamily.PCG64, "golden_pcg64_")
+  }
+
+  test("seeded Philox battery output is byte-identical to the committed golden files") {
+    checkFamily(RngFamily.Philox, "golden_philox_")
+  }
+
+  test("seeded SFC64 battery output is byte-identical to the committed golden files") {
+    checkFamily(RngFamily.SFC64, "golden_sfc64_")
+  }
+
+  test("seeded MT19937 battery output is byte-identical to the committed golden files") {
+    checkFamily(RngFamily.MT19937, "golden_mt_")
   }
 }
