@@ -62,6 +62,25 @@ object DedupOps {
         count(lit(1)).as("n_unique"),
         (sum(col("copies")) - count(lit(1))).as("n_removed"))
 
+  /** Exact cross-corpus decontamination: drop every corpus document whose
+    * text digest appears in `blocklist` (a benchmark/eval set) — the
+    * exact-match half of decontamination next to
+    * [[TextOps.contamination]]'s n-gram overlap measure. Returns the
+    * surviving corpus rows unchanged.
+    *
+    * Scale shape: the blocklist collapses to distinct 128-bit digests and
+    * is BROADCAST (benchmark sets are tiny next to a training corpus), so
+    * the anti join is one corpus scan with no shuffle and the raw text
+    * never leaves its partition.
+    */
+  def antiJoinDedup(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    OpContract.requireCols(docs, "DedupOps.antiJoinDedup corpus", "text")
+    OpContract.requireCols(blocklist, "DedupOps.antiJoinDedup blocklist", "text")
+    docs.join(
+      broadcast(blocklist.select(md5(col("text")).as("bl_digest")).distinct()),
+      md5(col("text")) === col("bl_digest"), "left_anti")
+  }
+
   /** Blocked n-gram Jaccard via an INVERTED INDEX: explode shingles, join
     * on (lang, size-bucket, 64-bit shingle hash), count shared shingles per
     * pair, then jac = common / (|A| + |B| − common). Work is proportional

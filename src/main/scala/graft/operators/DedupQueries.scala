@@ -33,7 +33,18 @@ object DedupQueries {
       DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))),
     "dd_clusters_star" -> ((s, d) =>
       DedupOps.nearDupClustersStar(DedupOps.minhashPairs(t(s, d, "documents")))),
-    "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))))
+    "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))),
+    // Exact decontamination: benchmark = every 50th doc; the anti join
+    // drops those docs AND any exact-text duplicate of them from the
+    // corpus, summarized per language.
+    "dd_cross" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.antiJoinDedup(docs, docs.filter(col("doc_id") % 50 === 0))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
+        .orderBy("lang")
+    }))
 
   def oracleSql: Map[String, String] = {
     val minhashAggs = (0 until K)
@@ -82,6 +93,13 @@ object DedupQueries {
          |GROUP BY id ORDER BY doc_id""".stripMargin
 
     Map(
+      "dd_cross" ->
+        """WITH bl AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 50 = 0),
+          |k AS (SELECT lang, doc_id FROM documents
+          |      WHERE md5(text) NOT IN (SELECT d FROM bl))
+          |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept,
+          |  MAX(doc_id) AS max_kept
+          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
       "dd_exact" ->
         """WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
           |cl AS (SELECT md5(text) AS digest, COUNT(*) AS copies, MIN(doc_id) AS keep_id

@@ -141,6 +141,33 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Random-projection dimensionality reduction (Achlioptas-style sparse
+    * integer projections): the 100 TB precursor to ANN — project
+    * [[DIM]]-dim embeddings down to `outDim` before indexing/clustering.
+    * Components are INTEGER-QUANTIZED on both sides so the result is
+    * bit-exact cross-engine with no FP-order caveat at all: inputs are
+    * quantized to round(1000·x) (one correctly-rounded multiply + one
+    * half-away round, both engines identical) and projection weights are
+    * floor(7·u)−3 ∈ {−3…3} from the counter-based RNG — every product
+    * and sum is then an integer-valued double well under 2^53, so
+    * accumulation order cannot matter. Like [[lshSignature]], the weight
+    * matrix is materialized driver-side as array literals (outDim×DIM
+    * small-int model constants) and each output dim is one native
+    * codegen'd dot product; pure projection, no shuffle.
+    */
+  def randomProjection(e: DataFrame, outDim: Int = 16, seed: Long = 909L): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.randomProjection", "vec_id", "embedding")
+    val q = transform(col("embedding"), x => round(x.cast("double") * 1000.0, 0))
+    val proj = array((0 until outDim).map { j =>
+      val plane = Array.tabulate(DIM)(i =>
+        math.floor(DeterministicRng.uniform(seed, j.toLong, 0L, i.toLong) * 7.0) - 3.0)
+      graft.functions.VectorFunctions.dot_product(col("qv"), typedLit(plane)).cast("long")
+    }: _*)
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("qv", q)
+      .select(col("vec_id"), proj.as("rp"))
+  }
+
   /** Exact all-pairs near-duplicate pairs at `threshold` — O(N²), the
     * oracle anchor. Use [[nearPairsLsh]] at corpus scale.
     */

@@ -25,6 +25,8 @@ object SimilarityQueries {
   private val NP_BITS = 4
   private val NP_TABLES = 48
   private val NP_SEED = 4241L
+  private val RP_DIM = 16
+  private val RP_SEED = 909L
 
   /** Forwarders kept as the stable public names (also used by specs). */
   def cosine(a: Column, b: Column): Column = SimilarityOps.cosine(a, b)
@@ -146,9 +148,38 @@ object SimilarityQueries {
     }),
 
     "emb_quantize" -> ((s, d) =>
-      SimilarityOps.quantizeInt8(t(s, d, "embeddings"))))
+      SimilarityOps.quantizeInt8(t(s, d, "embeddings"))),
+
+    // Random-projection 64→16 reduction; integer-exact on both sides, so
+    // the projection values oracle-compare bit-for-bit (CSV string like
+    // emb_quantize for a stable cross-engine encoding).
+    "emb_rp_reduce" -> ((s, d) =>
+      SimilarityOps.randomProjection(t(s, d, "embeddings"), RP_DIM, RP_SEED)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("rp"), x => x.cast("string"))).as("rp_csv"))
+        .orderBy("vec_id")))
 
   def oracleSql: Map[String, String] = Map(
+    // Integer-exact random projection: weights floor(7u)−3 regenerated via
+    // uniformSql on a generate_series grid (the knn_lsh pattern), inputs
+    // quantized to round(1000·x); every product/sum is an integer-valued
+    // double < 2^53, so SUM order cannot matter — no FP caveat at all.
+    "emb_rp_reduce" -> {
+      val u = DeterministicRng.uniformSql(RP_SEED.toString, "j.j", "0", "i.i")
+      s"""WITH planes AS (
+         |  SELECT j.j, i.i, floor(($u) * 7.0) - 3.0 AS w
+         |  FROM generate_series(0, ${RP_DIM - 1}) j(j),
+         |       generate_series(0, ${SimilarityOps.DIM - 1}) i(i)
+         |), proj AS (
+         |  SELECT e.vec_id, p.j,
+         |    CAST(SUM(round(CAST(e.embedding[p.i + 1] AS DOUBLE) * 1000.0) * p.w)
+         |      AS BIGINT) AS y
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.j)
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(y AS VARCHAR) ORDER BY j), ',') AS rp_csv
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "emb_quantize" ->
       """SELECT e.vec_id, CAST(s.scale AS DOUBLE) AS scale,
         |  array_to_string(list_transform(e.embedding, x ->

@@ -247,6 +247,96 @@ object TextOps {
         max(col("doc_id")).as("max_doc"))
       .orderBy("split")
 
+  // PII patterns, restricted to the dialect Java regex and RE2 (DuckDB)
+  // interpret identically — no lookaround, no backreferences, \b and
+  // bounded quantifiers only — so redaction is value-oracle-checkable.
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val phoneRe = "\\+\\d{7,15}"
+
+  /** PII redaction — the scrub step every public-corpus pipeline runs
+    * before training: masks emails, IPv4 addresses and international
+    * phone-shaped digit runs. Counts are measured on the ORIGINAL text
+    * (so overlapping patterns are each reported); redaction applies
+    * email → ip → phone in a fixed order so the output is deterministic.
+    * Pure projection — no shuffle, stays inside whole-stage codegen; the
+    * compact (md5, length) result keeps 100 TB outputs aggregate-sized
+    * while still pinning every redacted byte.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    OpContract.requireCols(docs, "TextOps.redactPii", "doc_id", "text")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        length(red).cast("long").as("red_len"),
+        md5(red).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination check (decontamination's measurement half):
+    * for each corpus document, the number of distinct word n-grams it
+    * shares with a benchmark set. The benchmark side is collapsed to its
+    * distinct shingle set and BROADCAST — benchmark suites are tiny next
+    * to a training corpus, so the corpus side is one scan + explode with
+    * NO shuffle of corpus data at all (the per-doc count aggregate
+    * combines map-side on ~one row per contaminated doc). Shingling uses
+    * the native WordShingles expression (distinct within doc), and the
+    * join is on the shingle STRING — exact, no hash-collision caveat.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def sh(df: DataFrame, name: String) =
+      OpContract.requireCols(df, s"TextOps.contamination $name", "doc_id", "text")
+        .select(col("doc_id"), Bridge.column(graft.functions.WordShingles(
+          Bridge.expression(col("text")), n, distinct = true)).as("shs"))
+        .filter(size(col("shs")) >= 1)
+    val bench = sh(benchmark, "benchmark")
+      .select(explode(col("shs")).as("sh")).distinct()
+    spread(sh(docs, "corpus"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (concat-and-chunk, the standard LLM pretraining
+    * batch layout): documents are laid head-to-tail in doc_id order
+    * within each language shard and cut into fixed-`capacity` token
+    * packs; a document crossing a pack boundary is split across packs.
+    * Output: one row per (document, pack) span with the token count the
+    * document contributes to that pack — exactly what a writer needs to
+    * emit packed sequences.
+    *
+    * Scale shape: the running total is a window partitioned by the shard
+    * column (`lang` here) — shards pack independently and in parallel,
+    * which is how a 100 TB corpus does it (a single global ordering
+    * would serialize the world). All-integer arithmetic end to end, so
+    * the result is bit-exact cross-engine.
+    */
+  def packSequences(docs: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"pack capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    OpContract.requireCols(docs, "TextOps.packSequences", "lang", "doc_id", "text")
+      .select(col("lang"), col("doc_id"), size(words).cast("long").as("tok"))
+      .withColumn("cb", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("tok"), col("cb"),
+        explode(sequence(
+          floor(col("cb") / capacity).cast("long"),
+          floor((col("cb") + col("tok") - 1) / capacity).cast("long"))).as("pack_id"))
+      .select(col("lang"), col("pack_id"), col("doc_id"),
+        (least((col("pack_id") + 1) * capacity, col("cb") + col("tok")) -
+          greatest(col("pack_id") * capacity, col("cb"))).as("tokens_in_pack"))
+      .orderBy("lang", "pack_id", "doc_id")
+  }
+
   /** Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
     * documents with identical word sets collapse to one fingerprint —
     * word-order-insensitive near-dup detection in one agg pass.

@@ -32,12 +32,83 @@ object TextQueries {
       TextOps.stratifiedSampleHash(t(s, d, "documents"),
         Map("en" -> 0.25, "de" -> 0.5, "es" -> 1.0, "fr" -> 0.75))),
     "tx_train_val_test" -> ((s, d) => TextOps.trainValTest(t(s, d, "documents"))),
-    "tx_fingerprint" -> ((s, d) => TextOps.bowFingerprint(t(s, d, "documents"))))
+    "tx_fingerprint" -> ((s, d) => TextOps.bowFingerprint(t(s, d, "documents"))),
+    // The test corpus carries no natural PII, so the binding plants a
+    // deterministic email/ip/phone (round-robin by doc_id) before
+    // redacting — the op then has real matches to count and mask, and the
+    // oracle rebuilds the identical injected text.
+    "tx_pii_redact" -> ((s, d) =>
+      TextOps.redactPii(t(s, d, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact p"),
+          col("doc_id").cast("string"), lit("@mail.example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1, concat(lit(" from 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0.1 logged"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 2, concat(lit(" call +1415550"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .otherwise(lit(""))).as("text")))),
+    // Benchmark set = every 50th doc; the rest of the corpus is checked
+    // for shared 3-grams against it.
+    "tx_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+    "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
   def oracleSql: Map[String, String] = Map(
+    "tx_pii_redact" -> {
+      val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextOps.emailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextOps.ipv4Re}', '<IP>', 'g'), " +
+        s"'${TextOps.phoneRe}', '<PHONE>', 'g')"
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact p' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 1 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+         |      || '.0.1 logged' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 2 THEN ' call +1415550'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+         |      AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(length($red) AS BIGINT) AS red_len,
+         |  md5($red) AS red_md5
+         |FROM inj ORDER BY doc_id""".stripMargin
+    },
+    "tx_contamination" -> {
+      val sh3 = "list_distinct(list_transform(range(1, len(w) - 1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+      s"""WITH bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0),
+         |bs AS (SELECT DISTINCT unnest($sh3) AS sh FROM bw WHERE len(w) >= 3),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 <> 0),
+         |cs AS (SELECT doc_id, unnest($sh3) AS sh FROM cw WHERE len(w) >= 3)
+         |SELECT cs.doc_id, COUNT(*) AS n_shared
+         |FROM cs JOIN bs ON bs.sh = cs.sh
+         |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin
+    },
+    "tx_pack" ->
+      """WITH x AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, tok,
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM x),
+        |s AS (SELECT lang, doc_id, tok, cb,
+        |    unnest(generate_series(cb // 256, (cb + tok - 1) // 256)) AS pack_id
+        |  FROM c)
+        |SELECT lang, pack_id, doc_id,
+        |  least((pack_id + 1) * 256, cb + tok) - greatest(pack_id * 256, cb) AS tokens_in_pack
+        |FROM s ORDER BY lang, pack_id, doc_id""".stripMargin,
     // deterministic sampler: membership = hash(doc_id)/2^60 < fraction(lang);
     // same single long->double rounding + exact power-of-two scale both
     // engines, so the SAMPLE ITSELF is reproduced, not just its size

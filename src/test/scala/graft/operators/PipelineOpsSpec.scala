@@ -213,6 +213,87 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("redactPii masks emails/ips/phones; counts are measured on the original text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "write a.b+c@x-mail.org or ops@x.io from 192.168.0.1 call +4915123456789 now"),
+      (1L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).collect()
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 1 && r(0).getLong(3) == 1)
+    val expected = "write <EMAIL> or <EMAIL> from <IP> call <PHONE> now"
+    assert(r(0).getLong(4) == expected.length.toLong)
+    assert(r(0).getString(5) == md5hex(expected))
+    // a clean document passes through byte-identical
+    assert(r(1).getLong(1) == 0 && r(1).getLong(2) == 0 && r(1).getLong(3) == 0)
+    assert(r(1).getString(5) == md5hex("no pii here at all"))
+  }
+
+  test("contamination counts DISTINCT shared n-grams per corpus doc, clean docs absent") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text") // grams: "a b c", "b c d"
+    val corpus = Seq(
+      (0L, "a b c d e"),    // shares both benchmark 3-grams
+      (1L, "x a b c y"),    // shares "a b c"
+      (2L, "x y z w"),      // clean -> no output row
+      (3L, "a b c a b c")). // repeated gram counts once (distinct within doc)
+      toDF("doc_id", "text")
+    val m = TextOps.contamination(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 2L, 1L -> 1L, 3L -> 1L), m.toString)
+  }
+
+  test("packSequences lays docs head-to-tail per lang and splits across pack boundaries") {
+    import spark.implicits._
+    // en tokens 3,4,5 at capacity 5: doc0 [0,3) p0; doc1 [3,7) p0(2)+p1(2);
+    // doc2 [7,12) p1(3)+p2(2). de packs independently.
+    val docs = Seq(
+      (0L, "en", "a b c"), (1L, "en", "a b c d"), (2L, "en", "a b c d e"),
+      (3L, "de", "x y")).toDF("doc_id", "lang", "text")
+    val rows = TextOps.packSequences(docs, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(
+      ("de", 0L, 3L, 2L),
+      ("en", 0L, 0L, 3L), ("en", 0L, 1L, 2L),
+      ("en", 1L, 1L, 2L), ("en", 1L, 2L, 3L),
+      ("en", 2L, 2L, 2L)), rows.toString)
+    // conservation: every token lands in exactly one pack
+    assert(rows.filter(_._1 == "en").map(_._4).sum == 12L)
+  }
+
+  test("antiJoinDedup removes every exact-text match of the blocklist, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq((0L, "keep me"), (1L, "drop me"), (2L, "drop me"),
+      (3L, "also keep")).toDF("doc_id", "text")
+    val bl = Seq((9L, "drop me")).toDF("doc_id", "text")
+    val kept = DedupOps.antiJoinDedup(corpus, bl).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L))
+  }
+
+  test("randomProjection equals the driver-recomputed integer projection exactly") {
+    import spark.implicits._
+    import graft.core.DeterministicRng
+    val vecs = Seq(
+      0L -> Array.tabulate(SimilarityOps.DIM)(i => math.sin(i + 1).toFloat),
+      1L -> Array.tabulate(SimilarityOps.DIM)(i => (math.cos(i) * 0.37).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilarityOps.randomProjection(df, outDim = 4, seed = 123L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = vecs.map { case (id, x) =>
+      val q = x.map(v => BigDecimal(v.toDouble * 1000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
+      id -> (0 until 4).map { j =>
+        (0 until SimilarityOps.DIM).map { i =>
+          q(i) * (math.floor(DeterministicRng.uniform(123L, j.toLong, 0L, i.toLong) * 7.0) - 3.0).toLong
+        }.sum
+      }.toSeq
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))
