@@ -75,13 +75,21 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // Exact distinct aggregation (expand + two-phase agg under the hood).
+    // Multi-distinct without the full-width Expand: three countDistinct
+    // directly over lineitem triple the SCAN rows through the shuffle
+    // (Catalyst's Expand rewrite). Collapsing to the distinct
+    // (flag, part, supp) triples first is ONE full-data exchange whose
+    // map-side combine removes in-partition repeats; the three distinct
+    // counts (incl. the Expand) then run over the small triple set —
+    // the shape that survives a 100× lineitem.
     "q11_distinct_parts" -> ((s, d) =>
       t(s, d, "lineitem")
+        .select("l_returnflag", "l_partkey", "l_suppkey").distinct()
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+          count(lit(1)).as("n_part_supp"))
         .orderBy("l_returnflag")),
 
     // HAVING over hash aggregate.

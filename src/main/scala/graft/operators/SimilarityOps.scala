@@ -141,6 +141,27 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Per-label centroid vectors (the class-prototype aggregate behind
+    * nearest-centroid classification and dataset drift checks): one
+    * per-dimension explode + aggregate, decimal-exact means (the
+    * [[trainCentroids]] FP discipline — order-independent sums, one
+    * division), emitted as (label, dim, m, n_vecs) rows. Map-side combine
+    * carries (label, dim) partials, so the shuffle is #labels × DIM rows
+    * regardless of corpus size.
+    */
+  def labelCentroids(e: DataFrame): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.labelCentroids", "label", "embedding")
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(
+        (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("m"), col("n_vecs"))
+      .orderBy("label", "dim")
+  }
+
   /** Random-projection dimensionality reduction (Achlioptas-style sparse
     * integer projections): the 100 TB precursor to ANN — project
     * [[DIM]]-dim embeddings down to `outDim` before indexing/clustering.

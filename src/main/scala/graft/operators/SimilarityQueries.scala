@@ -81,7 +81,7 @@ object SimilarityQueries {
   private def sqlLloyd(assign: String): String =
     s"""SELECT cid, list(m ORDER BY dim) AS ce FROM (
        |    SELECT a.cid, d.dim,
-       |      CAST(SUM(CAST(e.embedding[d.dim + 1] AS DECIMAL(28, 12))) AS DOUBLE)
+       |      CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE)
        |        / COUNT(*) AS m
        |    FROM $assign a JOIN embeddings e ON e.vec_id = a.vec_id
        |    CROSS JOIN generate_series(0, 63) d(dim)
@@ -150,6 +150,11 @@ object SimilarityQueries {
     "emb_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(t(s, d, "embeddings"))),
 
+    // Per-label class centroids — decimal-exact means, the lloydStep
+    // discipline, directly oracled.
+    "emb_label_centroids" -> ((s, d) =>
+      SimilarityOps.labelCentroids(t(s, d, "embeddings"))),
+
     // Random-projection 64→16 reduction; integer-exact on both sides, so
     // the projection values oracle-compare bit-for-bit (CSV string like
     // emb_quantize for a stable cross-engine encoding).
@@ -160,6 +165,23 @@ object SimilarityQueries {
         .orderBy("vec_id")))
 
   def oracleSql: Map[String, String] = Map(
+    // Two cross-engine traps measured here (gate-failure archaeology):
+    // (1) DuckDB's direct FLOAT→DECIMAL cast scales at float precision
+    //     (wrong past ~7 digits); Spark widens through double — so cast
+    //     float→DOUBLE first.
+    // (2) at scale-12 quantization EXACT TIES DO occur (2^-13 =
+    //     0.0001220703125 terminates at digit 13 with a 5), and Spark's
+    //     decimal cast rounds HALF_UP while DuckDB's rounds HALF_EVEN.
+    //     round(x, 12) BEFORE the cast resolves the tie away-from-zero in
+    //     both engines (DuckDB round matches Spark's cast mode), and the
+    //     already-rounded double then casts to decimal tie-free.
+    "emb_label_centroids" ->
+      """SELECT e.label, d.dim,
+        |  CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE)
+        |    / COUNT(*) AS m,
+        |  COUNT(*) AS n_vecs
+        |FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
+        |GROUP BY e.label, d.dim ORDER BY label, dim""".stripMargin,
     // Integer-exact random projection: weights floor(7u)−3 regenerated via
     // uniformSql on a generate_series grid (the knn_lsh pattern), inputs
     // quantized to round(1000·x); every product/sum is an integer-valued

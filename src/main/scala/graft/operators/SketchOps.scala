@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CrossHash
+
+/** Deterministic mergeable sketches built on the cross-engine 60-bit hash
+  * ([[CrossHash.mdint]]) and the Carter–Wegman universal family
+  * ([[CrossHash.minhash]]).
+  *
+  * Why these exist next to Spark's own sketches: `approx_count_distinct`
+  * (HLL, gate query q26) answers the same questions, but its registers are
+  * engine-internal — the result can only be rows-gated. A sketch whose
+  * randomness comes from a SEEDED HASH is a pure function of the data, so
+  * the approximate answer itself value-oracles in DuckDB, and two
+  * independent engines can build/merge THE SAME sketch — exactly what a
+  * 100 TB pipeline wants when sketches are persisted and unioned across
+  * days or clusters.
+  *
+  * Scale shapes:
+  *   - KMV: one distinct on (group, 60-bit hash) with map-side combine,
+  *     then a bottom-k window per group — shuffle carries hashes, never
+  *     keys; sketch state is k longs per group, mergeable by min-union.
+  *   - CMS: counter table is d×w cells REGARDLESS of key cardinality; the
+  *     counter build is one explode + count aggregate (map-side combined),
+  *     and lookups join the tiny broadcast counter table.
+  */
+object SketchOps {
+
+  /** KMV (k-minimum-values / bottom-k) distinct-count estimate per group:
+    * keep the k smallest distinct hash values; when the sketch saturates
+    * the estimator is (k−1)·2^60 / h_(k) (hashes uniform on [0, 2^60)),
+    * below saturation the count is exact. Output per group:
+    * `exact_distinct` (for comparison), `est_distinct`, `rel_err`.
+    *
+    * FP discipline: (k−1)·2^60 is a constant with ≤ 53 significant bits
+    * (exact double), h_(k) < 2^60 casts exactly, so the estimate is ONE
+    * correctly-rounded division — bit-identical cross-engine.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: Column, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashed = df
+      .select(col(groupCol), CrossHash.mdint(keyCol.cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    val sketch = hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+    val exact = hashed.groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
+    val est = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0d) / col("kth").cast("double"))
+    sketch.join(exact, groupCol)
+      .select(col(groupCol), col("exact_distinct"), est.as("est_distinct"))
+      .withColumn("rel_err",
+        (col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"))
+      .orderBy(groupCol)
+  }
+
+  /** Count–min sketch heavy hitters: d universal-family hash rows × w
+    * buckets; a key's estimate is min over rows of its bucket counter
+    * (never under the true count, biased up by collisions). Returns the
+    * top-`topK` keys by estimated count with the exact count alongside.
+    *
+    * The counter build never shuffles raw keys (explode emits (r, bucket)
+    * int pairs, combined map-side into ≤ d·w cells); estimates join the
+    * BROADCAST counter table. The exact counts computed here for
+    * comparison are the expensive path the sketch replaces at scale —
+    * a production pipeline keeps only the d·w counters.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: Column, d: Int = 4, w: Int = 64,
+      topK: Int = 10): DataFrame = {
+    require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2, got d=$d w=$w")
+    def buckets(key: Column): Column = {
+      val h = CrossHash.mdint(key.cast("string"))
+      array((0 until d).map(r =>
+        struct(lit(r).as("r"), pmod(CrossHash.minhash(h, r), lit(w.toLong)).as("bucket"))): _*)
+    }
+    val counters = df
+      .select(explode(buckets(keyCol)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("exact_count"))
+    // the global rank window runs over the DISTINCT-KEY table (cardinality-
+    // sized, not data-sized) — the single-partition sort is over candidates
+    // a real deployment would already have reduced to
+    val rankW = Window.orderBy(col("est_count").desc, col("key"))
+    exact
+      .select(col("key"), col("exact_count"), explode(buckets(col("key"))).as("rb"))
+      .select(col("key"), col("exact_count"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("key", "exact_count")
+      .agg(min(col("cnt")).as("est_count"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .select("rank", "key", "est_count", "exact_count")
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossHash
+
+/** Gate bindings of the [[SketchOps]] surface to the test tables, plus the
+  * DuckDB oracle SQL. Because both sketches draw their randomness from the
+  * cross-engine hash, the APPROXIMATE estimates themselves hash-match the
+  * oracle — the sketch category's counterpart to what q26 (engine-native
+  * HLL) can only rows-gate.
+  */
+object SketchQueries {
+  import Tables._
+
+  private val KMV_K = 256
+  private val CMS_D = 4
+  private val CMS_W = 1024 // ~6 events/bucket at sf0.01 — collisions rare
+                           // enough that min-over-rows recovers near-exact
+                           // counts (w=64 measured: est ~5× exact, noise)
+  private val CMS_TOPK = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_kmv_distinct" -> ((s, d) =>
+      SketchOps.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"),
+        "l_returnflag", KMV_K)),
+    "ev_heavy_hitters" -> ((s, d) =>
+      SketchOps.cmsHeavyHitters(t(s, d, "events"), col("user_id"),
+        CMS_D, CMS_W, CMS_TOPK)))
+
+  private val sqlH = CrossHash.sqlMdint("CAST(l_partkey AS VARCHAR)")
+  private val sqlHU = CrossHash.sqlMdint("CAST(user_id AS VARCHAR)")
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_kmv_distinct" -> {
+      // (k−1)·2^60 folded exactly on both sides (≤ 8 significant bits)
+      val scale = s"(${(KMV_K - 1).toDouble} * 1152921504606846976.0)"
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT l_returnflag, $sqlH AS h FROM lineitem),
+         |ranked AS (SELECT l_returnflag, h,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM hashed),
+         |sk AS (SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS kth
+         |  FROM ranked WHERE rn <= $KMV_K GROUP BY l_returnflag),
+         |ex AS (SELECT l_returnflag, COUNT(*) AS exact_distinct
+         |  FROM hashed GROUP BY l_returnflag),
+         |j AS (SELECT sk.l_returnflag, ex.exact_distinct,
+         |    CASE WHEN sk.n_kept < $KMV_K THEN CAST(sk.n_kept AS DOUBLE)
+         |         ELSE $scale / CAST(sk.kth AS DOUBLE) END AS est_distinct
+         |  FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag)
+         |SELECT l_returnflag, exact_distinct, est_distinct,
+         |  (est_distinct - CAST(exact_distinct AS DOUBLE))
+         |    / CAST(exact_distinct AS DOUBLE) AS rel_err
+         |FROM j ORDER BY l_returnflag""".stripMargin
+    },
+    "ev_heavy_hitters" -> {
+      val rows = (0 until CMS_D).map(r =>
+        s"SELECT user_id, $r AS r, (${CrossHash.sqlMinhash(sqlHU, r)}) % $CMS_W AS bucket FROM events")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH rb AS (
+         |  $rows),
+         |counters AS (SELECT r, bucket, COUNT(*) AS cnt FROM rb GROUP BY r, bucket),
+         |ex AS (SELECT user_id AS key, COUNT(*) AS exact_count FROM events GROUP BY user_id),
+         |kb AS (SELECT DISTINCT user_id, r, bucket FROM rb),
+         |est AS (SELECT kb.user_id, MIN(c.cnt) AS est_count
+         |  FROM kb JOIN counters c ON c.r = kb.r AND c.bucket = kb.bucket
+         |  GROUP BY kb.user_id)
+         |SELECT rank, key, est_count, exact_count FROM (
+         |  SELECT ex.key, est.est_count, ex.exact_count,
+         |    ROW_NUMBER() OVER (ORDER BY est.est_count DESC, ex.key) AS rank
+         |  FROM est JOIN ex ON ex.key = est.user_id) x
+         |WHERE rank <= $CMS_TOPK ORDER BY rank""".stripMargin
+    })
+}

@@ -230,6 +230,33 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws u = hash(doc_id)/2^60 and
+    * scores key = u^(1/weight); the top-k keys are a weighted sample. Like
+    * [[stratifiedSampleHash]], membership is a pure function of the row —
+    * reproducible across runs, partitionings and engines, and the top-k
+    * reduces distributively (per-partition top-k then merge), never a
+    * global shuffle of the corpus.
+    *
+    * Cross-engine note: `pow` is the one op here the FP discipline can't
+    * pin bit-exact (libm last-ulp differences between engines). A 1-ulp
+    * key difference flips SELECTION only if two keys straddle the k-th
+    * boundary within ~1e-15 — keys on a real corpus are spaced ~1/n near
+    * the boundary, so the sampled SET is stable; the keys themselves are
+    * deliberately not emitted.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.weightedSample", "doc_id", "lang", weightCol)
+    val u = graft.functions.CrossHash.mdint(concat(lit("wsamp:"), col("doc_id")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    docs.select(col("doc_id"), col("lang"), col(weightCol),
+        pow(u, lit(1.0) / col(weightCol).cast("double")).as("aes_key"))
+      .orderBy(col("aes_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col(weightCol))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split — the canonical dataset-prep op.
     * Hash-based assignment (not randomSplit) so membership is a pure
     * function of doc_id: stable across runs, partitionings and engines —

@@ -55,12 +55,25 @@ object TextQueries {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
-    "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)))
+    "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)),
+    "tx_weighted_sample" -> ((s, d) =>
+      TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
   def oracleSql: Map[String, String] = Map(
+    // A-ES weighted sample: key = (hash/2^60)^(1/n_chars); selection only
+    // (keys not emitted) — see TextOps.weightedSample for the pow caveat.
+    "tx_weighted_sample" -> {
+      val u = s"CAST(${graft.functions.CrossHash.sqlMdint("'wsamp:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)" +
+        " / 1152921504606846976.0"
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars FROM documents
+         |  ORDER BY pow($u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+         |  LIMIT 20) x
+         |ORDER BY doc_id""".stripMargin
+    },
     "tx_pii_redact" -> {
       val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
         s"'${TextOps.emailRe}', '<EMAIL>', 'g'), " +

@@ -294,6 +294,69 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("kmvDistinct: exact below k, estimate within the theoretical error above k") {
+    import spark.implicits._
+    // group "small": 100 distinct keys < k=128 -> exact path
+    // group "big": 5000 distinct keys -> estimate, stderr ~ 1/sqrt(k-2) ~ 9%
+    val df = ((0 until 100).map(i => ("small", i)) ++
+      (0 until 5000).map(i => ("big", i + 1000000))).toDF("g", "key")
+    val r = SketchOps.kmvDistinct(df, col("key"), "g", 128)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("small") == ((100L, 100.0)))
+    val (exact, est) = r("big")
+    assert(exact == 5000L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.45, s"est $est") // 5 sigma
+  }
+
+  test("cmsHeavyHitters: estimates never undercount, exact counts correct, rank deterministic") {
+    import spark.implicits._
+    // skewed stream: key 0 is the heavy hitter
+    val df = ((0 until 2000).map(_ => 0L) ++ (0 until 500).flatMap(k => Seq(k.toLong + 1, k.toLong + 1)))
+      .toDF("user_id")
+    val rows = SketchOps.cmsHeavyHitters(df, col("user_id"), d = 4, w = 256, topK = 5).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(3),
+      s"CMS undercounted: est ${r.getLong(2)} < exact ${r.getLong(3)}")) // structural guarantee
+    // the true heavy hitter tops the ranking (its estimate >= 2000, others <= ~2+collisions)
+    assert(rows(0).getLong(1) == 0L && rows(0).getLong(3) == 2000L)
+  }
+
+  test("weightedSample is deterministic and matches the driver-side A-ES selection") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, "en", "t", (i % 7) * 100 + 10))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextOps.weightedSample(docs, "n_chars", 15).collect().map(_.getLong(0)).toSeq
+    assert(got == TextOps.weightedSample(docs, "n_chars", 15).collect().map(_.getLong(0)).toSeq)
+    // driver-side recompute of the same keys
+    val u = (i: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsamp:$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16) /
+        1152921504606846976.0
+    }
+    val want = (0 until 300).map { i =>
+      val w = (i % 7) * 100 + 10
+      (i.toLong, math.pow(u(i.toLong), 1.0 / w))
+    }.sortBy { case (id, k) => (-k, id) }.take(15).map(_._1).sorted
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("labelCentroids: decimal-exact means over known vectors") {
+    import spark.implicits._
+    val dim = SimilarityOps.DIM
+    val vecs = Seq(
+      (0L, Array.fill(dim)(1.0f), 7),
+      (1L, Array.fill(dim)(2.0f), 7),
+      (2L, Array.fill(dim)(5.0f), 9))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.labelCentroids(df).collect()
+    assert(r.length == 2 * dim)
+    r.foreach { row =>
+      val (label, m, n) = (row.getInt(0), row.getDouble(2), row.getLong(3))
+      if (label == 7) assert(m == 1.5 && n == 2L) else assert(m == 5.0 && n == 1L)
+    }
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))
