@@ -99,4 +99,55 @@ object SketchOps {
       .select("rank", "key", "est_count", "exact_count")
       .orderBy("rank")
   }
+
+  /** Bloom-filter positions of a key set: k universal-family hashes into
+    * m bits, materialized as the DISTINCT set of set-bit positions (≤ m
+    * rows of one int — for the m that matter this is kilobytes, i.e.
+    * broadcastable). The explicit, engine-portable form of the runtime
+    * filters query engines push into scans at scale.
+    */
+  def bloomPositions(df: DataFrame, keyCol: Column, m: Int, k: Int): DataFrame = {
+    require(k >= 1 && m >= 2, s"bloom needs k >= 1, m >= 2, got k=$k m=$m")
+    val h = CrossHash.mdint(keyCol.cast("string"))
+    df.select(explode(array((0 until k).map(i =>
+        pmod(CrossHash.minhash(h, i), lit(m.toLong))): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Materialize the m-bit bloom bitmask driver-side: m/64 longs of model
+    * state — the same legitimate driver-side materialization as
+    * [[SimilarityOps.trainCentroids]]' centroids and `lshSignature`'s
+    * hyperplanes (a 2^16-bit filter is 8 KB).
+    */
+  def bloomBits(df: DataFrame, keyCol: Column, m: Int, k: Int): Array[Long] = {
+    val mask = new Array[Long]((m + 63) / 64)
+    bloomPositions(df, keyCol, m, k).collect().foreach { r =>
+      val p = r.getLong(0).toInt
+      mask(p >> 6) |= 1L << (p & 63)
+    }
+    mask
+  }
+
+  /** Bloom may-contain predicate over the literal bitmask: true iff ALL k
+    * hash positions are set (no false negatives; false-positive rate
+    * ≈ (1 − e^(−kn/m))^k). A pure codegen'd per-row projection — no join,
+    * no shuffle, no exchange anywhere on the probe side — which is the
+    * runtime-filter shape engines push into 100 TB scans: build the mask
+    * from the small/filtered dimension side, prefilter the fact side to
+    * candidates before the real join. The variable bit shift is expressed
+    * as an AND against a 64-entry power-of-two literal array (Spark's
+    * `shiftright` wants a literal shift amount).
+    */
+  def bloomMayContain(keyCol: Column, mask: Array[Long], m: Int, k: Int): Column = {
+    require(mask.length == (m + 63) / 64,
+      s"mask has ${mask.length} words, expected ${(m + 63) / 64} for m=$m")
+    val maskLit = typedLit(mask.toSeq)
+    val pow2 = typedLit(Array.tabulate(64)(1L << _).toSeq)
+    val h = CrossHash.mdint(keyCol.cast("string"))
+    (0 until k).map { i =>
+      val pos = pmod(CrossHash.minhash(h, i), lit(m.toLong))
+      (element_at(maskLit, (pos / 64).cast("int") + 1)
+        .bitwiseAND(element_at(pow2, (pos % 64).cast("int") + 1))) =!= 0L
+    }.reduce(_ && _)
+  }
 }

@@ -20,13 +20,36 @@ object SketchQueries {
                            // counts (w=64 measured: est ~5× exact, noise)
   private val CMS_TOPK = 10
 
+  private val BLOOM_M = 1024
+  private val BLOOM_K = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_kmv_distinct" -> ((s, d) =>
       SketchOps.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"),
         "l_returnflag", KMV_K)),
     "ev_heavy_hitters" -> ((s, d) =>
       SketchOps.cmsHeavyHitters(t(s, d, "events"), col("user_id"),
-        CMS_D, CMS_W, CMS_TOPK)))
+        CMS_D, CMS_W, CMS_TOPK)),
+    // Runtime-filter demo: bloom built from the FILTERED dim side
+    // (p_size = 50 parts), fact side prefiltered by the pure-projection
+    // may-contain predicate; output compares bloom passes vs the exact
+    // semi join per flag (n_false_pos = the price of m=1024 bits).
+    "q31_bloom_prune" -> ((s, d) => {
+      val dim = t(s, d, "part").filter(col("p_size") === 50).select(col("p_partkey"))
+      val mask = SketchOps.bloomBits(dim, col("p_partkey"), BLOOM_M, BLOOM_K)
+      val li = t(s, d, "lineitem")
+      val nPass = li
+        .filter(SketchOps.bloomMayContain(col("l_partkey"), mask, BLOOM_M, BLOOM_K))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_pass"))
+      val nTrue = li
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_true"))
+      nPass.join(nTrue, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_pass"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          (col("n_pass") - coalesce(col("n_true"), lit(0L))).as("n_false_pos"))
+        .orderBy("l_returnflag")
+    }))
 
   private val sqlH = CrossHash.sqlMdint("CAST(l_partkey AS VARCHAR)")
   private val sqlHU = CrossHash.sqlMdint("CAST(user_id AS VARCHAR)")
@@ -52,6 +75,32 @@ object SketchQueries {
          |  (est_distinct - CAST(exact_distinct AS DOUBLE))
          |    / CAST(exact_distinct AS DOUBLE) AS rel_err
          |FROM j ORDER BY l_returnflag""".stripMargin
+    },
+    "q31_bloom_prune" -> {
+      val hKey = CrossHash.sqlMdint("CAST(key AS VARCHAR)")
+      val hLi = CrossHash.sqlMdint("CAST(l_partkey AS VARCHAR)")
+      val posSelects = (0 until BLOOM_K).map(i =>
+        s"SELECT (${CrossHash.sqlMinhash(hKey, i)}) % $BLOOM_M AS pos FROM bl")
+        .mkString("\n  UNION ALL\n  ")
+      val allSet = (0 until BLOOM_K).map(i =>
+        s"(${CrossHash.sqlMinhash(hLi, i)}) % $BLOOM_M IN (SELECT pos FROM pc)")
+        .mkString("\n    AND ")
+      s"""WITH bl AS (SELECT p_partkey AS key FROM part WHERE p_size = 50),
+         |pc AS (SELECT DISTINCT pos FROM (
+         |  $posSelects)),
+         |keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+         |pass AS (SELECT l_partkey FROM keys
+         |  WHERE $allSet),
+         |agg_pass AS (SELECT l_returnflag, COUNT(*) AS n_pass
+         |  FROM lineitem JOIN pass USING (l_partkey) GROUP BY l_returnflag),
+         |agg_true AS (SELECT l_returnflag, COUNT(*) AS n_true
+         |  FROM lineitem WHERE l_partkey IN (SELECT key FROM bl)
+         |  GROUP BY l_returnflag)
+         |SELECT a.l_returnflag, a.n_pass,
+         |  COALESCE(t.n_true, 0) AS n_true,
+         |  a.n_pass - COALESCE(t.n_true, 0) AS n_false_pos
+         |FROM agg_pass a LEFT JOIN agg_true t USING (l_returnflag)
+         |ORDER BY a.l_returnflag""".stripMargin
     },
     "ev_heavy_hitters" -> {
       val rows = (0 until CMS_D).map(r =>

@@ -357,6 +357,24 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom may-contain: no false negatives, bounded false positives, shuffle-free probe") {
+    import spark.implicits._
+    val dim = (0 until 50).map(i => i.toLong * 7).toDF("key")
+    val mask = SketchOps.bloomBits(dim, col("key"), m = 1024, k = 3)
+    val probe = (0 until 2000).map(_.toLong).toDF("k2")
+    val passed = probe.filter(SketchOps.bloomMayContain(col("k2"), mask, 1024, 3))
+    val got = passed.collect().map(_.getLong(0)).toSet
+    // every true member passes (multiples of 7 below 350)
+    val truth = (0 until 50).map(_.toLong * 7).toSet
+    assert(truth.subsetOf(got), s"false negatives: ${truth -- got}")
+    // false positives bounded: fp rate (1-e^(-150/1024))^3 ~ 2.5e-3 over
+    // 1950 non-members -> expect ~5, allow generous headroom
+    assert((got -- truth).size < 60, s"fp=${(got -- truth).size}")
+    // the probe side is a pure projection: scan -> filter, no exchange
+    val p = passed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))
