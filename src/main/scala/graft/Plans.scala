@@ -18,7 +18,10 @@ object Plans {
     "q1_pricing_summary", "q2_filter_project", "q5_region_revenue",
     "q6_revenue_forecast", "sim_coin_traces", "sim_gbm_stats",
     "dd_minhash", "dd_simhash", "emb_near_pairs_lsh",
-    "knn_lsh", "tx_langid", "tx_topterms", "ev_sliding", "q20_asof_clicks")
+    "knn_lsh", "tx_langid", "tx_topterms", "ev_sliding", "q20_asof_clicks",
+    // round 4: de-Expanded multi-distinct, shuffle-free bloom probe,
+    // pure-projection random projection, per-shard packing window
+    "q11_distinct_parts", "q31_bloom_prune", "emb_rp_reduce", "tx_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
