@@ -156,6 +156,25 @@ object StreamOps {
       // the batch twin (callers union/sink both paths interchangeably)
       .drop("etime")
 
+  /** Count–min sketch counters as a STREAMING aggregation: the same
+    * (r, bucket) explode + count as [[graft.operators.SketchOps]]'
+    * batch build, run incrementally. This is why sketches earn their
+    * keep on streams — the full state is d×w counters forever, no
+    * watermark needed (the aggregation state cannot grow with the
+    * stream), and the counters are mergeable across jobs by addition.
+    * Update-mode output; batch equivalence asserted in StreamingSpec.
+    */
+  def cmsCountersStream(events: DataFrame, d: Int = 4, w: Int = 1024): DataFrame = {
+    import graft.functions.CrossHash
+    graft.operators.OpContract.requireCols(events, "StreamOps.cmsCountersStream", "user_id")
+    val h = CrossHash.mdint(col("user_id").cast("string"))
+    events
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), pmod(CrossHash.minhash(h, r), lit(w.toLong)).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming Monte Carlo: turn a stream of simulation REQUESTS
     * (model_id, sim_id, seed, points, bias) into a stream of coin traces —
     * the same counter-based generation as the batch tier, applied with

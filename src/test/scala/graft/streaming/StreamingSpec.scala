@@ -35,6 +35,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmsCountersStream: incremental sketch build equals the batch counters") {
+    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val expected = cmsCountersStream(batchDf, d = 4, w = 256)
+      .orderBy("r", "bucket").collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val sdf = spark.readStream.schema(batchDf.schema).parquet(tmp.toString)
+    assert(sdf.isStreaming)
+    val q = cmsCountersStream(sdf, d = 4, w = 256)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_out").orderBy("r", "bucket").collect().toSeq
+      assert(got == expected)
+      // sketch state is bounded by construction: at most d*w counter rows
+      assert(got.length <= 4 * 256)
+    } finally q.stop()
+  }
+
   test("tumblingCountsStream: watermark reaches the aggregation (append mode works)") {
     // Regression: the watermark used to be attached to a column the window
     // didn't group on, which made append mode throw

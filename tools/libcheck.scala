@@ -15,7 +15,7 @@
 // surface returns rows and the sink round-trips.
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, SimilarityOps, SketchOps, TextOps}
 import graft.multimodal.{MediaOps, MediaStub}
 import graft.streaming.StreamOps
 import graft.core.{MCBattery, RngFamily, SimulationSpec, TraceSink}
@@ -44,6 +44,20 @@ def runLibcheck(): Unit = {
   check("TextOps.topTerms")(TextOps.topTerms(docs))
   check("TextOps.stratifiedSampleHash")(
     TextOps.stratifiedSampleHash(docs, Map("en" -> 0.5, "de" -> 0.5)))
+  check("TextOps.redactPii")(TextOps.redactPii(docs))
+  check("TextOps.contamination")(TextOps.contamination(
+    docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
+  check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
+  check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
+  // sketches
+  check("SketchOps.kmvDistinct")(
+    SketchOps.kmvDistinct(events, col("user_id"), "event_type", 64))
+  check("SketchOps.cmsHeavyHitters")(
+    SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
+  val bloomDim = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+  val bloomMask = SketchOps.bloomBits(bloomDim, col("doc_id"), 1024, 3)
+  check("SketchOps.bloomMayContain")(
+    docs.filter(SketchOps.bloomMayContain(col("doc_id"), bloomMask, 1024, 3)))
   // dedup
   check("DedupOps.exactDedupStats")(DedupOps.exactDedupStats(docs))
   check("DedupOps.minhashPairs")(DedupOps.minhashPairs(docs))
@@ -51,12 +65,16 @@ def runLibcheck(): Unit = {
   check("DedupOps.ngramJaccardPairs")(DedupOps.ngramJaccardPairs(docs))
   check("DedupOps.nearDupClustersStar")(
     DedupOps.nearDupClustersStar(DedupOps.minhashPairs(docs)))
+  check("DedupOps.antiJoinDedup")(
+    DedupOps.antiJoinDedup(docs, docs.filter(col("doc_id") % 50 === 0)))
   // similarity search
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
   check("SimilarityOps.bruteTopK")(SimilarityOps.bruteTopK(embs, queries, 5))
   check("SimilarityOps.quantizeInt8")(SimilarityOps.quantizeInt8(embs))
   check("SimilarityOps.lshTopK")(SimilarityOps.lshTopK(embs, queries, 5))
+  check("SimilarityOps.randomProjection")(SimilarityOps.randomProjection(embs))
+  check("SimilarityOps.labelCentroids")(SimilarityOps.labelCentroids(embs))
   // multimodal plumbing (stub decode, real Spark shapes)
   check("MediaOps.thumbnail")(
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
