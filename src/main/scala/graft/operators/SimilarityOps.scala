@@ -174,7 +174,9 @@ object SimilarityOps {
     * accumulation order cannot matter. Like [[lshSignature]], the weight
     * matrix is materialized driver-side as array literals (outDim×DIM
     * small-int model constants) and each output dim is one native
-    * codegen'd dot product; pure projection, no shuffle.
+    * codegen'd dot product; pure projection, NO shuffle — deliberately no
+    * spreading repartition either (the per-row work is outDim dot
+    * products, not an explode; scan parallelism is enough).
     */
   def randomProjection(e: DataFrame, outDim: Int = 16, seed: Long = 909L): DataFrame = {
     OpContract.requireCols(e, "SimilarityOps.randomProjection", "vec_id", "embedding")
@@ -184,8 +186,7 @@ object SimilarityOps {
         math.floor(DeterministicRng.uniform(seed, j.toLong, 0L, i.toLong) * 7.0) - 3.0)
       graft.functions.VectorFunctions.dot_product(col("qv"), typedLit(plane)).cast("long")
     }: _*)
-    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("qv", q)
+    e.withColumn("qv", q)
       .select(col("vec_id"), proj.as("rp"))
   }
 

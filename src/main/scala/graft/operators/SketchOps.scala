@@ -31,8 +31,11 @@ object SketchOps {
   /** KMV (k-minimum-values / bottom-k) distinct-count estimate per group:
     * keep the k smallest distinct hash values; when the sketch saturates
     * the estimator is (k−1)·2^60 / h_(k) (hashes uniform on [0, 2^60)),
-    * below saturation the count is exact. Output per group:
-    * `exact_distinct` (for comparison), `est_distinct`, `rel_err`.
+    * below saturation the estimate is the distinct-HASH count — exact up
+    * to 60-bit collisions (~n²/2^61 expected, irrelevant below ~10^8
+    * keys per group). Output per group: `exact_distinct` (true
+    * distinct-KEY count, computed the expensive way for comparison),
+    * `est_distinct`, `rel_err`.
     *
     * FP discipline: (k−1)·2^60 is a constant with ≤ 53 significant bits
     * (exact double), h_(k) < 2^60 casts exactly, so the estimate is ONE
@@ -49,7 +52,7 @@ object SketchOps {
       .filter(col("rn") <= k)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
-    val exact = hashed.groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
+    val exact = df.groupBy(col(groupCol)).agg(countDistinct(keyCol).as("exact_distinct"))
     val est = when(col("n_kept") < k, col("n_kept").cast("double"))
       .otherwise(lit((k - 1).toDouble * 1152921504606846976.0d) / col("kth").cast("double"))
     sketch.join(exact, groupCol)
@@ -71,18 +74,31 @@ object SketchOps {
     * comparison are the expensive path the sketch replaces at scale —
     * a production pipeline keeps only the d·w counters.
     */
-  def cmsHeavyHitters(df: DataFrame, keyCol: Column, d: Int = 4, w: Int = 64,
-      topK: Int = 10): DataFrame = {
+  /** The (r, bucket) derivation shared by every CMS build — ONE definition
+    * so batch-built and streaming-built counters stay mergeable (they
+    * must agree bucket-for-bucket or min-over-rows is meaningless).
+    */
+  private[graft] def cmsBuckets(key: Column, d: Int, w: Int): Column = {
+    val h = CrossHash.mdint(key.cast("string"))
+    array((0 until d).map(r =>
+      struct(lit(r).as("r"), pmod(CrossHash.minhash(h, r), lit(w.toLong)).as("bucket"))): _*)
+  }
+
+  /** CMS counter build (works unchanged as a batch aggregate or an
+    * incremental streaming aggregation — see
+    * [[graft.streaming.StreamOps.cmsCountersStream]]).
+    */
+  def cmsCounters(df: DataFrame, keyCol: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2, got d=$d w=$w")
-    def buckets(key: Column): Column = {
-      val h = CrossHash.mdint(key.cast("string"))
-      array((0 until d).map(r =>
-        struct(lit(r).as("r"), pmod(CrossHash.minhash(h, r), lit(w.toLong)).as("bucket"))): _*)
-    }
-    val counters = df
-      .select(explode(buckets(keyCol)).as("rb"))
+    df.select(explode(cmsBuckets(keyCol, d, w)).as("rb"))
       .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  def cmsHeavyHitters(df: DataFrame, keyCol: Column, d: Int = 4, w: Int = 64,
+      topK: Int = 10): DataFrame = {
+    def buckets(key: Column): Column = cmsBuckets(key, d, w)
+    val counters = cmsCounters(df, keyCol, d, w)
     val exact = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("exact_count"))
     // the global rank window runs over the DISTINCT-KEY table (cardinality-
     // sized, not data-sized) — the single-partition sort is over candidates

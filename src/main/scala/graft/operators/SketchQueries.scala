@@ -65,8 +65,8 @@ object SketchQueries {
          |  FROM hashed),
          |sk AS (SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS kth
          |  FROM ranked WHERE rn <= $KMV_K GROUP BY l_returnflag),
-         |ex AS (SELECT l_returnflag, COUNT(*) AS exact_distinct
-         |  FROM hashed GROUP BY l_returnflag),
+         |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+         |  FROM lineitem GROUP BY l_returnflag),
          |j AS (SELECT sk.l_returnflag, ex.exact_distinct,
          |    CASE WHEN sk.n_kept < $KMV_K THEN CAST(sk.n_kept AS DOUBLE)
          |         ELSE $scale / CAST(sk.kth AS DOUBLE) END AS est_distinct

@@ -244,12 +244,17 @@ object TextOps {
     * boundary within ~1e-15 — keys on a real corpus are spaced ~1/n near
     * the boundary, so the sampled SET is stable; the keys themselves are
     * deliberately not emitted.
+    *
+    * A-ES is only defined for positive weights: non-positive-weight rows
+    * are filtered out up front (a negative weight would give u^(1/w) ≥ 1
+    * and silently outrank every valid document; zero gives pow(u, ∞)).
     */
   def weightedSample(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
     OpContract.requireCols(docs, "TextOps.weightedSample", "doc_id", "lang", weightCol)
     val u = graft.functions.CrossHash.mdint(concat(lit("wsamp:"), col("doc_id")))
       .cast("double") / lit(1152921504606846976.0) // 2^60
-    docs.select(col("doc_id"), col("lang"), col(weightCol),
+    docs.filter(col(weightCol) > 0)
+      .select(col("doc_id"), col("lang"), col(weightCol),
         pow(u, lit(1.0) / col(weightCol).cast("double")).as("aes_key"))
       .orderBy(col("aes_key").desc, col("doc_id"))
       .limit(k)
@@ -310,9 +315,10 @@ object TextOps {
     * for each corpus document, the number of distinct word n-grams it
     * shares with a benchmark set. The benchmark side is collapsed to its
     * distinct shingle set and BROADCAST — benchmark suites are tiny next
-    * to a training corpus, so the corpus side is one scan + explode with
-    * NO shuffle of corpus data at all (the per-doc count aggregate
-    * combines map-side on ~one row per contaminated doc). Shingling uses
+    * to a training corpus, so the JOIN adds no shuffle; the corpus side
+    * pays one spreading repartition (the module's small-file-parallelism
+    * guard before the shingle explode) and the per-doc count aggregate
+    * combines map-side to ~one row per contaminated doc. Shingling uses
     * the native WordShingles expression (distinct within doc), and the
     * join is on the shingle STRING — exact, no hash-collision caveat.
     */

@@ -165,14 +165,11 @@ object StreamOps {
     * Update-mode output; batch equivalence asserted in StreamingSpec.
     */
   def cmsCountersStream(events: DataFrame, d: Int = 4, w: Int = 1024): DataFrame = {
-    import graft.functions.CrossHash
     graft.operators.OpContract.requireCols(events, "StreamOps.cmsCountersStream", "user_id")
-    val h = CrossHash.mdint(col("user_id").cast("string"))
-    events
-      .select(explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), pmod(CrossHash.minhash(h, r), lit(w.toLong)).as("bucket"))): _*)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    // the SAME counter build as the batch sketch (one shared definition in
+    // SketchOps) — that is what keeps streaming- and batch-built counters
+    // mergeable bucket-for-bucket
+    graft.operators.SketchOps.cmsCounters(events, col("user_id"), d, w)
   }
 
   /** Streaming Monte Carlo: turn a stream of simulation REQUESTS
