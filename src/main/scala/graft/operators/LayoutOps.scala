@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: the write-side clustering that makes 100 TB
+  * READS cheap. Z-ordering (bit-interleaved space-filling curve) maps
+  * multi-dimensional keys to one dimension while preserving locality, so
+  * range-partitioning + sorting by the z-key co-locates rows that are
+  * close in EVERY dimension — after which min/max column statistics
+  * (parquet row groups, Delta/Iceberg file skipping) prune
+  * multi-dimensional predicates that a single-column sort can only prune
+  * on its leading column.
+  *
+  * Usage at write time:
+  * {{{
+  *   df.withColumn("z", LayoutOps.zorder16(col("a"), col("b")))
+  *     .repartitionByRange(n, col("z")).sortWithinPartitions("z")
+  *     .write.parquet(...)
+  * }}}
+  */
+object LayoutOps {
+
+  /** 32-bit Z-value of two dimensions (low 16 bits each, masked — callers
+    * scale/quantize wider domains first; wrap preserves locality within
+    * each 65536-aligned window). Pure integer bit arithmetic: codegen'd,
+    * shuffle-free, and bit-identical in any engine.
+    */
+  def zorder16(x: Column, y: Column): Column =
+    (0 until 16).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(1), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** SQL text of [[zorder16]] for the DuckDB oracle. */
+  def sqlZorder16(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"(((($x) >> $b) & 1) << ${2 * b}) + (((($y) >> $b) & 1) << ${2 * b + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order tile summary: assign each row its z-key, bucket into 2^bits
+    * coarse tiles (top bits of the 32-bit z), and report each tile's row
+    * count and per-dimension min/max envelope. The envelope IS the
+    * locality proof — every tile covers a bounded rectangle in (x, y), so
+    * file-level min/max stats prune 2-D predicates. (The gate query
+    * checks these envelopes value-for-value; ZorderSpec asserts the
+    * rectangle-area bound.)
+    */
+  def zTiles(df: DataFrame, x: Column, y: Column, tileBits: Int = 6): DataFrame = {
+    require(tileBits >= 1 && tileBits <= 16, s"tileBits in [1,16], got $tileBits")
+    df.select(x.as("zx"), y.as("zy"))
+      .withColumn("tile", shiftright(zorder16(col("zx"), col("zy")), 32 - tileBits))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zx")).as("x_min"), max(col("zx")).as("x_max"),
+        min(col("zy")).as("y_min"), max(col("zy")).as("y_max"))
+      .orderBy("tile")
+  }
+}

@@ -100,6 +100,17 @@ object RelationalQueries {
         .filter(col("total_qty") > 3000)
         .orderBy("l_suppkey")),
 
+    // Z-order layout: tile envelopes prove 2-D locality (each top-6-bit
+    // tile of the 32-bit curve is an ALIGNED 2^13x2^13 rectangle — the
+    // property file-level min/max stats prune against). See LayoutOps.
+    // dims scaled into the full 16-bit domain (odd multipliers mod 2^16)
+    // so the battery exercises MULTI-tile grouping at every sf — raw sf0.01
+    // keys all landed in tile 0 (z < 2^26)
+    "q32_zorder" -> ((s, d) =>
+      LayoutOps.zTiles(t(s, d, "lineitem"),
+        pmod(col("l_partkey") * 131, lit(65536L)),
+        pmod(col("l_suppkey") * 521, lit(65536L)))),
+
     // ---- joins ------------------------------------------------------------
     // TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
     "q3_top_revenue_orders" -> ((s, d) => {
@@ -411,6 +422,15 @@ object RelationalQueries {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q32_zorder" ->
+      s"""WITH b AS (SELECT (l_partkey * 131) % 65536 AS zx,
+         |  (l_suppkey * 521) % 65536 AS zy FROM lineitem),
+         |z AS (SELECT zx, zy, ${LayoutOps.sqlZorder16("zx", "zy")} AS zz FROM b),
+         |t AS (SELECT zz >> 26 AS tile, zx, zy FROM z)
+         |SELECT tile, COUNT(*) AS n_rows,
+         |  MIN(zx) AS x_min, MAX(zx) AS x_max,
+         |  MIN(zy) AS y_min, MAX(zy) AS y_max
+         |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
     "q11_distinct_parts" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

@@ -370,6 +370,34 @@ object TextOps {
       .orderBy("lang", "pack_id", "doc_id")
   }
 
+  /** BPE pair statistics — the first merge step of byte-pair-encoding
+    * tokenizer training, at corpus scale: build the word-frequency
+    * vocabulary (one explode + count, map-side combined), then count
+    * adjacent CHARACTER pairs over the DISTINCT words weighted by word
+    * frequency. Extracting pairs from the vocabulary rather than the raw
+    * corpus is the real trainer's shape — pair work scales with |vocab|,
+    * not corpus size, and the corpus is touched exactly once. Output:
+    * top-k pairs by weighted count (the candidates for the first merge).
+    */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    val vocab = spread(OpContract.requireCols(docs, "TextOps.bpePairs", "text"))
+      .select(explode(words).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("total").desc, col("pair"))
+    vocab
+      // sequence(1, len-1) would run BACKWARDS for 1-char words (Spark
+      // sequence auto-steps -1), so guard len >= 2
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("total"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "pair", "total")
+      .orderBy("rank")
+  }
+
   /** Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
     * documents with identical word sets collapse to one fingerprint —
     * word-order-insensitive near-dup detection in one agg pass.

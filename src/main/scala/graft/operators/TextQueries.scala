@@ -57,7 +57,8 @@ object TextQueries {
     }),
     "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)),
     "tx_weighted_sample" -> ((s, d) =>
-      TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)))
+      TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)),
+    "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
@@ -74,6 +75,22 @@ object TextQueries {
          |  LIMIT 20) x
          |ORDER BY doc_id""".stripMargin
     },
+    "tx_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |      i -> substr(word, i, 2))) AS pair, freq
+        |  FROM vocab WHERE length(word) >= 2),
+        |pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS total
+        |  FROM pairs GROUP BY pair)
+        |SELECT rank, pair, total FROM (
+        |  SELECT pair, total,
+        |    ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rank
+        |  FROM pc) x
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "tx_pii_redact" -> {
       val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
         s"'${TextOps.emailRe}', '<EMAIL>', 'g'), " +

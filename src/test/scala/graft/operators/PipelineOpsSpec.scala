@@ -375,6 +375,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("bpePairs counts frequency-weighted adjacent char pairs over the vocab") {
+    import spark.implicits._
+    // vocab: "ab" x3 (2 docs), "abc" x1 -> pairs: ab: 3+1=4, bc: 1; "x" has no pair
+    val docs = Seq((0L, "ab ab x abc"), (1L, "ab x")).toDF("doc_id", "text")
+    val rows = TextOps.bpePairs(docs, k = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, "ab", 4L), (2, "bc", 1L)), rows.toString)
+  }
+
+  test("zorder16 interleaves bits; top-bit tiles are aligned rectangles") {
+    import spark.implicits._
+    // z(3, 5): x bits 0,1 -> z bits 0,2; y bits 0,2 -> z bits 1,5 = 1+4+2+32
+    val z = spark.range(1).select(
+      LayoutOps.zorder16(lit(3L), lit(5L)),
+      LayoutOps.zorder16(lit(0L), lit(1L)),
+      LayoutOps.zorder16(lit(65535L), lit(65535L))).collect()(0)
+    assert(z.getLong(0) == 39L && z.getLong(1) == 2L && z.getLong(2) == 4294967295L)
+    // locality proof: with tileBits=6 every tile's envelope fits the
+    // aligned 2^13 x 2^13 rectangle the curve guarantees
+    val pts = (0 until 4000).map(i => ((i * 2654435761L) % 65536, (i * 40503L) % 65536))
+      .toDF("a", "b")
+    val tiles = LayoutOps.zTiles(pts, col("a"), col("b")).collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 8192, s"x envelope too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) < 8192, s"y envelope too wide: $r")
+      // and the envelope is inside the tile's aligned grid cell
+      assert(r.getLong(2) / 8192 == r.getLong(3) / 8192, s"x crosses cells: $r")
+      assert(r.getLong(4) / 8192 == r.getLong(5) / 8192, s"y crosses cells: $r")
+    }
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

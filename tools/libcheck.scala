@@ -49,6 +49,10 @@ def runLibcheck(): Unit = {
     docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
   check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
+  check("TextOps.bpePairs")(TextOps.bpePairs(docs))
+  check("LayoutOps.zTiles")(graft.operators.LayoutOps.zTiles(
+    events, pmod(col("user_id") * 131, lit(65536L)),
+    pmod(col("event_id") * 521, lit(65536L))))
   // sketches
   check("SketchOps.kmvDistinct")(
     SketchOps.kmvDistinct(events, col("user_id"), "event_type", 64))
