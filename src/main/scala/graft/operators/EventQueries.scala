@@ -15,6 +15,16 @@ object EventQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Upsert compaction: one surviving (latest) event per
+    // (user_id, event_type) — the CDC merge pattern.
+    "ev_latest" -> ((s, d) =>
+      StreamOps.latestByKey(t(s, d, "events"),
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          call_function("div", col("ts").cast("long"), lit(1000L)).as("ts_us"),
+          col("value"))
+        .orderBy("user_id", "event_type")),
+
     // Tumbling 15-min windows per event type (Spark window() function).
     "ev_tumbling" -> ((s, d) =>
       StreamOps.tumblingCounts(t(s, d, "events"))
@@ -95,6 +105,12 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ev_latest" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "ev_enrich" ->
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  COUNT(*) AS n_events,

@@ -116,6 +116,42 @@ object SketchOps {
       .orderBy("rank")
   }
 
+  /** Fixed-grid histogram quantile sketch — the deterministic,
+    * value-oracle-able member of the approximate-quantile family (t-digest
+    * / GK summaries are merge-order-dependent, so their results can only
+    * ever be rows-gated). State is `bins` counters; estimates are upper
+    * bin edges, so est ≥ true quantile with error ≤ `binWidth`.
+    *
+    * Determinism contract: `binWidth` must be a power of two — v/2^s is
+    * an EXACT double scale, so bin assignment is one exact op + one floor
+    * in any engine. Quantile ranks are integer permille arithmetic
+    * (rank = ⌈n·p/1000⌉ via exact sub-2^53 doubles) — no FP thresholds.
+    *
+    * Scale shape: one scan → `bins` counters (map-side combined); the
+    * cumulative window + rank probe run over the tiny counter table.
+    */
+  def histQuantiles(df: DataFrame, valCol: Column, binWidth: Long, bins: Int,
+      permille: Seq[Int]): DataFrame = {
+    require(binWidth >= 1 && (binWidth & (binWidth - 1)) == 0,
+      s"binWidth must be a power of two for exact cross-engine binning, got $binWidth")
+    require(permille.forall(p => p >= 1 && p <= 1000), s"permille out of range: $permille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(greatest(floor(valCol / binWidth).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val counts = df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bin"))))
+    val total = df.agg(count(lit(1)).as("n"))
+    val qs = permille.toDF("p")
+    qs.crossJoin(total).crossJoin(cum)
+      .filter(col("cum") >= floor((col("n") * col("p") + 999) / 1000.0))
+      .groupBy("p", "n").agg(min(col("bin")).as("qbin"))
+      .select((col("p") / 1000.0).as("q"),
+        ((col("qbin") + 1) * binWidth).as("est_hi"), col("n"), col("p"))
+      .orderBy("p")
+  }
+
   /** Bloom-filter positions of a key set: k universal-family hashes into
     * m bits, materialized as the DISTINCT set of set-bit positions (≤ m
     * rows of one int — for the m that matter this is kilobytes, i.e.

@@ -30,6 +30,26 @@ object SketchQueries {
     "ev_heavy_hitters" -> ((s, d) =>
       SketchOps.cmsHeavyHitters(t(s, d, "events"), col("user_id"),
         CMS_D, CMS_W, CMS_TOPK)),
+    // Histogram quantile sketch vs the exact interpolated percentile —
+    // the quantile member of the sketch family. binWidth 128 = 2^7 keeps
+    // bin assignment exact; est_hi upper-bounds the true quantile within
+    // one bin (asserted against exact_val in the output itself).
+    "q33_hist_quantile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sk = SketchOps.histQuantiles(li, col("l_extendedprice"),
+        binWidth = 128L, bins = 1024, permille = Seq(500, 950, 990))
+      val ex = li.agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      sk.crossJoin(ex)
+        .select(col("q"), col("est_hi"), col("n"),
+          when(col("p") === 500, col("p50"))
+            .when(col("p") === 950, col("p95"))
+            .otherwise(col("p99")).as("exact_val"))
+        .orderBy("q")
+    }),
+
     // Runtime-filter demo: bloom built from the FILTERED dim side
     // (p_size = 50 parts), fact side prefiltered by the pure-projection
     // may-contain predicate; output compares bloom passes vs the exact
@@ -76,6 +96,28 @@ object SketchQueries {
          |    / CAST(exact_distinct AS DOUBLE) AS rel_err
          |FROM j ORDER BY l_returnflag""".stripMargin
     },
+    // q literal is p/1000.0 (one exact-ish division both engines); ranks
+    // are integer permille math — deliberately NOT double quantile
+    // literals (DuckDB bare 0.95 types as DECIMAL: exact ceil(q·n) where
+    // Spark's double 0.95·n rounds — a real off-by-one trap at integral
+    // boundaries).
+    "q33_hist_quantile" ->
+      """WITH b AS (SELECT least(greatest(CAST(floor(l_extendedprice / 128) AS BIGINT), 0), 1023) AS bin
+        |  FROM lineitem),
+        |c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+        |cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
+        |n AS (SELECT COUNT(*) AS n FROM lineitem),
+        |qs AS (SELECT unnest([500, 950, 990]) AS p),
+        |est AS (SELECT p, MIN(bin) AS qbin
+        |  FROM qs, n, cum
+        |  WHERE cum >= floor((n * p + 999) / CAST(1000 AS DOUBLE))
+        |  GROUP BY p),
+        |ex AS (SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem)
+        |SELECT p / CAST(1000 AS DOUBLE) AS q, (qbin + 1) * 128 AS est_hi, n.n AS n,
+        |  CASE WHEN p = 500 THEN p50 WHEN p = 950 THEN p95 ELSE p99 END AS exact_val
+        |FROM est, n, ex ORDER BY q""".stripMargin,
     "q31_bloom_prune" -> {
       val hKey = CrossHash.sqlMdint("CAST(key AS VARCHAR)")
       val hLi = CrossHash.sqlMdint("CAST(l_partkey AS VARCHAR)")

@@ -156,6 +156,21 @@ object StreamOps {
       // the batch twin (callers union/sink both paths interchangeably)
       .drop("etime")
 
+  /** Upsert compaction (the CDC merge / keep-latest pattern): one
+    * surviving row per key — the greatest by the ordering columns, later
+    * ordering columns breaking ties. This is the batch materialization
+    * of streaming keyed state (what a `mapGroupsWithState` holds per key
+    * is exactly this row), and the compaction every CDC-ingested 100 TB
+    * table needs: shuffle on the key, per-key window, no global sort.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && ord.nonEmpty, "latestByKey needs keys and ordering columns")
+    graft.operators.OpContract.requireCols(df, "StreamOps.latestByKey", keys: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(ord.map(_.desc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** Count–min sketch counters as a STREAMING aggregation: the same
     * (r, bucket) explode + count as [[graft.operators.SketchOps]]'
     * batch build, run incrementally. This is why sketches earn their

@@ -407,6 +407,34 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("histQuantiles: estimate upper-bounds the true quantile within one bin") {
+    import spark.implicits._
+    val vals = (1 to 10000).map(_.toDouble * 3.7).toDF("v")
+    val rows = SketchOps.histQuantiles(vals, col("v"), binWidth = 64L,
+      bins = 1024, permille = Seq(500, 990)).collect()
+    rows.foreach { r =>
+      val (q, estHi, n) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+      assert(n == 10000L)
+      val rank = math.ceil(q * n).toLong
+      val exact = rank * 3.7 // values are rank*3.7 in sorted order
+      assert(estHi >= exact && estHi - 64 <= exact,
+        s"q=$q est_hi=$estHi exact=$exact")
+    }
+  }
+
+  test("latestByKey keeps exactly the max-ordered row per key, ties broken by later columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), // later ts wins
+      (1L, "b", 5L, 102L),
+      (2L, "a", 7L, 103L), (2L, "a", 7L, 104L))   // ts tie -> higher id wins
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.streaming.StreamOps.latestByKey(df,
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(got == Set((1L, "a", 101L), (1L, "b", 102L), (2L, "a", 104L)), got.toString)
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

@@ -58,6 +58,10 @@ def runLibcheck(): Unit = {
     SketchOps.kmvDistinct(events, col("user_id"), "event_type", 64))
   check("SketchOps.cmsHeavyHitters")(
     SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
+  check("SketchOps.histQuantiles")(
+    SketchOps.histQuantiles(events, col("value"), 8L, 1024, Seq(500, 950)))
+  check("StreamOps.latestByKey")(StreamOps.latestByKey(
+    events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
   val bloomDim = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
   val bloomMask = SketchOps.bloomBits(bloomDim, col("doc_id"), 1024, 3)
   check("SketchOps.bloomMayContain")(
