@@ -30,25 +30,21 @@ object SketchQueries {
     "ev_heavy_hitters" -> ((s, d) =>
       SketchOps.cmsHeavyHitters(t(s, d, "events"), col("user_id"),
         CMS_D, CMS_W, CMS_TOPK)),
-    // Histogram quantile sketch vs the exact interpolated percentile —
-    // the quantile member of the sketch family. binWidth 128 = 2^7 keeps
-    // bin assignment exact; est_hi upper-bounds the true quantile within
-    // one bin (asserted against exact_val in the output itself).
-    "q33_hist_quantile" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val sk = SketchOps.histQuantiles(li, col("l_extendedprice"),
-        binWidth = 128L, bins = 1024, permille = Seq(500, 950, 990))
-      val ex = li.agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
-      sk.crossJoin(ex)
-        .select(col("q"), col("est_hi"), col("n"),
-          when(col("p") === 500, col("p50"))
-            .when(col("p") === 950, col("p95"))
-            .otherwise(col("p99")).as("exact_val"))
-        .orderBy("q")
-    }),
+    // Histogram quantile sketch — the quantile member of the sketch
+    // family. binWidth 128 = 2^7 keeps bin assignment exact; the oracle
+    // value-checks the estimates and PipelineOpsSpec asserts the
+    // est_hi ≥ exact ≥ est_hi − binWidth bracket (incl. on this table
+    // at test scale). The exact interpolated
+    // percentile is deliberately NOT computed here: Spark's exact
+    // percentile collects every value per group (4.6 s at sf0.1, OOM at
+    // scale) — replacing exactly that cost is the sketch's reason to
+    // exist, and charging it to the sketch's bench entry buried the
+    // sketch's true ~0.3 s cost.
+    "q33_hist_quantile" -> ((s, d) =>
+      SketchOps.histQuantiles(t(s, d, "lineitem"), col("l_extendedprice"),
+          binWidth = 128L, bins = 1024, permille = Seq(500, 950, 990))
+        .select("q", "est_hi", "n")
+        .orderBy("q")),
 
     // Runtime-filter demo: bloom built from the FILTERED dim side
     // (p_size = 50 parts), fact side prefiltered by the pure-projection
@@ -111,13 +107,9 @@ object SketchQueries {
         |est AS (SELECT p, MIN(bin) AS qbin
         |  FROM qs, n, cum
         |  WHERE cum >= floor((n * p + 999) / CAST(1000 AS DOUBLE))
-        |  GROUP BY p),
-        |ex AS (SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
-        |  quantile_cont(l_extendedprice, 0.95) AS p95,
-        |  quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem)
-        |SELECT p / CAST(1000 AS DOUBLE) AS q, (qbin + 1) * 128 AS est_hi, n.n AS n,
-        |  CASE WHEN p = 500 THEN p50 WHEN p = 950 THEN p95 ELSE p99 END AS exact_val
-        |FROM est, n, ex ORDER BY q""".stripMargin,
+        |  GROUP BY p)
+        |SELECT p / CAST(1000 AS DOUBLE) AS q, (qbin + 1) * 128 AS est_hi, n.n AS n
+        |FROM est, n ORDER BY q""".stripMargin,
     "q31_bloom_prune" -> {
       val hKey = CrossHash.sqlMdint("CAST(key AS VARCHAR)")
       val hLi = CrossHash.sqlMdint("CAST(l_partkey AS VARCHAR)")

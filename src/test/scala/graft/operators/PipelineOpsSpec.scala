@@ -420,6 +420,18 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(estHi >= exact && estHi - 64 <= exact,
         s"q=$q est_hi=$estHi exact=$exact")
     }
+    // real-table bracket vs the true interpolated percentile (the gate
+    // query deliberately omits this comparator — it is the cost the
+    // sketch replaces; see SketchQueries)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val sk = SketchOps.histQuantiles(li, col("l_extendedprice"), 128L, 1024,
+      Seq(500, 950)).collect()
+    val ex = li.agg(expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.95)")).collect()(0)
+    Seq(0, 1).foreach { i =>
+      val (estHi, exact) = (sk(i).getLong(1), ex.getDouble(i))
+      assert(estHi >= exact && estHi - 128 <= exact, s"i=$i est=$estHi exact=$exact")
+    }
   }
 
   test("latestByKey keeps exactly the max-ordered row per key, ties broken by later columns") {
