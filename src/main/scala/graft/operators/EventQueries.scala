@@ -16,13 +16,16 @@ object EventQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Upsert compaction: one surviving (latest) event per
-    // (user_id, event_type) — the CDC merge pattern.
+    // (user_id, event_type) — the CDC merge pattern. Ordering is on
+    // MICROSECOND time + event_id, not raw nanos: DuckDB reads the
+    // parquet ts at µs resolution, so ordering Spark on full nanos would
+    // let two same-µs events resolve ties differently across engines.
     "ev_latest" -> ((s, d) =>
-      StreamOps.latestByKey(t(s, d, "events"),
-          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
-        .select(col("user_id"), col("event_type"),
-          call_function("div", col("ts").cast("long"), lit(1000L)).as("ts_us"),
-          col("value"))
+      StreamOps.latestByKey(
+          t(s, d, "events").withColumn("ts_us",
+            call_function("div", col("ts").cast("long"), lit(1000L))),
+          Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
         .orderBy("user_id", "event_type")),
 
     // Tumbling 15-min windows per event type (Spark window() function).
@@ -108,7 +111,7 @@ object EventQueries {
     "ev_latest" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "ev_enrich" ->

@@ -97,7 +97,6 @@ object SketchOps {
 
   def cmsHeavyHitters(df: DataFrame, keyCol: Column, d: Int = 4, w: Int = 64,
       topK: Int = 10): DataFrame = {
-    def buckets(key: Column): Column = cmsBuckets(key, d, w)
     val counters = cmsCounters(df, keyCol, d, w)
     val exact = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("exact_count"))
     // the global rank window runs over the DISTINCT-KEY table (cardinality-
@@ -105,7 +104,8 @@ object SketchOps {
     // a real deployment would already have reduced to
     val rankW = Window.orderBy(col("est_count").desc, col("key"))
     exact
-      .select(col("key"), col("exact_count"), explode(buckets(col("key"))).as("rb"))
+      .select(col("key"), col("exact_count"),
+        explode(cmsBuckets(col("key"), d, w)).as("rb"))
       .select(col("key"), col("exact_count"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .join(broadcast(counters), Seq("r", "bucket"))
       .groupBy("key", "exact_count")
@@ -139,10 +139,16 @@ object SketchOps {
     import spark.implicits._
     val bin = least(greatest(floor(valCol / binWidth).cast("long"), lit(0L)),
       lit(bins - 1L))
-    val counts = df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // NULL values occupy no bin and are excluded from n (quantiles are
+    // over the non-null population — and Spark's NULLS FIRST vs DuckDB's
+    // NULLS LAST window order would otherwise skew every cumulative count)
+    val counts = df.filter(valCol.isNotNull)
+      .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy(col("bin"))))
-    val total = df.agg(count(lit(1)).as("n"))
+    // n derived from the counters — NOT a second scan of the base table
+    // (the op's one-scan claim is load-bearing at 100 TB)
+    val total = counts.agg(sum(col("cnt")).as("n"))
     val qs = permille.toDF("p")
     qs.crossJoin(total).crossJoin(cum)
       .filter(col("cum") >= floor((col("n") * col("p") + 999) / 1000.0))

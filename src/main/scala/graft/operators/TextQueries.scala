@@ -71,6 +71,7 @@ object TextQueries {
         " / 1152921504606846976.0"
       s"""SELECT doc_id, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars FROM documents
+         |  WHERE n_chars > 0
          |  ORDER BY pow($u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
          |  LIMIT 20) x
          |ORDER BY doc_id""".stripMargin

@@ -420,9 +420,11 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(estHi >= exact && estHi - 64 <= exact,
         s"q=$q est_hi=$estHi exact=$exact")
     }
-    // real-table bracket vs the true interpolated percentile (the gate
-    // query deliberately omits this comparator — it is the cost the
-    // sketch replaces; see SketchQueries)
+    // real-table bracket vs the INTERPOLATED percentile (the gate query
+    // deliberately omits this comparator — it is the cost the sketch
+    // replaces; see SketchQueries). The sketch's tight bound is against
+    // the ceil(q·n)-th ORDER STATISTIC; interpolation reads up to one
+    // order statistic further, so allow one extra bin of slack upward.
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val sk = SketchOps.histQuantiles(li, col("l_extendedprice"), 128L, 1024,
       Seq(500, 950)).collect()
@@ -430,7 +432,8 @@ class PipelineOpsSpec extends SparkTestBase {
       expr("percentile(l_extendedprice, 0.95)")).collect()(0)
     Seq(0, 1).foreach { i =>
       val (estHi, exact) = (sk(i).getLong(1), ex.getDouble(i))
-      assert(estHi >= exact && estHi - 128 <= exact, s"i=$i est=$estHi exact=$exact")
+      assert(estHi + 128 >= exact && estHi - 128 <= exact,
+        s"i=$i est=$estHi exact=$exact")
     }
   }
 
