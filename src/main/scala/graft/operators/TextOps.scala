@@ -398,6 +398,46 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Statistical LM quality scoring (the CCNet recipe): train a
+    * Laplace-smoothed bigram model ON the corpus, score every document
+    * as bits-per-token — low-perplexity docs are fluent/common text,
+    * high-perplexity docs are noise (and extreme lows are boilerplate).
+    * p(w₂|w₁) = (c₁₂ + 1) / (c₁ + V); score = Σ −log₂ p / n_bigrams.
+    *
+    * Scale shape: model "training" is two count aggregates (map-side
+    * combined); scoring joins each doc bigram to its two counts — the
+    * bigram-count table is corpus-vocabulary-sized, and at 100 TB both
+    * joins shuffle only (pair, count) pairs, never documents.
+    *
+    * Cross-engine FP discipline for an op built on log₂: each term is
+    * rounded to 7 decimals and accumulated as an EXACT decimal sum, so
+    * the order-dependent double summation (the thing that can never be
+    * oracled) never happens; libm's ≤1-ulp log₂ differences sit ~1e-9
+    * below the 5e-8 rounding boundary. One division + one round(6) at
+    * the end.
+    */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.DecimalType
+    val bigrams: Column = Bridge.column(
+      graft.functions.WordShingles(Bridge.expression(col("text")), 2, distinct = false))
+    val d = spread(OpContract.requireCols(docs, "TextOps.bigramPerplexity", "doc_id", "text"))
+    val uni = d.select(explode(words).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = d.filter(size(words) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("pair"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+    val bc = bg.groupBy("pair").agg(count(lit(1)).as("c12"))
+    bg.join(bc, "pair").join(uni, "w1").crossJoin(vocab)
+      .select(col("doc_id"),
+        round(-log2((col("c12") + 1) / (col("c1") + col("v")).cast("double")), 7)
+          .cast(DecimalType(18, 7)).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("t")).cast("double") / count(lit(1)), 6).as("bpt"))
+      .orderBy("doc_id")
+  }
+
   /** Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
     * documents with identical word sets collapse to one fingerprint —
     * word-order-insensitive near-dup detection in one agg pass.

@@ -58,7 +58,8 @@ object TextQueries {
     "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)),
     "tx_weighted_sample" -> ((s, d) =>
       TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)),
-    "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))))
+    "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))),
+    "tx_bigram_ppl" -> ((s, d) => TextOps.bigramPerplexity(t(s, d, "documents"))))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
@@ -76,6 +77,25 @@ object TextQueries {
          |  LIMIT 20) x
          |ORDER BY doc_id""".stripMargin
     },
+    // Bigram-LM bits-per-token: per-term round(−log₂ p, 7) summed as
+    // exact decimals (order-free), matching the Spark side exactly.
+    "tx_bigram_ppl" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT wx AS w1, COUNT(*) AS c1 FROM (
+        |    SELECT unnest(w) AS wx FROM ws) GROUP BY wx),
+        |v AS (SELECT COUNT(*) AS v FROM uni),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS pair, w[i] AS w1 FROM (
+        |    SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |    FROM ws WHERE len(w) >= 2)),
+        |bc AS (SELECT pair, COUNT(*) AS c12 FROM bg GROUP BY pair),
+        |terms AS (SELECT g.doc_id,
+        |    CAST(round(-log2((bc.c12 + 1) / CAST(u.c1 + v.v AS DOUBLE)), 7)
+        |      AS DECIMAL(18, 7)) AS t
+        |  FROM bg g JOIN bc ON bc.pair = g.pair
+        |  JOIN uni u ON u.w1 = g.w1 CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS bpt
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT word, COUNT(*) AS freq FROM (

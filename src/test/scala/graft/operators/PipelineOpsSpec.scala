@@ -450,6 +450,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((1L, "a", 101L), (1L, "b", 102L), (2L, "a", 104L)), got.toString)
   }
 
+  test("bigramPerplexity: repetitive text scores fewer bits/token than novel text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b a b"),  // frequent bigrams -> fluent under the model
+      (1L, "q r s t u v w x")). // every bigram unique -> high surprise
+      toDF("doc_id", "text")
+    val r = TextOps.bigramPerplexity(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(0L)._1 == 7L && r(1L)._1 == 7L) // 8 words -> 7 bigrams each
+    assert(r(0L)._2 < r(1L)._2, s"repetitive doc must score lower: $r")
+    // deterministic on re-run (the FP discipline holds within Spark too)
+    val again = TextOps.bigramPerplexity(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == again)
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

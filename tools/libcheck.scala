@@ -50,6 +50,7 @@ def runLibcheck(): Unit = {
   check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
+  check("TextOps.bigramPerplexity")(TextOps.bigramPerplexity(docs))
   check("LayoutOps.zTiles")(graft.operators.LayoutOps.zTiles(
     events, pmod(col("user_id") * 131, lit(65536L)),
     pmod(col("event_id") * 521, lit(65536L))))
