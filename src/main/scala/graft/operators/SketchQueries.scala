@@ -99,10 +99,10 @@ object SketchQueries {
     // boundaries).
     "q33_hist_quantile" ->
       """WITH b AS (SELECT least(greatest(CAST(floor(l_extendedprice / 128) AS BIGINT), 0), 1023) AS bin
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
         |cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
-        |n AS (SELECT COUNT(*) AS n FROM lineitem),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
         |qs AS (SELECT unnest([500, 950, 990]) AS p),
         |est AS (SELECT p, MIN(bin) AS qbin
         |  FROM qs, n, cum

@@ -39,10 +39,10 @@ object TextOps {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  private def positionalShingles: Column = {
+  private def positionalShingles(n: Int = 3): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(
-      graft.functions.WordShingles(Bridge.expression(col("text")), 3, distinct = false))
+      graft.functions.WordShingles(Bridge.expression(col("text")), n, distinct = false))
   }
 
   /** Corpus token statistics per language: whitespace tokens, BPE-ish regex
@@ -135,7 +135,7 @@ object TextOps {
       .rowsBetween(Window.currentRow, 7)
     val fps = docs
       .filter(size(words) >= 3)
-      .select(col("doc_id"), posexplode(positionalShingles).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), posexplode(positionalShingles()).as(Seq("pos", "shingle")))
       .withColumn("h", CrossHash.mdint(col("shingle")))
       .withColumn("winmin", min(col("h")).over(w))
       .select(col("doc_id"), col("winmin")).distinct()
@@ -159,7 +159,7 @@ object TextOps {
     val perShingle = spread(OpContract.requireCols(docs,
         "TextOps.repetition", "doc_id", "lang", "text"))
       .filter(size(words) >= 3)
-      .select(col("doc_id"), col("lang"), explode(positionalShingles).as("shingle"))
+      .select(col("doc_id"), col("lang"), explode(positionalShingles()).as("shingle"))
       .groupBy("doc_id", "lang", "shingle")
       .agg(count(lit(1)).as("cnt"))
     val perDoc = perShingle.groupBy("doc_id", "lang")
@@ -404,37 +404,39 @@ object TextOps {
     * high-perplexity docs are noise (and extreme lows are boilerplate).
     * p(w₂|w₁) = (c₁₂ + 1) / (c₁ + V); score = Σ −log₂ p / n_bigrams.
     *
-    * Scale shape: model "training" is two count aggregates (map-side
-    * combined); scoring joins each doc bigram to its two counts — the
-    * bigram-count table is corpus-vocabulary-sized, and at 100 TB both
-    * joins shuffle only (pair, count) pairs, never documents.
+    * Scale shape: the corpus is reduced FIRST — occurrences pre-aggregate
+    * to (doc, pair, cnt) with map-side combine, and the −log₂/round model
+    * term is computed once per DISTINCT bigram (vocabulary-sized), not
+    * per occurrence; the scoring join then carries (pair, decimal-term)
+    * against (doc, pair, cnt) rows — never documents, never raw tokens.
     *
-    * Cross-engine FP discipline for an op built on log₂: each term is
-    * rounded to 7 decimals and accumulated as an EXACT decimal sum, so
-    * the order-dependent double summation (the thing that can never be
-    * oracled) never happens; libm's ≤1-ulp log₂ differences sit ~1e-9
-    * below the 5e-8 rounding boundary. One division + one round(6) at
-    * the end.
+    * Cross-engine FP discipline for an op built on log₂: each per-pair
+    * term is rounded to 7 decimals and held as DECIMAL; cnt·t products
+    * and their sums are exact decimal arithmetic, so the order-dependent
+    * double summation (the thing that can never be oracled) never
+    * happens; libm's ≤1-ulp log₂ differences sit ~1e-9 below the 5e-8
+    * rounding boundary. One division + one round(6) at the end.
     */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.DecimalType
-    val bigrams: Column = Bridge.column(
-      graft.functions.WordShingles(Bridge.expression(col("text")), 2, distinct = false))
     val d = spread(OpContract.requireCols(docs, "TextOps.bigramPerplexity", "doc_id", "text"))
     val uni = d.select(explode(words).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bg = d.filter(size(words) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("pair"))
+    // WordShingles yields an empty array below 2 words, so explode already
+    // drops those docs — no pre-filter (it would re-split every text)
+    val bg = d.select(col("doc_id"), explode(positionalShingles(2)).as("pair"))
+      .groupBy("doc_id", "pair").agg(count(lit(1)).as("cnt"))
+    val bc = bg.groupBy("pair").agg(sum(col("cnt")).as("c12"))
+    val terms = bc
       .withColumn("w1", substring_index(col("pair"), " ", 1))
-    val bc = bg.groupBy("pair").agg(count(lit(1)).as("c12"))
-    bg.join(bc, "pair").join(uni, "w1").crossJoin(vocab)
-      .select(col("doc_id"),
+      .join(uni, "w1").crossJoin(vocab)
+      .select(col("pair"),
         round(-log2((col("c12") + 1) / (col("c1") + col("v")).cast("double")), 7)
-          .cast(DecimalType(18, 7)).as("t"))
+          .cast(DecimalType(12, 7)).as("t"))
+    bg.join(terms, "pair")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("t")).cast("double") / count(lit(1)), 6).as("bpt"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("bpt"))
       .orderBy("doc_id")
   }
 

@@ -77,25 +77,29 @@ object TextQueries {
          |  LIMIT 20) x
          |ORDER BY doc_id""".stripMargin
     },
-    // Bigram-LM bits-per-token: per-term round(−log₂ p, 7) summed as
-    // exact decimals (order-free), matching the Spark side exactly.
+    // Bigram-LM bits-per-token: per-DISTINCT-pair term round(−log₂ p, 7)
+    // as DECIMAL, per-doc Σ cnt·t as exact decimals (order-free) — the
+    // same reduced shape as the Spark side.
     "tx_bigram_ppl" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |uni AS (SELECT wx AS w1, COUNT(*) AS c1 FROM (
         |    SELECT unnest(w) AS wx FROM ws) GROUP BY wx),
         |v AS (SELECT COUNT(*) AS v FROM uni),
-        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS pair, w[i] AS w1 FROM (
-        |    SELECT doc_id, w, unnest(range(1, len(w))) AS i
-        |    FROM ws WHERE len(w) >= 2)),
-        |bc AS (SELECT pair, COUNT(*) AS c12 FROM bg GROUP BY pair),
-        |terms AS (SELECT g.doc_id,
+        |bg AS (SELECT doc_id, pair, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS pair FROM (
+        |      SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |      FROM ws WHERE len(w) >= 2))
+        |  GROUP BY doc_id, pair),
+        |bc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c12 FROM bg GROUP BY pair),
+        |terms AS (SELECT bc.pair,
         |    CAST(round(-log2((bc.c12 + 1) / CAST(u.c1 + v.v AS DOUBLE)), 7)
-        |      AS DECIMAL(18, 7)) AS t
-        |  FROM bg g JOIN bc ON bc.pair = g.pair
-        |  JOIN uni u ON u.w1 = g.w1 CROSS JOIN v)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS bpt
-        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |      AS DECIMAL(12, 7)) AS t
+        |  FROM bc JOIN uni u ON u.w1 = string_split(bc.pair, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT g.doc_id, CAST(SUM(g.cnt) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(g.cnt * t.t) AS DOUBLE) / SUM(g.cnt), 6) AS bpt
+        |FROM bg g JOIN terms t ON t.pair = g.pair
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "tx_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT word, COUNT(*) AS freq FROM (
