@@ -21,7 +21,10 @@ object Plans {
     "knn_lsh", "tx_langid", "tx_topterms", "ev_sliding", "q20_asof_clicks",
     // round 4: de-Expanded multi-distinct, shuffle-free bloom probe,
     // pure-projection random projection, per-shard packing window
-    "q11_distinct_parts", "q31_bloom_prune", "emb_rp_reduce", "tx_pack")
+    "q11_distinct_parts", "q31_bloom_prune", "emb_rp_reduce", "tx_pack",
+    // round 5: distributive CMS top-k (TakeOrderedAndProject, no global
+    // rank window), sketch-then-refine exact percentiles
+    "ev_heavy_hitters", "q34_quantile_refine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -43,6 +46,18 @@ object Plans {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n").append(plan.trim).append("\n```\n")
+    }
+    // ev_heavy_hitters' distributive top-k runs as the localCheckpoint job,
+    // invisible in the final query's explain — print its sub-plan so the
+    // TakeOrderedAndProject (vs an unpartitioned rank window) is on record.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val sub = graft.operators.SketchOps.cmsTopKEstimates(
+        spark.read.parquet(s"$sfDir/events.parquet"), col("user_id"), 4, 1024, 10)
+      val plan = sub.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb.append("\n## ev_heavy_hitters — survivor top-k sub-job (the localCheckpoint job)\n\n```\n")
+        .append(plan.trim).append("\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote ${headline.size} plans to $out")

@@ -299,6 +299,14 @@ object RelationalQueries {
 
     // Exact interpolated percentiles (both engines use the same
     // (n-1)p index + linear interpolation definition).
+    //
+    // SCALE CAVEAT — deliberate: built-in percentile() collects EVERY value
+    // of a group into one aggregation buffer, so this plan dies at 100 TB.
+    // It stays in the gate because exercising the exact builtin is this
+    // query's point; the scale-safe path that returns the SAME exact
+    // numbers with bounded state is SketchOps.exactQuantileRefine (gate
+    // q34_quantile_refine), and PipelineOpsSpec pins their equality on this
+    // very table.
     "q22_percentiles" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy("o_orderstatus")

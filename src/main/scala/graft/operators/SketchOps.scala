@@ -70,9 +70,11 @@ object SketchOps {
     *
     * The counter build never shuffles raw keys (explode emits (r, bucket)
     * int pairs, combined map-side into ≤ d·w cells); estimates join the
-    * BROADCAST counter table. The exact counts computed here for
-    * comparison are the expensive path the sketch replaces at scale —
-    * a production pipeline keeps only the d·w counters.
+    * BROADCAST counter table; the top-k over the estimates is distributive
+    * (TakeOrderedAndProject — per-partition top-k, k·P-row driver merge,
+    * never a global sort). Exact counts — the expensive comparison path the
+    * sketch replaces at scale — are computed ONLY for the ≤ topK survivors
+    * via a broadcast semi filter of the base table.
     */
   /** The (r, bucket) derivation shared by every CMS build — ONE definition
     * so batch-built and streaming-built counters stay mergeable (they
@@ -95,23 +97,50 @@ object SketchOps {
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** The estimate + distributive-top-k sub-plan of [[cmsHeavyHitters]],
+    * public so its physical plan (the TakeOrderedAndProject that replaced
+    * round 4's unpartitioned rank window) is inspectable on its own — in
+    * the full operator it executes as the localCheckpoint job, so it
+    * doesn't appear in the final query's explain output.
+    */
+  def cmsTopKEstimates(df: DataFrame, keyCol: Column, d: Int, w: Int,
+      topK: Int): DataFrame = {
+    val counters = cmsCounters(df, keyCol, d, w)
+    // Estimates over the distinct-key table — exact counts deliberately NOT
+    // computed here, where they would cost a count per key.
+    val est = df.select(keyCol.as("key")).distinct()
+      .select(col("key"), explode(cmsBuckets(col("key"), d, w)).as("rb"))
+      .select(col("key"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("key")
+      .agg(min(col("cnt")).as("est_count"))
+    // Distributive top-k: orderBy+limit plans as TakeOrderedAndProject —
+    // each partition keeps its own topK and the driver merges k·P rows —
+    // instead of an unpartitioned rank window (one task sorting EVERY
+    // distinct key: at 10^9 users that single sort is the whole job).
+    // (est_count DESC, key) is a total order over unique keys, so the
+    // survivor SET is exactly the old rank<=topK set.
+    est.orderBy(col("est_count").desc, col("key")).limit(topK)
+  }
+
   def cmsHeavyHitters(df: DataFrame, keyCol: Column, d: Int = 4, w: Int = 64,
       topK: Int = 10): DataFrame = {
-    val counters = cmsCounters(df, keyCol, d, w)
-    val exact = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("exact_count"))
-    // the global rank window runs over the DISTINCT-KEY table (cardinality-
-    // sized, not data-sized) — the single-partition sort is over candidates
-    // a real deployment would already have reduced to
+    // The ≤topK-row survivor table is localCheckpoint'ed (lazily) because
+    // it feeds BOTH the final join and the exact-count semi filter —
+    // without it Spark would rebuild the whole counters-plus-top-k subtree
+    // (two extra scans) for each use.
+    val survivors = cmsTopKEstimates(df, keyCol, d, w, topK)
+      .localCheckpoint(false)
+    // Exact counts only for the <=topK survivors: broadcast-semi-filter the
+    // base table down to survivor rows before counting, instead of counting
+    // every key in the corpus.
+    val exact = df.select(keyCol.as("key"))
+      .join(broadcast(survivors.select("key")), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("exact_count"))
+    // rank window now runs over <=topK rows — constant-size by construction
     val rankW = Window.orderBy(col("est_count").desc, col("key"))
-    exact
-      .select(col("key"), col("exact_count"),
-        explode(cmsBuckets(col("key"), d, w)).as("rb"))
-      .select(col("key"), col("exact_count"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .join(broadcast(counters), Seq("r", "bucket"))
-      .groupBy("key", "exact_count")
-      .agg(min(col("cnt")).as("est_count"))
+    survivors.join(broadcast(exact), Seq("key"))
       .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= topK)
       .select("rank", "key", "est_count", "exact_count")
       .orderBy("rank")
   }
@@ -156,6 +185,82 @@ object SketchOps {
       .select((col("p") / 1000.0).as("q"),
         ((col("qbin") + 1) * binWidth).as("est_hi"), col("n"), col("p"))
       .orderBy("p")
+  }
+
+  /** EXACT interpolated percentiles at scale — sketch-then-refine. Spark's
+    * built-in `percentile()` collects every value of a group into one
+    * aggregation buffer (the q22 scale-killer: fine at sf0.1, OOM at
+    * 100 TB). This operator gets the SAME exact answer with bounded state:
+    *
+    *   pass 1 (one scan): per-group bin counts on the q33 power-of-two grid
+    *     — ≤ groups×bins counters, map-side combined;
+    *   plan math (tiny): cumulative counts locate, for every (group, p),
+    *     the one or two bins holding the target order statistics;
+    *   pass 2 (pruned scan): only rows landing in those target bins are
+    *     shuffled and rank-sorted — per-task work is ONE BIN's population
+    *     (n/bins in expectation, tunable via `bins`), never the group.
+    *
+    * Interpolation follows the quantile_cont / numpy-linear definition both
+    * engines share: idx = (n−1)·p, result = v_⌊idx⌋₊₁ + frac·(v_⌈idx⌉₊₁ −
+    * v_⌊idx⌋₊₁) (1-based ranks). FP discipline: p arrives as integer
+    * PERMILLE, so idxnum = (n−1)·permille, rank arithmetic, and the
+    * bin-locating comparisons are ALL INTEGER; the only FP ops are the
+    * final frac = permille%1000 / 1000 division and the 3-op interpolation,
+    * identical instruction-for-instruction in DuckDB.
+    *
+    * Bin clamping never breaks exactness (unlike the sketch's error bound):
+    * clamped bins still partition the value range in ORDER, so
+    * cum_prev + within-bin rank is the true global rank even for rows
+    * clamped into bin 0 or bin bins−1.
+    */
+  def exactQuantileRefine(df: DataFrame, valCol: Column, groupCol: String,
+      binWidth: Long, bins: Int, permille: Seq[Int]): DataFrame = {
+    require(binWidth >= 1 && (binWidth & (binWidth - 1)) == 0,
+      s"binWidth must be a power of two for exact cross-engine binning, got $binWidth")
+    require(permille.forall(p => p >= 0 && p <= 1000), s"permille out of range: $permille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(greatest(floor(valCol / binWidth).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val binned = df.filter(valCol.isNotNull)
+      .select(col(groupCol).as("g"), bin.as("bin"), valCol.cast("double").as("v"))
+    val counts = binned.groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    // cum_prev = rows strictly before this bin within the group — window
+    // over the ≤ groups×bins counter table, not the data
+    val cumc = counts.withColumn("cum_prev",
+      coalesce(sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = counts.groupBy("g").agg(sum(col("cnt")).as("n"))
+    // integer rank targets per (group, p): idxnum = (n-1)*permille
+    val targets = n.crossJoin(permille.toDF("p"))
+      .withColumn("idxnum", (col("n") - 1) * col("p"))
+      .withColumn("fr", col("idxnum") % 1000)
+      .withColumn("rank_lo", expr("idxnum div 1000") + 1)
+      .withColumn("rank_hi",
+        expr("idxnum div 1000") + when(col("fr") > 0, 2).otherwise(1))
+      .select("g", "p", "n", "fr", "rank_lo", "rank_hi")
+    // the bins holding the target ranks: rank ∈ (cum_prev, cum_prev+cnt]
+    val needed = targets.join(cumc.withColumnRenamed("g", "cg"),
+        col("cg") === col("g") && (
+          (col("rank_lo") > col("cum_prev") && col("rank_lo") <= col("cum_prev") + col("cnt")) ||
+          (col("rank_hi") > col("cum_prev") && col("rank_hi") <= col("cum_prev") + col("cnt"))))
+      .select(col("g"), col("bin"), col("cum_prev")).distinct()
+    // pass 2: only target-bin rows are sorted; global rank = cum_prev + rn
+    val survivors = binned.join(broadcast(needed), Seq("g", "bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("bin")).orderBy(col("v"))))
+      .withColumn("grank", col("cum_prev") + col("rn"))
+    survivors.join(broadcast(targets).withColumnRenamed("g", "tg"),
+        col("tg") === col("g") &&
+          (col("grank") === col("rank_lo") || col("grank") === col("rank_hi")))
+      .groupBy(col("g"), col("p"), col("n"), col("fr"))
+      .agg(max(when(col("grank") === col("rank_lo"), col("v"))).as("v_lo"),
+        max(when(col("grank") === col("rank_hi"), col("v"))).as("v_hi"))
+      .select(col("g").as(groupCol), (col("p") / 1000.0).as("q"),
+        (col("v_lo") + (col("fr").cast("double") / 1000.0) * (col("v_hi") - col("v_lo")))
+          .as("exact_value"),
+        col("n"))
+      .orderBy(groupCol, "q")
   }
 
   /** Bloom-filter positions of a key set: k universal-family hashes into

@@ -45,6 +45,14 @@ object SketchQueries {
           binWidth = 128L, bins = 1024, permille = Seq(500, 950, 990))
         .select("q", "est_hi", "n")
         .orderBy("q")),
+    // Sketch-then-refine EXACT percentiles — the scale-safe replacement for
+    // q22's built-in percentile() (which collects every group value into
+    // one buffer). Same grid as q33; pass 2 sorts only the target bins.
+    // binWidth 1024 = 2^10, 1024 bins covers o_totalprice (< 2^20).
+    "q34_quantile_refine" -> ((s, d) =>
+      SketchOps.exactQuantileRefine(t(s, d, "orders"), col("o_totalprice"),
+        "o_orderstatus", binWidth = 1024L, bins = 1024,
+        permille = Seq(250, 500, 900))),
 
     // Runtime-filter demo: bloom built from the FILTERED dim side
     // (p_size = 50 parts), fact side prefiltered by the pure-projection
@@ -110,6 +118,41 @@ object SketchQueries {
         |  GROUP BY p)
         |SELECT p / CAST(1000 AS DOUBLE) AS q, (qbin + 1) * 128 AS est_hi, n.n AS n
         |FROM est, n ORDER BY q""".stripMargin,
+    // Mirrors exactQuantileRefine's construction step-for-step: integer
+    // permille rank math, bin location via cumulative counts, ROW_NUMBER
+    // only inside the located bins, 3-FP-op interpolation in the same
+    // operand order.
+    "q34_quantile_refine" ->
+      """WITH b AS (SELECT o_orderstatus AS g,
+        |    least(greatest(CAST(floor(o_totalprice / 1024) AS BIGINT), 0), 1023) AS bin,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT g, bin, COUNT(*) AS cnt FROM b GROUP BY g, bin),
+        |cc AS (SELECT g, bin, cnt, COALESCE(CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev FROM c),
+        |nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY g),
+        |qs AS (SELECT unnest([250, 500, 900]) AS p),
+        |t AS (SELECT nn.g, qs.p, nn.n,
+        |    ((nn.n - 1) * qs.p) % 1000 AS fr,
+        |    ((nn.n - 1) * qs.p) // 1000 + 1 AS rank_lo,
+        |    ((nn.n - 1) * qs.p) // 1000
+        |      + CASE WHEN ((nn.n - 1) * qs.p) % 1000 > 0 THEN 2 ELSE 1 END AS rank_hi
+        |  FROM nn, qs),
+        |nb AS (SELECT DISTINCT t.g, cc.bin, cc.cum_prev FROM t JOIN cc ON cc.g = t.g
+        |    AND ((t.rank_lo > cc.cum_prev AND t.rank_lo <= cc.cum_prev + cc.cnt)
+        |      OR (t.rank_hi > cc.cum_prev AND t.rank_hi <= cc.cum_prev + cc.cnt))),
+        |s AS (SELECT b.g, b.v, nb.cum_prev
+        |    + ROW_NUMBER() OVER (PARTITION BY b.g, b.bin ORDER BY b.v) AS grank
+        |  FROM b JOIN nb ON nb.g = b.g AND nb.bin = b.bin),
+        |vals AS (SELECT t.g, t.p, t.n, t.fr,
+        |    MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END) AS v_lo,
+        |    MAX(CASE WHEN s.grank = t.rank_hi THEN s.v END) AS v_hi
+        |  FROM t JOIN s ON s.g = t.g AND (s.grank = t.rank_lo OR s.grank = t.rank_hi)
+        |  GROUP BY t.g, t.p, t.n, t.fr)
+        |SELECT g AS o_orderstatus, p / CAST(1000 AS DOUBLE) AS q,
+        |  v_lo + (CAST(fr AS DOUBLE) / CAST(1000 AS DOUBLE)) * (v_hi - v_lo) AS exact_value,
+        |  n
+        |FROM vals ORDER BY o_orderstatus, q""".stripMargin,
     "q31_bloom_prune" -> {
       val hKey = CrossHash.sqlMdint("CAST(key AS VARCHAR)")
       val hLi = CrossHash.sqlMdint("CAST(l_partkey AS VARCHAR)")

@@ -440,6 +440,41 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantileRefine equals built-in percentile() — the q22/q34 tie") {
+    // The refine path must return the SAME exact interpolated percentiles
+    // as Spark's collect-everything builtin (q22's scale-killer) — that
+    // equality is what licenses calling q34 the 100 TB replacement for q22.
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val got = SketchOps.exactQuantileRefine(orders, col("o_totalprice"),
+        "o_orderstatus", binWidth = 1024L, bins = 1024,
+        permille = Seq(250, 500, 900))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    val want = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().flatMap(r => Seq(
+        ((r.getString(0), 0.25), r.getDouble(1)),
+        ((r.getString(0), 0.5), r.getDouble(2)),
+        ((r.getString(0), 0.9), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet, s"got=${got.keySet} want=${want.keySet}")
+    got.foreach { case (k, v) =>
+      // both sides are the same 3-FP-op interpolation over the same two
+      // order statistics; tolerance only covers the builtin's different
+      // internal summation order
+      assert(math.abs(v - want(k)) <= math.ulp(want(k)) * 4, s"$k: got $v want ${want(k)}")
+    }
+    // degenerate inputs: single-row group and integral index (frac = 0)
+    import spark.implicits._
+    val tiny = Seq(("a", 10.0), ("b", 1.0), ("b", 3.0), ("b", 5.0))
+      .toDF("g", "v")
+    val tq = SketchOps.exactQuantileRefine(tiny, col("v"), "g", 2L, 16,
+        Seq(0, 500, 1000))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(tq == Map(("a", 0.0) -> 10.0, ("a", 0.5) -> 10.0, ("a", 1.0) -> 10.0,
+      ("b", 0.0) -> 1.0, ("b", 0.5) -> 3.0, ("b", 1.0) -> 5.0), tq.toString)
+  }
+
   test("latestByKey keeps exactly the max-ordered row per key, ties broken by later columns") {
     import spark.implicits._
     val df = Seq(
