@@ -57,6 +57,83 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes mid-stream state, final counts exactly-once vs batch twin") {
+    // The engine's fault-tolerance story: stop a windowed aggregation
+    // between micro-batches, append more source files, restart from the
+    // SAME checkpoint, and the fault-tolerant (manifest-tracked) file sink
+    // must hold each window's count EXACTLY ONCE, equal to the batch twin
+    // over the full input. The split is BY TIME (a round-robin split would
+    // make every half2 row late past the watermark — correctly dropped,
+    // but then nothing tests recovery), with the boundary cutting through
+    // a >=2-event window: that window's correct count REQUIRES the state
+    // carried across the restart, and all windows within 30 min of the
+    // boundary flush only after the restarted query advances the
+    // watermark. A restart that lost state would undercount the boundary
+    // window; a replayed batch would duplicate sink rows.
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = events.schema
+    val winUs = 15L * 60 * 1000000
+    val ws = tumblingCounts(events).filter(col("n_events") >= 2)
+      .orderBy("window_start_us").limit(1).collect()(0).getLong(0)
+    // split strictly between the window's first two events (ts is raw nanos)
+    val splitTs = events
+      .filter(expr("ts div 1000") >= ws && expr("ts div 1000") < ws + winUs)
+      .orderBy("ts").limit(2).collect()(1).getAs[Long]("ts")
+    val half1 = events.filter(col("ts") < splitTs)
+    val half2 = events.filter(col("ts") >= splitTs)
+    assert(half1.filter(expr("ts div 1000") >= ws).count() >= 1 &&
+      half2.filter(expr("ts div 1000") < ws + winUs).count() >= 1,
+      "boundary window must straddle the split")
+    // sentinel 2 days past max ts: advances the 30-min watermark past every
+    // real window so append mode flushes them all (its own window stays open)
+    val sentinel = events.orderBy(col("ts").desc).limit(1)
+      .select((col("ts") + lit(2L * 86400 * 1000000000L)).as("ts"))
+      .crossJoin(events.limit(1).drop("ts"))
+      .select(schema.fieldNames.map(col): _*)
+
+    val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-state")
+    def startQuery() = tumblingCountsStream(
+        spark.readStream.schema(schema).parquet(src.toString))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    half1.coalesce(1).write.mode("append").parquet(src.toString)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // stop between micro-batches — state lives in the checkpoint
+    // the boundary window (and everything within the 30-min watermark lag)
+    // must still be OPEN in checkpointed state, not yet in the sink
+    val flushedAtStop = spark.read.parquet(out.toString).collect()
+    assert(!flushedAtStop.exists(_.getLong(0) == ws),
+      "boundary window flushed before the restart — nothing tests recovery")
+    half2.coalesce(1).write.mode("append").parquet(src.toString)
+    sentinel.coalesce(1).write.mode("append").parquet(src.toString)
+    val q2 = startQuery() // restart from the checkpoint, NOT from scratch
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .filter(col("window_start_us") < unix_micros(lit("2024-03-01").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = tumblingCounts(events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // exactly-once: no duplicated (window, event_type) from a replayed batch
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      "duplicate sink rows — a micro-batch was replayed non-idempotently")
+    assert(got.toSet == want.toSet,
+      s"recovered counts diverge from batch twin: got=${got.length} want=${want.length}")
+    // the restart itself did real work: rows flushed after recovery, and the
+    // boundary window's count combines pre- and post-restart events
+    assert(flushedAtStop.length < got.length,
+      "all rows flushed before the restart — recovery path untested")
+    assert(got.filter(_._1 == ws).map(_._3).sum ==
+      want.filter(_._1 == ws).map(_._3).sum && got.exists(_._1 == ws),
+      "boundary window count not recovered across restart")
+  }
+
   test("tumblingCountsStream: watermark reaches the aggregation (append mode works)") {
     // Regression: the watermark used to be attached to a column the window
     // didn't group on, which made append mode throw
