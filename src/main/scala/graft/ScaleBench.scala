@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{MCBattery, RngFamily, SimulationSpec, TraceSink}
+import graft.operators.SimilarityOps
+
+/** Standalone scale-stress measurement (NOT part of the correctness gate —
+  * timings are not oracleable). Two modes:
+  *
+  * `corpus10x` (default): materializes a 10× corpus from the sf tables —
+  * ten copies with shifted ids, where text is per-copy letter-substituted
+  * and embeddings are per-copy diagonally rescaled so copies are NOT
+  * near-duplicates of each other (a naive union would plant 10 clones of
+  * every document/vector, growing the TRUE pair count ~100× and telling
+  * us nothing about the plan) — then times the bucketed/blocked/sketched
+  * operators at sf0.1 and at 10× side by side. The claim under test: the
+  * bucketed shapes grow ~linearly with data; any ≳100× growth on 10× data
+  * falsifies that operator's scale story. Also runs exact vs LSH-blocked
+  * near-pairs at threshold 0.9 at BOTH scales — the regime the LSH op
+  * exists for — so the crossover (exact grows ~quadratically, blocked
+  * ~linearly) is bench-visible, not just spec-asserted.
+  *
+  * `simdemo`: the reference's own demo scale (BASELINE.md workloads A+B:
+  * 100k×16 fair coin + 60k×32 biased coin = 160k traces, ≈3.5 M points,
+  * Philox) generated AND written through the reference-parity CSV sink,
+  * wall-clock on the session master (run with SPARK_GRAFT_CPUS=4 to match
+  * the baseline's local[4] row).
+  *
+  * Results are recorded in BENCHNOTES.md.
+  */
+object ScaleBench {
+  private val COPIES = 10
+  private val SHIFT = 100000000L
+
+  private def buildCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val exists = new java.io.File(s"$outDir/lineitem.parquet/_SUCCESS").isFile
+    if (exists) { println(s"[scale] reusing corpus at $outDir"); return }
+    println(s"[scale] building ${COPIES}x corpus at $outDir")
+
+    // documents: per-copy substitution over the 9 most frequent letters
+    // (rotation i) rewrites most words, so shingles/minhashes/simhashes of
+    // different copies are unrelated — each copy is an independent corpus
+    // with the SAME internal near-dup structure (a 1:1 letter map preserves
+    // within-copy shingle equality exactly).
+    val alpha = "etaoinshr"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until COPIES).map { i =>
+      val to = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      docs.select(
+        (col("doc_id") + lit(i * SHIFT)).as("doc_id"),
+        (if (i == 0) col("text") else translate(col("text"), alpha, to)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings: per-copy diagonal rescale with signs/magnitudes drawn
+    // from a hash of (copy, dim) — a fixed linear map per copy, so
+    // within-copy cosine structure survives (near-dups stay near-dups)
+    // while cross-copy cosines collapse toward 0 (E[s_i·s_j] = 0).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until COPIES).map { i =>
+      val scaled =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, j) =>
+          x * ((pmod(hash(lit(i * 7919), j), lit(2000)) - lit(1000)).cast("float")
+            / lit(1000.0f)))
+      emb.select((col("vec_id") + lit(i * SHIFT)).as("vec_id"),
+        scaled.as("embedding"), col("label"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until COPIES).map { i =>
+      events.select((col("event_id") + lit(i * SHIFT)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * SHIFT)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    (0 until COPIES).map { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * SHIFT))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * SHIFT))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (0 until COPIES).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * SHIFT))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * SHIFT))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * SHIFT))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
+  // the near-pairs 0.9 regime config proven exact-recall in AnnClusteredSpec
+  private val NP9_BITS = 12
+  private val NP9_TABLES = 24
+  private val NP9_SEED = 99L
+
+  private def scaleQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd_minhash" -> SparkEntry.queries("dd_minhash"),
+    "dd_simhash" -> SparkEntry.queries("dd_simhash"),
+    "dd_clusters_star" -> SparkEntry.queries("dd_clusters_star"),
+    "ev_heavy_hitters" -> SparkEntry.queries("ev_heavy_hitters"),
+    "q30_kmv_distinct" -> SparkEntry.queries("q30_kmv_distinct"),
+    "q33_hist_quantile" -> SparkEntry.queries("q33_hist_quantile"),
+    "q34_quantile_refine" -> SparkEntry.queries("q34_quantile_refine"),
+    "knn_lsh" -> SparkEntry.queries("knn_lsh"),
+    "near_pairs_exact_09" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),
+    "near_pairs_lsh_09" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.nearPairsLsh(s.read.parquet(s"$d/embeddings.parquet"), 0.9,
+        NP9_BITS, NP9_TABLES, NP9_SEED)))
+
+  private def time2(mk: => DataFrame): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  private def runCorpus10x(spark: SparkSession, sfDir: String): Unit = {
+    val tenxDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
+    buildCorpus(spark, sfDir, tenxDir)
+    // warm page cache at both scales
+    Seq(sfDir, tenxDir).foreach { d =>
+      Seq("documents", "embeddings", "events", "lineitem", "orders")
+        .foreach(t => spark.read.parquet(s"$d/$t.parquet").count())
+    }
+    // recall sanity at base scale: the 0.9-blocked path must reproduce the
+    // exact pair set before its timing means anything
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exactPairs = SimilarityOps.nearPairs(e, 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = SimilarityOps.nearPairsLsh(e, 0.9, NP9_BITS, NP9_TABLES, NP9_SEED)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[scale] near-pairs@0.9 base-scale recall check: " +
+      s"exact=${exactPairs.size} lsh=${lshPairs.size} equal=${exactPairs == lshPairs}")
+    println(f"| query | sf0.1 s | 10x s | growth |")
+    println(f"|---|---|---|---|")
+    val rows = scaleQueries.map { case (name, fn) =>
+      val base = time2(fn(spark, sfDir))
+      val tenx = time2(fn(spark, tenxDir))
+      println(f"| $name | $base%.3f | $tenx%.3f | ${tenx / base}%.1fx |")
+      (name, base, tenx)
+    }
+    val json = rows.map { case (n, b, t) =>
+      f""""$n":{"base_s":$b%.3f,"tenx_s":$t%.3f,"growth":${t / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale10x","copies":$COPIES,"queries":$json}""")
+  }
+
+  private def runSimDemo(spark: SparkSession): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simdemo")
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 100000L, 16, Seq(0.5), Nil, 42,
+        Some(s"$tmp/0.txt")),
+      SimulationSpec(1, "coin_sequence", 60000L, 32, Seq(0.7), Nil, 43,
+        Some(s"$tmp/1.txt")))
+    // one throwaway mini-run to absorb JIT/codegen so the measured number
+    // is the engine, not first-query session cost
+    val warm = specs.map(s => s.copy(numberSimulations = 100L,
+      outputPath = Some(s"$tmp/warm_${s.modelId}.txt")))
+    TraceSink.writeReferenceCsv(
+      new MCBattery(spark, RngFamily.Philox).simulate(warm), warm)
+    val t0 = System.nanoTime()
+    TraceSink.writeReferenceCsv(
+      new MCBattery(spark, RngFamily.Philox).simulate(specs), specs)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val pts = specs.map(s => s.numberSimulations * (s.numberPoints + 1)).sum
+    println(f"[simdemo] workloads A+B: ${specs.map(_.numberSimulations).sum}%,d traces, " +
+      f"$pts%,d points, generated+written in $sec%.2f s on ${spark.sparkContext.master}")
+    println(f"""{"metric":"simdemo","traces":${specs.map(_.numberSimulations).sum},"points":$pts,"sec":$sec%.3f,"master":"${spark.sparkContext.master}"}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = args.headOption.getOrElse("corpus10x")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "corpus10x" => runCorpus10x(spark, sfDir)
+      case "simdemo" => runSimDemo(spark)
+      case other => sys.error(s"unknown mode $other (corpus10x | simdemo)")
+    }
+    spark.stop()
+  }
+}
