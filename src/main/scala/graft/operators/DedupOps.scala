@@ -122,6 +122,49 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT pairs: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+    * the fraction of A's 3-gram shingles that also appear in B. Jaccard
+    * ops miss the quote-embedded-in-a-larger-document case (a 100-shingle
+    * doc fully contained in a 1000-shingle doc has jac ≈ 0.1 but
+    * containment 1.0); this is the standard complement for training-data
+    * dedup, where boilerplate-wrapped copies are common.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] — join on
+    * (lang, 64-bit shingle hash), count co-occurrences per pair — but
+    * WITHOUT the size-ratio prune (containment is exactly the
+    * small-inside-big case that prune discards) and without the n_chars
+    * bucket. Work is proportional to shingle co-occurrences; both
+    * directions of each unordered pair are emitted from ONE aggregate via
+    * a 2-element explode (no second pass over the join).
+    *
+    * FP discipline: the ≥ 0.8 threshold is evaluated as the EXACT integer
+    * inequality 10·common ≥ 8·|sh| — no double compare anywhere near the
+    * gate; the reported containment is one correctly-rounded division of
+    * exact integers.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val sets = docShingleSets(docs).withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("doc_id"), col("lang"), col("sz"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("lang"), col("sz"), xxhash64(col("shingle")).as("shx"))
+    val a = inv.select(col("lang"), col("shx"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = inv.select(col("lang").as("l2"), col("shx").as("shx2"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val common = a.join(b, col("lang") === col("l2") &&
+        col("shx") === col("shx2") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+    common.select(col("common"), explode(array(
+        struct(col("doc_a"), col("doc_b"), col("sz_a").as("sz")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("sz_b").as("sz")))).as("d"))
+      .filter(col("common") * 10 >= col("d.sz") * 8)
+      .select(col("d.doc_a").as("doc_a"), col("d.doc_b").as("doc_b"),
+        (col("common").cast("double") / col("d.sz")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash + LSH: k=16 universal-family minhashes in one aggregation
     * pass, 4-band LSH join, candidates verified with true Jaccard (via
     * shared-shingle counts, like [[ngramJaccardPairs]]). The

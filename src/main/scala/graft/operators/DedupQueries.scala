@@ -28,6 +28,7 @@ object DedupQueries {
       DedupOps.exactDedupStats(docs.unionAll(docs))
     }),
     "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"))),
+    "dd_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d, "documents"))),
     "dd_minhash" -> ((s, d) => DedupOps.minhashPairs(t(s, d, "documents"))),
     "dd_clusters" -> ((s, d) =>
       DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))),
@@ -116,6 +117,23 @@ object DedupQueries {
            |FROM sets a JOIN sets b
            |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
            |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // Containment: both directions emitted from the unordered-pair CTE;
+      // the >= 0.8 gate is the exact integer form (10*common >= 8*|sh|)
+      // on BOTH sides, so no double threshold can diverge cross-engine.
+      "dd_containment" ->
+        s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+           |sets AS (SELECT doc_id, lang, $sqlShingles AS sh
+           |         FROM ws WHERE len(w) >= 3),
+           |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |    len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS sza, len(b.sh) AS szb
+           |  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh)) >= 1)
+           |SELECT da AS doc_a, db AS doc_b, CAST(common AS DOUBLE) / sza AS containment
+           |  FROM pairs WHERE common * 10 >= sza * 8
+           |UNION ALL
+           |SELECT db AS doc_a, da AS doc_b, CAST(common AS DOUBLE) / szb AS containment
+           |  FROM pairs WHERE common * 10 >= szb * 8
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dd_minhash" ->
         s"""WITH $minhashCtes

@@ -279,6 +279,33 @@ object TextOps {
         max(col("doc_id")).as("max_doc"))
       .orderBy("split")
 
+  /** Temperature-sampling mix weights per language at α = 0.5 — the
+    * multilingual-corpus rebalancing step (upsample rare languages,
+    * downsample dominant ones; α = 0.5 is the square-root temperature
+    * used by multilingual LM data recipes). Per group:
+    * weight = sqrt(N / n_g) (relative sampling rate so group g's expected
+    * share ∝ sqrt(p_g)) and eff_docs = n_g·weight = sqrt(N·n_g).
+    *
+    * α is FIXED at 0.5 because sqrt is an IEEE correctly-rounded
+    * operation in every engine — pow(x, α) for general α is a libm call
+    * with no cross-engine rounding contract, which would break the value
+    * oracle. Both outputs are compositions of exact integer arithmetic
+    * and single correctly-rounded ops (÷, √, ×), bit-identical in DuckDB.
+    *
+    * Scale shape: one count aggregate (map-side combined) over the
+    * corpus; everything after runs on the ≤|languages|-row counter table.
+    */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val counts = OpContract.requireCols(docs, "TextOps.mixWeights", "doc_id", "lang")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    counts.crossJoin(total)
+      .select(col("lang"), col("n_docs"), col("n_total"),
+        sqrt(col("n_total").cast("double") / col("n_docs").cast("double")).as("weight"),
+        sqrt((col("n_total") * col("n_docs")).cast("double")).as("eff_docs"))
+      .orderBy("lang")
+  }
+
   // PII patterns, restricted to the dialect Java regex and RE2 (DuckDB)
   // interpret identically — no lookaround, no backreferences, \b and
   // bounded quantifiers only — so redaction is value-oracle-checkable.

@@ -24,6 +24,7 @@ object TextQueries {
     "tx_winnow" -> ((s, d) =>
       TextOps.winnow(t(s, d, "documents").filter(col("doc_id") < 200))),
     "tx_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
     "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
     "tx_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"),
@@ -65,6 +66,15 @@ object TextQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
   def oracleSql: Map[String, String] = Map(
+    // α = 0.5 temperature weights: sqrt/÷ are correctly-rounded IEEE ops
+    // (unlike general pow), so the weights value-oracle bit-for-bit.
+    "tx_mix_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c)
+        |SELECT lang, n_docs, n_total,
+        |  sqrt(CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS weight,
+        |  sqrt(CAST(n_total * n_docs AS DOUBLE)) AS eff_docs
+        |FROM c, n ORDER BY lang""".stripMargin,
     // A-ES weighted sample: key = (hash/2^60)^(1/n_chars); selection only
     // (keys not emitted) — see TextOps.weightedSample for the pow caveat.
     "tx_weighted_sample" -> {

@@ -440,6 +440,41 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("containmentPairs: asymmetric — quote-in-larger-doc found in one direction only") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ")       // 10 shingles
+    val big = quote + " " + (100 to 160).map(i => s"x$i").mkString(" ")
+    val other = (200 to 240).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en"), (2L, big, "en"), (3L, other, "en"),
+      (4L, quote, "de")) // same text, different lang -> never paired
+      .map { case (id, t, l) => (id, t, l, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = DedupOps.containmentPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 1 -> 2: all of the quote's shingles appear in big (plus the two
+    // straddling ones at the splice point don't exist in doc 1, so 1.0)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0, got.toString)
+    // 2 -> 1: big is NOT contained in the quote
+    assert(!got.contains((2L, 1L)), got.toString)
+    // unrelated and cross-language pairs absent
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L },
+      got.toString)
+  }
+
+  test("mixWeights: sqrt-temperature weights upsample rare languages, eff_docs exact") {
+    import spark.implicits._
+    val docs = ((1 to 90).map(i => (i.toLong, "en")) ++ (91 to 100).map(i => (i.toLong, "de")))
+      .toDF("doc_id", "lang")
+    val rows = TextOps.mixWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("en")._1 == 90 && rows("de")._1 == 10)
+    assert(rows("de")._2 == math.sqrt(10.0) && rows("en")._2 == math.sqrt(100.0 / 90.0))
+    // rare language upweighted, and effective docs are sqrt(N*n_g)
+    assert(rows("de")._2 > rows("en")._2)
+    assert(rows("de")._3 == math.sqrt(1000.0) && rows("en")._3 == math.sqrt(9000.0))
+  }
+
   test("exactQuantileRefine equals built-in percentile() — the q22/q34 tie") {
     // The refine path must return the SAME exact interpolated percentiles
     // as Spark's collect-everything builtin (q22's scale-killer) — that
