@@ -80,6 +80,35 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * assign every vector to its nearest centroid, then find near-duplicate
+    * pairs ONLY within each cluster. The pairwise work drops from O(n²) to
+    * O(Σ|cluster|²) — the deliberate SemDeDup trade: cross-cluster pairs
+    * are unseen by construction (two near-dups split by a centroid
+    * boundary are missed), bought for a pair stage that parallelizes by
+    * cluster and never compares across the corpus. Returns
+    * (cid, vec_a, vec_b, cos); the keep-one-representative drop policy
+    * composes downstream with [[graft.operators.DedupOps.nearDupClusters]]
+    * over these pairs.
+    *
+    * Scale shape: centroids broadcast, one corpus scan to assign, the
+    * pair join shuffles by cid (cluster sizes ≈ n/k; a mega-cluster is
+    * the k-too-small symptom, fixed by more centroids — the knob SemDeDup
+    * itself tunes).
+    */
+  def semanticDedup(e: DataFrame, cents: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(e, cents)
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid").as("cid2"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, col("cid") === col("cid2") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cid"), col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy("cid", "vec_a", "vec_b")
+  }
+
   /** Distributed Lloyd training over `iters` iterations from the given
     * initial centroids `(cid BIGINT, ce ARRAY<DOUBLE|FLOAT>)`. The centroid
     * table is materialized DRIVER-SIDE between iterations: k×dim doubles —

@@ -162,7 +162,16 @@ object SimilarityQueries {
       SimilarityOps.randomProjection(t(s, d, "embeddings"), RP_DIM, RP_SEED)
         .select(col("vec_id"),
           concat_ws(",", transform(col("rp"), x => x.cast("string"))).as("rp_csv"))
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // SemDeDup: cluster-blocked near-dup pairs — deterministic first-16
+    // coarse centroids (the knn_ivf quantizer, already oracled) block the
+    // pair search by cluster; same adversarial NEAR_T as the near-pairs
+    // family.
+    "emb_semantic_dedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.semanticDedup(e, broadcast(firstCentroids(e)), NEAR_T)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     // Two cross-engine traps measured here (gate-failure archaeology):
@@ -212,6 +221,21 @@ object SimilarityQueries {
         |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(x))) AS scale
         |  FROM embeddings) s ON s.vec_id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // SemDeDup: the nearest-centroid assignment CTE (shared with knn_ivf)
+    // blocks the pair search; within-cluster pairs re-use the round-6
+    // cosine. Cross-cluster pairs are absent BY THE OP'S DEFINITION in
+    // both engines, so the oracle is exact, not a recall approximation.
+    "emb_semantic_dedup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < $N_CENTROIDS),
+         |asg AS (${sqlAssign("cents")})
+         |SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${sqlCosine("ea.embedding", "eb.embedding")} AS cos
+         |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE ${sqlCosine("ea.embedding", "eb.embedding")} >= $NEAR_T
+         |ORDER BY cid, vec_a, vec_b""".stripMargin,
     // The blocked path must reproduce the exact formulation's pairs —
     // same oracle as emb_near_pairs (recall 1.0 on the test corpus).
     "emb_near_pairs_lsh" ->

@@ -144,4 +144,39 @@ class AnnClusteredSpec extends SparkTestBase {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"trained-IVF clustered recall@10 = $recall")
   }
+
+  test("semanticDedup: cluster blocking recovers the intra-cluster 0.9-pairs, never crosses clusters") {
+    // SemDeDup's contract: exactly the pairs that (a) clear the threshold
+    // and (b) land in the same assigned cluster. On the planted corpus,
+    // stride-seeded trained centroids give clusters aligned with the true
+    // structure, so the blocked result should recover nearly all true
+    // 0.9-pairs at a fraction of the all-pairs work.
+    val df = corpusDf
+    val e = df.select(col("vec_id"), col("embedding"))
+    // k matched to the planted cluster count: with k ABOVE it (16 was
+    // tried) Lloyd splits planted clusters and pairs straddling the split
+    // are missed — recall drops to ~0.67, which is real SemDeDup behavior
+    // (over-clustering trades recall for smaller pair blocks), but the
+    // spec pins the aligned-k contract where blocking should be ~lossless.
+    val stride = N / CLUSTERS
+    val init = e.filter(col("vec_id") % stride === 0)
+      .select((col("vec_id") / stride).cast("long").as("cid"), col("embedding").as("ce"))
+    val cents = SimilarityOps.trainCentroids(e, init, 3)
+    val sem = SimilarityOps.semanticDedup(e, cents, 0.9)
+    val semPairs = sem.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilarityOps.nearPairs(e, 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted corpus must have 0.9-pairs")
+    // blocked result is a SUBSET of the exact pairs (threshold identical,
+    // blocking only removes)...
+    assert((semPairs -- exact).isEmpty, s"semanticDedup invented pairs: ${semPairs -- exact}")
+    // ...and recovers nearly all of them (clusters track the structure)
+    val recall = (exact & semPairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"semantic-dedup pair recall = $recall")
+    // every returned pair is same-cluster by construction
+    val asg = SimilarityOps.assignToCentroids(e, cents)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    semPairs.foreach { case (a, b) => assert(asg(a) == asg(b), s"cross-cluster pair ($a,$b)") }
+  }
 }
