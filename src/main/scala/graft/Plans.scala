@@ -23,8 +23,10 @@ object Plans {
     // pure-projection random projection, per-shard packing window
     "q11_distinct_parts", "q31_bloom_prune", "emb_rp_reduce", "tx_pack",
     // round 5: distributive CMS top-k (TakeOrderedAndProject, no global
-    // rank window), sketch-then-refine exact percentiles
-    "ev_heavy_hitters", "q34_quantile_refine")
+    // rank window), sketch-then-refine exact percentiles, containment
+    // inverted index, SemDeDup cluster-blocked pairs
+    "ev_heavy_hitters", "q34_quantile_refine", "dd_containment",
+    "emb_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

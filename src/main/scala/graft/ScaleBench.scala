@@ -107,6 +107,18 @@ object ScaleBench {
     "q30_kmv_distinct" -> SparkEntry.queries("q30_kmv_distinct"),
     "q33_hist_quantile" -> SparkEntry.queries("q33_hist_quantile"),
     "q34_quantile_refine" -> SparkEntry.queries("q34_quantile_refine"),
+    "dd_containment" -> SparkEntry.queries("dd_containment"),
+    // the gate binding's FIXED k=16: cluster sizes grow with the corpus,
+    // so within-cluster pair work grows quadratically — the knob SemDeDup
+    // tunes is k ∝ n, demonstrated by the _scaledk twin below
+    "emb_semantic_dedup" -> SparkEntry.queries("emb_semantic_dedup"),
+    "emb_semantic_dedup_scaledk" -> ((s: SparkSession, d: String) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val k = math.max(16L, e.count() / 125) // constant expected cluster size
+      SimilarityOps.semanticDedup(e,
+        broadcast(e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))), 0.40)
+    }),
     "knn_lsh" -> SparkEntry.queries("knn_lsh"),
     "near_pairs_exact_09" -> ((s: SparkSession, d: String) =>
       SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),

@@ -51,6 +51,7 @@ def runLibcheck(): Unit = {
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
   check("TextOps.bigramPerplexity")(TextOps.bigramPerplexity(docs))
+  check("TextOps.mixWeights")(TextOps.mixWeights(docs))
   check("LayoutOps.zTiles")(graft.operators.LayoutOps.zTiles(
     events, pmod(col("user_id") * 131, lit(65536L)),
     pmod(col("event_id") * 521, lit(65536L))))
@@ -61,6 +62,9 @@ def runLibcheck(): Unit = {
     SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
   check("SketchOps.histQuantiles")(
     SketchOps.histQuantiles(events, col("value"), 8L, 1024, Seq(500, 950)))
+  check("SketchOps.exactQuantileRefine")(
+    SketchOps.exactQuantileRefine(events, col("value"), "event_type",
+      8L, 1024, Seq(500, 950)))
   check("StreamOps.latestByKey")(StreamOps.latestByKey(
     events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
   val bloomDim = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
@@ -76,6 +80,7 @@ def runLibcheck(): Unit = {
     DedupOps.nearDupClustersStar(DedupOps.minhashPairs(docs)))
   check("DedupOps.antiJoinDedup")(
     DedupOps.antiJoinDedup(docs, docs.filter(col("doc_id") % 50 === 0)))
+  check("DedupOps.containmentPairs")(DedupOps.containmentPairs(docs))
   // similarity search
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -84,6 +89,9 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.lshTopK")(SimilarityOps.lshTopK(embs, queries, 5))
   check("SimilarityOps.randomProjection")(SimilarityOps.randomProjection(embs))
   check("SimilarityOps.labelCentroids")(SimilarityOps.labelCentroids(embs))
+  check("SimilarityOps.semanticDedup")(SimilarityOps.semanticDedup(
+    embs, embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")), 0.3))
   // multimodal plumbing (stub decode, real Spark shapes)
   check("MediaOps.thumbnail")(
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
