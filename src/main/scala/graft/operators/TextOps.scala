@@ -146,6 +146,50 @@ object TextOps {
         max(col("n_fingerprints")).as("max_fps"))
   }
 
+  /** Winnowing PAIR detection (the MOSS pair stage, Schleimer et al.
+    * SIGMOD'03): documents sharing ≥ `minShared` winnowed fingerprints —
+    * SUBSTRING-level copy detection. The document-granularity ops
+    * (Jaccard/MinHash/SimHash) score whole shingle SETS, so a paragraph
+    * copied into an otherwise-different document scores near zero there;
+    * winnowing guarantees any shared run ≥ window+n−1 words leaves at
+    * least one common fingerprint, and `shared` counts those runs'
+    * selected hashes.
+    *
+    * Shape: per-doc fingerprints (the [[winnow]] window pass) → inverted
+    * index on (lang, fingerprint) → co-occurrence counts per pair — work
+    * ∝ fingerprint co-occurrences, never |docs|². The ≥ `minShared` gate
+    * is exact integer; `overlap` = shared / min(|fp_a|, |fp_b|) is one
+    * correctly-rounded division of exact integers.
+    */
+  def winnowPairs(docs: DataFrame, minShared: Int = 3): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.winnowPairs", "doc_id", "lang", "text")
+    import graft.functions.CrossHash
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val fps = docs
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), col("lang"),
+        posexplode(positionalShingles()).as(Seq("pos", "shingle")))
+      .withColumn("h", CrossHash.mdint(col("shingle")))
+      .withColumn("winmin", min(col("h")).over(w))
+      .select(col("doc_id"), col("lang"), col("winmin")).distinct()
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val a = fps.select(col("lang"), col("winmin"),
+      col("doc_id").as("doc_a"))
+    val b = fps.select(col("lang").as("l2"), col("winmin").as("wm2"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("lang") === col("l2") && col("winmin") === col("wm2") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("fp_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("fp_a"), col("fp_b"),
+        (col("shared").cast("double") / least(col("fp_a"), col("fp_b"))).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Repetition filter (the Gopher-style quality signal): fraction of
     * positional 3-grams that are duplicates within the document —
     * boilerplate/spam detection in every large-scale corpus pipeline.

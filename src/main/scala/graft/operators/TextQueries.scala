@@ -23,6 +23,10 @@ object TextQueries {
     "tx_langid" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "tx_winnow" -> ((s, d) =>
       TextOps.winnow(t(s, d, "documents").filter(col("doc_id") < 200))),
+    // Winnowing pair stage (MOSS): same oracle-cost-bounding doc slice as
+    // tx_winnow (the per-doc window pass is the expensive SQL part).
+    "tx_winnow_pairs" -> ((s, d) =>
+      TextOps.winnowPairs(t(s, d, "documents").filter(col("doc_id") < 200))),
     "tx_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
     "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
@@ -264,6 +268,27 @@ object TextQueries {
         |SELECT COUNT(*) AS n_docs, CAST(SUM(n_fingerprints) AS BIGINT) AS total_fps,
         |  MIN(n_fingerprints) AS min_fps, MAX(n_fingerprints) AS max_fps
         |FROM pc""".stripMargin,
+    // Winnowing pair stage: same fingerprint CTEs as tx_winnow (with lang
+    // carried through), inverted-index co-occurrence counts; the >= 3 gate
+    // is exact integer, overlap one division of exact integers.
+    "tx_winnow_pairs" ->
+      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+        |sh0 AS (SELECT doc_id, lang, unnest(range(1, len(w) - 1)) AS i, w FROM ws WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, lang, i - 1 AS pos,
+        |    ${graft.functions.CrossHash.sqlMdint("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM sh0),
+        |wm AS (SELECT doc_id, lang, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS winmin FROM sh),
+        |fp AS (SELECT DISTINCT doc_id, lang, winmin FROM wm),
+        |pc AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM fp a JOIN fp b ON a.lang = b.lang AND a.winmin = b.winmin
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, shared, pa.nfp AS fp_a, pb.nfp AS fp_b,
+        |  CAST(shared AS DOUBLE) / least(pa.nfp, pb.nfp) AS overlap
+        |FROM pair JOIN pc pa ON pa.doc_id = doc_a JOIN pc pb ON pb.doc_id = doc_b
+        |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "tx_train_val_test" ->
       s"""WITH b AS (
          |  SELECT doc_id, ${graft.functions.CrossHash.sqlMdint("'split:' || doc_id")} % 10 AS bucket
