@@ -364,4 +364,26 @@ object DedupOps {
         coalesce(col("cluster_id"), col("n")).as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Apply a near-dup clustering to the corpus: keep ONE canonical
+    * document per cluster — the `cluster_id` representative, which
+    * [[nearDupClusters]]/[[nearDupClustersStar]] define as the component
+    * minimum — plus every document that belongs to no cluster. This is
+    * the "write the deduplicated corpus" step that turns the pair/cluster
+    * analyses into an actual filtered dataset at the end of a pipeline.
+    *
+    * Scale shape: the removal list is non-canonical member ids only —
+    * `(doc_id)` rows, a small fraction of the corpus in practice — and
+    * the corpus is filtered by a left_anti join on that 8-byte key, so
+    * document text never shuffles. AQE broadcasts the removal side when
+    * it fits; at any size the anti join is one hash exchange of ids.
+    */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    OpContract.requireCols(docs, "DedupOps.keepCanonical", "doc_id")
+    val removed = OpContract
+      .requireCols(clusters, "DedupOps.keepCanonical", "doc_id", "cluster_id")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(removed, Seq("doc_id"), "left_anti")
+  }
 }

@@ -35,6 +35,18 @@ object DedupQueries {
     "dd_clusters_star" -> ((s, d) =>
       DedupOps.nearDupClustersStar(DedupOps.minhashPairs(t(s, d, "documents")))),
     "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))),
+    // End-to-end dedup APPLY: minhash pairs -> connected components ->
+    // keep the canonical member of each cluster, summarized per language.
+    "dd_keep_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.keepCanonical(docs,
+          DedupOps.nearDupClusters(DedupOps.minhashPairs(docs)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
+        .orderBy("lang")
+    }),
     // Exact decontamination: benchmark = every 50th doc; the anti join
     // drops those docs AND any exact-text duplicate of them from the
     // corpus, summarized per language.
@@ -146,6 +158,24 @@ object DedupQueries {
       // — and both hash-match this one oracle.
       "dd_clusters" -> clustersOracle,
       "dd_clusters_star" -> clustersOracle,
+      // Same component chain as clustersOracle; non-canonical members are
+      // removed, survivors summarized per language.
+      "dd_keep_canonical" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+           |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+           |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |rm AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+           |k AS (SELECT lang, doc_id, n_chars FROM documents
+           |      WHERE doc_id NOT IN (SELECT doc_id FROM rm))
+           |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           |  MIN(doc_id) AS min_kept, MAX(doc_id) AS max_kept
+           |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
       "dd_simhash" ->
         s"""WITH wc AS (SELECT doc_id, wx AS word, COUNT(*) AS cnt
            |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)

@@ -190,6 +190,55 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C4-style boilerplate-chunk removal (Raffel et al. 2020 §2.2 dedup
+    * rule, re-expressed over fixed word windows): split every document
+    * into consecutive `chunkWords`-word chunks, drop every occurrence of
+    * any chunk that appears in ≥ 2 DISTINCT documents (shared
+    * boilerplate), and reassemble the surviving text. Output pins the
+    * cleaned corpus byte-for-byte via (md5, length) per doc — the
+    * tx_pii_redact discipline.
+    *
+    * Scale shape: chunking is pure array functions (sequence → transform →
+    * slice) inside codegen — no explode until the chunk rows are needed;
+    * the duplicate-detection shuffle carries an 8-byte chunk hash, never
+    * chunk text; the only shuffle that moves text is the per-doc rebuild
+    * (unavoidable — reassembly is a grouping by doc). The dup-hash table
+    * is the boilerplate subset (small in real corpora) — AQE broadcasts
+    * the flag join when it fits.
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 2): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.chunkDedup", "doc_id", "text")
+    import graft.functions.CrossHash
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("bigint")
+    val chunks = spread(docs)
+      .filter(size(words) >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
+          array_join(slice(words, (i * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
+          .as(Seq("idx", "chunk")))
+    val hashed = chunks.withColumn("h", CrossHash.mdint(col("chunk")))
+    val dup = hashed.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("dup"))
+    val flagged = hashed.join(dup, Seq("h"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dup"), struct(col("idx").as("i"), col("chunk").as("c"))))),
+            s => s.getField("c")),
+          " ").as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        md5(col("clean_text")).as("digest"),
+        length(col("clean_text")).cast("long").as("n_clean_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition filter (the Gopher-style quality signal): fraction of
     * positional 3-grams that are duplicates within the document —
     * boilerplate/spam detection in every large-scale corpus pipeline.

@@ -28,6 +28,9 @@ object TextQueries {
     "tx_winnow_pairs" -> ((s, d) =>
       TextOps.winnowPairs(t(s, d, "documents").filter(col("doc_id") < 200))),
     "tx_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    // 2-word chunks so the rule actually fires on the synthetic corpus's
+    // ~30-word vocabulary (5-word chunks are near-unique at this SF).
+    "tx_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(t(s, d, "documents"))),
     "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
     "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
     "tx_stratified_sample" -> ((s, d) =>
@@ -289,6 +292,28 @@ object TextQueries {
         |  CAST(shared AS DOUBLE) / least(pa.nfp, pb.nfp) AS overlap
         |FROM pair JOIN pc pa ON pa.doc_id = doc_a JOIN pc pb ON pb.doc_id = doc_b
         |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // Chunk dedup: identical chunking (1-based clamped slices both
+    // engines), identical 60-bit chunk hash, >= 2 DISTINCT docs rule;
+    // string_agg(... ORDER BY idx) mirrors the array_sort rebuild, and
+    // COALESCE('') keeps the all-removed doc at md5('') parity.
+    "tx_chunk_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 1),
+        |ix AS (SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT))) AS idx FROM ws),
+        |ch AS (SELECT doc_id, idx,
+        |    array_to_string(w[CAST(idx * 2 + 1 AS BIGINT):CAST(idx * 2 + 2 AS BIGINT)], ' ') AS chunk
+        |  FROM ix),
+        |hs AS (SELECT doc_id, idx, chunk, ${graft.functions.CrossHash.sqlMdint("chunk")} AS h FROM ch),
+        |dup AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, idx, chunk, h IN (SELECT h FROM dup) AS dup FROM hs),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    COALESCE(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY idx), '') AS clean_text
+        |  FROM fl GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_removed, md5(clean_text) AS digest,
+        |  CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+        |FROM pd ORDER BY doc_id""".stripMargin,
     "tx_train_val_test" ->
       s"""WITH b AS (
          |  SELECT doc_id, ${graft.functions.CrossHash.sqlMdint("'split:' || doc_id")} % 10 AS bucket

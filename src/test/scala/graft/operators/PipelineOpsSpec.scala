@@ -539,6 +539,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r == again)
   }
 
+  test("winnowPairs: a copied >=10-word run is guaranteed a shared fingerprint; unrelated docs pair-free") {
+    import spark.implicits._
+    // 15 words of doc A reappear verbatim inside doc B; doc C shares nothing.
+    // Winnowing with 3-gram shingles and window 8 guarantees any shared run
+    // of >= 8+3-1 = 10 words leaves at least one common selected fingerprint.
+    val run = (0 until 15).map(i => s"copied$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", (0 until 20).map(i => s"alpha$i").mkString(" ") + " " + run),
+      (2L, "en", run + " " + (0 until 25).map(i => s"beta$i").mkString(" ")),
+      (3L, "en", (0 until 40).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val pairs = TextOps.winnowPairs(docs, minShared = 1).collect()
+    assert(pairs.length == 1)
+    val p = pairs(0)
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L) // doc_a < doc_b, no mirror row
+    assert(p.getLong(2) >= 1)                        // shared fingerprints from the run
+    val overlap = p.getDouble(5)
+    assert(overlap > 0.0 && overlap <= 1.0)
+    // The document-granularity dedups would NOT flag this pair: whole-set
+    // resemblance of A vs B is small even though a paragraph is copied.
+    val setsA = docs.filter($"doc_id" === 1L).select(explode(split($"text", " "))).as[String].collect().toSet
+    val setsB = docs.filter($"doc_id" === 2L).select(explode(split($"text", " "))).as[String].collect().toSet
+    val jac = setsA.intersect(setsB).size.toDouble / setsA.union(setsB).size
+    assert(jac < 0.5, s"corpus not adversarial enough for the substring-vs-set point (jaccard $jac)")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))
