@@ -170,6 +170,101 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Slice one contiguous PQ subspace out of the corpus — a pure
+    * projection, renamed to the (vec_id, embedding) contract so the
+    * centroid machinery applies unchanged.
+    */
+  private def subspace(e: DataFrame, s: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"), slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+
+  /** Train the `m` per-subspace product-quantization codebooks (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): subspace s is seeded from the first `ks` vectors' s-th
+    * subvectors and refined with `iters` distributed Lloyd iterations —
+    * [[trainCentroids]] on the sliced corpus, under the same
+    * spherical/cosine assignment as the coarse IVF quantizer (the PQ
+    * variant used for cosine/MIPS retrieval). Codebooks are driver-side
+    * model state: m·ks·subDim doubles, the same legitimacy argument as
+    * [[trainCentroids]]' inter-iteration materialization.
+    */
+  def pqCodebooks(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
+      iters: Int = 2): Seq[DataFrame] = {
+    OpContract.requireCols(e0, "SimilarityOps.pqCodebooks", "vec_id", "embedding")
+    (0 until m).map { s =>
+      val sub = subspace(e0, s, subDim)
+      trainCentroids(sub,
+        sub.filter(col("vec_id") < ks)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")), iters)
+    }
+  }
+
+  /** Product-quantization ENCODE: every vector becomes `m` codeword ids —
+    * m·log2(ks) bits replacing m·subDim floats (with the gate's 4×4
+    * configuration, one byte per vector versus 256 — the compression that
+    * makes billion-vector ANN fit in memory at 100 TB corpus scale).
+    * Output: (vec_id, c0..c{m-1}).
+    *
+    * Scale shape: each of the m assignments is one broadcast-join argmax
+    * scan over a sliced projection of the corpus (persist the input to
+    * share the underlying scan); the final join chain glues m thin
+    * (vec_id, id) tables keyed by the 8-byte vec_id.
+    */
+  def pqCodes(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val cbs = pqCodebooks(e0, m, subDim, ks, iters)
+    (0 until m).map { s =>
+      assignToCentroids(subspace(e0, s, subDim), cbs(s))
+        .select(col("vec_id"), col("cid").as(s"c$s"))
+    }.reduce((a, b) => a.join(b, "vec_id")).orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay exact,
+    * corpus vectors are represented by their codewords. Per query the
+    * m·ks partial dot products (query subvector × codeword) and codeword
+    * norms form a lookup table; every corpus vector's approximate cosine
+    * is then m LUT probes and one division — the codes scan never touches
+    * the original floats. This is the IVFADC building block: compose with
+    * [[ivfTopK]]'s coarse lists to prune the scan, or run flat as here.
+    *
+    * FP discipline: the numerator and the norm are LEFT-ASSOCIATIVE sums
+    * of the m per-subspace terms — a fixed association both engines
+    * evaluate identically (never a groupBy sum over doubles, whose merge
+    * order is nondeterministic) — with one division and one round(·,6) at
+    * the end.
+    *
+    * Scale shape: LUTs are (queries × m·ks) rows — broadcast; the scan
+    * shuffles nothing (codes already carry c0..c{m-1}); per-query rank is
+    * the same partitioned window as every other ANN op here.
+    */
+  def pqTopK(e0: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      subDim: Int = 16, ks: Int = 4, iters: Int = 2,
+      excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(queries, "SimilarityOps.pqTopK queries", "query_id", "qe")
+    import graft.functions.VectorFunctions.dot_product
+    val cbs = pqCodebooks(e0, m, subDim, ks, iters)
+    val codes = (0 until m).map { s =>
+      assignToCentroids(subspace(e0, s, subDim), cbs(s))
+        .select(col("vec_id"), col("cid").as(s"c$s"))
+    }.reduce((a, b) => a.join(b, "vec_id"))
+    val luts = (0 until m).map { s =>
+      queries.crossJoin(broadcast(cbs(s)))
+        .select(col("query_id").as(s"q$s"), col("cid").as(s"lc$s"),
+          dot_product(slice(col("qe"), s * subDim + 1, subDim), col("ce")).as(s"p$s"),
+          dot_product(col("ce"), col("ce")).as(s"n$s"))
+    }
+    val self = if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true)
+    val joined = (0 until m).foldLeft(
+        codes.crossJoin(broadcast(queries)).filter(self)) { (df, s) =>
+      df.join(broadcast(luts(s)),
+        col("query_id") === col(s"q$s") && col(s"c$s") === col(s"lc$s"))
+    }
+    val num = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
+    val norm2 = (0 until m).map(s => col(s"n$s")).reduce(_ + _)
+    rankTopK(
+      joined.withColumn("cos",
+        round(num / (sqrt(dot_product(col("qe"), col("qe"))) * sqrt(norm2)), 6)), k)
+  }
+
   /** Per-label centroid vectors (the class-prototype aggregate behind
     * nearest-centroid classification and dataset drift checks): one
     * per-dimension explode + aggregate, decimal-exact means (the

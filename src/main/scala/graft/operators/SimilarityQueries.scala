@@ -27,6 +27,9 @@ object SimilarityQueries {
   private val NP_SEED = 4241L
   private val RP_DIM = 16
   private val RP_SEED = 909L
+  private val PQ_M = 4
+  private val PQ_SUBDIM = 16
+  private val PQ_KS = 4
 
   /** Forwarders kept as the stable public names (also used by specs). */
   def cosine(a: Column, b: Column): Column = SimilarityOps.cosine(a, b)
@@ -87,6 +90,48 @@ object SimilarityQueries {
        |    CROSS JOIN generate_series(0, 63) d(dim)
        |    GROUP BY a.cid, d.dim) y
        |  GROUP BY cid""".stripMargin
+
+  /** Per-subspace mirrors of [[sqlAssign]]/[[sqlLloyd]] over a sliced-
+    * corpus CTE (`sv` = the subvector) — the PQ oracle machinery.
+    */
+  private def sqlSubAssign(sub: String, cents: String): String =
+    s"""SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCosine("e.sv", "c.ce")} DESC, c.cid) AS crn
+       |    FROM $sub e CROSS JOIN $cents c) x
+       |  WHERE crn = 1""".stripMargin
+
+  private def sqlSubLloyd(assign: String, sub: String): String =
+    s"""SELECT cid, list(m ORDER BY dim) AS ce FROM (
+       |    SELECT a.cid, d.dim,
+       |      CAST(SUM(CAST(round(CAST(e.sv[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM $assign a JOIN $sub e ON e.vec_id = a.vec_id
+       |    CROSS JOIN generate_series(0, ${PQ_SUBDIM - 1}) d(dim)
+       |    GROUP BY a.cid, d.dim) y
+       |  GROUP BY cid""".stripMargin
+
+  /** The unrolled PQ training for subspace s as CTE text: sub{s} (sliced
+    * corpus), c{s}_0..c{s}_2 (seed + two Lloyd-refined codebooks),
+    * a{s}_0..a{s}_2 (assignments; a{s}_2 = the final codes).
+    */
+  private def sqlPqChain(s: Int): String = {
+    val o = s * PQ_SUBDIM
+    s"""sub$s AS (SELECT vec_id, embedding[${o + 1}:${o + PQ_SUBDIM}] AS sv FROM embeddings),
+       |c${s}_0 AS (SELECT vec_id AS cid, sv::DOUBLE[] AS ce FROM sub$s WHERE vec_id < $PQ_KS),
+       |a${s}_0 AS (${sqlSubAssign(s"sub$s", s"c${s}_0")}),
+       |c${s}_1 AS (${sqlSubLloyd(s"a${s}_0", s"sub$s")}),
+       |a${s}_1 AS (${sqlSubAssign(s"sub$s", s"c${s}_1")}),
+       |c${s}_2 AS (${sqlSubLloyd(s"a${s}_1", s"sub$s")}),
+       |a${s}_2 AS (${sqlSubAssign(s"sub$s", s"c${s}_2")})""".stripMargin
+  }
+
+  private def sqlPqCodesCte: String = {
+    val joins = (1 until PQ_M).map(s => s"JOIN a${s}_2 USING (vec_id)").mkString(" ")
+    s"""codes AS (SELECT vec_id, ${(0 until PQ_M).map(s => s"a${s}_2.cid AS c$s").mkString(", ")}
+       |  FROM a0_2 $joins)""".stripMargin
+  }
 
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < N_QUERIES)
@@ -171,6 +216,18 @@ object SimilarityQueries {
     "emb_semantic_dedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.semanticDedup(e, broadcast(firstCentroids(e)), NEAR_T)
+    }),
+
+    // Product-quantization ENCODE: 4 subspaces × 4 codewords, codebooks
+    // trained with two Lloyd iterations per subspace (the ivf_trained
+    // pattern, unrolled per-subspace in the oracle).
+    "emb_pq_codes" -> ((s, d) => SimilarityOps.pqCodes(t(s, d, "embeddings"))),
+
+    // ADC top-k over the PQ codes — the IVFADC building block; queries
+    // exact, corpus represented by codewords, fixed-association LUT sums.
+    "knn_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.pqTopK(e, queriesOf(e), TOP_K)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -325,6 +382,49 @@ object SimilarityQueries {
          |  WHERE a.vec_id <> p.query_id
          |)
          |${sqlRerank("cand")}""".stripMargin,
+
+    // Full value oracle for PQ encode: the four subspace training chains
+    // unrolled (same FP discipline as knn_ivf_trained — round-6 cosine
+    // assignments with cid tie-breaks, decimal-exact Lloyd means).
+    "emb_pq_codes" -> {
+      val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
+      s"""WITH $chains,
+         |$sqlPqCodesCte
+         |SELECT vec_id, ${(0 until PQ_M).map(s => s"c$s").mkString(", ")}
+         |FROM codes ORDER BY vec_id""".stripMargin
+    },
+
+    // Full value oracle for ADC: per-(query, subspace) LUTs of partial
+    // dot products / codeword norms, summed LEFT-ASSOCIATIVELY exactly as
+    // the Spark expression, one division + round(·,6), same rank window.
+    "knn_pq" -> {
+      val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
+      val luts = (0 until PQ_M).map { s =>
+        s"""lut$s AS (SELECT q.vec_id AS query_id, c.cid,
+           |    list_dot_product(q.embedding[${s * PQ_SUBDIM + 1}:${(s + 1) * PQ_SUBDIM}]::DOUBLE[], c.ce::DOUBLE[]) AS p,
+           |    list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS n2
+           |  FROM embeddings q CROSS JOIN c${s}_2 c WHERE q.vec_id < $N_QUERIES)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $chains,
+         |$luts,
+         |$sqlPqCodesCte,
+         |scored AS (SELECT l0.query_id, codes.vec_id,
+         |    round((((l0.p + l1.p) + l2.p) + l3.p) /
+         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |       sqrt((((l0.n2 + l1.n2) + l2.n2) + l3.n2))), 6) AS cos
+         |  FROM codes
+         |  JOIN lut0 l0 ON l0.cid = codes.c0
+         |  JOIN lut1 l1 ON l1.cid = codes.c1 AND l1.query_id = l0.query_id
+         |  JOIN lut2 l2 ON l2.cid = codes.c2 AND l2.query_id = l0.query_id
+         |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = l0.query_id
+         |  JOIN embeddings q ON q.vec_id = l0.query_id
+         |  WHERE codes.vec_id <> l0.query_id)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) x
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+    },
 
     // Full value oracle for IVF: the deterministic coarse quantizer (first
     // N_CENTROIDS vectors), nearest-centroid assignment, nprobe probe

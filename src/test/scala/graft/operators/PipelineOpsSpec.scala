@@ -565,6 +565,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(jac < 0.5, s"corpus not adversarial enough for the substring-vs-set point (jaccard $jac)")
   }
 
+  test("pq: duplicate vectors share codes; ADC top-k is k rows per query, sorted, deterministic") {
+    import spark.implicits._
+    import graft.core.DeterministicRng
+    // 40 deterministic vectors; vec 17 is an exact copy of vec 5
+    val vecs = (0 until 40).map { id =>
+      val src = if (id == 17) 5L else id.toLong
+      (id.toLong, Array.tabulate(64)(i =>
+        (DeterministicRng.uniform(515L, src, 0L, i.toLong) - 0.5).toFloat))
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val codes = SimilarityOps.pqCodes(e).collect()
+    assert(codes.length == 40)
+    val byId = codes.map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(byId(5L) == byId(17L), "identical vectors must encode to identical codes")
+    assert(byId.values.flatten.forall(c => c >= 0 && c < 4))
+    val q = e.filter($"vec_id" < 2).select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val topk = SimilarityOps.pqTopK(e, q, 10).collect()
+    assert(topk.length == 20) // 10 per query
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "ADC scores sorted desc")
+    }
+    val again = SimilarityOps.pqTopK(e, q, 10).collect()
+    assert(topk.map(_.toString).toSeq == again.map(_.toString).toSeq, "ADC must be deterministic")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))
