@@ -26,7 +26,11 @@ object Plans {
     // rank window), sketch-then-refine exact percentiles, containment
     // inverted index, SemDeDup cluster-blocked pairs
     "ev_heavy_hitters", "q34_quantile_refine", "dd_containment",
-    "emb_semantic_dedup")
+    "emb_semantic_dedup",
+    // round 5 (cont.): C4 chunk removal (array-codegen chunking, hash-only
+    // dup shuffle), MOSS winnow pairs (inverted index), ADC scan over PQ
+    // codes (LUT broadcast joins, no float shuffle)
+    "tx_chunk_dedup", "tx_winnow_pairs", "knn_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

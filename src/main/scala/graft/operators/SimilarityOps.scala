@@ -170,99 +170,167 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  /** Slice one contiguous PQ subspace out of the corpus — a pure
-    * projection, renamed to the (vec_id, embedding) contract so the
-    * centroid machinery applies unchanged.
+  /** PQ model = (subspace, cid, codeword) triples, driver-side (m·ks·subDim
+    * doubles — the [[trainCentroids]] model-state legitimacy argument).
+    * Training touches the corpus ONCE per Lloyd iteration regardless of m:
+    * one projection explodes every vector into its m subvectors tagged by
+    * subspace id, the assignment is a literal-codebook argmax EXPRESSION
+    * (no join, no window — codebooks are tiny driver constants, like
+    * [[lshSignature]]'s hyperplanes), and all m·ks means come back from a
+    * single decimal-exact aggregate. Values are identical to the
+    * per-subspace [[trainCentroids]] formulation the DuckDB oracle unrolls:
+    * same round-6 cosine argmax with smallest-cid tie-break, same decimal
+    * Lloyd means; empty codewords drop exactly as there.
     */
-  private def subspace(e: DataFrame, s: Int, subDim: Int): DataFrame =
-    e.select(col("vec_id"), slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+  private def pqTrain(e0: DataFrame, m: Int, subDim: Int, ks: Int,
+      iters: Int): Seq[(Int, Long, Array[Double])] = {
+    OpContract.requireCols(e0, "SimilarityOps.pqTrain", "vec_id", "embedding")
+    val rows = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    // Seeds: the first ks vectors' subvectors (float→double is exact)
+    var model: Seq[(Int, Long, Array[Double])] = rows
+      .filter(col("vec_id") < ks)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .toSeq.sortBy(t => (t._1, t._2))
+    (0 until iters).foreach { _ =>
+      val assigned = rows.withColumn("cid", pqArgmaxBySub(model, m, col("sv")))
+      model = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        // decimal-exact means — the lloydStep discipline, keyed by (sub, cid)
+        .groupBy("sub", "cid", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("mean"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          st => st.getField("mean")).as("ce"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    model
+  }
 
-  /** Train the `m` per-subspace product-quantization codebooks (Jégou,
-    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
-    * TPAMI 2011): subspace s is seeded from the first `ks` vectors' s-th
-    * subvectors and refined with `iters` distributed Lloyd iterations —
-    * [[trainCentroids]] on the sliced corpus, under the same
-    * spherical/cosine assignment as the coarse IVF quantizer (the PQ
-    * variant used for cosine/MIPS retrieval). Codebooks are driver-side
-    * model state: m·ks·subDim doubles, the same legitimacy argument as
-    * [[trainCentroids]]' inter-iteration materialization.
+  /** Nearest-codeword id for subvector `sv` of subspace `sub` as a pure
+    * codegen expression: round-6 cosine against each literal codeword,
+    * strict-> fold so ties keep the smallest cid — exactly the
+    * `ORDER BY cos DESC, cid` argmax of [[assignToCentroids]].
     */
-  def pqCodebooks(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
-      iters: Int = 2): Seq[DataFrame] = {
-    OpContract.requireCols(e0, "SimilarityOps.pqCodebooks", "vec_id", "embedding")
-    (0 until m).map { s =>
-      val sub = subspace(e0, s, subDim)
-      trainCentroids(sub,
-        sub.filter(col("vec_id") < ks)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce")), iters)
+  private def pqArgmaxBySub(model: Seq[(Int, Long, Array[Double])], m: Int,
+      sv: Column): Column = {
+    val bySub = model.groupBy(_._1)
+    def argmax(s: Int): Column = {
+      val scored = bySub(s).sortBy(_._2)
+        .map(t => (cosine(sv, typedLit(t._3)), lit(t._2)))
+      scored.tail.foldLeft(scored.head) { case ((bc, bi), (c, i)) =>
+        (when(c > bc, c).otherwise(bc), when(c > bc, i).otherwise(bi))
+      }._2
+    }
+    (1 until m).foldLeft(when(col("sub") === 0, argmax(0))) {
+      (acc, s) => acc.when(col("sub") === s, argmax(s))
     }
   }
 
-  /** Product-quantization ENCODE: every vector becomes `m` codeword ids —
+  /** The trained PQ codebooks as a (sub, cid, ce) DataFrame — the
+    * user-facing model surface (persist it, feed it to downstream jobs).
+    */
+  def pqCodebooks(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    pqTrain(e0, m, subDim, ks, iters)
+      .map(t => (t._1, t._2, t._3.toSeq)).toDF("sub", "cid", "ce")
+  }
+
+  /** Product-quantization ENCODE (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, under the
+    * spherical/cosine convention): every vector becomes `m` codeword ids —
     * m·log2(ks) bits replacing m·subDim floats (with the gate's 4×4
     * configuration, one byte per vector versus 256 — the compression that
     * makes billion-vector ANN fit in memory at 100 TB corpus scale).
     * Output: (vec_id, c0..c{m-1}).
     *
-    * Scale shape: each of the m assignments is one broadcast-join argmax
-    * scan over a sliced projection of the corpus (persist the input to
-    * share the underlying scan); the final join chain glues m thin
-    * (vec_id, id) tables keyed by the 8-byte vec_id.
+    * Scale shape: after [[pqTrain]] (one corpus scan per Lloyd iteration),
+    * the encode itself is a SINGLE shuffle-free projection — m argmax
+    * expressions over literal codebooks, m·ks codegen'd dot products per
+    * row; scan → project → write, nothing else.
     */
   def pqCodes(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
       iters: Int = 2): DataFrame = {
-    val cbs = pqCodebooks(e0, m, subDim, ks, iters)
+    val model = pqTrain(e0, m, subDim, ks, iters)
+    e0.select(col("vec_id") +: pqCodeCols(model, m, subDim): _*).orderBy("vec_id")
+  }
+
+  private def pqCodeCols(model: Seq[(Int, Long, Array[Double])], m: Int,
+      subDim: Int): Seq[Column] = {
+    val bySub = model.groupBy(_._1)
     (0 until m).map { s =>
-      assignToCentroids(subspace(e0, s, subDim), cbs(s))
-        .select(col("vec_id"), col("cid").as(s"c$s"))
-    }.reduce((a, b) => a.join(b, "vec_id")).orderBy("vec_id")
+      val sv = slice(col("embedding"), s * subDim + 1, subDim)
+      val scored = bySub(s).sortBy(_._2)
+        .map(t => (cosine(sv, typedLit(t._3)), lit(t._2)))
+      scored.tail.foldLeft(scored.head) { case ((bc, bi), (c, i)) =>
+        (when(c > bc, c).otherwise(bc), when(c > bc, i).otherwise(bi))
+      }._2.as(s"c$s")
+    }
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay exact,
     * corpus vectors are represented by their codewords. Per query the
-    * m·ks partial dot products (query subvector × codeword) and codeword
-    * norms form a lookup table; every corpus vector's approximate cosine
-    * is then m LUT probes and one division — the codes scan never touches
-    * the original floats. This is the IVFADC building block: compose with
-    * [[ivfTopK]]'s coarse lists to prune the scan, or run flat as here.
+    * m·ks partial dot products (query subvector × codeword) are computed
+    * once into a broadcast row; every corpus vector's approximate cosine
+    * is then m literal-LUT picks on its codes and one division — the
+    * codes scan never touches the original floats. This is the IVFADC
+    * building block: compose with [[ivfTopK]]'s coarse lists to prune the
+    * scan, or run flat as here.
     *
     * FP discipline: the numerator and the norm are LEFT-ASSOCIATIVE sums
     * of the m per-subspace terms — a fixed association both engines
     * evaluate identically (never a groupBy sum over doubles, whose merge
-    * order is nondeterministic) — with one division and one round(·,6) at
-    * the end.
+    * order is nondeterministic); codeword norms are driver doubles
+    * accumulated in index order, the same left-to-right loop as the
+    * native DotProduct and DuckDB's list_dot_product; one division and
+    * one round(·,6) at the end.
     *
-    * Scale shape: LUTs are (queries × m·ks) rows — broadcast; the scan
-    * shuffles nothing (codes already carry c0..c{m-1}); per-query rank is
-    * the same partitioned window as every other ANN op here.
+    * Scale shape: one broadcast nested-loop join of the codes scan against
+    * |queries| precomputed LUT rows — the scan shuffles nothing; per-query
+    * rank is the same partitioned window as every other ANN op here.
     */
   def pqTopK(e0: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
       subDim: Int = 16, ks: Int = 4, iters: Int = 2,
       excludeQueryId: Boolean = true): DataFrame = {
     OpContract.requireCols(queries, "SimilarityOps.pqTopK queries", "query_id", "qe")
     import graft.functions.VectorFunctions.dot_product
-    val cbs = pqCodebooks(e0, m, subDim, ks, iters)
-    val codes = (0 until m).map { s =>
-      assignToCentroids(subspace(e0, s, subDim), cbs(s))
-        .select(col("vec_id"), col("cid").as(s"c$s"))
-    }.reduce((a, b) => a.join(b, "vec_id"))
-    val luts = (0 until m).map { s =>
-      queries.crossJoin(broadcast(cbs(s)))
-        .select(col("query_id").as(s"q$s"), col("cid").as(s"lc$s"),
-          dot_product(slice(col("qe"), s * subDim + 1, subDim), col("ce")).as(s"p$s"),
-          dot_product(col("ce"), col("ce")).as(s"n$s"))
+    val model = pqTrain(e0, m, subDim, ks, iters)
+    val bySub = model.groupBy(_._1)
+    val codes = e0.select(col("vec_id") +: pqCodeCols(model, m, subDim): _*)
+    // Per-query LUT row: partial dots for every (sub, cid) + the query norm
+    val qCols = (0 until m).flatMap { s =>
+      bySub(s).sortBy(_._2).map { case (_, cid, cw) =>
+        dot_product(slice(col("qe"), s * subDim + 1, subDim), typedLit(cw))
+          .as(s"p${s}_$cid")
+      }
+    } :+ sqrt(dot_product(col("qe"), col("qe"))).as("qnorm")
+    val q = queries.select(col("query_id") +: qCols: _*)
+    def n2(cw: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < cw.length) { acc += cw(i) * cw(i); i += 1 }
+      acc
     }
+    def pick(s: Int, value: Long => Column): Column = {
+      val cids = bySub(s).sortBy(_._2).map(_._2)
+      cids.tail.foldLeft(when(col(s"c$s") === cids.head, value(cids.head))) {
+        (acc, cid) => acc.when(col(s"c$s") === cid, value(cid))
+      }
+    }
+    val n2Map = model.map(t => (t._1, t._2) -> n2(t._3)).toMap
+    val num = (0 until m).map(s => pick(s, cid => col(s"p${s}_$cid"))).reduce(_ + _)
+    val norm2 = (0 until m).map(s => pick(s, cid => lit(n2Map((s, cid))))).reduce(_ + _)
     val self = if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true)
-    val joined = (0 until m).foldLeft(
-        codes.crossJoin(broadcast(queries)).filter(self)) { (df, s) =>
-      df.join(broadcast(luts(s)),
-        col("query_id") === col(s"q$s") && col(s"c$s") === col(s"lc$s"))
-    }
-    val num = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
-    val norm2 = (0 until m).map(s => col(s"n$s")).reduce(_ + _)
     rankTopK(
-      joined.withColumn("cos",
-        round(num / (sqrt(dot_product(col("qe"), col("qe"))) * sqrt(norm2)), 6)), k)
+      codes.crossJoin(broadcast(q)).filter(self)
+        .withColumn("cos", round(num / (col("qnorm") * sqrt(norm2)), 6)), k)
   }
 
   /** Per-label centroid vectors (the class-prototype aggregate behind

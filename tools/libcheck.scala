@@ -81,6 +81,10 @@ def runLibcheck(): Unit = {
   check("DedupOps.antiJoinDedup")(
     DedupOps.antiJoinDedup(docs, docs.filter(col("doc_id") % 50 === 0)))
   check("DedupOps.containmentPairs")(DedupOps.containmentPairs(docs))
+  check("DedupOps.keepCanonical")(DedupOps.keepCanonical(docs,
+    DedupOps.nearDupClusters(DedupOps.minhashPairs(docs))))
+  check("TextOps.winnowPairs")(TextOps.winnowPairs(docs.filter(col("doc_id") < 200)))
+  check("TextOps.chunkDedup")(TextOps.chunkDedup(docs))
   // similarity search
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -92,6 +96,8 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.semanticDedup")(SimilarityOps.semanticDedup(
     embs, embs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")), 0.3))
+  check("SimilarityOps.pqCodes")(SimilarityOps.pqCodes(embs))
+  check("SimilarityOps.pqTopK")(SimilarityOps.pqTopK(embs, queries, 5))
   // multimodal plumbing (stub decode, real Spark shapes)
   check("MediaOps.thumbnail")(
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
