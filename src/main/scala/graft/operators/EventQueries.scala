@@ -48,6 +48,13 @@ object EventQueries {
     // Stream-stream interval join shape, in batch mode: errors × preceding
     // 30-min clicks per user (the same function runs under readStream with
     // watermark-bounded state — StreamingSpec).
+    // Last-touch funnel attribution click→purchase within 2 hours (the
+    // synthetic stream is sparse per user — 10 min attributes almost
+    // nothing at gate SFs).
+    "ev_funnel" -> ((s, d) =>
+      StreamOps.funnelAttribution(t(s, d, "events"), maxGapMin = 120)
+        .orderBy("to_id")),
+
     "ev_click_error_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       StreamOps.clickErrorJoin(
@@ -124,6 +131,20 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Funnel: same µs interval arithmetic as the Spark side; the rank
+    // window picks the latest touch with the identical DESC tie-break.
+    "ev_funnel" ->
+      """SELECT user_id, to_id, to_us, from_id, from_us, to_us - from_us AS gap_us FROM (
+        |  SELECT t.user_id, t.event_id AS to_id, epoch_us(t.ts) AS to_us,
+        |    f.event_id AS from_id, epoch_us(f.ts) AS from_us,
+        |    ROW_NUMBER() OVER (PARTITION BY t.event_id
+        |      ORDER BY epoch_us(f.ts) DESC, f.event_id DESC) AS rn
+        |  FROM events t JOIN events f
+        |    ON f.user_id = t.user_id
+        |    AND t.event_type = 'purchase' AND f.event_type = 'click'
+        |    AND epoch_us(f.ts) < epoch_us(t.ts)
+        |    AND epoch_us(f.ts) >= epoch_us(t.ts) - 7200000000
+        |) x WHERE rn = 1 ORDER BY to_id""".stripMargin,
     "ev_click_error_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
         |  epoch_us(e.ts) AS error_us, epoch_us(c.ts) AS click_us

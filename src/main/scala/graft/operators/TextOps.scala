@@ -399,6 +399,39 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** APPLY step for the α=0.5 temperature mixture ([[mixWeights]]):
+    * realize the rebalancing by deterministic hash subsampling. Sampling
+    * probability ∝ the temperature weight √(N/n_g), normalized so the
+    * RAREST language keeps every document: p_g = √(n_min/n_g) — expected
+    * kept counts √(n_min·n_g), i.e. per-language shares ∝ √n_g, the α=0.5
+    * mixture realized purely by down-sampling (no duplication).
+    * Upsampling beyond 1.0 is an epoch-repetition decision, not a row op.
+    *
+    * Cross-engine FP: p_g is one division of exact integers and one sqrt —
+    * both correctly-rounded IEEE ops, so both engines compute the
+    * identical double; membership u < p_g uses the exact hash-uniform of
+    * [[stratifiedSampleHash]]. Scale shape: one tiny counts aggregate,
+    * rates broadcast, membership a pure row function, one summary
+    * aggregate — the corpus is scanned once and never shuffled.
+    */
+  def applyMixture(docs: DataFrame): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.applyMixture", "doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts.crossJoin(counts.agg(min(col("n_docs")).as("n_min")))
+      .select(col("lang"), col("n_docs"),
+        sqrt(col("n_min").cast("double") / col("n_docs").cast("double")).as("p_keep"))
+    val u = graft.functions.CrossHash.mdint(concat(lit("mix:"), col("doc_id")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    docs.join(broadcast(rates), "lang")
+      .filter(u < col("p_keep"))
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("p_keep")).as("p_keep"),
+        count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
+      .orderBy("lang")
+  }
+
   // PII patterns, restricted to the dialect Java regex and RE2 (DuckDB)
   // interpret identically — no lookaround, no backreferences, \b and
   // bounded quantifiers only — so redaction is value-oracle-checkable.
@@ -557,6 +590,50 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_bigrams"),
         round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("bpt"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the average hashed-unigram log-likelihood ratio
+    * between a TARGET distribution (the `isTarget` slice — e.g. a trusted
+    * source) and the raw corpus. Tokens hash into `buckets` feature
+    * buckets; bucket probabilities are Laplace-smoothed count ratios; a
+    * document's score is Σ cnt_b·t_b / n_tokens with
+    * t_b = log2(p_target(b)) − log2(p_raw(b)). Positive ⇒ looks like the
+    * target; the downstream resampling keeps docs ∝ exp(score) (a
+    * [[weightedSample]] call).
+    *
+    * FP discipline (the [[bigramPerplexity]] pattern): each bucket term is
+    * rounded to 7 decimals and fixed as DECIMAL(12,7), so the per-doc
+    * weighted sums are EXACT integer-scaled decimal arithmetic in any
+    * accumulation order; one double division + round(·,6) at the end.
+    *
+    * Scale shape: the bucket model is `buckets` rows — broadcast; token
+    * rows reduce map-side to ≤ docs×buckets (doc_id, bucket) partial
+    * counts; the corpus text never shuffles.
+    */
+  def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = spread(OpContract.requireCols(docs, "TextOps.dsirScores", "doc_id", "text"))
+    val toks = d.select(col("doc_id"), isTarget.as("tgt"), explode(words).as("w"))
+      .withColumn("b", graft.functions.CrossHash.mdint(col("w")) % buckets)
+    val perDocB = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val tgtC = toks.filter(col("tgt")).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rawC = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val bucketTable = rawC.join(tgtC, Seq("b"), "left")
+      .withColumn("tc", coalesce(col("tc"), lit(0L)))
+      .crossJoin(toks.filter(col("tgt")).agg(count(lit(1)).as("tn")))
+      .crossJoin(toks.agg(count(lit(1)).as("rn")))
+      .select(col("b"),
+        round(
+          log2((col("tc") + 1).cast("double") / (col("tn") + buckets).cast("double")) -
+            log2((col("rc") + 1).cast("double") / (col("rn") + buckets).cast("double")),
+          7).cast(DecimalType(12, 7)).as("t"))
+    perDocB.join(broadcast(bucketTable), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("dsir"))
       .orderBy("doc_id")
   }
 

@@ -32,6 +32,10 @@ object TextQueries {
     // ~30-word vocabulary (5-word chunks are near-unique at this SF).
     "tx_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(t(s, d, "documents"))),
     "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
+    "tx_mix_apply" -> ((s, d) => TextOps.applyMixture(t(s, d, "documents"))),
+    // DSIR: target distribution = the src0 slice of the corpus.
+    "tx_dsir" -> ((s, d) =>
+      TextOps.dsirScores(t(s, d, "documents"), col("source") === "src0")),
     "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
     "tx_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"),
@@ -82,6 +86,24 @@ object TextQueries {
         |  sqrt(CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS weight,
         |  sqrt(CAST(n_total * n_docs AS DOUBLE)) AS eff_docs
         |FROM c, n ORDER BY lang""".stripMargin,
+    // Mixture APPLY: p_keep = sqrt(n_min/n_g) is division+sqrt over exact
+    // integers (both correctly rounded — identical doubles cross-engine);
+    // membership reuses the exact hash-uniform.
+    "tx_mix_apply" -> {
+      val u = s"CAST(${graft.functions.CrossHash.sqlMdint("'mix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)" +
+        " / 1152921504606846976.0"
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, n_docs,
+        |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS p_keep
+        |  FROM c, mn),
+        |k AS (SELECT d.lang, d.doc_id, r.n_docs, r.p_keep
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE $u < r.p_keep)
+        |SELECT lang, MAX(n_docs) AS n_docs, MAX(p_keep) AS p_keep,
+        |  COUNT(*) AS n_kept, MIN(doc_id) AS min_kept, MAX(doc_id) AS max_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // A-ES weighted sample: key = (hash/2^60)^(1/n_chars); selection only
     // (keys not emitted) — see TextOps.weightedSample for the pow caveat.
     "tx_weighted_sample" -> {
@@ -117,6 +139,29 @@ object TextQueries {
         |  round(CAST(SUM(g.cnt * t.t) AS DOUBLE) / SUM(g.cnt), 6) AS bpt
         |FROM bg g JOIN terms t ON t.pair = g.pair
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // DSIR: identical 60-bit hash % 256 bucketing, Laplace-smoothed
+    // log2 ratios rounded to 7 and fixed as DECIMAL(12,7) (exact sums any
+    // order), one double division + round 6 — the bigram-ppl discipline.
+    "tx_dsir" -> {
+      val h = graft.functions.CrossHash.sqlMdint("w")
+      s"""WITH tok AS (SELECT doc_id, source = 'src0' AS tgt, wx AS w FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS wx FROM documents)),
+        |hb AS (SELECT doc_id, tgt, $h % 256 AS b FROM tok),
+        |pdb AS (SELECT doc_id, b, COUNT(*) AS cnt FROM hb GROUP BY doc_id, b),
+        |tc AS (SELECT b, COUNT(*) AS tc FROM hb WHERE tgt GROUP BY b),
+        |rc AS (SELECT b, COUNT(*) AS rc FROM hb GROUP BY b),
+        |tn AS (SELECT COUNT(*) AS tn FROM hb WHERE tgt),
+        |rn AS (SELECT COUNT(*) AS rn FROM hb),
+        |bt AS (SELECT rc.b,
+        |    CAST(round(log2(CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE) / CAST(tn.tn + 256 AS DOUBLE)) -
+        |               log2(CAST(rc.rc + 1 AS DOUBLE) / CAST(rn.rn + 256 AS DOUBLE)), 7)
+        |      AS DECIMAL(12, 7)) AS t
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tn CROSS JOIN rn)
+        |SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(p.cnt * bt.t) AS DOUBLE) / SUM(p.cnt), 6) AS dsir
+        |FROM pdb p JOIN bt ON bt.b = p.b
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    },
     "tx_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT word, COUNT(*) AS freq FROM (

@@ -115,6 +115,44 @@ object StreamOps {
         unix_micros(col("etime")).as("error_us"), unix_micros(col("ctime")).as("click_us"))
   }
 
+  /** Funnel attribution: for every `toType` event, the LATEST preceding
+    * `fromType` event of the same user within `maxGapMin` minutes — the
+    * classic click→purchase last-touch attribution. Output one row per
+    * CONVERTED to-event: (user_id, to_id, to_us, from_id, from_us,
+    * gap_us); unconverted to-events are absent (count them upstream if a
+    * conversion-rate denominator is needed).
+    *
+    * The interval join is the [[clickErrorJoin]] streaming-safe shape
+    * (both sides watermarkable, state bounded by the gap); the
+    * per-to-event argmax keeps the latest qualifying from-event,
+    * µs-deterministic with an event_id tie-break. The rank window
+    * partitions by to-event id — at scale each partition is the handful
+    * of candidate touches for one conversion, never a corpus sort.
+    */
+  def funnelAttribution(events: DataFrame, fromType: String = "click",
+      toType: String = "purchase", maxGapMin: Int = 10): DataFrame = {
+    graft.operators.OpContract.requireCols(events,
+      "StreamOps.funnelAttribution", "ts", "user_id", "event_id", "event_type")
+    val from = events.filter(col("event_type") === fromType)
+      .withColumn("ftime", eventTime(col("ts")))
+      .select(col("user_id").as("f_user"), col("event_id").as("from_id"), col("ftime"))
+    val to = events.filter(col("event_type") === toType)
+      .withColumn("ttime", eventTime(col("ts")))
+      .select(col("user_id"), col("event_id").as("to_id"), col("ttime"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("to_id")).orderBy(col("ftime").desc, col("from_id").desc)
+    to.join(from,
+        col("user_id") === col("f_user") &&
+          col("ftime") < col("ttime") &&
+          col("ftime") >= col("ttime") - expr(s"INTERVAL $maxGapMin MINUTES"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("to_id"),
+        unix_micros(col("ttime")).as("to_us"),
+        col("from_id"), unix_micros(col("ftime")).as("from_us"),
+        (unix_micros(col("ttime")) - unix_micros(col("ftime"))).as("gap_us"))
+  }
+
   /** Stream-static enrichment: every event joined to its customer row from
     * a STATIC dimension table — the classic streaming enrichment shape.
     * Under readStream the static side is joined per micro-batch with NO

@@ -591,6 +591,54 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(topk.map(_.toString).toSeq == again.map(_.toString).toSeq, "ADC must be deterministic")
   }
 
+  test("applyMixture: rarest language keeps every doc, dominant is sqrt-downsampled") {
+    import spark.implicits._
+    val docs = ((0 until 1000).map(i => (i.toLong, "en")) ++
+      (0 until 10).map(i => (2000L + i, "fr"))).toDF("doc_id", "lang")
+    val r = TextOps.applyMixture(docs).collect().map(x =>
+      x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getLong(3))).toMap
+    val (frDocs, frP, frKept) = r("fr")
+    assert(frDocs == 10 && frP == 1.0 && frKept == 10, "rarest language must keep all docs")
+    val (enDocs, enP, enKept) = r("en")
+    assert(enDocs == 1000 && math.abs(enP - 0.1) < 1e-12) // sqrt(10/1000)
+    assert(enKept > 50 && enKept < 200, s"~100 expected from p=0.1, got $enKept")
+    val again = TextOps.applyMixture(docs).collect()
+    assert(again.map(_.toString).toSeq == TextOps.applyMixture(docs).collect().map(_.toString).toSeq)
+  }
+
+  test("dsirScores: target-vocabulary docs outscore off-target docs") {
+    import spark.implicits._
+    // target slice (doc_id < 20) speaks vocabulary A; the raw rest speaks B
+    val docs = (0 until 60).map { i =>
+      val vocab = if (i < 20) "alpha beta gamma delta" else "omega sigma tau rho"
+      (i.toLong, if (i < 20) "tgt" else "raw", vocab + " " + vocab)
+    }.toDF("doc_id", "source", "text")
+    val scores = TextOps.dsirScores(docs, col("source") === "tgt").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tgtMin = (0 until 20).map(i => scores(i.toLong)).min
+    val rawMax = (20 until 60).map(i => scores(i.toLong)).max
+    assert(tgtMin > rawMax,
+      s"every target-vocab doc must outscore every off-target doc ($tgtMin vs $rawMax)")
+    assert(tgtMin > 0 && rawMax < 0, "log-ratio sign should separate the distributions")
+  }
+
+  test("funnelAttribution: latest prior touch wins; out-of-window and post-purchase clicks don't attribute") {
+    import spark.implicits._
+    def ns(min: Long) = min * 60L * 1000000000L // minutes -> nanos
+    val events = Seq(
+      (1L, 1L, "click", ns(0)), (2L, 1L, "click", ns(5)), (3L, 1L, "purchase", ns(8)),
+      (4L, 2L, "purchase", ns(100)),                       // no prior click
+      (5L, 3L, "click", ns(300)), (6L, 3L, "purchase", ns(290)), // click AFTER purchase
+      (7L, 4L, "click", ns(0)), (8L, 4L, "purchase", ns(500))    // outside 10-min window
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val rows = graft.streaming.StreamOps.funnelAttribution(events, maxGapMin = 10).collect()
+    assert(rows.length == 1, s"only user 1 converts: ${rows.mkString(";")}")
+    val r = rows(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getLong(3) == 2L, "latest prior click (id 2) must win attribution")
+    assert(r.getLong(5) == 3L * 60L * 1000000L) // 3-minute gap in micros
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

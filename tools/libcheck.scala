@@ -107,6 +107,9 @@ def runLibcheck(): Unit = {
   check("StreamOps.userSessions")(StreamOps.userSessions(events))
   check("StreamOps.dedupEvents")(StreamOps.dedupEvents(events))
   check("StreamOps.enrichEvents")(StreamOps.enrichEvents(events, customers))
+  check("StreamOps.funnelAttribution")(StreamOps.funnelAttribution(events, maxGapMin = 120))
+  check("TextOps.applyMixture")(TextOps.applyMixture(docs))
+  check("TextOps.dsirScores")(TextOps.dsirScores(docs, col("source") === "src0"))
   // engine core: simulate on the default family (real PCG64) + parity sink
   val out = java.nio.file.Files.createTempDirectory("graft-libcheck")
   val specs = Seq(SimulationSpec(0, "coin_sequence", 100, 16, Seq(0.5), Nil,
