@@ -120,6 +120,15 @@ object ScaleBench {
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))), 0.40)
     }),
     "knn_lsh" -> SparkEntry.queries("knn_lsh"),
+    // round-5 continuation additions: chunk dedup (hash-keyed dup shuffle),
+    // the dedup apply chain, DSIR scoring (B-row broadcast model), funnel
+    // (bounded-gap interval join), PQ encode + ADC scan
+    "tx_chunk_dedup" -> SparkEntry.queries("tx_chunk_dedup"),
+    "dd_keep_canonical" -> SparkEntry.queries("dd_keep_canonical"),
+    "tx_dsir" -> SparkEntry.queries("tx_dsir"),
+    "ev_funnel" -> SparkEntry.queries("ev_funnel"),
+    "emb_pq_codes" -> SparkEntry.queries("emb_pq_codes"),
+    "knn_pq" -> SparkEntry.queries("knn_pq"),
     "near_pairs_exact_09" -> ((s: SparkSession, d: String) =>
       SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),
     "near_pairs_lsh_09" -> ((s: SparkSession, d: String) =>

@@ -47,6 +47,10 @@ object DedupQueries {
           min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
         .orderBy("lang")
     }),
+    // PageRank over the near-dup graph: which docs center a duplicate
+    // neighborhood (2 iterations, the oracle-unrolled configuration).
+    "dd_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(DedupOps.minhashPairs(t(s, d, "documents")))),
     // Exact decontamination: benchmark = every 50th doc; the anti join
     // drops those docs AND any exact-text duplicate of them from the
     // corpus, summarized per language.
@@ -105,7 +109,31 @@ object DedupQueries {
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin
 
+    // One PageRank step as SQL text: per-edge contributions decimal-fixed
+    // at round 12 before the sum (order-independent), one double
+    // multiply-add + round(·,12) per node — mirrors GraphOps.pageRank.
+    def prIter(prev: String): String =
+      s"""SELECT e.dst AS doc_id,
+         |    round((1.0 - 0.85) / CAST(nn.n AS DOUBLE) +
+         |      0.85 * CAST(SUM(CAST(round(p.pr / CAST(d.deg AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE), 12) AS pr
+         |  FROM edges e JOIN $prev p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n""".stripMargin
+
+    val pagerankOracle =
+      s"""WITH $minhashCtes,
+         |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+         |          UNION SELECT doc_b, doc_a FROM mpairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS doc_id, round(1.0 / CAST(nn.n AS DOUBLE), 12) AS pr
+         |        FROM deg, nn),
+         |it1 AS (${prIter("pr0")}),
+         |it2 AS (${prIter("it1")})
+         |SELECT doc_id, pr FROM it2 ORDER BY doc_id""".stripMargin
+
     Map(
+      "dd_pagerank" -> pagerankOracle,
       "dd_cross" ->
         """WITH bl AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 50 = 0),
           |k AS (SELECT lang, doc_id FROM documents

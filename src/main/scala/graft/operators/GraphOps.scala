@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over similarity/dedup pair graphs.
+  * [[DedupOps.nearDupClusters]] covers connectivity; this adds the
+  * importance side: PageRank over the undirected pair graph — "which
+  * documents sit at the center of a near-duplicate neighborhood" (the
+  * canonical-pick / crawl-frontier signal at corpus scale).
+  *
+  * Scale shape: one iteration = one join of the edge list against the
+  * current rank table (both keyed by the 8-byte node id) + one aggregate
+  * back to node ids — the standard distributed PR step; nothing driver-
+  * side grows with the graph. For deep iteration counts localCheckpoint
+  * every few steps to keep lineage flat (the [[DedupOps.nearDupClusters]]
+  * discipline); the gate runs the 2-iteration configuration its oracle
+  * unrolls.
+  *
+  * Cross-engine FP discipline: per-edge contributions are rounded to 12
+  * decimals and fixed as DECIMAL(28,12) BEFORE summation, so the
+  * per-node sums are exact integer-scaled arithmetic in any accumulation
+  * order; each new rank is one double multiply-add chain evaluated in a
+  * fixed association + round(·,12). Every rank the operator ever emits
+  * is therefore bit-identical across engines, partitionings and runs.
+  */
+object GraphOps {
+
+  /** PageRank over an undirected pair graph `(doc_a, doc_b)` (each
+    * undirected edge contributes both directions; every node therefore
+    * has out-degree ≥ 1, so there are no dangling-mass corrections).
+    * Returns (doc_id, pr) for every node that appears in an edge.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    OpContract.requireCols(pairs, "GraphOps.pageRank", "doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // node count: one scalar aggregate — the only driver-side value
+    val n = deg.count()
+    val tele = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+    var pr = deg.select(col("src").as("doc_id"),
+      round(lit(1.0) / lit(n.toDouble), 12).as("pr"))
+    (0 until iters).foreach { _ =>
+      val contribs = edges
+        .join(pr, col("src") === col("doc_id"))
+        .join(deg.withColumnRenamed("src", "dsrc"), col("src") === col("dsrc"))
+        .select(col("dst"),
+          round(col("pr") / col("deg").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      pr = contribs.groupBy("dst")
+        .agg(sum(col("c")).as("csum"))
+        .select(col("dst").as("doc_id"),
+          round(tele + lit(damping) * col("csum").cast("double"), 12).as("pr"))
+    }
+    pr.orderBy("doc_id")
+  }
+}

@@ -193,10 +193,15 @@ object SimilarityOps {
       .filter(col("vec_id") < ks)
       .collect()
       .map(r => (r.getInt(1), r.getLong(0),
-        r.getSeq[Float](2).map(_.toDouble).toArray))
+        // corpus may carry float OR double embeddings (float→double exact)
+        r.getSeq[Any](2).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => sys.error(s"pqTrain: non-numeric embedding element $other")
+        }.toArray))
       .toSeq.sortBy(t => (t._1, t._2))
     (0 until iters).foreach { _ =>
-      val assigned = rows.withColumn("cid", pqArgmaxBySub(model, m, col("sv")))
+      val assigned = pqAssignRows(rows, model, m)
       model = assigned
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         // decimal-exact means — the lloydStep discipline, keyed by (sub, cid)
@@ -213,24 +218,85 @@ object SimilarityOps {
     model
   }
 
-  /** Nearest-codeword id for subvector `sv` of subspace `sub` as a pure
-    * codegen expression: round-6 cosine against each literal codeword,
-    * strict-> fold so ties keep the smallest cid — exactly the
-    * `ORDER BY cos DESC, cid` argmax of [[assignToCentroids]].
+  /** Left-to-right codeword self-dot — the same accumulation order as the
+    * native DotProduct loop and DuckDB's list_dot_product, evaluated
+    * driver-side (codewords are model constants).
     */
-  private def pqArgmaxBySub(model: Seq[(Int, Long, Array[Double])], m: Int,
-      sv: Column): Column = {
-    val bySub = model.groupBy(_._1)
-    def argmax(s: Int): Column = {
-      val scored = bySub(s).sortBy(_._2)
-        .map(t => (cosine(sv, typedLit(t._3)), lit(t._2)))
-      scored.tail.foldLeft(scored.head) { case ((bc, bi), (c, i)) =>
-        (when(c > bc, c).otherwise(bc), when(c > bc, i).otherwise(bi))
-      }._2
+  private def pqN2(cw: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < cw.length) { acc += cw(i) * cw(i); i += 1 }
+    acc
+  }
+
+  /** Round-6 cosines of one subvector against every codeword of one
+    * subspace, as an array column. `svn` must be sqrt(dot(sv, sv))
+    * computed ONCE in an upstream projection; the codeword norms are
+    * driver literals (identical doubles — same loop order + IEEE sqrt).
+    * Value-identical to [[cosine]] per entry, but the generated code
+    * holds ks dot loops instead of 3·ks (the naive form recomputed
+    * dot(sv,sv) per codeword and re-inlined everything wherever the
+    * array was referenced — past Janino's 64 KB method limit on the
+    * double-element path).
+    */
+  private def pqScoreArr(sv: Column, svn: Column,
+      cws: Seq[(Long, Array[Double])]): Column = {
+    import graft.functions.VectorFunctions.dot_product
+    array(cws.map { case (_, cw) =>
+      round(dot_product(sv, typedLit(cw)) / (svn * lit(math.sqrt(pqN2(cw)))), 6)
+    }: _*)
+  }
+
+  /** First-maximal codeword id from a score array:
+    * `array_position(arr, array_max(arr))` — with codewords in
+    * ascending-cid order exactly the `ORDER BY cos DESC, cid` argmax of
+    * [[assignToCentroids]]. The score array lives in its own projection,
+    * so its double reference here costs one column read, not a re-inline.
+    */
+  private def pqPickCid(cosArr: Column, cids: Seq[Long]): Column =
+    element_at(typedLit(cids.toArray),
+      array_position(cosArr, array_max(cosArr)).cast("int"))
+
+  private def pqSorted(model: Seq[(Int, Long, Array[Double])],
+      s: Int): Seq[(Long, Array[Double])] =
+    model.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3))
+
+  /** Assign a cid to every exploded training row (sub, sv): layered
+    * projections — norm, then per-sub score array (linear `when`
+    * dispatch), then the argmax pick — each expensive expression
+    * codegen'd exactly once.
+    */
+  private def pqAssignRows(rows: DataFrame,
+      model: Seq[(Int, Long, Array[Double])], m: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val withN = rows.withColumn("svn", sqrt(dot_product(col("sv"), col("sv"))))
+    val withArr = withN.withColumn("cosArr",
+      (1 until m).foldLeft(
+        when(col("sub") === 0, pqScoreArr(col("sv"), col("svn"), pqSorted(model, 0)))) {
+        (acc, s) => acc.when(col("sub") === s, pqScoreArr(col("sv"), col("svn"), pqSorted(model, s)))
+      })
+    val cidArr = (1 until m).foldLeft(
+      when(col("sub") === 0, typedLit(pqSorted(model, 0).map(_._1).toArray))) {
+      (acc, s) => acc.when(col("sub") === s, typedLit(pqSorted(model, s).map(_._1).toArray))
     }
-    (1 until m).foldLeft(when(col("sub") === 0, argmax(0))) {
-      (acc, s) => acc.when(col("sub") === s, argmax(s))
-    }
+    withArr.withColumn("cid",
+      element_at(cidArr, array_position(col("cosArr"), array_max(col("cosArr"))).cast("int")))
+  }
+
+  /** Shuffle-free PQ encode of a corpus against a trained model: slice →
+    * norm → score-array → argmax, one projection layer each.
+    */
+  private def pqEncode(e0: DataFrame, model: Seq[(Int, Long, Array[Double])],
+      m: Int, subDim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val withSv = e0.select(col("vec_id") +:
+      (0 until m).map(s => slice(col("embedding"), s * subDim + 1, subDim).as(s"sv$s")): _*)
+    val withN = (0 until m).foldLeft(withSv)((df, s) =>
+      df.withColumn(s"svn$s", sqrt(dot_product(col(s"sv$s"), col(s"sv$s")))))
+    val withArr = (0 until m).foldLeft(withN)((df, s) =>
+      df.withColumn(s"cosArr$s", pqScoreArr(col(s"sv$s"), col(s"svn$s"), pqSorted(model, s))))
+    val withC = (0 until m).foldLeft(withArr)((df, s) =>
+      df.withColumn(s"c$s", pqPickCid(col(s"cosArr$s"), pqSorted(model, s).map(_._1))))
+    withC.select(col("vec_id") +: (0 until m).map(s => col(s"c$s")): _*)
   }
 
   /** The trained PQ codebooks as a (sub, cid, ce) DataFrame — the
@@ -260,20 +326,7 @@ object SimilarityOps {
   def pqCodes(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
       iters: Int = 2): DataFrame = {
     val model = pqTrain(e0, m, subDim, ks, iters)
-    e0.select(col("vec_id") +: pqCodeCols(model, m, subDim): _*).orderBy("vec_id")
-  }
-
-  private def pqCodeCols(model: Seq[(Int, Long, Array[Double])], m: Int,
-      subDim: Int): Seq[Column] = {
-    val bySub = model.groupBy(_._1)
-    (0 until m).map { s =>
-      val sv = slice(col("embedding"), s * subDim + 1, subDim)
-      val scored = bySub(s).sortBy(_._2)
-        .map(t => (cosine(sv, typedLit(t._3)), lit(t._2)))
-      scored.tail.foldLeft(scored.head) { case ((bc, bi), (c, i)) =>
-        (when(c > bc, c).otherwise(bc), when(c > bc, i).otherwise(bi))
-      }._2.as(s"c$s")
-    }
+    pqEncode(e0, model, m, subDim).orderBy("vec_id")
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay exact,
@@ -304,7 +357,7 @@ object SimilarityOps {
     import graft.functions.VectorFunctions.dot_product
     val model = pqTrain(e0, m, subDim, ks, iters)
     val bySub = model.groupBy(_._1)
-    val codes = e0.select(col("vec_id") +: pqCodeCols(model, m, subDim): _*)
+    val codes = pqEncode(e0, model, m, subDim)
     // Per-query LUT row: partial dots for every (sub, cid) + the query norm
     val qCols = (0 until m).flatMap { s =>
       bySub(s).sortBy(_._2).map { case (_, cid, cw) =>
@@ -313,18 +366,13 @@ object SimilarityOps {
       }
     } :+ sqrt(dot_product(col("qe"), col("qe"))).as("qnorm")
     val q = queries.select(col("query_id") +: qCols: _*)
-    def n2(cw: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < cw.length) { acc += cw(i) * cw(i); i += 1 }
-      acc
-    }
     def pick(s: Int, value: Long => Column): Column = {
       val cids = bySub(s).sortBy(_._2).map(_._2)
       cids.tail.foldLeft(when(col(s"c$s") === cids.head, value(cids.head))) {
         (acc, cid) => acc.when(col(s"c$s") === cid, value(cid))
       }
     }
-    val n2Map = model.map(t => (t._1, t._2) -> n2(t._3)).toMap
+    val n2Map = model.map(t => (t._1, t._2) -> pqN2(t._3)).toMap
     val num = (0 until m).map(s => pick(s, cid => col(s"p${s}_$cid"))).reduce(_ + _)
     val norm2 = (0 until m).map(s => pick(s, cid => lit(n2Map((s, cid))))).reduce(_ + _)
     val self = if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true)

@@ -639,6 +639,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getLong(5) == 3L * 60L * 1000000L) // 3-minute gap in micros
   }
 
+  test("pageRank: hub outranks leaves, symmetric nodes tie exactly, deterministic") {
+    import spark.implicits._
+    // star: 0 connected to 1..4, plus a detached pair (10, 11)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val pr = GraphOps.pageRank(pairs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 7)
+    assert((1L to 4L).forall(l => pr(0L) > pr(l)), "hub must outrank every leaf")
+    assert((1L to 4L).map(pr).distinct.size == 1, "symmetric leaves must tie bit-exactly")
+    assert(pr(10L) == pr(11L), "detached symmetric pair must tie bit-exactly")
+    val again = GraphOps.pageRank(pairs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr == again, "ranks must be bit-identical across runs")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

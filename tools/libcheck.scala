@@ -15,7 +15,7 @@
 // surface returns rows and the sink round-trips.
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{DedupOps, GraphOps, SimilarityOps, SketchOps, TextOps}
 import graft.multimodal.{MediaOps, MediaStub}
 import graft.streaming.StreamOps
 import graft.core.{MCBattery, RngFamily, SimulationSpec, TraceSink}
@@ -83,6 +83,7 @@ def runLibcheck(): Unit = {
   check("DedupOps.containmentPairs")(DedupOps.containmentPairs(docs))
   check("DedupOps.keepCanonical")(DedupOps.keepCanonical(docs,
     DedupOps.nearDupClusters(DedupOps.minhashPairs(docs))))
+  check("GraphOps.pageRank")(GraphOps.pageRank(DedupOps.minhashPairs(docs)))
   check("TextOps.winnowPairs")(TextOps.winnowPairs(docs.filter(col("doc_id") < 200)))
   check("TextOps.chunkDedup")(TextOps.chunkDedup(docs))
   // similarity search
