@@ -28,6 +28,18 @@ object EventQueries {
         .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
         .orderBy("user_id", "event_type")),
 
+    // SCD2 history: every change of a (user_id, event_type) key becomes a
+    // validity interval — same µs+event_id ordering discipline as
+    // ev_latest (whose surviving rows are exactly the is_current ones).
+    "ev_scd2" -> ((s, d) =>
+      StreamOps.scd2History(
+          t(s, d, "events").withColumn("ts_us",
+            call_function("div", col("ts").cast("long"), lit(1000L))),
+          Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "event_type", "valid_from_us", "event_id")),
+
     // Tumbling 15-min windows per event type (Spark window() function).
     "ev_tumbling" -> ((s, d) =>
       StreamOps.tumblingCounts(t(s, d, "events"))
@@ -121,6 +133,13 @@ object EventQueries {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_scd2" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+        |  LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin,
     "ev_enrich" ->
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  COUNT(*) AS n_events,

@@ -209,6 +209,31 @@ object StreamOps {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** SCD2 history build (slowly-changing-dimension type 2): turn a CDC
+    * change feed into validity intervals — each change row becomes a
+    * version valid from its own µs timestamp until the NEXT change of
+    * the same key (`valid_to_us` NULL = the current version,
+    * `is_current` its flag). The dual of [[latestByKey]]: that op keeps
+    * the last state, this one keeps ALL states with their lifetimes —
+    * the warehouse pattern for as-of joins against dimension history
+    * (compose with the q20-style as-of join to enrich facts at event
+    * time).
+    *
+    * Deterministic: ordering is (ts, tie-break columns) exactly as
+    * latestByKey; intervals are pure integer µs. Scale shape: one
+    * shuffle on the key, per-key window (lead), no global sort.
+    */
+  def scd2History(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && ord.nonEmpty, "scd2History needs keys and ordering columns")
+    graft.operators.OpContract.requireCols(df, "StreamOps.scd2History", keys :+ "ts": _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("valid_from_us", unix_micros(eventTime(col("ts"))))
+      .withColumn("valid_to_us",
+        lead(unix_micros(eventTime(col("ts"))), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** Count–min sketch counters as a STREAMING aggregation: the same
     * (r, bucket) explode + count as [[graft.operators.SketchOps]]'
     * batch build, run incrementally. This is why sketches earn their

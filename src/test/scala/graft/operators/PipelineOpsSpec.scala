@@ -653,6 +653,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pr == again, "ranks must be bit-identical across runs")
   }
 
+  test("chunkDedup removes only cross-doc chunks and pins the rebuilt text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd"), // chunks "aa bb" | "cc dd"
+      (2L, "aa bb xx yy"), // shares "aa bb" with doc 1
+      (3L, "zz ww qq")     // all chunks unique (incl. the short tail "qq")
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDedup(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 1 && out(2L).getLong(2) == 1 && out(3L).getLong(2) == 0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getString(3) == md5hex("cc dd"))
+    assert(out(2L).getString(3) == md5hex("xx yy"))
+    assert(out(3L).getString(3) == md5hex("zz ww qq"))
+  }
+
+  test("scd2History: contiguous validity intervals; current rows equal latestByKey") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    def ns(min: Long) = min * 60L * 1000000000L
+    val cdc = Seq(
+      (1L, 10L, "addr", ns(0)), (2L, 10L, "addr", ns(5)), (3L, 10L, "addr", ns(9)),
+      (4L, 20L, "addr", ns(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts_us", call_function("div", col("ts").cast("long"), lit(1000L)))
+    val hist = StreamOps.scd2History(cdc,
+      Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+    val h10 = hist.filter($"user_id" === 10L).orderBy("valid_from_us").collect()
+    assert(h10.length == 3)
+    assert(h10(0).getAs[Long]("valid_to_us") == h10(1).getAs[Long]("valid_from_us"))
+    assert(h10(1).getAs[Long]("valid_to_us") == h10(2).getAs[Long]("valid_from_us"))
+    assert(h10.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+    val current = hist.filter($"is_current").select("event_id").as[Long].collect().toSet
+    val latest = StreamOps.latestByKey(cdc,
+        Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+      .select("event_id").as[Long].collect().toSet
+    assert(current == latest, "is_current rows must be exactly the latestByKey survivors")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

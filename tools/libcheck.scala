@@ -109,6 +109,8 @@ def runLibcheck(): Unit = {
   check("StreamOps.dedupEvents")(StreamOps.dedupEvents(events))
   check("StreamOps.enrichEvents")(StreamOps.enrichEvents(events, customers))
   check("StreamOps.funnelAttribution")(StreamOps.funnelAttribution(events, maxGapMin = 120))
+  check("StreamOps.scd2History")(StreamOps.scd2History(
+    events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
   check("TextOps.applyMixture")(TextOps.applyMixture(docs))
   check("TextOps.dsirScores")(TextOps.dsirScores(docs, col("source") === "src0"))
   // engine core: simulate on the default family (real PCG64) + parity sink
