@@ -30,7 +30,10 @@ object Plans {
     // round 5 (cont.): C4 chunk removal (array-codegen chunking, hash-only
     // dup shuffle), MOSS winnow pairs (inverted index), ADC scan over PQ
     // codes (LUT broadcast joins, no float shuffle)
-    "tx_chunk_dedup", "tx_winnow_pairs", "knn_pq")
+    "tx_chunk_dedup", "tx_winnow_pairs", "knn_pq",
+    // round 5 (cont. 2): broadcast bucket-model scoring, SCD2 lead window
+    // after one key shuffle, iterative PR join+agg step
+    "tx_dsir", "ev_scd2", "dd_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
