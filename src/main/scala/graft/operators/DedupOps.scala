@@ -209,6 +209,56 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL MinHash dedup: near-dup pairs BETWEEN an existing corpus
+    * and an incoming batch only — the daily-ingest shape, where comparing
+    * the corpus against itself again would redo almost all of yesterday's
+    * work. Same signatures/bands/verify as [[minhashPairs]], but the band
+    * join is restricted to (old × new): candidates are cross-corpus
+    * collisions only, old×old and new×new bucket-mates never pair. In
+    * production the corpus-side band table is computed once and persisted;
+    * each batch computes |incoming| signatures and probes it — per-batch
+    * cost ∝ batch size + collisions, not corpus size. Caller contract:
+    * disjoint doc_ids. Output: (doc_old, doc_new, jac ≥ [[JACCARD_T]]).
+    */
+  def minhashPairsAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    OpContract.requireCols(corpus, "DedupOps.minhashPairsAgainst corpus", "doc_id", "text")
+    OpContract.requireCols(incoming, "DedupOps.minhashPairsAgainst incoming", "doc_id", "text")
+    val all = corpus.unionByName(incoming)
+    val newIds = incoming.select(col("doc_id").as("nid"), lit(true).as("is_new"))
+    val sets = docShingleSets(all).select(col("doc_id"), col("sh"))
+      .withColumn("sz", size(col("sh")))
+    val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+      .withColumn("h", mdint(col("shingle")))
+    val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
+    }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      .join(newIds, col("doc_id") === col("nid"), "left")
+      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+      .drop("nid")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          !col("x.is_new") && col("y.is_new"))
+      .select(col("x.doc_id").as("doc_old"), col("y.doc_id").as("doc_new"))
+      .distinct()
+    val ia = hashed.select(col("doc_id").as("doc_old"), col("sz").as("sz_a"),
+      col("shingle"))
+    val ib = hashed.select(col("doc_id").as("doc_n2"), col("sz").as("sz_b"),
+      col("shingle").as("shingle2"))
+    cand.join(ia, "doc_old")
+      .join(ib, col("doc_new") === col("doc_n2") && col("shingle") === col("shingle2"))
+      .groupBy("doc_old", "doc_new", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jac") >= JACCARD_T)
+      .select("doc_old", "doc_new", "jac")
+      .orderBy("doc_old", "doc_new")
+  }
+
   /** SimHash: 32-bit signature from term-frequency-weighted word-hash bits;
     * near-dup pairs = hamming ≤ 3, found via 8-bit chunk blocking.
     */

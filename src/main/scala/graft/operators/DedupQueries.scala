@@ -30,6 +30,14 @@ object DedupQueries {
     "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"))),
     "dd_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d, "documents"))),
     "dd_minhash" -> ((s, d) => DedupOps.minhashPairs(t(s, d, "documents"))),
+    // Incremental ingest dedup: every 7th doc plays the incoming batch,
+    // the rest the existing corpus; pairs are cross-corpus only.
+    "dd_minhash_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
     "dd_clusters" -> ((s, d) =>
       DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))),
     "dd_clusters_star" -> ((s, d) =>
@@ -132,8 +140,23 @@ object DedupQueries {
          |it2 AS (${prIter("it1")})
          |SELECT doc_id, pr FROM it2 ORDER BY doc_id""".stripMargin
 
+    // Incremental variant: the Spark side restricts the band join to
+    // old×new; post-filtering the all-pairs jacs to cross-corpus pairs is
+    // result-equivalent (a cross pair collides in a bucket identically
+    // either way) and keeps the oracle on the shared CTE chain.
+    val minhashIncrOracle =
+      s"""WITH $minhashCtes,
+         |flags AS (SELECT doc_id, doc_id % 7 = 0 AS is_new FROM documents),
+         |xp AS (SELECT CASE WHEN fb.is_new THEN j.doc_a ELSE j.doc_b END AS doc_old,
+         |    CASE WHEN fb.is_new THEN j.doc_b ELSE j.doc_a END AS doc_new, j.jac
+         |  FROM jacs j JOIN flags fa ON fa.doc_id = j.doc_a
+         |              JOIN flags fb ON fb.doc_id = j.doc_b
+         |  WHERE fa.is_new <> fb.is_new AND j.jac >= $JACCARD_T)
+         |SELECT doc_old, doc_new, jac FROM xp ORDER BY doc_old, doc_new""".stripMargin
+
     Map(
       "dd_pagerank" -> pagerankOracle,
+      "dd_minhash_incr" -> minhashIncrOracle,
       "dd_cross" ->
         """WITH bl AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 50 = 0),
           |k AS (SELECT lang, doc_id FROM documents

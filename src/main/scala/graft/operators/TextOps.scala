@@ -637,6 +637,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 relevance scores (Robertson et al., the Lucene-practical form
+    * with the +1 idf floor) of every document against a fixed query term
+    * set — the retrieval-scoring step of a search or query-targeted
+    * data-selection stack. Inputs to every factor are exact integers
+    * (tf, df, doc length, corpus totals); the per-(doc, term) score is
+    * rounded to 7 decimals and fixed as DECIMAL(12,7), so per-doc sums
+    * are order-independent exact arithmetic (the [[bigramPerplexity]]
+    * discipline) — one cast to double at the end.
+    *
+    * Scale shape: the df table is |terms| rows (broadcast), doc lengths
+    * are a map-side-combined count, and scoring touches only rows whose
+    * token matches a query term — the corpus is scanned once.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val d = spread(OpContract.requireCols(docs, "TextOps.bm25", "doc_id", "text"))
+    val toks = d.select(col("doc_id"), explode(words).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+    val tf = toks.filter(col("w").isin(terms.map(x => x: Any): _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfT), "w").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("avgdl", col("total").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfpart",
+        col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("t", round(col("idf") * col("tfpart"), 7).cast(DecimalType(12, 7)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("t")).cast("double").as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization (the C4/RefinedWeb pre-dedup cleanup, restricted
+    * to transforms both engines define identically): lowercase, collapse
+    * whitespace runs to single spaces, trim. Pure shuffle-free
+    * projection; output pins the normalized corpus byte-for-byte via
+    * (md5, length) — the [[redactPii]] discipline.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.normalizeText", "doc_id", "text")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      md5(norm).as("digest"),
+      length(norm).cast("long").as("n_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):
     * documents with identical word sets collapse to one fingerprint —
     * word-order-insensitive near-dup detection in one agg pass.

@@ -36,6 +36,15 @@ object TextQueries {
     // DSIR: target distribution = the src0 slice of the corpus.
     "tx_dsir" -> ((s, d) =>
       TextOps.dsirScores(t(s, d, "documents"), col("source") === "src0")),
+    // BM25 against a fixed three-term query over the corpus vocabulary.
+    "tx_bm25" -> ((s, d) =>
+      TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))),
+    // Normalization needs dirt to clean: inject case noise and runs of
+    // whitespace (the tx_pii_redact injection pattern).
+    "tx_normalize" -> ((s, d) =>
+      TextOps.normalizeText(t(s, d, "documents").select(col("doc_id"),
+        concat(upper(substring(col("text"), 1, 10)), lit("   "),
+          col("text"), lit("  THE End ")).as("text")))),
     "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
     "tx_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"),
@@ -162,6 +171,36 @@ object TextQueries {
         |FROM pdb p JOIN bt ON bt.b = p.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
     },
+    // BM25: constants interpolated from the same Scala doubles the Spark
+    // expression uses (full-precision round-trip), factor association
+    // mirrored operator-for-operator; per-(doc,term) scores decimal-fixed
+    // at round 7 so the per-doc sums are order-independent.
+    "tx_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+        |  WHERE w IN ('query', 'spark', 'table') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT t.doc_id,
+        |    CAST(round(ln((st.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+        |      ((t.tf * ${k1 + 1}) / (t.tf + $k1 * (1.0 - $b + $b * CAST(l.dl AS DOUBLE) /
+        |        (CAST(st.total AS DOUBLE) / st.n_docs)))), 7) AS DECIMAL(12, 7)) AS t
+        |  FROM tf t JOIN dfq q ON q.w = t.w JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(t) AS DOUBLE) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // Normalization: same injection, lower/collapse/trim in both dialects.
+    "tx_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+        |    upper(substring(text, 1, 10)) || '   ' || text || '  THE End ' AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM inj)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+        |  md5(norm) AS digest, CAST(length(norm) AS BIGINT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "tx_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT word, COUNT(*) AS freq FROM (

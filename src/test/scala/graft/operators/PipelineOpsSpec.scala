@@ -692,6 +692,51 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(current == latest, "is_current rows must be exactly the latestByKey survivors")
   }
 
+  test("minhashPairsAgainst emits cross-corpus pairs only — old-old dups stay silent") {
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "en", base, base.length.toLong),
+      (2L, "en", base + " tail2", (base.length + 6).toLong), // near-dup of 1 INSIDE the corpus
+      (3L, "en", (0 until 30).map(i => s"z$i").mkString(" "), 100L)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+    val incoming = Seq(
+      (100L, "en", base + " tail100", (base.length + 8).toLong), // near-dup of 1 and 2
+      (101L, "en", (0 until 30).map(i => s"q$i").mkString(" "), 100L)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+    val got = DedupOps.minhashPairsAgainst(corpus, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)),
+      s"expected only cross pairs to 100, got $got (old-old pair (1,2) must NOT appear)")
+  }
+
+  test("bm25: more matches score higher; rare terms outweigh common ones; non-matching docs absent") {
+    import spark.implicits._
+    val filler = (0 until 20).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"rare $filler"),
+      (2L, s"common $filler"),
+      (3L, s"common common $filler"),
+      (4L, filler)
+    ) ++ (10 until 30).map(i => (i.toLong, s"common $filler"))
+    val df = docs.toDF("doc_id", "text")
+    val scores = TextOps.bm25(df, Seq("rare", "common")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!scores.contains(4L), "doc without query terms must be absent")
+    assert(scores(1L) > scores(2L), "the corpus-rare term must outscore the common term")
+    assert(scores(3L) > scores(2L), "two matches must outscore one at equal df")
+  }
+
+  test("normalizeText pins lowercase/collapsed/trimmed bytes") {
+    import spark.implicits._
+    val docs = Seq((1L, "  Hello   WORLD  x ")).toDF("doc_id", "text")
+    val r = TextOps.normalizeText(docs).collect()(0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(2) == md5hex("hello world x"))
+    assert(r.getLong(3) == "hello world x".length)
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

@@ -113,6 +113,10 @@ def runLibcheck(): Unit = {
     events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
   check("TextOps.applyMixture")(TextOps.applyMixture(docs))
   check("TextOps.dsirScores")(TextOps.dsirScores(docs, col("source") === "src0"))
+  check("TextOps.bm25")(TextOps.bm25(docs, Seq("query", "spark", "table")))
+  check("TextOps.normalizeText")(TextOps.normalizeText(docs))
+  check("DedupOps.minhashPairsAgainst")(DedupOps.minhashPairsAgainst(
+    docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0)))
   // engine core: simulate on the default family (real PCG64) + parity sink
   val out = java.nio.file.Files.createTempDirectory("graft-libcheck")
   val specs = Seq(SimulationSpec(0, "coin_sequence", 100, 16, Seq(0.5), Nil,
