@@ -129,6 +129,9 @@ object ScaleBench {
     "ev_funnel" -> SparkEntry.queries("ev_funnel"),
     "emb_pq_codes" -> SparkEntry.queries("emb_pq_codes"),
     "knn_pq" -> SparkEntry.queries("knn_pq"),
+    "dd_minhash_incr" -> SparkEntry.queries("dd_minhash_incr"),
+    "dd_pagerank" -> SparkEntry.queries("dd_pagerank"),
+    "tx_bm25" -> SparkEntry.queries("tx_bm25"),
     "near_pairs_exact_09" -> ((s: SparkSession, d: String) =>
       SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),
     "near_pairs_lsh_09" -> ((s: SparkSession, d: String) =>

@@ -25,8 +25,12 @@ object TextQueries {
       TextOps.winnow(t(s, d, "documents").filter(col("doc_id") < 200))),
     // Winnowing pair stage (MOSS): same oracle-cost-bounding doc slice as
     // tx_winnow (the per-doc window pass is the expensive SQL part).
+    // minShared = 1 here — at the gate SFs' document lengths the MOSS
+    // default of 3 matches nothing (a vacuous empty-vs-empty pass), while
+    // >= 1 pins 80 real co-occurrence rows at sf0.01.
     "tx_winnow_pairs" -> ((s, d) =>
-      TextOps.winnowPairs(t(s, d, "documents").filter(col("doc_id") < 200))),
+      TextOps.winnowPairs(t(s, d, "documents").filter(col("doc_id") < 200),
+        minShared = 1)),
     "tx_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     // 2-word chunks so the rule actually fires on the synthetic corpus's
     // ~30-word vocabulary (5-word chunks are near-unique at this SF).
@@ -375,7 +379,7 @@ object TextQueries {
         |SELECT doc_a, doc_b, shared, pa.nfp AS fp_a, pb.nfp AS fp_b,
         |  CAST(shared AS DOUBLE) / least(pa.nfp, pb.nfp) AS overlap
         |FROM pair JOIN pc pa ON pa.doc_id = doc_a JOIN pc pb ON pb.doc_id = doc_b
-        |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE shared >= 1 ORDER BY doc_a, doc_b""".stripMargin,
     // Chunk dedup: identical chunking (1-based clamped slices both
     // engines), identical 60-bit chunk hash, >= 2 DISTINCT docs rule;
     // string_agg(... ORDER BY idx) mirrors the array_sort rebuild, and

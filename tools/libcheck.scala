@@ -84,7 +84,8 @@ def runLibcheck(): Unit = {
   check("DedupOps.keepCanonical")(DedupOps.keepCanonical(docs,
     DedupOps.nearDupClusters(DedupOps.minhashPairs(docs))))
   check("GraphOps.pageRank")(GraphOps.pageRank(DedupOps.minhashPairs(docs)))
-  check("TextOps.winnowPairs")(TextOps.winnowPairs(docs.filter(col("doc_id") < 200)))
+  check("TextOps.winnowPairs")(
+    TextOps.winnowPairs(docs.filter(col("doc_id") < 200), minShared = 1))
   check("TextOps.chunkDedup")(TextOps.chunkDedup(docs))
   // similarity search
   val queries = embs.filter(col("vec_id") < 3)
