@@ -350,24 +350,28 @@ object SimilarityOps {
     * |queries| precomputed LUT rows — the scan shuffles nothing; per-query
     * rank is the same partitioned window as every other ANN op here.
     */
-  def pqTopK(e0: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-      subDim: Int = 16, ks: Int = 4, iters: Int = 2,
-      excludeQueryId: Boolean = true): DataFrame = {
-    OpContract.requireCols(queries, "SimilarityOps.pqTopK queries", "query_id", "qe")
+  /** Per-query ADC lookup rows: partial dots for every (sub, cid) plus
+    * the query norm — |queries| × (m·ks + 1) doubles, broadcast-sized.
+    */
+  private def pqLutQueries(queries: DataFrame,
+      model: Seq[(Int, Long, Array[Double])], m: Int, subDim: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val model = pqTrain(e0, m, subDim, ks, iters)
-    val bySub = model.groupBy(_._1)
-    val codes = pqEncode(e0, model, m, subDim)
-    // Per-query LUT row: partial dots for every (sub, cid) + the query norm
     val qCols = (0 until m).flatMap { s =>
-      bySub(s).sortBy(_._2).map { case (_, cid, cw) =>
+      pqSorted(model, s).map { case (cid, cw) =>
         dot_product(slice(col("qe"), s * subDim + 1, subDim), typedLit(cw))
           .as(s"p${s}_$cid")
       }
     } :+ sqrt(dot_product(col("qe"), col("qe"))).as("qnorm")
-    val q = queries.select(col("query_id") +: qCols: _*)
+    queries.select(col("query_id") +: qCols: _*)
+  }
+
+  /** The ADC approximate cosine for a frame carrying codes c0..c{m-1} and
+    * the [[pqLutQueries]] columns: m LUT picks, LEFT-ASSOCIATIVE sums,
+    * one division + round(·,6).
+    */
+  private def pqAdcCos(model: Seq[(Int, Long, Array[Double])], m: Int): Column = {
     def pick(s: Int, value: Long => Column): Column = {
-      val cids = bySub(s).sortBy(_._2).map(_._2)
+      val cids = pqSorted(model, s).map(_._1)
       cids.tail.foldLeft(when(col(s"c$s") === cids.head, value(cids.head))) {
         (acc, cid) => acc.when(col(s"c$s") === cid, value(cid))
       }
@@ -375,10 +379,57 @@ object SimilarityOps {
     val n2Map = model.map(t => (t._1, t._2) -> pqN2(t._3)).toMap
     val num = (0 until m).map(s => pick(s, cid => col(s"p${s}_$cid"))).reduce(_ + _)
     val norm2 = (0 until m).map(s => pick(s, cid => lit(n2Map((s, cid))))).reduce(_ + _)
+    round(num / (col("qnorm") * sqrt(norm2)), 6)
+  }
+
+  def pqTopK(e0: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      subDim: Int = 16, ks: Int = 4, iters: Int = 2,
+      excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(queries, "SimilarityOps.pqTopK queries", "query_id", "qe")
+    val model = pqTrain(e0, m, subDim, ks, iters)
+    val codes = pqEncode(e0, model, m, subDim)
+    val q = pqLutQueries(queries, model, m, subDim)
     val self = if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true)
     rankTopK(
       codes.crossJoin(broadcast(q)).filter(self)
-        .withColumn("cos", round(num / (col("qnorm") * sqrt(norm2)), 6)), k)
+        .withColumn("cos", pqAdcCos(model, m)), k)
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV — the composition the paper is named
+    * for): the coarse IVF quantizer prunes the corpus to each query's
+    * nprobe inverted lists, and ADC scores ONLY those survivors from
+    * their PQ codes. This is the billion-scale serving shape: per-query
+    * compute ∝ probed-list size (not corpus size), per-vector memory
+    * m·log2(ks) bits (not subDim·m floats), and the original vectors are
+    * touched only during training/encode. Both stages reuse exactly the
+    * machinery their standalone gate queries pin ([[ivfTopK]] probing,
+    * [[pqTopK]] scoring), so the composed result is oracle-checkable
+    * end-to-end.
+    */
+  def ivfPqTopK(e0: DataFrame, queries: DataFrame, cents: DataFrame,
+      nprobe: Int, k: Int, m: Int = 4, subDim: Int = 16, ks: Int = 4,
+      iters: Int = 2, excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(e0, "SimilarityOps.ivfPqTopK corpus", "vec_id", "embedding")
+    OpContract.requireCols(queries, "SimilarityOps.ivfPqTopK queries", "query_id", "qe")
+    OpContract.requireCols(cents, "SimilarityOps.ivfPqTopK centroids", "cid", "ce")
+    val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
+    val assigned = assignToCentroids(e, cents).select(col("vec_id"), col("cid"))
+    val model = pqTrain(e0, m, subDim, ks, iters)
+    val codes = pqEncode(e0, model, m, subDim)
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("qcsim", cosine(col("qe"), col("ce")))
+      .withColumn("qrn", row_number().over(qw))
+      .filter(col("qrn") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cand = probes.join(assigned, "cid")
+      .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
+      .select("query_id", "vec_id")
+    val q = pqLutQueries(queries, model, m, subDim)
+    rankTopK(
+      cand.join(codes, "vec_id").join(broadcast(q), "query_id")
+        .withColumn("cos", pqAdcCos(model, m)), k)
   }
 
   /** Per-label centroid vectors (the class-prototype aggregate behind

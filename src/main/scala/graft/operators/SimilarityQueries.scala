@@ -228,6 +228,15 @@ object SimilarityQueries {
     "knn_pq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.pqTopK(e, queriesOf(e), TOP_K)
+    }),
+
+    // IVFADC: coarse lists (the knn_ivf deterministic quantizer) prune,
+    // ADC scores the survivors from PQ codes — both stages reusing the
+    // exact machinery their standalone queries pin.
+    "knn_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.ivfPqTopK(e, queriesOf(e), broadcast(firstCentroids(e)),
+        N_PROBE, TOP_K)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -419,6 +428,43 @@ object SimilarityQueries {
          |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = l0.query_id
          |  JOIN embeddings q ON q.vec_id = l0.query_id
          |  WHERE codes.vec_id <> l0.query_id)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) x
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Full value oracle for IVFADC: the knn_ivf probe/assign CTEs feed a
+    // candidate set; the knn_pq LUT scoring runs over candidates only.
+    "knn_ivfpq" -> {
+      val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
+      val luts = (0 until PQ_M).map { s =>
+        s"""lut$s AS (SELECT q.vec_id AS query_id, c.cid,
+           |    list_dot_product(q.embedding[${s * PQ_SUBDIM + 1}:${(s + 1) * PQ_SUBDIM}]::DOUBLE[], c.ce::DOUBLE[]) AS p,
+           |    list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS n2
+           |  FROM embeddings q CROSS JOIN c${s}_2 c WHERE q.vec_id < $N_QUERIES)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |    FROM embeddings WHERE vec_id < $N_CENTROIDS),
+         |asg AS (${sqlAssign("cents")}),
+         |probes AS (${sqlProbes("cents")}),
+         |$chains,
+         |$luts,
+         |$sqlPqCodesCte,
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (SELECT cd.query_id, cd.vec_id,
+         |    round((((l0.p + l1.p) + l2.p) + l3.p) /
+         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |       sqrt((((l0.n2 + l1.n2) + l2.n2) + l3.n2))), 6) AS cos
+         |  FROM cand cd
+         |  JOIN codes ON codes.vec_id = cd.vec_id
+         |  JOIN lut0 l0 ON l0.cid = codes.c0 AND l0.query_id = cd.query_id
+         |  JOIN lut1 l1 ON l1.cid = codes.c1 AND l1.query_id = cd.query_id
+         |  JOIN lut2 l2 ON l2.cid = codes.c2 AND l2.query_id = cd.query_id
+         |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = cd.query_id
+         |  JOIN embeddings q ON q.vec_id = cd.query_id)
          |SELECT query_id, rank, vec_id, cos FROM (
          |  SELECT query_id, vec_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank

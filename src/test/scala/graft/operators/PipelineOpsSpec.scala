@@ -737,6 +737,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getLong(3) == "hello world x".length)
   }
 
+  test("knn_ivfpq: pruned ADC ranks are pointwise bounded by the flat ADC scan, scores agree on shared pairs") {
+    val ivfpq = q("knn_ivfpq").collect()
+    val flat = q("knn_pq").collect()
+    def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val (a, b) = (byQuery(ivfpq), byQuery(flat))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (qid, rows) =>
+      assert(rows.length == 10)
+      // pruning can only lose candidates: rank-i score <= flat rank-i score
+      rows.zip(b(qid)).foreach { case (p, f) =>
+        assert(p.getDouble(3) <= f.getDouble(3) + 1e-9,
+          s"query $qid: pruned rank ${p.getInt(1)} beat the flat scan")
+      }
+      // same (query, vec) pair must carry the identical ADC score
+      val flatScores = b(qid).map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      rows.foreach(p => flatScores.get(p.getLong(2))
+        .foreach(fs => assert(fs == p.getDouble(3), "shared pair score mismatch")))
+    }
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

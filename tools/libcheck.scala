@@ -100,6 +100,9 @@ def runLibcheck(): Unit = {
       .select(col("vec_id").as("cid"), col("embedding").as("ce")), 0.3))
   check("SimilarityOps.pqCodes")(SimilarityOps.pqCodes(embs))
   check("SimilarityOps.pqTopK")(SimilarityOps.pqTopK(embs, queries, 5))
+  check("SimilarityOps.ivfPqTopK")(SimilarityOps.ivfPqTopK(embs, queries,
+    embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")), 3, 5))
   // multimodal plumbing (stub decode, real Spark shapes)
   check("MediaOps.thumbnail")(
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
