@@ -33,7 +33,10 @@ object Plans {
     "tx_chunk_dedup", "tx_winnow_pairs", "knn_pq",
     // round 5 (cont. 2): broadcast bucket-model scoring, SCD2 lead window
     // after one key shuffle, iterative PR join+agg step
-    "tx_dsir", "ev_scd2", "dd_pagerank")
+    "tx_dsir", "ev_scd2", "dd_pagerank",
+    // round 5 (cont. 3): IVFADC candidate pruning + code-only scoring,
+    // old×new-restricted incremental band join
+    "knn_ivfpq", "dd_minhash_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
