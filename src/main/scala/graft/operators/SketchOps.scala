@@ -313,4 +313,56 @@ object SketchOps {
         .bitwiseAND(element_at(pow2, (pos % 64).cast("int") + 1))) =!= 0L
     }.reduce(_ && _)
   }
+
+  /** Column profiler (the ANALYZE-TABLE statistics pass): one row per
+    * input column with row/null counts, EXACT distinct count, and
+    * min/max rendered as strings. Two scans, neither with an Expand:
+    *
+    *   - min/max/counts: a single all-map-side aggregate over the
+    *     original column types (so ordering is numeric, not
+    *     lexicographic), reshaped to rows by exploding a struct array;
+    *   - distincts: the table MELTED to (column, value-string) rows —
+    *     map-side combined to per-partition distincts — then two-level
+    *     counted. This is how k exact distinct counts avoid Catalyst's
+    *     k-way Expand (the q11 lesson, generalized): the melt multiplies
+    *     rows by k but each (c, v) partial collapses before the shuffle.
+    *
+    * Exact distincts shuffle one row per distinct value — the honest
+    * ANALYZE cost; profile wide high-cardinality tables with
+    * [[kmvDistinct]] per column instead when estimates suffice.
+    * String rendering caveat: value strings only need to be injective
+    * per column for the distinct count (they are — same-typed casts),
+    * but min/max strings follow each engine's numeric formatting; the
+    * gate profiles columns whose rendered forms are dialect-identical
+    * (integers, integral doubles, strings, µs epochs).
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "profile needs at least one column")
+    val mmAggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
+        col(s"nn_$c").as("n_null"), col(s"mn_$c").as("min_str"),
+        col(s"mx_$c").as("max_str"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.n_rows"), col("s.n_null"),
+        col("s.min_str"), col("s.max_str"))
+    val dist = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.c"), col("s.v"))
+      .filter(col("v").isNotNull)
+      .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("c").agg(count(lit(1)).as("n_distinct"))
+      .select(col("c").as("col_name"), col("n_distinct"))
+    mm.join(dist, Seq("col_name"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+      .orderBy("col_name")
+  }
 }

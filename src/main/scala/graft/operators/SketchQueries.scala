@@ -54,6 +54,14 @@ object SketchQueries {
         "o_orderstatus", binWidth = 1024L, bins = 1024,
         permille = Seq(250, 500, 900))),
 
+    // ANALYZE-style column profile over a 4-type projection (bigint,
+    // integral double, string, date) whose rendered min/max strings are
+    // dialect-identical; exact distincts via the melt shape, no Expand.
+    "q35_profile" -> ((s, d) =>
+      SketchOps.profile(t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("l_shipdate")))),
+
     // Runtime-filter demo: bloom built from the FILTERED dim side
     // (p_size = 50 parts), fact side prefiltered by the pure-projection
     // may-contain predicate; output compares bloom passes vs the exact
@@ -79,6 +87,22 @@ object SketchQueries {
   private val sqlHU = CrossHash.sqlMdint("CAST(user_id AS VARCHAR)")
 
   def oracleSql: Map[String, String] = Map(
+    // Profile: per-column scalar aggregates, one UNION ALL branch per
+    // column — trivially correct SQL against the melt-shaped Spark plan.
+    "q35_profile" -> {
+      val branches = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str,
+             |  COUNT(DISTINCT $c) AS n_distinct
+             |FROM src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,
+         |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem)
+         |$branches
+         |ORDER BY col_name""".stripMargin
+    },
     "q30_kmv_distinct" -> {
       // (k−1)·2^60 folded exactly on both sides (≤ 8 significant bits)
       val scale = s"(${(KMV_K - 1).toDouble} * 1152921504606846976.0)"

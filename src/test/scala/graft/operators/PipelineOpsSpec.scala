@@ -758,6 +758,22 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("profile: numeric min/max (not lexicographic), nulls counted, exact distincts") {
+    import spark.implicits._
+    val df = Seq((9L, Some("a")), (10L, None), (10L, Some("b")), (2L, Some("a")))
+      .toDF("k", "s")
+    val p = SketchOps.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 0)
+    assert(k.getString(3) == "2" && k.getString(4) == "10",
+      "min/max must order numerically — a lexicographic min would be '10'")
+    assert(k.getLong(5) == 3) // 2, 9, 10
+    val s = p("s")
+    assert(s.getLong(2) == 1, "one null in s")
+    assert(s.getLong(5) == 2, "distincts exclude null")
+    assert(s.getString(3) == "a" && s.getString(4) == "b")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

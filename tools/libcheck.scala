@@ -62,6 +62,8 @@ def runLibcheck(): Unit = {
     SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
   check("SketchOps.histQuantiles")(
     SketchOps.histQuantiles(events, col("value"), 8L, 1024, Seq(500, 950)))
+  check("SketchOps.profile")(SketchOps.profile(
+    events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))))
   check("SketchOps.exactQuantileRefine")(
     SketchOps.exactQuantileRefine(events, col("value"), "event_type",
       8L, 1024, Seq(500, 950)))
