@@ -288,6 +288,52 @@ object StreamOps {
       }
   }
 
+  /** STREAMING funnel attribution via flatMapGroupsWithState: per-user
+    * state is ONE (ts_us, event_id) pair — the latest qualifying
+    * from-event — bounded regardless of stream length. Each micro-batch's
+    * rows are processed in (event-time, event_id) order within the user
+    * group; a to-event emits its attribution immediately against the held
+    * from-event. Equals [[funnelAttribution]] on an event-time-ordered
+    * feed, including attributions that span micro-batch boundaries
+    * (asserted in StreamingSpec); with out-of-order arrival a from-event
+    * seen after its to-event cannot attribute retroactively — the
+    * bounded-state streaming trade (re-order upstream under a watermark
+    * when the source can be late). Same-µs tie handling matches the batch
+    * op: ascending (ts, event_id) processing keeps the larger event_id as
+    * the surviving from-state, and equal timestamps never attribute
+    * (strict <).
+    */
+  def funnelAttributionStream(events: DataFrame, fromType: String = "click",
+      toType: String = "purchase", maxGapMin: Int = 10):
+      Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val gapUs = maxGapMin * 60L * 1000000L
+    val typed = events
+      .filter(col("event_type").isin(fromType, toType))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(eventTime(col("ts"))).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+          var last = state.getOption
+          sorted.foreach { case (_, eid, typ, ts) =>
+            if (typ == fromType) last = Some((ts, eid))
+            else last.foreach { case (fts, fid) =>
+              if (fts < ts && fts >= ts - gapUs)
+                out += ((uid, eid, ts, fid, fts, ts - fts))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Watermark-expired sessions via flatMapGroupsWithState with
     * EVENT-TIME timeout: per-user event counts are held as state and
     * emitted only when the watermark passes (session end + 1h) — the

@@ -208,6 +208,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelAttributionStream: bounded state attributes across micro-batches, equals batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(min: Long) = min * 60L * 1000000000L
+    val b1 = Seq(EvRow(1, ns(0), 7, "click", 0), EvRow(2, ns(2), 7, "click", 0),
+      EvRow(3, ns(3), 9, "purchase", 0)) // user 9: no prior click
+    val b2 = Seq(
+      EvRow(4, ns(8), 7, "purchase", 0),  // attributes to click 2 held as STATE from batch 1
+      EvRow(5, ns(20), 7, "purchase", 0)) // outside the 10-minute gap
+    val input = MemoryStream[EvRow]
+    val q = funnelAttributionStream(input.toDS().toDF())
+      .toDF("user_id", "to_id", "to_us", "from_id", "from_us", "gap_us")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSet
+      val batch = funnelAttribution((b1 ++ b2).toDF(), maxGapMin = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set((7L, 4L, 2L, 6L * 60L * 1000000L)),
+        "exactly one attribution: purchase 4 -> click 2, 6-minute gap")
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static join enriches each micro-batch statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
