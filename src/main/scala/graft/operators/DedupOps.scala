@@ -175,38 +175,54 @@ object DedupOps {
     * the caller should checkpoint this intermediate explicitly; with the
     * native shingle/hash expressions the local recompute is ~1 s.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** Shared MinHash machinery: per-doc (sz, shingle-hash) rows and the
+    * banded signature table. The band explode is ONE explode, not a
+    * BANDS-way unionAll — a union would recompute the signature aggregate
+    * once per branch.
+    */
+  private def minhashBands(docs: DataFrame): (DataFrame, DataFrame) = {
     val sets = docShingleSets(docs).select(col("doc_id"), col("sh"))
       .withColumn("sz", size(col("sh")))
     val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
       .withColumn("h", mdint(col("shingle")))
     val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
     val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // one explode, not a 4-way unionAll — a union recomputes the signature
-    // aggregate once per branch
     val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
     }: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    (hashed, bands)
+  }
+
+  /** Shared exact-Jaccard verification of a candidate pair table against
+    * the per-doc shingle-hash rows; emits (aCol, bCol, jac ≥ JACCARD_T).
+    */
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val ia = hashed.select(col("doc_id").as(aCol), col("sz").as("sz_a"),
+      col("shingle"))
+    val ib = hashed.select(col("doc_id").as("vj_b"), col("sz").as("sz_b"),
+      col("shingle").as("shingle2"))
+    cand.join(ia, aCol)
+      .join(ib, col(bCol) === col("vj_b") && col("shingle") === col("shingle2"))
+      .groupBy(aCol, bCol, "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jac") >= JACCARD_T)
+      .select(col(aCol), col(bCol), col("jac"))
+      .orderBy(aCol, bCol)
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val (hashed, bands) = minhashBands(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val ia = hashed.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-      col("shingle"))
-    val ib = hashed.select(col("doc_id").as("doc_b2"), col("sz").as("sz_b"),
-      col("shingle").as("shingle2"))
-    cand.join(ia, "doc_a")
-      .join(ib, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle2"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jac",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jac") >= JACCARD_T)
-      .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cand, hashed, "doc_a", "doc_b")
   }
 
   /** INCREMENTAL MinHash dedup: near-dup pairs BETWEEN an existing corpus
@@ -223,19 +239,9 @@ object DedupOps {
   def minhashPairsAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame = {
     OpContract.requireCols(corpus, "DedupOps.minhashPairsAgainst corpus", "doc_id", "text")
     OpContract.requireCols(incoming, "DedupOps.minhashPairsAgainst incoming", "doc_id", "text")
-    val all = corpus.unionByName(incoming)
     val newIds = incoming.select(col("doc_id").as("nid"), lit(true).as("is_new"))
-    val sets = docShingleSets(all).select(col("doc_id"), col("sh"))
-      .withColumn("sz", size(col("sh")))
-    val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-      .withColumn("h", mdint(col("shingle")))
-    val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*).as("key"))
-    }: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val (hashed, bands0) = minhashBands(corpus.unionByName(incoming))
+    val bands = bands0
       .join(newIds, col("doc_id") === col("nid"), "left")
       .withColumn("is_new", coalesce(col("is_new"), lit(false)))
       .drop("nid")
@@ -244,19 +250,7 @@ object DedupOps {
           !col("x.is_new") && col("y.is_new"))
       .select(col("x.doc_id").as("doc_old"), col("y.doc_id").as("doc_new"))
       .distinct()
-    val ia = hashed.select(col("doc_id").as("doc_old"), col("sz").as("sz_a"),
-      col("shingle"))
-    val ib = hashed.select(col("doc_id").as("doc_n2"), col("sz").as("sz_b"),
-      col("shingle").as("shingle2"))
-    cand.join(ia, "doc_old")
-      .join(ib, col("doc_new") === col("doc_n2") && col("shingle") === col("shingle2"))
-      .groupBy("doc_old", "doc_new", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jac",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jac") >= JACCARD_T)
-      .select("doc_old", "doc_new", "jac")
-      .orderBy("doc_old", "doc_new")
+    verifyJaccard(cand, hashed, "doc_old", "doc_new")
   }
 
   /** SimHash: 32-bit signature from term-frequency-weighted word-hash bits;
