@@ -36,7 +36,9 @@ object Plans {
     "tx_dsir", "ev_scd2", "dd_pagerank",
     // round 5 (cont. 3): IVFADC candidate pruning + code-only scoring,
     // old×new-restricted incremental band join
-    "knn_ivfpq", "dd_minhash_incr")
+    "knn_ivfpq", "dd_minhash_incr",
+    // the melted no-Expand k-column distinct shape
+    "q35_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
