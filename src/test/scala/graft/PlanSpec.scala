@@ -13,6 +13,18 @@ class PlanSpec extends SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("PQ encode is a pure projection: no hash exchange, no join, no generate in the plan") {
+    // The "scan → project → write" claim on SimilarityOps.pqCodes as a
+    // machine check: after training (driver-side model state), encoding
+    // adds nothing to the plan but the argmax projection and the
+    // presentation sort (a range exchange). Any hash exchange, join or
+    // explode appearing here is a regression of the shuffle-free design.
+    val p = plan("emb_pq_codes")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("q2: filter and projection are pushed into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_quantity,50.0)"), p)

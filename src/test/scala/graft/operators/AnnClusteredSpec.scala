@@ -145,6 +145,38 @@ class AnnClusteredSpec extends SparkTestBase {
     assert(recall >= 0.8, s"trained-IVF clustered recall@10 = $recall")
   }
 
+  test("PQ/IVFADC preserve cluster geometry: one byte of codes, every retrieved neighbor intra-cluster") {
+    // Exact top-10 recall is the WRONG metric on this corpus for a
+    // one-byte code: all 49 cluster-mates tie at cos ≈ 0.98 and ADC
+    // cannot (and need not) rank within that tie band. What quantization
+    // must preserve — and the reason PQ works at billion scale — is the
+    // cluster structure: every ADC-retrieved neighbor should come from
+    // the query's own cluster. Measured: intra = 1.00 for flat ADC at
+    // ks ∈ {4, 8, 16}; 0.94 for IVFADC (the coarse probe occasionally
+    // crosses); exact recall climbs 0.18 → 0.46 with ks as the codebook
+    // gains intra-cluster resolution.
+    val df = corpusDf
+    val e = df.select(col("vec_id"), col("embedding"))
+    val cluster = vecs.map(v => v._1 -> v._3).toMap
+    def intra(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => cluster(r.getLong(0)) == cluster(r.getLong(2))).toDouble / rows.length
+    val pq = SimilarityOps.pqTopK(e, queriesDf(df), TOP_K).collect()
+    assert(pq.length == N_QUERIES * TOP_K)
+    assert(intra(pq) >= 0.95, s"flat-ADC intra-cluster fraction ${intra(pq)}")
+    val cents = df.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val ivfpq = SimilarityOps.ivfPqTopK(e, queriesDf(df), cents, 3, TOP_K, ks = 16).collect()
+    assert(intra(ivfpq) >= 0.85, s"IVFADC intra-cluster fraction ${intra(ivfpq)}")
+    // larger codebooks buy exact-rank resolution: ks=16 must beat ks=4
+    def exactRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val pq16 = SimilarityOps.pqTopK(e, queriesDf(df), TOP_K, ks = 16).collect()
+    assert(exactRecall(pq16) > exactRecall(pq),
+      s"ks=16 recall ${exactRecall(pq16)} should beat ks=4 ${exactRecall(pq)}")
+  }
+
   test("semanticDedup: cluster blocking recovers the intra-cluster 0.9-pairs, never crosses clusters") {
     // SemDeDup's contract: exactly the pairs that (a) clear the threshold
     // and (b) land in the same assigned cluster. On the planted corpus,
