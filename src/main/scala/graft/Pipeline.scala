@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+/** End-to-end training-corpus build — the library's operators chained the
+  * way a production pipeline runs them, in one command:
+  *
+  *   sbt "runMain graft.Pipeline <sfDir> <outDir>"
+  *
+  * documents.parquet
+  *   → decontaminate (benchmark anti join, [[DedupOps.antiJoinDedup]])
+  *   → exact dedup (keep-first by content digest)
+  *   → near-dup dedup ([[DedupOps.minhashPairs]] → connected components →
+  *     [[DedupOps.keepCanonical]])
+  *   → quality floor ([[TextOps.quality]] score ≥ 0.3)
+  *   → temperature mixture ([[TextOps.applyMixtureRows]])
+  *   → sequence packing ([[TextOps.packSequences]])
+  *   → parquet partitioned by lang.
+  *
+  * Prints one JSON line per stage with surviving counts. Every stage is
+  * the SAME operator the correctness gate pins against DuckDB — this main
+  * only composes them. Stages are localCheckpoint'ed between steps (the
+  * iterative-lineage discipline); a cluster deployment would write
+  * intermediate tables instead.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      println(s"""{"stage":"$name","docs":${cp.count()}}""")
+      cp
+    }
+
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"""{"stage":"input","docs":${raw.count()}}""")
+
+    // 1. cross-corpus decontamination (benchmark = every 50th doc, the
+    //    gate convention; swap in the real eval set in production)
+    val bench = raw.filter(col("doc_id") % 50 === 0)
+    val clean = stage("decontaminated", DedupOps.antiJoinDedup(raw, bench))
+
+    // 2. exact dedup: keep the smallest doc_id per content digest
+    val keepIds = clean.groupBy(md5(col("text")).as("d"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = stage("exact_dedup",
+      clean.join(keepIds, Seq("doc_id"), "left_semi"))
+
+    // 3. near-dup dedup: pairs → components → canonical survivors
+    val nearDeduped = stage("near_dedup", DedupOps.keepCanonical(exact,
+      DedupOps.nearDupClusters(DedupOps.minhashPairs(exact))))
+
+    // 4. quality floor
+    val goodIds = TextOps.quality(nearDeduped)
+      .filter(col("quality_score") >= 0.3).select("doc_id")
+    val good = stage("quality_filtered",
+      nearDeduped.join(goodIds, Seq("doc_id"), "left_semi"))
+
+    // 5. temperature mixture (α = 0.5; rarest language keeps everything)
+    val mixed = stage("mixture_applied",
+      TextOps.applyMixtureRows(good)
+        .select(good.columns.map(col).toSeq: _*))
+
+    // 6. pack into fixed token budgets and persist, partitioned by lang
+    val packs = TextOps.packSequences(mixed, capacity = 2048)
+    println(s"""{"stage":"packed","pack_assignments":${packs.count()},"packs":${
+      packs.select("lang", "pack_id").distinct().count()}}""")
+    mixed.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus")
+    packs.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/packs")
+    println(s"""{"stage":"written","out":"$outDir"}""")
+    spark.stop()
+  }
+}

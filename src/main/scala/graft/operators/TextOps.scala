@@ -414,7 +414,11 @@ object TextOps {
     * rates broadcast, membership a pure row function, one summary
     * aggregate — the corpus is scanned once and never shuffled.
     */
-  def applyMixture(docs: DataFrame): DataFrame = {
+  /** Surviving ROWS of the temperature mixture — the row-level apply that
+    * [[applyMixture]] summarizes (and what a pipeline actually writes):
+    * the input columns plus (n_docs, p_keep) for the row's language.
+    */
+  def applyMixtureRows(docs: DataFrame): DataFrame = {
     OpContract.requireCols(docs, "TextOps.applyMixture", "doc_id", "lang")
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val rates = counts.crossJoin(counts.agg(min(col("n_docs")).as("n_min")))
@@ -422,15 +426,17 @@ object TextOps {
         sqrt(col("n_min").cast("double") / col("n_docs").cast("double")).as("p_keep"))
     val u = graft.functions.CrossHash.mdint(concat(lit("mix:"), col("doc_id")))
       .cast("double") / lit(1152921504606846976.0) // 2^60
-    docs.join(broadcast(rates), "lang")
-      .filter(u < col("p_keep"))
+    docs.join(broadcast(rates), "lang").filter(u < col("p_keep"))
+  }
+
+  def applyMixture(docs: DataFrame): DataFrame =
+    applyMixtureRows(docs)
       .groupBy("lang")
       .agg(max(col("n_docs")).as("n_docs"),
         max(col("p_keep")).as("p_keep"),
         count(lit(1)).as("n_kept"),
         min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
       .orderBy("lang")
-  }
 
   // PII patterns, restricted to the dialect Java regex and RE2 (DuckDB)
   // interpret identically — no lookaround, no backreferences, \b and
