@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
 
 /** End-to-end training-corpus build — the library's operators chained the
   * way a production pipeline runs them, in one command:
@@ -17,7 +17,9 @@ import graft.operators.{DedupOps, TextOps}
   *   → quality floor ([[TextOps.quality]] score ≥ 0.3)
   *   → temperature mixture ([[TextOps.applyMixtureRows]])
   *   → sequence packing ([[TextOps.packSequences]])
-  *   → parquet partitioned by lang.
+  *   → parquet partitioned by lang;
+  * then the embedding side: SemDeDup near-pairs → connected components →
+  * canonical survivors → PQ codebooks + codes persisted as the ANN index.
   *
   * Prints one JSON line per stage with surviving counts. Every stage is
   * the SAME operator the correctness gate pins against DuckDB — this main
@@ -78,6 +80,26 @@ object Pipeline {
       packs.select("lang", "pack_id").distinct().count()}}""")
     mixed.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus")
     packs.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/packs")
+
+    // ---- embedding side: semantic dedup + PQ index build ----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    println(s"""{"stage":"emb_input","vecs":${emb.count()}}""")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val pairs = SimilarityOps.semanticDedup(emb, broadcast(cents), 0.40)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    println(s"""{"stage":"emb_near_pairs","pairs":${pairs.count()}}""")
+    val survivors = stage("emb_deduped",
+      DedupOps.keepCanonical(
+          emb.withColumnRenamed("vec_id", "doc_id"),
+          DedupOps.nearDupClusters(pairs))
+        .withColumnRenamed("doc_id", "vec_id"))
+    val codebooks = SimilarityOps.pqCodebooks(survivors)
+    val codes = SimilarityOps.pqCodes(survivors)
+    codebooks.write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
+    codes.write.mode("overwrite").parquet(s"$outDir/pq_codes")
+    println(s"""{"stage":"emb_indexed","codes":${codes.count()},"codebook_rows":${codebooks.count()}}""")
     println(s"""{"stage":"written","out":"$outDir"}""")
     spark.stop()
   }
