@@ -432,6 +432,31 @@ object SimilarityOps {
         .withColumn("cos", pqAdcCos(model, m)), k)
   }
 
+  /** Retrieval evaluation: recall@k of an ANN result table against an
+    * exact truth table — both in the (query_id, rank, vec_id, …) shape
+    * every top-k op here emits. Per query: hits = |truth∩results| over
+    * the top k of each side; recall = hits / |truth@k| (one division of
+    * exact integers — deterministic). Queries the ANN side missed
+    * entirely still appear with recall 0. This is the measurement loop a
+    * production ANN deployment runs continuously on sampled queries;
+    * everything reduces map-side after one (query, vec) semi join.
+    */
+  def annRecall(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    OpContract.requireCols(results, "SimilarityOps.annRecall results", "query_id", "rank", "vec_id")
+    OpContract.requireCols(truth, "SimilarityOps.annRecall truth", "query_id", "rank", "vec_id")
+    val r = results.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val t = truth.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val hits = t.join(r, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val totals = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    totals.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_truth"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_truth")).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Per-label centroid vectors (the class-prototype aggregate behind
     * nearest-centroid classification and dataset drift checks): one
     * per-dimension explode + aggregate, decimal-exact means (the

@@ -133,6 +133,45 @@ object SimilarityQueries {
        |  FROM a0_2 $joins)""".stripMargin
   }
 
+  /** The knn_brute / knn_lsh oracle texts as reusable vals — their gate
+    * entries and the knn_eval composition share one definition.
+    */
+  private lazy val knnBruteOracleSql: String =
+    s"""SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $N_QUERIES) x
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+
+  private lazy val knnLshOracleSql: String = {
+    val u = DeterministicRng.uniformSql("(777 + l.l*131)", "j.j", "0", "i.i")
+    s"""WITH planes AS (
+       |  SELECT l.l, j.j, i.i, ($u) - 0.5 AS w
+       |  FROM generate_series(0,5) l(l), generate_series(0,7) j(j),
+       |       generate_series(0,63) i(i)
+       |), plane_vecs AS (
+       |  SELECT l, j, list(w ORDER BY i) AS plane FROM planes GROUP BY l, j
+       |), sigs AS (
+       |  SELECT e.vec_id, p.l AS tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+       |             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e CROSS JOIN plane_vecs p
+       |  GROUP BY e.vec_id, p.l
+       |), flips AS (
+       |  SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS flip
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM sigs q CROSS JOIN flips f
+       |  JOIN sigs c ON c.tbl = q.tbl AND c.sig = xor(q.sig, f.flip)
+       |    AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $N_QUERIES
+       |)
+       |${sqlRerank("cand")}""".stripMargin
+  }
+
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -190,6 +229,15 @@ object SimilarityQueries {
     "knn_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.lshTopK(e, queriesOf(e), TOP_K)
+    }),
+
+    // Recall@10 of the LSH path against the brute truth — the evaluation
+    // loop as a first-class gated operator.
+    "knn_eval" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.annRecall(
+        SimilarityOps.lshTopK(e, queriesOf(e), TOP_K),
+        SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K), TOP_K)
     }),
 
     "emb_quantize" -> ((s, d) =>
@@ -316,15 +364,23 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $NEAR_T
          |ORDER BY vec_a, vec_b""".stripMargin,
-    "knn_brute" ->
-      s"""SELECT query_id, rank, vec_id, cos FROM (
-         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
-         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $N_QUERIES) x
-         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin,
+    "knn_brute" -> knnBruteOracleSql,
+
+    // Retrieval evaluation: recall@k of the LSH results against the brute
+    // truth — both sub-oracles wrapped verbatim as derived tables, so the
+    // eval entry stays consistent with the queries it grades by
+    // construction.
+    "knn_eval" ->
+      s"""WITH tru AS (SELECT * FROM ($knnBruteOracleSql) bx),
+         |res AS (SELECT * FROM ($knnLshOracleSql) lx),
+         |hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+         |  FROM tru t JOIN res r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+         |  GROUP BY t.query_id),
+         |tt AS (SELECT query_id, COUNT(*) AS n_truth FROM tru GROUP BY query_id)
+         |SELECT tt.query_id AS query_id, COALESCE(h.n_hits, 0) AS n_hits, tt.n_truth,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tt.n_truth AS recall
+         |FROM tt LEFT JOIN hits h ON h.query_id = tt.query_id
+         |ORDER BY tt.query_id""".stripMargin,
 
     // Full value oracle for the LSH ANN pipeline — possible because every
     // stage is deterministic: hyperplane weights come from the counter-based
@@ -334,31 +390,7 @@ object SimilarityQueries {
     // hazard is a projection landing within float-noise of 0 flipping a
     // signature bit; projections are O(0.5)-magnitude sums of 64 terms, so
     // a <1e-14 |proj| is a ~1e-11 event across the whole corpus — accepted.
-    "knn_lsh" -> {
-      val u = DeterministicRng.uniformSql("(777 + l.l*131)", "j.j", "0", "i.i")
-      s"""WITH planes AS (
-         |  SELECT l.l, j.j, i.i, ($u) - 0.5 AS w
-         |  FROM generate_series(0,5) l(l), generate_series(0,7) j(j),
-         |       generate_series(0,63) i(i)
-         |), plane_vecs AS (
-         |  SELECT l, j, list(w ORDER BY i) AS plane FROM planes GROUP BY l, j
-         |), sigs AS (
-         |  SELECT e.vec_id, p.l AS tbl,
-         |    CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
-         |             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
-         |  FROM embeddings e CROSS JOIN plane_vecs p
-         |  GROUP BY e.vec_id, p.l
-         |), flips AS (
-         |  SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS flip
-         |), cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-         |  FROM sigs q CROSS JOIN flips f
-         |  JOIN sigs c ON c.tbl = q.tbl AND c.sig = xor(q.sig, f.flip)
-         |    AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $N_QUERIES
-         |)
-         |${sqlRerank("cand")}""".stripMargin
-    },
+    "knn_lsh" -> knnLshOracleSql,
 
     // Full value oracle for TRAINED IVF: two distributed Lloyd iterations
     // unrolled as CTEs. Reproducible cross-engine because every stage obeys

@@ -774,6 +774,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(s.getString(3) == "a" && s.getString(4) == "b")
   }
 
+  test("annRecall: identical tables score 1.0, disjoint 0.0, misses still reported") {
+    import spark.implicits._
+    val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("query_id", "rank", "vec_id")
+    val perfect = SimilarityOps.annRecall(truth, truth, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(perfect == Map(1L -> 1.0, 2L -> 1.0))
+    val wrong = Seq((1L, 1, 99L), (1L, 2, 98L)).toDF("query_id", "rank", "vec_id")
+    val zeroed = SimilarityOps.annRecall(wrong, truth, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(zeroed == Set((1L, 0L, 0.0), (2L, 0L, 0.0)),
+      "query 2 (absent from results) must still report recall 0")
+  }
+
   test("minhash signature is permutation-stable (same doc -> same signature)") {
     import graft.functions.CrossHash
     val h = CrossHash.mdint(lit("a b c"))

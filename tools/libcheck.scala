@@ -105,6 +105,9 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.ivfPqTopK")(SimilarityOps.ivfPqTopK(embs, queries,
     embs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")), 3, 5))
+  check("SimilarityOps.annRecall")(SimilarityOps.annRecall(
+    SimilarityOps.lshTopK(embs, queries, 5),
+    SimilarityOps.bruteTopK(embs, queries, 5), 5))
   // multimodal plumbing (stub decode, real Spark shapes)
   check("MediaOps.thumbnail")(
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
