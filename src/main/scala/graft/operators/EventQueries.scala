@@ -40,6 +40,29 @@ object EventQueries {
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
         .orderBy("user_id", "event_type", "valid_from_us", "event_id")),
 
+    // The CONSUMER side of SCD2: each purchase joined to the signup
+    // VERSION valid at its event time (temporal as-of against the
+    // scd2History output — interval predicate on the validity columns).
+    "ev_scd2_lookup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = StreamOps.scd2History(
+          ev.filter(col("event_type") === "signup")
+            .withColumn("ts_us",
+              call_function("div", col("ts").cast("long"), lit(1000L))),
+          Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id").as("d_user"), col("event_id").as("dim_event"),
+          col("valid_from_us"), col("valid_to_us"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          call_function("div", col("ts").cast("long"), lit(1000L)).as("p_us"))
+      facts.join(dim, col("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("p_us") &&
+          (col("valid_to_us").isNull || col("p_us") < col("valid_to_us")))
+        .select(col("purchase_id"), col("user_id"), col("dim_event"),
+          col("valid_from_us"), col("p_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Tumbling 15-min windows per event type (Spark window() function).
     "ev_tumbling" -> ((s, d) =>
       StreamOps.tumblingCounts(t(s, d, "events"))
@@ -140,6 +163,21 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin,
+    // Temporal as-of: at most one dimension version matches per fact by
+    // construction (intervals partition each key's timeline).
+    "ev_scd2_lookup" ->
+      """WITH dim AS (SELECT user_id, event_id AS dim_event,
+        |    epoch_us(ts) AS valid_from_us,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id, d.dim_event, d.valid_from_us, f.p_us
+        |FROM f JOIN dim d ON d.user_id = f.user_id
+        |  AND d.valid_from_us <= f.p_us
+        |  AND (d.valid_to_us IS NULL OR f.p_us < d.valid_to_us)
+        |ORDER BY purchase_id""".stripMargin,
     "ev_enrich" ->
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  COUNT(*) AS n_events,
