@@ -38,7 +38,9 @@ object Plans {
     // old×new-restricted incremental band join
     "knn_ivfpq", "dd_minhash_incr",
     // the melted no-Expand k-column distinct shape
-    "q35_profile")
+    "q35_profile",
+    // SCD2 consumer: interval as-of join against the history
+    "ev_scd2_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
