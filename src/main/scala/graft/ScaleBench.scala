@@ -132,6 +132,10 @@ object ScaleBench {
     "dd_minhash_incr" -> SparkEntry.queries("dd_minhash_incr"),
     "dd_pagerank" -> SparkEntry.queries("dd_pagerank"),
     "tx_bm25" -> SparkEntry.queries("tx_bm25"),
+    "knn_ivfpq" -> SparkEntry.queries("knn_ivfpq"),
+    "ev_scd2" -> SparkEntry.queries("ev_scd2"),
+    "ev_scd2_lookup" -> SparkEntry.queries("ev_scd2_lookup"),
+    "q35_profile" -> SparkEntry.queries("q35_profile"),
     "near_pairs_exact_09" -> ((s: SparkSession, d: String) =>
       SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),
     "near_pairs_lsh_09" -> ((s: SparkSession, d: String) =>
