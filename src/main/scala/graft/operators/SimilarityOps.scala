@@ -200,6 +200,9 @@ object SimilarityOps {
           case other => sys.error(s"pqTrain: non-numeric embedding element $other")
         }.toArray))
       .toSeq.sortBy(t => (t._1, t._2))
+    require(model.nonEmpty,
+      s"pqTrain: no seed vectors with vec_id < $ks — codebooks seed from the " +
+        "first ks ids, so corpus vec_ids must start at 0 (re-key or densify ids)")
     (0 until iters).foreach { _ =>
       val assigned = pqAssignRows(rows, model, m)
       model = assigned

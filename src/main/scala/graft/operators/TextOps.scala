@@ -207,6 +207,7 @@ object TextOps {
     * the flag join when it fits.
     */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 2): DataFrame = {
+    require(chunkWords >= 1, s"chunkDedup needs chunkWords >= 1, got $chunkWords")
     OpContract.requireCols(docs, "TextOps.chunkDedup", "doc_id", "text")
     import graft.functions.CrossHash
     val nChunks = ceil(size(words).cast("double") / chunkWords).cast("bigint")
