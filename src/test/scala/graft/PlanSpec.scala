@@ -25,6 +25,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate"), p)
   }
 
+  test("temporal as-of lookup joins on the equality key, never a nested loop") {
+    // the interval predicate must ride an equality-keyed join (broadcast
+    // here, SMJ at scale) as a join filter — a planner regression to
+    // BroadcastNestedLoopJoin/CartesianProduct would scan dim×fact
+    val p = plan("ev_scd2_lookup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q2: filter and projection are pushed into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_quantity,50.0)"), p)
