@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures the last 2000 chars of `sbt runMain` stdout and
+// tries to parse the FINAL line as JSON. Two sbt behaviors break that:
+// the default forked-run output strategy relogs every line with an
+// "[info] " prefix, and sbt appends "[success] Total time ..." after the
+// program exits. Route forked output straight through to stdout and
+// suppress the success trailer so Bench's summary JSON is the true last
+// line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting, so
+// the unused-key lint false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,7 +16,15 @@ object Bench {
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for controlled A/B runs of a few
+    // queries (BENCHNOTES discipline: same-session min-of-two pairs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       // Materialize EVERY column via the noop sink: .count() would let
       // Catalyst prune unreferenced projections/windows and skip final
       // sorts, under-measuring queries whose work lives in the projection
