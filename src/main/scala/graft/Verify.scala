@@ -38,6 +38,13 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
       f.delete()
     }
+    // Optional comma-separated subset for the fast dev loop (mirrors
+    // Bench's filter). Filters BOTH the dumps and oracle_sql.json so
+    // localverify's oracle-key iteration stays consistent. The driver
+    // runs without it → full battery.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_(name))
     val outRoot = new java.io.File(outDir)
     val manifest = new java.io.File(outRoot, "graft_verify_manifest.txt")
     val previous =
@@ -53,7 +60,7 @@ object Verify {
       .foreach(n => rmrf(new java.io.File(outRoot, n)))
     outRoot.mkdirs()
     Files.writeString(manifest.toPath, current.mkString("\n"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -72,7 +79,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -199,10 +199,18 @@ object DedupOps {
     * the per-doc shingle-hash rows; emits (aCol, bCol, jac ≥ JACCARD_T).
     */
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
-    val ia = hashed.select(col("doc_id").as(aCol), col("sz").as("sz_a"),
+      aCol: String, bCol: String): DataFrame =
+    verifyJaccard2(cand, hashed, hashed, aCol, bCol)
+
+  /** Two-sided variant: the a-side and b-side docs live in DIFFERENT
+    * shingle-hash tables (corpus vs incoming) — the incremental-dedup
+    * shape, where the corpus side comes from a precomputed index.
+    */
+  private def verifyJaccard2(cand: DataFrame, hashedA: DataFrame,
+      hashedB: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ia = hashedA.select(col("doc_id").as(aCol), col("sz").as("sz_a"),
       col("shingle"))
-    val ib = hashed.select(col("doc_id").as("vj_b"), col("sz").as("sz_b"),
+    val ib = hashedB.select(col("doc_id").as("vj_b"), col("sz").as("sz_b"),
       col("shingle").as("shingle2"))
     cand.join(ia, aCol)
       .join(ib, col(bCol) === col("vj_b") && col("shingle") === col("shingle2"))
@@ -225,32 +233,52 @@ object DedupOps {
     verifyJaccard(cand, hashed, "doc_a", "doc_b")
   }
 
+  /** The corpus-side MinHash index for incremental dedup: the per-doc
+    * (sz, shingle-hash) rows and the banded signature table, as a pair
+    * the caller computes ONCE per corpus version, persists (or writes to
+    * parquet), and hands to every [[minhashPairsAgainst]] batch probe —
+    * per-batch cost is then ∝ batch size + collisions, NOT corpus size.
+    */
+  def minhashIndex(docs: DataFrame): (DataFrame, DataFrame) = {
+    OpContract.requireCols(docs, "DedupOps.minhashIndex", "doc_id", "text")
+    minhashBands(docs)
+  }
+
   /** INCREMENTAL MinHash dedup: near-dup pairs BETWEEN an existing corpus
     * and an incoming batch only — the daily-ingest shape, where comparing
     * the corpus against itself again would redo almost all of yesterday's
     * work. Same signatures/bands/verify as [[minhashPairs]], but the band
-    * join is restricted to (old × new): candidates are cross-corpus
-    * collisions only, old×old and new×new bucket-mates never pair. In
-    * production the corpus-side band table is computed once and persisted;
-    * each batch computes |incoming| signatures and probes it — per-batch
-    * cost ∝ batch size + collisions, not corpus size. Caller contract:
-    * disjoint doc_ids. Output: (doc_old, doc_new, jac ≥ [[JACCARD_T]]).
+    * join is corpus-bands × incoming-bands: candidates are cross-side
+    * collisions only, old×old and new×new bucket-mates never pair. This
+    * convenience form recomputes the corpus index per call; production
+    * ingest (and the streaming twin,
+    * [[graft.streaming.StreamOps.incrementalDedupStream]]) computes
+    * [[minhashIndex]] once and calls the index overload per batch.
+    * Sides are kept structurally separate, so a doc_id appearing on BOTH
+    * sides cannot mislabel: each side verifies against its own shingle
+    * table, and identical ids never self-pair (the old×new join requires
+    * distinct ids). Output: (doc_old, doc_new, jac ≥ [[JACCARD_T]]).
     */
   def minhashPairsAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame = {
     OpContract.requireCols(corpus, "DedupOps.minhashPairsAgainst corpus", "doc_id", "text")
+    minhashPairsAgainst(minhashBands(corpus), incoming)
+  }
+
+  /** Precomputed-corpus overload: `corpusIndex` = [[minhashIndex]] output
+    * (possibly persisted across many batches). See the two-arg form for
+    * semantics.
+    */
+  def minhashPairsAgainst(corpusIndex: (DataFrame, DataFrame),
+      incoming: DataFrame): DataFrame = {
     OpContract.requireCols(incoming, "DedupOps.minhashPairsAgainst incoming", "doc_id", "text")
-    val newIds = incoming.select(col("doc_id").as("nid"), lit(true).as("is_new"))
-    val (hashed, bands0) = minhashBands(corpus.unionByName(incoming))
-    val bands = bands0
-      .join(newIds, col("doc_id") === col("nid"), "left")
-      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
-      .drop("nid")
-    val cand = bands.as("x").join(bands.as("y"),
+    val (corpusHashed, corpusBands) = corpusIndex
+    val (incHashed, incBands) = minhashBands(incoming)
+    val cand = corpusBands.as("x").join(incBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          !col("x.is_new") && col("y.is_new"))
+          col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_old"), col("y.doc_id").as("doc_new"))
       .distinct()
-    verifyJaccard(cand, hashed, "doc_old", "doc_new")
+    verifyJaccard2(cand, corpusHashed, incHashed, "doc_old", "doc_new")
   }
 
   /** SimHash: 32-bit signature from term-frequency-weighted word-hash bits;

@@ -188,9 +188,21 @@ object SimilarityOps {
     val rows = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), posexplode(array((0 until m).map(s =>
         slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
-    // Seeds: the first ks vectors' subvectors (float→double is exact)
+    // Seeds: the ks corpus ids that sort FIRST by the cross-engine 60-bit
+    // md5 hash of the id (vec_id tie-break) — one TakeOrdered scan of the
+    // id column, deterministic, and free of any id-space assumption
+    // (offset, sparse, or hashed vec_ids all seed identically; the former
+    // `vec_id < ks` seed required dense ids from 0). Oracle-expressible:
+    // ORDER BY mdint(CAST(vec_id AS VARCHAR)), vec_id LIMIT ks.
+    val seedIds = e0
+      .select(col("vec_id"))
+      .orderBy(graft.functions.CrossHash.mdint(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(ks)
+      .collect().map(_.getLong(0)).toSeq
+    require(seedIds.nonEmpty, "pqTrain: empty corpus — nothing to seed from")
     var model: Seq[(Int, Long, Array[Double])] = rows
-      .filter(col("vec_id") < ks)
+      .filter(col("vec_id").isin(seedIds: _*))
       .collect()
       .map(r => (r.getInt(1), r.getLong(0),
         // corpus may carry float OR double embeddings (float→double exact)
@@ -200,9 +212,6 @@ object SimilarityOps {
           case other => sys.error(s"pqTrain: non-numeric embedding element $other")
         }.toArray))
       .toSeq.sortBy(t => (t._1, t._2))
-    require(model.nonEmpty,
-      s"pqTrain: no seed vectors with vec_id < $ks — codebooks seed from the " +
-        "first ks ids, so corpus vec_ids must start at 0 (re-key or densify ids)")
     (0 until iters).foreach { _ =>
       val assigned = pqAssignRows(rows, model, m)
       model = assigned

@@ -112,14 +112,25 @@ object SimilarityQueries {
        |    GROUP BY a.cid, d.dim) y
        |  GROUP BY cid""".stripMargin
 
+  /** The PQ seed-id CTE — the ks corpus ids sorting first by the
+    * cross-engine md5 hash (vec_id tie-break); mirrors
+    * [[SimilarityOps]]' pqTrain seed scan exactly.
+    */
+  private def sqlPqSeeds: String = {
+    val h = graft.functions.CrossHash.sqlMdint("CAST(vec_id AS VARCHAR)")
+    s"pqseeds AS (SELECT vec_id FROM embeddings ORDER BY $h, vec_id LIMIT $PQ_KS)"
+  }
+
   /** The unrolled PQ training for subspace s as CTE text: sub{s} (sliced
     * corpus), c{s}_0..c{s}_2 (seed + two Lloyd-refined codebooks),
-    * a{s}_0..a{s}_2 (assignments; a{s}_2 = the final codes).
+    * a{s}_0..a{s}_2 (assignments; a{s}_2 = the final codes). Requires the
+    * [[sqlPqSeeds]] CTE in scope.
     */
   private def sqlPqChain(s: Int): String = {
     val o = s * PQ_SUBDIM
     s"""sub$s AS (SELECT vec_id, embedding[${o + 1}:${o + PQ_SUBDIM}] AS sv FROM embeddings),
-       |c${s}_0 AS (SELECT vec_id AS cid, sv::DOUBLE[] AS ce FROM sub$s WHERE vec_id < $PQ_KS),
+       |c${s}_0 AS (SELECT vec_id AS cid, sv::DOUBLE[] AS ce FROM sub$s
+       |  WHERE vec_id IN (SELECT vec_id FROM pqseeds)),
        |a${s}_0 AS (${sqlSubAssign(s"sub$s", s"c${s}_0")}),
        |c${s}_1 AS (${sqlSubLloyd(s"a${s}_0", s"sub$s")}),
        |a${s}_1 AS (${sqlSubAssign(s"sub$s", s"c${s}_1")}),
@@ -131,6 +142,52 @@ object SimilarityQueries {
     val joins = (1 until PQ_M).map(s => s"JOIN a${s}_2 USING (vec_id)").mkString(" ")
     s"""codes AS (SELECT vec_id, ${(0 until PQ_M).map(s => s"a${s}_2.cid AS c$s").mkString(", ")}
        |  FROM a0_2 $joins)""".stripMargin
+  }
+
+  /** Per-(query, subspace) ADC lookup CTEs — partial dot products and
+    * codeword norms against the trained codebooks c{s}_2.
+    */
+  private def sqlPqLuts: String = (0 until PQ_M).map { s =>
+    s"""lut$s AS (SELECT q.vec_id AS query_id, c.cid,
+       |    list_dot_product(q.embedding[${s * PQ_SUBDIM + 1}:${(s + 1) * PQ_SUBDIM}]::DOUBLE[], c.ce::DOUBLE[]) AS p,
+       |    list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS n2
+       |  FROM embeddings q CROSS JOIN c${s}_2 c WHERE q.vec_id < $N_QUERIES)""".stripMargin
+  }.mkString(",\n")
+
+  /** Full IVFADC oracle parameterized by the coarse quantizer: `coarseCtes`
+    * defines the centroid table `cents` (possibly via a Lloyd chain), then
+    * assignment/probing, the PQ training chains, LUT scoring over probed
+    * candidates only — LEFT-ASSOCIATIVE sums, one division + round(·,6),
+    * the shared rank window. Shared by knn_ivfpq (deterministic first-N
+    * coarse) and knn_ivfpq_trained (two-Lloyd-iteration coarse).
+    */
+  private def sqlIvfPqOracle(coarseCtes: String, cents: String): String = {
+    val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
+    s"""WITH $coarseCtes,
+       |asg AS (${sqlAssign(cents)}),
+       |probes AS (${sqlProbes(cents)}),
+       |$sqlPqSeeds,
+       |$chains,
+       |$sqlPqLuts,
+       |$sqlPqCodesCte,
+       |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (SELECT cd.query_id, cd.vec_id,
+       |    round((((l0.p + l1.p) + l2.p) + l3.p) /
+       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+       |       sqrt((((l0.n2 + l1.n2) + l2.n2) + l3.n2))), 6) AS cos
+       |  FROM cand cd
+       |  JOIN codes ON codes.vec_id = cd.vec_id
+       |  JOIN lut0 l0 ON l0.cid = codes.c0 AND l0.query_id = cd.query_id
+       |  JOIN lut1 l1 ON l1.cid = codes.c1 AND l1.query_id = cd.query_id
+       |  JOIN lut2 l2 ON l2.cid = codes.c2 AND l2.query_id = cd.query_id
+       |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = cd.query_id
+       |  JOIN embeddings q ON q.vec_id = cd.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
   }
 
   /** The knn_brute / knn_lsh oracle texts as reusable vals — their gate
@@ -285,6 +342,16 @@ object SimilarityQueries {
       val e = t(s, d, "embeddings")
       SimilarityOps.ivfPqTopK(e, queriesOf(e), broadcast(firstCentroids(e)),
         N_PROBE, TOP_K)
+    }),
+
+    // IVFADC with the TRAINED coarse quantizer — the knn_ivf_trained Lloyd
+    // training feeding ivfPqTopK: the complete production ANN shape
+    // (trained coarse lists prune, PQ codes score). Same machinery as the
+    // two parents, composed; oracle unrolls the Lloyd chain + PQ chains.
+    "knn_ivfpq_trained" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = SimilarityOps.trainCentroids(e, firstCentroids(e), 2)
+      SimilarityOps.ivfPqTopK(e, queriesOf(e), cents, N_PROBE, TOP_K)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -429,7 +496,8 @@ object SimilarityQueries {
     // assignments with cid tie-breaks, decimal-exact Lloyd means).
     "emb_pq_codes" -> {
       val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
-      s"""WITH $chains,
+      s"""WITH $sqlPqSeeds,
+         |$chains,
          |$sqlPqCodesCte
          |SELECT vec_id, ${(0 until PQ_M).map(s => s"c$s").mkString(", ")}
          |FROM codes ORDER BY vec_id""".stripMargin
@@ -440,14 +508,9 @@ object SimilarityQueries {
     // the Spark expression, one division + round(·,6), same rank window.
     "knn_pq" -> {
       val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
-      val luts = (0 until PQ_M).map { s =>
-        s"""lut$s AS (SELECT q.vec_id AS query_id, c.cid,
-           |    list_dot_product(q.embedding[${s * PQ_SUBDIM + 1}:${(s + 1) * PQ_SUBDIM}]::DOUBLE[], c.ce::DOUBLE[]) AS p,
-           |    list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS n2
-           |  FROM embeddings q CROSS JOIN c${s}_2 c WHERE q.vec_id < $N_QUERIES)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $chains,
-         |$luts,
+      s"""WITH $sqlPqSeeds,
+         |$chains,
+         |$sqlPqLuts,
          |$sqlPqCodesCte,
          |scored AS (SELECT l0.query_id, codes.vec_id,
          |    round((((l0.p + l1.p) + l2.p) + l3.p) /
@@ -469,40 +532,23 @@ object SimilarityQueries {
 
     // Full value oracle for IVFADC: the knn_ivf probe/assign CTEs feed a
     // candidate set; the knn_pq LUT scoring runs over candidates only.
-    "knn_ivfpq" -> {
-      val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
-      val luts = (0 until PQ_M).map { s =>
-        s"""lut$s AS (SELECT q.vec_id AS query_id, c.cid,
-           |    list_dot_product(q.embedding[${s * PQ_SUBDIM + 1}:${(s + 1) * PQ_SUBDIM}]::DOUBLE[], c.ce::DOUBLE[]) AS p,
-           |    list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS n2
-           |  FROM embeddings q CROSS JOIN c${s}_2 c WHERE q.vec_id < $N_QUERIES)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+    "knn_ivfpq" -> sqlIvfPqOracle(
+      s"""cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |    FROM embeddings WHERE vec_id < $N_CENTROIDS)""".stripMargin,
+      "cents"),
+
+    // IVFADC with the TRAINED coarse quantizer: the knn_ivf_trained Lloyd
+    // chain (two iterations, decimal-exact means) feeds the same IVFADC
+    // machinery — the full production composition, value-oracled
+    // end-to-end.
+    "knn_ivfpq_trained" -> sqlIvfPqOracle(
+      s"""c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
          |    FROM embeddings WHERE vec_id < $N_CENTROIDS),
-         |asg AS (${sqlAssign("cents")}),
-         |probes AS (${sqlProbes("cents")}),
-         |$chains,
-         |$luts,
-         |$sqlPqCodesCte,
-         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid
-         |  WHERE a.vec_id <> p.query_id),
-         |scored AS (SELECT cd.query_id, cd.vec_id,
-         |    round((((l0.p + l1.p) + l2.p) + l3.p) /
-         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-         |       sqrt((((l0.n2 + l1.n2) + l2.n2) + l3.n2))), 6) AS cos
-         |  FROM cand cd
-         |  JOIN codes ON codes.vec_id = cd.vec_id
-         |  JOIN lut0 l0 ON l0.cid = codes.c0 AND l0.query_id = cd.query_id
-         |  JOIN lut1 l1 ON l1.cid = codes.c1 AND l1.query_id = cd.query_id
-         |  JOIN lut2 l2 ON l2.cid = codes.c2 AND l2.query_id = cd.query_id
-         |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = cd.query_id
-         |  JOIN embeddings q ON q.vec_id = cd.query_id)
-         |SELECT query_id, rank, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored) x
-         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
-    },
+         |a0 AS (${sqlAssign("c0")}),
+         |c1 AS (${sqlLloyd("a0")}),
+         |a1 AS (${sqlAssign("c1")}),
+         |c2 AS (${sqlLloyd("a1")})""".stripMargin,
+      "c2"),
 
     // Full value oracle for IVF: the deterministic coarse quantizer (first
     // N_CENTROIDS vectors), nearest-centroid assignment, nprobe probe

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
 
 /** Streaming transforms over the events schema.
   *
@@ -302,37 +302,92 @@ object StreamOps {
     * op: ascending (ts, event_id) processing keeps the larger event_id as
     * the surviving from-state, and equal timestamps never attribute
     * (strict <).
+    *
+    * State GC: with `stateWatermarkDelay = Some(d)` the input gets a
+    * watermark and a held from-event EXPIRES once the watermark passes
+    * fts + gap — a from-event that old can never attribute again (every
+    * future on-time to-event is outside the gap window), so expiry is
+    * output-invariant and per-user state is bounded IN TIME for idle
+    * users, not just in size. With None (default) state is held forever —
+    * the original NoTimeout behavior for un-watermarkable feeds.
     */
   def funnelAttributionStream(events: DataFrame, fromType: String = "click",
-      toType: String = "purchase", maxGapMin: Int = 10):
+      toType: String = "purchase", maxGapMin: Int = 10,
+      stateWatermarkDelay: Option[String] = None):
       Dataset[(Long, Long, Long, Long, Long, Long)] = {
     import events.sparkSession.implicits._
     val gapUs = maxGapMin * 60L * 1000000L
-    val typed = events
+    // the watermarked COLUMN must survive into the fMGWS input or Spark
+    // rejects the event-time timeout — keep etime as a carried 5th field
+    val base = events
       .filter(col("event_type").isin(fromType, toType))
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(eventTime(col("ts"))).as("ts_us"))
-      .as[(Long, Long, String, Long)]
+        unix_micros(eventTime(col("ts"))).as("ts_us"),
+        eventTime(col("ts")).as("etime"))
+    val marked = stateWatermarkDelay.fold(base)(d => base.withWatermark("etime", d))
+    val typed = marked.as[(Long, Long, String, Long, java.sql.Timestamp)]
+    val timeoutConf =
+      if (stateWatermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long, Long, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+        timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long, java.sql.Timestamp)],
             state: GroupState[(Long, Long)]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
-          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
-          var last = state.getOption
-          sorted.foreach { case (_, eid, typ, ts) =>
-            if (typ == fromType) last = Some((ts, eid))
-            else last.foreach { case (fts, fid) =>
-              if (fts < ts && fts >= ts - gapUs)
-                out += ((uid, eid, ts, fid, fts, ts - fts))
+          if (state.hasTimedOut) {
+            // watermark passed fts + gap: this from-event can never
+            // attribute again — drop the state, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+            var last = state.getOption
+            sorted.foreach { case (_, eid, typ, ts, _) =>
+              if (typ == fromType) last = Some((ts, eid))
+              else last.foreach { case (fts, fid) =>
+                if (fts < ts && fts >= ts - gapUs)
+                  out += ((uid, eid, ts, fid, fts, ts - fts))
+              }
             }
+            last.foreach { s =>
+              state.update(s)
+              if (stateWatermarkDelay.isDefined)
+                // must exceed the current watermark or Spark rejects it —
+                // a from-event already older than watermark−gap gets the
+                // minimum legal horizon and expires next batch
+                state.setTimeoutTimestamp(
+                  math.max(s._1 / 1000L + gapUs / 1000L,
+                    state.getCurrentWatermarkMs()) + 1L)
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
+
+  /** STREAMING incremental ingest-dedup — the production shape of
+    * [[graft.operators.DedupOps.minhashPairsAgainst]]: each micro-batch
+    * of incoming docs (doc_id, text) is probed against a FIXED,
+    * precomputed corpus MinHash index
+    * ([[graft.operators.DedupOps.minhashIndex]], computed ONCE outside
+    * the stream and typically persisted) inside foreachBatch; `sink`
+    * receives (batchId, pairs). Because each new doc's pairs depend only
+    * on (corpus, that doc), the union of per-batch pair sets over ANY
+    * micro-batch partitioning of a feed — including one interrupted by a
+    * stop/restart, since foreachBatch replays from the checkpoint offset
+    * — equals the batch op on the whole feed, and the corpus never
+    * re-compares against itself (old×old silent across batches and
+    * restarts). Per-batch cost ∝ batch size + band collisions, not
+    * corpus size. StreamingSpec pins batch-equality across a 3-batch
+    * feed with a mid-feed restart.
+    */
+  def incrementalDedupStream(incoming: DataFrame,
+      corpusIndex: (DataFrame, DataFrame))(
+      sink: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    incoming.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(batchId, graft.operators.DedupOps.minhashPairsAgainst(corpusIndex, batch))
+    }
 
   /** Watermark-expired sessions via flatMapGroupsWithState with
     * EVENT-TIME timeout: per-user event counts are held as state and

@@ -167,14 +167,75 @@ class AnnClusteredSpec extends SparkTestBase {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val ivfpq = SimilarityOps.ivfPqTopK(e, queriesDf(df), cents, 3, TOP_K, ks = 16).collect()
     assert(intra(ivfpq) >= 0.85, s"IVFADC intra-cluster fraction ${intra(ivfpq)}")
-    // larger codebooks buy exact-rank resolution: ks=16 must beat ks=4
-    def exactRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
-      val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
-      (brute & got).size.toDouble / brute.size
-    }
+    // Larger codebooks buy RESOLUTION: the ADC cosine approaches the true
+    // cosine as ks grows. (Exact top-10 recall is NOT monotone in ks here —
+    // with hash-spread seeds a good ks codebook collapses all 49 cluster-
+    // mates onto one code and the rank inside the tie band is arbitrary, so
+    // recall hovers near 10/49 REGARDLESS of ks; the old dense-id seeds
+    // only "showed" recall growth because ids 0..15 all sat in cluster 0,
+    // accidentally buying intra-cluster code diversity.)
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def meanAdcErr(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => math.abs(r.getDouble(3) - cos(byId(r.getLong(0)), byId(r.getLong(2))))).sum / rows.length
     val pq16 = SimilarityOps.pqTopK(e, queriesDf(df), TOP_K, ks = 16).collect()
-    assert(exactRecall(pq16) > exactRecall(pq),
-      s"ks=16 recall ${exactRecall(pq16)} should beat ks=4 ${exactRecall(pq)}")
+    assert(meanAdcErr(pq16) < meanAdcErr(pq),
+      s"ks=16 mean ADC error ${meanAdcErr(pq16)} should be below ks=4 ${meanAdcErr(pq)}")
+  }
+
+  test("trained-coarse IVFADC tracks the flat ADC scan and stays intra-cluster") {
+    // The full production composition (knn_ivfpq_trained's shape): Lloyd-
+    // trained coarse lists prune, ADC scores the survivors. IVFADC is by
+    // construction the flat ADC scan restricted to probed lists, so its
+    // top-k should recover most of flat ADC's top-k (recall@10 vs flat,
+    // the VERDICT-r5 asked-for metric) while keeping the quantization
+    // contract of the flat test above: retrieved neighbors intra-cluster.
+    val df = corpusDf
+    val e = df.select(col("vec_id"), col("embedding"))
+    val stride = N / 16
+    val init = e.filter(col("vec_id") % stride === 0)
+      .select((col("vec_id") / stride).cast("long").as("cid"),
+        col("embedding").as("ce"))
+    val cents = SimilarityOps.trainCentroids(e, init, 2)
+    val flat = SimilarityOps.pqTopK(e, queriesDf(df), TOP_K).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = SimilarityOps.ivfPqTopK(e, queriesDf(df), cents, 3, TOP_K).collect()
+    assert(ivfpq.nonEmpty)
+    val got = ivfpq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallVsFlat = (flat & got).size.toDouble / flat.size
+    assert(recallVsFlat >= 0.8, s"trained-IVFADC recall@10 vs flat ADC = $recallVsFlat")
+    val cluster = vecs.map(v => v._1 -> v._3).toMap
+    val intra = ivfpq.count(r => cluster(r.getLong(0)) == cluster(r.getLong(2))).toDouble / ivfpq.length
+    assert(intra >= 0.85, s"trained-IVFADC intra-cluster fraction $intra")
+  }
+
+  test("PQ training seeds by id hash: an id-offset corpus trains and encodes identically") {
+    // The former seed (`vec_id < ks`) required dense ids from 0; the
+    // hash-bottom-ks seed must be invariant to WHERE the id space sits
+    // only in the sense that it still works — and because the md5 hash is
+    // of the id STRING, shifting every id by a constant changes which
+    // vectors seed, so the invariance we pin is structural: same corpus
+    // under offset ids trains codebooks of the right shape, encodes every
+    // vector, and each code is one of the ks seed-descended codewords.
+    import spark.implicits._
+    val off = 100000L
+    val e = corpusDf.select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val books = SimilarityOps.pqCodebooks(e).collect()
+    assert(books.nonEmpty, "offset-id corpus must train")
+    // every codebook id descends from a seed vec_id in the offset space
+    assert(books.map(_.getLong(1)).forall(_ >= off),
+      "codebook cids must come from the offset id space")
+    val m = 4
+    assert(books.map(_.getInt(0)).toSet == (0 until m).toSet, "all subspaces trained")
+    val codes = SimilarityOps.pqCodes(e)
+    assert(codes.count() == N, "every offset-id vector encodes")
+    val cids = books.map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    codes.collect().foreach { r =>
+      (0 until m).foreach { s =>
+        assert(cids(s).contains(r.getLong(1 + s)),
+          s"code c$s=${r.getLong(1 + s)} not a trained codeword")
+      }
+    }
   }
 
   test("semanticDedup: cluster blocking recovers the intra-cluster 0.9-pairs, never crosses clusters") {

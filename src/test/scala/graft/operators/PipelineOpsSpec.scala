@@ -20,6 +20,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nRemoved == nUnique)
   }
 
+  test("q26_approx_distinct: HLL estimates inside the published rsd bound of exact counts") {
+    // The one gate row the oracle can't hash (HLL registers are engine-
+    // internal): bracket it quantitatively instead. approx_count_distinct
+    // is HLL++ with rsd = 0.02 (standard error); 5 sigma = 10% relative
+    // error is far beyond any plausible estimate drift, and the estimate
+    // is deterministic for fixed data, so this pins a real bound.
+    val r = q("q26_approx_distinct").collect()(0)
+    val exactParts = r.getAs[Long]("exact_parts")
+    val approxParts = r.getAs[Long]("approx_parts")
+    val approxOrders = r.getAs[Long]("approx_orders")
+    val exactOrders = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey").distinct().count()
+    def relErr(approx: Long, exact: Long): Double =
+      math.abs(approx - exact).toDouble / exact
+    assert(relErr(approxParts, exactParts) <= 0.10,
+      s"parts estimate $approxParts vs exact $exactParts outside 5*rsd")
+    assert(relErr(approxOrders, exactOrders) <= 0.10,
+      s"orders estimate $approxOrders vs exact $exactOrders outside 5*rsd")
+  }
+
+  test("tx_stratified_sample: full strata kept exactly, sampled stratum inside CLT bounds") {
+    // The other permanent rows-only gate row (sampleBy = engine-RNG
+    // membership): fraction-1.0 strata must keep EVERY doc (rand() < 1.0
+    // is always true — exact, not statistical), and the 0.25 'en' stratum
+    // must land within 5 sigma of its binomial expectation.
+    val totals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("tx_stratified_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    Seq("de", "es", "fr", "zh").foreach { l =>
+      assert(got(l) == totals(l), s"fraction-1.0 stratum $l: ${got.get(l)} != all ${totals(l)}")
+    }
+    val nEn = totals("en")
+    val sd = math.sqrt(nEn * 0.25 * 0.75)
+    assert(math.abs(got("en") - 0.25 * nEn) <= 5 * sd,
+      s"en stratum ${got("en")} of $nEn outside 0.25 +/- 5 sigma")
+  }
+
   test("stratifiedSampleHash: deterministic membership, fractions honored, absent langs dropped") {
     import spark.implicits._
     val docs = (0 until 4000)
@@ -579,7 +618,14 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(codes.length == 40)
     val byId = codes.map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
     assert(byId(5L) == byId(17L), "identical vectors must encode to identical codes")
-    assert(byId.values.flatten.forall(c => c >= 0 && c < 4))
+    // codes are trained-codeword ids (hash-bottom-ks SEED vec_ids survive
+    // as cids — arbitrary values, not 0..ks-1): check per-subspace membership
+    val cidsBySub = SimilarityOps.pqCodebooks(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(byId.values.forall(_.zipWithIndex.forall {
+      case (c, s) => cidsBySub(s).contains(c)
+    }), "every code must be a trained codeword of its subspace")
     val q = e.filter($"vec_id" < 2).select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val topk = SimilarityOps.pqTopK(e, q, 10).collect()
     assert(topk.length == 20) // 10 per query

@@ -235,6 +235,98 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelAttributionStream with event-time state GC: equals batch, and idle from-state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(min: Long) = min * 60L * 1000000000L
+    val b1 = Seq(EvRow(1, ns(0), 7, "click", 0), EvRow(2, ns(2), 7, "click", 0),
+      EvRow(3, ns(3), 9, "purchase", 0))
+    val b2 = Seq(
+      EvRow(4, ns(8), 7, "purchase", 0),  // attributes to click 2 (6-min gap)
+      EvRow(5, ns(20), 7, "purchase", 0)) // outside the 10-minute gap; advances watermark to 20
+    // batch 3 only advances the watermark (purchase = no new state): user 7's
+    // click@2 timed out at 12 min < the batch-start watermark of 20 min
+    val b3 = Seq(EvRow(6, ns(60), 9, "purchase", 0))
+    val input = MemoryStream[EvRow]
+    val q = funnelAttributionStream(input.toDS().toDF(),
+        stateWatermarkDelay = Some("0 seconds"))
+      .toDF("user_id", "to_id", "to_us", "from_id", "from_us", "gap_us")
+      .writeStream.format("memory").queryName("funnel_gc_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val got = spark.table("funnel_gc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSet
+      // expiry is output-invariant: same attributions as the batch op
+      val batch = funnelAttribution((b1 ++ b2 ++ b3).toDF(), maxGapMin = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set((7L, 4L, 2L, 6L * 60L * 1000000L)))
+      // ...and the held from-state is GONE once the watermark passes
+      // fts + gap — the bounded-in-time claim, observed via the state store
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 0, s"expected all funnel state expired, found $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("incrementalDedupStream: batch-wise probes of a fixed corpus index union to the batch op across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, text: String): (Long, String, Int, String) =
+      (id, "en", text.length, text)
+    val baseText = "the quick brown fox jumps over the lazy dog while the " +
+      "spotted cat watches quietly from the warm stone windowsill every " +
+      "single morning before the busy village market slowly opens its gates"
+    val corpus = Seq(
+      doc(1, baseText),
+      doc(2, "entirely different content describing shuffle partitioning " +
+        "strategies and broadcast joins for large scale distributed " +
+        "analytics engines running on many executors"),
+      doc(3, baseText.replace("morning", "evening"))
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    // the production shape: corpus index computed ONCE, persisted, probed
+    // by every micro-batch — the corpus is never re-shingled per batch
+    val index = graft.operators.DedupOps.minhashIndex(corpus)
+    index._1.persist(); index._2.persist()
+    val b1 = Seq(doc(101, baseText.replace("quick", "sneaky"))) // near-dup of 1,3
+    val b2 = Seq(doc(102, "totally unrelated text about counter based " +
+      "random number generation for reproducible monte carlo simulation " +
+      "of geometric brownian motion trajectories")) // no pairs
+    val b3 = Seq(doc(103, baseText)) // EXACT text of doc 1 (jac 1.0 — guaranteed pair)
+    val input = MemoryStream[(Long, String, Int, String)]
+    val buf = new scala.collection.concurrent.TrieMap[(Long, Long), Double]()
+    val ckpt = java.nio.file.Files.createTempDirectory("inc_dedup_ckpt").toString
+    def start() = incrementalDedupStream(
+        input.toDS().toDF("doc_id", "lang", "n_chars", "text"), index) {
+      (_, pairs) =>
+        pairs.collect().foreach(r => buf((r.getLong(0), r.getLong(1))) = r.getDouble(2))
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      val q1 = start()
+      input.addData(b1: _*); q1.processAllAvailable()
+      input.addData(b2: _*); q1.processAllAvailable()
+      q1.stop() // restart mid-feed: batch 3 arrives while the stream is down
+      input.addData(b3: _*)
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      // union of per-batch pair sets == the batch op on the whole feed
+      val batchTwin = graft.operators.DedupOps.minhashPairsAgainst(
+          corpus, (b1 ++ b2 ++ b3).toDF("doc_id", "lang", "n_chars", "text"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(buf.toMap == batchTwin, s"stream ${buf.toMap} vs batch $batchTwin")
+      // non-vacuous: the exact-text copy MUST pair with its corpus original
+      assert(buf.contains((1L, 103L)), s"expected (1,103) in ${buf.keySet}")
+      // and the corpus never pairs against itself (old x old silent):
+      // docs 1 and 3 are near-dups of each other but never appear as a pair
+      assert(buf.keySet.forall { case (_, n) => n >= 101L },
+        s"corpus-side doc leaked into the new side: ${buf.keySet}")
+    } finally {
+      index._1.unpersist(); index._2.unpersist()
+    }
+  }
+
   test("enrichEvents: stream-static join enriches each micro-batch statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
