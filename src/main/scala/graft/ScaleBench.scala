@@ -33,23 +33,39 @@ object ScaleBench {
   private val COPIES = 10
   private val SHIFT = 100000000L
 
-  private def buildCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val exists = new java.io.File(s"$outDir/lineitem.parquet/_SUCCESS").isFile
-    if (exists) { println(s"[scale] reusing corpus at $outDir"); return }
-    println(s"[scale] building ${COPIES}x corpus at $outDir")
+  /** Per-copy 1:1 letter map: rotation over the 9 most frequent letters
+    * COMPOSED with an independent rotation over the next 8 — 9×8 = 72
+    * distinct maps, so corpora up to 72 copies never repeat a map (a
+    * single 9-letter rotation repeats at copy 9, which would plant exact
+    * cross-copy text duplicates and corrupt the growth measurement).
+    */
+  private val alpha = "etaoinshr"
+  private val alpha2 = "dlucmfwy"
+  private def substituted(i: Int): org.apache.spark.sql.Column = {
+    val r1 = i % alpha.length
+    val r2 = (i / alpha.length) % alpha2.length
+    val t1 = translate(col("text"), alpha, alpha.drop(r1) + alpha.take(r1))
+    if (r2 == 0) t1 else translate(t1, alpha2, alpha2.drop(r2) + alpha2.take(r2))
+  }
 
-    // documents: per-copy substitution over the 9 most frequent letters
-    // (rotation i) rewrites most words, so shingles/minhashes/simhashes of
-    // different copies are unrelated — each copy is an independent corpus
-    // with the SAME internal near-dup structure (a 1:1 letter map preserves
-    // within-copy shingle equality exactly).
-    val alpha = "etaoinshr"
+  private def buildCorpus(spark: SparkSession, sfDir: String, outDir: String,
+      copies: Int = COPIES, tables: Set[String] =
+        Set("documents", "embeddings", "events", "orders", "lineitem")): Unit = {
+    val doneTable = if (tables("lineitem")) "lineitem" else tables.min
+    val exists = new java.io.File(s"$outDir/$doneTable.parquet/_SUCCESS").isFile
+    if (exists) { println(s"[scale] reusing corpus at $outDir"); return }
+    println(s"[scale] building ${copies}x corpus at $outDir (${tables.mkString(",")})")
+
+    // documents: per-copy substitution (see [[substituted]]) rewrites most
+    // words, so shingles/minhashes/simhashes of different copies are
+    // unrelated — each copy is an independent corpus with the SAME internal
+    // near-dup structure (a 1:1 letter map preserves within-copy shingle
+    // equality exactly).
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until COPIES).map { i =>
-      val to = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+    if (tables("documents")) (0 until copies).map { i =>
       docs.select(
         (col("doc_id") + lit(i * SHIFT)).as("doc_id"),
-        (if (i == 0) col("text") else translate(col("text"), alpha, to)).as("text"),
+        (if (i == 0) col("text") else substituted(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -59,7 +75,7 @@ object ScaleBench {
     // within-copy cosine structure survives (near-dups stay near-dups)
     // while cross-copy cosines collapse toward 0 (E[s_i·s_j] = 0).
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until COPIES).map { i =>
+    if (tables("embeddings")) (0 until copies).map { i =>
       val scaled =
         if (i == 0) col("embedding")
         else transform(col("embedding"), (x, j) =>
@@ -71,7 +87,7 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    (0 until COPIES).map { i =>
+    if (tables("events")) (0 until copies).map { i =>
       events.select((col("event_id") + lit(i * SHIFT)).as("event_id"), col("ts"),
         (col("user_id") + lit(i * SHIFT)).as("user_id"),
         col("event_type"), col("value"), col("props"))
@@ -79,14 +95,14 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    (0 until COPIES).map { i =>
+    if (tables("orders")) (0 until copies).map { i =>
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * SHIFT))
         .withColumn("o_custkey", col("o_custkey") + lit(i * SHIFT))
     }.reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    (0 until COPIES).map { i =>
+    if (tables("lineitem")) (0 until copies).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * SHIFT))
         .withColumn("l_partkey", col("l_partkey") + lit(i * SHIFT))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * SHIFT))
@@ -182,6 +198,67 @@ object ScaleBench {
     println(s"""{"metric":"scale10x","copies":$COPIES,"queries":$json}""")
   }
 
+  /** Three-point growth CURVE (1×/10×/30×) for the three headline bucketed
+    * claims — two points bound a ratio, three fit an exponent. Prints the
+    * per-scale min-of-two timings and the least-squares slope of
+    * log(time) vs log(scale): slope ≈ 1 is the linear-growth claim, the
+    * quadratic anchor would show ≈ 2. 30× tables are built only for what
+    * these ops read (documents/embeddings/events).
+    */
+  private def runCurve(spark: SparkSession, sfDir: String): Unit = {
+    val tenxDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
+    val thirtyDir = sys.env.getOrElse("SPARK_GRAFT_SCALE30_DIR", "/tmp/graft_scale30x")
+    val tables = Set("documents", "embeddings", "events")
+    buildCorpus(spark, sfDir, tenxDir)
+    buildCorpus(spark, sfDir, thirtyDir, copies = 30, tables = tables)
+    Seq(sfDir, tenxDir, thirtyDir).foreach { d =>
+      tables.foreach(t => spark.read.parquet(s"$d/$t.parquet").count())
+    }
+    // Queries take the SCALE so LSH can demonstrate the production knob:
+    // with bits FIXED the 2^bits buckets saturate as n grows and candidate
+    // verification degrades toward n²/2^bits (visible in the fixed-config
+    // row's 10×→30× segment); scaling bits ≈ 12 + log2(scale) keeps bucket
+    // occupancy constant and the growth near-linear. Narrower buckets
+    // lower per-table recall (found-pair counts reported alongside) — a
+    // production deployment also grows `tables` to hold the recall target;
+    // the cost model is n·tables·bits for signatures + occupancy·n for
+    // candidates, both linear in n at constant occupancy.
+    def scaledBits(k: Double): Int =
+      NP9_BITS + math.round(math.log(k) / math.log(2)).toInt
+    val curveQueries: Seq[(String, (SparkSession, String, Double) => DataFrame)] = Seq(
+      "near_pairs_lsh_09" -> ((s: SparkSession, d: String, _: Double) =>
+        SimilarityOps.nearPairsLsh(s.read.parquet(s"$d/embeddings.parquet"), 0.9,
+          NP9_BITS, NP9_TABLES, NP9_SEED)),
+      "near_pairs_lsh_09_scaledbits" -> ((s: SparkSession, d: String, k: Double) =>
+        SimilarityOps.nearPairsLsh(s.read.parquet(s"$d/embeddings.parquet"), 0.9,
+          scaledBits(k), NP9_TABLES, NP9_SEED)),
+      "tx_chunk_dedup" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("tx_chunk_dedup")(s, d)),
+      "ev_heavy_hitters" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("ev_heavy_hitters")(s, d)))
+    val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
+    println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
+    println("|---|---|---|---|---|---|")
+    val rows = curveQueries.map { case (name, fn) =>
+      val ts = scales.map { case (k, d) =>
+        (k, time2(fn(spark, d, k)), fn(spark, d, k).count()) }
+      // least-squares slope of log t over log k
+      val pts = ts.map { case (k, t, _) => (math.log(k), math.log(t)) }
+      val n = pts.size
+      val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+        pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      println(f"| $name | ${ts(0)._2}%.3f | ${ts(1)._2}%.3f | ${ts(2)._2}%.3f | $slope%.2f " +
+        f"| ${ts(0)._3}/${ts(1)._3}/${ts(2)._3} |")
+      (name, ts, slope)
+    }
+    val json = rows.map { case (n, ts, slope) =>
+      f""""$n":{"s1":${ts(0)._2}%.3f,"s10":${ts(1)._2}%.3f,"s30":${ts(2)._2}%.3f,""" +
+        f""""exponent":$slope%.2f,"rows":[${ts(0)._3},${ts(1)._3},${ts(2)._3}]}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scalecurve","queries":$json}""")
+  }
+
   private def runSimDemo(spark: SparkSession): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-simdemo")
     val specs = Seq(
@@ -218,8 +295,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "corpus10x" => runCorpus10x(spark, sfDir)
+      case "curve" => runCurve(spark, sfDir)
       case "simdemo" => runSimDemo(spark)
-      case other => sys.error(s"unknown mode $other (corpus10x | simdemo)")
+      case other => sys.error(s"unknown mode $other (corpus10x | curve | simdemo)")
     }
     spark.stop()
   }

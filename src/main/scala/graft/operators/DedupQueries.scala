@@ -56,7 +56,10 @@ object DedupQueries {
         .orderBy("lang")
     }),
     // PageRank over the near-dup graph: which docs center a duplicate
-    // neighborhood (2 iterations, the oracle-unrolled configuration).
+    // neighborhood (GraphOps.PrIters iterations — the oracle unrolls the
+    // SAME constants, so op and oracle cannot desync). Domain note: ranks
+    // cover only docs appearing in a near-dup pair (see GraphOps.pageRank
+    // scaladoc) — isolated docs have no duplicate neighborhood to rank.
     "dd_pagerank" -> ((s, d) =>
       GraphOps.pageRank(DedupOps.minhashPairs(t(s, d, "documents")))),
     // Exact decontamination: benchmark = every 50th doc; the anti join
@@ -120,13 +123,20 @@ object DedupQueries {
     // One PageRank step as SQL text: per-edge contributions decimal-fixed
     // at round 12 before the sum (order-independent), one double
     // multiply-add + round(·,12) per node — mirrors GraphOps.pageRank.
+    // Damping and the unrolled iteration count come from GraphOps'
+    // PUBLIC constants (Double.toString round-trips, so the SQL literal
+    // is the identical double).
+    val prD = GraphOps.PrDamping
     def prIter(prev: String): String =
       s"""SELECT e.dst AS doc_id,
-         |    round((1.0 - 0.85) / CAST(nn.n AS DOUBLE) +
-         |      0.85 * CAST(SUM(CAST(round(p.pr / CAST(d.deg AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE), 12) AS pr
+         |    round((1.0 - $prD) / CAST(nn.n AS DOUBLE) +
+         |      $prD * CAST(SUM(CAST(round(p.pr / CAST(d.deg AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE), 12) AS pr
          |  FROM edges e JOIN $prev p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
          |  CROSS JOIN nn GROUP BY e.dst, nn.n""".stripMargin
 
+    val prChain = (1 to GraphOps.PrIters)
+      .map(i => s"it$i AS (${prIter(if (i == 1) "pr0" else s"it${i - 1}")})")
+      .mkString(",\n")
     val pagerankOracle =
       s"""WITH $minhashCtes,
          |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
@@ -136,9 +146,8 @@ object DedupQueries {
          |nn AS (SELECT COUNT(*) AS n FROM deg),
          |pr0 AS (SELECT src AS doc_id, round(1.0 / CAST(nn.n AS DOUBLE), 12) AS pr
          |        FROM deg, nn),
-         |it1 AS (${prIter("pr0")}),
-         |it2 AS (${prIter("it1")})
-         |SELECT doc_id, pr FROM it2 ORDER BY doc_id""".stripMargin
+         |$prChain
+         |SELECT doc_id, pr FROM it${GraphOps.PrIters} ORDER BY doc_id""".stripMargin
 
     // Incremental variant: the Spark side restricts the band join to
     // old×new; post-filtering the all-pairs jacs to cross-corpus pairs is

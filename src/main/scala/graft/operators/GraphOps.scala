@@ -27,12 +27,28 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraphOps {
 
+  /** Default PageRank configuration — PUBLIC so the gate oracle derives
+    * its unrolled iteration count and damping literal from the same
+    * constants the operator defaults to (changing either here re-shapes
+    * the DedupQueries oracle with it; they cannot silently desync).
+    */
+  val PrIters = 2
+  val PrDamping = 0.85
+
   /** PageRank over an undirected pair graph `(doc_a, doc_b)` (each
     * undirected edge contributes both directions; every node therefore
     * has out-degree ≥ 1, so there are no dangling-mass corrections).
-    * Returns (doc_id, pr) for every node that appears in an edge.
+    *
+    * DOMAIN: returns (doc_id, pr) only for nodes appearing in at least
+    * one edge — ranks are initialized from the degree table, so isolated
+    * documents are absent and the teleport mass is normalized over
+    * edge-touching nodes. That is the right domain for dup-neighborhood
+    * centrality (an isolated doc has no duplicate neighborhood to rank);
+    * callers wanting corpus-wide centrality must union the isolated docs
+    * back with rank (1−d)/n themselves.
     */
-  def pageRank(pairs: DataFrame, iters: Int = 2, damping: Double = 0.85): DataFrame = {
+  def pageRank(pairs: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping): DataFrame = {
     OpContract.requireCols(pairs, "GraphOps.pageRank", "doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -365,4 +365,27 @@ object SketchOps {
       .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
       .orderBy("col_name")
   }
+
+  /** TYPED profiler variant: ONE wide row with per-column
+    * `n_<c>` / `n_null_<c>` / `min_<c>` / `max_<c>` aggregates in each
+    * column's ORIGINAL type — no string rendering anywhere, so
+    * non-integral doubles, timestamps and decimals come back as exact
+    * values instead of engine-formatted text ([[profile]]'s rows-per-
+    * column report needs one shared column type and keeps the string
+    * form; its rendering is dialect-identical only for the curated gate
+    * types). Programmatic consumers should prefer this variant. Same
+    * scale shape as the min/max pass of [[profile]]: one all-map-side
+    * aggregate, no Expand, no shuffle beyond the final single-row merge.
+    */
+  def profileTyped(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "profileTyped needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -20,6 +20,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nRemoved == nUnique)
   }
 
+  test("profileTyped: min/max keep their original types and exact values") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+    val df = Seq(
+      (1L, 0.1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.000001"), Option("a")),
+      (2L, -3.75, java.sql.Timestamp.valueOf("2024-06-15 12:00:00.5"), Option.empty[String]),
+      (3L, 2.5, java.sql.Timestamp.valueOf("2023-12-31 23:59:59.999999"), Option("c")))
+      .toDF("id", "x", "ts", "s")
+    val r = SketchOps.profileTyped(df).collect()(0)
+    val schema = SketchOps.profileTyped(df).schema
+    // original types survive — the string-rendering caveat of profile()
+    // does not apply here
+    assert(schema("min_x").dataType == DoubleType)
+    assert(schema("max_id").dataType == LongType)
+    assert(schema("min_ts").dataType == TimestampType)
+    assert(r.getAs[Long]("n_id") == 3 && r.getAs[Long]("n_null_s") == 1)
+    assert(r.getAs[Double]("min_x") == -3.75 && r.getAs[Double]("max_x") == 2.5)
+    assert(r.getAs[java.sql.Timestamp]("min_ts") ==
+      java.sql.Timestamp.valueOf("2023-12-31 23:59:59.999999"))
+    assert(r.getAs[String]("min_s") == "a" && r.getAs[String]("max_s") == "c")
+  }
+
   test("q26_approx_distinct: HLL estimates inside the published rsd bound of exact counts") {
     // The one gate row the oracle can't hash (HLL registers are engine-
     // internal): bracket it quantitatively instead. approx_count_distinct

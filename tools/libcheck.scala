@@ -34,6 +34,7 @@ def runLibcheck(): Unit = {
     require(n > 0, s"$name returned 0 rows")
     println(f"$name%-32s ${n}%8d rows")
   }
+  val bloomDimEarly = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
 
   // text analysis
   check("TextOps.tokenStats")(TextOps.tokenStats(docs))
@@ -64,12 +65,20 @@ def runLibcheck(): Unit = {
     SketchOps.histQuantiles(events, col("value"), 8L, 1024, Seq(500, 950)))
   check("SketchOps.profile")(SketchOps.profile(
     events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))))
+  check("SketchOps.profileTyped")(SketchOps.profileTyped(
+    events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))))
+  check("SketchOps.cmsCounters")(
+    SketchOps.cmsCounters(events, col("user_id"), 4, 1024))
+  check("SketchOps.cmsTopKEstimates")(
+    SketchOps.cmsTopKEstimates(events, col("user_id"), 4, 1024, 5))
+  check("SketchOps.bloomPositions")(
+    SketchOps.bloomPositions(bloomDimEarly, col("doc_id"), 1024, 3))
   check("SketchOps.exactQuantileRefine")(
     SketchOps.exactQuantileRefine(events, col("value"), "event_type",
       8L, 1024, Seq(500, 950)))
   check("StreamOps.latestByKey")(StreamOps.latestByKey(
     events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
-  val bloomDim = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+  val bloomDim = bloomDimEarly
   val bloomMask = SketchOps.bloomBits(bloomDim, col("doc_id"), 1024, 3)
   check("SketchOps.bloomMayContain")(
     docs.filter(SketchOps.bloomMayContain(col("doc_id"), bloomMask, 1024, 3)))
@@ -93,6 +102,26 @@ def runLibcheck(): Unit = {
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
   check("SimilarityOps.bruteTopK")(SimilarityOps.bruteTopK(embs, queries, 5))
+  // column-expression surfaces: drive through a select over the corpus
+  check("SimilarityOps.cosine")(embs.limit(20).crossJoin(
+      embs.limit(1).select(col("embedding").as("e2")))
+    .select(SimilarityOps.cosine(col("embedding"), col("e2")).as("cos")))
+  check("SimilarityOps.lshSignature")(
+    embs.select(SimilarityOps.lshSignature(col("embedding"), 4241L).as("sig")))
+  val cents16 = embs.filter(col("vec_id") < 16)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+  check("SimilarityOps.assignToCentroids")(
+    SimilarityOps.assignToCentroids(embs, cents16))
+  val trained = SimilarityOps.trainCentroids(embs, cents16, 1)
+  check("SimilarityOps.trainCentroids")(trained)
+  check("SimilarityOps.ivfTopK")(
+    SimilarityOps.ivfTopK(embs, queries, trained, 3, 5))
+  check("SimilarityOps.ivfPqTopK (trained coarse)")(
+    SimilarityOps.ivfPqTopK(embs, queries, trained, 3, 5))
+  check("SimilarityOps.pqCodebooks")(SimilarityOps.pqCodebooks(embs))
+  check("SimilarityOps.nearPairs")(SimilarityOps.nearPairs(embs, 0.3))
+  check("SimilarityOps.nearPairsLsh")(
+    SimilarityOps.nearPairsLsh(embs, 0.3, 4, 48, 4241L))
   check("SimilarityOps.quantizeInt8")(SimilarityOps.quantizeInt8(embs))
   check("SimilarityOps.lshTopK")(SimilarityOps.lshTopK(embs, queries, 5))
   check("SimilarityOps.randomProjection")(SimilarityOps.randomProjection(embs))
@@ -126,6 +155,28 @@ def runLibcheck(): Unit = {
   check("TextOps.normalizeText")(TextOps.normalizeText(docs))
   check("DedupOps.minhashPairsAgainst")(DedupOps.minhashPairsAgainst(
     docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0)))
+  // precomputed-index incremental form: index once, probe per batch
+  val mhIndex = DedupOps.minhashIndex(docs.filter(col("doc_id") % 7 =!= 0))
+  check("DedupOps.minhashIndex")(mhIndex._2)
+  check("DedupOps.minhashPairsAgainst (index)")(DedupOps.minhashPairsAgainst(
+    mhIndex, docs.filter(col("doc_id") % 7 === 0)))
+  check("TextOps.applyMixtureRows")(TextOps.applyMixtureRows(docs))
+  check("TextOps.bowFingerprint")(TextOps.bowFingerprint(docs))
+  check("TextOps.stratifiedSample")(
+    TextOps.stratifiedSample(docs, Map("en" -> 0.5, "de" -> 1.0), 42L))
+  check("LayoutOps.zorder16")(events.select(graft.operators.LayoutOps.zorder16(
+    pmod(col("user_id"), lit(65536L)), pmod(col("event_id"), lit(65536L))).as("z")))
+  // streaming-definition ops runnable in batch mode (same code, one engine)
+  check("StreamOps.clickErrorJoin")(StreamOps.clickErrorJoin(
+    events.filter(col("event_type") === "click"),
+    events.filter(col("event_type") === "error")))
+  check("StreamOps.funnelAttributionStream (batch run)")(
+    StreamOps.funnelAttributionStream(events, maxGapMin = 120).toDF(
+      "user_id", "to_id", "to_us", "from_id", "from_us", "gap_us"))
+  check("MediaOps.resizeToFit")(MediaOps.resizeToFit(
+    MediaStub.decodeAll(spark, docs.limit(50)).toDF()))
+  check("MediaOps.frameSample")(
+    MediaOps.frameSample(MediaStub.withPayload(docs.limit(50))))
   // engine core: simulate on the default family (real PCG64) + parity sink
   val out = java.nio.file.Files.createTempDirectory("graft-libcheck")
   val specs = Seq(SimulationSpec(0, "coin_sequence", 100, 16, Seq(0.5), Nil,
