@@ -62,6 +62,32 @@ object DedupOps {
         count(lit(1)).as("n_unique"),
         (sum(col("copies")) - count(lit(1))).as("n_removed"))
 
+  /** Snapshot diff between two corpus VERSIONS keyed by doc_id — the
+    * dataset-versioning audit a recurring crawl refresh runs before
+    * promoting a new snapshot: per-doc status `added` (id only in new),
+    * `removed` (only in old), `changed` (both, digest differs),
+    * `unchanged`. Output: (doc_id, status), one row per id in either
+    * version.
+    *
+    * Scale shape: both sides collapse to (doc_id, 128-bit digest) BEFORE
+    * the full-outer hash join — the join ships 24-byte rows, never text;
+    * no window, no sort, one shuffle on the id key each side (colocated
+    * for free if both snapshots are bucketed/partitioned by doc_id, the
+    * layout a versioned corpus store would use).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    OpContract.requireCols(oldDocs, "DedupOps.snapshotDiff old", "doc_id", "text")
+    OpContract.requireCols(newDocs, "DedupOps.snapshotDiff new", "doc_id", "text")
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_digest"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Exact cross-corpus decontamination: drop every corpus document whose
     * text digest appears in `blocklist` (a benchmark/eval set) — the
     * exact-match half of decontamination next to

@@ -62,6 +62,19 @@ object DedupQueries {
     // scaladoc) — isolated docs have no duplicate neighborhood to rank.
     "dd_pagerank" -> ((s, d) =>
       GraphOps.pageRank(DedupOps.minhashPairs(t(s, d, "documents")))),
+    // Snapshot diff: two deterministic corpus versions carved from the
+    // documents table — every 13th doc exists only in the new snapshot
+    // (added), every 10th only in the old (removed), every 7th has its
+    // text edited in the new version (changed) — per-doc status audit.
+    "dd_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldV = docs.filter(col("doc_id") % 13 =!= 0)
+      val newV = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      DedupOps.snapshotDiff(oldV, newV).orderBy("doc_id")
+    }),
     // Exact decontamination: benchmark = every 50th doc; the anti join
     // drops those docs AND any exact-text duplicate of them from the
     // corpus, summarized per language.
@@ -173,6 +186,20 @@ object DedupQueries {
           |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept,
           |  MAX(doc_id) AS max_kept
           |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+      // Snapshot diff: digest inequality only (never emitted), so the
+      // md5 rendering itself needs no cross-engine contract beyond
+      // determinism per engine.
+      "dd_snapshot_diff" ->
+        """WITH oldv AS (SELECT doc_id, md5(text) AS od FROM documents WHERE doc_id % 13 <> 0),
+          |newv AS (SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nd
+          |  FROM documents WHERE doc_id % 10 <> 0)
+          |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       WHEN od <> nd THEN 'changed' ELSE 'unchanged' END AS status
+          |FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "dd_exact" ->
         """WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
           |cl AS (SELECT md5(text) AS digest, COUNT(*) AS copies, MIN(doc_id) AS keep_id

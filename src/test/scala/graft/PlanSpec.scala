@@ -25,6 +25,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate"), p)
   }
 
+  test("IVFADC: the query-LUT side broadcasts; candidate pruning never degrades to a nested loop") {
+    // The serving-shape claim on ivfPqTopK: the LUT and codes joins are
+    // EQUALITY-keyed with the small side broadcast (BroadcastHashJoin),
+    // and nothing in the plan falls back to an unbroadcast cartesian.
+    // BroadcastNestedLoopJoin DOES legitimately appear — twice — as the
+    // all-pairs centroid scoring (corpus/query × k-row broadcast centroid
+    // table, the assignToCentroids/probe shape): a k-row build side at
+    // any corpus scale, not a hazard.
+    val p = plan("knn_ivfpq_trained")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("snapshot diff ships digests, not text: no text column survives into the join") {
+    // The 24-byte-rows claim on snapshotDiff: both sides project to
+    // (doc_id, digest) BEFORE the full-outer join, so the join operator's
+    // schema must not reference the text column.
+    val p = plan("dd_snapshot_diff")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin"))
+      .orElse(p.linesIterator.find(_.contains("Join")))
+    assert(joinLine.isDefined, p)
+    assert(!joinLine.get.contains("text"), joinLine.get)
+  }
+
   test("temporal as-of lookup joins on the equality key, never a nested loop") {
     // the interval predicate must ride an equality-keyed join (broadcast
     // here, SMJ at scale) as a join filter — a planner regression to

@@ -42,6 +42,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[String]("min_s") == "a" && r.getAs[String]("max_s") == "c")
   }
 
+  test("snapshotDiff: statuses partition the union of both id spaces") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "c edited"), (4L, "d")).toDF("doc_id", "text")
+    val m = DedupOps.snapshotDiff(oldV, newV).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), m.toString)
+    // identity: diffing a snapshot against itself is all-unchanged
+    val self = DedupOps.snapshotDiff(oldV, oldV).collect().map(_.getString(1))
+    assert(self.forall(_ == "unchanged") && self.length == 3)
+  }
+
   test("q26_approx_distinct: HLL estimates inside the published rsd bound of exact counts") {
     // The one gate row the oracle can't hash (HLL registers are engine-
     // internal): bracket it quantitatively instead. approx_count_distinct

@@ -91,6 +91,8 @@ def runLibcheck(): Unit = {
     DedupOps.nearDupClustersStar(DedupOps.minhashPairs(docs)))
   check("DedupOps.antiJoinDedup")(
     DedupOps.antiJoinDedup(docs, docs.filter(col("doc_id") % 50 === 0)))
+  check("DedupOps.snapshotDiff")(DedupOps.snapshotDiff(
+    docs.filter(col("doc_id") % 13 =!= 0), docs.filter(col("doc_id") % 10 =!= 0)))
   check("DedupOps.containmentPairs")(DedupOps.containmentPairs(docs))
   check("DedupOps.keepCanonical")(DedupOps.keepCanonical(docs,
     DedupOps.nearDupClusters(DedupOps.minhashPairs(docs))))
