@@ -293,6 +293,27 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Per-group document cap — the "at most N pages per domain" crawl
+    * rule (and the generic best-N-per-key selector): keep the top `n`
+    * rows of each group by `ord` DESCENDING with the deterministic
+    * doc_id tie-break. One key shuffle + a per-group rank window; groups
+    * rank independently in parallel, so work per task is bounded by
+    * group size. Under pathological group skew (one domain holding a
+    * large fraction of the corpus) identify the hot groups first with
+    * [[SketchOps.cmsHeavyHitters]] and cap them via the orderBy+limit
+    * (TakeOrderedAndProject) shape per hot group — the
+    * `cmsTopKEstimates` lesson applied per key.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, ord: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"capPerGroup needs n >= 1, got $n")
+    OpContract.requireCols(docs, "TextOps.capPerGroup", "doc_id", groupCol)
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord.desc, col("doc_id"))
+    docs.withColumn("grp_rank", row_number().over(w))
+      .filter(col("grp_rank") <= n)
+      .drop("grp_rank")
+  }
+
   def stratifiedSample(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
     OpContract.requireCols(docs, "TextOps.stratifiedSample", "lang").stat.sampleBy("lang", fractions, seed)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))

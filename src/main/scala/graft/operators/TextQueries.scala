@@ -56,6 +56,12 @@ object TextQueries {
     "tx_stratified_hash" -> ((s, d) =>
       TextOps.stratifiedSampleHash(t(s, d, "documents"),
         Map("en" -> 0.25, "de" -> 0.5, "es" -> 1.0, "fr" -> 0.75))),
+    // Per-source cap: at most 3 docs per source, best by n_chars
+    // (doc_id tie-break) — the "max N pages per domain" crawl rule.
+    "tx_cap_per_source" -> ((s, d) =>
+      TextOps.capPerGroup(t(s, d, "documents"), "source", col("n_chars"), 3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("source", "doc_id")),
     "tx_train_val_test" -> ((s, d) => TextOps.trainValTest(t(s, d, "documents"))),
     "tx_fingerprint" -> ((s, d) => TextOps.bowFingerprint(t(s, d, "documents"))),
     // The test corpus carries no natural PII, so the binding plants a
@@ -282,6 +288,13 @@ object TextQueries {
          |SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc,
          |  MAX(doc_id) AS max_doc
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "tx_cap_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
     "tx_topterms" ->
       """WITH tw AS (SELECT DISTINCT lang, doc_id, term FROM (
         |    SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term

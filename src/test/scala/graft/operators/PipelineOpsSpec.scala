@@ -42,6 +42,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[String]("min_s") == "a" && r.getAs[String]("max_s") == "c")
   }
 
+  test("capPerGroup: keeps exactly the best n per group with deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
+      (5L, "b", 7)).toDF("doc_id", "source", "n_chars")
+    val kept = TextOps.capPerGroup(docs, "source", col("n_chars"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group a: ties at 30 break by doc_id (2 then 3); 10 and 5 capped out.
+    // group b: under the cap, kept whole.
+    assert(kept == Set(2L, 3L, 5L), kept.toString)
+    // cap >= group size is the identity
+    assert(TextOps.capPerGroup(docs, "source", col("n_chars"), 10).count() == 5)
+  }
+
   test("snapshotDiff: statuses partition the union of both id spaces") {
     import spark.implicits._
     val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

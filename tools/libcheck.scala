@@ -50,6 +50,7 @@ def runLibcheck(): Unit = {
     docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
   check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
+  check("TextOps.capPerGroup")(TextOps.capPerGroup(docs, "source", col("n_chars"), 3))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
   check("TextOps.bigramPerplexity")(TextOps.bigramPerplexity(docs))
   check("TextOps.mixWeights")(TextOps.mixWeights(docs))
