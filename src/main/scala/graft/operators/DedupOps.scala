@@ -339,6 +339,44 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Detector evaluation: precision / recall / F1 of a predicted near-dup
+    * pair table against an exact-truth pair table — the dedup counterpart
+    * of [[SimilarityOps.annRecall]], and the measurement loop a production
+    * dedup deployment runs on sampled shards before trusting a cheap
+    * detector (simhash, banding config, threshold choice) on the full
+    * corpus. Both inputs are (doc_a, doc_b, …) canonical pair tables
+    * (doc_a < doc_b, as every pair op here emits).
+    *
+    * All three ratios are SINGLE correctly-rounded divisions of exact
+    * integer counts (F1 uses the algebraic form 2·hits/(|P|+|T|), one
+    * division, not 2pr/(p+r) which would chain three roundings) — so the
+    * row is deterministic cross-engine and cross-partitioning. Empty
+    * sides yield NULL ratios rather than an engine-specific 0/0.
+    *
+    * Scale shape: pair tables carry ids only (16-byte rows); one
+    * (doc_a, doc_b) semi join + three map-side count aggregates to a
+    * single row — no text, no wide rows, no driver loop.
+    */
+  def dedupEval(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    OpContract.requireCols(predicted, "DedupOps.dedupEval predicted", "doc_a", "doc_b")
+    OpContract.requireCols(truth, "DedupOps.dedupEval truth", "doc_a", "doc_b")
+    val p = predicted.select("doc_a", "doc_b")
+    val t = truth.select("doc_a", "doc_b")
+    val np = p.agg(count(lit(1)).as("n_predicted"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nh = p.join(t, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    np.crossJoin(nt).crossJoin(nh) // three 1-row sides — scalar broadcast
+      .select(col("n_predicted"), col("n_truth"), col("n_hits"),
+        when(col("n_predicted") > 0,
+          col("n_hits").cast("double") / col("n_predicted")).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth")).as("recall"),
+        when(col("n_predicted") + col("n_truth") > 0,
+          (col("n_hits") * 2).cast("double") /
+            (col("n_predicted") + col("n_truth"))).as("f1"))
+  }
+
   /** Near-dup CLUSTERS from a pair list — the step that turns pairwise
     * similarity into a keep-one-per-group dedup decision: connected
     * components over the (doc_a, doc_b) graph, each doc labeled with the

@@ -43,6 +43,15 @@ object DedupQueries {
     "dd_clusters_star" -> ((s, d) =>
       DedupOps.nearDupClustersStar(DedupOps.minhashPairs(t(s, d, "documents")))),
     "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))),
+    // Detector eval: how well does the cheap simhash detector recover the
+    // exact n-gram-Jaccard ≥ 0.3 truth pairs? (minhashPairs would be
+    // uninformative here — it exact-verifies candidates, so its precision
+    // is 1.0 by construction; simhash is the genuinely lossy detector.)
+    "dd_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.dedupEval(
+        DedupOps.simhashPairs(docs), DedupOps.ngramJaccardPairs(docs))
+    }),
     // End-to-end dedup APPLY: minhash pairs -> connected components ->
     // keep the canonical member of each cluster, summarized per language.
     "dd_keep_canonical" -> ((s, d) => {
@@ -176,8 +185,57 @@ object DedupQueries {
          |  WHERE fa.is_new <> fb.is_new AND j.jac >= $JACCARD_T)
          |SELECT doc_old, doc_new, jac FROM xp ORDER BY doc_old, doc_new""".stripMargin
 
+    val ngramJaccardOracle =
+      s"""WITH ws AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents),
+         |sets AS (SELECT doc_id, lang, n_chars // 100 AS bucket, $sqlShingles AS sh
+         |         FROM ws WHERE len(w) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+         |FROM sets a JOIN sets b
+         |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    val simhashOracle =
+      s"""WITH wc AS (SELECT doc_id, wx AS word, COUNT(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)
+         |    GROUP BY doc_id, wx),
+         |hs AS (SELECT doc_id, cnt, ${sqlMdint("word")} AS h FROM wc),
+         |bits AS (SELECT doc_id,
+         |    $bitSumAggs
+         |  FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bits),
+         |chunks AS (
+         |  $chunkSelects),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |  FROM chunks x JOIN chunks y
+         |    ON x.chunk = y.chunk AND x.ck = y.ck AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+
     Map(
       "dd_pagerank" -> pagerankOracle,
+      // Detector eval: the simhash and ngram-jaccard sub-oracles wrapped
+      // verbatim as derived tables (the knn_eval pattern), so the grader
+      // stays consistent with the graded by construction. F1 in the
+      // one-division 2·hits/(|P|+|T|) form — same as the Spark op.
+      "dd_eval" ->
+        s"""WITH res AS (SELECT doc_a, doc_b FROM ($simhashOracle) rx),
+           |tru AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) tx),
+           |np AS (SELECT COUNT(*) AS n_predicted FROM res),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
+           |nh AS (SELECT COUNT(*) AS n_hits FROM res r
+           |       WHERE EXISTS (SELECT 1 FROM tru t
+           |                     WHERE t.doc_a = r.doc_a AND t.doc_b = r.doc_b))
+           |SELECT n_predicted, n_truth, n_hits,
+           |  CASE WHEN n_predicted > 0
+           |    THEN CAST(n_hits AS DOUBLE) / n_predicted END AS precision,
+           |  CASE WHEN n_truth > 0
+           |    THEN CAST(n_hits AS DOUBLE) / n_truth END AS recall,
+           |  CASE WHEN n_predicted + n_truth > 0
+           |    THEN CAST(n_hits * 2 AS DOUBLE) / (n_predicted + n_truth) END AS f1
+           |FROM np, nt, nh""".stripMargin,
       "dd_minhash_incr" -> minhashIncrOracle,
       "dd_cross" ->
         """WITH bl AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 50 = 0),
@@ -207,16 +265,7 @@ object DedupQueries {
           |SELECT CAST(SUM(copies) AS BIGINT) AS n_input, COUNT(*) AS n_unique,
           |  CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_removed
           |FROM cl""".stripMargin,
-      "dd_ngram_jaccard" ->
-        s"""WITH ws AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents),
-           |sets AS (SELECT doc_id, lang, n_chars // 100 AS bucket, $sqlShingles AS sh
-           |         FROM ws WHERE len(w) >= 3)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-           |FROM sets a JOIN sets b
-           |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
-           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dd_ngram_jaccard" -> ngramJaccardOracle,
       // Containment: both directions emitted from the unordered-pair CTE;
       // the >= 0.8 gate is the exact integer form (10*common >= 8*|sh|)
       // on BOTH sides, so no double threshold can diverge cross-engine.
@@ -263,22 +312,6 @@ object DedupQueries {
            |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
            |  MIN(doc_id) AS min_kept, MAX(doc_id) AS max_kept
            |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
-      "dd_simhash" ->
-        s"""WITH wc AS (SELECT doc_id, wx AS word, COUNT(*) AS cnt
-           |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)
-           |    GROUP BY doc_id, wx),
-           |hs AS (SELECT doc_id, cnt, ${sqlMdint("word")} AS h FROM wc),
-           |bits AS (SELECT doc_id,
-           |    $bitSumAggs
-           |  FROM hs GROUP BY doc_id),
-           |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bits),
-           |chunks AS (
-           |  $chunkSelects),
-           |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           |    CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
-           |  FROM chunks x JOIN chunks y
-           |    ON x.chunk = y.chunk AND x.ck = y.ck AND x.doc_id < y.doc_id)
-           |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
-           |ORDER BY doc_a, doc_b""".stripMargin)
+      "dd_simhash" -> simhashOracle)
   }
 }

@@ -883,6 +883,22 @@ class PipelineOpsSpec extends SparkTestBase {
       "query 2 (absent from results) must still report recall 0")
   }
 
+  test("dedupEval: exact counts, one-division ratios, null-safe empty sides") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val pred = Seq((1L, 2L), (3L, 4L), (7L, 8L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val r = DedupOps.dedupEval(pred, truth).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 2.0 / 4 && r.getDouble(4) == 2.0 / 3)
+    assert(r.getDouble(5) == 4.0 / 7, "f1 = 2*hits/(|P|+|T|), one division")
+    // perfect detector: all three ratios exactly 1.0
+    val p = DedupOps.dedupEval(truth, truth).collect()(0)
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0 && p.getDouble(5) == 1.0)
+    // empty predicted: precision NULL (not an engine-specific 0/0), recall 0
+    val e = DedupOps.dedupEval(truth.limit(0), truth).collect()(0)
+    assert(e.isNullAt(3) && e.getDouble(4) == 0.0)
+  }
+
   test("chunkDedup identity: a duplicate-free corpus reassembles byte-identically (incl. odd tails)") {
     import spark.implicits._
     // every chunk globally unique; lengths 1..7 words exercise the

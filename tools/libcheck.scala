@@ -88,6 +88,8 @@ def runLibcheck(): Unit = {
   check("DedupOps.minhashPairs")(DedupOps.minhashPairs(docs))
   check("DedupOps.simhashPairs")(DedupOps.simhashPairs(docs))
   check("DedupOps.ngramJaccardPairs")(DedupOps.ngramJaccardPairs(docs))
+  check("DedupOps.dedupEval")(DedupOps.dedupEval(
+    DedupOps.simhashPairs(docs), DedupOps.ngramJaccardPairs(docs)))
   check("DedupOps.nearDupClustersStar")(
     DedupOps.nearDupClustersStar(DedupOps.minhashPairs(docs)))
   check("DedupOps.antiJoinDedup")(
