@@ -551,6 +551,42 @@ object TextOps {
       .orderBy("lang", "pack_id", "doc_id")
   }
 
+  /** Per-document OVERLAPPING token-window chunking — the retrieval /
+    * context-window chunker (split every document into windows of `win`
+    * whitespace tokens advancing by `win - overlap`, so consecutive
+    * chunks share `overlap` tokens of context). Complements
+    * [[packSequences]]: packing lays documents head-to-tail into
+    * fixed-capacity training rows; chunking splits ONE document into
+    * retrieval units that each stand alone.
+    *
+    * Window count per doc is `ceil((n - win) / stride) + 1` (one clipped
+    * tail window rather than a degenerate all-overlap suffix: the last
+    * window always contains at least `stride` new tokens unless the doc
+    * fits in a single window). All-integer arithmetic, so counts and
+    * boundaries are bit-exact cross-engine.
+    *
+    * Scale shape: pure projection + per-row explode — NO shuffle, no
+    * window function; a document's text turns into its chunks inside its
+    * own scan partition, which is exactly how a 100 TB corpus chunks in
+    * one pass. Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkText(docs: DataFrame, win: Int, overlap: Int): DataFrame = {
+    require(win >= 1, s"chunk window must be >= 1, got $win")
+    require(overlap >= 0 && overlap < win,
+      s"overlap must be in [0, win), got $overlap for win $win")
+    val stride = win - overlap
+    OpContract.requireCols(docs, "TextOps.chunkText", "doc_id", "text")
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("k", explode(sequence(lit(0L),
+        when(col("n") <= win, lit(0L))
+          .otherwise(expr(s"(n - $win + $stride - 1) div $stride")))))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        array_join(slice(col("w"), (col("k") * stride + 1).cast("int"),
+          lit(win)), " ").as("chunk_text"),
+        least(lit(win.toLong), col("n") - col("k") * stride).as("n_tokens"))
+  }
+
   /** BPE pair statistics — the first merge step of byte-pair-encoding
     * tokenizer training, at corpus scale: build the word-frequency
     * vocabulary (one explode + count, map-side combined), then count

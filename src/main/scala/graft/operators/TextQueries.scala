@@ -87,6 +87,11 @@ object TextQueries {
         docs.filter(col("doc_id") % 50 === 0))
     }),
     "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)),
+    // Retrieval chunking: 16-token windows overlapping by 4 — small
+    // enough that sf0.01 docs split into several chunks each.
+    "tx_chunk_text" -> ((s, d) =>
+      TextOps.chunkText(t(s, d, "documents"), win = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")),
     "tx_weighted_sample" -> ((s, d) =>
       TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)),
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))),
@@ -275,6 +280,21 @@ object TextQueries {
         |SELECT lang, pack_id, doc_id,
         |  least((pack_id + 1) * 256, cb + tok) - greatest(pack_id * 256, cb) AS tokens_in_pack
         |FROM s ORDER BY lang, pack_id, doc_id""".stripMargin,
+    // win=16 overlap=4 -> stride 12; chunk count = ceil((n-16)/12)+1
+    // (1 when n <= 16), boundaries all-integer — identical arithmetic to
+    // TextOps.chunkText. list_slice bounds are 1-based inclusive, clipped
+    // explicitly with least(…, n) to match Spark's slice() clipping.
+    "tx_chunk_text" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sz AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM ws),
+        |ex AS (SELECT doc_id, w, n,
+        |    unnest(range(0, CASE WHEN n <= 16 THEN 1
+        |                        ELSE (n - 16 + 11) // 12 + 1 END)) AS k
+        |  FROM sz)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(w, k * 12 + 1, least(k * 12 + 16, n)), ' ') AS chunk_text,
+        |  least(16, n - k * 12) AS n_tokens
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
     // deterministic sampler: membership = hash(doc_id)/2^60 < fraction(lang);
     // same single long->double rounding + exact power-of-two scale both
     // engines, so the SAMPLE ITSELF is reproduced, not just its size

@@ -883,6 +883,40 @@ class PipelineOpsSpec extends SparkTestBase {
       "query 2 (absent from results) must still report recall 0")
   }
 
+  test("chunkText: coverage, overlap, and clipped-tail invariants") {
+    import spark.implicits._
+    // token counts straddling every boundary case: single short doc,
+    // exactly one window, one past, mid-stride, exact multi-window end
+    val docs = Seq(1, 16, 17, 28, 29, 40).zipWithIndex.map { case (n, i) =>
+      ((i + 1).toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.chunkText(docs, win = 16, overlap = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    // chunk counts: 1 for n<=16, else ceil((n-16)/12)+1
+    assert(out(1L).length == 1 && out(2L).length == 1 && out(3L).length == 2 &&
+      out(4L).length == 2 && out(5L).length == 3 && out(6L).length == 3)
+    for ((id, rows) <- out) {
+      val full = docs.filter(col("doc_id") === id)
+        .head().getString(1).split(" ").toSeq
+      // reconstruction: chunk 0 + each later chunk minus its leading overlap
+      val rebuilt = rows.head.getString(2).split(" ").toSeq ++
+        rows.tail.flatMap(_.getString(2).split(" ").drop(4).toSeq)
+      assert(rebuilt == full, s"doc $id reassembly")
+      // consecutive chunks share exactly the 4-token overlap region
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          val aw = a.getString(2).split(" "); val bw = b.getString(2).split(" ")
+          assert(aw.takeRight(aw.length - 12).take(4).sameElements(bw.take(4)) ||
+            aw.length == 16 && aw.takeRight(4).sameElements(bw.take(4)))
+        case _ => ()
+      }
+      // n_tokens matches the emitted text; tail keeps > overlap tokens
+      rows.foreach(r =>
+        assert(r.getString(2).split(" ").length == r.getLong(3)))
+      assert(rows.last.getLong(3) > 4 || rows.length == 1)
+    }
+  }
+
   test("dedupEval: exact counts, one-division ratios, null-safe empty sides") {
     import spark.implicits._
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")

@@ -49,6 +49,7 @@ def runLibcheck(): Unit = {
   check("TextOps.contamination")(TextOps.contamination(
     docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
   check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
+  check("TextOps.chunkText")(TextOps.chunkText(docs, 16, 4))
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
   check("TextOps.capPerGroup")(TextOps.capPerGroup(docs, "source", col("n_chars"), 3))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
