@@ -701,6 +701,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature LINEAR MODEL application — the "run the trained
+    * quality classifier over the whole corpus" step (fastText-style
+    * scoring): each document's hashed bag-of-words features are looked
+    * up in an externally supplied (feature, weight) model table and
+    * summed into the document's LOGIT score (monotone in the classifier
+    * probability — emitting the logit skips exp(), the one
+    * transcendental whose libm could differ cross-engine). The score is
+    * the per-doc TOTAL w·x; the per-token mean (fastText's form) is
+    * score / n_tokens, one division away, left to the caller — keeping
+    * the emitted value division-free makes it BIT-exact, not just
+    * correctly-rounded (a mean hits round-at-scale ties when weights
+    * are decimal-friendly, and Spark's BigDecimal HALF_UP and DuckDB's
+    * multiply-then-round can resolve an ulp-adjacent tie differently).
+    * Complements [[dsirScores]], which TRAINS its bucket table from a
+    * target/raw split; here the model is an input, the shape every
+    * externally-trained filter (quality, toxicity, educational-value)
+    * deploys through.
+    *
+    * FP discipline: weights are fixed at DECIMAL(12,7) on entry, so
+    * per-doc sums are order-independent exact arithmetic; ONE cast to
+    * double at the end and no division at all. Features absent from the
+    * model score 0 (sparse models are valid); tokens always count toward
+    * n_tokens.
+    *
+    * Scale shape: the model is ≤ `buckets` rows and BROADCAST; the
+    * corpus is scanned once, (doc, feature) counts combine map-side, and
+    * the final shuffle carries one row per document. Model size bounds
+    * driver state, corpus size only the scan.
+    */
+  def scoreLinear(docs: DataFrame, model: DataFrame, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 1, s"scoreLinear needs buckets >= 1, got $buckets")
+    OpContract.requireCols(model, "TextOps.scoreLinear model", "feature", "weight")
+    val d = spread(OpContract.requireCols(docs, "TextOps.scoreLinear", "doc_id", "text"))
+    val perDocF = d.select(col("doc_id"), explode(words).as("w"))
+      .withColumn("feature", graft.functions.CrossHash.mdint(col("w")) % buckets)
+      .groupBy("doc_id", "feature").agg(count(lit(1)).as("cnt"))
+    val m = model.select(col("feature"),
+      round(col("weight"), 7).cast(DecimalType(12, 7)).as("t"))
+    perDocF.join(broadcast(m), Seq("feature"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0).cast(DecimalType(12, 7))))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("t")).cast("double").as("score"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 relevance scores (Robertson et al., the Lucene-practical form
     * with the +1 idf floor) of every document against a fixed query term
     * set — the retrieval-scoring step of a search or query-targeted

@@ -43,6 +43,15 @@ object TextQueries {
     // BM25 against a fixed three-term query over the corpus vocabulary.
     "tx_bm25" -> ((s, d) =>
       TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))),
+    // Linear-model apply: a deterministic stand-in model (weight is a
+    // fixed integer function of the feature id, in [-1, 1]) playing the
+    // externally-trained classifier — what the op does with it is the
+    // thing under test.
+    "tx_score_linear" -> ((s, d) => {
+      val model = s.range(256).select(col("id").as("feature"),
+        ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))
+      TextOps.scoreLinear(t(s, d, "documents"), model)
+    }),
     // Normalization needs dirt to clean: inject case noise and runs of
     // whitespace (the tx_pii_redact injection pattern).
     "tx_normalize" -> ((s, d) =>
@@ -185,6 +194,25 @@ object TextQueries {
         |  round(CAST(SUM(p.cnt * bt.t) AS DOUBLE) / SUM(p.cnt), 6) AS dsir
         |FROM pdb p JOIN bt ON bt.b = p.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    },
+    // Linear-model apply: same stand-in model regenerated from
+    // generate_series; weights decimal-fixed at (12,7) before the sums,
+    // ONE cast to double at the end and no division — the emitted total
+    // logit is bit-exact cross-engine.
+    "tx_score_linear" -> {
+      val h = graft.functions.CrossHash.sqlMdint("w")
+      s"""WITH tok AS (SELECT doc_id, wx AS w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)),
+         |pf AS (SELECT doc_id, $h % 256 AS feature, COUNT(*) AS cnt
+         |       FROM tok GROUP BY doc_id, feature),
+         |m AS (SELECT gs AS feature,
+         |    CAST(round(CAST(gs * 37 % 2001 - 1000 AS DOUBLE) / 1000.0, 7)
+         |      AS DECIMAL(12, 7)) AS t
+         |  FROM generate_series(0, 255) g(gs))
+         |SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(p.cnt * COALESCE(m.t, 0)) AS DOUBLE) AS score
+         |FROM pf p LEFT JOIN m ON m.feature = p.feature
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
     },
     // BM25: constants interpolated from the same Scala doubles the Spark
     // expression uses (full-precision round-trip), factor association

@@ -883,6 +883,24 @@ class PipelineOpsSpec extends SparkTestBase {
       "query 2 (absent from results) must still report recall 0")
   }
 
+  test("scoreLinear: hand-computed logits, sparse-model zeros, token accounting") {
+    import spark.implicits._
+    import graft.functions.CrossHash
+    val docs = Seq((1L, "aa bb aa"), (2L, "cc"), (3L, "zz zz")).toDF("doc_id", "text")
+    // model keyed by the ops' own feature hash; zz deliberately ABSENT
+    def f(w: String): Long = {
+      val r = spark.range(1).select(CrossHash.mdint(lit(w)) % 256).head().getLong(0)
+      r
+    }
+    val model = Seq((f("aa"), 0.5), (f("bb"), -0.25), (f("cc"), 1.0))
+      .toDF("feature", "weight")
+    val out = TextOps.scoreLinear(docs, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 0.75)), "2*0.5 - 0.25")   // exact: decimal sums
+    assert(out(2L) == ((1L, 1.0)))
+    assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
+  }
+
   test("chunkText: coverage, overlap, and clipped-tail invariants") {
     import spark.implicits._
     // token counts straddling every boundary case: single short doc,

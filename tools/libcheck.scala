@@ -50,6 +50,9 @@ def runLibcheck(): Unit = {
     docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
   check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
   check("TextOps.chunkText")(TextOps.chunkText(docs, 16, 4))
+  check("TextOps.scoreLinear")(TextOps.scoreLinear(docs,
+    spark.range(256).select(col("id").as("feature"),
+      ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))))
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
   check("TextOps.capPerGroup")(TextOps.capPerGroup(docs, "source", col("n_chars"), 3))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
