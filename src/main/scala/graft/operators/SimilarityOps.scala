@@ -581,6 +581,55 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SEMANTIC DECONTAMINATION — drop every corpus vector whose embedding
+    * is ≥ `threshold` cosine to ANY benchmark vector: the eval-leakage
+    * guard a training pipeline runs before the corpus ships (n-gram
+    * decontamination misses paraphrases and translations, so production
+    * pipelines add an embedding pass against the eval suites). Candidates
+    * come from the same random-hyperplane blocking as [[nearPairsLsh]] —
+    * a corpus vector is checked only against benchmark vectors sharing an
+    * LSH (table, signature) bucket — and every candidate is verified with
+    * the EXACT cosine, so precision is exact and only recall depends on
+    * the blocking (the per-pair miss analysis on [[nearPairsLsh]] applies
+    * verbatim; cross-corpus pairs are pairs like any other).
+    *
+    * Scale shape — the corpus side NEVER shuffles. The benchmark set
+    * (eval suites: thousands of rows vs the corpus' billions) is
+    * BROADCAST twice: once as its exploded (tbl, sig, embedding) bucket
+    * table, joined inside the corpus scan — corpus signatures explode
+    * in-partition and pipeline straight into the broadcast join, and the
+    * verification dot product runs in that same stage — and once as the
+    * matched-ids set for the final left_anti. The only exchange in the
+    * whole plan is a distinct over the matched 8-byte ids (≈ the
+    * contamination rate times the corpus, typically ≪ 1%). Duplicate
+    * candidates from multi-table collisions are re-verified rather than
+    * pre-deduplicated, the [[nearPairsLsh]] tradeoff: a few extra
+    * pipelined dot products beat an embedding-carrying exchange.
+    *
+    * Returns the surviving corpus rows (all input columns), ordered by
+    * vec_id.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, bits: Int, tables: Int, seed: Long): DataFrame = {
+    OpContract.requireCols(corpus,
+      "SimilarityOps.semanticDecontaminate corpus", "vec_id", "embedding")
+    OpContract.requireCols(bench,
+      "SimilarityOps.semanticDecontaminate bench", "vec_id", "embedding")
+    def sigArr(v: Column) = array((0 until tables).map(l =>
+      lshSignature(v, seed + l * 131L, bits)): _*)
+    val bsig = bench.select(col("embedding").as("be"),
+      posexplode(sigArr(col("embedding"))).as(Seq("btbl", "bsig")))
+    val matched = corpus
+      .select(col("vec_id"), col("embedding"),
+        posexplode(sigArr(col("embedding"))).as(Seq("tbl", "sig")))
+      .join(broadcast(bsig),
+        col("tbl") === col("btbl") && col("sig") === col("bsig"))
+      .filter(cosine(col("embedding"), col("be")) >= threshold)
+      .select("vec_id").distinct()
+    corpus.join(broadcast(matched), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -268,6 +268,21 @@ object SimilarityQueries {
       SimilarityOps.nearPairsLsh(t(s, d, "embeddings"), NEAR_T,
         NP_BITS, NP_TABLES, NP_SEED)),
 
+    // Semantic decontamination: every 25th vector plays the eval
+    // benchmark, the rest the corpus; same blocking configuration as the
+    // near-pairs gate (zero-miss at these constants — see the object
+    // scaladoc), so the LSH-blocked op is graded against the EXACT
+    // NOT-EXISTS oracle. 10 of 480 removed at sf0.01 — non-vacuous both
+    // ways. Gate projects to (vec_id, label); embeddings pass through
+    // untouched in the library op.
+    "emb_decontaminate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.semanticDecontaminate(
+        e.filter(col("vec_id") % 25 =!= 0), e.filter(col("vec_id") % 25 === 0),
+        NEAR_T, NP_BITS, NP_TABLES, NP_SEED)
+        .select("vec_id", "label")
+    }),
+
     "knn_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K)
@@ -431,6 +446,16 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $NEAR_T
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // Exact formulation of the decontamination semantics: a corpus vector
+    // survives iff NO benchmark vector is within the threshold. Grades the
+    // LSH-blocked Spark op against exhaustive search (valid because the
+    // blocking is recall-complete at the gate constants).
+    "emb_decontaminate" ->
+      s"""SELECT c.vec_id, c.label FROM embeddings c
+         |WHERE c.vec_id % 25 <> 0 AND NOT EXISTS (
+         |  SELECT 1 FROM embeddings b WHERE b.vec_id % 25 = 0
+         |    AND ${sqlCosine("c.embedding", "b.embedding")} >= $NEAR_T)
+         |ORDER BY c.vec_id""".stripMargin,
     "knn_brute" -> knnBruteOracleSql,
 
     // Retrieval evaluation: recall@k of the LSH results against the brute

@@ -123,6 +123,51 @@ class AnnClusteredSpec extends SparkTestBase {
       s"candidates=$candidates not << all-pairs=$allPairs")
   }
 
+  test("semanticDecontaminate drops exactly the benchmark-similar vectors") {
+    // Planted-cluster corpus (the nearPairsLsh regime construction):
+    // bench = member 0 of the first 10 clusters, corpus = everything
+    // else. Truth is computed driver-side with plain Scala cosine over
+    // the 490x10 cross — fully independent of the op's code path. At
+    // cos >= 0.9 the contaminated set is the bench vectors' cluster
+    // siblings; survivors are the other 90 clusters.
+    import spark.implicits._
+    val nClusters = 100; val perCluster = 5; val n = nClusters * perCluster
+    val vecs = (0 until n).map { id =>
+      val c = id / perCluster
+      val v = Array.tabulate(DIM) { i =>
+        val center = DeterministicRng.uniform(7001L, c.toLong, 0L, i.toLong) - 0.5
+        val noise = (DeterministicRng.uniform(7002L, id.toLong, 0L, i.toLong) - 0.5) * 0.15
+        (center + noise).toFloat
+      }
+      (id.toLong, v)
+    }
+    val isBench = (id: Long) => id % perCluster == 0 && id / perCluster < 10
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val benchVecs = vecs.filter(v => isBench(v._1))
+    val truthKept = vecs.filter(v => !isBench(v._1))
+      .filter(v => benchVecs.forall(b => cos(v._2, b._2) < 0.9))
+      .map(_._1).toSet
+    assert(truthKept.size < n - 10 && truthKept.nonEmpty,
+      "planted contamination must be non-vacuous")
+
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("tag", col("vec_id") * 7) // pass-through column
+      .repartition(4)
+    val kept = SimilarityOps.semanticDecontaminate(
+        df.filter(!col("vec_id").isin(benchVecs.map(_._1): _*)),
+        df.filter(col("vec_id").isin(benchVecs.map(_._1): _*)),
+        0.9, bits = 12, tables = 24, seed = 99L)
+      .select("vec_id", "tag").collect()
+    assert(kept.map(_.getLong(0)).toSet == truthKept,
+      "LSH-blocked decontamination must equal the exhaustive truth")
+    assert(kept.forall(r => r.getLong(1) == r.getLong(0) * 7),
+      "non-key corpus columns must pass through untouched")
+  }
+
   test("trained IVF reaches recall@10 >= 0.8 on clustered data") {
     // the gate's knn_ivf floor on the driver's RANDOM corpus is 0.15 — a
     // property of structureless data. This is the operator-quality proof:

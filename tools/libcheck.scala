@@ -131,6 +131,10 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.nearPairs")(SimilarityOps.nearPairs(embs, 0.3))
   check("SimilarityOps.nearPairsLsh")(
     SimilarityOps.nearPairsLsh(embs, 0.3, 4, 48, 4241L))
+  check("SimilarityOps.semanticDecontaminate")(
+    SimilarityOps.semanticDecontaminate(
+      embs.filter(col("vec_id") % 25 =!= 0),
+      embs.filter(col("vec_id") % 25 === 0), 0.4, 4, 48, 4241L))
   check("SimilarityOps.quantizeInt8")(SimilarityOps.quantizeInt8(embs))
   check("SimilarityOps.lshTopK")(SimilarityOps.lshTopK(embs, queries, 5))
   check("SimilarityOps.randomProjection")(SimilarityOps.randomProjection(embs))
