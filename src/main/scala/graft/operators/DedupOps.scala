@@ -34,7 +34,7 @@ object DedupOps {
     * native [[graft.functions.WordShingles]] expression (one string pass;
     * the composable transform/element_at form cost ~4 s per pass at sf0.1).
     */
-  private def shinglesCol(text: Column): Column = {
+  private[operators] def shinglesCol(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.functions.WordShingles(Bridge.expression(text), 3))
   }

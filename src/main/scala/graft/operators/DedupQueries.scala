@@ -19,7 +19,7 @@ object DedupQueries {
   private val BANDS = DedupOps.BANDS
   private val JACCARD_T = DedupOps.JACCARD_T
 
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -63,6 +63,75 @@ object SketchOps {
       .orderBy(groupCol)
   }
 
+  /** KMV (bottom-k) JACCARD between every pair of groups — the
+    * cross-source overlap triage a corpus audit runs ("how much of
+    * source A's vocabulary / url set / doc-shingle set is also in B?")
+    * before paying for a full cross-source dedup pass. Estimator
+    * (Broder's minhash resemblance in its bottom-k sketch form, as in
+    * Beyer et al. SIGMOD'07 / Bar-Yossef et al.): with K(S) the k
+    * smallest distinct 60-bit hashes of S,
+    * J ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)| — and K(A∪B) is computable
+    * from the two sketches alone (bottom-k of K(A) ∪ K(B)), which is why
+    * KMV sketches are the mergeable summary: pairwise Jaccard over G
+    * sources costs G·k sketch rows, NOT another pass over the data.
+    * Below saturation (|A∪B| < k) the sketch holds the whole union and
+    * the estimate is exact over hashes.
+    *
+    * Output per (group_a < group_b) pair: `n_union_kept` (=|K(A∪B)|),
+    * `est_jaccard`, plus `exact_jaccard` — the expensive comparison path
+    * the sketch replaces at scale, same contract as [[kmvDistinct]]'s
+    * `exact_distinct` (drop it in production; it is a full distinct +
+    * key-equality self-join).
+    *
+    * FP discipline: both ratios are a SINGLE division of exact integers —
+    * bit-identical cross-engine. Scale shape: the only data-sized stages
+    * are the (group, hash) distinct (map-side combined, hashes not keys
+    * on the wire) and the per-group bottom-k window (state k longs per
+    * group); everything pairwise runs on G·k-row sketches.
+    */
+  def kmvJaccard(df: DataFrame, keyCol: Column, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashed = df
+      .select(col(groupCol).as("g"), CrossHash.mdint(keyCol.cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val sketch = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("g", "h")
+    val groups = sketch.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .join(groups.select(col("g").as("gb")), col("ga") < col("gb"))
+    // per-pair union of the two sketches' hash SETS, with membership flags
+    val pu = pairs.join(sketch, col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(when(col("g") === col("ga"), 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === col("gb"), 1).otherwise(0)).as("in_b"))
+    val uw = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val est = pu.withColumn("urn", row_number().over(uw))
+      .filter(col("urn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_union_kept"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("est_jaccard",
+        col("n_both").cast("double") / col("n_union_kept").cast("double"))
+    // exact comparison path: distinct keys, equality self-join
+    val keys = df.select(col(groupCol).as("g"), keyCol.cast("string").as("key")).distinct()
+    val dPer = keys.groupBy(col("g")).agg(count(lit(1)).as("d"))
+    val inter = keys.select(col("g").as("ia"), col("key"))
+      .join(keys.select(col("g").as("ib"), col("key")), Seq("key"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_inter"))
+    est
+      .join(dPer.select(col("g").as("ga"), col("d").as("da")), Seq("ga"))
+      .join(dPer.select(col("g").as("gb"), col("d").as("db")), Seq("gb"))
+      .join(inter, col("ia") === col("ga") && col("ib") === col("gb"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_union_kept"), col("est_jaccard"),
+        (col("ni").cast("double") / (col("da") + col("db") - col("ni")).cast("double"))
+          .as("exact_jaccard"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Count–min sketch heavy hitters: d universal-family hash rows × w
     * buckets; a key's estimate is min over rows of its bucket counter
     * (never under the true count, biased up by collisions). Returns the

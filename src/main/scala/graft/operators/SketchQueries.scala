@@ -27,6 +27,17 @@ object SketchQueries {
     "q30_kmv_distinct" -> ((s, d) =>
       SketchOps.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"),
         "l_returnflag", KMV_K)),
+    // Cross-source shingle-set Jaccard from bottom-k sketches: the
+    // overlap triage over the 20 sources' 3-word shingle vocabularies
+    // (~700 distinct per source at sf0.01, so the k=256 sketch genuinely
+    // SATURATES and the estimator estimates rather than degenerating to
+    // the exact small-set case). Shingles via the same native
+    // WordShingles expression the minhash family pins.
+    "q36_kmv_jaccard" -> ((s, d) =>
+      SketchOps.kmvJaccard(
+        t(s, d, "documents").select(col("source"),
+          explode(DedupOps.shinglesCol(col("text"))).as("sh3")),
+        col("sh3"), "source", KMV_K)),
     "ev_heavy_hitters" -> ((s, d) =>
       SketchOps.cmsHeavyHitters(t(s, d, "events"), col("user_id"),
         CMS_D, CMS_W, CMS_TOPK)),
@@ -102,6 +113,46 @@ object SketchQueries {
          |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem)
          |$branches
          |ORDER BY col_name""".stripMargin
+    },
+    // Mirrors kmvJaccard stage-for-stage: distinct (source, shingle-hash),
+    // per-source bottom-k, per-pair union-of-sketches re-ranked to k with
+    // membership flags, then the exact distinct + equality-self-join
+    // comparison path. Both emitted ratios are single divisions of exact
+    // integers — bit-identical cross-engine.
+    "q36_kmv_jaccard" -> {
+      val h = graft.functions.CrossHash.sqlMdint("key")
+      s"""WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |shg AS (SELECT source AS g, unnest(${DedupQueries.sqlShingles}) AS key FROM ws),
+         |hashed AS (SELECT DISTINCT g, $h AS h FROM shg),
+         |sk AS (SELECT g, h FROM (
+         |    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+         |    FROM hashed) x WHERE rn <= $KMV_K),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |pu AS (SELECT p.ga, p.gb, s.h,
+         |    MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+         |  GROUP BY p.ga, p.gb, s.h),
+         |est AS (SELECT ga, gb, COUNT(*) AS n_union_kept,
+         |    SUM(in_a * in_b) AS n_both
+         |  FROM (SELECT pu.*, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS urn
+         |        FROM pu) y
+         |  WHERE urn <= $KMV_K GROUP BY ga, gb),
+         |ks AS (SELECT DISTINCT g, key FROM shg),
+         |dper AS (SELECT g, COUNT(*) AS d FROM ks GROUP BY g),
+         |inter AS (SELECT a.g AS ia, b.g AS ib, COUNT(*) AS n_inter
+         |  FROM ks a JOIN ks b ON a.key = b.key AND a.g < b.g GROUP BY a.g, b.g)
+         |SELECT e.ga AS group_a, e.gb AS group_b,
+         |  e.n_union_kept,
+         |  CAST(e.n_both AS DOUBLE) / CAST(e.n_union_kept AS DOUBLE) AS est_jaccard,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |    / CAST(da.d + db.d - COALESCE(i.n_inter, 0) AS DOUBLE) AS exact_jaccard
+         |FROM est e
+         |JOIN dper da ON da.g = e.ga
+         |JOIN dper db ON db.g = e.gb
+         |LEFT JOIN inter i ON i.ia = e.ga AND i.ib = e.gb
+         |ORDER BY group_a, group_b""".stripMargin
     },
     "q30_kmv_distinct" -> {
       // (k−1)·2^60 folded exactly on both sides (≤ 8 significant bits)

@@ -396,6 +396,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.45, s"est $est") // 5 sigma
   }
 
+  test("kmvJaccard: exact below saturation, bracketed estimate above, disjoint sets score 0") {
+    import spark.implicits._
+    // Sub-saturated regime (k=64 > any union): the union sketch holds
+    // EVERYTHING, so est must equal exact to the last bit. A={0..9},
+    // B={5..14} -> J = 5/15; C disjoint -> J = 0 with both pairs present.
+    val small = ((0 until 10).map(i => ("A", i)) ++ (5 until 15).map(i => ("B", i)) ++
+      (100 until 110).map(i => ("C", i))).toDF("g", "key")
+    val rs = SketchOps.kmvJaccard(small, col("key"), "g", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rs(("A", "B")) == ((15L, 5.0 / 15.0, 5.0 / 15.0)))
+    assert(rs(("A", "C")) == ((20L, 0.0, 0.0)))
+    assert(rs(("B", "C")) == ((20L, 0.0, 0.0)))
+    // Saturated regime: 1500-key union at J=1/3, k=64 -> n_union_kept=k
+    // and |est-exact| within ~5 sigma of sqrt(J(1-J)/k) ~ 0.059
+    val big = ((0 until 1000).map(i => ("X", i)) ++ (500 until 1500).map(i => ("Y", i)))
+      .toDF("g", "key")
+    val rb = SketchOps.kmvJaccard(big, col("key"), "g", 64).collect().head
+    assert(rb.getLong(2) == 64L, "union sketch must cap at k")
+    assert(math.abs(rb.getDouble(4) - 1.0 / 3.0) < 1e-12, "exact path")
+    assert(math.abs(rb.getDouble(3) - 1.0 / 3.0) < 0.30, s"est ${rb.getDouble(3)}")
+  }
+
   test("cmsHeavyHitters: estimates never undercount, exact counts correct, rank deterministic") {
     import spark.implicits._
     // skewed stream: key 0 is the heavy hitter

@@ -64,6 +64,8 @@ def runLibcheck(): Unit = {
   // sketches
   check("SketchOps.kmvDistinct")(
     SketchOps.kmvDistinct(events, col("user_id"), "event_type", 64))
+  check("SketchOps.kmvJaccard")(
+    SketchOps.kmvJaccard(events, col("user_id"), "event_type", 64))
   check("SketchOps.cmsHeavyHitters")(
     SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
   check("SketchOps.histQuantiles")(
