@@ -551,6 +551,50 @@ object TextOps {
       .orderBy("lang", "pack_id", "doc_id")
   }
 
+  /** LENGTH-BUCKETED BATCH LAYOUT — the padding-based dynamic-batching
+    * assignment (the seq2seq/encoder dataloader counterpart of
+    * [[packSequences]]: packing concatenates documents head-to-tail for
+    * decoder-only training; bucketing groups SIMILAR-length documents
+    * into fixed-count batches so per-batch padding waste is bounded by
+    * `padTo`). Each document goes to bucket `ceil(n_tokens/padTo)·padTo`
+    * (its padded length — pure integer math, bit-exact cross-engine; no
+    * log2/power-of-two float hazard), then to a deterministic
+    * `batch_id` of at most `batchSize` documents within its
+    * (bucket, shard), ordered by doc_id.
+    *
+    * Sharding IS the scale design: a single global sequence per bucket
+    * would be one unpartitioned window over a corpus-sized partition, so
+    * batch numbering is SHARD-LOCAL (`shard` = corpus hash of doc_id mod
+    * `nShards`, the same deterministic membership discipline as the
+    * samplers) — exactly how a distributed dataloader packs anyway (each
+    * worker batches its own shard; padding efficiency is unchanged, only
+    * the numbering is shard-local). The rank window runs per
+    * (bucket, shard): ONE key shuffle, running-counter state, partitions
+    * bounded by corpus/(buckets·nShards) with nShards sized to the
+    * cluster. Batch `waste` = padding tokens the batch pays
+    * (batch_rows·bucket − Σtok) is emitted per doc alongside so a
+    * downstream audit can aggregate it without recomputing the layout.
+    */
+  def lengthBuckets(docs: DataFrame, padTo: Int = 64, batchSize: Int = 8,
+      nShards: Int = 4): DataFrame = {
+    require(padTo >= 1 && batchSize >= 1 && nShards >= 1,
+      s"lengthBuckets needs positive padTo/batchSize/nShards, got $padTo/$batchSize/$nShards")
+    val d = spread(OpContract.requireCols(docs, "TextOps.lengthBuckets", "doc_id", "text"))
+    val w = Window.partitionBy(col("bucket"), col("shard")).orderBy(col("doc_id"))
+    d.select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        (((col("n_tokens") + (padTo - 1)) / padTo).cast("long")) * padTo)
+      .withColumn("shard",
+        graft.functions.CrossHash.mdint(col("doc_id").cast("string")) % nShards)
+      .withColumn("batch_id", ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .withColumn("waste",
+        count(lit(1)).over(Window.partitionBy(col("bucket"), col("shard"),
+            col("batch_id"))) * col("bucket") -
+          sum(col("n_tokens")).over(Window.partitionBy(col("bucket"), col("shard"),
+            col("batch_id"))))
+      .orderBy("doc_id")
+  }
+
   /** Per-document OVERLAPPING token-window chunking — the retrieval /
     * context-window chunker (split every document into windows of `win`
     * whitespace tokens advancing by `win - overlap`, so consecutive

@@ -43,6 +43,11 @@ object TextQueries {
     // BM25 against a fixed three-term query over the corpus vocabulary.
     "tx_bm25" -> ((s, d) =>
       TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))),
+    // Length-bucketed batch layout: padTo 16 over the 10-99-token test
+    // docs spreads documents across ~7 buckets; 4 shards x 4-doc batches.
+    "tx_length_buckets" -> ((s, d) =>
+      TextOps.lengthBuckets(t(s, d, "documents"),
+        padTo = 16, batchSize = 4, nShards = 4)),
     // Linear-model apply: a deterministic stand-in model (weight is a
     // fixed integer function of the feature id, in [-1, 1]) playing the
     // externally-trained classifier — what the op does with it is the
@@ -194,6 +199,24 @@ object TextQueries {
         |  round(CAST(SUM(p.cnt * bt.t) AS DOUBLE) / SUM(p.cnt), 6) AS dsir
         |FROM pdb p JOIN bt ON bt.b = p.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    },
+    // Length-bucket layout mirrored stage-for-stage; all-integer math
+    // (padded-length buckets, shard-local ranks, per-batch waste), so
+    // every column is bit-exact cross-engine.
+    "tx_length_buckets" -> {
+      val h = graft.functions.CrossHash.sqlMdint("CAST(doc_id AS VARCHAR)")
+      s"""WITH tk AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |    ((n_tokens + 15) // 16) * 16 AS bucket,
+         |    $h % 4 AS shard FROM tk),
+         |r AS (SELECT b.*,
+         |    (ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) // 4
+         |      AS batch_id FROM b)
+         |SELECT doc_id, n_tokens, bucket, shard, batch_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY bucket, shard, batch_id) * bucket
+         |    - SUM(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) AS BIGINT) AS waste
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     // Linear-model apply: same stand-in model regenerated from
     // generate_series; weights decimal-fixed at (12,7) before the sums,

@@ -924,6 +924,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
   }
 
+  test("lengthBuckets: padded buckets, bounded batches, exact waste accounting") {
+    import spark.implicits._
+    // 40 docs with token counts 1..40 -> buckets 8,16,...,40 at padTo=8
+    val docs = (1 to 40).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthBuckets(docs, padTo = 8, batchSize = 3, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 40)
+    out.foreach { case (id, n, bucket, shard, _, _) =>
+      assert(n == id, "token count")
+      assert(bucket % 8 == 0 && bucket >= n && bucket < n + 8,
+        s"doc $id: bucket $bucket not the padded length of $n")
+      assert(shard >= 0 && shard < 2)
+    }
+    // batches: per (bucket, shard) ids 0..m contiguous, <= batchSize docs,
+    // filled in doc_id order; waste = rows*bucket - sum(tokens) per batch
+    out.groupBy(t => (t._3, t._4)).foreach { case ((bucket, _), rows) =>
+      val byBatch = rows.groupBy(_._5)
+      assert(byBatch.keySet == (0L until byBatch.size).toSet, "contiguous batch ids")
+      byBatch.foreach { case (_, b) =>
+        assert(b.length <= 3, "batch overflow")
+        val expWaste = b.length * bucket - b.map(_._2).sum
+        b.foreach(r => assert(r._6 == expWaste, s"waste ${r._6} != $expWaste"))
+      }
+      // only the LAST batch may be short
+      assert(byBatch.toSeq.sortBy(_._1).dropRight(1).forall(_._2.length == 3),
+        "non-final batch not full")
+    }
+  }
+
   test("chunkText: coverage, overlap, and clipped-tail invariants") {
     import spark.implicits._
     // token counts straddling every boundary case: single short doc,
