@@ -49,6 +49,22 @@ class PlanSpec extends SparkTestBase {
     assert(!joinLine.get.contains("text"), joinLine.get)
   }
 
+  test("semantic decontamination: corpus never shuffles — both joins broadcast, one id exchange") {
+    // The shuffle-free-corpus claim: bench bucket table and matched-id set
+    // are broadcast, so the ONLY exchanges are the matched-ids distinct
+    // (+ the gate's final presentation sort). No corpus-sized hash
+    // exchange, no sort-merge join, no nested loop.
+    val p = plan("emb_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"), p)
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"expected only the matched-id distinct exchange:\n$p")
+    // and the anti join really is the broadcast flavor
+    assert(p.contains("LeftAnti, BuildRight") || p.contains("LeftAnti"), p)
+  }
+
   test("temporal as-of lookup joins on the equality key, never a nested loop") {
     // the interval predicate must ride an equality-keyed join (broadcast
     // here, SMJ at scale) as a join filter — a planner regression to
