@@ -39,6 +39,12 @@ object SimilarityOps {
     * The hyperplanes are materialized driver-side as array literals (they
     * are model constants — bits×64 doubles), so each bit is one native
     * dot-product against a literal, not an interpreted per-element lambda.
+    *
+    * Single-table/spec form. The multi-table operators use the packed
+    * [[graft.functions.LshSignatures]] expression instead — semantically
+    * bit-identical (pinned in AnnClusteredSpec) but ONE tree node with the
+    * plane matrix as a reference object: tables×bits literal arrays in the
+    * tree cost seconds of per-query planning (measured; BENCHNOTES r6).
     */
   def lshSignature(v: Column, seed: Long, bits: Int = 8): Column =
     (0 until bits).map { j =>
@@ -564,8 +570,8 @@ object SimilarityOps {
       seed: Long): DataFrame = {
     OpContract.requireCols(e0, "SimilarityOps.nearPairsLsh", "vec_id", "embedding")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
-    val sigArr = array((0 until tables).map(l =>
-      lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
+    val sigArr = graft.functions.VectorFunctions.lsh_signatures(
+      col("embedding"), seed, tables, bits, DIM)
     val sigs = e.select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
@@ -593,15 +599,20 @@ object SimilarityOps {
     * the blocking (the per-pair miss analysis on [[nearPairsLsh]] applies
     * verbatim; cross-corpus pairs are pairs like any other).
     *
-    * Scale shape — the corpus side NEVER shuffles. The benchmark set
-    * (eval suites: thousands of rows vs the corpus' billions) is
-    * BROADCAST twice: once as its exploded (tbl, sig, embedding) bucket
-    * table, joined inside the corpus scan — corpus signatures explode
-    * in-partition and pipeline straight into the broadcast join, and the
-    * verification dot product runs in that same stage — and once as the
-    * matched-ids set for the final left_anti. The only exchange in the
-    * whole plan is a distinct over the matched 8-byte ids (≈ the
-    * contamination rate times the corpus, typically ≪ 1%). Duplicate
+    * Scale shape — the benchmark set (eval suites: thousands of rows vs
+    * the corpus' billions) is BROADCAST twice: once as its exploded
+    * (tbl, sig, embedding) bucket table, joined inside the corpus scan —
+    * corpus signatures explode in-partition and pipeline straight into
+    * the broadcast join, and the verification dot product runs in that
+    * same stage — and once as the matched-ids set for the final
+    * left_anti. The anti side never shuffles, and the only hash exchange
+    * in the whole plan is a distinct over the matched 8-byte ids (≈ the
+    * contamination rate times the corpus, typically ≪ 1%). The matching
+    * branch pays ONE spreading round-robin of the corpus before the
+    * signature stage — the [[nearPairsLsh]] small-file-parallelism
+    * discipline: without it a few-file corpus runs every candidate
+    * verification on a few cores (measured 13.6 s → spread at sf0.1); on
+    * a production many-partition scan it is droppable. Duplicate
     * candidates from multi-table collisions are re-verified rather than
     * pre-deduplicated, the [[nearPairsLsh]] tradeoff: a few extra
     * pipelined dot products beat an embedding-carrying exchange.
@@ -615,11 +626,12 @@ object SimilarityOps {
       "SimilarityOps.semanticDecontaminate corpus", "vec_id", "embedding")
     OpContract.requireCols(bench,
       "SimilarityOps.semanticDecontaminate bench", "vec_id", "embedding")
-    def sigArr(v: Column) = array((0 until tables).map(l =>
-      lshSignature(v, seed + l * 131L, bits)): _*)
+    def sigArr(v: Column) = graft.functions.VectorFunctions.lsh_signatures(
+      v, seed, tables, bits, DIM)
     val bsig = bench.select(col("embedding").as("be"),
       posexplode(sigArr(col("embedding"))).as(Seq("btbl", "bsig")))
     val matched = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         posexplode(sigArr(col("embedding"))).as(Seq("tbl", "sig")))
       .join(broadcast(bsig),
@@ -667,12 +679,12 @@ object SimilarityOps {
     OpContract.requireCols(e0, "SimilarityOps.lshTopK corpus", "vec_id", "embedding")
     OpContract.requireCols(queries, "SimilarityOps.lshTopK queries", "query_id", "qe")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
-    val sigArr = array((0 until tables).map(l =>
-      lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
+    val sigArr = graft.functions.VectorFunctions.lsh_signatures(
+      col("embedding"), seed, tables, bits, DIM)
     val corpus = e.select(col("vec_id"), col("embedding"),
       posexplode(sigArr).as(Seq("tbl", "sig")))
-    val qsigArr = array((0 until tables).map(l =>
-      lshSignature(col("qe"), seed + l * 131L, bits)): _*)
+    val qsigArr = graft.functions.VectorFunctions.lsh_signatures(
+      col("qe"), seed, tables, bits, DIM)
     val q = queries.select(col("query_id"), col("qe"),
         posexplode(qsigArr).as(Seq("qtbl", "qsig")))
       .select(col("query_id"), col("qtbl"), col("qsig"))

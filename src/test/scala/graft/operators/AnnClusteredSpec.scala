@@ -123,6 +123,30 @@ class AnnClusteredSpec extends SparkTestBase {
       s"candidates=$candidates not << all-pairs=$allPairs")
   }
 
+  test("packed lsh_signatures is bit-identical to the per-table literal-plane form") {
+    // The packed expression replaced tables x bits literal hyperplane
+    // arrays in the tree (a per-query planning cost measured in seconds);
+    // this pins that the values did not move, on both float and double
+    // corpora (the 10x ScaleBench corpus stores doubles).
+    import spark.implicits._
+    val vecsF = (0 until 50).map { id =>
+      (id.toLong, Array.tabulate(DIM)(i =>
+        (DeterministicRng.uniform(5005L, id.toLong, 0L, i.toLong) - 0.5).toFloat))
+    }
+    val dfF = vecsF.toDF("vec_id", "embedding")
+    val dfD = vecsF.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("vec_id", "embedding")
+    for (df <- Seq(dfF, dfD); (tables, bits, seed) <- Seq((48, 4, 4241L), (6, 8, 777L))) {
+      val legacy = array((0 until tables).map(l =>
+        SimilarityOps.lshSignature(col("embedding"), seed + l * 131L, bits)): _*)
+      val packed = graft.functions.VectorFunctions.lsh_signatures(
+        col("embedding"), seed, tables, bits, DIM)
+      val diff = df.select(col("vec_id"), legacy.as("a"), packed.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"packed/legacy signature mismatch at tables=$tables bits=$bits")
+    }
+  }
+
   test("semanticDecontaminate drops exactly the benchmark-similar vectors") {
     // Planted-cluster corpus (the nearPairsLsh regime construction):
     // bench = member 0 of the first 10 clusters, corpus = everything
