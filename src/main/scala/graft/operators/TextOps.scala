@@ -66,6 +66,41 @@ object TextOps {
         (sum(col("uniq_tokens")).cast("double") / sum(col("ws_tokens"))).as("distinct_ratio"))
       .orderBy("lang")
 
+  /** PER-SOURCE DATA CARD — the audit row a corpus release publishes per
+    * source/domain (and the first thing a pipeline owner asks for when a
+    * source misbehaves): volume (docs, tokens), exact-duplicate pressure
+    * (distinct text digests vs rows → dup_rate), language spread, and
+    * length extremes. One aggregation pass; duplicate detection goes
+    * through a 128-bit text digest so the distinct never ships document
+    * text — the [[DedupOps]] discipline (at 100 TB the digest distinct
+    * shuffles 16-byte hashes; the second distinct aggregate on `lang`
+    * expands rows ×2, the standard multi-distinct plan).
+    *
+    * FP discipline: every emitted ratio is ONE division of exact
+    * integers — bit-identical cross-engine.
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val d = spread(OpContract.requireCols(docs, "TextOps.corpusReport",
+      "doc_id", "source", "lang", "n_chars", "text"))
+    d.select(col("source"), col("lang"), col("n_chars"),
+        size(words).cast("long").as("tok"), md5(col("text")).as("digest"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_unique"),
+        sum(col("tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double") / col("n_docs").cast("double"))
+      .withColumn("avg_tokens",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .select("source", "n_docs", "n_unique", "dup_rate", "n_tokens",
+        "avg_tokens", "n_langs", "min_chars", "max_chars")
+      .orderBy("source")
+  }
+
   /** Per-document quality scoring: type-token ratio, stopword ratio, word
     * length — combined into one deterministic score. Pure projection (no
     * shuffle at all).

@@ -43,6 +43,13 @@ object TextQueries {
     // BM25 against a fixed three-term query over the corpus vocabulary.
     "tx_bm25" -> ((s, d) =>
       TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))),
+    // Data-card report: every 10th doc re-appended so the duplicate
+    // columns are non-vacuous (the dd_exact injection pattern — the base
+    // table has no exact dups).
+    "tx_corpus_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.corpusReport(docs.unionAll(docs.filter(col("doc_id") % 10 === 0)))
+    }),
     // Length-bucketed batch layout: padTo 16 over the 10-99-token test
     // docs spreads documents across ~7 buckets; 4 shards x 4-doc batches.
     "tx_length_buckets" -> ((s, d) =>
@@ -200,6 +207,25 @@ object TextQueries {
         |FROM pdb p JOIN bt ON bt.b = p.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
     },
+    // Data card: same dup injection; every ratio a single division of
+    // exact integers.
+    "tx_corpus_report" ->
+      """WITH base AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |rows_ AS (SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    md5(text) AS digest FROM base)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT digest) AS n_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT digest) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM rows_ GROUP BY source ORDER BY source""".stripMargin,
     // Length-bucket layout mirrored stage-for-stage; all-integer math
     // (padded-length buckets, shard-local ranks, per-batch waste), so
     // every column is bit-exact cross-engine.

@@ -924,6 +924,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
   }
 
+  test("corpusReport: dup rate, token totals, language spread on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "en", 5L, "x y z"),
+      (2L, "a", "en", 5L, "x y z"), // exact dup of doc 1
+      (3L, "a", "de", 3L, "p q"),
+      (4L, "b", "en", 4L, "solo"))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+    val r = TextOps.corpusReport(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2, "docs/unique")
+    assert(a.getDouble(3) == 1.0 / 3.0, "dup_rate single exact division")
+    assert(a.getLong(4) == 8 && a.getDouble(5) == 8.0 / 3.0, "token totals")
+    assert(a.getLong(6) == 2, "lang spread")
+    assert(a.getLong(7) == 3 && a.getLong(8) == 5, "char extremes")
+    val b = r("b")
+    assert(b.getLong(1) == 1 && b.getLong(2) == 1 && b.getDouble(3) == 0.0)
+  }
+
   test("lengthBuckets: padded buckets, bounded batches, exact waste accounting") {
     import spark.implicits._
     // 40 docs with token counts 1..40 -> buckets 8,16,...,40 at padTo=8

@@ -51,6 +51,7 @@ def runLibcheck(): Unit = {
   check("TextOps.packSequences")(TextOps.packSequences(docs, 256))
   check("TextOps.chunkText")(TextOps.chunkText(docs, 16, 4))
   check("TextOps.lengthBuckets")(TextOps.lengthBuckets(docs, 16, 4, 2))
+  check("TextOps.corpusReport")(TextOps.corpusReport(docs))
   check("TextOps.scoreLinear")(TextOps.scoreLinear(docs,
     spark.range(256).select(col("id").as("feature"),
       ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))))
