@@ -496,6 +496,49 @@ object SimilarityOps {
       .orderBy("label", "dim")
   }
 
+  /** MEAN-CENTER + L2-NORMALIZE the embedding column — the standard
+    * preprocessing in front of cosine ANN / clustering / SemDeDup
+    * (centering removes the corpus-wide offset that compresses cosine
+    * spread; unit norm makes dot product = cosine so downstream scoring
+    * can skip the per-pair norms). Emits the input rows with `embedding`
+    * replaced by the normalized double array and the pre-normalization
+    * `norm` alongside (outlier-magnitude diagnostics ride along free).
+    *
+    * FP discipline: per-dim means use the [[labelCentroids]] decimal
+    * pattern (round-12 → DECIMAL(28,12) sums, one cast + one division),
+    * centering is exact double subtraction, the norm is the same
+    * left-to-right native dot product the cosine oracles pin, and each
+    * output element is ONE division + round(·,6). All-zero centered
+    * vectors pass through as zeros rather than dividing by zero.
+    *
+    * Scale shape: two corpus passes — a (dim, x) explode into a 64-group
+    * map-side-combined aggregate (means are dim-bounded MODEL STATE,
+    * collected driver-side exactly like [[trainCentroids]]' k-row
+    * collect), then a pure normalization projection, no shuffle. The
+    * means ride into the projection as one small literal array.
+    */
+  def normalizeEmbeddings(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    OpContract.requireCols(e, "SimilarityOps.normalizeEmbeddings", "vec_id", "embedding")
+    val meansRows = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .collect()
+    val means = new Array[Double](meansRows.length)
+    meansRows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    e.withColumn("cent", zip_with(col("embedding"), typedLit(means),
+        (x, m) => x.cast("double") - m))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot_product(col("cent"), col("cent"))))
+      .withColumn("embedding", when(col("nrm") === 0.0, col("cent"))
+        .otherwise(transform(col("cent"), x => round(x / col("nrm"), 6))))
+      .withColumn("norm", round(col("nrm"), 6))
+      .drop("cent", "nrm")
+      .orderBy("vec_id")
+  }
+
   /** Random-projection dimensionality reduction (Achlioptas-style sparse
     * integer projections): the 100 TB precursor to ANN — project
     * [[DIM]]-dim embeddings down to `outDim` before indexing/clustering.

@@ -315,6 +315,18 @@ object SimilarityQueries {
     "emb_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(t(s, d, "embeddings"))),
 
+    // Mean-center + L2-normalize: the pre-ANN preprocessing pass. Gate
+    // melts the double array to (vec_id, dim, v) rows — double VALUES
+    // compare exactly through parquet/duckdb, double STRING rendering
+    // does not (the emb_quantize CSV convention is integer-only).
+    "emb_normalize" -> ((s, d) =>
+      SimilarityOps.normalizeEmbeddings(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("label"), col("norm"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"),
+          col("norm"), col("label"))
+        .orderBy("vec_id", "dim")),
+
     // Per-label class centroids — decimal-exact means, the lloydStep
     // discipline, directly oracled.
     "emb_label_centroids" -> ((s, d) =>
@@ -380,6 +392,30 @@ object SimilarityQueries {
     //     round(x, 12) BEFORE the cast resolves the tie away-from-zero in
     //     both engines (DuckDB round matches Spark's cast mode), and the
     //     already-rounded double then casts to decimal tie-free.
+    // Normalization mirrored stage-for-stage: labelCentroids' decimal
+    // mean pattern per dim, exact double centering, list_dot_product norm
+    // (the cosine-oracle association), one division + round(,6) per
+    // element. The zero-norm CASE matches the op's guard (unreachable on
+    // this corpus, kept so op and oracle state the same function).
+    "emb_normalize" ->
+      """WITH md AS (SELECT d.dim AS dim,
+        |    CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12)
+        |      AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
+        |  GROUP BY d.dim),
+        |ma AS (SELECT list(m ORDER BY dim) AS marr FROM md),
+        |c AS (SELECT e.vec_id, e.label,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) - ma.marr[i]) AS cent
+        |  FROM embeddings e CROSS JOIN ma),
+        |n AS (SELECT vec_id, label, cent,
+        |    sqrt(list_dot_product(cent, cent)) AS nrm FROM c)
+        |SELECT vec_id, CAST(d.dim AS BIGINT) AS dim,
+        |  CASE WHEN nrm = 0 THEN cent[d.dim + 1]
+        |       ELSE round(cent[d.dim + 1] / nrm, 6) END AS v,
+        |  round(nrm, 6) AS norm, label
+        |FROM n CROSS JOIN generate_series(0, 63) d(dim)
+        |ORDER BY vec_id, dim""".stripMargin,
     "emb_label_centroids" ->
       """SELECT e.label, d.dim,
         |  CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE)

@@ -924,6 +924,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
   }
 
+  test("normalizeEmbeddings: exact centering, unit norms, zero-vector guard") {
+    import spark.implicits._
+    // means (2,2); centered (-1,1),(1,-1),(0,0); norms sqrt2, sqrt2, 0
+    val e = Seq((1L, Array(1f, 3f)), (2L, Array(3f, 1f)), (3L, Array(2f, 2f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.normalizeEmbeddings(e).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    val u = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = BigDecimal(math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((Seq(-u, u), s2)))
+    assert(out(2L) == ((Seq(u, -u), s2)))
+    assert(out(3L) == ((Seq(0.0, 0.0), 0.0)), "all-zero centered vector passes through")
+    // and unit norm holds for the non-degenerate rows (to rounding)
+    for (id <- Seq(1L, 2L)) {
+      val v = out(id)._1
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-5, s"vec $id not unit")
+    }
+  }
+
   test("corpusReport: dup rate, token totals, language spread on a planted corpus") {
     import spark.implicits._
     val docs = Seq(

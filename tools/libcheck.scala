@@ -135,6 +135,8 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.nearPairs")(SimilarityOps.nearPairs(embs, 0.3))
   check("SimilarityOps.nearPairsLsh")(
     SimilarityOps.nearPairsLsh(embs, 0.3, 4, 48, 4241L))
+  check("SimilarityOps.normalizeEmbeddings")(
+    SimilarityOps.normalizeEmbeddings(embs))
   check("SimilarityOps.semanticDecontaminate")(
     SimilarityOps.semanticDecontaminate(
       embs.filter(col("vec_id") % 25 =!= 0),
