@@ -63,6 +63,41 @@ object SketchOps {
       .orderBy(groupCol)
   }
 
+  /** JOIN-KEY SKEW PRE-FLIGHT — the one-row diagnostic a pipeline runs
+    * before a big keyed join/aggregation to decide whether it needs
+    * salting ([[SkewJoin]]) or AQE skew handling: row/key volumes, the
+    * hottest key and its count, mean key occupancy, `skew_factor`
+    * (max/avg — 1.0 is perfectly uniform) and the actionable
+    * `suggested_salt` = ceil(skew_factor), the fan-out that levels the
+    * hottest key to the average.
+    *
+    * Scale shape: one map-side-combined count per key (the only
+    * data-sized shuffle — same cost as the join's own exchange, run on a
+    * sample in practice), then constant-size aggregates; the hottest key
+    * is a TakeOrdered over the counts, never a global sort. FP: ratios
+    * are single divisions (skew_factor is one multiply then one divide,
+    * association mirrored in the oracle).
+    */
+  def skewReport(df: DataFrame, keyCol: Column): DataFrame = {
+    val counts = df.groupBy(keyCol.cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val summary = counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_count"))
+    val top = counts.orderBy(col("c").desc, col("k")).limit(1)
+      .select(col("k").as("top_key"), col("c").as("top_count"))
+    summary.crossJoin(top)
+      .withColumn("avg_per_key",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew_factor",
+        col("max_count").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"))
+      .withColumn("suggested_salt", ceil(col("skew_factor")).cast("long"))
+      .select("n_rows", "n_keys", "max_count", "top_key", "top_count",
+        "avg_per_key", "skew_factor", "suggested_salt")
+  }
+
   /** KMV (bottom-k) JACCARD between every pair of groups — the
     * cross-source overlap triage a corpus audit runs ("how much of
     * source A's vocabulary / url set / doc-shingle set is also in B?")

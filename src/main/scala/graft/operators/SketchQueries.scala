@@ -27,6 +27,14 @@ object SketchQueries {
     "q30_kmv_distinct" -> ((s, d) =>
       SketchOps.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"),
         "l_returnflag", KMV_K)),
+    // Skew pre-flight over events.user_id with every 10th user's rows
+    // doubled (the dup-injection pattern) so the hottest key, skew factor
+    // and suggested salt are all non-trivial.
+    "q37_skew_report" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      SketchOps.skewReport(ev.unionAll(ev.filter(col("user_id") % 10 === 0)),
+        col("user_id"))
+    }),
     // Cross-source shingle-set Jaccard from bottom-k sketches: the
     // overlap triage over the 20 sources' 3-word shingle vocabularies
     // (~700 distinct per source at sf0.01, so the k=256 sketch genuinely
@@ -114,6 +122,25 @@ object SketchQueries {
          |$branches
          |ORDER BY col_name""".stripMargin
     },
+    // Skew report: integer counts, single-division ratios, the
+    // multiply-then-divide skew factor association mirrored exactly.
+    "q37_skew_report" ->
+      """WITH base AS (
+        |  SELECT user_id FROM events
+        |  UNION ALL SELECT user_id FROM events WHERE user_id % 10 = 0),
+        |counts AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+        |  FROM base GROUP BY 1),
+        |s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        |    MAX(c) AS max_count FROM counts),
+        |t AS (SELECT k AS top_key, c AS top_count FROM counts
+        |  ORDER BY c DESC, k LIMIT 1)
+        |SELECT s.n_rows, s.n_keys, s.max_count, t.top_key, t.top_count,
+        |  CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE) AS avg_per_key,
+        |  CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+        |    / CAST(s.n_rows AS DOUBLE) AS skew_factor,
+        |  CAST(ceil(CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+        |    / CAST(s.n_rows AS DOUBLE)) AS BIGINT) AS suggested_salt
+        |FROM s, t""".stripMargin,
     // Mirrors kmvJaccard stage-for-stage: distinct (source, shingle-hash),
     // per-source bottom-k, per-pair union-of-sketches re-ranked to k with
     // membership flags, then the exact distinct + equality-self-join

@@ -924,6 +924,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
   }
 
+  test("skewReport: hand-computed skew factor and salt on a planted hot key") {
+    import spark.implicits._
+    // key 7 has 8 rows, keys 1..4 have 2 each -> 16 rows / 5 keys,
+    // avg 3.2, skew 8/3.2 = 2.5, salt ceil = 3
+    val df = (Seq.fill(8)(7) ++ (1 to 4).flatMap(k => Seq(k, k))).toDF("k")
+    val r = SketchOps.skewReport(df, col("k")).collect().head
+    assert(r.getLong(0) == 16 && r.getLong(1) == 5 && r.getLong(2) == 8)
+    assert(r.getString(3) == "7" && r.getLong(4) == 8)
+    assert(r.getDouble(5) == 3.2 && r.getDouble(6) == 2.5)
+    assert(r.getLong(7) == 3, "suggested salt = ceil(2.5)")
+    // uniform input reports skew 1.0 / salt 1 (the no-action answer)
+    val u = SketchOps.skewReport((1 to 10).toDF("k"), col("k")).collect().head
+    assert(u.getDouble(6) == 1.0 && u.getLong(7) == 1)
+  }
+
   test("normalizeEmbeddings: exact centering, unit norms, zero-vector guard") {
     import spark.implicits._
     // means (2,2); centered (-1,1),(1,-1),(0,0); norms sqrt2, sqrt2, 0

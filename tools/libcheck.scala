@@ -68,6 +68,7 @@ def runLibcheck(): Unit = {
     SketchOps.kmvDistinct(events, col("user_id"), "event_type", 64))
   check("SketchOps.kmvJaccard")(
     SketchOps.kmvJaccard(events, col("user_id"), "event_type", 64))
+  check("SketchOps.skewReport")(SketchOps.skewReport(events, col("user_id")))
   check("SketchOps.cmsHeavyHitters")(
     SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
   check("SketchOps.histQuantiles")(
