@@ -16,9 +16,13 @@ import graft.operators.{DedupOps, SimilarityOps, TextOps}
   *     [[DedupOps.keepCanonical]])
   *   → quality floor ([[TextOps.quality]] score ≥ 0.3)
   *   → temperature mixture ([[TextOps.applyMixtureRows]])
-  *   → sequence packing ([[TextOps.packSequences]])
+  *   → sequence packing ([[TextOps.packSequences]]) + padding-based
+  *     layout ([[TextOps.lengthBuckets]]) + release data card
+  *     ([[TextOps.corpusReport]])
   *   → parquet partitioned by lang;
-  * then the embedding side: SemDeDup near-pairs → connected components →
+  * then the embedding side: semantic decontamination
+  * ([[SimilarityOps.semanticDecontaminate]], the embedding-space
+  * eval-leakage guard) → SemDeDup near-pairs → connected components →
   * canonical survivors → PQ codebooks + codes persisted as the ANN index.
   *
   * Prints one JSON line per stage with surviving counts. Every stage is
@@ -81,9 +85,25 @@ object Pipeline {
     mixed.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus")
     packs.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/packs")
 
-    // ---- embedding side: semantic dedup + PQ index build ----
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    println(s"""{"stage":"emb_input","vecs":${emb.count()}}""")
+    // 6b. padding-based layout alongside the packed one (encoder-style
+    //     dataloaders), plus the release data card per source
+    val batches = TextOps.lengthBuckets(mixed, padTo = 64, batchSize = 8, nShards = 4)
+    batches.write.mode("overwrite").parquet(s"$outDir/batches")
+    println(s"""{"stage":"length_bucketed","batch_assignments":${batches.count()}}""")
+    val report = TextOps.corpusReport(mixed)
+    report.write.mode("overwrite").parquet(s"$outDir/report")
+    println(s"""{"stage":"data_card","sources":${report.count()}}""")
+
+    // ---- embedding side: semantic decontamination + dedup + PQ index ----
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    println(s"""{"stage":"emb_input","vecs":${embAll.count()}}""")
+    // embedding-space eval-leakage guard (bench = every 50th vector, the
+    // gate convention, aligned with the document-side benchmark split)
+    val emb = stage("emb_decontaminated",
+      SimilarityOps.semanticDecontaminate(
+        embAll.filter(col("vec_id") % 50 =!= 0),
+        embAll.filter(col("vec_id") % 50 === 0),
+        0.40, bits = 4, tables = 48, seed = 4241L))
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val pairs = SimilarityOps.semanticDedup(emb, broadcast(cents), 0.40)
