@@ -152,6 +152,17 @@ object ScaleBench {
     "ev_scd2" -> SparkEntry.queries("ev_scd2"),
     "ev_scd2_lookup" -> SparkEntry.queries("ev_scd2_lookup"),
     "q35_profile" -> SparkEntry.queries("q35_profile"),
+    // round-6 continuation additions: classifier apply (broadcast model),
+    // semantic decontamination (broadcast bench, corpus-shuffle-free),
+    // bottom-k Jaccard (sketch-sized pairwise stage), batch layouts,
+    // data card, normalization, skew pre-flight
+    "tx_score_linear" -> SparkEntry.queries("tx_score_linear"),
+    "emb_decontaminate" -> SparkEntry.queries("emb_decontaminate"),
+    "q36_kmv_jaccard" -> SparkEntry.queries("q36_kmv_jaccard"),
+    "tx_length_buckets" -> SparkEntry.queries("tx_length_buckets"),
+    "tx_corpus_report" -> SparkEntry.queries("tx_corpus_report"),
+    "emb_normalize" -> SparkEntry.queries("emb_normalize"),
+    "q37_skew_report" -> SparkEntry.queries("q37_skew_report"),
     "near_pairs_exact_09" -> ((s: SparkSession, d: String) =>
       SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),
     "near_pairs_lsh_09" -> ((s: SparkSession, d: String) =>

@@ -65,6 +65,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti, BuildRight") || p.contains("LeftAnti"), p)
   }
 
+  test("scoreLinear: the model joins broadcast; corpus aggregation is two-phase") {
+    // the broadcast-model claim (model <= buckets rows) and map-side
+    // partial aggregation of the (doc, feature) counts
+    val p = plan("tx_score_linear")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "expected map-side partial aggregation:\n" + p)
+  }
+
+  test("lengthBuckets: one key exchange; the waste window adds sort, not shuffle") {
+    // the second window partitions by (bucket, shard, batch_id) — a
+    // superset of the rank window's (bucket, shard) keys, so the existing
+    // hash distribution satisfies it and only a local sort is added
+    // (+ the gate's final presentation sort = range exchange).
+    val p = plan("tx_length_buckets")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange for both windows:\n$p")
+  }
+
   test("temporal as-of lookup joins on the equality key, never a nested loop") {
     // the interval predicate must ride an equality-keyed join (broadcast
     // here, SMJ at scale) as a join filter — a planner regression to
