@@ -49,6 +49,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(args(0), n)
       }))
+    e.injectFunction((FunctionIdentifier("graft_lsh_signatures"),
+      info("graft_lsh_signatures",
+        "_FUNC_(v, seed, tables, bits, dim) - array of all random-hyperplane " +
+          "LSH table signatures for one embedding (plane matrix derived from " +
+          "the counter RNG, held as a reference object, never in the tree)"),
+      (args: Seq[Expression]) => {
+        arity("graft_lsh_signatures", 5, args)
+        def lit(i: Int, name: String): Long = {
+          require(args(i).foldable, s"graft_lsh_signatures: $name must be a literal")
+          args(i).eval() match {
+            case x: java.lang.Integer => x.longValue()
+            case x: java.lang.Long => x.longValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_lsh_signatures: $name must be an integer literal, got $other")
+          }
+        }
+        graft.functions.LshSignatures(args(0), lit(1, "seed"),
+          lit(2, "tables").toInt, lit(3, "bits").toInt, lit(4, "dim").toInt)
+      }))
     // simulation surface for SQL users (SURVEY §2.2 UDF tier b):
     // the counter RNG and the coin generator as plain SQL functions
     e.injectFunction((FunctionIdentifier("graft_uniform"),

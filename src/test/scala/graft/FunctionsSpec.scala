@@ -41,6 +41,19 @@ class FunctionsSpec extends SparkTestBase {
       assert(fam.getDouble(2) == graft.core.Rngs.uniform(2, 42, 0, 7, 3))
       assert(fam.getDouble(3) == graft.core.Rngs.uniform(3, 42, 0, 7, 3))
       assert(fam.getDouble(4) == graft.core.DeterministicRng.uniform(42, 0, 7, 3))
+      // packed LSH signatures from SQL: same values as the Column API
+      val sigSql = ext.sql(
+        """SELECT graft_lsh_signatures(array(0.5D, -0.25D, 0.125D, -0.0625D),
+          |                            4241L, 3, 4, 4) AS sigs""".stripMargin)
+        .collect()(0).getSeq[Int](0)
+      val sigCol = {
+        import ext.implicits._
+        Seq(Tuple1(Array(0.5, -0.25, 0.125, -0.0625))).toDF("v")
+          .select(graft.functions.VectorFunctions.lsh_signatures(
+            org.apache.spark.sql.functions.col("v"), 4241L, 3, 4, 4))
+          .collect()(0).getSeq[Int](0)
+      }
+      assert(sigSql == sigCol && sigSql.length == 3)
       // the SQL function draws familyId 0 (CounterHash) — pin it on the
       // StepRng side too (the default family is the real PCG64 backend)
       val rng = new graft.core.StepRng(42, 0, 0, graft.core.RngFamily.CounterHash)
