@@ -389,6 +389,45 @@ object StreamOps {
       sink(batchId, graft.operators.DedupOps.minhashPairsAgainst(corpusIndex, batch))
     }
 
+  /** STATELESS ingest-time classifier scoring — the streaming twin of
+    * [[graft.operators.TextOps.scoreLinear]] for the "score documents as
+    * they arrive" filter stage. The batch op explodes to (doc, feature)
+    * rows and aggregates; on an unbounded stream that groupBy would hold
+    * per-doc state forever. Since a document arrives WHOLE (one row), the
+    * same score folds inside the row: the ≤`buckets`-row model collects
+    * into a LITERAL MAP (bounded driver model state, the broadcast-twin
+    * of the batch op's broadcast join) and `aggregate()` folds the
+    * DECIMAL weights over the token array — decimal addition is exact so
+    * fold order vs the batch op's sum order cannot matter, and the
+    * emitted (n_tokens, score) are IDENTICAL to the batch op
+    * (StreamingSpec pins equality across micro-batch splits). Zero
+    * state, append mode, works unchanged on batch frames too.
+    */
+  def scoreLinearStream(docs: DataFrame, model: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 1, s"scoreLinearStream needs buckets >= 1, got $buckets")
+    val dec = DecimalType(22, 7)
+    val entries = model
+      .select(col("feature").cast("long"),
+        round(col("weight"), 7).cast(DecimalType(12, 7)))
+      .collect()
+      .flatMap(r => Seq(lit(r.getLong(0)),
+        lit(r.getDecimal(1)).cast(dec)))
+    val wmap = if (entries.isEmpty) typedLit(Map.empty[Long, java.math.BigDecimal])
+      else map(entries.toSeq: _*)
+    val wordsArr = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      size(wordsArr).cast("long").as("n_tokens"),
+      aggregate(wordsArr, lit(java.math.BigDecimal.ZERO).cast(dec),
+        // decimal + widens (22,7)+(22,7) -> (23,7); re-cast keeps the
+        // accumulator type fixed (exact: |score| <= n_tokens * 1.0)
+        (acc, w) => (acc + coalesce(
+          element_at(wmap, graft.functions.CrossHash.mdint(w) % buckets),
+          lit(java.math.BigDecimal.ZERO).cast(dec))).cast(dec))
+        .cast("double").as("score"))
+  }
+
   /** Watermark-expired sessions via flatMapGroupsWithState with
     * EVENT-TIME timeout: per-user event counts are held as state and
     * emitted only when the watermark passes (session end + 1h) — the

@@ -455,6 +455,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("scoreLinearStream: stateless append scoring equals the batch op across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = spark.range(256).select(col("id").as("feature"),
+      ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))
+    val docs = Seq((1L, "aa bb aa"), (2L, "cc dd"), (3L, "ee"), (4L, "aa ee zz"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.scoreLinearStream(
+        input.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("score_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = graft.operators.TextOps.scoreLinear(
+          docs.toDF("doc_id", "text"), model).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed == batch,
+        s"stream/batch scoring diverged: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: stream restart resumes without reprocessing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

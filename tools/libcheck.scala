@@ -161,6 +161,10 @@ def runLibcheck(): Unit = {
   check("MediaOps.thumbnail")(
     MediaOps.thumbnail(MediaStub.withPayload(docs.limit(50))))
   // streaming ops, batch twins
+  check("StreamOps.scoreLinearStream (batch mode)")(
+    StreamOps.scoreLinearStream(docs,
+      spark.range(256).select(col("id").as("feature"),
+        ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))))
   check("StreamOps.tumblingCounts")(StreamOps.tumblingCounts(events))
   check("StreamOps.slidingCounts")(StreamOps.slidingCounts(events))
   check("StreamOps.userSessions")(StreamOps.userSessions(events))
