@@ -246,7 +246,15 @@ object ScaleBench {
       "tx_chunk_dedup" -> ((s: SparkSession, d: String, _: Double) =>
         SparkEntry.queries("tx_chunk_dedup")(s, d)),
       "ev_heavy_hitters" -> ((s: SparkSession, d: String, _: Double) =>
-        SparkEntry.queries("ev_heavy_hitters")(s, d)))
+        SparkEntry.queries("ev_heavy_hitters")(s, d)),
+      // round-6 continuation: cross-source sketch Jaccard (pairwise stage
+      // is G·k sketch rows regardless of corpus size — the curve isolates
+      // the linear shingle-scan term) and classifier apply (broadcast
+      // model, one scan)
+      "q36_kmv_jaccard" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("q36_kmv_jaccard")(s, d)),
+      "tx_score_linear" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("tx_score_linear")(s, d)))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
