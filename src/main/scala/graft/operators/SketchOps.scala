@@ -63,6 +63,24 @@ object SketchOps {
       .orderBy(groupCol)
   }
 
+  /** FEATURE BINNING against precomputed cutpoints — the apply step of
+    * equi-depth bucketing: compute cutpoints ONCE (on a sample, via
+    * [[histQuantiles]] — the sketch exists precisely so this never sorts
+    * the corpus), then assign `bucket` = number of cutpoints ≤ value as a
+    * pure projection with the cuts as broadcast literals. Cutpoints are
+    * MODEL STATE (a handful of doubles), the corpus is scanned once, no
+    * shuffle — the 100 TB shape for quantile/range binning. Comparisons
+    * and the bucket sum are exact integer/compare ops — bit-identical
+    * cross-engine. Values below every cut get bucket 0; nulls get null.
+    */
+  def bucketize(df: DataFrame, valueCol: Column, cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      s"bucketize needs non-empty ascending cutpoints, got $cuts")
+    val b = cuts.map(c => when(valueCol >= c, 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("bucket", when(valueCol.isNull, lit(null)).otherwise(b).cast("int"))
+  }
+
   /** JOIN-KEY SKEW PRE-FLIGHT — the one-row diagnostic a pipeline runs
     * before a big keyed join/aggregation to decide whether it needs
     * salting ([[SkewJoin]]) or AQE skew handling: row/key volumes, the

@@ -27,6 +27,20 @@ object SketchQueries {
     "q30_kmv_distinct" -> ((s, d) =>
       SketchOps.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"),
         "l_returnflag", KMV_K)),
+    // Feature binning COMPOSED with the quantile sketch: cutpoints are
+    // the p50/p95/p99 est_hi values (integer-valued by construction),
+    // collected as model state and applied as a pure projection — the
+    // never-sort-the-corpus equi-depth binning path.
+    "q38_bucketize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val cuts = SketchOps.histQuantiles(li, col("l_extendedprice"), 128L, 1024,
+          Seq(500, 950, 990))
+        .select("est_hi").collect().map(_.getAs[Number](0).doubleValue()).sorted
+      SketchOps.bucketize(
+          li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          col("l_extendedprice"), cuts.toSeq)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // Skew pre-flight over events.user_id with every 10th user's rows
     // doubled (the dup-injection pattern) so the hottest key, skew factor
     // and suggested salt are all non-trivial.
@@ -122,6 +136,25 @@ object SketchQueries {
          |$branches
          |ORDER BY col_name""".stripMargin
     },
+    // Binning: the q33 cutpoint CTE chain verbatim, then bucket = count
+    // of cuts <= value via a correlated count — integer compares only.
+    "q38_bucketize" ->
+      """WITH b AS (SELECT least(greatest(CAST(floor(l_extendedprice / 128) AS BIGINT), 0), 1023) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+        |cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+        |qs AS (SELECT unnest([500, 950, 990]) AS p),
+        |est AS (SELECT p, MIN(bin) AS qbin
+        |  FROM qs, n, cum
+        |  WHERE cum >= floor((n * p + 999) / CAST(1000 AS DOUBLE))
+        |  GROUP BY p),
+        |cuts AS (SELECT (qbin + 1) * 128 AS cut FROM est)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+        |  CASE WHEN l.l_extendedprice IS NULL THEN NULL
+        |       ELSE CAST((SELECT COUNT(*) FROM cuts WHERE l.l_extendedprice >= cut)
+        |         AS INTEGER) END AS bucket
+        |FROM lineitem l ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Skew report: integer counts, single-division ratios, the
     // multiply-then-divide skew factor association mirrored exactly.
     "q37_skew_report" ->

@@ -924,6 +924,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
   }
 
+  test("bucketize: cut boundaries inclusive, nulls null, equi-depth composition holds") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](0.0, 9.9, 10.0, 49.9, 50.0, 100.0, null)
+      .toDF("v")
+    val out = SketchOps.bucketize(df, col("v"), Seq(10.0, 50.0)).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getDouble(0)) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out(0.0) == 0 && out(9.9) == 0, "below first cut")
+    assert(out(10.0) == 1 && out(49.9) == 1, "cut is inclusive (>=)")
+    assert(out(50.0) == 2 && out(100.0) == 2)
+    assert(out(null) == -1, "null value -> null bucket")
+    // composition with histQuantiles: p50 cutpoint splits ~half/half
+    val vals = (1 to 1000).map(_.toDouble * 128).toDF("v")
+    val cut = SketchOps.histQuantiles(vals, col("v"), 128L, 1024, Seq(500))
+      .select("est_hi").collect().head.getAs[Number](0).doubleValue()
+    val lo = SketchOps.bucketize(vals, col("v"), Seq(cut))
+      .filter(col("bucket") === 0).count()
+    assert(math.abs(lo - 500L) <= 128, s"p50 bucket split off: $lo below cut $cut")
+  }
+
   test("skewReport: hand-computed skew factor and salt on a planted hot key") {
     import spark.implicits._
     // key 7 has 8 rows, keys 1..4 have 2 each -> 16 rows / 5 keys,

@@ -69,6 +69,8 @@ def runLibcheck(): Unit = {
   check("SketchOps.kmvJaccard")(
     SketchOps.kmvJaccard(events, col("user_id"), "event_type", 64))
   check("SketchOps.skewReport")(SketchOps.skewReport(events, col("user_id")))
+  check("SketchOps.bucketize")(
+    SketchOps.bucketize(events, col("value"), Seq(1.0, 10.0)))
   check("SketchOps.cmsHeavyHitters")(
     SketchOps.cmsHeavyHitters(events, col("user_id"), 4, 1024, 5))
   check("SketchOps.histQuantiles")(
