@@ -51,8 +51,11 @@ object ScaleBench {
   private def buildCorpus(spark: SparkSession, sfDir: String, outDir: String,
       copies: Int = COPIES, tables: Set[String] =
         Set("documents", "embeddings", "events", "orders", "lineitem")): Unit = {
-    val doneTable = if (tables("lineitem")) "lineitem" else tables.min
-    val exists = new java.io.File(s"$outDir/$doneTable.parquet/_SUCCESS").isFile
+    // Reuse only when EVERY selected table has a _SUCCESS marker — a crash
+    // mid-build leaves the early tables complete and the rest missing, and
+    // checking a single table would treat that partial corpus as done.
+    val exists = tables.forall(tb =>
+      new java.io.File(s"$outDir/$tb.parquet/_SUCCESS").isFile)
     if (exists) { println(s"[scale] reusing corpus at $outDir"); return }
     println(s"[scale] building ${copies}x corpus at $outDir (${tables.mkString(",")})")
 

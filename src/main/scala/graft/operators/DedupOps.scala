@@ -78,8 +78,15 @@ object DedupOps {
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     OpContract.requireCols(oldDocs, "DedupOps.snapshotDiff old", "doc_id", "text")
     OpContract.requireCols(newDocs, "DedupOps.snapshotDiff new", "doc_id", "text")
+    // Each side collapses to ONE digest per doc_id (min — deterministic)
+    // BEFORE the full-outer join: a snapshot with duplicate doc_ids would
+    // otherwise multiply join rows and emit conflicting statuses for the
+    // same id. The aggregate shares the join's hash partitioning on
+    // doc_id, so it adds no extra exchange.
     val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_digest"))
+      .groupBy("doc_id").agg(min(col("old_digest")).as("old_digest"))
     val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_digest"))
+      .groupBy("doc_id").agg(min(col("new_digest")).as("new_digest"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("old_digest").isNull, lit("added"))

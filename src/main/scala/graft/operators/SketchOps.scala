@@ -137,14 +137,23 @@ object SketchOps {
     * key-equality self-join).
     *
     * FP discipline: both ratios are a SINGLE division of exact integers —
-    * bit-identical cross-engine. Scale shape: the only data-sized stages
+    * bit-identical cross-engine. Null keys are excluded from both the
+    * sketch and the exact path (set semantics; engines disagree on NULL
+    * ordering, so a null hash must never reach a bottom-k slot — the
+    * [[histQuantiles]] null discipline). Scale shape: the only data-sized stages
     * are the (group, hash) distinct (map-side combined, hashes not keys
     * on the wire) and the per-group bottom-k window (state k longs per
     * group); everything pairwise runs on G·k-row sketches.
     */
   def kmvJaccard(df: DataFrame, keyCol: Column, groupCol: String, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashed = df
+    // Null keys are EXCLUDED from both the sketch and the exact path (the
+    // histQuantiles null discipline): mdint(null) is a null hash that
+    // survives distinct() and, under Spark's NULLS FIRST window ordering,
+    // would occupy a bottom-k slot — diverging from engines that sort
+    // NULLS LAST and from the exact path's set semantics.
+    val nn = df.filter(keyCol.isNotNull)
+    val hashed = nn
       .select(col(groupCol).as("g"), CrossHash.mdint(keyCol.cast("string")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("g")).orderBy(col("h"))
@@ -167,7 +176,7 @@ object SketchOps {
       .withColumn("est_jaccard",
         col("n_both").cast("double") / col("n_union_kept").cast("double"))
     // exact comparison path: distinct keys, equality self-join
-    val keys = df.select(col(groupCol).as("g"), keyCol.cast("string").as("key")).distinct()
+    val keys = nn.select(col(groupCol).as("g"), keyCol.cast("string").as("key")).distinct()
     val dPer = keys.groupBy(col("g")).agg(count(lit(1)).as("d"))
     val inter = keys.select(col("g").as("ia"), col("key"))
       .join(keys.select(col("g").as("ib"), col("key")), Seq("key"))

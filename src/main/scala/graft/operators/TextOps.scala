@@ -817,8 +817,14 @@ object TextOps {
     val perDocF = d.select(col("doc_id"), explode(words).as("w"))
       .withColumn("feature", graft.functions.CrossHash.mdint(col("w")) % buckets)
       .groupBy("doc_id", "feature").agg(count(lit(1)).as("cnt"))
-    val m = model.select(col("feature"),
-      round(col("weight"), 7).cast(DecimalType(12, 7)).as("t"))
+    // The model is an EXTERNAL input, so duplicate feature rows are a
+    // plausible hazard: joined as-is they would fan out the (doc, feature)
+    // counts and silently inflate n_tokens and score. Collapse to one row
+    // per feature with the linear-model combine rule (weights ADD — the sum
+    // is exact decimal arithmetic, so the collapse is order-independent).
+    val m = model
+      .select(col("feature"), round(col("weight"), 7).cast(DecimalType(12, 7)).as("t"))
+      .groupBy("feature").agg(sum(col("t")).cast(DecimalType(12, 7)).as("t"))
     perDocF.join(broadcast(m), Seq("feature"), "left")
       .withColumn("t", coalesce(col("t"), lit(0).cast(DecimalType(12, 7))))
       .groupBy("doc_id")

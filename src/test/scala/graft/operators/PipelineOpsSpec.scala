@@ -69,6 +69,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(self.forall(_ == "unchanged") && self.length == 3)
   }
 
+  test("snapshotDiff: duplicate doc_ids collapse to one deterministic row per id") {
+    import spark.implicits._
+    // id 1 duplicated in old with two digests -> min(digest) represents it;
+    // id 2 duplicated in new with IDENTICAL text -> plain unchanged.
+    val oldV = Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("doc_id", "text")
+    val newV = Seq((1L, "a"), (2L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val rows = DedupOps.snapshotDiff(oldV, newV).collect()
+    assert(rows.length == 2, s"one row per id, got ${rows.length}")
+    val m = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // md5("a") < md5("b") (0cc1... < 92eb...), so old id 1 is represented
+    // by digest("a") and matches new -> unchanged, never 'conflicting'.
+    assert(m == Map(1L -> "unchanged", 2L -> "unchanged"), m.toString)
+  }
+
   test("q26_approx_distinct: HLL estimates inside the published rsd bound of exact counts") {
     // The one gate row the oracle can't hash (HLL registers are engine-
     // internal): bracket it quantitatively instead. approx_count_distinct
@@ -417,6 +431,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rb.getLong(2) == 64L, "union sketch must cap at k")
     assert(math.abs(rb.getDouble(4) - 1.0 / 3.0) < 1e-12, "exact path")
     assert(math.abs(rb.getDouble(3) - 1.0 / 3.0) < 0.30, s"est ${rb.getDouble(3)}")
+    // Null keys are excluded (set semantics): injecting nulls into both
+    // groups must not move the sketch, the union size, or the exact path —
+    // a null hash sorted NULLS FIRST would otherwise steal a bottom-k slot.
+    val withNulls = small.unionAll(
+      Seq(("A", null.asInstanceOf[Integer]), ("B", null.asInstanceOf[Integer]))
+        .toDF("g", "key").select(col("g"), col("key").cast("int")))
+    val rn = SketchOps.kmvJaccard(withNulls, col("key"), "g", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rn == rs, "null keys must be invisible to both paths")
   }
 
   test("cmsHeavyHitters: estimates never undercount, exact counts correct, rank deterministic") {
@@ -922,6 +946,14 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(1L) == ((3L, 0.75)), "2*0.5 - 0.25")   // exact: decimal sums
     assert(out(2L) == ((1L, 1.0)))
     assert(out(3L) == ((2L, 0.0)), "absent feature scores 0 but counts tokens")
+    // Duplicate feature rows in the EXTERNAL model must not fan out the
+    // (doc, feature) counts: weights combine additively (0.2 + 0.3 = 0.5
+    // for aa), token counts stay exact.
+    val dupModel = Seq((f("aa"), 0.2), (f("aa"), 0.3), (f("bb"), -0.25),
+      (f("cc"), 1.0)).toDF("feature", "weight")
+    val outDup = TextOps.scoreLinear(docs, dupModel)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(outDup == out, "duplicate model features combine, never fan out")
   }
 
   test("bucketize: cut boundaries inclusive, nulls null, equi-depth composition holds") {
