@@ -152,7 +152,6 @@ object DedupOps {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jac") >= JACCARD_T)
       .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Asymmetric CONTAINMENT pairs: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
@@ -195,7 +194,6 @@ object DedupOps {
       .filter(col("common") * 10 >= col("d.sz") * 8)
       .select(col("d.doc_a").as("doc_a"), col("d.doc_b").as("doc_b"),
         (col("common").cast("double") / col("d.sz")).as("containment"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + LSH: k=16 universal-family minhashes in one aggregation
@@ -253,7 +251,6 @@ object DedupOps {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jac") >= JACCARD_T)
       .select(col(aCol), col(bCol), col("jac"))
-      .orderBy(aCol, bCol)
   }
 
   def minhashPairs(docs: DataFrame): DataFrame = {
@@ -343,7 +340,6 @@ object DedupOps {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Detector evaluation: precision / recall / F1 of a predicted near-dup
@@ -430,7 +426,7 @@ object DedupOps {
     require(converged,
       s"nearDupClusters did not converge in $maxIters rounds — component " +
         "diameter exceeds the cap; raise maxIters or switch to star-contraction")
-    labels.orderBy("doc_id")
+    labels
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
@@ -505,7 +501,6 @@ object DedupOps {
     nodes.join(rooted, col("n") === col("doc_id"), "left")
       .select(col("n").as("doc_id"),
         coalesce(col("cluster_id"), col("n")).as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Apply a near-dup clustering to the corpus: keep ONE canonical

@@ -27,22 +27,31 @@ object DedupQueries {
       val docs = t(s, d, "documents")
       DedupOps.exactDedupStats(docs.unionAll(docs))
     }),
-    "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"))),
-    "dd_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d, "documents"))),
-    "dd_minhash" -> ((s, d) => DedupOps.minhashPairs(t(s, d, "documents"))),
+    // Gate-determinism sorts live HERE, not in the library ops: the ops
+    // return unordered relations (a trailing global Sort+Exchange would
+    // charge every 100 TB user for oracle hash stability).
+    "dd_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "dd_containment" -> ((s, d) =>
+      DedupOps.containmentPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "dd_minhash" -> ((s, d) =>
+      DedupOps.minhashPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
     // Incremental ingest dedup: every 7th doc plays the incoming batch,
     // the rest the existing corpus; pairs are cross-corpus only.
     "dd_minhash_incr" -> ((s, d) => {
       val docs = t(s, d, "documents")
       DedupOps.minhashPairsAgainst(
         docs.filter(col("doc_id") % 7 =!= 0),
-        docs.filter(col("doc_id") % 7 === 0))
+        docs.filter(col("doc_id") % 7 === 0)).orderBy("doc_old", "doc_new")
     }),
     "dd_clusters" -> ((s, d) =>
-      DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))),
+      DedupOps.nearDupClusters(DedupOps.minhashPairs(t(s, d, "documents")))
+        .orderBy("doc_id")),
     "dd_clusters_star" -> ((s, d) =>
-      DedupOps.nearDupClustersStar(DedupOps.minhashPairs(t(s, d, "documents")))),
-    "dd_simhash" -> ((s, d) => DedupOps.simhashPairs(t(s, d, "documents"))),
+      DedupOps.nearDupClustersStar(DedupOps.minhashPairs(t(s, d, "documents")))
+        .orderBy("doc_id")),
+    "dd_simhash" -> ((s, d) =>
+      DedupOps.simhashPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
     // Detector eval: how well does the cheap simhash detector recover the
     // exact n-gram-Jaccard ≥ 0.3 truth pairs? (minhashPairs would be
     // uninformative here — it exact-verifies candidates, so its precision
@@ -70,7 +79,8 @@ object DedupQueries {
     // cover only docs appearing in a near-dup pair (see GraphOps.pageRank
     // scaladoc) — isolated docs have no duplicate neighborhood to rank.
     "dd_pagerank" -> ((s, d) =>
-      GraphOps.pageRank(DedupOps.minhashPairs(t(s, d, "documents")))),
+      GraphOps.pageRank(DedupOps.minhashPairs(t(s, d, "documents")))
+        .orderBy("doc_id")),
     // Snapshot diff: two deterministic corpus versions carved from the
     // documents table — every 13th doc exists only in the new snapshot
     // (added), every 10th only in the old (removed), every 7th has its

@@ -72,6 +72,6 @@ object GraphOps {
         .select(col("dst").as("doc_id"),
           round(tele + lit(damping) * col("csum").cast("double"), 12).as("pr"))
     }
-    pr.orderBy("doc_id")
+    pr
   }
 }

@@ -112,7 +112,6 @@ object SimilarityOps {
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("cid"), col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy("cid", "vec_a", "vec_b")
   }
 
   /** Distributed Lloyd training over `iters` iterations from the given
@@ -173,7 +172,6 @@ object SimilarityOps {
             .otherwise(round(x.cast("double") * lit(127.0) /
               col("scale_f").cast("double"), 0).cast("int"))
             .cast("string"))).as("q_csv"))
-      .orderBy("vec_id")
   }
 
   /** PQ model = (subspace, cid, codeword) triples, driver-side (m·ks·subDim
@@ -344,7 +342,7 @@ object SimilarityOps {
   def pqCodes(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
       iters: Int = 2): DataFrame = {
     val model = pqTrain(e0, m, subDim, ks, iters)
-    pqEncode(e0, model, m, subDim).orderBy("vec_id")
+    pqEncode(e0, model, m, subDim)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay exact,
@@ -536,7 +534,6 @@ object SimilarityOps {
         .otherwise(transform(col("cent"), x => round(x / col("nrm"), 6))))
       .withColumn("norm", round(col("nrm"), 6))
       .drop("cent", "nrm")
-      .orderBy("vec_id")
   }
 
   /** Random-projection dimensionality reduction (Achlioptas-style sparse
@@ -579,7 +576,6 @@ object SimilarityOps {
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
   }
 
   /** LSH-BLOCKED near-dup pairs: candidates = pairs sharing any (table,
@@ -627,7 +623,6 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .distinct()
-      .orderBy("vec_a", "vec_b")
   }
 
   /** SEMANTIC DECONTAMINATION — drop every corpus vector whose embedding
@@ -682,7 +677,6 @@ object SimilarityOps {
       .filter(cosine(col("embedding"), col("be")) >= threshold)
       .select("vec_id").distinct()
     corpus.join(broadcast(matched), Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

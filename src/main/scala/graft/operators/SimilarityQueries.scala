@@ -260,13 +260,14 @@ object SimilarityQueries {
     // kept as the ORACLE ANCHOR for the blocked path below; right plan only
     // at oracle scale.
     "emb_near_pairs" -> ((s, d) =>
-      SimilarityOps.nearPairs(t(s, d, "embeddings"), NEAR_T)),
+      SimilarityOps.nearPairs(t(s, d, "embeddings"), NEAR_T)
+        .orderBy("vec_a", "vec_b")),
 
     // LSH-blocked near-dup pairs — the bucketed scale path; same output as
     // the anchor at this threshold (oracle row + PipelineOpsSpec).
     "emb_near_pairs_lsh" -> ((s, d) =>
       SimilarityOps.nearPairsLsh(t(s, d, "embeddings"), NEAR_T,
-        NP_BITS, NP_TABLES, NP_SEED)),
+        NP_BITS, NP_TABLES, NP_SEED).orderBy("vec_a", "vec_b")),
 
     // Semantic decontamination: every 25th vector plays the eval
     // benchmark, the rest the corpus; same blocking configuration as the
@@ -281,6 +282,7 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 25 =!= 0), e.filter(col("vec_id") % 25 === 0),
         NEAR_T, NP_BITS, NP_TABLES, NP_SEED)
         .select("vec_id", "label")
+        .orderBy("vec_id")
     }),
 
     "knn_brute" -> ((s, d) => {
@@ -313,7 +315,7 @@ object SimilarityQueries {
     }),
 
     "emb_quantize" -> ((s, d) =>
-      SimilarityOps.quantizeInt8(t(s, d, "embeddings"))),
+      SimilarityOps.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")),
 
     // Mean-center + L2-normalize: the pre-ANN preprocessing pass. Gate
     // melts the double array to (vec_id, dim, v) rows — double VALUES
@@ -348,12 +350,14 @@ object SimilarityQueries {
     "emb_semantic_dedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.semanticDedup(e, broadcast(firstCentroids(e)), NEAR_T)
+        .orderBy("cid", "vec_a", "vec_b")
     }),
 
     // Product-quantization ENCODE: 4 subspaces × 4 codewords, codebooks
     // trained with two Lloyd iterations per subspace (the ivf_trained
     // pattern, unrolled per-subspace in the oracle).
-    "emb_pq_codes" -> ((s, d) => SimilarityOps.pqCodes(t(s, d, "embeddings"))),
+    "emb_pq_codes" -> ((s, d) =>
+      SimilarityOps.pqCodes(t(s, d, "embeddings")).orderBy("vec_id")),
 
     // ADC top-k over the PQ codes — the IVFADC building block; queries
     // exact, corpus represented by codewords, fixed-association LUT sums.

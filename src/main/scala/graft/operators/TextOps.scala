@@ -116,7 +116,6 @@ object TextOps {
       .withColumn("quality_score",
         col("ttr") * 0.5 + col("stop_ratio") * 0.2 +
           when(col("n_tokens") >= 30 && col("n_tokens") <= 120, 0.3).otherwise(0.0))
-      .orderBy("doc_id")
 
   /** Language-ID heuristic: marker-word hit counts, argmax with fixed tie
     * order; output is the label×prediction confusion matrix.
@@ -222,7 +221,6 @@ object TextOps {
       .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("fp_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"), col("fp_a"), col("fp_b"),
         (col("shared").cast("double") / least(col("fp_a"), col("fp_b"))).as("overlap"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** C4-style boilerplate-chunk removal (Raffel et al. 2020 §2.2 dedup
@@ -272,7 +270,6 @@ object TextOps {
       .select(col("doc_id"), col("n_chunks"), col("n_removed"),
         md5(col("clean_text")).as("digest"),
         length(col("clean_text")).cast("long").as("n_clean_chars"))
-      .orderBy("doc_id")
   }
 
   /** Repetition filter (the Gopher-style quality signal): fraction of
@@ -524,7 +521,6 @@ object TextOps {
         regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
         length(red).cast("long").as("red_len"),
         md5(red).as("red_md5"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark-contamination check (decontamination's measurement half):
@@ -552,7 +548,6 @@ object TextOps {
       .join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
   }
 
   /** Sequence packing (concat-and-chunk, the standard LLM pretraining
@@ -583,7 +578,6 @@ object TextOps {
       .select(col("lang"), col("pack_id"), col("doc_id"),
         (least((col("pack_id") + 1) * capacity, col("cb") + col("tok")) -
           greatest(col("pack_id") * capacity, col("cb"))).as("tokens_in_pack"))
-      .orderBy("lang", "pack_id", "doc_id")
   }
 
   /** LENGTH-BUCKETED BATCH LAYOUT — the padding-based dynamic-batching
@@ -627,7 +621,6 @@ object TextOps {
             col("batch_id"))) * col("bucket") -
           sum(col("n_tokens")).over(Window.partitionBy(col("bucket"), col("shard"),
             col("batch_id"))))
-      .orderBy("doc_id")
   }
 
   /** Per-document OVERLAPPING token-window chunking — the retrieval /
@@ -733,7 +726,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_bigrams"),
         round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("bpt"))
-      .orderBy("doc_id")
   }
 
   /** DSIR-style importance scores (Xie et al., "Data Selection for
@@ -777,7 +769,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_tokens"),
         round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("dsir"))
-      .orderBy("doc_id")
   }
 
   /** Hashed-feature LINEAR MODEL application — the "run the trained
@@ -830,7 +821,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("t")).cast("double").as("score"))
-      .orderBy("doc_id")
   }
 
   /** BM25 relevance scores (Robertson et al., the Lucene-practical form
@@ -867,7 +857,6 @@ object TextOps {
       .withColumn("t", round(col("idf") * col("tfpart"), 7).cast(DecimalType(12, 7)))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("t")).cast("double").as("bm25"))
-      .orderBy("doc_id")
   }
 
   /** Text normalization (the C4/RefinedWeb pre-dedup cleanup, restricted
@@ -883,7 +872,6 @@ object TextOps {
       length(col("text")).cast("long").as("n_raw"),
       md5(norm).as("digest"),
       length(norm).cast("long").as("n_norm"))
-      .orderBy("doc_id")
   }
 
   /** Bag-of-words fingerprint (md5 over the sorted distinct vocabulary):

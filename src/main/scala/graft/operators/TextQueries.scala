@@ -18,8 +18,11 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_stats" -> ((s, d) => TextOps.tokenStats(t(s, d, "documents"))),
+    // Gate-determinism sorts live HERE, not in the library ops (the ops
+    // return unordered relations; see DedupQueries note).
     "tx_quality" -> ((s, d) =>
-      TextOps.quality(t(s, d, "documents").filter(col("doc_id") < 200))),
+      TextOps.quality(t(s, d, "documents").filter(col("doc_id") < 200))
+        .orderBy("doc_id")),
     "tx_langid" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "tx_winnow" -> ((s, d) =>
       TextOps.winnow(t(s, d, "documents").filter(col("doc_id") < 200))),
@@ -30,19 +33,22 @@ object TextQueries {
     // >= 1 pins 80 real co-occurrence rows at sf0.01.
     "tx_winnow_pairs" -> ((s, d) =>
       TextOps.winnowPairs(t(s, d, "documents").filter(col("doc_id") < 200),
-        minShared = 1)),
+        minShared = 1).orderBy("doc_a", "doc_b")),
     "tx_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     // 2-word chunks so the rule actually fires on the synthetic corpus's
     // ~30-word vocabulary (5-word chunks are near-unique at this SF).
-    "tx_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(t(s, d, "documents"))),
+    "tx_chunk_dedup" -> ((s, d) =>
+      TextOps.chunkDedup(t(s, d, "documents")).orderBy("doc_id")),
     "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
     "tx_mix_apply" -> ((s, d) => TextOps.applyMixture(t(s, d, "documents"))),
     // DSIR: target distribution = the src0 slice of the corpus.
     "tx_dsir" -> ((s, d) =>
-      TextOps.dsirScores(t(s, d, "documents"), col("source") === "src0")),
+      TextOps.dsirScores(t(s, d, "documents"), col("source") === "src0")
+        .orderBy("doc_id")),
     // BM25 against a fixed three-term query over the corpus vocabulary.
     "tx_bm25" -> ((s, d) =>
-      TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))),
+      TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))
+        .orderBy("doc_id")),
     // Data-card report: every 10th doc re-appended so the duplicate
     // columns are non-vacuous (the dd_exact injection pattern — the base
     // table has no exact dups).
@@ -54,7 +60,7 @@ object TextQueries {
     // docs spreads documents across ~7 buckets; 4 shards x 4-doc batches.
     "tx_length_buckets" -> ((s, d) =>
       TextOps.lengthBuckets(t(s, d, "documents"),
-        padTo = 16, batchSize = 4, nShards = 4)),
+        padTo = 16, batchSize = 4, nShards = 4).orderBy("doc_id")),
     // Linear-model apply: a deterministic stand-in model (weight is a
     // fixed integer function of the feature id, in [-1, 1]) playing the
     // externally-trained classifier — what the op does with it is the
@@ -62,14 +68,14 @@ object TextQueries {
     "tx_score_linear" -> ((s, d) => {
       val model = s.range(256).select(col("id").as("feature"),
         ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))
-      TextOps.scoreLinear(t(s, d, "documents"), model)
+      TextOps.scoreLinear(t(s, d, "documents"), model).orderBy("doc_id")
     }),
     // Normalization needs dirt to clean: inject case noise and runs of
     // whitespace (the tx_pii_redact injection pattern).
     "tx_normalize" -> ((s, d) =>
       TextOps.normalizeText(t(s, d, "documents").select(col("doc_id"),
         concat(upper(substring(col("text"), 1, 10)), lit("   "),
-          col("text"), lit("  THE End ")).as("text")))),
+          col("text"), lit("  THE End ")).as("text"))).orderBy("doc_id")),
     "tx_topterms" -> ((s, d) => TextOps.topTerms(t(s, d, "documents"))),
     "tx_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"),
@@ -98,16 +104,18 @@ object TextQueries {
           (col("doc_id") % 250).cast("string"), lit(".0.1 logged"))).otherwise(lit("")),
         when(col("doc_id") % 3 === 2, concat(lit(" call +1415550"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
-          .otherwise(lit(""))).as("text")))),
+          .otherwise(lit(""))).as("text"))).orderBy("doc_id")),
     // Benchmark set = every 50th doc; the rest of the corpus is checked
     // for shared 3-grams against it.
     "tx_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
       TextOps.contamination(
         docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0))
+        docs.filter(col("doc_id") % 50 === 0)).orderBy("doc_id")
     }),
-    "tx_pack" -> ((s, d) => TextOps.packSequences(t(s, d, "documents"), 256)),
+    "tx_pack" -> ((s, d) =>
+      TextOps.packSequences(t(s, d, "documents"), 256)
+        .orderBy("lang", "pack_id", "doc_id")),
     // Retrieval chunking: 16-token windows overlapping by 4 — small
     // enough that sf0.01 docs split into several chunks each.
     "tx_chunk_text" -> ((s, d) =>
@@ -116,7 +124,8 @@ object TextQueries {
     "tx_weighted_sample" -> ((s, d) =>
       TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)),
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))),
-    "tx_bigram_ppl" -> ((s, d) => TextOps.bigramPerplexity(t(s, d, "documents"))))
+    "tx_bigram_ppl" -> ((s, d) =>
+      TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"

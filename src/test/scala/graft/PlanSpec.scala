@@ -13,6 +13,39 @@ class PlanSpec extends SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("library ops return unordered relations: no gate-determinism global sort in op plans") {
+    // Round-7 contract: the trailing orderBy that stabilizes the oracle
+    // hash lives in the *Queries.scala gate bindings, NOT in the library
+    // ops — a user at 100 TB must not pay a corpus-wide Sort+Exchange for
+    // row-order cosmetics. Representative corpus-sized ops across the
+    // families: any GLOBAL logical Sort in their optimized plan is a
+    // regression. (Bounded-output reports — per-lang, top-k — keep their
+    // presentation sorts deliberately; they sort ≤ hundreds of rows.)
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import graft.operators.{DedupOps, GraphOps, SimilarityOps, TextOps}
+    val docs = Tables.t(spark, sfDir, "documents")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val ops = Map(
+      "chunkDedup" -> TextOps.chunkDedup(docs),
+      "quality" -> TextOps.quality(docs),
+      "scoreLinear" -> TextOps.scoreLinear(docs,
+        spark.range(8).select(col("id").as("feature"), lit(0.5).as("weight"))),
+      "normalizeEmbeddings" -> SimilarityOps.normalizeEmbeddings(emb),
+      "nearPairsLsh" -> SimilarityOps.nearPairsLsh(emb, 0.9, 8, 2, 7L),
+      "pageRank" -> GraphOps.pageRank(DedupOps.minhashPairs(docs)),
+      "nearDupClustersStar" -> DedupOps.nearDupClustersStar(
+        DedupOps.minhashPairs(docs)),
+      "semanticDecontaminate" -> SimilarityOps.semanticDecontaminate(
+        emb.filter(col("vec_id") % 25 =!= 0), emb.filter(col("vec_id") % 25 === 0),
+        0.9, 8, 2, 7L))
+    for ((name, df) <- ops) {
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: Sort if s.global => s
+      }
+      assert(sorts.isEmpty, s"$name plans a global Sort: ${sorts.mkString("; ")}")
+    }
+  }
+
   test("PQ encode is a pure projection: no hash exchange, no join, no generate in the plan") {
     // The "scan → project → write" claim on SimilarityOps.pqCodes as a
     // machine check: after training (driver-side model state), encoding
