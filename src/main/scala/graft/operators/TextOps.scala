@@ -237,9 +237,17 @@ object TextOps {
     * chunk text; the only shuffle that moves text is the per-doc rebuild
     * (unavoidable — reassembly is a grouping by doc). The dup-hash table
     * is the boilerplate subset (small in real corpora) — AQE broadcasts
-    * the flag join when it fits.
+    * the flag join when it fits. There is deliberately NO broadcast hint
+    * on that join: the planner sizes the dup side from stats, so the
+    * broadcast is opportunistic, not forced. On a pathological corpus
+    * where most chunks are duplicated (dup set ≈ chunk vocabulary, too
+    * big for the driver) pass `broadcastDup = false` — the flag join is
+    * then pinned to a shuffle join whose rows are the 8-byte hash + a
+    * boolean, never text, so the fallback regime is scan-bound rather
+    * than driver-bound (PlanSpec pins both regimes and their equality).
     */
-  def chunkDedup(docs: DataFrame, chunkWords: Int = 2): DataFrame = {
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 2,
+      broadcastDup: Boolean = true): DataFrame = {
     require(chunkWords >= 1, s"chunkDedup needs chunkWords >= 1, got $chunkWords")
     OpContract.requireCols(docs, "TextOps.chunkDedup", "doc_id", "text")
     import graft.functions.CrossHash
@@ -255,7 +263,8 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h"), lit(true).as("dup"))
-    val flagged = hashed.join(dup, Seq("h"), "left")
+    val dupSide = if (broadcastDup) dup else dup.hint("shuffle_merge")
+    val flagged = hashed.join(dupSide, Seq("h"), "left")
       .withColumn("dup", coalesce(col("dup"), lit(false)))
     flagged.groupBy("doc_id")
       .agg(

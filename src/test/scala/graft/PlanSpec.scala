@@ -71,6 +71,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("chunkDedup dup-flag join: broadcast when the dup set fits, text-free shuffle fallback otherwise") {
+    // The guarded-broadcast contract: the default regime lets the planner
+    // broadcast the dup-hash set off stats (no forced hint); the
+    // pathological-corpus regime (`broadcastDup = false`, for when the dup
+    // set approaches the chunk vocabulary and would OOM the driver) pins
+    // the flag join to a shuffle join that ships only (hash, bool) rows.
+    // Both regimes must agree row-for-row on a mostly-duplicated corpus.
+    import graft.operators.TextOps
+    val docs = spark.range(150).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta tail"),
+        col("id").cast("string")).as("text"))
+    def run(bd: Boolean): (Seq[String], String) = {
+      val df = TextOps.chunkDedup(docs, chunkWords = 2, broadcastDup = bd)
+      val rows = df.orderBy("doc_id").collect().map(_.toString).toSeq
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    val (bRows, bPlan) = run(bd = true)
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    val (sRows, sPlan) = run(bd = false)
+    assert(!sPlan.contains("BroadcastHashJoin"), sPlan)
+    val joinLine = sPlan.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joinLine.isDefined, sPlan)
+    assert(!joinLine.get.contains("chunk") && !joinLine.get.contains("text"),
+      joinLine.get)
+    assert(sRows == bRows)
+  }
+
   test("snapshot diff ships digests, not text: no text column survives into the join") {
     // The 24-byte-rows claim on snapshotDiff: both sides project to
     // (doc_id, digest) BEFORE the full-outer join, so the join operator's
