@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal transforms as DataFrame→DataFrame functions — the public
@@ -41,6 +41,63 @@ object MediaOps {
         when(col("max_dim") <= box, col("height"))
           .otherwise(((col("height") * box) / col("max_dim")).cast("int")).as("new_h"))
       .orderBy("doc_id")
+
+  /** One thumbnail row per asset from [[thumbnailPixels]]. */
+  final case class Thumb(
+      doc_id: Long, decoded: Boolean, src_w: Int, src_h: Int,
+      new_w: Int, new_h: Int, thumb_bytes: Int, thumb_md5: String)
+
+  /** REAL pixel thumbnailing: decode the payload via `javax.imageio`
+    * ([[MediaStub.decodeImage]] containers), resize to fit a `box`-pixel
+    * square with the same integer-floor contract as [[resizeToFit]],
+    * re-encode as PNG, and fingerprint the result. Payloads no installed
+    * reader recognizes (audio/video, the synthetic gate corpus) keep the
+    * leading-byte fingerprint of [[thumbnail]] with `decoded = false`.
+    * Same mapPartitions discipline as [[MediaStub.decodeAll]]:
+    * iterator-to-iterator, per-partition setup, embarrassingly parallel —
+    * no shuffle at any scale.
+    */
+  def thumbnailPixels(spark: SparkSession, docsWithPayload: DataFrame,
+      box: Int = 128): Dataset[Thumb] = {
+    import spark.implicits._
+    require(box >= 1, s"thumbnailPixels needs box >= 1, got $box")
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.thumbnailPixels", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        it.map { case (id, bytes) =>
+          val decoded = try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          } catch { case _: Exception => None }
+          decoded match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val m = math.max(w, h)
+              val (nw, nh) =
+                if (m <= box) (w, h) else (w * box / m, h * box / m)
+              val out = new java.awt.image.BufferedImage(
+                math.max(nw, 1), math.max(nh, 1),
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(img, 0, 0, math.max(nw, 1), math.max(nh, 1), null)
+              finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              val png = bos.toByteArray
+              md.reset()
+              Thumb(id, decoded = true, w, h, math.max(nw, 1), math.max(nh, 1),
+                png.length, hex(md.digest(png)))
+            case None =>
+              md.reset()
+              Thumb(id, decoded = false, 0, 0, 0, 0,
+                math.min(bytes.length, box), hex(md.digest(bytes.take(box))))
+          }
+        }
+      }
+  }
 
   /** Frame sampling: explode the frame index space, keep every `stride`-th
     * frame — the classic video frame-sample shape (generator + filter).
