@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{MCBattery, RngFamily, SimulationSpec, TraceSink}
-import graft.operators.SimilarityOps
+import graft.operators.{DedupOps, SimilarityOps}
 
 /** Standalone scale-stress measurement (NOT part of the correctness gate —
   * timings are not oracleable). Two modes:
@@ -48,13 +48,29 @@ object ScaleBench {
     if (r2 == 0) t1 else translate(t1, alpha2, alpha2.drop(r2) + alpha2.take(r2))
   }
 
+  /** Bump when the synthetic-corpus construction changes (substitution
+    * maps, rescale scheme, id shifts): reuse requires the on-disk corpus
+    * to carry the SAME version, or it is rebuilt. Round 7 found exactly
+    * this staleness class in the wild — a pre-round-6 10× corpus (single
+    * 9-letter rotation, so copy 9 exactly cloned copy 0) passed the
+    * _SUCCESS checks and silently tripled the measured 10× dedup pair
+    * counts. A crash-partial corpus is caught by the per-table _SUCCESS
+    * check; a scheme change is caught only by this stamp.
+    */
+  private val SchemeVersion = "v2-composed-rotation"
+
   private def buildCorpus(spark: SparkSession, sfDir: String, outDir: String,
       copies: Int = COPIES, tables: Set[String] =
         Set("documents", "embeddings", "events", "orders", "lineitem")): Unit = {
     // Reuse only when EVERY selected table has a _SUCCESS marker — a crash
     // mid-build leaves the early tables complete and the rest missing, and
-    // checking a single table would treat that partial corpus as done.
-    val exists = tables.forall(tb =>
+    // checking a single table would treat that partial corpus as done —
+    // AND the scheme stamp matches the current construction code.
+    val stamp = new java.io.File(s"$outDir/_graft_scheme")
+    val stampOk = stamp.isFile &&
+      new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+        .trim == SchemeVersion
+    val exists = stampOk && tables.forall(tb =>
       new java.io.File(s"$outDir/$tb.parquet/_SUCCESS").isFile)
     if (exists) { println(s"[scale] reusing corpus at $outDir"); return }
     println(s"[scale] building ${copies}x corpus at $outDir (${tables.mkString(",")})")
@@ -111,6 +127,10 @@ object ScaleBench {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * SHIFT))
     }.reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // stamp LAST: a crash anywhere above leaves no stamp -> full rebuild
+    java.nio.file.Files.write(stamp.toPath,
+      SchemeVersion.getBytes("UTF-8"))
   }
 
   // the near-pairs 0.9 regime config proven exact-recall in AnnClusteredSpec
@@ -257,7 +277,12 @@ object ScaleBench {
       "q36_kmv_jaccard" -> ((s: SparkSession, d: String, _: Double) =>
         SparkEntry.queries("q36_kmv_jaccard")(s, d)),
       "tx_score_linear" -> ((s: SparkSession, d: String, _: Double) =>
-        SparkEntry.queries("tx_score_linear")(s, d)))
+        SparkEntry.queries("tx_score_linear")(s, d)),
+      // round-7 continuation: full within-corpus MinHash pairs (band-
+      // bucketed inverted index — the linear-growth claim for the
+      // headline dedup path)
+      "dd_minhash" -> ((s: SparkSession, d: String, _: Double) =>
+        DedupOps.minhashPairs(s.read.parquet(s"$d/documents.parquet"))))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
@@ -279,14 +304,76 @@ object ScaleBench {
         f""""exponent":$slope%.2f,"rows":[${ts(0)._3},${ts(1)._3},${ts(2)._3}]}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecurve","queries":$json}""")
+
+    def fitSlope(pts: Seq[(Double, Double)]): Double = {
+      val lp = pts.map { case (k, t) => (math.log(k), math.log(t)) }
+      val n = lp.size
+      val (mx, my) = (lp.map(_._1).sum / n, lp.map(_._2).sum / n)
+      lp.map(p => (p._1 - mx) * (p._2 - my)).sum /
+        lp.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    }
+
+    // Incremental-dedup PROBE cost vs corpus scale: the corpus MinHash
+    // index is built ONCE per scale and persisted (the production shape —
+    // yesterday's index is on disk); the timed quantity is probing a FIXED
+    // base-scale batch against it. The claim "per-batch cost ∝ batch +
+    // collisions, NOT corpus size" predicts an exponent well below 1 —
+    // what remains is the collision term (fixed band buckets fill as the
+    // corpus grows) plus the scan of matched corpus shingle groups.
+    import org.apache.spark.storage.StorageLevel
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0)
+    println("| probe (fixed batch) | corpus scale | probe s | pairs | index rows |")
+    println("|---|---|---|---|---|")
+    val probePts = scales.map { case (k, d) =>
+      val corpus = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 7 =!= 0)
+      val (hashed, bands) = DedupOps.minhashIndex(corpus)
+      val h = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+      val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
+      val idxRows = h.count() + b.count()
+      val t = time2(DedupOps.minhashPairsAgainst((h, b), batch))
+      val pairs = DedupOps.minhashPairsAgainst((h, b), batch).count()
+      println(f"| dd_minhash_incr_probe | ${k}%.0fx | $t%.3f | $pairs | $idxRows |")
+      h.unpersist(); b.unpersist()
+      (k, t)
+    }
+    println(f"[scale] dd_minhash_incr_probe fitted exponent: ${fitSlope(probePts)}%.2f")
+
+    // Star contraction: time AND the executed round count per scale — the
+    // O(log n) claim directly (rounds should grow by ~log, not scale).
+    println("| star | scale | s (min of 2) | rounds | clusters |")
+    println("|---|---|---|---|---|")
+    val starPts = scales.map { case (k, d) =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      def once(): (Double, Int, Long) = {
+        val t0 = System.nanoTime()
+        val (labels, rounds) =
+          DedupOps.nearDupClustersStarRounds(DedupOps.minhashPairs(docs))
+        val n = labels.select("cluster_id").distinct().count()
+        ((System.nanoTime() - t0) / 1e9, rounds, n)
+      }
+      val (t1, r1, n1) = once()
+      val (t2, _, _) = once()
+      val t = math.min(t1, t2)
+      println(f"| dd_clusters_star | ${k}%.0fx | $t%.3f | $r1 | $n1 |")
+      (k, t)
+    }
+    println(f"[scale] dd_clusters_star fitted exponent: ${fitSlope(starPts)}%.2f")
   }
 
-  private def runSimDemo(spark: SparkSession): Unit = {
+  /** `mult = 1` is the reference's own demo scale (BASELINE.md A+B);
+    * `mult = 10` (1.6 M traces, ≈35 M points) is the linearity point —
+    * the Range→Project generation plan is scale-invariant (PlanSpec pins
+    * the 10× shape: no Exchange at any trace count), so wall-clock should
+    * track points generated.
+    */
+  private def runSimDemo(spark: SparkSession, mult: Int = 1): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-simdemo")
     val specs = Seq(
-      SimulationSpec(0, "coin_sequence", 100000L, 16, Seq(0.5), Nil, 42,
+      SimulationSpec(0, "coin_sequence", 100000L * mult, 16, Seq(0.5), Nil, 42,
         Some(s"$tmp/0.txt")),
-      SimulationSpec(1, "coin_sequence", 60000L, 32, Seq(0.7), Nil, 43,
+      SimulationSpec(1, "coin_sequence", 60000L * mult, 32, Seq(0.7), Nil, 43,
         Some(s"$tmp/1.txt")))
     // one throwaway mini-run to absorb JIT/codegen so the measured number
     // is the engine, not first-query session cost
@@ -301,7 +388,7 @@ object ScaleBench {
     val pts = specs.map(s => s.numberSimulations * (s.numberPoints + 1)).sum
     println(f"[simdemo] workloads A+B: ${specs.map(_.numberSimulations).sum}%,d traces, " +
       f"$pts%,d points, generated+written in $sec%.2f s on ${spark.sparkContext.master}")
-    println(f"""{"metric":"simdemo","traces":${specs.map(_.numberSimulations).sum},"points":$pts,"sec":$sec%.3f,"master":"${spark.sparkContext.master}"}""")
+    println(f"""{"metric":"simdemo","mult":$mult,"traces":${specs.map(_.numberSimulations).sum},"points":$pts,"sec":$sec%.3f,"master":"${spark.sparkContext.master}"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -319,7 +406,9 @@ object ScaleBench {
       case "corpus10x" => runCorpus10x(spark, sfDir)
       case "curve" => runCurve(spark, sfDir)
       case "simdemo" => runSimDemo(spark)
-      case other => sys.error(s"unknown mode $other (corpus10x | curve | simdemo)")
+      case "simdemo10x" => runSimDemo(spark, mult = 10)
+      case other =>
+        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x)")
     }
     spark.stop()
   }

@@ -78,7 +78,22 @@ object SkewBench {
       SkewJoin.saltedInnerJoin(left, right, col("k"), col("rk"), 32)
     }
 
-    val all = Seq(naiveAqe, naiveNoAqe, saltedNoAqe, saltedAqe)
+    // diagnose->act: the salt count comes from skewReport's suggestion
+    // instead of a hand-picked constant — suggested_salt levels the hot
+    // key to the average, capped at the task-slot count (salts beyond
+    // parallelism only multiply right-side replication). PlanSpec pins
+    // the semantics of this loop; this row measures it.
+    val rep = graft.operators.SketchOps.skewReport(left, col("k")).collect()(0)
+    val suggested = math.min(rep.getAs[Long]("suggested_salt"),
+      cpus.toLong).toInt
+    println(s"""{"metric":"skew_report","suggested_salt":${rep.getAs[Long]("suggested_salt")},"applied_salt":$suggested,"skew_factor":${rep.getAs[Double]("skew_factor")}}""")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val saltedSuggested = time2("salted_suggested_no_aqe") {
+      SkewJoin.saltedInnerJoin(left, right, col("k"), col("rk"), suggested)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    val all = Seq(naiveAqe, naiveNoAqe, saltedNoAqe, saltedAqe, saltedSuggested)
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"skew_join","unit":"sec","variants":$qs,"sf":"$sfDir"}""")
     spark.stop()

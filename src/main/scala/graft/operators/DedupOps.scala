@@ -448,7 +448,16 @@ object DedupOps {
     * propagation (join-free aggregates + one equality check), same
     * localCheckpoint lineage discipline.
     */
-  def nearDupClustersStar(pairs0: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def nearDupClustersStar(pairs0: DataFrame, maxRounds: Int = 30): DataFrame =
+    nearDupClustersStarRounds(pairs0, maxRounds)._1
+
+  /** [[nearDupClustersStar]] plus the executed round count — the O(log n)
+    * claim made observable (ScaleBench prints rounds per corpus scale).
+    * The contraction loop runs eagerly (per-round convergence actions), so
+    * the count is exact at return time.
+    */
+  def nearDupClustersStarRounds(pairs0: DataFrame,
+      maxRounds: Int = 30): (DataFrame, Int) = {
     OpContract.requireCols(pairs0, "DedupOps.nearDupClustersStar", "doc_a", "doc_b")
     // checkpoint the INPUT once: nodes and the initial edge set both
     // derive from it, and without this the (possibly expensive) upstream
@@ -498,9 +507,10 @@ object DedupOps {
     // non-root node has exactly the edge (root, node); roots label
     // themselves
     val rooted = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
-    nodes.join(rooted, col("n") === col("doc_id"), "left")
+    val labels = nodes.join(rooted, col("n") === col("doc_id"), "left")
       .select(col("n").as("doc_id"),
         coalesce(col("cluster_id"), col("n")).as("cluster_id"))
+    (labels, round)
   }
 
   /** Apply a near-dup clustering to the corpus: keep ONE canonical

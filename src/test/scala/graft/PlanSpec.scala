@@ -190,6 +190,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*("), p)
   }
 
+  test("simulation plan shape is scale-invariant: 10x traces stay Range -> Project, shuffle-free") {
+    // The scale pin behind ScaleBench's simdemo10x row: the generation
+    // plan for 1.6M traces (10x the reference demo) is the SAME
+    // Range -> whole-stage-codegen Project with zero exchanges — trace
+    // count only widens the Range, it never introduces a shuffle, so the
+    // wall-clock scales with points generated (linear), not with any
+    // coordination term.
+    import graft.core.SimulationSpec
+    val specs = Seq(
+      SimulationSpec(0, "coin_sequence", 1000000L, 16, Seq(0.5), Nil, 42, None),
+      SimulationSpec(1, "coin_sequence", 600000L, 32, Seq(0.7), Nil, 43, None))
+    val df = new graft.core.MCBattery(spark).simulate(specs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Range") && !p.contains("Exchange"), p)
+    assert(p.contains("*("), p)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // force a sort-merge join so the bucketing (not broadcast) removes the
     // shuffle — at real scale neither side would be broadcastable
@@ -256,6 +273,37 @@ class PlanSpec extends SparkTestBase {
     assert(pruned.count() == 50)
     // and the unpruned read sees all three (the writer really partitioned)
     assert(new java.io.File(tmp).listFiles().count(_.getName.startsWith("model_id=")) == 3)
+  }
+
+  test("diagnose->act: skewReport's suggested salt drives saltedInnerJoin, semantics preserved") {
+    // The q37 -> SkewJoin loop end-to-end on the SkewBench corpus shape
+    // (~90% of fact rows collapsed onto one hot key): the report must
+    // detect the skew (suggested_salt > 1), and the salted join run with
+    // that suggestion (capped at parallelism — salts beyond task-slot
+    // count only multiply right-side replication) must equal the plain
+    // join. The beats-naive-SMJ timing lives in SkewBench/BENCHNOTES;
+    // this pins the wiring and the semantics.
+    import graft.operators.SketchOps
+    val events = Tables.t(spark, sfDir, "events")
+    val left = events.select(
+      when(pmod(col("event_id"), lit(10)) < 9, lit(0L))
+        .otherwise(col("user_id")).as("k"),
+      col("event_id"), col("value"))
+    val right = events.groupBy(col("user_id").as("rk"))
+      .agg(count(lit(1)).as("user_events"))
+    val rep = SketchOps.skewReport(left, col("k")).collect()(0)
+    val suggested = rep.getAs[Long]("suggested_salt")
+    assert(rep.getAs[String]("top_key") == "0", rep.toString)
+    assert(suggested > 1, s"hot-key corpus must report skew, got $suggested")
+    val salts = math.min(suggested,
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    def summary(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("user_events")),
+        sum(col("value").cast("decimal(18,2)"))).collect()(0).toSeq
+    val plain = summary(left.join(right, col("k") === col("rk")))
+    val salted = summary(
+      SkewJoin.saltedInnerJoin(left, right, col("k"), col("rk"), salts))
+    assert(plain == salted)
   }
 
   test("salted join equals the plain join (skew-handling preserves semantics)") {
