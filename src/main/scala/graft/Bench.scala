@@ -24,7 +24,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Tail-window stress knob (never set by the driver): append n trivial
+    // synthetic queries so the <=2000-char tail capture can be dry-run at
+    // FUTURE battery sizes before real queries are added. "zzz" prefix
+    // sorts them last alphabetically — they land in the final chunk
+    // lines, exactly where a tail-alignment regression would bite.
+    val padded = selected ++ sys.env.get("SPARK_GRAFT_PAD")
+      .map(_.trim.toInt).filter(_ > 0)
+      .map(n => (1 to n).map(i => f"zzz_pad_$i%02d" ->
+        ((s: SparkSession, _: String) => s.range(1).toDF())).toMap)
+      .getOrElse(Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+    val results = padded.map { case (name, fn) =>
       // Materialize EVERY column via the noop sink: .count() would let
       // Catalyst prune unreferenced projections/windows and skip final
       // sorts, under-measuring queries whose work lives in the projection
