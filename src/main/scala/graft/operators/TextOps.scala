@@ -737,6 +737,83 @@ object TextOps {
         round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("bpt"))
   }
 
+  /** Per-document token-level Shannon entropy (bits over the token
+    * histogram): H = −Σ p·log₂p — the lexical-diversity quality signal
+    * (low entropy = repetitive/template text, the complement of [[quality]]'s
+    * type-token ratio; corpus filters threshold on it directly).
+    *
+    * Scale shape: one map-side-combined (doc, token) count, the per-doc
+    * total via a window over the SAME doc_id partitioning (no second
+    * exchange), constant-width output. Cross-engine FP: the
+    * [[bigramPerplexity]] log₂ discipline — each term rounded(7) into
+    * DECIMAL, exact decimal sum, EMITTED as decimal (a final
+    * round(double, 6) can land on a .5 boundary the engines break
+    * differently); the p=1 term's IEEE −0.0 is normalized away by the
+    * decimal cast.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = spread(OpContract.requireCols(docs, "TextOps.tokenEntropy", "doc_id", "text"))
+    val wc = d.select(col("doc_id"), explode(words).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val p = col("cnt") / col("n").cast("double")
+    wc.withColumn("n", sum(col("cnt")).over(win))
+      .withColumn("t", round(-p * log2(p), 7).cast(DecimalType(12, 7)))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        // emitted as exact DECIMAL, not round(double, 6): a final double
+        // round can land on a .5 boundary that the engines break
+        // differently (found live at sf0.01 row 268: 4.1697665)
+        sum(col("t")).cast(DecimalType(20, 7)).as("entropy"))
+  }
+
+  /** Zipf rank-frequency slope per language: least-squares fit of
+    * log₂(freq) on log₂(rank) over the top-`k` terms by raw occurrence
+    * count — ≈ −1 for organic natural language (Zipf's law), far from it
+    * for template/machine-generated output; the data-card companion to
+    * [[corpusReport]]. Ties rank deterministically by (freq desc, term).
+    *
+    * Scale shape: occurrence counts are map-side combined to the
+    * vocabulary-sized (lang, term) table; the ranking window and the
+    * regression then run over ≤k rows per language — bounded output,
+    * presentation sort kept. Cross-engine FP: regression inputs rounded(7)
+    * into DECIMAL so all four sums (Σx, Σy, Σxy, Σx²) are exact; the
+    * closed form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is evaluated as doubles
+    * with numerator and denominator each rounded(6) BEFORE the single
+    * division (absorbs DuckDB's FMA contraction of a·b − c·d), one final
+    * round(6). Languages with fewer than two distinct terms are dropped
+    * (the fit is undefined).
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, s"zipfSlope needs k >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("freq").desc, col("term"))
+    val ranked = spread(OpContract.requireCols(docs, "TextOps.zipfSlope",
+        "lang", "doc_id", "text"))
+      .select(col("lang"), explode(words).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    ranked.select(col("lang"),
+        round(log2(col("rank").cast("double")), 7).cast(DecimalType(12, 7)).as("x"),
+        round(log2(col("freq").cast("double")), 7).cast(DecimalType(12, 7)).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("k_used") >= 2)
+      .select(col("lang"), col("k_used"),
+        round(col("k_used").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"), 6).as("num"),
+        round(col("k_used").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"), 6).as("den"))
+      .select(col("lang"), col("k_used"),
+        round(col("num") / col("den"), 6).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
   /** DSIR-style importance scores (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by the average hashed-unigram log-likelihood ratio

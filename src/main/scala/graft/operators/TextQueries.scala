@@ -125,7 +125,10 @@ object TextQueries {
       TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)),
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))),
     "tx_bigram_ppl" -> ((s, d) =>
-      TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")))
+      TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
+    "tx_token_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(t(s, d, "documents")).orderBy("doc_id")),
+    "tx_zipf" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
@@ -193,6 +196,44 @@ object TextQueries {
         |  round(CAST(SUM(g.cnt * t.t) AS DOUBLE) / SUM(g.cnt), 6) AS bpt
         |FROM bg g JOIN terms t ON t.pair = g.pair
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // Token entropy: per-term −p·log2(p) rounded(7) into DECIMAL, exact
+    // decimal sum, final round(6) — the bigram-ppl log2 discipline. The
+    // decimal cast also normalizes the p=1 term's IEEE −0.0.
+    "tx_token_entropy" ->
+      """WITH wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM wc GROUP BY doc_id)
+        |SELECT wc.doc_id AS doc_id, MAX(n) AS n_tokens,
+        |  CAST(SUM(CAST(round(-(cnt / CAST(n AS DOUBLE)) *
+        |    log2(cnt / CAST(n AS DOUBLE)), 7) AS DECIMAL(12, 7)))
+        |    AS DECIMAL(20, 7)) AS entropy
+        |FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+        |GROUP BY wc.doc_id ORDER BY doc_id""".stripMargin,
+    // Zipf slope: x/y rounded(7) into DECIMAL so the four regression sums
+    // are exact; numerator and denominator each rounded(6) as doubles
+    // BEFORE the single division (absorbs FMA contraction of a·b − c·d),
+    // final round(6). Rank ties pinned by (freq DESC, term).
+    "tx_zipf" ->
+      """WITH tf AS (SELECT lang, term, COUNT(*) AS freq FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY lang, term),
+        |rk AS (SELECT lang, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rank
+        |  FROM tf),
+        |pts AS (SELECT lang,
+        |    CAST(round(log2(CAST(rank AS DOUBLE)), 7) AS DECIMAL(12, 7)) AS x,
+        |    CAST(round(log2(CAST(freq AS DOUBLE)), 7) AS DECIMAL(12, 7)) AS y
+        |  FROM rk WHERE rank <= 50),
+        |s AS (SELECT lang, COUNT(*) AS k_used, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM pts GROUP BY lang HAVING COUNT(*) >= 2)
+        |SELECT lang, k_used,
+        |  round(round(CAST(k_used AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 6) /
+        |    round(CAST(k_used AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 6), 6) AS zipf_slope
+        |FROM s ORDER BY lang""".stripMargin,
     // DSIR: identical 60-bit hash % 256 bucketing, Laplace-smoothed
     // log2 ratios rounded to 7 and fixed as DECIMAL(12,7) (exact sums any
     // order), one double division + round 6 — the bigram-ppl discipline.

@@ -319,6 +319,34 @@ class PipelineOpsSpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("tokenEntropy: zero for constant docs, log2(n) for uniform docs, bounded by distinct count") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x x x"),            // constant -> H = 0
+      (1L, "a b c d"),              // uniform over 4 -> H = 2 exactly
+      (2L, "a a b c")               // H = 1.5 exactly (0.5 + 2*0.5)
+    ).toDF("doc_id", "text")
+    val r = TextOps.tokenEntropy(docs).orderBy("doc_id").collect()
+    def h(i: Int) = r(i).getDecimal(2).doubleValue()
+    assert(r(0).getLong(1) == 5 && h(0) == 0.0)
+    assert(r(1).getLong(1) == 4 && h(1) == 2.0)
+    assert(r(2).getLong(1) == 4 && h(2) == 1.5)
+  }
+
+  test("zipfSlope: an exact-Zipf corpus (freq = C/rank) fits slope -1") {
+    import spark.implicits._
+    // freqs 12/6/4/3 = 12/r for ranks 1..4 -> log2(freq) = log2(12) -
+    // log2(rank), every point exactly on the slope -1 line (up to the
+    // round(7) of the regression inputs).
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val docs = Seq((0L, "en", text)).toDF("doc_id", "lang", "text")
+    val r = TextOps.zipfSlope(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 4) // k_used
+    assert(math.abs(r(0).getDouble(2) + 1.0) < 1e-5, r(0).toString)
+  }
+
   test("redactPii masks emails/ips/phones; counts are measured on the original text") {
     import spark.implicits._
     val docs = Seq(

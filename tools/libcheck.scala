@@ -187,6 +187,8 @@ def runLibcheck(): Unit = {
   check("DedupOps.minhashPairsAgainst (index)")(DedupOps.minhashPairsAgainst(
     mhIndex, docs.filter(col("doc_id") % 7 === 0)))
   check("TextOps.applyMixtureRows")(TextOps.applyMixtureRows(docs))
+  check("TextOps.tokenEntropy")(TextOps.tokenEntropy(docs))
+  check("TextOps.zipfSlope")(TextOps.zipfSlope(docs))
   check("TextOps.bowFingerprint")(TextOps.bowFingerprint(docs))
   check("TextOps.stratifiedSample")(
     TextOps.stratifiedSample(docs, Map("en" -> 0.5, "de" -> 1.0), 42L))
