@@ -494,6 +494,39 @@ object SimilarityOps {
       .orderBy("label", "dim")
   }
 
+  /** Pairwise cosine similarity between the per-label centroids — the
+    * cluster-separation audit run before trusting label-blocked ops
+    * (SemDeDup blocking, IVF routing, per-label sampling): centroids with
+    * high mutual cosine mean the labels do not separate in embedding
+    * space and blocking by them will leak near-dups across blocks.
+    *
+    * Scale shape: [[labelCentroids]] reduces the corpus to labels×dim
+    * model-state rows (map-side combined); everything after — the
+    * dim-aligned self-join, norms, L² pair rows — is bounded by the label
+    * count, broadcast-sized by construction. Cross-engine FP: centroid
+    * means are rounded(6) into DECIMAL so dot/norm sums over the 64 dims
+    * are exact in any order; cosine is then sqrt·mul·div single-rounded
+    * doubles with the association mirrored in the oracle, one final
+    * round(6).
+    */
+  def centroidSimilarity(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cd = labelCentroids(e).select(col("label"), col("dim"),
+      round(col("m"), 6).cast(DecimalType(12, 6)).as("cd"))
+    val nrm = cd.groupBy("label").agg(sum(col("cd") * col("cd")).as("q"))
+    cd.as("a").join(cd.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.cd") * col("b.cd")).as("dot"))
+      .join(nrm.select(col("label").as("label_a"), col("q").as("qa")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("q").as("qb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))), 6)
+          .as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** MEAN-CENTER + L2-NORMALIZE the embedding column — the standard
     * preprocessing in front of cosine ANN / clustering / SemDeDup
     * (centering removes the corpus-wide offset that compresses cosine

@@ -334,6 +334,11 @@ object SimilarityQueries {
     "emb_label_centroids" -> ((s, d) =>
       SimilarityOps.labelCentroids(t(s, d, "embeddings"))),
 
+    // Centroid-separation audit: pairwise cosine between label centroids
+    // (bounded L^2 output); composes the emb_label_centroids chain.
+    "emb_centroid_sim" -> ((s, d) =>
+      SimilarityOps.centroidSimilarity(t(s, d, "embeddings"))),
+
     // Random-projection 64→16 reduction; integer-exact on both sides, so
     // the projection values oracle-compare bit-for-bit (CSV string like
     // emb_quantize for a stable cross-engine encoding).
@@ -427,6 +432,29 @@ object SimilarityQueries {
         |  COUNT(*) AS n_vecs
         |FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
         |GROUP BY e.label, d.dim ORDER BY label, dim""".stripMargin,
+    // Centroid cosine: means rounded(6) into DECIMAL -> exact dot/norm
+    // sums over the 64 dims; cosine = dot / (sqrt(qa) * sqrt(qb)) with
+    // the association mirrored, one final round(6).
+    "emb_centroid_sim" ->
+      """WITH c AS (SELECT e.label, d.dim,
+        |    CAST(round(
+        |      CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12)
+        |        AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*), 6)
+        |      AS DECIMAL(12, 6)) AS cd
+        |  FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
+        |  GROUP BY e.label, d.dim),
+        |nrm AS (SELECT label, SUM(cd * cd) AS q FROM c GROUP BY label),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(a.cd * b.cd) AS dot
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT d.label_a, d.label_b,
+        |  round(CAST(d.dot AS DOUBLE) /
+        |    (sqrt(CAST(na.q AS DOUBLE)) * sqrt(CAST(nb.q AS DOUBLE))), 6) AS cos
+        |FROM dots d
+        |JOIN nrm na ON na.label = d.label_a
+        |JOIN nrm nb ON nb.label = d.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
     // Integer-exact random projection: weights floor(7u)−3 regenerated via
     // uniformSql on a generate_series grid (the knn_lsh pattern), inputs
     // quantized to round(1000·x); every product/sum is an integer-valued

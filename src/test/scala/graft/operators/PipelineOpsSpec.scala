@@ -319,6 +319,21 @@ class PipelineOpsSpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("centroidSimilarity: identical centroids give cos 1, orthogonal give cos 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "A", Array.tabulate(64)(i => if (i == 0) 2.0f else 0f)),
+      (1L, "A", Array.tabulate(64)(i => if (i == 0) 4.0f else 0f)),
+      (2L, "B", Array.tabulate(64)(i => if (i == 0) 3.0f else 0f)), // = A's mean direction
+      (3L, "C", Array.tabulate(64)(i => if (i == 1) 5.0f else 0f))) // orthogonal axis
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val r = SimilarityOps.centroidSimilarity(e).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getDouble(2))).toMap
+    assert(r(("A", "B")) == 1.0, r.toString)
+    assert(r(("A", "C")) == 0.0)
+    assert(r(("B", "C")) == 0.0)
+  }
+
   test("tokenEntropy: zero for constant docs, log2(n) for uniform docs, bounded by distinct count") {
     import spark.implicits._
     val docs = Seq(

@@ -148,6 +148,7 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.lshTopK")(SimilarityOps.lshTopK(embs, queries, 5))
   check("SimilarityOps.randomProjection")(SimilarityOps.randomProjection(embs))
   check("SimilarityOps.labelCentroids")(SimilarityOps.labelCentroids(embs))
+  check("SimilarityOps.centroidSimilarity")(SimilarityOps.centroidSimilarity(embs))
   check("SimilarityOps.semanticDedup")(SimilarityOps.semanticDedup(
     embs, embs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")), 0.3))
