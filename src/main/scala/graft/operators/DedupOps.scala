@@ -274,6 +274,28 @@ object DedupOps {
     minhashBands(docs)
   }
 
+  /** Persist a [[minhashIndex]] as two parquet tables — the production
+    * ingest shape: index the corpus once per version, write it next to
+    * the corpus, and let every batch probe (tomorrow's ingest, another
+    * job, a streaming query) read it back instead of re-hashing the
+    * corpus. Layout: `dir/hashed.parquet` (per-doc shingle-hash rows) +
+    * `dir/bands.parquet` (banded signatures); both partition-friendly
+    * columnar tables, no driver-side state.
+    */
+  def writeMinhashIndex(index: (DataFrame, DataFrame), dir: String): Unit = {
+    index._1.write.mode("overwrite").parquet(s"$dir/hashed.parquet")
+    index._2.write.mode("overwrite").parquet(s"$dir/bands.parquet")
+  }
+
+  /** Reload a persisted [[writeMinhashIndex]]; the result feeds
+    * [[minhashPairsAgainst]] exactly like a freshly built index
+    * (round-trip equality pinned in PipelineOpsSpec).
+    */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/hashed.parquet"),
+      spark.read.parquet(s"$dir/bands.parquet"))
+
   /** INCREMENTAL MinHash dedup: near-dup pairs BETWEEN an existing corpus
     * and an incoming batch only — the daily-ingest shape, where comparing
     * the corpus against itself again would redo almost all of yesterday's

@@ -895,6 +895,28 @@ class PipelineOpsSpec extends SparkTestBase {
       s"expected only cross pairs to 100, got $got (old-old pair (1,2) must NOT appear)")
   }
 
+  test("minhash index parquet round-trip: a reloaded index probes identically to a fresh one") {
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "en", base, base.length.toLong),
+      (2L, "en", (0 until 30).map(i => s"z$i").mkString(" "), 100L)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+    val incoming = Seq(
+      (100L, "en", base + " tail100", (base.length + 8).toLong),
+      (101L, "en", (0 until 30).map(i => s"q$i").mkString(" "), 100L)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    DedupOps.writeMinhashIndex(DedupOps.minhashIndex(corpus), dir)
+    val fresh = DedupOps.minhashPairsAgainst(DedupOps.minhashIndex(corpus), incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reloaded = DedupOps.minhashPairsAgainst(
+        DedupOps.readMinhashIndex(spark, dir), incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fresh == Set((1L, 100L)), fresh.toString)
+    assert(reloaded == fresh, "reloaded index must probe identically")
+  }
+
   test("bm25: more matches score higher; rare terms outweigh common ones; non-matching docs absent") {
     import spark.implicits._
     val filler = (0 until 20).map(i => s"f$i").mkString(" ")
