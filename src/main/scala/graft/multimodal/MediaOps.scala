@@ -111,4 +111,31 @@ object MediaOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
       .orderBy("doc_id")
+
+  /** [[frameSample]] over REAL frame counts: n_frames comes from the
+    * container header via [[MediaStub.decode]] (actual for multi-frame
+    * formats the JDK reads — animated GIF; stub fallback otherwise), then
+    * the same generator-explode sampling shape. Decode is the
+    * mapPartitions path, sampling stays pure relational — the explode
+    * never materializes frames, only indices, so the op ships (doc_id,
+    * int) rows regardless of media size.
+    */
+  def frameSampleDecoded(spark: SparkSession, docsWithPayload: DataFrame,
+      stride: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"frameSampleDecoded needs stride >= 1, got $stride")
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.frameSampleDecoded", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, MediaStub.decode(id, bytes).n_frames)
+      })
+      .toDF("doc_id", "n_frames")
+      .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+      .orderBy("doc_id")
+  }
 }

@@ -68,6 +68,21 @@ class MediaSpec extends SparkTestBase {
     assert(again.thumb_md5 == real.thumb_md5)
   }
 
+  test("animated GIF: decodeImage reads the real frame count; frameSampleDecoded samples it") {
+    import spark.implicits._
+    val gif = fixture("anim_16x16x3.gif")
+    val meta = MediaStub.decodeImage(1L, gif)
+    assert(meta.isDefined)
+    assert(meta.get.format == "image/gif")
+    assert(meta.get.width == 16 && meta.get.height == 16)
+    assert(meta.get.n_frames == 3)
+
+    val payloads = Seq((1L, gif)).toDF("doc_id", "payload")
+    val r = MediaOps.frameSampleDecoded(spark, payloads, stride = 2).collect()(0)
+    // frames 0,1,2 with stride 2 -> sampled {0, 2}
+    assert(r.getLong(1) == 2 && r.getInt(2) == 2, r.toString)
+  }
+
   test("no-upscale contract: images already inside the box keep their dimensions") {
     import spark.implicits._
     val payloads = Seq((1L, fixture("testcard_48x32.png"))).toDF("doc_id", "payload")

@@ -208,6 +208,8 @@ def runLibcheck(): Unit = {
     MediaOps.frameSample(MediaStub.withPayload(docs.limit(50))))
   check("MediaOps.thumbnailPixels")(
     MediaOps.thumbnailPixels(spark, MediaStub.withPayload(docs.limit(50))).toDF())
+  check("MediaOps.frameSampleDecoded")(
+    MediaOps.frameSampleDecoded(spark, MediaStub.withPayload(docs.limit(50))))
   // engine core: simulate on the default family (real PCG64) + parity sink
   val out = java.nio.file.Files.createTempDirectory("graft-libcheck")
   val specs = Seq(SimulationSpec(0, "coin_sequence", 100, 16, Seq(0.5), Nil,
