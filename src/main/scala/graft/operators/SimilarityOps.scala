@@ -511,8 +511,12 @@ object SimilarityOps {
     */
   def centroidSimilarity(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // localCheckpoint the labels×dim model state: the self-join + two norm
+    // branches would otherwise each re-run the corpus-wide centroid
+    // aggregate (4 corpus scans; PLANS.md shows the before/after)
     val cd = labelCentroids(e).select(col("label"), col("dim"),
       round(col("m"), 6).cast(DecimalType(12, 6)).as("cd"))
+      .localCheckpoint()
     val nrm = cd.groupBy("label").agg(sum(col("cd") * col("cd")).as("q"))
     cd.as("a").join(cd.as("b"),
         col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
