@@ -23,7 +23,6 @@ object MediaOps {
       .select(col("doc_id"),
         md5(substring(col("payload"), 1, nBytes)).as("thumb_md5"),
         least(octet_length(col("payload")), lit(nBytes)).as("thumb_bytes"))
-      .orderBy("doc_id")
 
   /** Resize stage: scale decoded dimensions to fit a `box`-pixel square
     * preserving aspect ratio — integer arithmetic only (floor semantics
@@ -40,7 +39,6 @@ object MediaOps {
           .otherwise(((col("width") * box) / col("max_dim")).cast("int")).as("new_w"),
         when(col("max_dim") <= box, col("height"))
           .otherwise(((col("height") * box) / col("max_dim")).cast("int")).as("new_h"))
-      .orderBy("doc_id")
 
   /** One thumbnail row per asset from [[thumbnailPixels]]. */
   final case class Thumb(
@@ -110,7 +108,6 @@ object MediaOps {
       .filter(col("frame_idx") % stride === 0)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
-      .orderBy("doc_id")
 
   /** [[frameSample]] over REAL frame counts: n_frames comes from the
     * container header via [[MediaStub.decode]] (actual for multi-frame
@@ -136,6 +133,5 @@ object MediaOps {
       .filter(col("frame_idx") % stride === 0)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
-      .orderBy("doc_id")
   }
 }

@@ -54,6 +54,5 @@ object LayoutOps {
       .agg(count(lit(1)).as("n_rows"),
         min(col("zx")).as("x_min"), max(col("zx")).as("x_max"),
         min(col("zy")).as("y_min"), max(col("zy")).as("y_max"))
-      .orderBy("tile")
   }
 }

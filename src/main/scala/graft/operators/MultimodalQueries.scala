@@ -32,15 +32,18 @@ object MultimodalQueries {
     // The oracle slices the source string — same bytes, payloads are ASCII.
     "mm_thumbnail" -> ((s, d) =>
       MediaOps.thumbnail(
-        MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))),
+        MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))
+        .orderBy("doc_id")),
 
     "mm_resize" -> ((s, d) =>
       MediaOps.resizeToFit(
-        MediaStub.decodeAll(s, t(s, d, "documents").filter(col("doc_id") < 100)).toDF())),
+        MediaStub.decodeAll(s, t(s, d, "documents").filter(col("doc_id") < 100)).toDF())
+        .orderBy("doc_id")),
 
     "mm_frame_sample" -> ((s, d) =>
       MediaOps.frameSample(
-        MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))))
+        MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))
+        .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->

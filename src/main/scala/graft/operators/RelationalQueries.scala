@@ -109,7 +109,8 @@ object RelationalQueries {
     "q32_zorder" -> ((s, d) =>
       LayoutOps.zTiles(t(s, d, "lineitem"),
         pmod(col("l_partkey") * 131, lit(65536L)),
-        pmod(col("l_suppkey") * 521, lit(65536L)))),
+        pmod(col("l_suppkey") * 521, lit(65536L)))
+        .orderBy("tile")),
 
     // ---- joins ------------------------------------------------------------
     // TPC-H Q3 shape: 3-way join + agg + deterministic top-k.

@@ -470,7 +470,6 @@ object SimilarityOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_truth"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_truth")).as("recall"))
-      .orderBy("query_id")
   }
 
   /** Per-label centroid vectors (the class-prototype aggregate behind
@@ -491,7 +490,6 @@ object SimilarityOps {
           .cast("double") / count(lit(1))).as("m"),
         count(lit(1)).as("n_vecs"))
       .select(col("label"), col("dim").cast("long").as("dim"), col("m"), col("n_vecs"))
-      .orderBy("label", "dim")
   }
 
   /** Pairwise cosine similarity between the per-label centroids — the

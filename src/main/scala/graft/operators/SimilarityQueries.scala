@@ -312,6 +312,7 @@ object SimilarityQueries {
       SimilarityOps.annRecall(
         SimilarityOps.lshTopK(e, queriesOf(e), TOP_K),
         SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K), TOP_K)
+        .orderBy("query_id")
     }),
 
     "emb_quantize" -> ((s, d) =>
@@ -332,7 +333,8 @@ object SimilarityQueries {
     // Per-label class centroids — decimal-exact means, the lloydStep
     // discipline, directly oracled.
     "emb_label_centroids" -> ((s, d) =>
-      SimilarityOps.labelCentroids(t(s, d, "embeddings"))),
+      SimilarityOps.labelCentroids(t(s, d, "embeddings"))
+        .orderBy("label", "dim")),
 
     // Centroid-separation audit: pairwise cosine between label centroids
     // (bounded L^2 output); composes the emb_label_centroids chain.
