@@ -556,4 +556,42 @@ object DedupOps {
       .select("doc_id")
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
+
+  /** Record-linkage fuzzy pairs: every (a, b) with edit distance ≤ `k` on
+    * a short linkage key, found via LOSSLESS length-banded blocking. Each
+    * single-character edit changes string length by at most 1, so a
+    * qualifying pair satisfies |len(a) − len(b)| ≤ k; with block width
+    * B ≥ k the two length blocks `len div B` differ by at most one, so
+    * probing a record's own block plus its two neighbors misses nothing.
+    * One side replicates ×3 (ids + keys only, never full rows); the join
+    * is an equi-join on the block id, so candidate count is bounded by
+    * block occupancy — never corpus² — and the O(|key|²) levenshtein
+    * verify runs only inside blocks, after a cheap length-difference
+    * pre-filter. Keys should be short linkage fields (names, titles,
+    * normalized prefixes), not whole documents: edit distance on a long
+    * string is both expensive and semantically weak — near-dup DOCUMENT
+    * detection belongs to [[minhashPairs]]/[[simhashPairs]].
+    *
+    * Each qualifying pair is emitted exactly once (`id_a < id_b`): the
+    * lower id matches the higher id's home block through exactly one of
+    * its three probe replicas.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: Column, keyCol: Column, k: Int = 2,
+      blockWidth: Int = 8): DataFrame = {
+    require(k >= 0, s"fuzzyPairs needs k >= 0, got $k")
+    require(blockWidth >= math.max(k, 1),
+      s"blockWidth ($blockWidth) must be >= k ($k) for lossless length banding")
+    val keyed = df.select(idCol.as("id"), keyCol.as("key"))
+      .withColumn("len", length(col("key")))
+      .withColumn("blk", floor(col("len") / blockWidth))
+    val probes = keyed.withColumn("blk",
+      explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+    probes.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .filter(abs(col("a.len") - col("b.len")) <= k)
+      .withColumn("dist", levenshtein(col("a.key"), col("b.key")))
+      .filter(col("dist") <= k)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("dist").cast("long").as("dist"))
+  }
 }

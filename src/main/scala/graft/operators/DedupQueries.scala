@@ -104,7 +104,21 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
         .orderBy("lang")
-    }))
+    }),
+    // Record linkage: levenshtein ≤ 2 on the 40-char prefix linkage key,
+    // via lossless length-banded blocking (never corpus²).
+    "dd_fuzzy" -> ((s, d) =>
+      DedupOps.fuzzyPairs(t(s, d, "documents"),
+          col("doc_id"), substring(col("text"), 1, 40), k = 2)
+        .orderBy("doc_a", "doc_b")),
+    // Entity resolution end-to-end: fuzzy edges -> star-contraction
+    // connected components (same CC engine as dd_clusters_star, different
+    // edge detector).
+    "dd_fuzzy_clusters" -> ((s, d) =>
+      DedupOps.nearDupClustersStar(
+          DedupOps.fuzzyPairs(t(s, d, "documents"),
+            col("doc_id"), substring(col("text"), 1, 40), k = 2))
+        .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = {
     val minhashAggs = (0 until K)
@@ -322,6 +336,30 @@ object DedupQueries {
            |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
            |  MIN(doc_id) AS min_kept, MAX(doc_id) AS max_kept
            |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
-      "dd_simhash" -> simhashOracle)
+      "dd_simhash" -> simhashOracle,
+      // The oracle verifies by exhaustive pairing (125k levenshtein calls
+      // at sf0.01) — the op's banded blocking must lose nothing vs it.
+      "dd_fuzzy" ->
+        """WITH k AS (SELECT doc_id, substring(text, 1, 40) AS key FROM documents),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+          |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+          |  WHERE abs(length(a.key) - length(b.key)) <= 2)
+          |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "dd_fuzzy_clusters" ->
+        """WITH RECURSIVE k AS (SELECT doc_id, substring(text, 1, 40) AS key FROM documents),
+          |mp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+          |  WHERE abs(length(a.key) - length(b.key)) <= 2
+          |    AND levenshtein(a.key, b.key) <= 2),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+          |          UNION ALL SELECT doc_b, doc_a FROM mp),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+          |ORDER BY doc_id""".stripMargin)
   }
 }

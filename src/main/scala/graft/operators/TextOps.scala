@@ -974,4 +974,59 @@ object TextOps {
         sum(col("cluster_size")).as("n_docs"),
         sum(when(col("cluster_size") > 1, 1).otherwise(0)).as("n_multi_clusters"),
         max(col("cluster_size")).as("max_cluster"))
+
+  /** Sparse TF-IDF cosine all-pairs document similarity over positional
+    * 3-word shingles — the inverted-index all-pairs formulation (Bayardo
+    * et al., WWW'07): documents pair ONLY through shared postings, never
+    * via a cartesian product. Shingles, not unigrams, are the term space:
+    * on a small vocabulary every doc shares every word and unigram cosine
+    * is degenerate, while shingle df stays discriminative. The `maxDf`
+    * cap is the quadratic guard — pair-generation cost is Σ_t df(t)² over
+    * kept terms, so each posting self-join block is bounded by maxDf²
+    * regardless of corpus size (ubiquitous shingles are boilerplate, not
+    * signal; dropping them from the weight space is the standard
+    * stop-posting prune). Weights are unit-normalized per document, so
+    * the pair dot product IS the cosine.
+    *
+    * FP discipline (the [[bm25]] pattern): idf and normalized weights are
+    * rounded to 7 decimals and fixed as DECIMAL, pair dots are exact
+    * decimal sums (order-independent), the threshold compares decimals,
+    * and ONE cast to double happens at the end. Scale shape: tf/df/norms
+    * are map-side-combined aggregates over (doc, shingle) rows; the
+    * `tf` subtree is shared by df, count and norm branches (identical
+    * subplans — Spark reuses the exchange); document text never leaves
+    * its scan partition.
+    */
+  def tfidfPairs(docs: DataFrame, maxDf: Int = 50,
+      minCos: Double = 0.30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxDf >= 2, s"tfidfPairs needs maxDf >= 2, got $maxDf")
+    require(minCos >= 0.0 && minCos <= 1.0, s"minCos in [0,1], got $minCos")
+    val d = spread(OpContract.requireCols(docs, "TextOps.tfidfPairs", "doc_id", "text"))
+    val tf = d.filter(size(words) >= 3)
+      .select(col("doc_id"), explode(positionalShingles(3)).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
+    val st = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dfq = tf.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val kept = tf.join(dfq, "s").crossJoin(broadcast(st))
+      .withColumn("wt",
+        col("tf").cast(DecimalType(11, 0)) *
+          round(log(col("n_docs").cast("double") / col("df")), 7)
+            .cast(DecimalType(12, 7)))
+    val nr = kept.groupBy("doc_id")
+      .agg(sum(col("wt").cast(DecimalType(18, 7)) *
+        col("wt").cast(DecimalType(18, 7))).as("norm2"))
+    val wn = kept.join(nr, "doc_id")
+      .select(col("doc_id"), col("s"),
+        round(col("wt").cast("double") / sqrt(col("norm2").cast("double")), 7)
+          .cast(DecimalType(12, 7)).as("wn"))
+    wn.as("a").join(wn.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("a.wn") * col("b.wn")).as("cd"))
+      .filter(col("cd") >= lit(java.math.BigDecimal.valueOf(minCos)))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("cd").cast("double").as("cos_sim"))
+  }
 }

@@ -128,7 +128,13 @@ object TextQueries {
       TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
     "tx_token_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(t(s, d, "documents")).orderBy("doc_id")),
-    "tx_zipf" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))))
+    "tx_zipf" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))),
+    // Inverted-index TF-IDF cosine pairs over 3-word shingles: at sf0.01
+    // the 25 survivors are exactly the minhash near-dup pairs — two
+    // independent detectors agreeing on the truth set.
+    "tx_tfidf_pairs" -> ((s, d) =>
+      TextOps.tfidfPairs(t(s, d, "documents"))
+        .orderBy("doc_a", "doc_b")))
 
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
@@ -580,5 +586,32 @@ object TextQueries {
         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
         |  MAX(cluster_size) AS max_cluster
-        |FROM cl""".stripMargin)
+        |FROM cl""".stripMargin,
+    // Same decimal chain as the op: idf and unit weights rounded to 7
+    // decimals and fixed as DECIMAL, exact decimal pair dots, decimal
+    // threshold compare, one double cast at the end.
+    "tx_tfidf_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        |st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s HAVING COUNT(*) <= 50),
+        |kept AS (SELECT f.doc_id, f.s,
+        |    CAST(f.tf AS DECIMAL(11, 0)) *
+        |      CAST(round(ln(CAST(st.n_docs AS DOUBLE) / q.df), 7) AS DECIMAL(12, 7)) AS wt
+        |  FROM tf f JOIN dfq q ON q.s = f.s CROSS JOIN st),
+        |nr AS (SELECT doc_id,
+        |    SUM(CAST(wt AS DECIMAL(18, 7)) * CAST(wt AS DECIMAL(18, 7))) AS norm2
+        |  FROM kept GROUP BY doc_id),
+        |wn AS (SELECT k.doc_id, k.s,
+        |    CAST(round(CAST(k.wt AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE)), 7)
+        |      AS DECIMAL(12, 7)) AS wn
+        |  FROM kept k JOIN nr n USING (doc_id)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS n_shared, SUM(a.wn * b.wn) AS cd
+        |  FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, CAST(cd AS DOUBLE) AS cos_sim
+        |FROM p WHERE cd >= 0.30 ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -1220,6 +1220,61 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getLong(0) == r.getLong(1))
     assert(r.getLong(0) != r.getLong(2))
   }
+
+  test("tfidfPairs: identical docs cosine 1.0, disjoint docs no pair, maxDf prunes boilerplate") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // exact copy of 0
+      (2L, "zeta eta theta iota kappa"),      // shares no shingle with 0/1
+      (3L, "one two three alpha beta gamma")) // shares one shingle with 0/1
+      .toDF("doc_id", "text")
+    val pairs = TextOps.tfidfPairs(docs, maxDf = 50, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.length == 1 && pairs(0)._1 == 0L && pairs(0)._2 == 1L)
+    // weights quantize to 7 decimals before the dot, so "1.0" carries
+    // ~1e-7-grade rounding — the same quantization the oracle applies
+    assert(math.abs(pairs(0)._3 - 1.0) < 1e-6,
+      s"identical docs must score cosine 1.0, got ${pairs(0)._3}")
+    // lower threshold: (0,3) and (1,3) appear via the shared shingle
+    val loose = TextOps.tfidfPairs(docs, maxDf = 50, minCos = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    // maxDf = 2 kills the "alpha beta gamma" shingle (df = 3): only the
+    // exact-copy pair survives, through its unique remaining shingles
+    val pruned = TextOps.tfidfPairs(docs, maxDf = 2, minCos = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((0L, 1L)))
+  }
+
+  test("fuzzyPairs: banded blocking loses nothing vs brute force; k=0 is exact match") {
+    import spark.implicits._
+    // keys engineered across block boundaries: lengths straddle multiples
+    // of the block width so qualifying pairs sit in ADJACENT blocks
+    val rows = Seq(
+      (0L, "abcdefg"),    // len 7  -> blk 1 (B=4)
+      (1L, "abcdefgh"),   // len 8  -> blk 2, dist(0,1)=1 across blocks
+      (2L, "abcdefghx"),  // len 9  -> blk 2, dist(1,2)=1
+      (3L, "zzzzzzzz"),   // len 8  -> blk 2, far from everything
+      (4L, "abcdefg"),    // len 7  -> exact dup of 0
+      (5L, "abqdefg"))    // len 7  -> dist 1 from 0/4
+      .toDF("id", "key")
+    val got = DedupOps.fuzzyPairs(rows, col("id"), col("key"), k = 2, blockWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth computed in-test
+    val truth = rows.as("x").crossJoin(rows.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"), levenshtein(col("x.key"), col("y.key")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == truth, s"blocked result must equal brute force: got $got vs $truth")
+    assert(got.contains((0L, 1L, 1L)), "cross-block pair must be found")
+    assert(got.count { case (_, _, d) => d == 0 } == 1, "one exact-dup pair")
+    // k = 0: only the exact duplicate pair
+    val exact = DedupOps.fuzzyPairs(rows, col("id"), col("key"), k = 0, blockWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 4L)))
+  }
 }
 
 /** Indirection so the spec reads naturally. */
