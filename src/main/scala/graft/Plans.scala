@@ -40,7 +40,10 @@ object Plans {
     // the melted no-Expand k-column distinct shape
     "q35_profile",
     // SCD2 consumer: interval as-of join against the history
-    "ev_scd2_lookup")
+    "ev_scd2_lookup",
+    // round 7: inverted-index tf-idf cosine pairs (df-capped postings),
+    // length-banded levenshtein linkage (3-replica probe equi-join)
+    "tx_tfidf_pairs", "dd_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

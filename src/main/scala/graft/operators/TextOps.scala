@@ -992,10 +992,16 @@ object TextOps {
     * rounded to 7 decimals and fixed as DECIMAL, pair dots are exact
     * decimal sums (order-independent), the threshold compares decimals,
     * and ONE cast to double happens at the end. Scale shape: tf/df/norms
-    * are map-side-combined aggregates over (doc, shingle) rows; the
-    * `tf` subtree is shared by df, count and norm branches (identical
-    * subplans — Spark reuses the exchange); document text never leaves
-    * its scan partition.
+    * are map-side-combined aggregates over (doc, shingle) rows; the `tf`
+    * postings and the normalized `wn` postings are localCheckpointed (the
+    * [[DedupOps.nearDupClustersStar]] discipline for a shared data-sized
+    * intermediate) because FIVE branches fork off tf and the pair
+    * self-join forks off wn — without the checkpoint each branch re-scans
+    * and re-explodes the corpus (8 parquet scans in the naive plan);
+    * with it the corpus is read once and every branch reads the
+    * materialized postings. Document text never leaves its scan
+    * partition — everything after the explode carries (doc_id, shingle,
+    * counts/weights) rows.
     */
   def tfidfPairs(docs: DataFrame, maxDf: Int = 50,
       minCos: Double = 0.30): DataFrame = {
@@ -1006,6 +1012,7 @@ object TextOps {
     val tf = d.filter(size(words) >= 3)
       .select(col("doc_id"), explode(positionalShingles(3)).as("s"))
       .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val st = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val dfq = tf.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -1021,6 +1028,7 @@ object TextOps {
       .select(col("doc_id"), col("s"),
         round(col("wt").cast("double") / sqrt(col("norm2").cast("double")), 7)
           .cast(DecimalType(12, 7)).as("wn"))
+      .localCheckpoint()
     wn.as("a").join(wn.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
