@@ -282,7 +282,17 @@ object ScaleBench {
       // bucketed inverted index — the linear-growth claim for the
       // headline dedup path)
       "dd_minhash" -> ((s: SparkSession, d: String, _: Double) =>
-        DedupOps.minhashPairs(s.read.parquet(s"$d/documents.parquet"))))
+        DedupOps.minhashPairs(s.read.parquet(s"$d/documents.parquet"))),
+      // round-7 additions: df-capped inverted-index cosine pairs (postings
+      // cost Σdf² with df bounded; term space grows with the corpus, per-
+      // term df does not — the letter-substituted copies share no
+      // shingles) and pigeonhole Hamming linkage on the fixed-width
+      // prefix key (the regime where length banding has no leverage)
+      "tx_tfidf_pairs" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.tfidfPairs(s.read.parquet(s"$d/documents.parquet"))),
+      "dd_hamming" -> ((s: SparkSession, d: String, _: Double) =>
+        DedupOps.hammingPairs(s.read.parquet(s"$d/documents.parquet"),
+          col("doc_id"), substring(col("text"), 1, 40), k = 2)))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")

@@ -557,6 +557,54 @@ object DedupOps {
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
 
+  /** Fixed-length-key fuzzy pairs: every (a, b) with HAMMING distance ≤
+    * `k` between equal-length keys, via lossless pigeonhole blocking —
+    * the [[simhashPairs]] signature-chunk trick applied to strings. The
+    * key splits into k+1 contiguous segments; ≤ k substitutions can
+    * touch at most k of them, so a qualifying pair matches at least one
+    * segment EXACTLY, and an equi-join on (segment index, segment text,
+    * key length) finds every candidate. Pairs differing in length are
+    * excluded by definition (substitution-only distance).
+    *
+    * This is the scale-safe twin of [[fuzzyPairs]] for the fixed-width
+    * regime (normalized codes, hashes, equal-length prefixes): length
+    * banding has NO leverage when every key has the same length — one
+    * band holds the whole corpus and the candidate set degenerates to
+    * corpus²/2 — while segment blocking keeps candidates at block
+    * occupancy (keys sharing a ~|key|/(k+1)-char exact run), replicating
+    * each record k+1 times with ids + segments only. A candidate pair
+    * matching on several segments is collapsed by a pair-distinct before
+    * the verify, so the O(|key|) Hamming check runs once per pair.
+    */
+  def hammingPairs(df: DataFrame, idCol: Column, keyCol: Column,
+      k: Int = 2): DataFrame = {
+    require(k >= 0, s"hammingPairs needs k >= 0, got $k")
+    val nSeg = k + 1
+    val keyed = df.select(idCol.as("id"), keyCol.as("key"))
+      .withColumn("len", length(col("key")))
+    val segs = keyed
+      .select(col("id"), col("key"), col("len"),
+        explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
+      .withColumn("lo", (col("seg") * col("len") / nSeg).cast("int"))
+      .withColumn("hi", ((col("seg") + 1) * col("len") / nSeg).cast("int"))
+      .select(col("id"), col("key"), col("len"), col("seg"),
+        expr("substring(key, lo + 1, hi - lo)").as("segval"))
+    val cand = segs.as("a").join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.len") === col("b.len") &&
+          col("a.segval") === col("b.segval") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        aggregate(
+          zip_with(split(col("key_a"), ""), split(col("key_b"), ""),
+            (x, y) => when(x === y, lit(0)).otherwise(lit(1))),
+          lit(0), (acc, v) => acc + v).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** Record-linkage fuzzy pairs: every (a, b) with edit distance ≤ `k` on
     * a short linkage key, found via LOSSLESS length-banded blocking. Each
     * single-character edit changes string length by at most 1, so a
@@ -575,6 +623,12 @@ object DedupOps {
     * Each qualifying pair is emitted exactly once (`id_a < id_b`): the
     * lower id matches the higher id's home block through exactly one of
     * its three probe replicas.
+    *
+    * Scale caveat: blocking leverage here comes ENTIRELY from length
+    * spread. On fixed-width keys every record lands in one band and the
+    * candidate set degenerates to corpus²/2 — use [[hammingPairs]]
+    * (pigeonhole segment blocking) in that regime; it keeps candidates
+    * at block occupancy regardless of the length distribution.
     */
   def fuzzyPairs(df: DataFrame, idCol: Column, keyCol: Column, k: Int = 2,
       blockWidth: Int = 8): DataFrame = {

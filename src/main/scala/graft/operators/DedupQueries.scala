@@ -111,6 +111,13 @@ object DedupQueries {
       DedupOps.fuzzyPairs(t(s, d, "documents"),
           col("doc_id"), substring(col("text"), 1, 40), k = 2)
         .orderBy("doc_a", "doc_b")),
+    // Fixed-width-key twin: pigeonhole segment blocking + Hamming verify
+    // (the scale path when every key has the same length and length
+    // banding has no leverage).
+    "dd_hamming" -> ((s, d) =>
+      DedupOps.hammingPairs(t(s, d, "documents"),
+          col("doc_id"), substring(col("text"), 1, 40), k = 2)
+        .orderBy("doc_a", "doc_b")),
     // Entity resolution end-to-end: fuzzy edges -> star-contraction
     // connected components (same CC engine as dd_clusters_star, different
     // edge detector).
@@ -345,6 +352,14 @@ object DedupQueries {
           |    CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
           |  FROM k a JOIN k b ON a.doc_id < b.doc_id
           |  WHERE abs(length(a.key) - length(b.key)) <= 2)
+          |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "dd_hamming" ->
+        """WITH k AS (SELECT doc_id, substring(text, 1, 40) AS key FROM documents),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(hamming(a.key, b.key) AS BIGINT) AS dist
+          |  FROM k a JOIN k b
+          |    ON a.doc_id < b.doc_id AND length(a.key) = length(b.key))
           |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
           |ORDER BY doc_a, doc_b""".stripMargin,
       "dd_fuzzy_clusters" ->

@@ -448,6 +448,39 @@ object SimilarityOps {
         .withColumn("cos", pqAdcCos(model, m)), k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    * retrieval lists — the standard hybrid-search combiner for a lexical
+    * ranking (BM25) and an embedding ranking (cosine top-k) feeding a
+    * training-data selection or RAG stack. Inputs are `(id, rank)`
+    * tables (1-based ranks); output one row per id in EITHER list with
+    * rrf = Σ 1/(c + rank) over the lists containing it (the standard
+    * union semantics — absent lists contribute 0, reported as rank 0).
+    *
+    * FP discipline: each 1/(c+rank) term is one correctly-rounded IEEE
+    * division, rounded to 7 decimals and fixed as DECIMAL before the
+    * cross-list sum — bit-identical across engines and partitionings.
+    * Scale shape: ranked lists are top-k-bounded by construction
+    * upstream, so this is a full-outer hash join of two bounded tables;
+    * nothing here touches the corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(c >= 1, s"rrfFuse needs c >= 1, got $c")
+    OpContract.requireCols(a, "SimilarityOps.rrfFuse a", "id", "rank")
+    OpContract.requireCols(b, "SimilarityOps.rrfFuse b", "id", "rank")
+    def side(df: DataFrame, rn: String, sn: String) =
+      df.select(col("id"), col("rank").cast("long").as(rn),
+        round(lit(1.0) / (lit(c) + col("rank")), 7)
+          .cast(DecimalType(10, 7)).as(sn))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(10, 7))
+    side(a, "rank_a", "s_a").join(side(b, "rank_b", "s_b"), Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"),
+        (coalesce(col("s_a"), zero) + coalesce(col("s_b"), zero))
+          .cast("double").as("rrf"))
+  }
+
   /** Retrieval evaluation: recall@k of an ANN result table against an
     * exact truth table — both in the (query_id, rank, vec_id, …) shape
     * every top-k op here emits. Per query: hits = |truth∩results| over

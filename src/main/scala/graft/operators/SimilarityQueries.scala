@@ -315,6 +315,22 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // Hybrid retrieval: the BM25 lexical ranking (tx_bm25's terms, ranked
+    // by score with a doc_id tie-break) fused with the exact cosine
+    // top-10 for query vector 0 via reciprocal-rank fusion. doc_id and
+    // vec_id share the id space by testdata construction.
+    "knn_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexical = TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))
+        .select(col("doc_id").as("id"),
+          row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank"))
+      val semantic = SimilarityOps.bruteTopK(t(s, d, "embeddings"),
+          queriesOf(t(s, d, "embeddings")).filter(col("query_id") === 0), TOP_K)
+        .select(col("vec_id").as("id"), col("rank"))
+      SimilarityOps.rrfFuse(lexical, semantic).orderBy("id")
+    }),
+
     "emb_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")),
 
@@ -543,6 +559,27 @@ object SimilarityQueries {
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tt.n_truth AS recall
          |FROM tt LEFT JOIN hits h ON h.query_id = tt.query_id
          |ORDER BY tt.query_id""".stripMargin,
+
+    // RRF hybrid fusion: both sub-rankings wrapped verbatim (the tx_bm25
+    // oracle from TextQueries and the brute-cosine oracle above); each
+    // 1/(c+rank) term is one double division rounded to 7 decimals and
+    // decimal-fixed before the cross-list sum — the op's exact chain.
+    "knn_rrf" ->
+      s"""WITH bmr AS (SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a
+         |  FROM (${TextQueries.bm25OracleSql}) bm),
+         |cosr AS (SELECT vec_id AS id, CAST(rank AS BIGINT) AS rank_b
+         |  FROM ($knnBruteOracleSql) kb WHERE query_id = 0),
+         |f AS (SELECT COALESCE(bmr.id, cosr.id) AS id,
+         |    COALESCE(bmr.rank_a, 0) AS rank_a,
+         |    COALESCE(cosr.rank_b, 0) AS rank_b,
+         |    COALESCE(CAST(round(CAST(1.0 AS DOUBLE) / (60 + bmr.rank_a), 7)
+         |        AS DECIMAL(10, 7)), CAST(0 AS DECIMAL(10, 7))) +
+         |      COALESCE(CAST(round(CAST(1.0 AS DOUBLE) / (60 + cosr.rank_b), 7)
+         |        AS DECIMAL(10, 7)), CAST(0 AS DECIMAL(10, 7))) AS rrf
+         |  FROM bmr FULL OUTER JOIN cosr ON cosr.id = bmr.id)
+         |SELECT id, rank_a, rank_b, CAST(rrf AS DOUBLE) AS rrf
+         |FROM f ORDER BY id""".stripMargin,
 
     // Full value oracle for the LSH ANN pipeline — possible because every
     // stage is deterministic: hyperplane weights come from the counter-based

@@ -136,6 +136,28 @@ object TextQueries {
       TextOps.tfidfPairs(t(s, d, "documents"))
         .orderBy("doc_a", "doc_b")))
 
+  // BM25: constants interpolated from the same Scala doubles the Spark
+  // expression uses (full-precision round-trip), factor association
+  // mirrored operator-for-operator; per-(doc,term) scores decimal-fixed
+  // at round 7 so the per-doc sums are order-independent. Shared with
+  // the knn_rrf oracle (SimilarityQueries), which fuses this ranking.
+  private[operators] lazy val bm25OracleSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      |  WHERE w IN ('query', 'spark', 'table') GROUP BY doc_id, w),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |sc AS (SELECT t.doc_id,
+      |    CAST(round(ln((st.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+      |      ((t.tf * ${k1 + 1}) / (t.tf + $k1 * (1.0 - $b + $b * CAST(l.dl AS DOUBLE) /
+      |        (CAST(st.total AS DOUBLE) / st.n_docs)))), 7) AS DECIMAL(12, 7)) AS t
+      |  FROM tf t JOIN dfq q ON q.w = t.w JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(t) AS DOUBLE) AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private def sqlMarkerCount(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN ${ms.map(m => s"'$m'").mkString("(", ", ", ")")}))"
 
@@ -319,26 +341,7 @@ object TextQueries {
          |FROM pf p LEFT JOIN m ON m.feature = p.feature
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
     },
-    // BM25: constants interpolated from the same Scala doubles the Spark
-    // expression uses (full-precision round-trip), factor association
-    // mirrored operator-for-operator; per-(doc,term) scores decimal-fixed
-    // at round 7 so the per-doc sums are order-independent.
-    "tx_bm25" -> {
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
-        |  WHERE w IN ('query', 'spark', 'table') GROUP BY doc_id, w),
-        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-        |sc AS (SELECT t.doc_id,
-        |    CAST(round(ln((st.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
-        |      ((t.tf * ${k1 + 1}) / (t.tf + $k1 * (1.0 - $b + $b * CAST(l.dl AS DOUBLE) /
-        |        (CAST(st.total AS DOUBLE) / st.n_docs)))), 7) AS DECIMAL(12, 7)) AS t
-        |  FROM tf t JOIN dfq q ON q.w = t.w JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st)
-        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(t) AS DOUBLE) AS bm25
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "tx_bm25" -> bm25OracleSql,
     // Normalization: same injection, lower/collapse/trim in both dialects.
     "tx_normalize" ->
       """WITH inj AS (SELECT doc_id,

@@ -1275,6 +1275,55 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact == Set((0L, 4L)))
   }
+
+  test("hammingPairs: pigeonhole blocking equals brute force; unequal lengths excluded; multi-segment match dedups") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "aaaabbbbcccc"),
+      (1L, "aaaabbbbccxx"),  // dist 2 from 0: both edits in LAST segment -> matches segs 0 AND 1
+      (2L, "axaabxbbcccc"),  // dist 2 from 0 spread over segs 0/1 -> matches seg 2 only
+      (3L, "aaaabbbbcccc"),  // exact dup of 0
+      (4L, "zzzzzzzzzzzz"),  // far from everything
+      (5L, "aaaabbbbcc"))    // dist-0 prefix but SHORTER: excluded by definition
+      .toDF("id", "key")
+    val got = DedupOps.hammingPairs(rows, col("id"), col("key"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth over equal-length pairs, computed in-test
+    val truth = rows.as("x").crossJoin(rows.as("y"))
+      .filter(col("x.id") < col("y.id") &&
+        length(col("x.key")) === length(col("y.key")))
+      .select(col("x.id"), col("y.id"),
+        aggregate(
+          zip_with(split(col("x.key"), ""), split(col("y.key"), ""),
+            (a, b) => when(a === b, lit(0)).otherwise(lit(1))),
+          lit(0), (acc, v) => acc + v).cast("long").as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth, s"pigeonhole result must equal brute force: got $got vs $truth")
+    assert(got.contains((0L, 1L, 2L)) && got.contains((0L, 2L, 2L)) &&
+      got.contains((0L, 3L, 0L)))
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L },
+      "shorter key must not pair under substitution-only distance")
+    // multi-segment candidate (0,3) matches all 3 segments yet appears once
+    assert(got.count { case (a, b, _) => a == 0L && b == 3L } == 1)
+  }
+
+  test("rrfFuse: hand-computed fusion, union semantics, absent side contributes 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val r = SimilarityOps.rrfFuse(a, b).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // terms are 1/(60+rank) rounded to 7 decimals: 1/61 = 0.0163934,
+    // 1/62 = 0.0161290, 1/63 = 0.0158730
+    assert(r(10L) == ((1L, 0L, 0.0163934)))
+    // the DECIMAL sum is exactly 0.0325224; compare against the literal,
+    // not a double addition of the two terms (which can differ by an ulp)
+    assert(r(20L) == ((2L, 1L, 0.0325224)))
+    assert(r(30L) == ((3L, 0L, 0.0158730)))
+    assert(r(40L) == ((0L, 2L, 0.0161290)))
+    assert(r.size == 4)
+  }
 }
 
 /** Indirection so the spec reads naturally. */
