@@ -43,7 +43,10 @@ object Plans {
     "ev_scd2_lookup",
     // round 7: inverted-index tf-idf cosine pairs (df-capped postings),
     // length-banded levenshtein linkage (3-replica probe equi-join)
-    "tx_tfidf_pairs", "dd_fuzzy")
+    "tx_tfidf_pairs", "dd_fuzzy",
+    // round 7 (cont.): AllPairs prefix-filter exact-Jaccard join (rare-
+    // token-only candidate join), dim-bounded covariance model state
+    "dd_prefix_jaccard", "emb_covariance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -154,6 +154,59 @@ object DedupOps {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Exact Jaccard ≥ [[JACCARD_T]] similarity join via PREFIX FILTERING —
+    * the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao et
+    * al. WWW'08), a different pruning strategy from [[ngramJaccardPairs]]'
+    * full inverted index. Tokens get a global total order (ascending
+    * document frequency, ties by hash); each doc indexes only its PREFIX —
+    * the first `|sh| − ⌈t·|sh|⌉ + 1` tokens in that order. The prefix
+    * lemma guarantees any pair with jac ≥ t shares ≥ 1 prefix token, so
+    * joining prefixes (instead of all tokens) finds every qualifying pair
+    * while the candidate join touches only each doc's RAREST tokens — the
+    * high-df head tokens that dominate inverted-index co-occurrence cost
+    * never enter the join. The prefix length uses the exact integer form
+    * `sz − ((3·sz + 9) div 10) + 1` (t = 0.3): a double `ceil(0.3·sz)`
+    * can land an ulp high and shorten the prefix below the lossless bound.
+    *
+    * Unlike [[ngramJaccardPairs]] this op does NOT block by n_chars
+    * bucket, so it also finds true pairs straddling a length-bucket
+    * boundary; the size-ratio prune (10·min ≥ 3·max − 1, same slack
+    * argument) still drops hopeless pairs exactly. Candidates are then
+    * exact-verified by shared-shingle counts — identical jac arithmetic
+    * to the rest of the family.
+    *
+    * Scale shape: df is one map-side-combined aggregate over 8-byte token
+    * hashes; the rank window shuffles (hash, df) pairs by doc_id; the
+    * candidate join carries prefix rows only. On a skewed Zipf corpus the
+    * prefix join's worst key is a RARE token by construction — the
+    * frequent-token hot keys that force salting in a naive token join are
+    * pruned out of the index entirely.
+    */
+  def prefixJaccardPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docShingleSets(docs).withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("doc_id"), col("lang"), col("sz"),
+        explode(col("sh")).as("shingle"))
+      .withColumn("shx", xxhash64(col("shingle")))
+    val dfreq = inv.groupBy("lang", "shx").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(dfreq, Seq("lang", "shx"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shx"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(3 * sz + 9) div 10") + 1)
+    val a = prefix.select(col("lang"), col("shx"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("lang").as("l2"), col("shx").as("shx2"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, col("lang") === col("l2") && col("shx") === col("shx2") &&
+        col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")) * 10 >=
+          greatest(col("sz_a"), col("sz_b")) * 3 - 1)
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, inv.select(col("doc_id"), col("sz"), col("shingle")),
+      "doc_a", "doc_b")
+  }
+
   /** Asymmetric CONTAINMENT pairs: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
     * the fraction of A's 3-gram shingles that also appear in B. Jaccard
     * ops miss the quote-embedded-in-a-larger-document case (a 100-shingle

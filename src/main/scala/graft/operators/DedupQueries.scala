@@ -32,6 +32,8 @@ object DedupQueries {
     // charge every 100 TB user for oracle hash stability).
     "dd_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "dd_prefix_jaccard" -> ((s, d) =>
+      DedupOps.prefixJaccardPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dd_containment" -> ((s, d) =>
       DedupOps.containmentPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dd_minhash" -> ((s, d) =>
@@ -227,6 +229,22 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
          |ORDER BY doc_a, doc_b""".stripMargin
 
+    // Prefix-filter variant: same exact-Jaccard semantics WITHOUT the
+    // n_chars length-bucket blocking (the prefix filter replaces it), so
+    // the truth is plain all-pairs within a lang. The candidate scheme is
+    // Spark-side-only pruning — provably lossless, so the oracle states
+    // the spec, not the algorithm.
+    val prefixJaccardOracle =
+      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |sets AS (SELECT doc_id, lang, $sqlShingles AS sh
+         |         FROM ws WHERE len(w) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+         |FROM sets a JOIN sets b
+         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
+         |ORDER BY doc_a, doc_b""".stripMargin
+
     val simhashOracle =
       s"""WITH wc AS (SELECT doc_id, wx AS word, COUNT(*) AS cnt
          |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wx FROM documents)
@@ -297,6 +315,7 @@ object DedupQueries {
           |  CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_removed
           |FROM cl""".stripMargin,
       "dd_ngram_jaccard" -> ngramJaccardOracle,
+      "dd_prefix_jaccard" -> prefixJaccardOracle,
       // Containment: both directions emitted from the unordered-pair CTE;
       // the >= 0.8 gate is the exact integer form (10*common >= 8*|sh|)
       // on BOTH sides, so no double threshold can diverge cross-engine.

@@ -833,4 +833,53 @@ object SimilarityOps {
         .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
   }
+
+  /** Upper-triangle COVARIANCE MATRIX of the embedding column — the
+    * second-moment statistics feeding whitening, PCA, and the anisotropy
+    * audits (a collapsed embedding space shows up as a few dominant
+    * covariance entries long before ANN recall degrades). Population
+    * covariance: cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j]. Output
+    * `(i, j, cov)` for 0 ≤ i ≤ j < dim.
+    *
+    * Scale shape: ONE corpus scan, dim-bounded MODEL STATE. The corpus is
+    * exploded to the sliced j ≥ i pair stream (two chained codegen
+    * generators — `slice` keeps the j-explode to d(d+1)/2 rows per vector
+    * instead of d²), then a single map-side-combined aggregate carries
+    * Σx_i·x_j, Σx_i and Σx_j per cell: the shuffle is partitions ×
+    * d(d+1)/2 sum rows, never data-proportional. The per-cell Σx_i is the
+    * SAME multiset of addends as a global per-dim mean — decimal sums are
+    * order-independent, so folding the means into the one aggregate (vs a
+    * separate means pass + broadcast joins, which plans two extra corpus
+    * scans) changes no output bit.
+    *
+    * Cross-engine FP: products are double·double (floats cast up first —
+    * a float·float multiply would round differently from DuckDB's
+    * double path), summed under the repo's DECIMAL(28,12) exact-sum
+    * pattern, one cast + one division per moment, single multiply/subtract
+    * for the mean correction, one final round(·,6).
+    */
+  def covarianceMatrix(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spread = OpContract.requireCols(e, "SimilarityOps.covarianceMatrix",
+        "vec_id", "embedding")
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    val xij = spread
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(slice(col("embedding"), col("i") + 1,
+            size(col("embedding")) - col("i")))
+          .as(Seq("jo", "xj")))
+      .select(col("i"), (col("i") + col("jo")).as("j"),
+        col("xi"), col("xj").cast("double").as("xj"))
+    xij.groupBy("i", "j")
+      .agg(
+        (sum((col("xi") * col("xj")).cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("exy"),
+        (sum(col("xi").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("m_i"),
+        (sum(col("xj").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("m_j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("exy") - col("m_i") * col("m_j"), 6).as("cov"))
+  }
 }

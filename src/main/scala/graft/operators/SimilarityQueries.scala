@@ -352,6 +352,12 @@ object SimilarityQueries {
       SimilarityOps.labelCentroids(t(s, d, "embeddings"))
         .orderBy("label", "dim")),
 
+    // Second-moment statistics: upper-triangle covariance matrix (the
+    // whitening/PCA/anisotropy-audit input; dim-bounded model state).
+    "emb_covariance" -> ((s, d) =>
+      SimilarityOps.covarianceMatrix(t(s, d, "embeddings"))
+        .orderBy("i", "j")),
+
     // Centroid-separation audit: pairwise cosine between label centroids
     // (bounded L^2 output); composes the emb_label_centroids chain.
     "emb_centroid_sim" -> ((s, d) =>
@@ -443,6 +449,28 @@ object SimilarityQueries {
         |  round(nrm, 6) AS norm, label
         |FROM n CROSS JOIN generate_series(0, 63) d(dim)
         |ORDER BY vec_id, dim""".stripMargin,
+    // Covariance mirrored moment-for-moment: double·double products
+    // rounded(12) into DECIMAL(28,12) exact sums (the labelCentroids
+    // pattern), one division per cell, single multiply/subtract for the
+    // E[x]E[y] correction, round(,6). j >= i upper triangle only.
+    "emb_covariance" ->
+      """WITH p AS (SELECT i.i AS i, j.j AS j,
+        |    CAST(SUM(CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
+        |                        * CAST(e.embedding[j.j + 1] AS DOUBLE), 12)
+        |      AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*) AS exy
+        |  FROM embeddings e
+        |  CROSS JOIN generate_series(0, 63) i(i)
+        |  CROSS JOIN generate_series(0, 63) j(j)
+        |  WHERE j.j >= i.i GROUP BY i.i, j.j),
+        |m AS (SELECT d.dim AS dim,
+        |    CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12)
+        |      AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
+        |  GROUP BY d.dim)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  round(p.exy - mi.m * mj.m, 6) AS cov
+        |FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j
+        |ORDER BY i, j""".stripMargin,
     "emb_label_centroids" ->
       """SELECT e.label, d.dim,
         |  CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE)

@@ -1324,6 +1324,76 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r(40L) == ((0L, 2L, 0.0161290)))
     assert(r.size == 4)
   }
+
+  test("prefixJaccardPairs: prefix filtering loses nothing vs all-pairs truth; finds cross-bucket pairs ngram blocking drops") {
+    import spark.implicits._
+    // Planted corpus: (0,1) heavy overlap same length; (2,3) heavy overlap
+    // with lengths straddling a n_chars-div-100 boundary (the pair class
+    // ngramJaccardPairs' bucket blocking excludes by design); (4) shares
+    // only the corpus-wide boilerplate token run (high-df tokens -> never
+    // in anyone's prefix); (5) different lang twin of 0.
+    def doc(id: Long, lang: String, nChars: Long, text: String) =
+      (id, lang, nChars, text)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      doc(0L, "en", 98L, s"$base lambda mu"),
+      doc(1L, "en", 99L, s"$base lambda nu"),
+      doc(2L, "en", 99L, s"$base omicron pi rho"),
+      doc(3L, "en", 101L, s"$base omicron pi sigma"),
+      doc(4L, "en", 99L, "alpha beta unrelated words entirely different tail here"),
+      doc(5L, "de", 98L, s"$base lambda mu"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val got = DedupOps.prefixJaccardPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all-pairs truth within a lang, exact Jaccard on distinct 3-shingles
+    val sh = rows.select(col("doc_id"), col("lang"),
+      array_distinct(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")).as("sh"))
+    val truth = sh.as("x").join(sh.as("y"),
+        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("jac"))
+      .filter(col("jac") >= DedupOps.JACCARD_T)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"prefix filter must be lossless: got $got vs $truth")
+    assert(got.contains((2L, 3L)),
+      "pair straddling the 100-char bucket boundary must be found")
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L },
+      "boilerplate-only co-occurrence must verify below threshold")
+    assert(!got.exists { case (a, b) => (a, b) == ((0L, 5L)) },
+      "cross-lang pairs are out of scope")
+    // and the bucket-blocked op indeed cannot see (2,3) — the documented
+    // semantic difference, not a regression in either op
+    val ngram = DedupOps.ngramJaccardPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ngram.contains((2L, 3L)) && ngram.contains((0L, 1L)))
+  }
+
+  test("covarianceMatrix: equals the driver-side definition; diagonal nonnegative; dim-complete") {
+    import spark.implicits._
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val got = SimilarityOps.covarianceMatrix(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dim = 64
+    assert(got.size == dim * (dim + 1) / 2, "full upper triangle")
+    assert((0 until dim).forall(i => got((i.toLong, i.toLong)) >= 0.0),
+      "variances must be nonnegative")
+    // brute-force truth on the collected corpus (sf0.001 is small):
+    // population covariance in plain double arithmetic; the op's output is
+    // round(·, 6), so agreement is bounded by that final half-ulp (5e-7)
+    // plus the decimal sum's 5e-13/term — not by double-sum order
+    val vecs = e.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    def cov(i: Int, j: Int) =
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+    val worst = (for (i <- 0 until dim; j <- i until dim)
+      yield math.abs(got((i.toLong, j.toLong)) - cov(i, j))).max
+    assert(worst < 1e-6, s"op covariance diverges from definition by $worst")
+  }
 }
 
 /** Indirection so the spec reads naturally. */
