@@ -882,4 +882,75 @@ object SimilarityOps {
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         round(col("exy") - col("m_i") * col("m_j"), 6).as("cov"))
   }
+
+  /** Top-k PCA components of the embedding distribution, trained by
+    * orthogonal (power) iteration on the [[covarianceMatrix]] model —
+    * the d×d matrix is MODEL STATE (a 2080-cell collect for d = 64, same
+    * class as [[trainCentroids]]' k-row collect), so the eigensolve is a
+    * driver-side double loop, not a distributed job. Deterministic by
+    * construction: fixed uniform init, fixed iteration count, explicit
+    * deflation, Gram–Schmidt re-orthogonalization every step, and a sign
+    * convention (largest-|coordinate| positive) so equal inputs give
+    * bit-equal components on any executor count. Returns
+    * (eigenvalue, component) pairs, eigenvalues descending.
+    */
+  def pcaComponents(e: DataFrame, k: Int = 4,
+      iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val cells = covarianceMatrix(e).collect()
+    val d = cells.iterator.map(_.getLong(1).toInt).max + 1
+    val c = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    def matVec(m: Array[Array[Double]], v: Array[Double]) =
+      Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    def dot(a: Array[Double], b: Array[Double]) =
+      (0 until d).map(i => a(i) * b(i)).sum
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    for (_ <- 0 until math.min(k, d)) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      for (_ <- 0 until iters) {
+        var w = matVec(c, v)
+        comps.foreach { case (_, p) =>
+          val pw = dot(p, w)
+          w = Array.tabulate(d)(i => w(i) - pw * p(i))
+        }
+        val n = math.sqrt(dot(w, w))
+        v = if (n == 0) v else w.map(_ / n)
+      }
+      val lambda = dot(v, matVec(c, v))
+      val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
+      comps += ((lambda, v.map(_ * flip)))
+    }
+    comps.toSeq
+  }
+
+  /** Project the corpus onto its top-k PCA components: mean-center (the
+    * [[normalizeEmbeddings]] decimal-mean pattern), then one codegen'd
+    * dot product per component against driver-literal weight arrays —
+    * pure projection, NO shuffle, exactly the [[randomProjection]] plan
+    * shape but with LEARNED axes. The standard embedding-compression /
+    * whitening front-end: at 100 TB the model is trained once (one
+    * covariance scan + a 64×64 eigensolve) and the projection streams.
+    * Output: input rows with `pc` = k rounded component scores.
+    */
+  def pcaProject(e: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val comps = pcaComponents(e, k)
+    val meansRows = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .collect()
+    val means = new Array[Double](meansRows.length)
+    meansRows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    val cent = zip_with(col("embedding"), typedLit(means),
+      (x, m) => x.cast("double") - m)
+    val scores = array(comps.map { case (_, v) =>
+      round(graft.functions.VectorFunctions.dot_product(cent, typedLit(v)), 6)
+    }: _*)
+    e.withColumn("pc", scores)
+  }
 }

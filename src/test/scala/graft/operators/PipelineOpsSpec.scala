@@ -1394,6 +1394,49 @@ class PipelineOpsSpec extends SparkTestBase {
       yield math.abs(got((i.toLong, j.toLong)) - cov(i, j))).max
     assert(worst < 1e-6, s"op covariance diverges from definition by $worst")
   }
+
+  test("pcaComponents/pcaProject: orthonormal descending spectrum, eigen residual, projection variance = eigenvalue") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val comps = SimilarityOps.pcaComponents(e, 4)
+    val lambdas = comps.map(_._1)
+    assert(lambdas == lambdas.sorted.reverse, "eigenvalues must descend")
+    assert(lambdas.forall(_ >= -1e-6), "covariance spectrum is nonnegative")
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    for (i <- comps.indices; j <- comps.indices) {
+      val d = dot(comps(i)._2, comps(j)._2)
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"component $i not unit")
+      else assert(math.abs(d) < 1e-6, s"components $i,$j not orthogonal: $d")
+    }
+    // eigen residual against the (rounded-cell) covariance model
+    val cells = SimilarityOps.covarianceMatrix(e).collect()
+    val dim = 64
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+      c(r.getLong(1).toInt)(r.getLong(0).toInt) = r.getDouble(2)
+    }
+    comps.foreach { case (l, v) =>
+      val res = math.sqrt((0 until dim).map { i =>
+        val cv = (0 until dim).map(j => c(i)(j) * v(j)).sum
+        val r = cv - l * v(i); r * r
+      }.sum)
+      assert(res < 0.05 * (1 + l), s"eigen residual $res too large for lambda $l")
+    }
+    // projection self-consistency: population variance of each score column
+    // equals its eigenvalue (vᵀCv), up to the cells' round(,6) and the
+    // scores' round(,6)
+    val pcs = SimilarityOps.pcaProject(e, 4).select("pc").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = pcs.length.toDouble
+    for (cmp <- 0 until 4) {
+      val xs = pcs.map(_(cmp))
+      val m = xs.sum / n
+      val variance = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(variance - lambdas(cmp)) < 1e-3 * (1 + lambdas(cmp)),
+        s"projection variance $variance != lambda ${lambdas(cmp)} for comp $cmp")
+    }
+  }
 }
 
 /** Indirection so the spec reads naturally. */
