@@ -46,7 +46,17 @@ object Plans {
     "tx_tfidf_pairs", "dd_fuzzy",
     // round 7 (cont.): AllPairs prefix-filter exact-Jaccard join (rare-
     // token-only candidate join), dim-bounded covariance model state
-    "dd_prefix_jaccard", "emb_covariance")
+    "dd_prefix_jaccard", "emb_covariance",
+    // round 7 (cont. 2): pigeonhole segment-blocked Hamming pairs,
+    // decimal reciprocal-rank fusion, label²-bounded centroid cosine,
+    // decimal p·log p entropy agg, top-k Zipf least-squares
+    "dd_hamming", "knn_rrf", "emb_centroid_sim",
+    "tx_token_entropy", "tx_zipf",
+    // round 7 (cont. 3): cohort retention (events reduce to the
+    // user×week set first), interpolated trigram LM (vocabulary-keyed
+    // model terms), label-blocked exact kNN graph (join exchange reused
+    // by the rank window)
+    "ev_retention", "tx_trigram_ppl", "emb_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

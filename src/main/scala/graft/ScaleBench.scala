@@ -190,7 +190,28 @@ object ScaleBench {
       SimilarityOps.nearPairs(s.read.parquet(s"$d/embeddings.parquet"), 0.9)),
     "near_pairs_lsh_09" -> ((s: SparkSession, d: String) =>
       SimilarityOps.nearPairsLsh(s.read.parquet(s"$d/embeddings.parquet"), 0.9,
-        NP9_BITS, NP9_TABLES, NP9_SEED)))
+        NP9_BITS, NP9_TABLES, NP9_SEED)),
+    // round-7 continuation additions: df-capped TF-IDF postings join,
+    // prefix-filtered exact-Jaccard join, the (user, week)-reduced
+    // retention matrix, vocabulary-keyed trigram LM
+    "tx_tfidf_pairs" -> SparkEntry.queries("tx_tfidf_pairs"),
+    "dd_prefix_jaccard" -> SparkEntry.queries("dd_prefix_jaccard"),
+    "ev_retention" -> SparkEntry.queries("ev_retention"),
+    "tx_trigram_ppl" -> SparkEntry.queries("tx_trigram_ppl"),
+    // kNN graph at the gate's FIXED 10 labels: block populations grow
+    // with the corpus, so within-block pair work grows quadratically —
+    // the production knob is routing granularity ∝ n (centroid count,
+    // exactly the semantic-dedup scaledk story), shown by the twin
+    "emb_knn_graph" -> SparkEntry.queries("emb_knn_graph"),
+    "emb_knn_graph_scaledblocks" -> ((s: SparkSession, d: String) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val k = math.max(16L, e.count() / 125) // constant expected block size
+      SimilarityOps.labelKnnGraph(
+        SimilarityOps.assignToCentroids(e,
+            broadcast(e.filter(col("vec_id") < k)
+              .select(col("vec_id").as("cid"), col("embedding").as("ce"))))
+          .withColumnRenamed("cid", "label"), 5)
+    }))
 
   private def time2(mk: => DataFrame): Double = {
     def once(): Double = {
@@ -220,7 +241,10 @@ object ScaleBench {
       s"exact=${exactPairs.size} lsh=${lshPairs.size} equal=${exactPairs == lshPairs}")
     println(f"| query | sf0.1 s | 10x s | growth |")
     println(f"|---|---|---|---|")
-    val rows = scaleQueries.map { case (name, fn) =>
+    // dev knob: comma-separated subset to re-measure (never set by the
+    // driver — the recorded tables always come from full runs)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val rows = scaleQueries.filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val base = time2(fn(spark, sfDir))
       val tenx = time2(fn(spark, tenxDir))
       println(f"| $name | $base%.3f | $tenx%.3f | ${tenx / base}%.1fx |")

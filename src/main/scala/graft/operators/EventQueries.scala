@@ -119,6 +119,14 @@ object EventQueries {
             .cast("double").as("sum_value"))
         .orderBy("segment", "event_type")),
 
+    // Cohort retention matrix: first-seen epoch-week cohorts × week
+    // offset, distinct-user counts (EventOps.cohortRetention — events
+    // reduce to the (user, week) set before anything global happens).
+    "ev_retention" -> ((s, d) =>
+      EventOps.cohortRetention(t(s, d, "events"),
+          call_function("div", col("ts").cast("long"), lit(1000L)))
+        .orderBy("cohort_week", "week_offset")),
+
     // Ingestion dedup: the events feed doubled (simulating at-least-once
     // redelivery), deduplicated on event_id, then summarized. event_id is
     // unique in the source and the duplicates are bit-identical rows, so
@@ -184,6 +192,16 @@ object EventQueries {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Retention: DISTINCT (user, week) first, so COUNT(*) is the
+    // distinct-user count — same reduction order as the Spark side.
+    "ev_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_dedup" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

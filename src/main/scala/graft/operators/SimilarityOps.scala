@@ -772,6 +772,41 @@ object SimilarityOps {
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
   }
 
+  /** Label-blocked exact kNN graph: every vector's top-k cosine neighbors
+    * WITHIN its block (label = any routing key — a class label, an IVF
+    * list, a SemDeDup cluster). The graph that seeds dup-graph
+    * consolidation and graph-based ANN indexes, in the exact-within-block
+    * regime: [[nearPairsLsh]] answers "pairs above τ", this answers "each
+    * vector's k closest" with no threshold to tune.
+    *
+    * Scale shape: the self-join hashes on the block key only, so per-block
+    * cost is quadratic in BLOCK size (the bounded routing population, same
+    * contract as [[semanticDedup]]'s clusters) while total cost is linear
+    * in block count; output is exactly N·k rows. The rank window partitions
+    * by (label, src) — a superset of the join key — so Catalyst reuses the
+    * join exchange instead of re-shuffling, and the rank<=k filter becomes
+    * a WindowGroupLimit partial top-k before any window sort sees a full
+    * block. Unblocked corpora route through [[lshTopK]]/[[ivfTopK]].
+    *
+    * FP/tie discipline is [[bruteTopK]]'s: round-6 cosine, ascending
+    * dst_id tie-break — deterministic and oracle-identical.
+    */
+  def labelKnnGraph(e: DataFrame, k: Int): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.labelKnnGraph",
+      "vec_id", "embedding", "label")
+    val a = e.select(col("label"), col("vec_id").as("src_id"),
+      col("embedding").as("se"))
+    val b = e.select(col("label"), col("vec_id").as("dst_id"),
+      col("embedding").as("de"))
+    val w = Window.partitionBy(col("label"), col("src_id"))
+      .orderBy(col("cos").desc, col("dst_id"))
+    a.join(b, Seq("label")).filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cos", cosine(col("se"), col("de")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src_id", "rank", "dst_id", "cos")
+  }
+
   /** LSH-bucketed ANN: `tables` independent hash tables (random-hyperplane
     * signatures with per-table seeds), 1-bit multiprobe per table, union of
     * candidates, exact re-rank. One corpus scan computes all signatures (a

@@ -290,6 +290,13 @@ object SimilarityQueries {
       SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K)
     }),
 
+    // Exact kNN graph within label blocks (labels stand in for any
+    // routing key): N·k edges, per-block quadratic cost bounded by the
+    // block population.
+    "emb_knn_graph" -> ((s, d) =>
+      SimilarityOps.labelKnnGraph(t(s, d, "embeddings"), 5)
+        .orderBy("src_id", "rank")),
+
     // Deterministic coarse quantizer (first 16 vectors as centroids) keeps
     // the operator reproducible without a stored model — and fully
     // value-oracled since round 3; a production IVF trains via
@@ -571,6 +578,19 @@ object SimilarityQueries {
          |    AND ${sqlCosine("c.embedding", "b.embedding")} >= $NEAR_T)
          |ORDER BY c.vec_id""".stripMargin,
     "knn_brute" -> knnBruteOracleSql,
+
+    // kNN graph: brute-force truth restricted to each vector's label
+    // block — the blocking is part of the SEMANTICS here, so exhaustive
+    // per-block search is the exact oracle, not an approximation of one.
+    "emb_knn_graph" ->
+      s"""SELECT src_id, rank, dst_id, cos FROM (
+         |  SELECT q.vec_id AS src_id, e.vec_id AS dst_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings e
+         |    ON e.label = q.label AND e.vec_id <> q.vec_id) x
+         |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
 
     // Retrieval evaluation: recall@k of the LSH results against the brute
     // truth — both sub-oracles wrapped verbatim as derived tables, so the

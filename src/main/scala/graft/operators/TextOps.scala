@@ -737,6 +737,59 @@ object TextOps {
         round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("bpt"))
   }
 
+  /** Interpolated (Jelinek-Mercer) trigram-LM bits-per-token — the
+    * longer-context fluency signal above [[bigramPerplexity]]:
+    * p(w₃|w₁w₂) = 0.6·c₁₂₃/c₁₂ + 0.3·c₂₃/c₂ + 0.1·c₃/N. Every term is
+    * nonzero because the model is estimated ON the scoring corpus (each
+    * trigram and its suffixes occur at least once), so no discounting is
+    * needed; the fixed-λ mixture is the standard fallback structure for
+    * contexts that WOULD be unseen when the model scores held-out text.
+    *
+    * Scale shape: same as [[bigramPerplexity]] — all count tables are
+    * map-side-combined reductions to vocabulary-sized rows, the −log₂
+    * model term is computed once per DISTINCT trigram (its four count
+    * joins are all vocabulary-keyed), and the scoring join carries
+    * (doc, tri, cnt) rows, never raw tokens. Docs under 3 words drop at
+    * the shingle explode in both engines.
+    *
+    * Cross-engine FP: the mixture is a fixed left-to-right expression
+    * tree of single IEEE ops (each `λ·c/c'` one multiply + one divide,
+    * the two adds left-assoc) written identically in the oracle, then
+    * the [[bigramPerplexity]] log₂ discipline — round(−log₂ p, 7) into
+    * DECIMAL per distinct trigram, exact decimal Σ cnt·t, one final
+    * division + round(6).
+    */
+  def trigramPerplexity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = spread(OpContract.requireCols(docs, "TextOps.trigramPerplexity", "doc_id", "text"))
+    val uni = d.select(explode(words).as("w")).groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n"))
+    val bgc = d.select(explode(positionalShingles(2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cb"))
+    val tg = d.select(col("doc_id"), explode(positionalShingles(3)).as("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
+    val tc = tg.groupBy("tri").agg(sum(col("cnt")).as("c123"))
+    val terms = tc
+      .withColumn("p12", substring_index(col("tri"), " ", 2))
+      .withColumn("p23", substring_index(col("tri"), " ", -2))
+      .join(bgc.select(col("pair").as("p12"), col("cb").as("c12")), "p12")
+      .join(bgc.select(col("pair").as("p23"), col("cb").as("c23")), "p23")
+      .withColumn("w2", substring_index(col("p23"), " ", 1))
+      .withColumn("w3", substring_index(col("p23"), " ", -1))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c2")), "w2")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c3")), "w3")
+      .crossJoin(tot)
+      .select(col("tri"),
+        round(-log2(lit(0.6) * col("c123") / col("c12")
+            + lit(0.3) * col("c23") / col("c2")
+            + lit(0.1) * col("c3") / col("n")), 7)
+          .cast(DecimalType(12, 7)).as("t"))
+    tg.join(terms, "tri")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        round(sum(col("cnt") * col("t")).cast("double") / sum(col("cnt")), 6).as("bpt"))
+  }
+
   /** Per-document token-level Shannon entropy (bits over the token
     * histogram): H = −Σ p·log₂p — the lexical-diversity quality signal
     * (low entropy = repetitive/template text, the complement of [[quality]]'s

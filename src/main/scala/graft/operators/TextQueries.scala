@@ -126,6 +126,8 @@ object TextQueries {
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))),
     "tx_bigram_ppl" -> ((s, d) =>
       TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
+    "tx_trigram_ppl" -> ((s, d) =>
+      TextOps.trigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
     "tx_token_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(t(s, d, "documents")).orderBy("doc_id")),
     "tx_zipf" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))),
@@ -223,6 +225,43 @@ object TextQueries {
         |SELECT g.doc_id, CAST(SUM(g.cnt) AS BIGINT) AS n_bigrams,
         |  round(CAST(SUM(g.cnt * t.t) AS DOUBLE) / SUM(g.cnt), 6) AS bpt
         |FROM bg g JOIN terms t ON t.pair = g.pair
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // Trigram-LM bits-per-token: the bigram-ppl discipline with the
+    // fixed-λ Jelinek-Mercer mixture written as the SAME left-to-right
+    // IEEE expression tree as the Spark side (0.6 etc. cast to DOUBLE so
+    // DuckDB does not fall into decimal arithmetic on the λ literals).
+    "tx_trigram_ppl" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT wx AS w1, COUNT(*) AS c1 FROM (
+        |    SELECT unnest(w) AS wx FROM ws) GROUP BY wx),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+        |bgc AS (SELECT pair, COUNT(*) AS cb FROM (
+        |    SELECT w[i] || ' ' || w[i+1] AS pair FROM (
+        |      SELECT w, unnest(range(1, len(w))) AS i
+        |      FROM ws WHERE len(w) >= 2))
+        |  GROUP BY pair),
+        |tg AS (SELECT doc_id, tri, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri FROM (
+        |      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |      FROM ws WHERE len(w) >= 3))
+        |  GROUP BY doc_id, tri),
+        |tc AS (SELECT tri, CAST(SUM(cnt) AS BIGINT) AS c123 FROM tg GROUP BY tri),
+        |parts AS (SELECT tri, c123, string_split(tri, ' ') AS p FROM tc),
+        |terms AS (SELECT x.tri,
+        |    CAST(round(-log2(
+        |      CAST(0.6 AS DOUBLE) * x.c123 / b12.cb
+        |      + CAST(0.3 AS DOUBLE) * b23.cb / u2.c1
+        |      + CAST(0.1 AS DOUBLE) * u3.c1 / tot.n), 7)
+        |      AS DECIMAL(12, 7)) AS t
+        |  FROM parts x
+        |  JOIN bgc b12 ON b12.pair = x.p[1] || ' ' || x.p[2]
+        |  JOIN bgc b23 ON b23.pair = x.p[2] || ' ' || x.p[3]
+        |  JOIN uni u2 ON u2.w1 = x.p[2]
+        |  JOIN uni u3 ON u3.w1 = x.p[3]
+        |  CROSS JOIN tot)
+        |SELECT g.doc_id, CAST(SUM(g.cnt) AS BIGINT) AS n_trigrams,
+        |  round(CAST(SUM(g.cnt * t.t) AS DOUBLE) / SUM(g.cnt), 6) AS bpt
+        |FROM tg g JOIN terms t ON t.tri = g.tri
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // Token entropy: per-term −p·log2(p) rounded(7) into DECIMAL, exact
     // decimal sum, final round(6) — the bigram-ppl log2 discipline. The

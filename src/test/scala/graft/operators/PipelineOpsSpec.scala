@@ -348,6 +348,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r(2).getLong(1) == 4 && h(2) == 1.5)
   }
 
+  test("trigramPerplexity: closed-form mixture values on a token-disjoint two-doc corpus") {
+    import spark.implicits._
+    // Token-disjoint docs keep every count hand-computable (only the
+    // corpus total N = 8 is shared).
+    // doc0 "x x x x": trigram "x x x" c123=2; c12=c23("x x")=3; c2=c3=4
+    //   -> p = .6·2/3 + .3·3/4 + .1·4/8 = 0.675 (context less certain
+    //      than doc1's: "x x" also continues to end-of-doc).
+    // doc1 "a b c d": both trigrams singleton with singleton contexts
+    //   -> p = .6 + .3 + .1·1/8 = 0.9125 for each.
+    val docs = Seq(
+      (0L, "x x x x"),
+      (1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextOps.trigramPerplexity(docs).orderBy("doc_id").collect()
+    def expected(p: Double) = {
+      val t = BigDecimal(-math.log(p) / math.log(2.0))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+      t.setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    }
+    assert(r(0).getLong(1) == 2)
+    assert(r(0).getDouble(2) == expected(0.6 * 2 / 3 + 0.3 * 3 / 4.0 + 0.1 * 4 / 8.0),
+      r(0).toString)
+    assert(r(1).getLong(1) == 2)
+    assert(r(1).getDouble(2) == expected(0.6 + 0.3 + 0.1 * 1 / 8.0), r(1).toString)
+  }
+
+  test("cohortRetention: first-seen week cohorts, within-week duplicates collapse") {
+    import spark.implicits._
+    val wk = 7L * 24 * 3600 * 1000000L
+    val ev = Seq(
+      (1L, 0L * wk + 5L), (1L, 0L * wk + 9L), (1L, 1L * wk), (1L, 3L * wk),
+      (2L, 0L * wk), (2L, 2L * wk),
+      (3L, 1L * wk + 17L)).toDF("user_id", "us")
+    val r = EventOps.cohortRetention(ev, col("us"))
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (0L, 3L, 1L), (1L, 0L, 1L)), r.toSeq.toString)
+  }
+
+  test("labelKnnGraph: exact within-block neighbors, cos/dst tie-break, singleton blocks emit nothing") {
+    import spark.implicits._
+    def v(hot: Seq[(Int, Float)]) =
+      Array.tabulate(64)(i => hot.toMap.getOrElse(i, 0f))
+    val e = Seq(
+      (0L, 1, v(Seq(0 -> 1f))),
+      (1L, 1, v(Seq(0 -> 1f, 1 -> 1f))),
+      (2L, 1, v(Seq(1 -> 1f))),
+      (3L, 2, v(Seq(2 -> 1f)))).toDF("vec_id", "label", "embedding")
+    val r = SimilarityOps.labelKnnGraph(e, 2).orderBy("src_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.length == 6, r.toSeq.toString) // vec 3's block is a singleton
+    assert(r.toSeq == Seq(
+      (0L, 1, 1L, 0.707107), (0L, 2, 2L, 0.0),
+      (1L, 1, 0L, 0.707107), (1L, 2, 2L, 0.707107), // round-6 tie -> dst asc
+      (2L, 1, 1L, 0.707107), (2L, 2, 0L, 0.0)), r.toSeq.toString)
+  }
+
   test("zipfSlope: an exact-Zipf corpus (freq = C/rank) fits slope -1") {
     import spark.implicits._
     // freqs 12/6/4/3 = 12/r for ranks 1..4 -> log2(freq) = log2(12) -

@@ -15,7 +15,7 @@
 // surface returns rows and the sink round-trips.
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, GraphOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{DedupOps, EventOps, GraphOps, SimilarityOps, SketchOps, TextOps}
 import graft.multimodal.{MediaOps, MediaStub}
 import graft.streaming.StreamOps
 import graft.core.{MCBattery, RngFamily, SimulationSpec, TraceSink}
@@ -59,6 +59,7 @@ def runLibcheck(): Unit = {
   check("TextOps.capPerGroup")(TextOps.capPerGroup(docs, "source", col("n_chars"), 3))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
   check("TextOps.bigramPerplexity")(TextOps.bigramPerplexity(docs))
+  check("TextOps.trigramPerplexity")(TextOps.trigramPerplexity(docs))
   check("TextOps.mixWeights")(TextOps.mixWeights(docs))
   check("LayoutOps.zTiles")(graft.operators.LayoutOps.zTiles(
     events, pmod(col("user_id") * 131, lit(65536L)),
@@ -90,6 +91,8 @@ def runLibcheck(): Unit = {
       8L, 1024, Seq(500, 950)))
   check("StreamOps.latestByKey")(StreamOps.latestByKey(
     events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
+  check("EventOps.cohortRetention")(EventOps.cohortRetention(
+    events, call_function("div", col("ts").cast("long"), lit(1000L))))
   val bloomDim = bloomDimEarly
   val bloomMask = SketchOps.bloomBits(bloomDim, col("doc_id"), 1024, 3)
   check("SketchOps.bloomMayContain")(
@@ -118,6 +121,7 @@ def runLibcheck(): Unit = {
   val queries = embs.filter(col("vec_id") < 3)
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
   check("SimilarityOps.bruteTopK")(SimilarityOps.bruteTopK(embs, queries, 5))
+  check("SimilarityOps.labelKnnGraph")(SimilarityOps.labelKnnGraph(embs, 5))
   // column-expression surfaces: drive through a select over the corpus
   check("SimilarityOps.cosine")(embs.limit(20).crossJoin(
       embs.limit(1).select(col("embedding").as("e2")))
@@ -190,6 +194,19 @@ def runLibcheck(): Unit = {
   check("TextOps.applyMixtureRows")(TextOps.applyMixtureRows(docs))
   check("TextOps.tokenEntropy")(TextOps.tokenEntropy(docs))
   check("TextOps.zipfSlope")(TextOps.zipfSlope(docs))
+  check("TextOps.tfidfPairs")(TextOps.tfidfPairs(docs))
+  check("DedupOps.fuzzyPairs")(DedupOps.fuzzyPairs(
+    docs, col("doc_id"), substring(col("text"), 1, 40), k = 2))
+  check("DedupOps.hammingPairs")(DedupOps.hammingPairs(
+    docs, col("doc_id"), substring(col("text"), 1, 40), k = 2))
+  check("DedupOps.prefixJaccardPairs")(DedupOps.prefixJaccardPairs(docs))
+  check("SimilarityOps.rrfFuse")(SimilarityOps.rrfFuse(
+    SimilarityOps.lshTopK(embs, queries.filter(col("query_id") === 0), 5)
+      .select(col("vec_id").as("id"), col("rank")),
+    SimilarityOps.bruteTopK(embs, queries.filter(col("query_id") === 0), 5)
+      .select(col("vec_id").as("id"), col("rank"))))
+  check("SimilarityOps.covarianceMatrix")(SimilarityOps.covarianceMatrix(embs))
+  check("SimilarityOps.pcaProject")(SimilarityOps.pcaProject(embs, 4))
   check("TextOps.bowFingerprint")(TextOps.bowFingerprint(docs))
   check("TextOps.stratifiedSample")(
     TextOps.stratifiedSample(docs, Map("en" -> 0.5, "de" -> 1.0), 42L))
