@@ -56,7 +56,11 @@ object Plans {
     // user×week set first), interpolated trigram LM (vocabulary-keyed
     // model terms), label-blocked exact kNN graph (join exchange reused
     // by the rank window)
-    "ev_retention", "tx_trigram_ppl", "emb_knn_graph")
+    "ev_retention", "tx_trigram_ppl", "emb_knn_graph",
+    // round 7 (cont. 4): constraint suite (row-level checks fused into
+    // one shared-scan agg per table; FK = broadcast dim-key left join),
+    // exact integer z-score outliers (stats broadcast back over one scan)
+    "aud_dq_report", "aud_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -65,6 +69,7 @@ object Plans {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,8 +19,27 @@ object Tables {
     // read it as int64 nanoseconds instead (queries use `ts div 1000` where
     // the DuckDB oracle uses epoch_us(ts)).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Engine-internal `ts` contract: int64 epoch NANOSECONDS. Driver test-data
+    * generations have shipped events.ts both as parquet TIMESTAMP(NANOS)
+    * (which the nanosAsLong flag reads as int64 nanos directly) and as
+    * TIMESTAMP(MICROS) (which Spark reads as a timestamp type); fold the
+    * timestamp form back to nanos so every query/stream sees ONE type. The
+    * NTZ→LTZ cast interprets the naive value in the session timezone — all
+    * entry points pin UTC, matching DuckDB's epoch_us(ts) reading of the
+    * same naive parquet value.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Exact decimal sum of a double column, returned as double.
     * DuckDB equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.

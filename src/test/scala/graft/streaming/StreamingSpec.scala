@@ -12,16 +12,16 @@ class StreamingSpec extends SparkTestBase {
   import StreamOps._
 
   test("tumblingCounts: streaming result equals batch result on same input") {
-    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchDf = graft.operators.Tables.t(spark, sfDir, "events")
     val expected = tumblingCounts(batchDf)
       .orderBy("window_start_us", "event_type").collect().toSeq
 
     val schema = batchDf.schema
     // Dedicated dir with only the events file so the file source reads one table.
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      tmp.resolve("events.parquet"))
+    // write the NORMALIZED events (ts as int64 nanos — Tables.t contract) so
+    // the file-source schema below matches the files it reads
+    batchDf.coalesce(1).write.mode("append").parquet(tmp.toString)
     val sdf = spark.readStream.schema(schema).parquet(tmp.toString)
     assert(sdf.isStreaming)
     val q = tumblingCounts(sdf)
@@ -36,13 +36,13 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("cmsCountersStream: incremental sketch build equals the batch counters") {
-    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchDf = graft.operators.Tables.t(spark, sfDir, "events")
     val expected = cmsCountersStream(batchDf, d = 4, w = 256)
       .orderBy("r", "bucket").collect().toSeq
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cms")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      tmp.resolve("events.parquet"))
+    // write the NORMALIZED events (ts as int64 nanos — Tables.t contract) so
+    // the file-source schema below matches the files it reads
+    batchDf.coalesce(1).write.mode("append").parquet(tmp.toString)
     val sdf = spark.readStream.schema(batchDf.schema).parquet(tmp.toString)
     assert(sdf.isStreaming)
     val q = cmsCountersStream(sdf, d = 4, w = 256)
@@ -70,7 +70,7 @@ class StreamingSpec extends SparkTestBase {
     // boundary flush only after the restarted query advances the
     // watermark. A restart that lost state would undercount the boundary
     // window; a replayed batch would duplicate sink rows.
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.operators.Tables.t(spark, sfDir, "events")
     val schema = events.schema
     val winUs = 15L * 60 * 1000000
     val ws = tumblingCounts(events).filter(col("n_events") >= 2)
@@ -138,11 +138,11 @@ class StreamingSpec extends SparkTestBase {
     // Regression: the watermark used to be attached to a column the window
     // didn't group on, which made append mode throw
     // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION and left state unbounded.
-    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchDf = graft.operators.Tables.t(spark, sfDir, "events")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-wm")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      tmp.resolve("events.parquet"))
+    // write the NORMALIZED events (ts as int64 nanos — Tables.t contract) so
+    // the file-source schema below matches the files it reads
+    batchDf.coalesce(1).write.mode("append").parquet(tmp.toString)
     val sdf = spark.readStream.schema(batchDf.schema).parquet(tmp.toString)
     val q = tumblingCountsStream(sdf)
       .writeStream.format("memory").queryName("tumbling_append")
@@ -163,11 +163,11 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("slidingCountsStream: overlapping windows close under the watermark") {
-    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchDf = graft.operators.Tables.t(spark, sfDir, "events")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slide")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      tmp.resolve("events.parquet"))
+    // write the NORMALIZED events (ts as int64 nanos — Tables.t contract) so
+    // the file-source schema below matches the files it reads
+    batchDf.coalesce(1).write.mode("append").parquet(tmp.toString)
     val sdf = spark.readStream.schema(batchDf.schema).parquet(tmp.toString)
     val q = slidingCountsStream(sdf)
       .writeStream.format("memory").queryName("sliding_append")
