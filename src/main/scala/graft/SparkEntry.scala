@@ -37,7 +37,7 @@ object SparkEntry {
     SimQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      EventQueries.queries ++ SketchQueries.queries
+      EventQueries.queries ++ SketchQueries.queries ++ AuditQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted only for non-SQL-expressible ops (driver then
@@ -47,5 +47,5 @@ object SparkEntry {
     SimQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      EventQueries.oracleSql ++ SketchQueries.oracleSql
+      EventQueries.oracleSql ++ SketchQueries.oracleSql ++ AuditQueries.oracleSql
 }

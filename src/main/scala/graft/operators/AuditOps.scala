@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checks (the Deequ/Great-Expectations
+  * surface a training-data pipeline runs before a corpus is allowed into a
+  * mixture): completeness, key uniqueness, referential integrity, value
+  * ranges, accepted-value domains. Each suite run emits one row per check —
+  * `(check_id, check_type, table_name, target, violations, total, passed)` —
+  * the machine-readable gate a scheduler can assert on.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - All ROW-LEVEL checks on one table (not-null, in-range,
+  *     accepted-values) share a SINGLE scan: they compile to one
+  *     conditional-sum aggregate over the table, partial (map-side)
+  *     aggregation reducing each partition to one row before the 1-row
+  *     exchange. k row-level checks cost one pass, not k.
+  *   - [[Check.UniqueKey]] is one shuffle on the key (count per key, then a
+  *     1-row re-agg of the bounded per-key counts).
+  *   - [[Check.FkIntegrity]] joins the child against the parent's DISTINCT
+  *     key projection (1 column) — Catalyst/AQE broadcasts dim-sized
+  *     parents; a fact-sized parent degrades to a shuffle on the key where
+  *     only (key) pairs move, never payload columns.
+  *   - Every branch ends in a 1-row aggregate, so the union that stitches
+  *     the report together moves O(checks) rows total.
+  *
+  * Null discipline (documented, asserted in AuditOpsSpec): `InRange` and
+  * `AcceptedValues` do NOT count nulls as violations, and `FkIntegrity`
+  * skips null foreign keys — completeness is exclusively [[Check.NotNull]]'s
+  * job, so a single root cause (a null column) fires exactly one check.
+  */
+object AuditOps {
+
+  /** One declarative constraint; see [[AuditOps.dataQualityReport]]. */
+  sealed trait Check {
+    /** Stable id — also the report's sort key. */
+    def id: String
+    def table: String
+  }
+  object Check {
+    /** `column` must never be null in `table`. */
+    final case class NotNull(table: String, column: String) extends Check {
+      val id = s"nn_${table}_$column"
+    }
+    /** `columns` form a unique key of `table`; violations = surplus rows
+      * (total minus distinct key count). */
+    final case class UniqueKey(table: String, columns: Seq[String]) extends Check {
+      require(columns.nonEmpty, s"UniqueKey($table) needs at least one column")
+      val id = s"uk_${table}_${columns.mkString("_")}"
+    }
+    /** Every non-null `childCol` value must exist in `parentTable.parentCol`;
+      * violations = orphan child rows. */
+    final case class FkIntegrity(table: String, childCol: String,
+        parentTable: String, parentCol: String) extends Check {
+      val id = s"fk_${table}_${childCol}"
+    }
+    /** Non-null `column` values must satisfy `lo <= v <= hi` (bounds as
+      * canonical string literals so the same check text runs in any
+      * engine); violations = out-of-range rows. */
+    final case class InRange(table: String, column: String, lo: String, hi: String)
+        extends Check {
+      val id = s"rng_${table}_$column"
+    }
+    /** Non-null `column` values must be one of `values`; violations = rows
+      * outside the domain. */
+    final case class AcceptedValues(table: String, column: String, values: Seq[String])
+        extends Check {
+      require(values.nonEmpty, s"AcceptedValues($table.$column) needs a non-empty domain")
+      val id = s"av_${table}_$column"
+    }
+  }
+  import Check._
+
+  private def report(c: Check, target: String, violations: Column, total: Column,
+      tpe: String): Seq[Column] = Seq(
+    lit(c.id).as("check_id"), lit(tpe).as("check_type"),
+    lit(c.table).as("table_name"), lit(target).as("target"),
+    violations.cast("long").as("violations"), total.cast("long").as("total"),
+    (violations === 0).cast("long").as("passed"))
+
+  /** Run a constraint suite against named tables; one result row per check,
+    * ordered by `check_id`. Row-level checks per table are fused into one
+    * shared-scan aggregate (see object Scaladoc for the full scale shape).
+    */
+  def dataQualityReport(tables: Map[String, DataFrame], checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "dataQualityReport needs at least one check")
+    val ids = checks.map(_.id)
+    require(ids.distinct.size == ids.size,
+      s"duplicate check ids: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
+    checks.foreach { c =>
+      require(tables.contains(c.table), s"check ${c.id}: unknown table '${c.table}'")
+      c match {
+        case fk: FkIntegrity => require(tables.contains(fk.parentTable),
+          s"check ${fk.id}: unknown parent table '${fk.parentTable}'")
+        case _ => ()
+      }
+    }
+
+    // Row-level checks grouped per table -> ONE conditional-sum agg per table
+    // (k checks, one scan), then exploded back to one row per check.
+    val rowLevel: Seq[DataFrame] = checks.collect {
+      case c @ (_: NotNull | _: InRange | _: AcceptedValues) => c
+    }.groupBy(_.table).toSeq.map { case (tname, cs) =>
+      val df = tables(tname)
+      val aggs = cs.flatMap {
+        case c @ NotNull(_, col0) =>
+          Seq(sum(when(col(col0).isNull, 1).otherwise(0)).as(s"v_${c.id}"))
+        case c @ InRange(_, col0, lo, hi) =>
+          Seq(sum(when(col(col0).isNotNull &&
+            !(col(col0) >= lit(lo).cast(df.schema(col0).dataType) &&
+              col(col0) <= lit(hi).cast(df.schema(col0).dataType)), 1)
+            .otherwise(0)).as(s"v_${c.id}"))
+        case c @ AcceptedValues(_, col0, vals) =>
+          Seq(sum(when(col(col0).isNotNull &&
+            !col(col0).cast("string").isin(vals: _*), 1).otherwise(0)).as(s"v_${c.id}"))
+        case other => throw new MatchError(other) // collect above filters to row-level
+      } :+ count(lit(1)).as("v_total")
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      cs.map { c =>
+        val (tgt, tpe) = c match {
+          case NotNull(_, col0) => (col0, "not_null")
+          case InRange(_, col0, _, _) => (col0, "in_range")
+          case AcceptedValues(_, col0, _) => (col0, "accepted_values")
+          case other => throw new MatchError(other)
+        }
+        one.select(report(c, tgt, coalesce(col(s"v_${c.id}"), lit(0)), col("v_total"), tpe): _*)
+      }.reduce(_.unionByName(_))
+    }
+
+    val keyed: Seq[DataFrame] = checks.collect {
+      case c @ UniqueKey(tname, cols) =>
+        // one shuffle on the key; the re-agg input is one row per key
+        val perKey = tables(tname).groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        perKey.agg(sum(col("cnt")).as("t"), count(lit(1)).as("d"))
+          .select(report(c, cols.mkString(","), coalesce(col("t") - col("d"), lit(0)),
+            coalesce(col("t"), lit(0)), "unique_key"): _*)
+      case c @ FkIntegrity(tname, childCol, ptable, pcol) =>
+        // child (non-null fk) LEFT JOIN distinct parent keys: one pass over
+        // the child, the 1-column parent side broadcast when dim-sized;
+        // violations and total come out of the same aggregate.
+        val parentKeys = tables(ptable).select(col(pcol).as("__pk")).distinct()
+        val joined = tables(tname).filter(col(childCol).isNotNull)
+          .select(col(childCol))
+          .join(parentKeys, col(childCol) === col("__pk"), "left")
+        joined.agg(
+          sum(when(col("__pk").isNull, 1).otherwise(0)).as("v"),
+          count(lit(1)).as("t"))
+          .select(report(c, s"$childCol->$ptable.$pcol",
+            coalesce(col("v"), lit(0)), col("t"), "fk_integrity"): _*)
+    }
+
+    // no trailing sort: gate bindings order by check_id for the oracle hash
+    // (library discipline — ops never plan a determinism-only global sort)
+    (rowLevel ++ keyed).reduce(_.unionByName(_))
+  }
+
+  /** Exact z-score outlier report per group: a row of `df` is an outlier
+    * when `|x - mean| > z * stddev` within its group, with `x = floor(v)`
+    * (floor, not truncation — engines disagree on double→int rounding, no
+    * engine disagrees on floor). Evaluated WITHOUT floating point: the
+    * test rewrites to `(n*x - S)^2 > z^2 * (n*S2 - S^2)` over exact
+    * integer sums (S = sum x, S2 = sum x^2) carried as DECIMAL(38,0), so
+    * the verdict is bit-identical in any engine — no sqrt, no division,
+    * no rounding to reconcile.
+    *
+    * Two passes, both scan-bound: (1) per-group (n, S, S2) — a partial-agg
+    * shuffle of one row per group; (2) re-scan joined against the
+    * broadcast group stats, conditional count. Group count is assumed
+    * dim-sized (stats broadcast); the data never shuffles in pass 2.
+    */
+  def outlierReport(df: DataFrame, groupCol: String, valueCol: String, z: Int = 3): DataFrame = {
+    require(z >= 1, s"outlierReport needs z >= 1, got $z")
+    OpContract.requireCols(df, "AuditOps.outlierReport", groupCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val x = floor(col(valueCol)).cast(dec)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), x.as("x"))
+    val stats = base.groupBy("grp").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("s2"))
+    val lhs = (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+    val rhs = lit(z * z).cast(dec) * (col("n") * col("s2") - col("s") * col("s"))
+    base.join(broadcast(stats), Seq("grp"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(lhs > rhs, 1).otherwise(0)).cast("long").as("n_outliers"),
+        max(when(lhs > rhs, col("x").cast("long"))).as("max_outlier"),
+        min(when(lhs > rhs, col("x").cast("long"))).as("min_outlier"))
+  }
+}

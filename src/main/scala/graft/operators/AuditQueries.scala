@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate bindings for [[AuditOps]] — the data-quality constraint suite and
+  * the exact outlier report, each with a DuckDB value oracle. The suite
+  * mixes passing and failing checks on purpose: a report that can only say
+  * "pass" verifies nothing.
+  */
+object AuditQueries {
+  import Tables._
+  import AuditOps.Check._
+
+  private def dqChecks = Seq(
+    NotNull("customer", "c_name"),
+    NotNull("orders", "o_custkey"),
+    UniqueKey("orders", Seq("o_orderkey")),
+    UniqueKey("lineitem", Seq("l_orderkey", "l_linenumber")),
+    FkIntegrity("orders", "o_custkey", "customer", "c_custkey"),
+    FkIntegrity("lineitem", "l_partkey", "part", "p_partkey"),
+    InRange("lineitem", "l_quantity", "1", "45"), // quantities run to 50 — fails
+    InRange("part", "p_size", "1", "50"), // passes
+    AcceptedValues("orders", "o_orderstatus", Seq("F", "O")), // P rows — fails
+    AcceptedValues("lineitem", "l_returnflag", Seq("A", "N", "R"))) // passes
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Constraint suite over the star schema; see AuditOps for the
+    // shared-scan / broadcast-FK scale shape. Sorted here (gate
+    // determinism), not in the op.
+    "aud_dq_report" -> ((s, d) =>
+      AuditOps.dataQualityReport(
+        Map("customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders"),
+          "lineitem" -> t(s, d, "lineitem"), "part" -> t(s, d, "part")),
+        dqChecks).orderBy("check_id")),
+
+    // Exact integer-arithmetic z=3 outliers of events.value per event type.
+    "aud_outliers" -> ((s, d) =>
+      AuditOps.outlierReport(t(s, d, "events"), "event_type", "value", z = 3)
+        .orderBy("grp")))
+
+  def oracleSql: Map[String, String] = Map(
+    "aud_dq_report" -> {
+      // each branch mirrors one check's semantics; see AuditOps null
+      // discipline (nulls fire only not_null checks)
+      def row(id: String, tpe: String, table: String, target: String,
+          viol: String, total: String, from: String) =
+        s"""SELECT '$id' AS check_id, '$tpe' AS check_type, '$table' AS table_name,
+           |  '$target' AS target, CAST($viol AS BIGINT) AS violations,
+           |  CAST($total AS BIGINT) AS total,
+           |  CAST(CASE WHEN $viol = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+           |FROM $from""".stripMargin
+      Seq(
+        row("nn_customer_c_name", "not_null", "customer", "c_name",
+          "SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)", "COUNT(*)", "customer"),
+        row("nn_orders_o_custkey", "not_null", "orders", "o_custkey",
+          "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)", "COUNT(*)", "orders"),
+        row("uk_orders_o_orderkey", "unique_key", "orders", "o_orderkey",
+          "COUNT(*) - COUNT(DISTINCT o_orderkey)", "COUNT(*)", "orders"),
+        row("uk_lineitem_l_orderkey_l_linenumber", "unique_key", "lineitem",
+          "l_orderkey,l_linenumber",
+          "COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))", "COUNT(*)", "lineitem"),
+        row("fk_orders_o_custkey", "fk_integrity", "orders", "o_custkey->customer.c_custkey",
+          "SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)", "COUNT(*)",
+          """(SELECT c.c_custkey FROM orders o
+            |   LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            |   ON o.o_custkey = c.c_custkey WHERE o.o_custkey IS NOT NULL)""".stripMargin),
+        row("fk_lineitem_l_partkey", "fk_integrity", "lineitem", "l_partkey->part.p_partkey",
+          "SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)", "COUNT(*)",
+          """(SELECT p.p_partkey FROM lineitem l
+            |   LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+            |   ON l.l_partkey = p.p_partkey WHERE l.l_partkey IS NOT NULL)""".stripMargin),
+        row("rng_lineitem_l_quantity", "in_range", "lineitem", "l_quantity",
+          "SUM(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 45) THEN 1 ELSE 0 END)",
+          "COUNT(*)", "lineitem"),
+        row("rng_part_p_size", "in_range", "part", "p_size",
+          "SUM(CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 50) THEN 1 ELSE 0 END)",
+          "COUNT(*)", "part"),
+        row("av_orders_o_orderstatus", "accepted_values", "orders", "o_orderstatus",
+          "SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END)",
+          "COUNT(*)", "orders"),
+        row("av_lineitem_l_returnflag", "accepted_values", "lineitem", "l_returnflag",
+          "SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)",
+          "COUNT(*)", "lineitem"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY check_id")
+    },
+
+    // exact rewrite (n*x - S)^2 > 9*(n*S2 - S^2): DuckDB's BIGINT sums go
+    // through HUGEINT — exact, same verdicts as the DECIMAL(38,0) path
+    "aud_outliers" ->
+      """WITH b AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS x
+        |           FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT grp, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS s2
+        |       FROM b GROUP BY grp)
+        |SELECT b.grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN (st.n*b.x - st.s)*(st.n*b.x - st.s)
+        |                     > 9*(st.n*st.s2 - st.s*st.s)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MAX(CASE WHEN (st.n*b.x - st.s)*(st.n*b.x - st.s)
+        |                > 9*(st.n*st.s2 - st.s*st.s) THEN b.x END) AS max_outlier,
+        |  MIN(CASE WHEN (st.n*b.x - st.s)*(st.n*b.x - st.s)
+        |                > 9*(st.n*st.s2 - st.s*st.s) THEN b.x END) AS min_outlier
+        |FROM b JOIN st USING (grp)
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin)
+}

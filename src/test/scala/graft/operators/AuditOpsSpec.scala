@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.operators.AuditOps.Check._
+import org.apache.spark.sql.functions._
+
+/** Semantics the DuckDB oracle can't pin: the null discipline (one root
+  * cause fires exactly one check), the shared-scan plan shape, exact
+  * boundary behavior of the integer z-score rewrite, and call-site
+  * validation errors.
+  */
+class AuditOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def report(checks: Seq[AuditOps.Check]) = {
+    val child = Seq(
+      (1L, Option(10L), Option("a")), // clean
+      (2L, Option(10L), Option("a")), // duplicate key with row 3
+      (2L, Option(99L), None), // dup id, orphan fk, null name
+      (3L, None, Option("z"))) // null fk
+      .toDF("id", "fk", "name")
+    val parent = Seq(10L, 11L).toDF("pk")
+    AuditOps.dataQualityReport(Map("child" -> child, "parent" -> parent), checks)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+  }
+
+  test("dataQualityReport: each defect fires exactly its own check") {
+    val got = report(Seq(
+      NotNull("child", "name"),
+      UniqueKey("child", Seq("id")),
+      FkIntegrity("child", "fk", "parent", "pk"),
+      InRange("child", "id", "1", "2"),
+      AcceptedValues("child", "name", Seq("a"))))
+    // one null name
+    assert(got("nn_child_name") == ((1L, 4L, 0L)))
+    // 4 rows, 3 distinct ids -> 1 surplus row
+    assert(got("uk_child_id") == ((1L, 4L, 0L)))
+    // null fk is SKIPPED (not an orphan): 3 non-null fks, one orphan (99)
+    assert(got("fk_child_fk") == ((1L, 3L, 0L)))
+    // id=3 out of [1,2]; nulls n/a here
+    assert(got("rng_child_id") == ((1L, 4L, 0L)))
+    // null name NOT a domain violation; 'z' is
+    assert(got("av_child_name") == ((1L, 4L, 0L)))
+  }
+
+  test("dataQualityReport: clean table passes every check with full totals") {
+    val got = report(Seq(
+      NotNull("child", "id"),
+      InRange("child", "id", "1", "3"),
+      AcceptedValues("child", "id", Seq("1", "2", "3"))))
+    assert(got.values.forall { case (v, t, p) => v == 0L && t == 4L && p == 1L })
+  }
+
+  test("dataQualityReport: row-level checks on one table share a single scan") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val plan = AuditOps.dataQualityReport(Map("t" -> df),
+      Seq(NotNull("t", "id"), NotNull("t", "name"), InRange("t", "id", "1", "2"),
+        AcceptedValues("t", "name", Seq("a", "b"))))
+      .queryExecution.optimizedPlan.toString
+    // all four checks fold into ONE aggregate over one relation; the plan
+    // re-references the single-row agg result, not the base table, per check
+    val scans = "LocalRelation|LogicalRDD".r.findAllIn(plan).length
+    assert(scans <= 4, s"expected the 4 row-level checks to share one scan (plan refs: $scans)\n$plan")
+  }
+
+  test("outlierReport: exact strict-inequality boundary, floor semantics, null skip") {
+    // group g: values 0,0,0,0,16 -> n=5, S=16, S2=256
+    // x=16: (5*16-16)^2 = 4096 > 9*(5*256-256) = 9216? NO -> z=3 keeps it
+    // at z=2: 4096 > 4*1024 = 4096? strict > -> still NOT an outlier (tie)
+    // at z=1: 4096 > 1024 -> outlier
+    val df = Seq(("g", Some(0.0)), ("g", Some(0.0)), ("g", Some(0.0)),
+      ("g", Some(0.0)), ("g", Some(16.9)), // floor -> 16
+      ("g", None)) // null skipped entirely
+      .toDF("grp", "v")
+    def run(z: Int) = AuditOps.outlierReport(df, "grp", "v", z).collect()(0)
+    assert(run(3).getLong(2) == 0L)
+    assert(run(2).getLong(2) == 0L, "tie must NOT be an outlier (strict >)")
+    val r1 = run(1)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 1L)
+    assert(r1.getLong(3) == 16L && r1.getLong(4) == 16L)
+  }
+
+  test("validation: unknown tables and duplicate check ids fail at the call site") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e1 = intercept[IllegalArgumentException] {
+      AuditOps.dataQualityReport(Map("t" -> df), Seq(NotNull("nope", "id")))
+    }
+    assert(e1.getMessage.contains("unknown table"))
+    val e2 = intercept[IllegalArgumentException] {
+      AuditOps.dataQualityReport(Map("t" -> df),
+        Seq(NotNull("t", "id"), NotNull("t", "id")))
+    }
+    assert(e2.getMessage.contains("duplicate check ids"))
+    val e3 = intercept[IllegalArgumentException] {
+      AuditOps.dataQualityReport(Map("t" -> df),
+        Seq(FkIntegrity("t", "id", "missing_parent", "pk")))
+    }
+    assert(e3.getMessage.contains("unknown parent table"))
+  }
+}
