@@ -38,6 +38,28 @@ object LayoutOps {
       s"(((($x) >> $b) & 1) << ${2 * b}) + (((($y) >> $b) & 1) << ${2 * b + 1})"
     }.mkString("(", " + ", ")")
 
+  /** Write `df` as a BUCKETED (and per-bucket sorted) managed parquet
+    * table: rows are hash-partitioned into `nBuckets` files by
+    * `bucketCols`, each file sorted by those columns. This is the other
+    * half of the 100 TB layout story next to [[zorder16]]: a join or
+    * aggregation on the bucket columns between two tables bucketed the
+    * same way needs NO shuffle at read time — the exchange is paid ONCE
+    * at write time and amortized over every subsequent query
+    * (BucketedJoinSpec pins the exchange-free plan; BENCHNOTES has the
+    * measured effect). `coalescePerBucket` keeps one file per bucket so
+    * Spark can also trust the sort order and skip the SMJ sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(nBuckets >= 1, s"writeBucketed needs nBuckets >= 1, got $nBuckets")
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Z-order tile summary: assign each row its z-key, bucket into 2^bits
     * coarse tiles (top bits of the 32-bit z), and report each tile's row
     * count and per-dimension min/max envelope. The envelope IS the

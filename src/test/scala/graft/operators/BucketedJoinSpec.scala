@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the bucketed-layout contract: two tables written with
+  * [[LayoutOps.writeBucketed]] on the same key and bucket count join with
+  * ZERO exchanges — the shuffle was paid once at write time. This is the
+  * claim that matters at 100 TB: the Nth join on the bucket key is
+  * shuffle-free, so repeated fact-to-fact joins cost a co-partitioned scan.
+  */
+class BucketedJoinSpec extends SparkTestBase {
+
+  test("bucketed tables join without any exchange; result matches plain join") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+    LayoutOps.writeBucketed(li, "b_lineitem", Seq("l_orderkey"), 8)
+    LayoutOps.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "b_orders", Seq("l_orderkey"), 8)
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+
+      // force SMJ (broadcast would trivially avoid the exchange)
+      val plan = withNoBroadcast {
+        val p = joined.queryExecution.executedPlan.toString
+        // correctness: same result as the un-bucketed join
+        val expected = li.join(ord.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        val got = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == expected, "bucketed join result diverges from plain join")
+        p
+      }
+      // the JOIN itself is exchange-free: everything at and below the
+      // SortMergeJoin reads co-partitioned buckets directly (the plan's
+      // only exchange is the tiny final agg ABOVE the join)
+      assert(plan.contains("SortMergeJoin"), s"expected an SMJ:\n$plan")
+      val atAndBelowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!atAndBelowJoin.contains("Exchange"),
+        s"bucketed join should read co-partitioned buckets without a shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not use the bucketed layout:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+}
