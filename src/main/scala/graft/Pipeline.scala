@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{AuditOps, DedupOps, SimilarityOps, TextOps}
 
 /** End-to-end training-corpus build — the library's operators chained the
   * way a production pipeline runs them, in one command:
@@ -10,6 +10,8 @@ import graft.operators.{DedupOps, SimilarityOps, TextOps}
   *   sbt "runMain graft.Pipeline <sfDir> <outDir>"
   *
   * documents.parquet
+  *   → admission gate ([[AuditOps.dataQualityReport]] — structural
+  *     constraints checked before any transform runs)
   *   → decontaminate (benchmark anti join, [[DedupOps.antiJoinDedup]])
   *   → exact dedup (keep-first by content digest)
   *   → near-dup dedup ([[DedupOps.minhashPairs]] → connected components →
@@ -51,6 +53,18 @@ object Pipeline {
 
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"""{"stage":"input","docs":${raw.count()}}""")
+
+    // 0. admission gate: the constraint suite runs BEFORE any transform
+    //    touches the corpus (a failed structural check means the upstream
+    //    delivery is broken — re-crawl, don't launder)
+    val dq = AuditOps.dataQualityReport(Map("documents" -> raw), Seq(
+      AuditOps.Check.NotNull("documents", "doc_id"),
+      AuditOps.Check.NotNull("documents", "text"),
+      AuditOps.Check.UniqueKey("documents", Seq("doc_id")),
+      AuditOps.Check.InRange("documents", "n_chars", "1", "1000000")))
+      .collect()
+    println(s"""{"stage":"dq_gate","checks":${dq.length},"failed":${
+      dq.count(_.getLong(6) == 0L)}}""")
 
     // 1. cross-corpus decontamination (benchmark = every 50th doc, the
     //    gate convention; swap in the real eval set in production)

@@ -425,6 +425,45 @@ object ScaleBench {
     println(f"""{"metric":"simdemo","mult":$mult,"traces":${specs.map(_.numberSimulations).sum},"points":$pts,"sec":$sec%.3f,"master":"${spark.sparkContext.master}"}""")
   }
 
+  /** Bucketed-layout payoff: the SAME join+agg on the bucket key, read from
+    * plain parquet (shuffle both sides every query) vs tables written once
+    * with [[graft.operators.LayoutOps.writeBucketed]] (exchange-free SMJ).
+    * Broadcast disabled so the comparison is shuffle vs no-shuffle, not
+    * join-strategy luck. Reports the one-time write cost next to the
+    * per-query savings — the amortization argument IS the result.
+    */
+  def runBucketed(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.LayoutOps
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def joined(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+      l.join(o, "l_orderkey").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(n: Int)(body: => Unit): Double = (1 to n).map(_ => time(body)).min
+    // warm page cache
+    li.count(); ord.count()
+    val plainSec = minOf(3)(joined(li, ord).collect())
+    val nb = spark.sparkContext.defaultParallelism
+    val writeSec = time {
+      LayoutOps.writeBucketed(li, "sb_lineitem", Seq("l_orderkey"), nb)
+      LayoutOps.writeBucketed(ord, "sb_orders", Seq("l_orderkey"), nb)
+    }
+    val bl = spark.table("sb_lineitem"); val bo = spark.table("sb_orders")
+    val bucketedSec = minOf(3)(joined(bl, bo).collect())
+    val planHasExchange = joined(bl, bo).queryExecution.executedPlan.toString
+      .split("SortMergeJoin").last.contains("Exchange")
+    spark.sql("DROP TABLE IF EXISTS sb_lineitem")
+    spark.sql("DROP TABLE IF EXISTS sb_orders")
+    println(f"""{"metric":"bucketed_join","plain_sec":$plainSec%.3f,"bucketed_sec":$bucketedSec%.3f,"write_once_sec":$writeSec%.3f,"buckets":$nb,"join_subtree_has_exchange":$planHasExchange,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -434,6 +473,8 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-scale-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -442,8 +483,9 @@ object ScaleBench {
       case "curve" => runCurve(spark, sfDir)
       case "simdemo" => runSimDemo(spark)
       case "simdemo10x" => runSimDemo(spark, mult = 10)
+      case "bucketed" => runBucketed(spark, sfDir)
       case other =>
-        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x)")
+        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x | bucketed)")
     }
     spark.stop()
   }

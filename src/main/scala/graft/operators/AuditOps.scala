@@ -72,6 +72,25 @@ object AuditOps {
   }
   import Check._
 
+  /** Row-level violation predicate of a check evaluated against the columns
+    * of `df` (the check's table name is not consulted). This is the single
+    * definition shared by the batch report and the streaming twin
+    * ([[graft.streaming.StreamOps.dqViolationsStream]]) — same predicate,
+    * same null discipline, incremental execution. Keyed checks (unique key,
+    * FK) have no row-local form and are rejected here.
+    */
+  def violationOf(df: DataFrame, c: Check): Column = c match {
+    case NotNull(_, col0) => col(col0).isNull
+    case InRange(_, col0, lo, hi) =>
+      col(col0).isNotNull &&
+        !(col(col0) >= lit(lo).cast(df.schema(col0).dataType) &&
+          col(col0) <= lit(hi).cast(df.schema(col0).dataType))
+    case AcceptedValues(_, col0, vals) =>
+      col(col0).isNotNull && !col(col0).cast("string").isin(vals: _*)
+    case other => throw new IllegalArgumentException(
+      s"check ${other.id} is not row-level (unique/FK checks need the full key space)")
+  }
+
   private def report(c: Check, target: String, violations: Column, total: Column,
       tpe: String): Seq[Column] = Seq(
     lit(c.id).as("check_id"), lit(tpe).as("check_type"),
@@ -103,18 +122,8 @@ object AuditOps {
       case c @ (_: NotNull | _: InRange | _: AcceptedValues) => c
     }.groupBy(_.table).toSeq.map { case (tname, cs) =>
       val df = tables(tname)
-      val aggs = cs.flatMap {
-        case c @ NotNull(_, col0) =>
-          Seq(sum(when(col(col0).isNull, 1).otherwise(0)).as(s"v_${c.id}"))
-        case c @ InRange(_, col0, lo, hi) =>
-          Seq(sum(when(col(col0).isNotNull &&
-            !(col(col0) >= lit(lo).cast(df.schema(col0).dataType) &&
-              col(col0) <= lit(hi).cast(df.schema(col0).dataType)), 1)
-            .otherwise(0)).as(s"v_${c.id}"))
-        case c @ AcceptedValues(_, col0, vals) =>
-          Seq(sum(when(col(col0).isNotNull &&
-            !col(col0).cast("string").isin(vals: _*), 1).otherwise(0)).as(s"v_${c.id}"))
-        case other => throw new MatchError(other) // collect above filters to row-level
+      val aggs = cs.map { c =>
+        sum(when(violationOf(df, c), 1).otherwise(0)).as(s"v_${c.id}")
       } :+ count(lit(1)).as("v_total")
       val one = df.agg(aggs.head, aggs.tail: _*)
       cs.map { c =>

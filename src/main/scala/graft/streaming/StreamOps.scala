@@ -403,6 +403,49 @@ object StreamOps {
     * (StreamingSpec pins equality across micro-batch splits). Zero
     * state, append mode, works unchanged on batch frames too.
     */
+  /** Streaming twin of the data-quality constraint suite: per 15-minute
+    * event-time window, the violation count and row total of each ROW-LEVEL
+    * check (not-null / in-range / accepted-values), one output row per
+    * (window, check). The predicates are the SAME definitions the batch
+    * report compiles ([[graft.operators.AuditOps.violationOf]]), so a
+    * quality regression seen on the ingest stream is the identical verdict
+    * the batch audit would reach over the landed data — watermarked,
+    * append-capable, state bounded by open windows × checks. The k checks
+    * ride ONE windowed aggregate (the batch suite's shared-scan property,
+    * carried over unchanged).
+    */
+  def dqViolationsStream(events: DataFrame,
+      checks: Seq[graft.operators.AuditOps.Check]): DataFrame = {
+    require(checks.nonEmpty, "dqViolationsStream needs at least one check")
+    graft.operators.OpContract.requireCols(events, "StreamOps.dqViolationsStream",
+      (if (events.columns.contains("etime")) Nil else Seq("ts")): _*)
+    val withTime =
+      if (events.columns.contains("etime")) events
+      else events.withColumn("etime", eventTime(col("ts")))
+    val aggs = checks.map { c =>
+      sum(when(graft.operators.AuditOps.violationOf(withTime, c), 1).otherwise(0))
+        .cast("long").as(s"v_${c.id}")
+    } :+ count(lit(1)).as("total")
+    val perWindow = withTime
+      .groupBy(window(col("etime"), "15 minutes"))
+      .agg(aggs.head, aggs.tail: _*)
+    perWindow.select(
+      unix_micros(col("window.start")).as("window_start_us"),
+      explode(array(checks.map(c =>
+        struct(lit(c.id).as("check_id"), col(s"v_${c.id}").as("violations"))): _*))
+        .as("c"),
+      col("total"))
+      .select(col("window_start_us"), col("c.check_id"), col("c.violations"), col("total"))
+  }
+
+  /** Same suite with the stream watermark attached — the streaming entry
+    * point (append mode emits each closed window's report exactly once).
+    */
+  def dqViolationsStreamWm(events: DataFrame,
+      checks: Seq[graft.operators.AuditOps.Check]): DataFrame =
+    dqViolationsStream(events.withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "30 minutes"), checks)
+
   def scoreLinearStream(docs: DataFrame, model: DataFrame,
       buckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
