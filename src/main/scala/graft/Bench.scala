@@ -40,6 +40,9 @@ object Bench {
       // Catalyst prune unreferenced projections/windows and skip final
       // sorts, under-measuring queries whose work lives in the projection
       // (trace generation, string ops, thumbnails).
+      // stderr progress marker (stdout stays reserved for the driver's
+      // tail-parsed JSON): identifies a hung/grinding query immediately
+      System.err.println(s"[bench] running $name")
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -677,24 +677,43 @@ object DedupOps {
     * lower id matches the higher id's home block through exactly one of
     * its three probe replicas.
     *
-    * Scale caveat: blocking leverage here comes ENTIRELY from length
-    * spread. On fixed-width keys every record lands in one band and the
-    * candidate set degenerates to corpus²/2 — use [[hammingPairs]]
-    * (pigeonhole segment blocking) in that regime; it keeps candidates
-    * at block occupancy regardless of the length distribution.
+    * Scale caveat: blocking leverage here comes ENTIRELY from the block
+    * key's selectivity. On fixed-width keys the length band alone puts
+    * every record in one block and the candidate set degenerates to
+    * corpus²/2 — use [[hammingPairs]] (pigeonhole segment blocking) in
+    * that regime, or sharpen the block with `blockOn`: exact-match
+    * attributes (source, language, postcode — the standard compound
+    * blocking key of record-linkage practice) that multiply the block
+    * count and divide per-block occupancy. Only same-`blockOn` pairs are
+    * compared — that restriction is part of the declared semantics, not
+    * an approximation.
     */
   def fuzzyPairs(df: DataFrame, idCol: Column, keyCol: Column, k: Int = 2,
-      blockWidth: Int = 8): DataFrame = {
+      blockWidth: Int = 8, blockOn: Seq[Column] = Nil): DataFrame = {
     require(k >= 0, s"fuzzyPairs needs k >= 0, got $k")
     require(blockWidth >= math.max(k, 1),
       s"blockWidth ($blockWidth) must be >= k ($k) for lossless length banding")
-    val keyed = df.select(idCol.as("id"), keyCol.as("key"))
+    val extra = blockOn.zipWithIndex.map { case (c, i) => c.as(s"xb$i") }
+    val keyed = df.select((Seq(idCol.as("id"), keyCol.as("key")) ++ extra): _*)
       .withColumn("len", length(col("key")))
       .withColumn("blk", floor(col("len") / blockWidth))
-    val probes = keyed.withColumn("blk",
+    val probes0 = keyed.withColumn("blk",
       explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
-    probes.as("a").join(keyed.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // The O(|key|²) levenshtein verify executes AT THE JOIN, and with the
+    // block side broadcast the join's parallelism is the PROBE side's
+    // partition count — a corpus that arrives as one small file would run
+    // the whole verify in one task (measured: 11 s single-task vs <1 s
+    // spread, sf0.1). Probe rows are (id, key, len, blk) — tiny — so when
+    // the input has fewer partitions than the cluster has slots, one
+    // negligible round-robin shuffle buys full fan-out; an already-wide
+    // corpus is left untouched (no extra exchange at real scale).
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val probes = if (probes0.rdd.getNumPartitions < para)
+      probes0.repartition(para) else probes0
+    val blockEq = blockOn.indices
+      .map(i => col(s"a.xb$i") <=> col(s"b.xb$i"))
+      .foldLeft(col("a.blk") === col("b.blk"))(_ && _)
+    probes.as("a").join(keyed.as("b"), blockEq && col("a.id") < col("b.id"))
       .filter(abs(col("a.len") - col("b.len")) <= k)
       .withColumn("dist", levenshtein(col("a.key"), col("b.key")))
       .filter(col("dist") <= k)

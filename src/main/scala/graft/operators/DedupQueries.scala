@@ -107,11 +107,17 @@ object DedupQueries {
           min(col("doc_id")).as("min_kept"), max(col("doc_id")).as("max_kept"))
         .orderBy("lang")
     }),
-    // Record linkage: levenshtein ≤ 2 on the 40-char prefix linkage key,
-    // via lossless length-banded blocking (never corpus²).
+    // Record linkage: levenshtein ≤ 2 on a first-3-words linkage key
+    // (name-like short field whose LENGTH VARIES — the length-banded
+    // blocking needs that spread for leverage; a fixed-width key would put
+    // the whole corpus in one band and degenerate to corpus²/2 candidates,
+    // the regime dd_hamming's pigeonhole blocking is for. Found the hard
+    // way: a 40-char-prefix key ground for minutes at sf0.1).
     "dd_fuzzy" -> ((s, d) =>
       DedupOps.fuzzyPairs(t(s, d, "documents"),
-          col("doc_id"), substring(col("text"), 1, 40), k = 2)
+          col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 3)), k = 2, blockWidth = 4,
+          blockOn = Seq(col("lang")))
         .orderBy("doc_a", "doc_b")),
     // Fixed-width-key twin: pigeonhole segment blocking + Hamming verify
     // (the scale path when every key has the same length and length
@@ -126,7 +132,9 @@ object DedupQueries {
     "dd_fuzzy_clusters" -> ((s, d) =>
       DedupOps.nearDupClustersStar(
           DedupOps.fuzzyPairs(t(s, d, "documents"),
-            col("doc_id"), substring(col("text"), 1, 40), k = 2))
+            col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)), k = 2, blockWidth = 4,
+            blockOn = Seq(col("lang"))))
         .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = {
@@ -366,10 +374,10 @@ object DedupQueries {
       // The oracle verifies by exhaustive pairing (125k levenshtein calls
       // at sf0.01) — the op's banded blocking must lose nothing vs it.
       "dd_fuzzy" ->
-        """WITH k AS (SELECT doc_id, substring(text, 1, 40) AS key FROM documents),
+        """WITH k AS (SELECT doc_id, lang, array_to_string(string_split(text, ' ')[1:3], ' ') AS key FROM documents),
           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |    CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-          |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+          |  FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.lang = b.lang
           |  WHERE abs(length(a.key) - length(b.key)) <= 2)
           |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
           |ORDER BY doc_a, doc_b""".stripMargin,
@@ -382,9 +390,9 @@ object DedupQueries {
           |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
           |ORDER BY doc_a, doc_b""".stripMargin,
       "dd_fuzzy_clusters" ->
-        """WITH RECURSIVE k AS (SELECT doc_id, substring(text, 1, 40) AS key FROM documents),
+        """WITH RECURSIVE k AS (SELECT doc_id, lang, array_to_string(string_split(text, ' ')[1:3], ' ') AS key FROM documents),
           |mp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+          |  FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.lang = b.lang
           |  WHERE abs(length(a.key) - length(b.key)) <= 2
           |    AND levenshtein(a.key, b.key) <= 2),
           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
