@@ -15,18 +15,21 @@
 // surface returns rows and the sink round-trips.
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, EventOps, GraphOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{AuditOps, DedupOps, EventOps, GraphOps, LayoutOps, SimilarityOps, SketchOps, TextOps}
 import graft.multimodal.{MediaOps, MediaStub}
 import graft.streaming.StreamOps
 import graft.core.{MCBattery, RngFamily, SimulationSpec, TraceSink}
 
 def runLibcheck(): Unit = {
-  // events.ts is parquet TIMESTAMP(NANOS); the engine reads it as long µs
+  // events.ts contract is int64 nanos; normalizeTs folds timestamp-typed
+  // parquet generations back to it (nanosAsLong covers NANOS parquet)
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
   val dataDir = sys.props.getOrElse("graft.data", "/root/testdata/sf0.01")
   val docs = spark.read.parquet(s"$dataDir/documents.parquet")
   val embs = spark.read.parquet(s"$dataDir/embeddings.parquet")
-  val events = spark.read.parquet(s"$dataDir/events.parquet")
+  val events = graft.operators.Tables.normalizeTs(
+    spark.read.parquet(s"$dataDir/events.parquet"))
   val customers = spark.read.parquet(s"$dataDir/customer.parquet")
 
   def check(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
@@ -227,6 +230,31 @@ def runLibcheck(): Unit = {
     MediaOps.thumbnailPixels(spark, MediaStub.withPayload(docs.limit(50))).toDF())
   check("MediaOps.frameSampleDecoded")(
     MediaOps.frameSampleDecoded(spark, MediaStub.withPayload(docs.limit(50))))
+  // data-quality constraint suite + exact outliers + streaming twin
+  check("AuditOps.dataQualityReport")(AuditOps.dataQualityReport(
+    Map("documents" -> docs),
+    Seq(AuditOps.Check.NotNull("documents", "text"),
+      AuditOps.Check.UniqueKey("documents", Seq("doc_id")),
+      AuditOps.Check.InRange("documents", "n_chars", "1", "1000000"))))
+  check("AuditOps.outlierReport")(
+    AuditOps.outlierReport(events, "event_type", "value", 3))
+  check("StreamOps.dqViolationsStream (batch run)")(
+    StreamOps.dqViolationsStream(events,
+      Seq(AuditOps.Check.NotNull("events", "value"))))
+  // record linkage with a compound blocking key
+  check("DedupOps.fuzzyPairs(blockOn)")(DedupOps.fuzzyPairs(docs,
+    col("doc_id"), concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+    2, 4, Seq(col("lang"))))
+  // bucketed layout: write once, join exchange-free
+  LayoutOps.writeBucketed(docs.select("doc_id", "n_chars"),
+    "lc_docs_a", Seq("doc_id"), 4)
+  LayoutOps.writeBucketed(docs.select("doc_id", "lang"),
+    "lc_docs_b", Seq("doc_id"), 4)
+  check("LayoutOps.writeBucketed join")(
+    spark.table("lc_docs_a").join(spark.table("lc_docs_b"), "doc_id"))
+  spark.sql("DROP TABLE IF EXISTS lc_docs_a")
+  spark.sql("DROP TABLE IF EXISTS lc_docs_b")
+
   // engine core: simulate on the default family (real PCG64) + parity sink
   val out = java.nio.file.Files.createTempDirectory("graft-libcheck")
   val specs = Seq(SimulationSpec(0, "coin_sequence", 100, 16, Seq(0.5), Nil,
