@@ -164,6 +164,63 @@ object AuditOps {
     (rowLevel ++ keyed).reduce(_.unionByName(_))
   }
 
+  /** Per-row SEQUENTIAL (prequential) anomaly verdicts: row i is anomalous
+    * iff its floor-value deviates more than `z` sigma from the statistics
+    * of all PRIOR rows in its group, in `(orderCol, idCol)` order — the
+    * exact decision an online monitor makes at arrival time, reproduced
+    * over data at rest. Same integer rewrite as [[outlierReport]]
+    * (`(n·x−S)² > z²(n·S2−S²)` on DECIMAL(38,0) cumulative sums), so the
+    * verdict sequence is engine-exact AND identical to the streaming
+    * stateful twin ([[graft.streaming.StreamOps.anomalyStream]]) fed in
+    * event-time order — spec-pinned both ways. Rows with fewer than
+    * `minPrior` predecessors are unscored (cold start).
+    *
+    * Scale shape: ONE window over `(grp)` ordered by `(ord, id)` — a
+    * single hash exchange on the group key plus a per-group sort. The
+    * sequential semantics inherently order each group; the deployment
+    * shape for unbounded data is the streaming twin, whose state is three
+    * numbers per group.
+    */
+  def anomalyVerdicts(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, valueCol: String, z: Int = 3, minPrior: Long = 30): DataFrame = {
+    require(z >= 1, s"anomalyVerdicts needs z >= 1, got $z")
+    require(minPrior >= 2, s"anomalyVerdicts needs minPrior >= 2, got $minPrior")
+    OpContract.requireCols(df, "AuditOps.anomalyVerdicts",
+      groupCol, orderCol, idCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(orderCol).as("ord"),
+        col(idCol).as("id"), floor(col(valueCol)).cast(dec).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("ord"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val st = base.select(col("grp"), col("id"), col("x"),
+      count(lit(1)).over(w).cast(dec).as("n"),
+      sum(col("x")).over(w).as("s"),
+      sum(col("x") * col("x")).over(w).as("s2"))
+    val lhs = (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+    val rhs = lit(z * z).cast(dec) * (col("n") * col("s2") - col("s") * col("s"))
+    st.withColumn("scored", col("n") >= lit(minPrior))
+      // first row per group has NULL window sums: scored is false there, so
+      // coalesce never reaches the null comparison
+      .withColumn("is_anomaly", col("scored") && coalesce(lhs > rhs, lit(false)))
+      .select(col("grp"), col("id"), col("x").cast("long").as("x"),
+        col("scored"), col("is_anomaly"))
+  }
+
+  /** Group-level rollup of [[anomalyVerdicts]]: scored/anomaly counts and
+    * the first/last anomalous id per group.
+    */
+  def anomalyReport(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, valueCol: String, z: Int = 3, minPrior: Long = 30): DataFrame =
+    anomalyVerdicts(df, groupCol, orderCol, idCol, valueCol, z, minPrior)
+      .groupBy("grp")
+      .agg(
+        sum(when(col("scored"), 1).otherwise(0)).cast("long").as("n_scored"),
+        sum(when(col("is_anomaly"), 1).otherwise(0)).cast("long").as("n_anomalies"),
+        min(when(col("is_anomaly"), col("id"))).as("first_anomaly"),
+        max(when(col("is_anomaly"), col("id"))).as("last_anomaly"))
+
   /** Exact z-score outlier report per group: a row of `df` is an outlier
     * when `|x - mean| > z * stddev` within its group, with `x = floor(v)`
     * (floor, not truncation — engines disagree on double→int rounding, no

@@ -38,6 +38,14 @@ object AuditQueries {
     // Exact integer-arithmetic z=3 outliers of events.value per event type.
     "aud_outliers" -> ((s, d) =>
       AuditOps.outlierReport(t(s, d, "events"), "event_type", "value", z = 3)
+        .orderBy("grp")),
+
+    // Sequential (arrival-order) anomaly verdicts — the online monitor's
+    // decisions reproduced exactly over data at rest; streaming twin
+    // spec-pinned to emit the identical anomaly set.
+    "aud_anomaly_cum" -> ((s, d) =>
+      AuditOps.anomalyReport(t(s, d, "events"), "event_type", "ts", "event_id",
+          "value", z = 3, minPrior = 30)
         .orderBy("grp")))
 
   def oracleSql: Map[String, String] = Map(
@@ -102,5 +110,25 @@ object AuditQueries {
         |  MIN(CASE WHEN (st.n*b.x - st.s)*(st.n*b.x - st.s)
         |                > 9*(st.n*st.s2 - st.s*st.s) THEN b.x END) AS min_outlier
         |FROM b JOIN st USING (grp)
-        |GROUP BY b.grp ORDER BY b.grp""".stripMargin)
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin,
+
+    // cumulative-window twin of the op's Spark window; BIGINT window sums
+    // go through HUGEINT — exact, same verdict sequence
+    "aud_anomaly_cum" ->
+      """WITH b AS (SELECT event_type AS grp, event_id, ts,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT grp, event_id, x,
+        |    COUNT(*) OVER pw AS n, SUM(x) OVER pw AS s, SUM(x*x) OVER pw AS s2
+        |  FROM b WINDOW pw AS (PARTITION BY grp ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT grp, event_id,
+        |    CASE WHEN n >= 30 AND (n*x - s)*(n*x - s) > 9*(n*s2 - s*s)
+        |         THEN 1 ELSE 0 END AS fl,
+        |    CASE WHEN n >= 30 THEN 1 ELSE 0 END AS scored FROM w)
+        |SELECT grp, CAST(SUM(scored) AS BIGINT) AS n_scored,
+        |  CAST(SUM(fl) AS BIGINT) AS n_anomalies,
+        |  MIN(CASE WHEN fl = 1 THEN event_id END) AS first_anomaly,
+        |  MAX(CASE WHEN fl = 1 THEN event_id END) AS last_anomaly
+        |FROM v GROUP BY grp ORDER BY grp""".stripMargin)
 }

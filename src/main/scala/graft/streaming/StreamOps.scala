@@ -403,6 +403,54 @@ object StreamOps {
     * (StreamingSpec pins equality across micro-batch splits). Zero
     * state, append mode, works unchanged on batch frames too.
     */
+  /** Per-group running moments for [[anomalyStream]]: three numbers,
+    * regardless of stream length. */
+  final case class MomentState(n: Long, s: Long, s2: Long)
+  /** Input row for [[anomalyStream]]: (group, event-time order key, id,
+    * floor-integer value). */
+  final case class AnomRow(grp: String, ord: Long, id: Long, x: Long)
+
+  /** STREAMING sequential anomaly detection — the stateful twin of
+    * [[graft.operators.AuditOps.anomalyVerdicts]]: per group, state is the
+    * running `(n, Σx, Σx²)` (three longs, bounded forever); each arriving
+    * row is judged against the state BEFORE it and then folded in. Rows
+    * within a micro-batch are processed in `(ord, id)` order, so on an
+    * event-time-ordered feed the emitted anomaly set is IDENTICAL to the
+    * batch verdicts — including verdicts that straddle micro-batch
+    * boundaries (StreamingSpec splits the stream mid-group and proves
+    * set equality). The z² comparison runs in BigInt, immune to overflow;
+    * state updates use Math.addExact/multiplyExact, failing loudly if a
+    * stream's magnitude ever exceeds the long contract (pre-scale the
+    * value in that regime).
+    */
+  def anomalyStream(rows: Dataset[AnomRow], z: Int = 3,
+      minPrior: Long = 30): Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(z >= 1, s"anomalyStream needs z >= 1, got $z")
+    require(minPrior >= 2, s"anomalyStream needs minPrior >= 2, got $minPrior")
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[MomentState, (String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[AnomRow], state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          it.toSeq.sortBy(r => (r.ord, r.id)).foreach { r =>
+            if (st.n >= minPrior) {
+              val n = BigInt(st.n); val s = BigInt(st.s); val s2 = BigInt(st.s2)
+              val x = BigInt(r.x)
+              val d = n * x - s
+              if (d * d > BigInt(z.toLong * z) * (n * s2 - s * s))
+                out += ((grp, r.id, r.x))
+            }
+            st = MomentState(st.n + 1, Math.addExact(st.s, r.x),
+              Math.addExact(st.s2, Math.multiplyExact(r.x, r.x)))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the data-quality constraint suite: per 15-minute
     * event-time window, the violation count and row total of each ROW-LEVEL
     * check (not-null / in-range / accepted-values), one output row per

@@ -81,6 +81,29 @@ class AuditOpsSpec extends SparkTestBase {
     assert(r1.getLong(3) == 16L && r1.getLong(4) == 16L)
   }
 
+  test("anomalyVerdicts: cold start, zero-variance deviation, prior-only stats") {
+    // group g in arrival order: 0,0,0,0,16,0 with minPrior=2
+    //  rows 1-2: fewer than 2 predecessors -> unscored
+    //  rows 3-4 (x=0): prior variance 0, x == prior mean -> clean
+    //  row 5 (x=16): prior variance 0, ANY deviation fires (4·16-0)² > 0
+    //  row 6 (x=0): priors now 0,0,0,0,16 -> (5·0-16)²=256 vs 9·(5·256-256)
+    val df = Seq(("g", 1L, 10L, 0.0), ("g", 2L, 11L, 0.0), ("g", 3L, 12L, 0.0),
+      ("g", 4L, 13L, 0.0), ("g", 5L, 14L, 16.2), ("g", 6L, 15L, 0.0))
+      .toDF("grp", "ord", "id", "v")
+    val got = AuditOps.anomalyVerdicts(df, "grp", "ord", "id", "v", z = 3, minPrior = 2)
+      .orderBy("id").collect()
+    assert(got.map(_.getBoolean(3)).toSeq ==
+      Seq(false, false, true, true, true, true), "scored flags")
+    assert(got.map(_.getBoolean(4)).toSeq ==
+      Seq(false, false, false, false, true, false), "anomaly flags")
+    // floor semantics: 16.2 entered the stats as 16
+    assert(got(4).getLong(2) == 16L)
+    val rep = AuditOps.anomalyReport(df, "grp", "ord", "id", "v", z = 3, minPrior = 2)
+      .collect()(0)
+    assert(rep.getLong(1) == 4L && rep.getLong(2) == 1L)
+    assert(rep.getLong(3) == 14L && rep.getLong(4) == 14L)
+  }
+
   test("validation: unknown tables and duplicate check ids fail at the call site") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val e1 = intercept[IllegalArgumentException] {

@@ -225,6 +225,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("anomalyStream: stateful verdicts equal batch sequential verdicts across a split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.operators.Tables.t(spark, sfDir, "events")
+    val want = graft.operators.AuditOps
+      .anomalyVerdicts(ev, "event_type", "ts", "event_id", "value", 3, 30)
+      .filter(col("is_anomaly")).select("grp", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch detector found nothing — spec asserts nothing")
+
+    val rows = ev.filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value")).cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => StreamOps.AnomRow(t._1, t._2, t._3, t._4))
+      .sortBy(r => (r.ord, r.id))
+    // contiguous split of the globally time-ordered feed: per-group order
+    // holds across the two micro-batches, and running state must carry the
+    // first half's moments into the second
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[StreamOps.AnomRow]
+    val q = StreamOps.anomalyStream(input.toDS(), 3, 30).toDF("grp", "id", "x")
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      input.addData(h1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom_out").select("grp", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+    } finally q.stop()
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
