@@ -316,7 +316,24 @@ object ScaleBench {
         graft.operators.TextOps.tfidfPairs(s.read.parquet(s"$d/documents.parquet"))),
       "dd_hamming" -> ((s: SparkSession, d: String, _: Double) =>
         DedupOps.hammingPairs(s.read.parquet(s"$d/documents.parquet"),
-          col("doc_id"), substring(col("text"), 1, 40), k = 2)))
+          col("doc_id"), substring(col("text"), 1, 40), k = 2)),
+      // round-7 (cont.): constraint suite (k row-level checks = ONE shared
+      // scan + one key shuffle for the unique check — the flat-per-row
+      // claim) and sequential anomaly verdicts (one shuffle + per-group
+      // sort; parallelism = groups, the documented batch-form bound — the
+      // unbounded-data shape is anomalyStream's 3-longs-per-group state)
+      "aud_dq_events" -> ((s: SparkSession, d: String, _: Double) => {
+        import graft.operators.AuditOps.Check._
+        graft.operators.AuditOps.dataQualityReport(
+          Map("events" -> graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet"))),
+          Seq(NotNull("events", "value"), InRange("events", "value", "0", "1000"),
+            AcceptedValues("events", "event_type",
+              Seq("click", "view", "purchase", "signup", "error")),
+            UniqueKey("events", Seq("event_id"))))
+      }),
+      "aud_anomaly_cum" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("aud_anomaly_cum")(s, d)))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
