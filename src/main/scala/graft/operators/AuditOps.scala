@@ -164,6 +164,48 @@ object AuditOps {
     (rowLevel ++ keyed).reduce(_.unionByName(_))
   }
 
+  /** Winsorization — the TREAT step after [[outlierReport]]'s detect: clip
+    * each group's values into its exact `[loPermille, hiPermille]`
+    * percentiles (quantile_cont definition, computed by
+    * [[SketchOps.exactQuantileRefine]]'s sketch-then-refine: counters
+    * locate the target bins, ONE pruned pass ranks only those bins) and
+    * report per group the clip counts and the exact decimal sum of the
+    * winsorized column. The clip itself is a broadcast join of two
+    * cutoffs per group over one scan — no data shuffle beyond the cutoff
+    * computation's own counter aggregation.
+    *
+    * FP discipline: cutoffs are the engine-exact interpolated percentiles
+    * (q34 parity), comparisons are raw double compares, and the sum casts
+    * each clipped double to DECIMAL(28,6) (one correctly-rounded op per
+    * row) before the order-independent decimal accumulation.
+    */
+  def winsorize(df: DataFrame, valCol: Column, groupCol: String,
+      loPermille: Int, hiPermille: Int,
+      binWidth: Long = 1024L, bins: Int = 1024): DataFrame = {
+    require(0 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo < hi <= 1000 permille, got ($loPermille, $hiPermille)")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val cuts = SketchOps.exactQuantileRefine(df, valCol, groupCol, binWidth, bins,
+        Seq(loPermille, hiPermille))
+      .groupBy(groupCol)
+      .agg(
+        min(when(col("q") === lit(loPermille / 1000.0), col("exact_value"))).as("lo_cut"),
+        max(when(col("q") === lit(hiPermille / 1000.0), col("exact_value"))).as("hi_cut"))
+      .withColumnRenamed(groupCol, "g")
+    val base = df.filter(valCol.isNotNull)
+      .select(col(groupCol).as("g"), valCol.cast("double").as("v"))
+    base.join(broadcast(cuts), Seq("g"))
+      .withColumn("w", least(greatest(col("v"), col("lo_cut")), col("hi_cut")))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo_cut"), 1).otherwise(0)).cast("long").as("n_clip_lo"),
+        sum(when(col("v") > col("hi_cut"), 1).otherwise(0)).cast("long").as("n_clip_hi"),
+        min(col("lo_cut")).as("lo_cut"), min(col("hi_cut")).as("hi_cut"),
+        sum(col("w").cast(dec)).cast("double").as("win_sum"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Per-row SEQUENTIAL (prequential) anomaly verdicts: row i is anomalous
     * iff its floor-value deviates more than `z` sigma from the statistics
     * of all PRIOR rows in its group, in `(orderCol, idCol)` order — the

@@ -46,7 +46,15 @@ object AuditQueries {
     "aud_anomaly_cum" -> ((s, d) =>
       AuditOps.anomalyReport(t(s, d, "events"), "event_type", "ts", "event_id",
           "value", z = 3, minPrior = 30)
-        .orderBy("grp")))
+        .orderBy("grp")),
+
+    // The treat step: clip o_totalprice into each status group's exact
+    // [2.5%, 97.5%] percentiles (sketch-locates bins, one pruned ranking
+    // pass) and report clip pressure + the winsorized decimal sum.
+    "aud_winsorize" -> ((s, d) =>
+      AuditOps.winsorize(t(s, d, "orders"), col("o_totalprice"), "o_orderstatus",
+          loPermille = 25, hiPermille = 975)
+        .orderBy("o_orderstatus")))
 
   def oracleSql: Map[String, String] = Map(
     "aud_dq_report" -> {
@@ -130,5 +138,48 @@ object AuditQueries {
         |  CAST(SUM(fl) AS BIGINT) AS n_anomalies,
         |  MIN(CASE WHEN fl = 1 THEN event_id END) AS first_anomaly,
         |  MAX(CASE WHEN fl = 1 THEN event_id END) AS last_anomaly
-        |FROM v GROUP BY grp ORDER BY grp""".stripMargin)
+        |FROM v GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // the q34 percentile CTE chain (integer permille rank arithmetic, same
+    // 3-op interpolation) at [25, 975], then the clip + decimal sum
+    "aud_winsorize" ->
+      """WITH b AS (SELECT o_orderstatus AS g,
+        |    least(greatest(CAST(floor(o_totalprice / 1024) AS BIGINT), 0), 1023) AS bin,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT g, bin, COUNT(*) AS cnt FROM b GROUP BY g, bin),
+        |cc AS (SELECT g, bin, cnt, COALESCE(CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev FROM c),
+        |nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY g),
+        |qs AS (SELECT unnest([25, 975]) AS p),
+        |t AS (SELECT nn.g, qs.p, nn.n,
+        |    ((nn.n - 1) * qs.p) % 1000 AS fr,
+        |    ((nn.n - 1) * qs.p) // 1000 + 1 AS rank_lo,
+        |    ((nn.n - 1) * qs.p) // 1000
+        |      + CASE WHEN ((nn.n - 1) * qs.p) % 1000 > 0 THEN 2 ELSE 1 END AS rank_hi
+        |  FROM nn, qs),
+        |nb AS (SELECT DISTINCT t.g, cc.bin, cc.cum_prev FROM t JOIN cc ON cc.g = t.g
+        |    AND ((t.rank_lo > cc.cum_prev AND t.rank_lo <= cc.cum_prev + cc.cnt)
+        |      OR (t.rank_hi > cc.cum_prev AND t.rank_hi <= cc.cum_prev + cc.cnt))),
+        |s AS (SELECT b.g, b.v, nb.cum_prev
+        |    + ROW_NUMBER() OVER (PARTITION BY b.g, b.bin ORDER BY b.v) AS grank
+        |  FROM b JOIN nb ON nb.g = b.g AND nb.bin = b.bin),
+        |vals AS (SELECT t.g, t.p,
+        |    MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END)
+        |      + (CAST(t.fr AS DOUBLE) / CAST(1000 AS DOUBLE))
+        |        * (MAX(CASE WHEN s.grank = t.rank_hi THEN s.v END)
+        |           - MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END)) AS cut
+        |  FROM t JOIN s ON s.g = t.g AND (s.grank = t.rank_lo OR s.grank = t.rank_hi)
+        |  GROUP BY t.g, t.p, t.n, t.fr),
+        |cuts AS (SELECT g, MIN(CASE WHEN p = 25 THEN cut END) AS lo_cut,
+        |    MAX(CASE WHEN p = 975 THEN cut END) AS hi_cut FROM vals GROUP BY g),
+        |w AS (SELECT b.g, b.v, cuts.lo_cut, cuts.hi_cut,
+        |    least(greatest(b.v, cuts.lo_cut), cuts.hi_cut) AS w
+        |  FROM b JOIN cuts ON cuts.g = b.g)
+        |SELECT g AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
+        |  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS win_sum
+        |FROM w GROUP BY g ORDER BY g""".stripMargin)
 }

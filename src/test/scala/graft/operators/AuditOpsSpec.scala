@@ -104,6 +104,19 @@ class AuditOpsSpec extends SparkTestBase {
     assert(rep.getLong(3) == 14L && rep.getLong(4) == 14L)
   }
 
+  test("winsorize: quantile_cont cutoffs, clip counts, exact clipped sum") {
+    // values 1..100 in one group; lo=100‰ -> idx 9.9 -> 10.9; hi=800‰ ->
+    // idx 79.2 -> 80.2; clip 10 below / 20 above;
+    // sum = Σ(11..80) + 10·10.9 + 20·80.2 = 3185 + 109 + 1604 = 4898
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = AuditOps.winsorize(df, col("v"), "grp", 100, 800).collect()(0)
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 20L)
+    assert(math.abs(r.getDouble(4) - 10.9) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 80.2) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 4898.0) < 1e-9)
+  }
+
   test("validation: unknown tables and duplicate check ids fail at the call site") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val e1 = intercept[IllegalArgumentException] {
