@@ -60,7 +60,10 @@ object Plans {
     // round 7 (cont. 4): constraint suite (row-level checks fused into
     // one shared-scan agg per table; FK = broadcast dim-key left join),
     // exact integer z-score outliers (stats broadcast back over one scan)
-    "aud_dq_report", "aud_outliers")
+    "aud_dq_report", "aud_outliers",
+    // round-7 (cont. 5): sequential anomaly window, sketch-refine
+    // winsorize clip, distinct-score-group AUC
+    "aud_anomaly_cum", "aud_winsorize", "aud_auc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -164,6 +164,47 @@ object AuditOps {
     (rowLevel ++ keyed).reduce(_.unionByName(_))
   }
 
+  /** Exact tie-corrected binary AUC (Mann–Whitney U) of a score against a
+    * boolean label — the ranking-quality audit run before trusting a
+    * quality/toxicity/contamination classifier's scores for filtering.
+    * Computed WITHOUT per-row ranking: scores collapse to DISTINCT values
+    * first (one hash aggregation carrying `cnt` and `pos` per value), the
+    * tie-averaged rank sum follows from a cumulative window over those
+    * groups — `Σ pos_g·(2·cum_g + cnt_g + 1) = 2·Σ avgrank(positives)` —
+    * and AUC = (that − P·(P+1)) / (2·P·N). Every term is an exact integer;
+    * the single final division is the only floating-point op, so the
+    * result is bit-identical in any engine.
+    *
+    * Scale shape: the data pass is one map-side-combined aggregation to
+    * ≤|distinct scores| rows; the window runs over those GROUPS (sorted
+    * once), not the data. AUC is NULL when either class is empty.
+    */
+  def aucReport(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val g = df.filter(scoreCol.isNotNull)
+      .select(scoreCol.as("s"), when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ranked = g.withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // decimal(38,0) keeps the rank sum exact out to ~1e18-row inputs; the
+    // ONLY floating-point op is the final num/denom division of two
+    // correctly-rounded exact integers — engine-identical
+    ranked.agg(
+      sum(col("cnt")).cast(dec).as("n"),
+      sum(col("pos")).cast(dec).as("p"),
+      sum(col("pos").cast(dec) *
+        (lit(2) * col("cum") + col("cnt") + lit(1)).cast(dec)).as("s2x"))
+      .select(col("n").cast("long").as("n"),
+        col("p").cast("long").as("n_pos"),
+        (col("n") - col("p")).cast("long").as("n_neg"),
+        when(col("p") > 0 && col("n") - col("p") > 0,
+          (col("s2x") - col("p") * (col("p") + lit(1))).cast("double") /
+            (lit(2).cast(dec) * col("p") * (col("n") - col("p"))).cast("double"))
+          .as("auc"))
+  }
+
   /** Winsorization — the TREAT step after [[outlierReport]]'s detect: clip
     * each group's values into its exact `[loPermille, hiPermille]`
     * percentiles (quantile_cont definition, computed by

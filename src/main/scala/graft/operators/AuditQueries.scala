@@ -54,7 +54,15 @@ object AuditQueries {
     "aud_winsorize" -> ((s, d) =>
       AuditOps.winsorize(t(s, d, "orders"), col("o_totalprice"), "o_orderstatus",
           loPermille = 25, hiPermille = 975)
-        .orderBy("o_orderstatus")))
+        .orderBy("o_orderstatus")),
+
+    // Ranking-quality audit: exact tie-corrected AUC of floor(value)
+    // separating error events from the rest (integer scores — the tie
+    // path is exercised for real). One row; no sort of the data, only of
+    // the distinct-score groups.
+    "aud_auc" -> ((s, d) =>
+      AuditOps.aucReport(t(s, d, "events"), floor(col("value")),
+        col("event_type") === "error")))
 
   def oracleSql: Map[String, String] = Map(
     "aud_dq_report" -> {
@@ -181,5 +189,20 @@ object AuditQueries {
         |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
         |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
         |  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS win_sum
-        |FROM w GROUP BY g ORDER BY g""".stripMargin)
+        |FROM w GROUP BY g ORDER BY g""".stripMargin,
+
+    // distinct-score groups, cumulative window over groups, one final
+    // division of exact (HUGEINT) integers
+    "aud_auc" ->
+      """WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY s),
+        |r AS (SELECT s, cnt, pos, COALESCE(SUM(cnt) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+        |  CAST(SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+        |    / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE) AS auc
+        |FROM r""".stripMargin)
 }

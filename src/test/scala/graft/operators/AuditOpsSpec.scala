@@ -117,6 +117,22 @@ class AuditOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(6) - 4898.0) < 1e-9)
   }
 
+  test("aucReport: tie-averaged ranks, hand-computed 7/9, degenerate classes NULL") {
+    // scores (1,1,2,3,3,3), positives at (2,3,3): pairwise wins = 6,
+    // ties vs the negative 3 = 2 halves -> AUC = 7/9
+    val df = Seq((1, false), (1, false), (2, true),
+      (3, true), (3, true), (3, false)).toDF("s", "y")
+    val r = AuditOps.aucReport(df, col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 7.0 / 9.0)
+    // single-class input: AUC is NULL, counts still reported
+    val onePos = AuditOps.aucReport(df.filter(col("y")), col("s"), col("y")).collect()(0)
+    assert(onePos.getLong(1) == 3L && onePos.getLong(2) == 0L && onePos.isNullAt(3))
+    // perfect separation sanity: all positives above all negatives
+    val perfect = Seq((1, false), (2, false), (5, true), (6, true)).toDF("s", "y")
+    assert(AuditOps.aucReport(perfect, col("s"), col("y")).collect()(0).getDouble(3) == 1.0)
+  }
+
   test("validation: unknown tables and duplicate check ids fail at the call site") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val e1 = intercept[IllegalArgumentException] {

@@ -241,6 +241,12 @@ def runLibcheck(): Unit = {
   check("StreamOps.dqViolationsStream (batch run)")(
     StreamOps.dqViolationsStream(events,
       Seq(AuditOps.Check.NotNull("events", "value"))))
+  check("AuditOps.anomalyVerdicts")(AuditOps.anomalyVerdicts(
+    events, "event_type", "ts", "event_id", "value", 3, 30))
+  check("AuditOps.winsorize")(AuditOps.winsorize(
+    events, col("value"), "event_type", 25, 975))
+  check("AuditOps.aucReport")(AuditOps.aucReport(
+    events, floor(col("value")), col("event_type") === "error"))
   // record linkage with a compound blocking key
   check("DedupOps.fuzzyPairs(blockOn)")(DedupOps.fuzzyPairs(docs,
     col("doc_id"), concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
