@@ -164,6 +164,43 @@ object AuditOps {
     (rowLevel ++ keyed).reduce(_.unionByName(_))
   }
 
+  /** Robust (median/MAD) outlier report — the detect sibling of
+    * [[outlierReport]] for skewed or already-contaminated columns, where
+    * mean/stddev are dragged by the very outliers being hunted: flag rows
+    * with `|x − median| > k · MAD` (MAD = median of absolute deviations).
+    * Both medians are EXACT sketch-then-refine percentiles
+    * ([[SketchOps.exactQuantileRefine]] — counters locate the target bins,
+    * one pruned pass ranks them), broadcast back as two-number-per-group
+    * model state; the flag comparison is `|x−med| > k·mad`, three IEEE
+    * ops identical in any engine. Integer `k` (k=3 ≈ 2·sigma on normal
+    * data via the 1.4826 MAD-to-sigma factor — callers wanting the exact
+    * sigma calibration scale their cutoff upstream).
+    *
+    * Scale shape: two quantile refinements (each: one counter agg + one
+    * pruned ranking pass) + one broadcast-join scan for the flags — five
+    * scan-bound passes total, no data-sized shuffle anywhere.
+    */
+  def robustOutlierReport(df: DataFrame, valCol: Column, groupCol: String,
+      k: Int = 3, binWidth: Long = 1024L, bins: Int = 1024): DataFrame = {
+    require(k >= 1, s"robustOutlierReport needs k >= 1, got $k")
+    val med = SketchOps.exactQuantileRefine(df, valCol, groupCol, binWidth, bins, Seq(500))
+      .select(col(groupCol).as("g"), col("exact_value").as("med"))
+    val base = df.filter(valCol.isNotNull)
+      .select(col(groupCol).as("g"), valCol.cast("double").as("v"))
+    val dev = base.join(broadcast(med), Seq("g"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = SketchOps.exactQuantileRefine(dev, col("ad"), "g", binWidth, bins, Seq(500))
+      .select(col("g"), col("exact_value").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("ad") > lit(k) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_flagged"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Exact tie-corrected binary AUC (Mann–Whitney U) of a score against a
     * boolean label — the ranking-quality audit run before trusting a
     * quality/toxicity/contamination classifier's scores for filtering.

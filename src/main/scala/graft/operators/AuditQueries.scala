@@ -62,9 +62,62 @@ object AuditQueries {
     // the distinct-score groups.
     "aud_auc" -> ((s, d) =>
       AuditOps.aucReport(t(s, d, "events"), floor(col("value")),
-        col("event_type") === "error")))
+        col("event_type") === "error")),
+
+    // Robust detect: |x − median| > 3·MAD per event type, both medians
+    // exact sketch-refine percentiles broadcast back as model state.
+    "aud_robust_outliers" -> ((s, d) =>
+      AuditOps.robustOutlierReport(t(s, d, "events"), col("value"), "event_type")
+        .orderBy("event_type")))
+
+  /** One instance of the q34 exact-median CTE chain (permille 500,
+    * binWidth 1024, bins 1024 — the [[AuditOps.robustOutlierReport]]
+    * defaults), over CTE/table `src` with group `grpCol` and value
+    * `valCol`; emits CTEs prefixed `$id`, final `${id}m(g, cut)`.
+    */
+  private def medianChain(id: String, src: String, grpCol: String, valCol: String): String =
+    s"""${id}b AS (SELECT $grpCol AS g,
+       |    least(greatest(CAST(floor($valCol / 1024) AS BIGINT), 0), 1023) AS bin,
+       |    CAST($valCol AS DOUBLE) AS v FROM $src WHERE $valCol IS NOT NULL),
+       |${id}c AS (SELECT g, bin, COUNT(*) AS cnt FROM ${id}b GROUP BY g, bin),
+       |${id}cc AS (SELECT g, bin, cnt, COALESCE(CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev FROM ${id}c),
+       |${id}nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM ${id}c GROUP BY g),
+       |${id}t AS (SELECT g, n, ((n - 1) * 500) % 1000 AS fr,
+       |    ((n - 1) * 500) // 1000 + 1 AS rank_lo,
+       |    ((n - 1) * 500) // 1000
+       |      + CASE WHEN ((n - 1) * 500) % 1000 > 0 THEN 2 ELSE 1 END AS rank_hi
+       |  FROM ${id}nn),
+       |${id}nb AS (SELECT DISTINCT t.g, cc.bin, cc.cum_prev FROM ${id}t t JOIN ${id}cc cc
+       |    ON cc.g = t.g
+       |    AND ((t.rank_lo > cc.cum_prev AND t.rank_lo <= cc.cum_prev + cc.cnt)
+       |      OR (t.rank_hi > cc.cum_prev AND t.rank_hi <= cc.cum_prev + cc.cnt))),
+       |${id}s AS (SELECT b.g, b.v, nb.cum_prev
+       |    + ROW_NUMBER() OVER (PARTITION BY b.g, b.bin ORDER BY b.v) AS grank
+       |  FROM ${id}b b JOIN ${id}nb nb ON nb.g = b.g AND nb.bin = b.bin),
+       |${id}m AS (SELECT t.g,
+       |    MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END)
+       |      + (CAST(t.fr AS DOUBLE) / CAST(1000 AS DOUBLE))
+       |        * (MAX(CASE WHEN s.grank = t.rank_hi THEN s.v END)
+       |           - MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END)) AS cut
+       |  FROM ${id}t t JOIN ${id}s s ON s.g = t.g
+       |    AND (s.grank = t.rank_lo OR s.grank = t.rank_hi)
+       |  GROUP BY t.g, t.fr)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // median of v per type (chain m1), deviations, median of |v−med|
+    // (chain m2), then the 3·MAD flag count — every step the exact q34
+    // arithmetic
+    "aud_robust_outliers" ->
+      s"""WITH ${medianChain("m1", "events", "event_type", "value")},
+         |dev AS (SELECT b.g, b.v, m.cut AS med, abs(b.v - m.cut) AS ad
+         |  FROM m1b b JOIN m1m m ON m.g = b.g),
+         |${medianChain("m2", "dev", "g", "ad")}
+         |SELECT d.g AS event_type, COUNT(*) AS n, MIN(d.med) AS med,
+         |  MIN(m2.cut) AS mad,
+         |  CAST(SUM(CASE WHEN d.ad > 3 * m2.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM dev d JOIN m2m m2 ON m2.g = d.g
+         |GROUP BY d.g ORDER BY d.g""".stripMargin,
     "aud_dq_report" -> {
       // each branch mirrors one check's semantics; see AuditOps null
       // discipline (nulls fire only not_null checks)

@@ -133,6 +133,20 @@ class AuditOpsSpec extends SparkTestBase {
     assert(AuditOps.aucReport(perfect, col("s"), col("y")).collect()(0).getDouble(3) == 1.0)
   }
 
+  test("robustOutlierReport: median 5.5, MAD 2.5, only the planted extreme flagged") {
+    // 1..9 plus 1000: median = 5.5, |v-med| sorted has median 2.5; the
+    // z-score detector would be dragged by the 1000 (mean ~104, sigma
+    // ~297 -> nothing flags at z=3); MAD flags exactly the plant
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("grp", "v")
+    val r = AuditOps.robustOutlierReport(df, col("v"), "grp", k = 3).collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.5 && r.getDouble(3) == 2.5)
+    assert(r.getLong(4) == 1L)
+    // contrast: the mean/sigma detector is blinded by its own outlier
+    val z = AuditOps.outlierReport(df, "grp", "v", z = 3).collect()(0)
+    assert(z.getLong(2) == 0L, "z=3 should NOT flag (sigma dragged by the plant)")
+  }
+
   test("validation: unknown tables and duplicate check ids fail at the call site") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val e1 = intercept[IllegalArgumentException] {

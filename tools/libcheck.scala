@@ -247,6 +247,8 @@ def runLibcheck(): Unit = {
     events, col("value"), "event_type", 25, 975))
   check("AuditOps.aucReport")(AuditOps.aucReport(
     events, floor(col("value")), col("event_type") === "error"))
+  check("AuditOps.robustOutlierReport")(AuditOps.robustOutlierReport(
+    events, col("value"), "event_type"))
   // record linkage with a compound blocking key
   check("DedupOps.fuzzyPairs(blockOn)")(DedupOps.fuzzyPairs(docs,
     col("doc_id"), concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
