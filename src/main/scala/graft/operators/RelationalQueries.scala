@@ -269,6 +269,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("k_decile")),
 
+    // Spark 4 VARIANT path for the same JSON column: parse_json binary-
+    // encodes once, variant_get extracts lazily — no up-front schema, and
+    // at scale the open-format shredding beats re-parsing text per field
+    // (the from_json struct twin q29 needs the full DDL). Exact integer
+    // aggregates of the extracted field.
+    "q39_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", variant_get(parse_json(col("props")), "$.k", "long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
     // ---- scalar functions -------------------------------------------------
     "q13_string_part" -> ((s, d) =>
       t(s, d, "part")
@@ -542,6 +555,12 @@ object RelationalQueries {
       s"""SELECT CAST(CAST(props->>'k' AS INTEGER) // 10 AS INTEGER) AS k_decile,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_string_part" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS name_upper,
