@@ -115,5 +115,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CoinTrace(Cast(args(0), LongType), Cast(args(1), LongType),
           Cast(args(2), LongType), points, bias, Nil)
       }))
+    // write-side layout from SQL: the same bit-interleave LayoutOps.zorder16
+    // plans (pure integer arithmetic, whole-stage codegen'd via the
+    // built-in shift/and/add expressions)
+    e.injectFunction((FunctionIdentifier("graft_zorder16"),
+      info("graft_zorder16",
+        "_FUNC_(x, y) - 32-bit Z-order (bit-interleave) of the low 16 bits " +
+          "of two integer columns; ORDER BY it before writing for " +
+          "multi-dimensional min/max file pruning"),
+      (args: Seq[Expression]) => {
+        arity("graft_zorder16", 2, args)
+        import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, ShiftLeft, ShiftRight}
+        import org.apache.spark.sql.types.LongType
+        val (x, y) = (Cast(args(0), LongType), Cast(args(1), LongType))
+        (0 until 16).map { b =>
+          Add(
+            ShiftLeft(BitwiseAnd(ShiftRight(x, Literal(b)), Literal(1L)), Literal(2 * b)),
+            ShiftLeft(BitwiseAnd(ShiftRight(y, Literal(b)), Literal(1L)), Literal(2 * b + 1)))
+        }.reduce[Expression](Add(_, _))
+      }))
   }
 }

@@ -28,6 +28,15 @@ class FunctionsSpec extends SparkTestBase {
       assert(r.getLong(1) == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
       assert(r.getInt(2) == 2)
       assert(r.getDouble(3) == graft.core.DeterministicRng.uniform(42, 0, 7, 3))
+      // SQL zorder equals the LayoutOps column form on a known interleave:
+      // x=3 (bits 0,1), y=5 (bits 0,2) -> z = 1+4 | 2+32 = 39
+      val z = ext.sql("SELECT graft_zorder16(3, 5) AS z").collect()(0).getLong(0)
+      assert(z == 39L)
+      import ext.implicits._
+      val zc = Seq((3L, 5L)).toDF("x", "y")
+        .select(graft.operators.LayoutOps.zorder16(col("x"), col("y")).as("z"))
+        .collect()(0).getLong(0)
+      assert(zc == z, "SQL function and Column form must agree")
       // every family reachable from SQL, routed to its real backend
       val fam = ext.sql(
         """SELECT graft_rng_uniform('PCG64', 42L, 0L, 7L, 3L) AS pcg,
