@@ -44,7 +44,10 @@ object AuditOps {
       val id = s"nn_${table}_$column"
     }
     /** `columns` form a unique key of `table`; violations = surplus rows
-      * (total minus distinct key count). */
+      * (total minus distinct key count). A null key value counts as one
+      * key (Spark groupBy semantics — engines that drop nulls from
+      * COUNT(DISTINCT) diverge on null-keyed rows; pair with [[NotNull]]
+      * on the key columns, which is also what a real schema requires). */
     final case class UniqueKey(table: String, columns: Seq[String]) extends Check {
       require(columns.nonEmpty, s"UniqueKey($table) needs at least one column")
       val id = s"uk_${table}_${columns.mkString("_")}"

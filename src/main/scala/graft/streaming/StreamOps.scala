@@ -465,8 +465,17 @@ object StreamOps {
   def dqViolationsStream(events: DataFrame,
       checks: Seq[graft.operators.AuditOps.Check]): DataFrame = {
     require(checks.nonEmpty, "dqViolationsStream needs at least one check")
+    import graft.operators.AuditOps.Check._
+    val checkCols = checks.map {
+      case NotNull(_, c) => c
+      case InRange(_, c, _, _) => c
+      case AcceptedValues(_, c, _) => c
+      case other => throw new IllegalArgumentException(
+        s"check ${other.id} is not row-level (unique/FK checks need the full key space)")
+    }
     graft.operators.OpContract.requireCols(events, "StreamOps.dqViolationsStream",
-      (if (events.columns.contains("etime")) Nil else Seq("ts")): _*)
+      (checkCols ++
+        (if (events.columns.contains("etime")) Nil else Seq("ts"))).distinct: _*)
     val withTime =
       if (events.columns.contains("etime")) events
       else events.withColumn("etime", eventTime(col("ts")))
