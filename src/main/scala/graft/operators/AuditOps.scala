@@ -72,6 +72,14 @@ object AuditOps {
       require(values.nonEmpty, s"AcceptedValues($table.$column) needs a non-empty domain")
       val id = s"av_${table}_$column"
     }
+    /** `table` must hold between `lo` and `hi` rows (a delivery-size
+      * sanity gate); violations = how many rows short of `lo` or past
+      * `hi`. Rides the table's shared-scan aggregate for free (it only
+      * reads the count every fused block already computes). */
+    final case class RowCountBetween(table: String, lo: Long, hi: Long) extends Check {
+      require(0 <= lo && lo <= hi, s"RowCountBetween($table) needs 0 <= lo <= hi")
+      val id = s"rc_$table"
+    }
   }
   import Check._
 
@@ -119,24 +127,32 @@ object AuditOps {
       }
     }
 
-    // Row-level checks grouped per table -> ONE conditional-sum agg per table
-    // (k checks, one scan), then exploded back to one row per check.
+    // Row/table-level checks grouped per table -> ONE conditional-sum agg
+    // per table (k checks, one scan), then exploded back to one row per
+    // check. RowCountBetween contributes no agg of its own — it reads the
+    // count every fused block already computes.
     val rowLevel: Seq[DataFrame] = checks.collect {
-      case c @ (_: NotNull | _: InRange | _: AcceptedValues) => c
+      case c @ (_: NotNull | _: InRange | _: AcceptedValues | _: RowCountBetween) => c
     }.groupBy(_.table).toSeq.map { case (tname, cs) =>
       val df = tables(tname)
-      val aggs = cs.map { c =>
-        sum(when(violationOf(df, c), 1).otherwise(0)).as(s"v_${c.id}")
+      val aggs = cs.flatMap {
+        case _: RowCountBetween => Nil
+        case c => Seq(sum(when(violationOf(df, c), 1).otherwise(0)).as(s"v_${c.id}"))
       } :+ count(lit(1)).as("v_total")
       val one = df.agg(aggs.head, aggs.tail: _*)
-      cs.map { c =>
-        val (tgt, tpe) = c match {
-          case NotNull(_, col0) => (col0, "not_null")
-          case InRange(_, col0, _, _) => (col0, "in_range")
-          case AcceptedValues(_, col0, _) => (col0, "accepted_values")
-          case other => throw new MatchError(other)
-        }
-        one.select(report(c, tgt, coalesce(col(s"v_${c.id}"), lit(0)), col("v_total"), tpe): _*)
+      cs.map {
+        case c @ RowCountBetween(_, lo, hi) =>
+          one.select(report(c, s"[$lo,$hi]",
+            greatest(lit(lo) - col("v_total"), col("v_total") - lit(hi), lit(0)),
+            col("v_total"), "row_count"): _*)
+        case c =>
+          val (tgt, tpe) = c match {
+            case NotNull(_, col0) => (col0, "not_null")
+            case InRange(_, col0, _, _) => (col0, "in_range")
+            case AcceptedValues(_, col0, _) => (col0, "accepted_values")
+            case other => throw new MatchError(other)
+          }
+          one.select(report(c, tgt, coalesce(col(s"v_${c.id}"), lit(0)), col("v_total"), tpe): _*)
       }.reduce(_.unionByName(_))
     }
 

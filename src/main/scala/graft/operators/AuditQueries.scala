@@ -22,7 +22,9 @@ object AuditQueries {
     InRange("lineitem", "l_quantity", "1", "45"), // quantities run to 50 — fails
     InRange("part", "p_size", "1", "50"), // passes
     AcceptedValues("orders", "o_orderstatus", Seq("F", "O")), // P rows — fails
-    AcceptedValues("lineitem", "l_returnflag", Seq("A", "N", "R"))) // passes
+    AcceptedValues("lineitem", "l_returnflag", Seq("A", "N", "R")), // passes
+    RowCountBetween("region", 1, 100), // 5 regions — passes
+    RowCountBetween("nation", 1, 10)) // 25 nations — fails by 15
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -32,7 +34,8 @@ object AuditQueries {
     "aud_dq_report" -> ((s, d) =>
       AuditOps.dataQualityReport(
         Map("customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders"),
-          "lineitem" -> t(s, d, "lineitem"), "part" -> t(s, d, "part")),
+          "lineitem" -> t(s, d, "lineitem"), "part" -> t(s, d, "part"),
+          "region" -> t(s, d, "region"), "nation" -> t(s, d, "nation")),
         dqChecks).orderBy("check_id")),
 
     // Exact integer-arithmetic z=3 outliers of events.value per event type.
@@ -159,7 +162,11 @@ object AuditQueries {
           "COUNT(*)", "orders"),
         row("av_lineitem_l_returnflag", "accepted_values", "lineitem", "l_returnflag",
           "SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)",
-          "COUNT(*)", "lineitem"))
+          "COUNT(*)", "lineitem"),
+        row("rc_region", "row_count", "region", "[1,100]",
+          "GREATEST(1 - COUNT(*), COUNT(*) - 100, 0)", "COUNT(*)", "region"),
+        row("rc_nation", "row_count", "nation", "[1,10]",
+          "GREATEST(1 - COUNT(*), COUNT(*) - 10, 0)", "COUNT(*)", "nation"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY check_id")
     },
 

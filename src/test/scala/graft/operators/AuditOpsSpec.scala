@@ -48,8 +48,16 @@ class AuditOpsSpec extends SparkTestBase {
     val got = report(Seq(
       NotNull("child", "id"),
       InRange("child", "id", "1", "3"),
-      AcceptedValues("child", "id", Seq("1", "2", "3"))))
+      AcceptedValues("child", "id", Seq("1", "2", "3")),
+      RowCountBetween("child", 1, 10)))
     assert(got.values.forall { case (v, t, p) => v == 0L && t == 4L && p == 1L })
+  }
+
+  test("RowCountBetween: violations measure the distance outside the bounds") {
+    val short = report(Seq(RowCountBetween("child", 6, 10)))("rc_child")
+    assert(short == ((2L, 4L, 0L)), "4 rows vs [6,10] -> 2 short")
+    val long = report(Seq(RowCountBetween("child", 1, 3)))("rc_child")
+    assert(long == ((1L, 4L, 0L)), "4 rows vs [1,3] -> 1 over")
   }
 
   test("dataQualityReport: row-level checks on one table share a single scan") {
