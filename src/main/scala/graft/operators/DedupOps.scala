@@ -720,8 +720,11 @@ object DedupOps {
       .foldLeft(col("a.blk") === col("b.blk"))(_ && _)
     probes.as("a").join(keyed.as("b"), blockEq && col("a.id") < col("b.id"))
       .filter(abs(col("a.len") - col("b.len")) <= k)
-      .withColumn("dist", levenshtein(col("a.key"), col("b.key")))
-      .filter(col("dist") <= k)
+      // threshold form runs the banded O(k·|key|) DP and returns -1 past
+      // the bound — the verify never pays the full O(|key|²) matrix for
+      // the (vast majority of) candidates that miss
+      .withColumn("dist", levenshtein(col("a.key"), col("b.key"), k))
+      .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("dist").cast("long").as("dist"))
   }
