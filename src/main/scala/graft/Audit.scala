@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{AuditOps, Tables}
+import graft.operators.AuditOps.Check._
+
+/** One-command data-quality audit — the ops-facing sibling of
+  * [[Pipeline]]: run the declarative constraint suite over the star
+  * schema, then the numeric detectors (exact z-score, robust median/MAD,
+  * sequential arrival-order anomalies) and the AUC ranking audit over the
+  * event stream, printing one JSON line per result row plus a final
+  * summary with the failed-check count (non-zero exit if any structural
+  * check fails — the scheduler contract).
+  *
+  *   sbt "runMain graft.Audit <sfDir>"
+  *
+  * Every number printed here is produced by the same gate-pinned
+  * operators the DuckDB oracle hash-checks; this main only composes them.
+  */
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String) = Tables.t(spark, sfDir, name)
+
+    val dq = AuditOps.dataQualityReport(
+      Map("customer" -> t("customer"), "orders" -> t("orders"),
+        "lineitem" -> t("lineitem"), "part" -> t("part"),
+        "supplier" -> t("supplier"), "region" -> t("region"),
+        "nation" -> t("nation")),
+      Seq(
+        NotNull("customer", "c_name"), NotNull("orders", "o_custkey"),
+        NotNull("lineitem", "l_shipdate"),
+        UniqueKey("orders", Seq("o_orderkey")),
+        UniqueKey("part", Seq("p_partkey")),
+        // the generator reuses (orderkey, linenumber) — the real unique key
+        // of this corpus includes the part and supplier (the gate's
+        // aud_dq_report keeps the 2-column form as its failing-check demo)
+        UniqueKey("lineitem", Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+        FkIntegrity("orders", "o_custkey", "customer", "c_custkey"),
+        FkIntegrity("lineitem", "l_partkey", "part", "p_partkey"),
+        FkIntegrity("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        FkIntegrity("nation", "n_regionkey", "region", "r_regionkey"),
+        InRange("lineitem", "l_discount", "0", "1"),
+        InRange("part", "p_size", "1", "50"),
+        AcceptedValues("lineitem", "l_returnflag", Seq("A", "N", "R")),
+        AcceptedValues("orders", "o_orderstatus", Seq("F", "O", "P")),
+        RowCountBetween("region", 1, 1000)))
+      .orderBy("check_id").collect()
+    dq.foreach { r =>
+      println(s"""{"check":"${r.getString(0)}","type":"${r.getString(1)}",""" +
+        s""""table":"${r.getString(2)}","target":"${r.getString(3)}",""" +
+        s""""violations":${r.getLong(4)},"total":${r.getLong(5)},"passed":${r.getLong(6) == 1L}}""")
+    }
+
+    val ev = t("events")
+    AuditOps.outlierReport(ev, "event_type", "value", z = 3)
+      .orderBy("grp").collect().foreach { r =>
+        println(s"""{"detector":"zscore","group":"${r.getString(0)}",""" +
+          s""""n":${r.getLong(1)},"outliers":${r.getLong(2)}}""")
+      }
+    AuditOps.robustOutlierReport(ev, col("value"), "event_type")
+      .orderBy("event_type").collect().foreach { r =>
+        println(s"""{"detector":"mad","group":"${r.getString(0)}","n":${r.getLong(1)},""" +
+          s""""med":${r.getDouble(2)},"mad":${r.getDouble(3)},"flagged":${r.getLong(4)}}""")
+      }
+    AuditOps.anomalyReport(ev, "event_type", "ts", "event_id", "value")
+      .orderBy("grp").collect().foreach { r =>
+        println(s"""{"detector":"sequential","group":"${r.getString(0)}",""" +
+          s""""scored":${r.getLong(1)},"anomalies":${r.getLong(2)}}""")
+      }
+    val auc = AuditOps.aucReport(ev, floor(col("value")), col("event_type") === "error")
+      .collect()(0)
+    println(s"""{"detector":"auc","n":${auc.getLong(0)},"n_pos":${auc.getLong(1)},""" +
+      s""""auc":${if (auc.isNullAt(3)) "null" else auc.getDouble(3)}}""")
+
+    val failed = dq.count(_.getLong(6) == 0L)
+    println(s"""{"audit":"done","checks":${dq.length},"failed":$failed}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

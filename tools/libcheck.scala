@@ -249,6 +249,14 @@ def runLibcheck(): Unit = {
     events, floor(col("value")), col("event_type") === "error"))
   check("AuditOps.robustOutlierReport")(AuditOps.robustOutlierReport(
     events, col("value"), "event_type"))
+  locally {
+    import spark.implicits._
+    check("StreamOps.anomalyStream (batch run)")(
+      StreamOps.anomalyStream(events.select(col("event_type").as("grp"),
+        col("ts").as("ord"), col("event_id").as("id"),
+        floor(col("value")).cast("long").as("x")).as[StreamOps.AnomRow])
+        .toDF("grp", "id", "x"))
+  }
   // record linkage with a compound blocking key
   check("DedupOps.fuzzyPairs(blockOn)")(DedupOps.fuzzyPairs(docs,
     col("doc_id"), concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
