@@ -54,6 +54,36 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("snapshotDiff over doc_id-bucketed snapshots: ZERO exchanges end-to-end") {
+    // the dataset-versioning audit on the layout a versioned corpus store
+    // would use: per-side digest aggregation AND the full-outer join all
+    // inherit the buckets' hash distribution — no shuffle anywhere
+    val docs = Tables.t(spark, sfDir, "documents")
+    val changed = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+        .otherwise(col("text")))
+      .filter(col("doc_id") % 17 =!= 0) // some removals too
+    LayoutOps.writeBucketed(docs, "b_snap_old", Seq("doc_id"), 4)
+    LayoutOps.writeBucketed(changed, "b_snap_new", Seq("doc_id"), 4)
+    try {
+      val diff = DedupOps.snapshotDiff(spark.table("b_snap_old"), spark.table("b_snap_new"))
+      val plan = withNoBroadcast(diff.queryExecution.executedPlan.toString)
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshotDiff should plan no exchange at all:\n$plan")
+      // and the verdict equals the plain-parquet run
+      val want = DedupOps.snapshotDiff(docs, changed)
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = diff.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"bucketed diff diverges: $got vs $want")
+      assert(got.getOrElse("changed", 0L) > 0 && got.getOrElse("removed", 0L) > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_snap_old")
+      spark.sql("DROP TABLE IF EXISTS b_snap_new")
+    }
+  }
+
   private def withNoBroadcast[A](body: => A): A = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
