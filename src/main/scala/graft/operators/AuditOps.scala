@@ -261,6 +261,40 @@ object AuditOps {
           .as("auc"))
   }
 
+  /** Per-group [[aucReport]] — the data-card form (one AUC row per source/
+    * domain/shard). Same distinct-score-group construction, but the
+    * cumulative window partitions by the group key, so groups rank in
+    * parallel and no global single-partition window exists — this is also
+    * the shape to prefer at extreme score cardinality.
+    */
+  def aucReportBy(df: DataFrame, scoreCol: Column, labelCol: Column,
+      groupCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.aucReportBy", groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull)
+      .select(col(groupCol).as("grp"), scoreCol.as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    ranked.groupBy("grp").agg(
+      sum(col("cnt")).cast(dec).as("n"),
+      sum(col("pos")).cast(dec).as("p"),
+      sum(col("pos").cast(dec) *
+        (lit(2) * col("cum") + col("cnt") + lit(1)).cast(dec)).as("s2x"))
+      .select(col("grp"),
+        col("n").cast("long").as("n"),
+        col("p").cast("long").as("n_pos"),
+        (col("n") - col("p")).cast("long").as("n_neg"),
+        when(col("p") > 0 && col("n") - col("p") > 0,
+          (col("s2x") - col("p") * (col("p") + lit(1))).cast("double") /
+            (lit(2).cast(dec) * col("p") * (col("n") - col("p"))).cast("double"))
+          .as("auc"))
+  }
+
   /** Winsorization — the TREAT step after [[outlierReport]]'s detect: clip
     * each group's values into its exact `[loPermille, hiPermille]`
     * percentiles (quantile_cont definition, computed by

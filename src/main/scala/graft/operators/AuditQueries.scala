@@ -71,7 +71,14 @@ object AuditQueries {
     // exact sketch-refine percentiles broadcast back as model state.
     "aud_robust_outliers" -> ((s, d) =>
       AuditOps.robustOutlierReport(t(s, d, "events"), col("value"), "event_type")
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // Data-card AUC: does document length rank English docs, per source?
+    // (groups rank in parallel — the window partitions by source)
+    "aud_auc_by_source" -> ((s, d) =>
+      AuditOps.aucReportBy(t(s, d, "documents"), col("n_chars"),
+          col("lang") === "en", "source")
+        .orderBy("grp")))
 
   /** One instance of the q34 exact-median CTE chain (permille 500,
     * binWidth 1024, bins 1024 — the [[AuditOps.robustOutlierReport]]
@@ -264,5 +271,21 @@ object AuditQueries {
         |  CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
         |  CAST(SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
         |    / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE) AS auc
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    // same construction with the window partitioned by source; the NULL
+    // branch mirrors the op's one-class guard
+    "aud_auc_by_source" ->
+      """WITH b AS (SELECT source AS grp, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY grp, s),
+        |r AS (SELECT grp, s, cnt, pos, COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g)
+        |SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(pos) > 0 AND SUM(cnt) - SUM(pos) > 0 THEN
+        |    CAST(SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+        |      / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE)
+        |  END AS auc
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin)
 }

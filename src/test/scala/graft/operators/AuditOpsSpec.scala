@@ -155,6 +155,24 @@ class AuditOpsSpec extends SparkTestBase {
     assert(z.getLong(2) == 0L, "z=3 should NOT flag (sigma dragged by the plant)")
   }
 
+  test("aucReportBy: each group's row equals the global op run on that group alone") {
+    val df = Seq(("a", 1, false), ("a", 2, true), ("a", 3, true), ("a", 3, false),
+      ("b", 5, true), ("b", 5, true), // group b: one class only -> NULL auc
+      ("c", 1, false), ("c", 9, true))
+      .toDF("src", "s", "y")
+    val got = AuditOps.aucReportBy(df, col("s"), col("y"), "src")
+      .orderBy("grp").collect()
+    got.foreach { r =>
+      val alone = AuditOps.aucReport(df.filter(col("src") === r.getString(0)),
+        col("s"), col("y")).collect()(0)
+      assert(r.getLong(1) == alone.getLong(0) && r.getLong(2) == alone.getLong(1))
+      if (alone.isNullAt(3)) assert(r.isNullAt(4))
+      else assert(r.getDouble(4) == alone.getDouble(3))
+    }
+    assert(got.find(_.getString(0) == "b").get.isNullAt(4))
+    assert(got.find(_.getString(0) == "c").get.getDouble(4) == 1.0)
+  }
+
   test("validation: unknown tables and duplicate check ids fail at the call site") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val e1 = intercept[IllegalArgumentException] {
