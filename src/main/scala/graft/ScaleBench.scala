@@ -333,7 +333,18 @@ object ScaleBench {
             UniqueKey("events", Seq("event_id"))))
       }),
       "aud_anomaly_cum" -> ((s: SparkSession, d: String, _: Double) =>
-        SparkEntry.queries("aud_anomaly_cum")(s, d)))
+        SparkEntry.queries("aud_anomaly_cum")(s, d)),
+      // treat step (two sketch-refine percentile passes + broadcast-clip
+      // scan — each pass counter-agg-bound) and the distinct-score-group
+      // AUC (one hash agg + a window over groups, data never sorts)
+      "aud_winsorize" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.winsorize(
+          s.read.parquet(s"$d/events.parquet"), col("value"),
+          "event_type", 25, 975)),
+      "aud_auc" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.aucReport(
+          graft.operators.Tables.normalizeTs(s.read.parquet(s"$d/events.parquet")),
+          floor(col("value")), col("event_type") === "error")))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
