@@ -63,15 +63,16 @@ object Audit {
     }
 
     val ev = t("events")
-    AuditOps.outlierReport(ev, "event_type", "value", z = 3)
-      .orderBy("grp").collect().foreach { r =>
-        println(s"""{"detector":"zscore","group":"${r.getString(0)}",""" +
-          s""""n":${r.getLong(1)},"outliers":${r.getLong(2)}}""")
-      }
-    AuditOps.robustOutlierReport(ev, col("value"), "event_type")
+    // fused single-pass suite: z-score + median/MAD + winsorize out of 5
+    // scans instead of the three ops' ~10 (r8; AuditOpsSpec pins equality
+    // with the separate gate-pinned detectors)
+    AuditOps.numericAuditReport(ev, col("value"), "event_type")
       .orderBy("event_type").collect().foreach { r =>
-        println(s"""{"detector":"mad","group":"${r.getString(0)}","n":${r.getLong(1)},""" +
-          s""""med":${r.getDouble(2)},"mad":${r.getDouble(3)},"flagged":${r.getLong(4)}}""")
+        println(s"""{"detector":"fused","group":"${r.getString(0)}",""" +
+          s""""n":${r.getLong(1)},"z_outliers":${r.getLong(2)},""" +
+          s""""med":${r.getDouble(5)},"mad":${r.getDouble(6)},""" +
+          s""""mad_flagged":${r.getLong(7)},"clip_lo":${r.getLong(10)},""" +
+          s""""clip_hi":${r.getLong(11)}}""")
       }
     AuditOps.anomalyReport(ev, "event_type", "ts", "event_id", "value")
       .orderBy("grp").collect().foreach { r =>

@@ -63,8 +63,16 @@ object Pipeline {
       AuditOps.Check.UniqueKey("documents", Seq("doc_id")),
       AuditOps.Check.InRange("documents", "n_chars", "1", "1000000")))
       .collect()
-    println(s"""{"stage":"dq_gate","checks":${dq.length},"failed":${
-      dq.count(_.getLong(6) == 0L)}}""")
+    val dqFailed = dq.count(_.getLong(6) == 0L)
+    println(s"""{"stage":"dq_gate","checks":${dq.length},"failed":$dqFailed}""")
+    // fail FAST, like the Audit CLI: a failed structural check means the
+    // upstream delivery is broken — abort instead of laundering it through
+    // dedup and publish (ADVICE r7)
+    if (dqFailed > 0) {
+      System.err.println(s"[pipeline] dq gate failed $dqFailed check(s); aborting")
+      spark.stop()
+      sys.exit(1)
+    }
 
     // 1. cross-corpus decontamination (benchmark = every 50th doc, the
     //    gate convention; swap in the real eval set in production)

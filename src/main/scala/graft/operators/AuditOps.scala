@@ -128,9 +128,13 @@ object AuditOps {
     }
 
     // Row/table-level checks grouped per table -> ONE conditional-sum agg
-    // per table (k checks, one scan), then exploded back to one row per
-    // check. RowCountBetween contributes no agg of its own — it reads the
-    // count every fused block already computes.
+    // per table (k checks, one scan). The k result rows are EXPLODED from
+    // the single fused agg row — NOT unioned per-check selects, which
+    // column pruning would split back into k independent aggregates each
+    // with its own scan (found by the r7-ADVICE physical-plan pin: the
+    // old union shape really did scan once per check). RowCountBetween
+    // contributes no agg of its own — it reads the count every fused
+    // block already computes.
     val rowLevel: Seq[DataFrame] = checks.collect {
       case c @ (_: NotNull | _: InRange | _: AcceptedValues | _: RowCountBetween) => c
     }.groupBy(_.table).toSeq.map { case (tname, cs) =>
@@ -140,9 +144,9 @@ object AuditOps {
         case c => Seq(sum(when(violationOf(df, c), 1).otherwise(0)).as(s"v_${c.id}"))
       } :+ count(lit(1)).as("v_total")
       val one = df.agg(aggs.head, aggs.tail: _*)
-      cs.map {
+      val rows = cs.map {
         case c @ RowCountBetween(_, lo, hi) =>
-          one.select(report(c, s"[$lo,$hi]",
+          struct(report(c, s"[$lo,$hi]",
             greatest(lit(lo) - col("v_total"), col("v_total") - lit(hi), lit(0)),
             col("v_total"), "row_count"): _*)
         case c =>
@@ -152,8 +156,10 @@ object AuditOps {
             case AcceptedValues(_, col0, _) => (col0, "accepted_values")
             case other => throw new MatchError(other)
           }
-          one.select(report(c, tgt, coalesce(col(s"v_${c.id}"), lit(0)), col("v_total"), tpe): _*)
-      }.reduce(_.unionByName(_))
+          struct(report(c, tgt, coalesce(col(s"v_${c.id}"), lit(0)),
+            col("v_total"), tpe): _*)
+      }
+      one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }
 
     val keyed: Seq[DataFrame] = checks.collect {
@@ -232,18 +238,50 @@ object AuditOps {
     * result is bit-identical in any engine.
     *
     * Scale shape: the data pass is one map-side-combined aggregation to
-    * ≤|distinct scores| rows; the window runs over those GROUPS (sorted
-    * once), not the data. AUC is NULL when either class is empty.
+    * ≤|distinct scores| rows; the cumulative count then runs BANDED
+    * (r8, after VERDICT r7 flagged the original global `Window.orderBy(s)`
+    * — one task sorting every distinct score once scores are continuous):
+    * distinct scores are bucketed into ≤4097 range bands by a monotone
+    * map `floor((s − lo)/((hi − lo)/4096))` (banding is an execution
+    * detail — ANY monotone bucketing composes the same exact integer
+    * prefix sums, so the band boundaries' FP has no output effect), the
+    * across-band prefix comes from a broadcast join over the ≤4097-row
+    * band-total table (bounded; no unpartitioned WindowExec anywhere in
+    * the plan — PlanSpec pins this), and the within-band window
+    * partitions by band. Pathologically concentrated scores (most mass
+    * inside one 1/4096th of the range) degrade toward a single band —
+    * [[aucReportBy]] remains the shape to prefer when a grouping key
+    * exists. AUC is NULL when either class is empty.
     */
   def aucReport(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     val g = df.filter(scoreCol.isNotNull)
       .select(scoreCol.as("s"), when(labelCol, 1L).otherwise(0L).as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    // adaptive monotone banding over the observed score range (1-row
+    // scalar crossJoin — the q6 pattern); hi == lo (or a single distinct
+    // score) collapses to band 0
+    val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val banded = g.crossJoin(broadcast(mm))
+      .withColumn("band", when(col("hi") > col("lo"),
+          floor((col("s") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(4096.0))))
+        .otherwise(lit(0L)))
+      .drop("lo", "hi")
+    val bandTot = banded.groupBy("band").agg(sum(col("cnt")).as("bcnt"))
+    // across-band exclusive prefix: bounded ≤4097×4097 broadcast
+    // theta-join instead of an unpartitioned window
+    val pref = bandTot.select(col("band"), col("bcnt"))
+      .join(broadcast(bandTot.select(col("band").as("pb"), col("bcnt").as("pcnt"))),
+        col("pb") < col("band"), "left")
+      .groupBy("band").agg(coalesce(sum(col("pcnt")), lit(0L)).as("bpre"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val ranked = g.withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val ranked = banded.join(broadcast(pref), Seq("band"))
+      .withColumn("cum",
+        col("bpre") + coalesce(sum(col("cnt")).over(w), lit(0L)))
     // decimal(38,0) keeps the rank sum exact out to ~1e18-row inputs; the
     // ONLY floating-point op is the final num/denom division of two
     // correctly-rounded exact integers — engine-identical
@@ -337,6 +375,94 @@ object AuditOps {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Single-pass fused numeric audit — [[outlierReport]] (exact z-score),
+    * [[robustOutlierReport]] (median/MAD) and [[winsorize]] (percentile
+    * clip) over the SAME (group, value) in one report row per group,
+    * column-for-column equal to running the three ops separately
+    * (AuditOpsSpec pins the equality). Built because `graft.Audit` runs
+    * the detectors as a suite, where the separate ops paid ~10 scans of
+    * the same numeric column; the fusion pays 5:
+    *
+    *   pass 1 (one scan): per-(group, bin) COUNTERS AND MOMENTS together —
+    *     cnt for the quantile sketch, Σfloor(v), Σfloor(v)² as
+    *     DECIMAL(38,0) for the z-verdict (second-level agg over bins gives
+    *     the group stats exactly: decimal sums are associative);
+    *   pass 2 (pruned): ONE [[SketchOps.refineFromCounts]] ranking pass
+    *     serves all three percentiles (lo, median, hi);
+    *   passes 3+4: the MAD refinement over |v − median| (inherently
+    *     sequential — deviations need the median);
+    *   pass 5 (one scan): every verdict, clip count and the winsorized
+    *     decimal sum out of ONE broadcast-model join.
+    *
+    * FP/overflow discipline inherited piecewise from the three parents:
+    * the z-verdict is exact integer arithmetic with the loud overflow
+    * guard; cutoffs are engine-exact interpolated percentiles; the
+    * winsorized sum casts each clipped double to DECIMAL(28,6) before the
+    * order-independent accumulation.
+    */
+  def numericAuditReport(df: DataFrame, valCol: Column, groupCol: String,
+      z: Int = 3, kMad: Int = 3, loPermille: Int = 25, hiPermille: Int = 975,
+      binWidth: Long = 1024L, bins: Int = 1024): DataFrame = {
+    require(z >= 1, s"numericAuditReport needs z >= 1, got $z")
+    require(kMad >= 1, s"numericAuditReport needs kMad >= 1, got $kMad")
+    require(0 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo < hi <= 1000 permille, got ($loPermille, $hiPermille)")
+    require(binWidth >= 1 && (binWidth & (binWidth - 1)) == 0,
+      s"binWidth must be a power of two, got $binWidth")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dec28 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    def binOf(c: Column) =
+      least(greatest(floor(c / binWidth).cast("long"), lit(0L)), lit(bins - 1L))
+    val binned = df.filter(valCol.isNotNull)
+      .select(col(groupCol).as("g"), binOf(valCol).as("bin"),
+        valCol.cast("double").as("v"), floor(valCol).cast(dec).as("x"))
+    // pass 1: counters + moments fused
+    val counts = binned.groupBy("g", "bin").agg(count(lit(1)).as("cnt"),
+      sum(col("x")).as("bsx"), sum(col("x") * col("x")).as("bsx2"))
+    val stats = counts.groupBy("g").agg(
+      sum(col("cnt")).cast(dec).as("n"),
+      sum(col("bsx")).as("s"), sum(col("bsx2")).as("s2"))
+    // pass 2: one pruned ranking pass for all three percentiles
+    val cuts = SketchOps.refineFromCounts(binned.select("g", "bin", "v"),
+        counts.select("g", "bin", "cnt"), Seq(loPermille, 500, hiPermille))
+      .groupBy("g").agg(
+        min(when(col("p") === loPermille, col("exact_value"))).as("lo_cut"),
+        min(when(col("p") === 500, col("exact_value"))).as("med"),
+        max(when(col("p") === hiPermille, col("exact_value"))).as("hi_cut"))
+    // passes 3+4: MAD — median of |v − med|
+    val dev = binned.join(broadcast(cuts.select(col("g"), col("med"))), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("ad"))
+      .select(col("g"), binOf(col("ad")).as("bin"), col("ad").as("v"))
+    val mad = SketchOps.refineFromCounts(dev,
+        dev.groupBy("g", "bin").agg(count(lit(1)).as("cnt")), Seq(500))
+      .select(col("g"), col("exact_value").as("mad"))
+    // pass 5: one verdict scan against the broadcast per-group model
+    val model = stats.join(cuts, Seq("g")).join(mad, Seq("g"))
+    val lhs = (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+    val rhs = lit(z * z).cast(dec) * (col("n") * col("s2") - col("s") * col("s"))
+    val zflag = when(lhs.isNotNull && rhs.isNotNull, lhs > rhs)
+      .otherwise(raise_error(lit("AuditOps.numericAuditReport: DECIMAL(38,0)" +
+        " overflow in the z-score verdict — n*max|floor(value)| must stay" +
+        " below 1e19; rescale the value column first")).cast("boolean"))
+    val ad = abs(col("v") - col("med"))
+    binned.join(broadcast(model), Seq("g"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(zflag, 1).otherwise(0)).cast("long").as("n_outliers"),
+        min(when(zflag, col("x").cast("long"))).as("min_outlier"),
+        max(when(zflag, col("x").cast("long"))).as("max_outlier"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(ad > lit(kMad) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_flagged"),
+        min(col("lo_cut")).as("lo_cut"), min(col("hi_cut")).as("hi_cut"),
+        sum(when(col("v") < col("lo_cut"), 1).otherwise(0)).cast("long").as("n_clip_lo"),
+        sum(when(col("v") > col("hi_cut"), 1).otherwise(0)).cast("long").as("n_clip_hi"),
+        sum(least(greatest(col("v"), col("lo_cut")), col("hi_cut")).cast(dec28))
+          .cast("double").as("win_sum"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Per-row SEQUENTIAL (prequential) anomaly verdicts: row i is anomalous
     * iff its floor-value deviates more than `z` sigma from the statistics
     * of all PRIOR rows in its group, in `(orderCol, idCol)` order — the
@@ -374,9 +500,19 @@ object AuditOps {
     val lhs = (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
     val rhs = lit(z * z).cast(dec) * (col("n") * col("s2") - col("s") * col("s"))
     st.withColumn("scored", col("n") >= lit(minPrior))
-      // first row per group has NULL window sums: scored is false there, so
-      // coalesce never reaches the null comparison
-      .withColumn("is_anomaly", col("scored") && coalesce(lhs > rhs, lit(false)))
+      // first rows per group have NULL window sums: scored is false there,
+      // so the verdict branch never sees them. PAST that, a NULL lhs/rhs
+      // can only mean DECIMAL(38,0) overflow (precondition: (n·|x|)² and
+      // z²·n·S2 under 38 digits, i.e. n·max|floor(v)| < 1e19) — fail
+      // LOUDLY like DuckDB's HUGEINT instead of silently reading NULL as
+      // "not an anomaly" (ADVICE r7); the streaming twin's BigInt state
+      // never overflows
+      .withColumn("is_anomaly", when(!col("scored"), lit(false))
+        .otherwise(when(lhs.isNotNull && rhs.isNotNull, lhs > rhs)
+          .otherwise(raise_error(lit("AuditOps.anomalyVerdicts: DECIMAL(38,0)" +
+            " overflow in the z-score verdict — n*max|floor(value)| must stay" +
+            " below 1e19; rescale the value column or use anomalyStream"))
+            .cast("boolean"))))
       .select(col("grp"), col("id"), col("x").cast("long").as("x"),
         col("scored"), col("is_anomaly"))
   }
@@ -401,7 +537,11 @@ object AuditOps {
     * test rewrites to `(n*x - S)^2 > z^2 * (n*S2 - S^2)` over exact
     * integer sums (S = sum x, S2 = sum x^2) carried as DECIMAL(38,0), so
     * the verdict is bit-identical in any engine — no sqrt, no division,
-    * no rounding to reconcile.
+    * no rounding to reconcile. Precondition: `(n·x − S)²` must fit 38
+    * digits — `n · max|floor(v)| < 1e19` (e.g. 1e11 rows of |v| ≤ 1e8).
+    * Past it, Spark's non-ANSI decimal arithmetic yields NULL where
+    * DuckDB's HUGEINT errors — so the verdict raises loudly on overflow
+    * instead of silently classifying NULL as "not an outlier" (ADVICE r7).
     *
     * Two passes, both scan-bound: (1) per-group (n, S, S2) — a partial-agg
     * shuffle of one row per group; (2) re-scan joined against the
@@ -421,12 +561,18 @@ object AuditOps {
       sum(col("x") * col("x")).as("s2"))
     val lhs = (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
     val rhs = lit(z * z).cast(dec) * (col("n") * col("s2") - col("s") * col("s"))
+    // x and the stats are non-null by construction, so a NULL lhs/rhs can
+    // only mean decimal overflow — raise, don't count as clean (ADVICE r7)
+    val verdict = when(lhs.isNotNull && rhs.isNotNull, lhs > rhs)
+      .otherwise(raise_error(lit("AuditOps.outlierReport: DECIMAL(38,0)" +
+        " overflow in the z-score verdict — n*max|floor(value)| must stay" +
+        " below 1e19; rescale the value column first")).cast("boolean"))
     base.join(broadcast(stats), Seq("grp"))
       .groupBy("grp")
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(lhs > rhs, 1).otherwise(0)).cast("long").as("n_outliers"),
-        max(when(lhs > rhs, col("x").cast("long"))).as("max_outlier"),
-        min(when(lhs > rhs, col("x").cast("long"))).as("min_outlier"))
+        sum(when(verdict, 1).otherwise(0)).cast("long").as("n_outliers"),
+        max(when(verdict, col("x").cast("long"))).as("max_outlier"),
+        min(when(verdict, col("x").cast("long"))).as("min_outlier"))
   }
 }

@@ -78,14 +78,24 @@ object AuditQueries {
     "aud_auc_by_source" -> ((s, d) =>
       AuditOps.aucReportBy(t(s, d, "documents"), col("n_chars"),
           col("lang") === "en", "source")
-        .orderBy("grp")))
+        .orderBy("grp")),
 
-  /** One instance of the q34 exact-median CTE chain (permille 500,
-    * binWidth 1024, bins 1024 — the [[AuditOps.robustOutlierReport]]
-    * defaults), over CTE/table `src` with group `grpCol` and value
-    * `valCol`; emits CTEs prefixed `$id`, final `${id}m(g, cut)`.
+    // The fused suite: z-outliers + median/MAD + winsorize over
+    // events.value in 5 scans instead of ~10 (AuditOpsSpec pins equality
+    // with the three separate ops; same exact-arithmetic oracle pieces).
+    "aud_combined" -> ((s, d) =>
+      AuditOps.numericAuditReport(t(s, d, "events"), col("value"), "event_type",
+          z = 3, kMad = 3, loPermille = 25, hiPermille = 975)
+        .orderBy("event_type")))
+
+  /** One instance of the q34 exact-percentile CTE chain (binWidth 1024,
+    * bins 1024 — the [[AuditOps]] defaults) at the given integer
+    * permilles, over CTE/table `src` with group `grpCol` and value
+    * `valCol`; emits CTEs prefixed `$id`, final `${id}q(g, p, cut)`
+    * (plus `${id}b(g, bin, v)` for downstream re-scans).
     */
-  private def medianChain(id: String, src: String, grpCol: String, valCol: String): String =
+  private def quantileChain(id: String, src: String, grpCol: String,
+      valCol: String, ps: Seq[Int]): String =
     s"""${id}b AS (SELECT $grpCol AS g,
        |    least(greatest(CAST(floor($valCol / 1024) AS BIGINT), 0), 1023) AS bin,
        |    CAST($valCol AS DOUBLE) AS v FROM $src WHERE $valCol IS NOT NULL),
@@ -93,11 +103,11 @@ object AuditQueries {
        |${id}cc AS (SELECT g, bin, cnt, COALESCE(CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev FROM ${id}c),
        |${id}nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM ${id}c GROUP BY g),
-       |${id}t AS (SELECT g, n, ((n - 1) * 500) % 1000 AS fr,
-       |    ((n - 1) * 500) // 1000 + 1 AS rank_lo,
-       |    ((n - 1) * 500) // 1000
-       |      + CASE WHEN ((n - 1) * 500) % 1000 > 0 THEN 2 ELSE 1 END AS rank_hi
-       |  FROM ${id}nn),
+       |${id}t AS (SELECT nn.g, qs.p, nn.n, ((nn.n - 1) * qs.p) % 1000 AS fr,
+       |    ((nn.n - 1) * qs.p) // 1000 + 1 AS rank_lo,
+       |    ((nn.n - 1) * qs.p) // 1000
+       |      + CASE WHEN ((nn.n - 1) * qs.p) % 1000 > 0 THEN 2 ELSE 1 END AS rank_hi
+       |  FROM ${id}nn nn, (SELECT unnest([${ps.mkString(", ")}]) AS p) qs),
        |${id}nb AS (SELECT DISTINCT t.g, cc.bin, cc.cum_prev FROM ${id}t t JOIN ${id}cc cc
        |    ON cc.g = t.g
        |    AND ((t.rank_lo > cc.cum_prev AND t.rank_lo <= cc.cum_prev + cc.cnt)
@@ -105,14 +115,22 @@ object AuditQueries {
        |${id}s AS (SELECT b.g, b.v, nb.cum_prev
        |    + ROW_NUMBER() OVER (PARTITION BY b.g, b.bin ORDER BY b.v) AS grank
        |  FROM ${id}b b JOIN ${id}nb nb ON nb.g = b.g AND nb.bin = b.bin),
-       |${id}m AS (SELECT t.g,
+       |${id}q AS (SELECT t.g, t.p,
        |    MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END)
        |      + (CAST(t.fr AS DOUBLE) / CAST(1000 AS DOUBLE))
        |        * (MAX(CASE WHEN s.grank = t.rank_hi THEN s.v END)
        |           - MAX(CASE WHEN s.grank = t.rank_lo THEN s.v END)) AS cut
        |  FROM ${id}t t JOIN ${id}s s ON s.g = t.g
        |    AND (s.grank = t.rank_lo OR s.grank = t.rank_hi)
-       |  GROUP BY t.g, t.fr)""".stripMargin
+       |  GROUP BY t.g, t.p, t.fr)""".stripMargin
+
+  /** The single-permille (median) form of [[quantileChain]]; emits the
+    * same CTEs plus `${id}m(g, cut)`.
+    */
+  private def medianChain(id: String, src: String, grpCol: String, valCol: String): String =
+    quantileChain(id, src, grpCol, valCol, Seq(500)) +
+      s""",
+         |${id}m AS (SELECT g, MIN(cut) AS cut FROM ${id}q GROUP BY g)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // median of v per type (chain m1), deviations, median of |v−med|
@@ -272,6 +290,43 @@ object AuditQueries {
         |  CAST(SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
         |    / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE) AS auc
         |FROM r""".stripMargin,
+
+    // the fused report mirrored piece-for-piece: the q34 chain at
+    // [25, 500, 975] gives lo/med/hi, a second chain over |v − med| gives
+    // MAD, HUGEINT sums give the z verdict, one final join computes every
+    // column with the same exact arithmetic as the three separate oracles
+    "aud_combined" ->
+      s"""WITH ${quantileChain("qa", "events", "event_type", "value", Seq(25, 500, 975))},
+         |cuts AS (SELECT g, MIN(CASE WHEN p = 25 THEN cut END) AS lo_cut,
+         |    MIN(CASE WHEN p = 500 THEN cut END) AS med,
+         |    MAX(CASE WHEN p = 975 THEN cut END) AS hi_cut FROM qaq GROUP BY g),
+         |dev AS (SELECT b.g, b.v, c.med, abs(b.v - c.med) AS ad
+         |  FROM qab b JOIN cuts c ON c.g = b.g),
+         |${quantileChain("qm", "dev", "g", "ad", Seq(500))},
+         |madt AS (SELECT g, MIN(cut) AS mad FROM qmq GROUP BY g),
+         |bx AS (SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x,
+         |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+         |st AS (SELECT g, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS s2
+         |  FROM bx GROUP BY g)
+         |SELECT bx.g AS event_type, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN (st.n*bx.x - st.s)*(st.n*bx.x - st.s)
+         |                     > 9*(st.n*st.s2 - st.s*st.s)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  MIN(CASE WHEN (st.n*bx.x - st.s)*(st.n*bx.x - st.s)
+         |                > 9*(st.n*st.s2 - st.s*st.s) THEN bx.x END) AS min_outlier,
+         |  MAX(CASE WHEN (st.n*bx.x - st.s)*(st.n*bx.x - st.s)
+         |                > 9*(st.n*st.s2 - st.s*st.s) THEN bx.x END) AS max_outlier,
+         |  MIN(cuts.med) AS med, MIN(madt.mad) AS mad,
+         |  CAST(SUM(CASE WHEN abs(bx.v - cuts.med) > 3 * madt.mad
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  MIN(cuts.lo_cut) AS lo_cut, MIN(cuts.hi_cut) AS hi_cut,
+         |  CAST(SUM(CASE WHEN bx.v < cuts.lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+         |  CAST(SUM(CASE WHEN bx.v > cuts.hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+         |  CAST(SUM(CAST(least(greatest(bx.v, cuts.lo_cut), cuts.hi_cut)
+         |    AS DECIMAL(28,6))) AS DOUBLE) AS win_sum
+         |FROM bx JOIN st USING (g) JOIN cuts ON cuts.g = bx.g
+         |  JOIN madt ON madt.g = bx.g
+         |GROUP BY bx.g ORDER BY event_type""".stripMargin,
 
     // same construction with the window partitioned by source; the NULL
     // branch mirrors the op's one-class guard

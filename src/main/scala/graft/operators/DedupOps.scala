@@ -691,7 +691,10 @@ object DedupOps {
     * blocking key of record-linkage practice) that multiply the block
     * count and divide per-block occupancy. Only same-`blockOn` pairs are
     * compared — that restriction is part of the declared semantics, not
-    * an approximation.
+    * an approximation. A NULL `blockOn` value is never paired (plain
+    * equality, not null-safe — matching the SQL-oracle `a.x = b.x`
+    * semantics; ADVICE r7): an unknown blocking attribute gives no
+    * evidence two records belong to the same block.
     */
   def fuzzyPairs(df: DataFrame, idCol: Column, keyCol: Column, k: Int = 2,
       blockWidth: Int = 8, blockOn: Seq[Column] = Nil): DataFrame = {
@@ -716,7 +719,7 @@ object DedupOps {
     val probes = if (probes0.rdd.getNumPartitions < para)
       probes0.repartition(para) else probes0
     val blockEq = blockOn.indices
-      .map(i => col(s"a.xb$i") <=> col(s"b.xb$i"))
+      .map(i => col(s"a.xb$i") === col(s"b.xb$i"))
       .foldLeft(col("a.blk") === col("b.blk"))(_ && _)
     probes.as("a").join(keyed.as("b"), blockEq && col("a.id") < col("b.id"))
       .filter(abs(col("a.len") - col("b.len")) <= k)

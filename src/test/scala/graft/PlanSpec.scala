@@ -207,6 +207,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*("), p)
   }
 
+  test("aucReport: no unpartitioned WindowExec — banded cumulative rank (r7 guard)") {
+    // The continuous-score hazard flagged by VERDICT r7: the original
+    // single-arg aucReport ranked distinct scores under a GLOBAL
+    // Window.orderBy(s) — one task sorts the whole distinct-score table
+    // once scores are continuous. The banded rewrite must leave NO window
+    // with an empty partition spec anywhere in the physical plan; the
+    // only window partitions by the range band.
+    // AQE off: AdaptiveSparkPlanExec wraps the tree, so collect() over the
+    // adaptive plan would not descend into it
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.AuditOps
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AuditOps.aucReport(Tables.t(spark, sfDir, "events"),
+        floor(col("value")), col("event_type") === "error")
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        "global window survives:\n" + unpartitioned.mkString("\n"))
+      val windows = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, "expected the banded window to remain")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // force a sort-merge join so the bucketing (not broadcast) removes the
     // shuffle — at real scale neither side would be broadcastable

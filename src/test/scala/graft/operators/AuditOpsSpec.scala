@@ -61,15 +61,60 @@ class AuditOpsSpec extends SparkTestBase {
   }
 
   test("dataQualityReport: row-level checks on one table share a single scan") {
-    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
-    val plan = AuditOps.dataQualityReport(Map("t" -> df),
-      Seq(NotNull("t", "id"), NotNull("t", "name"), InRange("t", "id", "1", "2"),
-        AcceptedValues("t", "name", Seq("a", "b"))))
-      .queryExecution.optimizedPlan.toString
-    // all four checks fold into ONE aggregate over one relation; the plan
-    // re-references the single-row agg result, not the base table, per check
-    val scans = "LocalRelation|LogicalRDD".r.findAllIn(plan).length
-    assert(scans <= 4, s"expected the 4 row-level checks to share one scan (plan refs: $scans)\n$plan")
+    // Pin the PHYSICAL sharing, not a logical-plan relation count that
+    // holds even without sharing (ADVICE r7 — and the physical pin found a
+    // real defect: the old per-check union let column pruning split the
+    // fused agg into one scan PER CHECK). The explode-from-one-agg-row
+    // shape must plan exactly one scan, one exchange, no union.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      val plan = AuditOps.dataQualityReport(Map("t" -> df),
+        Seq(NotNull("t", "id"), NotNull("t", "name"), InRange("t", "id", "1", "2"),
+          AcceptedValues("t", "name", Seq("a", "b"))))
+        .queryExecution.executedPlan.toString
+      val scans = "LocalTableScan".r.findAllIn(plan).length
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(scans == 1, s"expected ONE physical scan, got $scans\n$plan")
+      assert(exchanges == 1, s"expected ONE exchange, got $exchanges\n$plan")
+      assert(!plan.contains("Union"), s"expected no union of per-check branches\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("numericAuditReport: column-for-column equal to the three separate detectors") {
+    // the fused op's whole contract: same numbers as outlierReport +
+    // robustOutlierReport + winsorize run independently on the same input
+    val ev = Tables.t(spark, sfDir, "events")
+    val fused = AuditOps.numericAuditReport(ev, col("value"), "event_type")
+      .orderBy("event_type").collect()
+    val zs = AuditOps.outlierReport(ev, "event_type", "value", z = 3)
+      .orderBy("grp").collect()
+    val rb = AuditOps.robustOutlierReport(ev, col("value"), "event_type")
+      .orderBy("event_type").collect()
+    val ws = AuditOps.winsorize(ev, col("value"), "event_type", 25, 975)
+      .orderBy("event_type").collect()
+    assert(fused.length == zs.length && fused.length == rb.length
+      && fused.length == ws.length)
+    fused.indices.foreach { i =>
+      val (f, z, r, w) = (fused(i), zs(i), rb(i), ws(i))
+      assert(f.getString(0) == z.getString(0))
+      // z-score block: n_rows, n_outliers, min/max outlier
+      assert(f.getLong(1) == z.getLong(1), s"n_rows ${f.getString(0)}")
+      assert(f.getLong(2) == z.getLong(2), s"n_outliers ${f.getString(0)}")
+      assert(f.get(3) == z.get(4) && f.get(4) == z.get(3),
+        s"min/max outlier ${f.getString(0)}")
+      // robust block: med, mad, n_flagged
+      assert(f.getDouble(5) == r.getDouble(2) && f.getDouble(6) == r.getDouble(3),
+        s"med/mad ${f.getString(0)}")
+      assert(f.getLong(7) == r.getLong(4), s"n_flagged ${f.getString(0)}")
+      // winsorize block: lo/hi cut, clip counts, winsorized sum
+      assert(f.getDouble(8) == w.getDouble(4) && f.getDouble(9) == w.getDouble(5),
+        s"cuts ${f.getString(0)}")
+      assert(f.getLong(10) == w.getLong(2) && f.getLong(11) == w.getLong(3),
+        s"clips ${f.getString(0)}")
+      assert(f.getDouble(12) == w.getDouble(6), s"win_sum ${f.getString(0)}")
+    }
   }
 
   test("outlierReport: exact strict-inequality boundary, floor semantics, null skip") {
