@@ -7,7 +7,14 @@ import graft.operators.{AuditOps, DedupOps, SimilarityOps, TextOps}
 /** End-to-end training-corpus build — the library's operators chained the
   * way a production pipeline runs them, in one command:
   *
-  *   sbt "runMain graft.Pipeline <sfDir> <outDir>"
+  *   sbt "runMain graft.Pipeline <sfDir> <outDir> [--bucketed]"
+  *
+  * With `--bucketed` the document-side dedup runs over a
+  * doc_id-bucketed corpus table ([[graft.operators.LayoutOps.writeBucketed]]):
+  * stages reduce to keep-id sets, the survivors materialize through ONE
+  * bucket-aligned semi join, and the release [[DedupOps.snapshotDiff]]
+  * (v1 → v2, both bucketed) plans zero exchanges — the corpus text never
+  * shuffles after the one ingest write.
   *
   * documents.parquet
   *   → admission gate ([[AuditOps.dataQualityReport]] — structural
@@ -35,8 +42,17 @@ import graft.operators.{AuditOps, DedupOps, SimilarityOps, TextOps}
   */
 object Pipeline {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = args.lift(1).getOrElse(
+    // `--bucketed` switches the document-side dedup to the bucketed-corpus
+    // variant: the doc_id shuffle is paid ONCE at ingest write time and
+    // every later doc_id-keyed join (stage keep-set semi joins, the final
+    // survivor join, the release snapshotDiff) reads co-partitioned
+    // buckets with no corpus-side exchange (BucketedJoinSpec pins the
+    // plans). At 100 TB this is the difference between re-shuffling the
+    // wide text column per stage and never shuffling it at all.
+    val bucketed = args.contains("--bucketed")
+    val pos = args.filterNot(_ == "--bucketed")
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = pos.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -74,26 +90,79 @@ object Pipeline {
       sys.exit(1)
     }
 
-    // 1. cross-corpus decontamination (benchmark = every 50th doc, the
-    //    gate convention; swap in the real eval set in production)
-    val bench = raw.filter(col("doc_id") % 50 === 0)
-    val clean = stage("decontaminated", DedupOps.antiJoinDedup(raw, bench))
+    // Stages 1-4 (decontaminate → exact dedup → near dedup → quality).
+    // Plain path: stage-by-stage localCheckpoints. Bucketed path: every
+    // stage reduces to a KEEP-ID set (ids/digests are all that shuffles;
+    // the wide text column never leaves its bucket), then ONE semi join
+    // against the bucketed corpus materializes the survivors and the
+    // release snapshotDiff runs bucket-to-bucket with zero exchanges.
+    val good: DataFrame = if (bucketed) {
+      import graft.operators.LayoutOps
+      // drop catalog entry AND warehouse location: a fresh session's
+      // catalog does not know a previous run's managed table, so DROP
+      // alone leaves the directory behind and saveAsTable refuses it
+      def dropCorpusTable(name: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      dropCorpusTable("graft_corpus_v1")
+      dropCorpusTable("graft_corpus_v2")
+      LayoutOps.writeBucketed(raw, "graft_corpus_v1", Seq("doc_id"), 16)
+      val corpus = spark.table("graft_corpus_v1")
+      println(s"""{"stage":"bucketed_v1","docs":${corpus.count()}}""")
+      val bench = corpus.filter(col("doc_id") % 50 === 0)
+      // broadcast digest anti join: no corpus shuffle
+      val clean = DedupOps.antiJoinDedup(corpus, bench)
+      println(s"""{"stage":"decontaminated","docs":${clean.count()}}""")
+      // keep-id sets: digests/ids only ever shuffle, text stays put
+      val exactIds = clean.groupBy(md5(col("text")).as("d"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id").localCheckpoint()
+      val exact = corpus.join(exactIds, Seq("doc_id"), "left_semi")
+      println(s"""{"stage":"exact_dedup","docs":${exact.count()}}""")
+      val nearIds = DedupOps.keepCanonical(exact.select("doc_id"),
+          DedupOps.nearDupClusters(DedupOps.minhashPairs(exact)))
+        .localCheckpoint()
+      val near = corpus.join(nearIds, Seq("doc_id"), "left_semi")
+      println(s"""{"stage":"near_dedup","docs":${near.count()}}""")
+      val goodIds = TextOps.quality(near)
+        .filter(col("quality_score") >= 0.3).select("doc_id").localCheckpoint()
+      val survivors = corpus.join(goodIds, Seq("doc_id"), "left_semi")
+      LayoutOps.writeBucketed(survivors, "graft_corpus_v2", Seq("doc_id"), 16)
+      val v2 = spark.table("graft_corpus_v2")
+      // release audit: what did this build drop vs the ingest snapshot?
+      // both snapshots bucketed by doc_id → snapshotDiff plans NO exchange
+      val diff = DedupOps.snapshotDiff(spark.table("graft_corpus_v1"), v2)
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"""{"stage":"snapshot_diff","unchanged":${
+        diff.getOrElse("unchanged", 0L)},"removed":${diff.getOrElse("removed", 0L)}}""")
+      println(s"""{"stage":"quality_filtered","docs":${v2.count()}}""")
+      v2
+    } else {
+      // 1. cross-corpus decontamination (benchmark = every 50th doc, the
+      //    gate convention; swap in the real eval set in production)
+      val bench = raw.filter(col("doc_id") % 50 === 0)
+      val clean = stage("decontaminated", DedupOps.antiJoinDedup(raw, bench))
 
-    // 2. exact dedup: keep the smallest doc_id per content digest
-    val keepIds = clean.groupBy(md5(col("text")).as("d"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val exact = stage("exact_dedup",
-      clean.join(keepIds, Seq("doc_id"), "left_semi"))
+      // 2. exact dedup: keep the smallest doc_id per content digest
+      val keepIds = clean.groupBy(md5(col("text")).as("d"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val exact = stage("exact_dedup",
+        clean.join(keepIds, Seq("doc_id"), "left_semi"))
 
-    // 3. near-dup dedup: pairs → components → canonical survivors
-    val nearDeduped = stage("near_dedup", DedupOps.keepCanonical(exact,
-      DedupOps.nearDupClusters(DedupOps.minhashPairs(exact))))
+      // 3. near-dup dedup: pairs → components → canonical survivors
+      val nearDeduped = stage("near_dedup", DedupOps.keepCanonical(exact,
+        DedupOps.nearDupClusters(DedupOps.minhashPairs(exact))))
 
-    // 4. quality floor
-    val goodIds = TextOps.quality(nearDeduped)
-      .filter(col("quality_score") >= 0.3).select("doc_id")
-    val good = stage("quality_filtered",
-      nearDeduped.join(goodIds, Seq("doc_id"), "left_semi"))
+      // 4. quality floor
+      val goodIds = TextOps.quality(nearDeduped)
+        .filter(col("quality_score") >= 0.3).select("doc_id")
+      stage("quality_filtered",
+        nearDeduped.join(goodIds, Seq("doc_id"), "left_semi"))
+    }
 
     // 5. temperature mixture (α = 0.5; rarest language keeps everything)
     val mixed = stage("mixture_applied",

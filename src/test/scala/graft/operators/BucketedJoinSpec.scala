@@ -84,6 +84,26 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline bucketed dedup: survivor semi join streams the corpus with only the id-side exchange") {
+    // graft.Pipeline --bucketed reduces every dedup stage to a keep-id
+    // set and semi-joins it against the bucketed corpus: the wide text
+    // rows must read co-partitioned buckets directly — the ONLY exchange
+    // in the join is the tiny id side aligning to the bucket layout.
+    val docs = Tables.t(spark, sfDir, "documents")
+    LayoutOps.writeBucketed(docs, "b_corpus", Seq("doc_id"), 4)
+    try {
+      val ids = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+      val semi = spark.table("b_corpus").join(ids, Seq("doc_id"), "left_semi")
+      val plan = withNoBroadcast(semi.queryExecution.executedPlan.toString)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly the id-side exchange, got $exchanges:\n$plan")
+      assert(semi.count() == docs.filter(col("doc_id") % 3 === 0).count())
+    } finally spark.sql("DROP TABLE IF EXISTS b_corpus")
+  }
+
   private def withNoBroadcast[A](body: => A): A = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
