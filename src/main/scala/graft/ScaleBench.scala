@@ -344,11 +344,39 @@ object ScaleBench {
       "aud_auc" -> ((s: SparkSession, d: String, _: Double) =>
         graft.operators.AuditOps.aucReport(
           graft.operators.Tables.normalizeTs(s.read.parquet(s"$d/events.parquet")),
-          floor(col("value")), col("event_type") === "error")))
+          floor(col("value")), col("event_type") === "error")),
+      // round-8 additions (VERDICT r7 #8): the two r7 linkage ops with 1×
+      // points but no fitted exponents yet. dd_fuzzy blocks on (length
+      // band, lang) — lang survives the per-copy letter substitution, so
+      // block population grows ∝ scale and the candidate term's growth is
+      // exactly what the exponent should expose; dd_prefix_jaccard's
+      // prefix postings are shingle-keyed, and substituted copies share no
+      // shingles, so per-posting df stays flat while the term space grows.
+      "dd_fuzzy" -> ((s: SparkSession, d: String, _: Double) =>
+        DedupOps.fuzzyPairs(s.read.parquet(s"$d/documents.parquet"),
+          col("doc_id"), concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+          k = 2, blockWidth = 4, blockOn = Seq(col("lang")))),
+      // the production knob for the fixed-config row's quadratic growth
+      // (blocks on copy-invariant attributes grow ∝ corpus → candidates
+      // ∝ corpus²): COMPOUND blocking whose key cardinality grows with
+      // the corpus — here the ingest-batch id (copy index), standing in
+      // for the postcode/source/crawl-batch attributes record-linkage
+      // practice adds as a corpus grows. Constant block occupancy →
+      // near-linear growth, the semantic_dedup_scaledk story.
+      "dd_fuzzy_scaledblocks" -> ((s: SparkSession, d: String, _: Double) =>
+        DedupOps.fuzzyPairs(s.read.parquet(s"$d/documents.parquet"),
+          col("doc_id"), concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+          k = 2, blockWidth = 4,
+          blockOn = Seq(col("lang"), floor(col("doc_id") / SHIFT)))),
+      "dd_prefix_jaccard" -> ((s: SparkSession, d: String, _: Double) =>
+        DedupOps.prefixJaccardPairs(s.read.parquet(s"$d/documents.parquet"))))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
-    val rows = curveQueries.map { case (name, fn) =>
+    // dev knob mirroring runCorpus10x's: comma-separated subset (never set
+    // by the driver — recorded tables come from full runs)
+    val onlyC = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val rows = curveQueries.filter(q => onlyC.forall(_.contains(q._1))).map { case (name, fn) =>
       val ts = scales.map { case (k, d) =>
         (k, time2(fn(spark, d, k)), fn(spark, d, k).count()) }
       // least-squares slope of log t over log k
