@@ -375,6 +375,106 @@ object AuditOps {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Classifier CALIBRATION report (reliability diagram + ECE) — the
+    * audit run before trusting a quality/toxicity classifier's scores as
+    * sampling weights: scores in [0, 1] bucket into `bins` equal-width
+    * confidence bins; each bin reports its empirical positive rate
+    * against the bin midpoint, and every row carries the overall expected
+    * calibration error ECE = Σ_i n_i·|pos_i/n_i − mid_i| / N.
+    *
+    * FP discipline: ZERO data-dependent rounding. The bin index is
+    * floor(score·bins) (one IEEE multiply + floor — identical in any
+    * engine); the ECE rewrites to |2B·pos_i − n_i·(2i+1)| summed over
+    * bins — EXACT integers carried as DECIMAL(38,0) — divided once by
+    * 2B·N; acc = pos/n and mid = (2i+1)/2B are single exact-integer
+    * divisions. Bit-stable cross-engine while the integer operands stay
+    * below 2⁵³ (beyond that, decimal→double casts may differ in the last
+    * ulp between engines — at 2⁵³ ECE numerators that is ~450 T rows).
+    *
+    * Scale shape: ONE map-side-combined aggregation to ≤bins rows; the
+    * totals ride a 1-row broadcast crossJoin (the q6 pattern).
+    */
+  def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationReport needs bins >= 2, got $bins")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull)
+      .select(
+        greatest(least(floor(scoreCol * bins).cast("long"), lit(bins - 1L)),
+          lit(0L)).as("bin"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = g.agg(
+      sum(col("n")).cast(dec).as("nn"),
+      sum(abs(lit(2L * bins).cast(dec) * col("n_pos") -
+        col("n").cast(dec) * (lit(2) * col("bin") + 1))).as("ece_num"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        ((lit(2) * col("bin") + 1).cast("double") / lit(2.0 * bins)).as("conf_mid"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"),
+        (col("ece_num").cast("double") /
+          (lit(2L * bins).cast(dec) * col("nn")).cast("double")).as("ece"))
+  }
+
+  /** Categorical DRIFT report between two corpus snapshots — the audit a
+    * recurring crawl refresh runs next to [[graft.operators.DedupOps.snapshotDiff]]:
+    * per category of `catCol`, both snapshots' counts and rates, the
+    * two-sample chi-square contribution, and (on every row) the total
+    * variation distance TVD = ½ Σ_c |o_c/N_o − n_c/N_n| between the two
+    * categorical distributions — the number a mixture rebalance
+    * thresholds on.
+    *
+    * FP discipline: counts are exact; TVD rewrites to
+    * Σ|o_c·N_n − n_c·N_o| / (2·N_o·N_n) — an exact DECIMAL(38,0)
+    * integer numerator and ONE division; rates are single exact-integer
+    * divisions; the chi-square contribution
+    * (N·o − N_o·c)²/(N·N_o·c) + (N·n − N_n·c)²/(N·N_n·c) (c = o+n,
+    * N = N_o+N_n) is two exact-integer quotients added in a fixed order.
+    * Bit-stable cross-engine while operands stay below 2⁵³ (the
+    * chi-square squares cap that at ~corpus 3e8 per side; past it the
+    * verdict is still numerically right, just not bit-pinned — scope the
+    * oracle claim accordingly).
+    *
+    * Scale shape: one count aggregation per snapshot (map-side combined
+    * to ≤|categories| rows), a full-outer join and two 1-row broadcast
+    * crossJoins over the category table — nothing data-sized past the
+    * first aggregations.
+    */
+  def categoricalDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
+    OpContract.requireCols(oldDf, "AuditOps.categoricalDrift old", catCol)
+    OpContract.requireCols(newDf, "AuditOps.categoricalDrift new", catCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val o = oldDf.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("o_cnt"))
+    val n = newDf.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cnt"))
+    val j = o.join(n, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
+        coalesce(col("n_cnt"), lit(0L)).cast(dec).as("n_cnt"))
+    val totals = j.agg(sum(col("o_cnt")).as("no"), sum(col("n_cnt")).as("nn"))
+    val withT = j.crossJoin(broadcast(totals))
+    val tvdNum = withT
+      .agg(sum(abs(col("o_cnt") * col("nn") - col("n_cnt") * col("no"))).as("tvd_num"))
+    val c = col("o_cnt") + col("n_cnt")
+    val bigN = col("no") + col("nn")
+    def sq(x: Column) = x * x
+    withT.crossJoin(broadcast(tvdNum))
+      .select(col("cat"),
+        col("o_cnt").cast("long").as("o_cnt"),
+        col("n_cnt").cast("long").as("n_cnt"),
+        (col("o_cnt").cast("double") / col("no").cast("double")).as("o_rate"),
+        (col("n_cnt").cast("double") / col("nn").cast("double")).as("n_rate"),
+        (sq(bigN * col("o_cnt") - col("no") * c).cast("double") /
+            (bigN * col("no") * c).cast("double") +
+          sq(bigN * col("n_cnt") - col("nn") * c).cast("double") /
+            (bigN * col("nn") * c).cast("double")).as("chi2_contrib"),
+        (col("tvd_num").cast("double") /
+          (lit(2).cast(dec) * col("no") * col("nn")).cast("double")).as("tvd"))
+  }
+
   /** Single-pass fused numeric audit — [[outlierReport]] (exact z-score),
     * [[robustOutlierReport]] (median/MAD) and [[winsorize]] (percentile
     * clip) over the SAME (group, value) in one report row per group,

@@ -86,7 +86,23 @@ object AuditQueries {
     "aud_combined" -> ((s, d) =>
       AuditOps.numericAuditReport(t(s, d, "events"), col("value"), "event_type",
           z = 3, kMad = 3, loPermille = 25, hiPermille = 975)
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // Calibration audit: does value/1000 (a [0,1] "confidence") predict
+    // error events? 10-bin reliability diagram + integer-exact ECE.
+    "aud_calibration" -> ((s, d) =>
+      AuditOps.calibrationReport(t(s, d, "events"),
+          col("value") / 1000.0, col("event_type") === "error")
+        .orderBy("bin")),
+
+    // Drift audit: source distribution of the corpus vs a refreshed
+    // snapshot (every 3rd doc dropped) — per-source chi-square
+    // contributions + the total-variation distance a rebalance gates on.
+    "aud_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      AuditOps.categoricalDrift(docs, docs.filter(col("doc_id") % 3 =!= 0), "source")
+        .orderBy("cat")
+    }))
 
   /** One instance of the q34 exact-percentile CTE chain (binWidth 1024,
     * bins 1024 — the [[AuditOps]] defaults) at the given integer
@@ -327,6 +343,54 @@ object AuditQueries {
          |FROM bx JOIN st USING (g) JOIN cuts ON cuts.g = bx.g
          |  JOIN madt ON madt.g = bx.g
          |GROUP BY bx.g ORDER BY event_type""".stripMargin,
+
+    // reliability diagram mirrored in exact integers: bin by one IEEE
+    // multiply + floor, ECE numerator Σ|2B·pos − n·(2i+1)| in HUGEINT,
+    // single divisions for mid/acc/ece
+    "aud_calibration" ->
+      """WITH b AS (SELECT
+        |    GREATEST(LEAST(CAST(floor((value / 1000.0) * 10) AS BIGINT), 9), 0) AS bin,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos FROM b GROUP BY bin),
+        |t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+        |    CAST(SUM(abs(20 * n_pos - n * (2 * bin + 1))) AS HUGEINT) AS ece_num
+        |  FROM g)
+        |SELECT g.bin, CAST(2 * g.bin + 1 AS DOUBLE) / 20.0 AS conf_mid,
+        |  CAST(g.n AS BIGINT) AS n, CAST(g.n_pos AS BIGINT) AS n_pos,
+        |  CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS acc,
+        |  CAST(t.ece_num AS DOUBLE) / CAST(20 * t.nn AS DOUBLE) AS ece
+        |FROM g, t ORDER BY bin""".stripMargin,
+
+    // drift mirrored in exact integers: TVD numerator Σ|o·Nn − n·No| in
+    // HUGEINT with one division; chi-square contribution as two
+    // exact-integer quotients added in the same order as the op
+    "aud_drift" ->
+      """WITH o AS (SELECT source AS cat, COUNT(*) AS o_cnt FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |nw AS (SELECT source AS cat, COUNT(*) AS n_cnt FROM documents
+        |  WHERE source IS NOT NULL AND doc_id % 3 <> 0 GROUP BY source),
+        |j AS (SELECT COALESCE(o.cat, nw.cat) AS cat,
+        |    CAST(COALESCE(o.o_cnt, 0) AS HUGEINT) AS o_cnt,
+        |    CAST(COALESCE(nw.n_cnt, 0) AS HUGEINT) AS n_cnt
+        |  FROM o FULL OUTER JOIN nw ON o.cat = nw.cat),
+        |t AS (SELECT CAST(SUM(o_cnt) AS HUGEINT) AS no,
+        |    CAST(SUM(n_cnt) AS HUGEINT) AS nn FROM j),
+        |tv AS (SELECT CAST(SUM(abs(j.o_cnt * t.nn - j.n_cnt * t.no)) AS HUGEINT)
+        |    AS tvd_num FROM j, t)
+        |SELECT j.cat, CAST(j.o_cnt AS BIGINT) AS o_cnt,
+        |  CAST(j.n_cnt AS BIGINT) AS n_cnt,
+        |  CAST(j.o_cnt AS DOUBLE) / CAST(t.no AS DOUBLE) AS o_rate,
+        |  CAST(j.n_cnt AS DOUBLE) / CAST(t.nn AS DOUBLE) AS n_rate,
+        |  CAST(((t.no + t.nn) * j.o_cnt - t.no * (j.o_cnt + j.n_cnt))
+        |      * ((t.no + t.nn) * j.o_cnt - t.no * (j.o_cnt + j.n_cnt)) AS DOUBLE)
+        |    / CAST((t.no + t.nn) * t.no * (j.o_cnt + j.n_cnt) AS DOUBLE)
+        |  + CAST(((t.no + t.nn) * j.n_cnt - t.nn * (j.o_cnt + j.n_cnt))
+        |      * ((t.no + t.nn) * j.n_cnt - t.nn * (j.o_cnt + j.n_cnt)) AS DOUBLE)
+        |    / CAST((t.no + t.nn) * t.nn * (j.o_cnt + j.n_cnt) AS DOUBLE)
+        |  AS chi2_contrib,
+        |  CAST(tv.tvd_num AS DOUBLE) / CAST(2 * t.no * t.nn AS DOUBLE) AS tvd
+        |FROM j, t, tv ORDER BY cat""".stripMargin,
 
     // same construction with the window partitioned by source; the NULL
     // branch mirrors the op's one-class guard

@@ -82,6 +82,45 @@ class AuditOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("calibrationReport: hand-computed bins, acc, integer-exact ECE") {
+    // bin0: (0.05,T),(0.05,F) -> n=2, pos=1, acc=0.5, |20·1−2·1| = 18
+    // bin9: (0.95,T)×3       -> n=3, pos=3, acc=1.0, |20·3−3·19| = 3
+    // ECE = 21 / (20·5) = 0.21 = (2·0.45 + 3·0.05)/5
+    val df = Seq((0.05, true), (0.05, false), (0.95, true), (0.95, true),
+      (0.95, true)).toDF("s", "y")
+    val r = AuditOps.calibrationReport(df, col("s"), col("y")).orderBy("bin").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 0 && r(0).getLong(2) == 2 && r(0).getLong(3) == 1)
+    assert(r(0).getDouble(1) == 0.05 && r(0).getDouble(4) == 0.5)
+    assert(r(0).getDouble(5) == 0.21)
+    assert(r(1).getLong(0) == 9 && r(1).getDouble(4) == 1.0 && r(1).getDouble(5) == 0.21)
+    // boundary clamp: score exactly 1.0 lands in the top bin, not bin 10
+    val edge = Seq((1.0, true)).toDF("s", "y")
+    assert(AuditOps.calibrationReport(edge, col("s"), col("y"))
+      .collect()(0).getLong(0) == 9)
+  }
+
+  test("categoricalDrift: hand-computed TVD and chi-square; one-sided categories") {
+    // old = [a,a,a,b], new = [a,b]: No=4, Nn=2, N=6
+    //  a: o=3,n=1,c=4 -> chi2 = (18−16)²/96 + (6−8)²/48 = 1/24 + 1/12 = 0.125
+    //  b: o=1,n=1,c=2 -> chi2 = (6−8)²/48 + (6−4)²/24 = 1/12 + 1/6
+    //  TVD = (|3·2−1·4| + |1·2−1·4|) / (2·4·2) = 4/16 = 0.25
+    val o = Seq("a", "a", "a", "b").toDF("cat0")
+    val n = Seq("a", "b").toDF("cat0")
+    val r = AuditOps.categoricalDrift(o, n, "cat0").orderBy("cat").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 1)
+    assert(r(0).getDouble(3) == 0.75 && r(0).getDouble(4) == 0.5)
+    assert(math.abs(r(0).getDouble(5) - (4.0 / 96 + 4.0 / 48)) < 1e-15)
+    assert(math.abs(r(1).getDouble(5) - (4.0 / 48 + 4.0 / 24)) < 1e-15)
+    assert(r(0).getDouble(6) == 0.25 && r(1).getDouble(6) == 0.25)
+    // a category present only in the new snapshot still reports
+    val r2 = AuditOps.categoricalDrift(Seq("a").toDF("cat0"),
+      Seq("a", "b").toDF("cat0"), "cat0").orderBy("cat").collect()
+    assert(r2(1).getLong(1) == 0 && r2(1).getLong(2) == 1)
+    assert(r2(1).getDouble(3) == 0.0)
+  }
+
   test("numericAuditReport: column-for-column equal to the three separate detectors") {
     // the fused op's whole contract: same numbers as outlierReport +
     // robustOutlierReport + winsorize run independently on the same input

@@ -249,6 +249,12 @@ def runLibcheck(): Unit = {
     events, floor(col("value")), col("event_type") === "error"))
   check("AuditOps.robustOutlierReport")(AuditOps.robustOutlierReport(
     events, col("value"), "event_type"))
+  check("AuditOps.numericAuditReport")(AuditOps.numericAuditReport(
+    events, col("value"), "event_type"))
+  check("AuditOps.calibrationReport")(AuditOps.calibrationReport(
+    events, col("value") / 1000.0, col("event_type") === "error"))
+  check("AuditOps.categoricalDrift")(AuditOps.categoricalDrift(
+    docs, docs.filter(col("doc_id") % 3 =!= 0), "source"))
   locally {
     import spark.implicits._
     check("StreamOps.anomalyStream (batch run)")(
