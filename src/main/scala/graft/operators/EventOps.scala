@@ -43,4 +43,36 @@ object EventOps {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov TRANSITION MATRIX of user journeys: for each
+    * ordered pair of event types, how many times a user's event of
+    * `from_type` was IMMEDIATELY followed by one of `to_type` (per-user
+    * `(ts, event_id)` order — the same deterministic sequencing contract
+    * as [[graft.operators.AuditOps.anomalyVerdicts]]), plus the row-
+    * normalized transition probability `p = n / Σ_to n`. The product-
+    * analytics "where do users go next" panel, and the input to
+    * journey-simulation / next-event-prediction baselines.
+    *
+    * Scale shape: ONE hash exchange on user_id for the lag window (groups
+    * rank in parallel — sessions are independent), then a map-side-
+    * combined aggregate straight down to the ≤\|types\|² transition
+    * table; the per-from normalizer joins broadcast over that bounded
+    * table. Raw events shuffle once, as (user, ts, id, type) — no payload.
+    * FP: counts exact, `p` a single exact-integer division.
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.transitionCounts",
+      "user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = e
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = cnt.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    cnt.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
 }

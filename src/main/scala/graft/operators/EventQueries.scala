@@ -141,7 +141,16 @@ object EventQueries {
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("sum_value"))
         .orderBy("event_type")
-    }))
+    }),
+
+    // Markov transition matrix of user journeys (next-event panel):
+    // per-user (µs, event_id) sequencing — the ev_scd2 ordering
+    // convention, so both engines break ties identically.
+    "ev_transitions" -> ((s, d) =>
+      EventOps.transitionCounts(
+          t(s, d, "events").withColumn("ts",
+            call_function("div", col("ts").cast("long"), lit(1000L))))
+        .orderBy("from_type", "to_type")))
 
   private val sessionsSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -206,6 +215,19 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Transitions: LEAD over the same (µs, event_id) per-user order; p is
+    // one exact-integer division
+    "ev_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     // Funnel: same µs interval arithmetic as the Spark side; the rank
     // window picks the latest touch with the identical DESC tie-break.
     "ev_funnel" ->

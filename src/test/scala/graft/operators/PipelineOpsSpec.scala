@@ -387,6 +387,24 @@ class PipelineOpsSpec extends SparkTestBase {
       (0L, 3L, 1L), (1L, 0L, 1L)), r.toSeq.toString)
   }
 
+  test("transitionCounts: per-user sequencing, exact row-normalized probabilities") {
+    import spark.implicits._
+    // user 1: A@1 -> B@2 -> A@3; user 2: B@1 -> B@2; last events emit no row
+    // transitions: A->B ×1, B->A ×1, B->B ×1; from A: p=1; from B: p=0.5 each
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 11L, "B"), (1L, 3L, 12L, "A"),
+      (2L, 1L, 20L, "B"), (2L, 2L, 21L, "B")).toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventOps.transitionCounts(ev).orderBy("from_type", "to_type").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(("A", "B", 1L, 1.0), ("B", "A", 1L, 0.5),
+      ("B", "B", 1L, 0.5)), r.toSeq.toString)
+    // tie on ts breaks by event_id: same-ts events order 30 -> 31
+    val tie = Seq((5L, 7L, 31L, "Y"), (5L, 7L, 30L, "X")).toDF(
+      "user_id", "ts", "event_id", "event_type")
+    val t = EventOps.transitionCounts(tie).collect()
+    assert(t.length == 1 && t(0).getString(0) == "X" && t(0).getString(1) == "Y")
+  }
+
   test("labelKnnGraph: exact within-block neighbors, cos/dst tie-break, singleton blocks emit nothing") {
     import spark.implicits._
     def v(hot: Seq[(Int, Float)]) =

@@ -255,6 +255,7 @@ def runLibcheck(): Unit = {
     events, col("value") / 1000.0, col("event_type") === "error"))
   check("AuditOps.categoricalDrift")(AuditOps.categoricalDrift(
     docs, docs.filter(col("doc_id") % 3 =!= 0), "source"))
+  check("EventOps.transitionCounts")(EventOps.transitionCounts(events))
   locally {
     import spark.implicits._
     check("StreamOps.anomalyStream (batch run)")(
