@@ -451,6 +451,43 @@ object StreamOps {
       }
   }
 
+  /** State for [[transitionsStream]]: the user's last-seen event — one
+    * small row per user, bounded forever. */
+  final case class LastEvent(ord: Long, id: Long, tpe: String)
+  /** Input row for [[transitionsStream]]: (user, event-time order key,
+    * id, event type). */
+  final case class TransRow(user: Long, ord: Long, id: Long, tpe: String)
+
+  /** STREAMING next-event transitions — the stateful twin of
+    * [[graft.operators.EventOps.transitionCounts]]: per user, state is
+    * the LAST event seen (one small row, bounded forever); each arriving
+    * event emits the `(from_type, to_type)` edge linking the stored last
+    * event to it, then replaces the state. Rows within a micro-batch are
+    * processed in `(ord, id)` order, so on an event-time-ordered feed the
+    * emitted edge MULTISET equals the batch op's pair set — including
+    * edges that straddle micro-batch boundaries, which the carried state
+    * stitches (StreamingSpec splits the feed mid-user and proves multiset
+    * equality). Downstream, the same groupBy/normalize the batch op runs
+    * turns edges into the transition matrix incrementally.
+    */
+  def transitionsStream(rows: Dataset[TransRow]): Dataset[(String, String)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user)
+      .flatMapGroupsWithState[LastEvent, (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[TransRow], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          it.toSeq.sortBy(r => (r.ord, r.id)).foreach { r =>
+            last.foreach(l => out += ((l.tpe, r.tpe)))
+            last = Some(LastEvent(r.ord, r.id, r.tpe))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the data-quality constraint suite: per 15-minute
     * event-time window, the violation count and row total of each ROW-LEVEL
     * check (not-null / in-range / accepted-values), one output row per

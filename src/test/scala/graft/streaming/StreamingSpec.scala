@@ -260,6 +260,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitionsStream: edge multiset equals batch transitions across a mid-user split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.operators.Tables.t(spark, sfDir, "events")
+      .withColumn("ts", call_function("div", col("ts").cast("long"), lit(1000L)))
+    val want = graft.operators.EventOps.transitionCounts(ev)
+      .select("from_type", "to_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty)
+
+    val rows = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => StreamOps.TransRow(t._1, t._2, t._3, t._4))
+      .sortBy(r => (r.ord, r.id))
+    // contiguous split of the time-ordered feed: per-user order holds and
+    // the stored last event must stitch cross-batch transitions
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[StreamOps.TransRow]
+    val q = StreamOps.transitionsStream(input.toDS()).toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      input.addData(h1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans_out").groupBy("from_type", "to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+    } finally q.stop()
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

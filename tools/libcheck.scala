@@ -258,6 +258,14 @@ def runLibcheck(): Unit = {
   check("EventOps.transitionCounts")(EventOps.transitionCounts(events))
   locally {
     import spark.implicits._
+    check("StreamOps.transitionsStream (batch run)")(
+      StreamOps.transitionsStream(events.select(col("user_id").as("user"),
+        col("ts").cast("long").as("ord"), col("event_id").as("id"),
+        col("event_type").as("tpe")).as[StreamOps.TransRow])
+        .toDF("from_type", "to_type"))
+  }
+  locally {
+    import spark.implicits._
     check("StreamOps.anomalyStream (batch run)")(
       StreamOps.anomalyStream(events.select(col("event_type").as("grp"),
         col("ts").as("ord"), col("event_id").as("id"),
