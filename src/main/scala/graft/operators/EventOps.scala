@@ -75,4 +75,82 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("tot").cast("double")).as("p"))
   }
+
+  /** CDC changelog apply (the batch MERGE / snapshot-refresh pattern):
+    * fold a change batch into an existing keyed snapshot — per key, the
+    * row greatest by `ord` across snapshot ∪ changes survives; a
+    * surviving row matching `tombstone` deletes the key. This is what a
+    * nightly refresh of a CDC-ingested table runs, and the batch twin of
+    * the keyed state [[graft.streaming.StreamOps.latestByKey]] documents.
+    *
+    * Unlike latestByKey's per-key window (sorts every key group), the
+    * merge here is ONE map-side-combinable `max_by` hash aggregate: at
+    * 100 TB snapshot + small delta the partial aggregation collapses each
+    * mapper's rows to one candidate per key before anything shuffles —
+    * no sort, no windowed rank. `ord` must be a TOTAL order (include a
+    * unique id as the last column) or ties pick an arbitrary survivor;
+    * the gate passes (ts_us, event_id). Both inputs must share the
+    * snapshot's schema (changes carry the same columns a stored row has).
+    *
+    * Determinism/FP: the survivor is selected by exact struct comparison
+    * on integer ordering columns; no arithmetic at all.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      tombstone: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty && ord.nonEmpty, "applyChangelog needs keys and ordering columns")
+    val snap = OpContract.requireCols(snapshot, "EventOps.applyChangelog", keys: _*)
+    val all = snap.unionByName(changes)
+    val row = struct(all.columns.toIndexedSeq.map(col): _*)
+    all.groupBy(keys.map(col): _*)
+      .agg(max_by(row, struct(ord: _*)).as("r"))
+      .select(col("r.*"))
+      .filter(!tombstone)
+  }
+
+  /** Linear multi-touch attribution: each `convType` conversion is joined
+    * to the SAME user's `touchType` events inside the lookback window
+    * `(conv_ts − windowUs, conv_ts]`, every touch ranked by event time and
+    * credited equally. The marketing-analytics companion of the as-of
+    * join (q20 credits only the latest touch; this op splits credit over
+    * all of them). Conversions with zero in-window touches emit nothing.
+    *
+    * Output per (conversion, touch): `conv_id, touch_id, pos` (1-based in
+    * (ts, id) order), `k` (touch count), `weight_bp` (floor of 10000/k —
+    * basis points; floor-division of positive integers is engine-exact,
+    * unlike a decimal 1/k).
+    *
+    * Scale shape: per-user pair volume is bounded by the lookback
+    * window, so output is ∝ events, not events². The rank/count window
+    * partitions by (user_id, conv_id), and hash(user_id) satisfies that
+    * clustering — so in the large-corpus regime (both sides shuffle-join
+    * on user_id) the window adds a sort but NO second exchange (pinned in
+    * PlanSpec with broadcast off); when the touch side is small enough to
+    * broadcast, the window's hash exchange is the plan's ONLY shuffle.
+    * Either way the pairs shuffle at most once.
+    * FP: pure integer timestamps/counts; no floating point anywhere.
+    */
+  def attribution(events: DataFrame, convType: String, touchType: String,
+      windowUs: Long): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.attribution",
+      "user_id", "ts", "event_id", "event_type")
+    val tsUs = call_function("div", col("ts").cast("long"), lit(1000L))
+    val convs = e.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"), tsUs.as("conv_ts"))
+    val touches = e.filter(col("event_type") === touchType)
+      .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+        tsUs.as("touch_ts"))
+    val w = Window.partitionBy(col("user_id"), col("conv_id"))
+    val paired = convs.join(touches,
+      col("user_id") === col("t_user") &&
+        col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - lit(windowUs))
+    paired
+      .withColumn("pos",
+        row_number().over(w.orderBy(col("touch_ts"), col("touch_id")))
+          .cast("long"))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("conv_id"), col("touch_id"), col("pos"), col("k"),
+        call_function("div", lit(10000L), col("k")).as("weight_bp"))
+  }
 }

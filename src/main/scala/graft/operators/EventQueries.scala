@@ -150,7 +150,34 @@ object EventQueries {
       EventOps.transitionCounts(
           t(s, d, "events").withColumn("ts",
             call_function("div", col("ts").cast("long"), lit(1000L))))
-        .orderBy("from_type", "to_type")))
+        .orderBy("from_type", "to_type")),
+
+    // CDC changelog apply: snapshot = per-user latest state BEFORE the
+    // mid-month cutoff, changes = everything after; the merged result is
+    // checked against latest-over-everything (with error-state users
+    // tombstoned out) — the oracle is correct by construction, so the
+    // gate pins the MERGE path (union + max_by hash agg + tombstone
+    // filter), not a rederivation.
+    "ev_apply_changes" -> ((s, d) => {
+      val keyed = t(s, d, "events").select(col("user_id"), col("event_id"),
+        call_function("div", col("ts").cast("long"), lit(1000L)).as("ts_us"),
+        col("event_type"), col("value"))
+      val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
+      val snap = StreamOps.latestByKey(keyed.filter(col("ts_us") < cutoffUs),
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      EventOps.applyChangelog(snap, keyed.filter(col("ts_us") >= cutoffUs),
+          Seq("user_id"), Seq(col("ts_us"), col("event_id")),
+          col("event_type") === "error")
+        .orderBy("user_id")
+    }),
+
+    // Linear multi-touch attribution: purchases credited equally across
+    // the same user's clicks in a 3-day lookback (ties broken on
+    // event_id — the ev_latest µs discipline).
+    "ev_attribution" -> ((s, d) =>
+      EventOps.attribution(t(s, d, "events"), "purchase", "click",
+          3L * 24 * 3600 * 1000000L)
+        .orderBy("conv_id", "pos")))
 
   private val sessionsSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -269,5 +296,34 @@ object EventQueries {
       s"""WITH s AS ($sessionsSql),
          |pu AS (SELECT user_id, COUNT(*) AS n_sessions FROM s GROUP BY user_id)
          |SELECT n_sessions, COUNT(*) AS n_users FROM pu
-         |GROUP BY n_sessions ORDER BY n_sessions""".stripMargin)
+         |GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
+    // Changelog apply: snapshot(before cutoff) + changes(after) folded by
+    // the op must equal latest-over-everything minus tombstoned keys —
+    // the merge identity, expressed directly.
+    "ev_apply_changes" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    // Attribution: identical range predicate and (ts, id) rank; weight is
+    // integer floor division — no fractional credit FP anywhere.
+    "ev_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, event_id AS touch_id, epoch_us(ts) AS touch_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT c.conv_id, tc.touch_id, tc.touch_ts
+        |  FROM c JOIN tc ON c.user_id = tc.user_id
+        |    AND tc.touch_ts <= c.conv_ts
+        |    AND tc.touch_ts > c.conv_ts - 259200000000)
+        |SELECT conv_id, touch_id,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+        |  CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k,
+        |  CAST(10000 // (COUNT(*) OVER (PARTITION BY conv_id)) AS BIGINT)
+        |    AS weight_bp
+        |FROM p
+        |WINDOW w AS (PARTITION BY conv_id ORDER BY touch_ts, touch_id)
+        |ORDER BY conv_id, pos""".stripMargin)
 }

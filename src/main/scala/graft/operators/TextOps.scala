@@ -117,6 +117,45 @@ object TextOps {
         col("ttr") * 0.5 + col("stop_ratio") * 0.2 +
           when(col("n_tokens") >= 30 && col("n_tokens") <= 120, 0.3).otherwise(0.0))
 
+  /** Gopher-style rule filter report (Rae et al. 2021 §A1.1 "quality
+    * filtering heuristics", re-expressed over this corpus's single-space
+    * tokenization): per document, one boolean per rule plus the combined
+    * verdict — the rule-based pre-filter every web-scale training corpus
+    * runs BEFORE model-based scoring ([[scoreLinear]] is the model side).
+    *
+    *  - `r_word_count`: token count within [minWords, maxWords]
+    *  - `r_mean_len`:   mean word length within [3, 10] characters
+    *  - `r_stop`:       ≥ 2 DISTINCT stop words present (the "contains
+    *                    required English function words" rule)
+    *  - `r_unique`:     distinct-token fraction ≥ 50% (the duplicate-
+    *                    line/paragraph guard at word granularity)
+    *
+    * Plan: pure per-row projection — no shuffle, no explode; the word
+    * array is built once per rule family by codegen'd `size`/`filter`.
+    * FP discipline: ZERO floating point — every ratio rule is the exact
+    * integer cross-multiplication (3·n ≤ chars ≤ 10·n, 2·distinct ≥ n),
+    * so both engines compare the same integers.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val d = OpContract.requireCols(docs, "TextOps.gopherRules", "doc_id", "text")
+    val n = size(words).cast("long")
+    val chars = length(regexp_replace(col("text"), " ", "")).cast("long")
+    // distinct-stopword presence as Σ array_contains over the 6-word stop
+    // list — fully codegen'd, vs the interpreted higher-order
+    // filter(words, …) lambda (the langId-documented HOF trap)
+    val nStop = stop.map(s => array_contains(words, s).cast("long"))
+      .reduce(_ + _)
+    val nUniq = size(array_distinct(words)).cast("long")
+    d.select(col("doc_id"), n.as("n_words"),
+        (n >= minWords && n <= maxWords).as("r_word_count"),
+        (chars >= lit(3L) * n && chars <= lit(10L) * n).as("r_mean_len"),
+        (nStop >= 2L).as("r_stop"),
+        (lit(2L) * nUniq >= n).as("r_unique"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_stop") && col("r_unique"))
+  }
+
   /** Language-ID heuristic: marker-word hit counts, argmax with fixed tie
     * order; output is the label×prediction confusion matrix.
     * Plan: ONE word explode + four codegen'd conditional sums per doc —

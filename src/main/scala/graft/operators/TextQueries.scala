@@ -24,6 +24,10 @@ object TextQueries {
       TextOps.quality(t(s, d, "documents").filter(col("doc_id") < 200))
         .orderBy("doc_id")),
     "tx_langid" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // Gopher rule filter: defaults (minWords 50 splits the 10–99-token
+    // corpus; the stop/unique rules split on marker vocabulary / length).
+    "tx_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(t(s, d, "documents")).orderBy("doc_id")),
     "tx_winnow" -> ((s, d) =>
       TextOps.winnow(t(s, d, "documents").filter(col("doc_id") < 200))),
     // Winnowing pair stage (MOSS): same oracle-cost-bounding doc slice as
@@ -547,6 +551,29 @@ object TextQueries {
          |  ttr * 0.5 + stop_ratio * 0.2 +
          |    (CASE WHEN n_tokens >= 30 AND n_tokens <= 120 THEN 0.3 ELSE 0.0 END) AS quality_score
          |FROM x ORDER BY doc_id""".stripMargin,
+    // Gopher rules: same integer cross-multiplications as the op — the
+    // distinct-stopword count is a Σ of list_contains CASEs over the
+    // fixed 6-word list, so no FP appears anywhere on either side.
+    "tx_gopher_rules" -> {
+      val stopSum = TextOps.stop
+        .map(s => s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_words,
+         |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |    chars >= 3 * n_words AND chars <= 10 * n_words AS r_mean_len,
+         |    ($stopSum) >= 2 AS r_stop,
+         |    2 * n_uniq >= n_words AS r_unique
+         |  FROM g)
+         |SELECT doc_id, n_words, r_word_count, r_mean_len, r_stop, r_unique,
+         |  r_word_count AND r_mean_len AND r_stop AND r_unique AS pass
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "tx_langid" ->
       s"""WITH h AS (
          |  SELECT lang,

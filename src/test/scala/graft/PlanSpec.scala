@@ -147,6 +147,25 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one hash exchange for both windows:\n$p")
   }
 
+  test("attribution: large-corpus regime shuffles pairs once — the window reuses the join's hash(user_id)") {
+    // with broadcast off (the 100 TB regime: both event slices are big)
+    // the range join SMJs on user_id, and the (user_id, conv_id) window
+    // is satisfied by that same distribution — exactly two input-side
+    // exchanges (one per join input), none between join and windows
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.operators.EventOps.attribution(
+          Tables.t(spark, sfDir, "events"), "purchase", "click",
+          3L * 24 * 3600 * 1000000L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExchanges == 2,
+        s"expected two join-input exchanges and none for the windows:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("temporal as-of lookup joins on the equality key, never a nested loop") {
     // the interval predicate must ride an equality-keyed join (broadcast
     // here, SMJ at scale) as a join filter — a planner regression to

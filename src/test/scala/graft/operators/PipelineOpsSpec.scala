@@ -405,6 +405,82 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(t.length == 1 && t(0).getString(0) == "X" && t(0).getString(1) == "Y")
   }
 
+  test("applyChangelog: update wins, stale change loses, tombstone deletes, insert lands") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, 10L, 100L, "state", 1.0), // will be updated
+      (2L, 11L, 101L, "state", 2.0), // will be tombstoned
+      (3L, 12L, 102L, "state", 3.0)) // a STALE change arrives -> survives
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+    val changes = Seq(
+      (1L, 20L, 200L, "state", 1.5),
+      (2L, 21L, 201L, "dead", 0.0),
+      (3L, 9L, 50L, "state", -9.0),  // older than the snapshot row
+      (4L, 22L, 202L, "state", 4.0))
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+    val r = EventOps.applyChangelog(snap, changes, Seq("user_id"),
+        Seq(col("ts_us"), col("event_id")), col("event_type") === "dead")
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(4)))
+    assert(r.toSeq == Seq((1L, 20L, 1.5), (3L, 12L, 3.0), (4L, 22L, 4.0)),
+      r.toSeq.toString)
+    // same-ts tie resolves by the event_id tie-break column
+    val tieSnap = Seq((7L, 1L, 500L, "state", 0.1))
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+    val tieChg = Seq((7L, 2L, 500L, "state", 0.2))
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+    val t = EventOps.applyChangelog(tieSnap, tieChg, Seq("user_id"),
+      Seq(col("ts_us"), col("event_id")), lit(false)).collect()
+    assert(t.length == 1 && t(0).getLong(1) == 2L)
+  }
+
+  test("attribution: lookback bounds, equal credit, untouched conversions emit nothing") {
+    import spark.implicits._
+    // ts in ns (the op divides to µs). Window = 20 µs.
+    def ns(us: Long) = us * 1000L
+    val ev = Seq(
+      (1L, 1L, ns(10), "click"),
+      (1L, 2L, ns(20), "click"),
+      (1L, 3L, ns(25), "purchase"),
+      (1L, 4L, ns(26), "click"),   // after the conversion
+      (1L, 5L, ns(4), "click"),    // 25-20=5: ts 4 is outside (exclusive low)
+      (2L, 6L, ns(30), "purchase") // no touches at all
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = EventOps.attribution(ev, "purchase", "click", 20L)
+      .orderBy("conv_id", "pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((3L, 1L, 1L, 2L, 5000L), (3L, 2L, 2L, 2L, 5000L)),
+      r.toSeq.toString)
+    // boundary: touch exactly at conv_ts is credited (inclusive high)
+    val b = Seq((9L, 1L, ns(50), "click"), (9L, 2L, ns(50), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val rb = EventOps.attribution(b, "purchase", "click", 20L).collect()
+    assert(rb.length == 1 && rb(0).getLong(4) == 10000L)
+  }
+
+  test("gopherRules: each rule fails on its designed violator, exact integer thresholds") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cats sat of and mats dogs fox owl elk"), // passes all (minWords=3)
+      (1L, "of and"),                                  // too short at minWords=3
+      (2L, "cat dog fox owl elk pig hen cow bee ant"), // zero stop words
+      (3L, "the the the the the the the of of ant"),   // 3 distinct of 10 -> r_unique fails
+      (4L, "the of incomprehensibilities extraordinarily " +
+        "incomprehensibilities extraordinarily incomprehensibilities " +
+        "antidisestablishmentarian extraordinarily floccinaucinihilipilification"))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs, minWords = 3, maxWords = 100)
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (r(i).getBoolean(2), r(i).getBoolean(3),
+      r(i).getBoolean(4), r(i).getBoolean(5), r(i).getBoolean(6))
+    assert(flags(0) == (true, true, true, true, true), r(0).toString)
+    assert(flags(1)._1 == false && flags(1)._5 == false, r(1).toString)
+    assert(flags(2) == (true, true, false, true, false), r(2).toString)
+    assert(flags(3)._4 == false && flags(3)._5 == false, r(3).toString)
+    // doc 4: mean word length > 10 chars -> r_mean_len fails
+    assert(flags(4)._2 == false && flags(4)._5 == false, r(4).toString)
+  }
+
   test("labelKnnGraph: exact within-block neighbors, cos/dst tie-break, singleton blocks emit nothing") {
     import spark.implicits._
     def v(hot: Seq[(Int, Float)]) =
