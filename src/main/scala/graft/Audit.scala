@@ -79,6 +79,19 @@ object Audit {
         println(s"""{"detector":"sequential","group":"${r.getString(0)}",""" +
           s""""scored":${r.getLong(1)},"anomalies":${r.getLong(2)}}""")
       }
+    // completeness trend: per-day null rates + day-over-day deltas for
+    // the nullable payload columns (r8; the time-series companion of the
+    // NotNull point checks above)
+    AuditOps.completenessReport(
+        ev.withColumn("day", call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L))),
+        Seq("value", "props"), col("day"))
+      .orderBy("column_name", "day").collect().foreach { r =>
+        println(s"""{"detector":"completeness","day":${r.getLong(0)},""" +
+          s""""column":"${r.getString(1)}","rows":${r.getLong(2)},""" +
+          s""""nulls":${r.getLong(3)}}""")
+      }
     val auc = AuditOps.aucReport(ev, floor(col("value")), col("event_type") === "error")
       .collect()(0)
     println(s"""{"detector":"auc","n":${auc.getLong(0)},"n_pos":${auc.getLong(1)},""" +

@@ -442,6 +442,48 @@ object AuditOps {
     * crossJoins over the category table — nothing data-sized past the
     * first aggregations.
     */
+  /** Completeness trend audit: per (day, column) null counts/rates plus
+    * the day-over-day rate delta — the "did an upstream extractor break
+    * last night" panel ([[dataQualityReport]]'s NotNull check is the
+    * point-in-time gate; this is its time series, which catches partial
+    * regressions a pass/fail threshold misses).
+    *
+    * Scale shape: ONE scan; each row melts to \|cols\| tiny
+    * (day, column, is_null) tuples that partially aggregate map-side, so
+    * the shuffle carries ≤ days × \|cols\| count rows (the q35_profile
+    * melt discipline). The lag window runs over that bounded table,
+    * partitioned by column — never data-proportional.
+    *
+    * FP: counts are exact; `null_rate` and `rate_delta` are each ONE
+    * double division whose numerator/denominator are exact DECIMAL(38,0)
+    * integers (the rate delta is the cross-multiplied
+    * (nullₜ·rowsₜ₋₁ − nullₜ₋₁·rowsₜ)/(rowsₜ·rowsₜ₋₁), never a
+    * difference of two rounded doubles). First day per column emits NULL
+    * deltas.
+    */
+  def completenessReport(df: DataFrame, cols: Seq[String], dayCol: Column): DataFrame = {
+    require(cols.nonEmpty, "completenessReport needs at least one column")
+    val d = OpContract.requireCols(df, "AuditOps.completenessReport", cols: _*)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val melted = d.select(dayCol.as("day"),
+      explode(array(cols.toIndexedSeq.map(c =>
+        struct(lit(c).as("c"), col(c).isNull.as("nul"))): _*)).as("kv"))
+    val per = melted
+      .groupBy(col("day"), col("kv.c").as("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("kv.nul"), 1L).otherwise(0L)).as("n_null"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column_name").orderBy("day")
+    per
+      .withColumn("p_rows", lag(col("n_rows"), 1).over(w))
+      .withColumn("p_null", lag(col("n_null"), 1).over(w))
+      .select(col("day"), col("column_name"), col("n_rows"), col("n_null"),
+        (col("n_null").cast("double") / col("n_rows").cast("double")).as("null_rate"),
+        ((col("n_null").cast(dec) * col("p_rows") -
+            col("p_null").cast(dec) * col("n_rows")).cast("double") /
+          (col("n_rows").cast(dec) * col("p_rows")).cast("double")).as("rate_delta"))
+  }
+
   def categoricalDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
     OpContract.requireCols(oldDf, "AuditOps.categoricalDrift old", catCol)
     OpContract.requireCols(newDf, "AuditOps.categoricalDrift new", catCol)

@@ -102,6 +102,21 @@ object AuditQueries {
       val docs = t(s, d, "documents")
       AuditOps.categoricalDrift(docs, docs.filter(col("doc_id") % 3 =!= 0), "source")
         .orderBy("cat")
+    }),
+
+    // Completeness trend: the source events have no NULLs, so the gate
+    // injects them deterministically (value on every 7th id, props on
+    // every 11th — the dd_exact injection pattern) before the per-day
+    // null-rate/delta audit. Day = epoch day from the µs timestamp.
+    "aud_completeness" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L)).as("day"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("value"),
+        when(col("event_id") % 11 === 0, lit(null)).otherwise(col("props")).as("props"))
+      AuditOps.completenessReport(ev, Seq("value", "props"), col("day"))
+        .orderBy("column_name", "day")
     }))
 
   /** One instance of the q34 exact-percentile CTE chain (binWidth 1024,
@@ -406,5 +421,33 @@ object AuditQueries {
         |    CAST(SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
         |      / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE)
         |  END AS auc
-        |FROM r GROUP BY grp ORDER BY grp""".stripMargin)
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Completeness: identical null injection; the rate delta is the
+    // cross-multiplied exact-integer form — never a difference of two
+    // rounded doubles. LAG partitions by column over the bounded
+    // (day, column) table.
+    "aud_completeness" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
+        |  FROM events),
+        |m AS (
+        |  SELECT day, 'value' AS column_name, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null
+        |  FROM e GROUP BY day
+        |  UNION ALL
+        |  SELECT day, 'props', COUNT(*),
+        |    SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |  FROM e GROUP BY day),
+        |l AS (SELECT day, column_name,
+        |    CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+        |    LAG(n_rows) OVER w AS p_rows, LAG(n_null) OVER w AS p_null
+        |  FROM m WINDOW w AS (PARTITION BY column_name ORDER BY day))
+        |SELECT day, column_name, n_rows, n_null,
+        |  CAST(n_null AS DOUBLE) / CAST(n_rows AS DOUBLE) AS null_rate,
+        |  CAST(CAST(n_null AS HUGEINT) * p_rows - CAST(p_null AS HUGEINT) * n_rows
+        |      AS DOUBLE) /
+        |    CAST(CAST(n_rows AS HUGEINT) * p_rows AS DOUBLE) AS rate_delta
+        |FROM l ORDER BY column_name, day""".stripMargin)
 }

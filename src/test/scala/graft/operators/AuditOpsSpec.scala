@@ -257,6 +257,27 @@ class AuditOpsSpec extends SparkTestBase {
     assert(got.find(_.getString(0) == "c").get.getDouble(4) == 1.0)
   }
 
+  test("completenessReport: per-day null counts, exact cross-multiplied deltas, NULL first day") {
+    import spark.implicits._
+    // day 0: a has 1/4 nulls, b has 0/4; day 1: a 2/4, b 1/4
+    val rows = Seq(
+      (0L, Option(1.0), Option("x")), (0L, None, Option("y")),
+      (0L, Option(2.0), Option("z")), (0L, Option(3.0), Option("w")),
+      (1L, None, Option("x")), (1L, None, None),
+      (1L, Option(4.0), Option("y")), (1L, Option(5.0), Option("z")))
+      .toDF("day", "a", "b")
+    val r = AuditOps.completenessReport(rows, Seq("a", "b"), col("day"))
+      .orderBy("column_name", "day").collect()
+    // rows: (a,0), (a,1), (b,0), (b,1)
+    assert(r(0).getLong(2) == 4 && r(0).getLong(3) == 1 && r(0).isNullAt(5))
+    assert(r(1).getLong(3) == 2 && r(1).getDouble(4) == 0.5)
+    // delta a: (2*4 - 1*4) / (4*4) = 0.25 exactly
+    assert(r(1).getDouble(5) == 0.25, r(1).toString)
+    assert(r(2).getLong(3) == 0 && r(2).isNullAt(5))
+    // delta b: (1*4 - 0*4) / 16 = 0.25
+    assert(r(3).getDouble(5) == 0.25, r(3).toString)
+  }
+
   test("validation: unknown tables and duplicate check ids fail at the call site") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val e1 = intercept[IllegalArgumentException] {
