@@ -735,6 +735,110 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // ---- BPE tokenizer training ------------------------------------------
+  //
+  // Token streams are encoded as separator-framed strings — every symbol
+  // wrapped in U+0001 (absent from any text corpus worth training on;
+  // validated absent from the gate corpus), so tokens "a","b","c" become
+  // "␁a␁␁b␁␁c␁". TWO separators stand between adjacent symbols, which
+  // makes one BPE merge a plain string replace: the pair (l, r) matches
+  // "␁l␁␁r␁" → "␁lr␁", adjacent matches never share characters (each
+  // boundary owns its own separator), a match can never start mid-symbol
+  // (the leading ␁ anchors it), and `replace`'s non-overlapping
+  // left-to-right scan IS the greedy left-to-right BPE application — with
+  // identical semantics in Spark and DuckDB, so the whole trainer is
+  // oracle-checkable with zero floating point.
+
+  private val BpeSep = "\u0001"
+  private def bpeEnc0(word: Column): Column =
+    regexp_replace(word, "(.)", s"$BpeSep$$1$BpeSep")
+  private def bpeToks(enc: Column): Column =
+    split(trim(enc, BpeSep), BpeSep + BpeSep)
+  private def bpeMergeApply(enc: Column, l: String, r: String): Column =
+    call_function("replace", enc,
+      lit(s"$BpeSep$l$BpeSep$BpeSep$r$BpeSep"), lit(s"$BpeSep$l$r$BpeSep"))
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016), distributed: learn
+    * `nMerges` merge rules by repeatedly counting adjacent symbol pairs
+    * and merging the most frequent (ties: count desc, then (lhs, rhs)
+    * lexicographic — deterministic in any engine). [[bpePairs]] is one
+    * round of the counting; this is the full trainer loop.
+    *
+    * Scale shape (the real trainer's): the corpus is scanned ONCE into
+    * the distinct-word frequency vocabulary; every round then runs over
+    * \|vocab\| rows (Heaps-law sublinear in corpus size), extracts pairs
+    * ROW-LOCALLY (slice + arrays_zip — no shuffle until the map-side-
+    * combined pair count), and collects exactly ONE row (the argmax pair)
+    * — merges are k-row MODEL STATE, the [[SimilarityOps.trainCentroids]]
+    * Lloyd pattern. Each round's encoding is the codegen'd replace chain
+    * of all previous merges over the cached vocabulary.
+    *
+    * Output: (merge_round, lhs, rhs, pair_count) — stop early if the
+    * vocabulary runs out of pairs. Counts are exact integers; no FP.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"bpeTrain: nMerges must be in [1, 64], got $nMerges")
+    val sp = docs.sparkSession
+    val vocab = spread(OpContract.requireCols(docs, "TextOps.bpeTrain", "text"))
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(bpeEnc0(col("word")).as("enc"), col("freq"))
+      .cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var enc: Column = col("enc")
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val top = vocab
+        .withColumn("t", bpeToks(enc))
+        .withColumn("tl", slice(col("t"), lit(1), size(col("t")) - 1))
+        .withColumn("tr", slice(col("t"), lit(2), size(col("t")) - 1))
+        .select(col("freq"), explode(arrays_zip(col("tl"), col("tr"))).as("p"))
+        .groupBy(col("p.tl").as("l"), col("p.tr").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        out += ((round.toLong, l, r, top(0).getLong(2)))
+        enc = bpeMergeApply(enc, l, r)
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    import sp.implicits._
+    out.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply learned BPE merges ([[bpeTrain]] output, in training order)
+    * and report per-document token statistics — the "how many tokens is
+    * this corpus under my tokenizer" pass every training-data budget
+    * starts from. `compression` is BPE tokens per character (lower =
+    * better compression), ONE double division of exact integer sums.
+    *
+    * Scale shape: the merge list folds into a single codegen'd
+    * replace-chain projection — encoding is shuffle-free; the only
+    * exchange is the per-doc aggregation of three integer counters.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val d = spread(OpContract.requireCols(docs, "TextOps.bpeEncode", "doc_id", "text"))
+    val encN = merges.foldLeft(bpeEnc0(col("word"))) {
+      case (c, (l, r)) => bpeMergeApply(c, l, r)
+    }
+    d.select(col("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), length(col("word")).cast("long").as("nc"),
+        size(bpeToks(encN)).cast("long").as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_bpe_tokens").cast("double") / col("n_chars").cast("double"))
+  }
+
   /** Statistical LM quality scoring (the CCNet recipe): train a
     * Laplace-smoothed bigram model ON the corpus, score every document
     * as bits-per-token — low-perplexity docs are fluent/common text,

@@ -14,6 +14,36 @@ object TextQueries {
   import Tables._
 
   private val sqlStop = TextOps.stop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** The BPE trainer as a DuckDB CTE chain: vocabulary `w`, initial
+    * framed encoding `e0`, then per round k a pair-count `pk`, argmax
+    * `mk(merge_round, l, r, cnt)` and merged encoding `ek`. Mirrors
+    * TextOps.bpeTrain block-for-block (chr(1) = the framing separator).
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    val head =
+      """w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |e0 AS (SELECT freq,
+        |    regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS enc
+        |  FROM w)""".stripMargin
+    val blocks = (1 to rounds).map { k =>
+      s"""t$k AS (SELECT freq,
+         |    string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS t
+         |  FROM e${k - 1}),
+         |z$k AS (SELECT freq,
+         |    unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM t$k),
+         |p$k AS (SELECT p[1] AS l, p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM z$k GROUP BY 1, 2),
+         |m$k AS (SELECT $k AS merge_round, l, r, cnt FROM p$k
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$k AS (SELECT freq, replace(enc,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS enc FROM e${k - 1}, m$k m)""".stripMargin
+    }
+    (head +: blocks).mkString(",\n")
+  }
   private def markers = TextOps.markers
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -128,6 +158,20 @@ object TextQueries {
     "tx_weighted_sample" -> ((s, d) =>
       TextOps.weightedSample(t(s, d, "documents"), "n_chars", 20)),
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(t(s, d, "documents"))),
+    // Full BPE trainer: 3 merge rounds (each oracle round is a
+    // count→argmax→replace CTE block, so the SQL cost is 3 corpus-vocab
+    // passes — keep nMerges small at the gate; the op itself caps at 64).
+    "tx_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(t(s, d, "documents"), 3).orderBy("merge_round")),
+    // Tokenize the corpus under the 3 learned merges: per-doc token
+    // budget + compression. The merges collected here are bounded model
+    // state (3 rows), the trainCentroids composition pattern.
+    "tx_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextOps.bpeTrain(docs, 3).orderBy("merge_round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs, merges).orderBy("doc_id")
+    }),
     "tx_bigram_ppl" -> ((s, d) =>
       TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
     "tx_trigram_ppl" -> ((s, d) =>
@@ -419,6 +463,46 @@ object TextQueries {
         |    ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rank
         |  FROM pc) x
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // BPE trainer mirrored round-for-round: each block counts adjacent
+    // pairs over the separator-framed vocabulary (list_zip of the two
+    // shifted slices), picks the argmax with the identical
+    // (cnt DESC, l, r) tie order, and applies the merge as the SAME
+    // doubled-separator replace the op uses — pure integer counts and
+    // byte-identical string semantics, zero FP caveat.
+    "tx_bpe_train" ->
+      s"""WITH ${bpeChainSql(3)}
+         |SELECT CAST(merge_round AS BIGINT) AS merge_round, l AS lhs,
+         |  r AS rhs, cnt AS pair_count
+         |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |      UNION ALL SELECT * FROM m3)
+         |ORDER BY merge_round""".stripMargin,
+    // Encode under the same learned merges: the m1..m3 one-row CTEs fold
+    // into the per-(doc, word) replace chain, then per-doc integer sums.
+    "tx_bpe_encode" ->
+      s"""WITH ${bpeChainSql(3)},
+         |dw AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents) WHERE length(word) > 0),
+         |de0 AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS nc,
+         |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS e
+         |  FROM dw),
+         |de1 AS (SELECT doc_id, nc, replace(e,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS e FROM de0, m1 m),
+         |de2 AS (SELECT doc_id, nc, replace(e,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS e FROM de1, m2 m),
+         |de3 AS (SELECT doc_id, nc, replace(e,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS e FROM de2, m3 m)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(string_split(trim(e, chr(1)), chr(1) || chr(1))))
+         |    AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(len(string_split(trim(e, chr(1)), chr(1) || chr(1))))
+         |      AS DOUBLE) /
+         |    CAST(SUM(nc) AS DOUBLE) AS compression
+         |FROM de3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_pii_redact" -> {
       val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
         s"'${TextOps.emailRe}', '<EMAIL>', 'g'), " +

@@ -481,6 +481,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(flags(4)._2 == false && flags(4)._5 == false, r(4).toString)
   }
 
+  test("bpeTrain/bpeEncode: merged symbols re-merge, ties break lexicographically, runs merge greedily, early stop") {
+    import spark.implicits._
+    val docs = Seq((0L, "abc abc abc ab"), (1L, "aaaa")).toDF("doc_id", "text")
+    // vocab {abc:3, ab:1, aaaa:1}
+    // r1 pairs: (a,b)=4, (b,c)=3, (a,a)=3            -> (a,b) 4
+    // r2: abc=[ab,c], aaaa=[a,a,a,a]: (ab,c)=3 ties (a,a)=3 -> lex: (a,a)
+    // r3: aaaa=[aa,aa]: (ab,c)=3, (aa,aa)=1          -> (ab,c) 3
+    // r4: (aa,aa)=1                                  -> (aa,aa) 1
+    // r5: no pairs left                              -> stop at 4 rows
+    val m = TextOps.bpeTrain(docs, 5).orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "b", 4L), (2L, "a", "a", 3L),
+      (3L, "ab", "c", 3L), (4L, "aa", "aa", 1L)), m.toSeq.toString)
+    val enc = TextOps.bpeEncode(docs, m.map(x => (x._2, x._3)).toSeq)
+      .orderBy("doc_id").collect()
+    // doc 0: abc -> [abc] x3, ab -> [ab]: 4 tokens over 11 chars
+    assert(enc(0).getLong(1) == 4 && enc(0).getLong(2) == 11 &&
+      enc(0).getLong(3) == 4, enc(0).toString)
+    // doc 1: aaaa -> [aa,aa] -> [aaaa]: 1 token over 4 chars
+    assert(enc(1).getLong(3) == 1 && enc(1).getDouble(4) == 0.25, enc(1).toString)
+  }
+
   test("labelKnnGraph: exact within-block neighbors, cos/dst tie-break, singleton blocks emit nothing") {
     import spark.implicits._
     def v(hot: Seq[(Int, Float)]) =
