@@ -63,7 +63,13 @@ object Plans {
     "aud_dq_report", "aud_outliers",
     // round-7 (cont. 5): sequential anomaly window, sketch-refine
     // winsorize clip, distinct-score-group AUC
-    "aud_anomaly_cum", "aud_winsorize", "aud_auc")
+    "aud_anomaly_cum", "aud_winsorize", "aud_auc",
+    // round 8: CDC merge as one max_by hash agg (no per-key sort), the
+    // single-shuffle attribution pair stream, melt-then-lag completeness
+    // over a bounded (day, column) table, BPE encode as a codegen'd
+    // replace-chain projection
+    "ev_apply_changes", "ev_attribution", "aud_completeness",
+    "tx_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -369,7 +369,25 @@ object ScaleBench {
           k = 2, blockWidth = 4,
           blockOn = Seq(col("lang"), floor(col("doc_id") / SHIFT)))),
       "dd_prefix_jaccard" -> ((s: SparkSession, d: String, _: Double) =>
-        DedupOps.prefixJaccardPairs(s.read.parquet(s"$d/documents.parquet"))))
+        DedupOps.prefixJaccardPairs(s.read.parquet(s"$d/documents.parquet"))),
+      // round-8 additions: the CDC merge (one max_by hash agg), the
+      // single-shuffle attribution pair stream (users grow with the
+      // corpus, per-user touch volume is window-bounded → linear), the
+      // melt-then-lag completeness trend, the vocab-bounded BPE trainer
+      // (3 rounds; corpus term is the one vocabulary-building scan) and
+      // the pure-projection rule filter / encode passes
+      "ev_apply_changes" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("ev_apply_changes")(s, d)),
+      "ev_attribution" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("ev_attribution")(s, d)),
+      "aud_completeness" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("aud_completeness")(s, d)),
+      "tx_bpe_train" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.bpeTrain(
+          s.read.parquet(s"$d/documents.parquet"), 3)),
+      "tx_gopher_rules" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.gopherRules(
+          s.read.parquet(s"$d/documents.parquet"))))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")

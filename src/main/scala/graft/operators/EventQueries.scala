@@ -177,7 +177,24 @@ object EventQueries {
     "ev_attribution" -> ((s, d) =>
       EventOps.attribution(t(s, d, "events"), "purchase", "click",
           3L * 24 * 3600 * 1000000L)
-        .orderBy("conv_id", "pos")))
+        .orderBy("conv_id", "pos")),
+
+    // KEYLESS range join (vs ev_click_error_join's user-keyed interval
+    // join): every click inside ANY error's 30-minute window, any user —
+    // bin width = window length, so each interval replicates to ≤ 2 bins
+    // and the join is a plain bin equi-join.
+    "ev_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val tsUs = call_function("div", col("ts").cast("long"), lit(1000L))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), tsUs.as("click_us"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (tsUs - lit(1800000000L)).as("lo_us"), tsUs.as("hi_us"))
+      RangeJoin.intervalJoinBinned(clicks, errs,
+          col("click_us"), col("lo_us"), col("hi_us"), 1800000000L)
+        .orderBy("click_id", "err_id")
+    }))
 
   private val sessionsSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -325,5 +342,16 @@ object EventQueries {
         |    AS weight_bp
         |FROM p
         |WINDOW w AS (PARTITION BY conv_id ORDER BY touch_ts, touch_id)
-        |ORDER BY conv_id, pos""".stripMargin)
+        |ORDER BY conv_id, pos""".stripMargin,
+    // Keyless range join: the oracle is the plain theta join the binned
+    // op must reproduce pair-for-pair (binning is invisible in output).
+    "ev_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS err_id, epoch_us(ts) - 1800000000 AS lo_us,
+        |    epoch_us(ts) AS hi_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.click_id, c.click_us, e.err_id, e.lo_us, e.hi_us
+        |FROM c JOIN e ON c.click_us >= e.lo_us AND c.click_us <= e.hi_us
+        |ORDER BY click_id, err_id""".stripMargin)
 }

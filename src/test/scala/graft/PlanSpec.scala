@@ -166,6 +166,19 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("keyless range join: the bin equi-join shuffles, never a nested loop") {
+    // a raw BETWEEN with no equality conjunct plans as
+    // BroadcastNestedLoopJoin — the binned op must plan a real
+    // equi-join on the bin key at any scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("ev_range_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("temporal as-of lookup joins on the equality key, never a nested loop") {
     // the interval predicate must ride an equality-keyed join (broadcast
     // here, SMJ at scale) as a join filter — a planner regression to

@@ -503,6 +503,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(enc(1).getLong(3) == 1 && enc(1).getDouble(4) == 0.25, enc(1).toString)
   }
 
+  test("intervalJoinBinned: equals the brute-force theta join, exactly once per pair, any bin width") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 100L))
+      .toDF("pid", "p")
+    // intervals spanning multiple bins at width 4; touching endpoints
+    val ivs = Seq((10L, 3L, 11L), (20L, 10L, 10L), (30L, 16L, 40L))
+      .toDF("iid", "lo", "hi")
+    val brute = pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (w <- Seq(1L, 4L, 100L)) {
+      val got = RangeJoin.intervalJoinBinned(pts, ivs,
+          col("p"), col("lo"), col("hi"), w)
+        .select("pid", "iid").orderBy("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == brute, s"width $w: $got vs $brute")
+    }
+    // overlapping column names are rejected up front
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoinBinned(pts, pts, col("p"), col("p"), col("p"), 1L)
+    }
+    assert(e.getMessage.contains("overlapping column names"))
+  }
+
   test("labelKnnGraph: exact within-block neighbors, cos/dst tie-break, singleton blocks emit nothing") {
     import spark.implicits._
     def v(hot: Seq[(Int, Float)]) =
