@@ -134,4 +134,105 @@ object MediaOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
   }
+
+  /** One perceptual-hash row per asset from [[perceptualHash]]. */
+  final case class PHash(doc_id: Long, decoded: Boolean, phash: String)
+
+  /** Difference-hash (dHash) perceptual image fingerprint — the standard
+    * 64-bit near-duplicate signature for image dedup: luma-downscale to a
+    * 9×8 grid, set bit (y·8 + x) when cell (x, y) is darker than its
+    * right neighbor. Output `phash` is the 16-hex-char form.
+    *
+    * The downscale is an EXACT integer box filter (per-cell sums of
+    * 299r + 587g + 114b over floor-partitioned pixel blocks, one integer
+    * division) — not `drawImage` scaling, whose interpolation is
+    * JDK-implementation-defined; the same image bytes hash identically on
+    * any JVM, which is what makes the hash usable as a dedup KEY across a
+    * heterogeneous cluster. Decode is the [[MediaStub.decodeImage]]
+    * `javax.imageio` path (real for PNG/BMP/GIF — fixture-pinned in
+    * MediaOpsSpec); payloads no reader recognizes fall back to the
+    * leading 16 hex chars of the payload MD5 with `decoded = false` — a
+    * uniform pseudo-hash that keeps the column total and exact-dup-only
+    * (two identical payloads still collide; nothing else is near).
+    *
+    * Same mapPartitions discipline as [[thumbnailPixels]]: iterator-to-
+    * iterator, embarrassingly parallel, no shuffle at any scale.
+    */
+  def perceptualHash(spark: SparkSession, docsWithPayload: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.perceptualHash", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        it.map { case (id, bytes) =>
+          val decoded = try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          } catch { case _: Exception => None }
+          decoded match {
+            case Some(img) =>
+              val (gw, gh) = (9, 8)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val grid = Array.ofDim[Long](gh, gw)
+              var gy = 0
+              while (gy < gh) {
+                var gx = 0
+                while (gx < gw) {
+                  val x0 = gx * w / gw
+                  val x1 = math.min(math.max((gx + 1) * w / gw, x0 + 1), w)
+                  val y0 = gy * h / gh
+                  val y1 = math.min(math.max((gy + 1) * h / gh, y0 + 1), h)
+                  var sum = 0L; var n = 0L; var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val rgb = img.getRGB(x, y)
+                      sum += 299L * ((rgb >> 16) & 0xff) +
+                        587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                      n += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  grid(gy)(gx) = sum / n
+                  gx += 1
+                }
+                gy += 1
+              }
+              var hash = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (grid(y)(x) < grid(y)(x + 1)) hash |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              PHash(id, decoded = true, f"$hash%016x")
+            case None =>
+              md.reset()
+              PHash(id, decoded = false, hex(md.digest(bytes)).take(16))
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs over [[perceptualHash]] output: bit-level
+    * Hamming ≤ `k` on the 64-bit hash. Implemented by EXPANDING the hex
+    * hash to its 64-char bit string and delegating to
+    * [[graft.operators.DedupOps.hammingPairs]] — character Hamming over
+    * the bit string IS bit Hamming, so the lossless (k+1)-segment
+    * pigeonhole blocking, its candidate bounds and its gate/spec pins all
+    * carry over unchanged. Output: (doc_a, doc_b, dist).
+    */
+  def phashPairs(hashes: DataFrame, k: Int = 3): DataFrame = {
+    val h = graft.operators.OpContract.requireCols(hashes,
+      "MediaOps.phashPairs", "doc_id", "phash")
+    def half(start: Int) =
+      lpad(bin(conv(substring(col("phash"), start, 8), 16, 10).cast("long")), 32, "0")
+    val bits = h.select(col("doc_id"), concat(half(1), half(9)).as("bits"))
+    graft.operators.DedupOps.hammingPairs(bits, col("doc_id"), col("bits"), k)
+  }
 }

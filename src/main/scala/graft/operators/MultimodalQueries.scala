@@ -43,7 +43,30 @@ object MultimodalQueries {
     "mm_frame_sample" -> ((s, d) =>
       MediaOps.frameSample(
         MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Perceptual hash: the synthetic gate payloads never decode, so every
+    // row takes the documented MD5 pseudo-hash fallback the oracle can
+    // mirror; the REAL dHash pixel path is fixture-pinned in MediaOpsSpec.
+    "mm_phash" -> ((s, d) =>
+      MediaOps.perceptualHash(s,
+          MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))
+        .toDF().orderBy("doc_id")),
+
+    // Image near-dup pairs: every 5th payload re-appended under a shifted
+    // id (the dd_exact injection pattern — identical bytes, identical
+    // hash, Hamming 0); the oracle is the BRUTE bit-Hamming join, so any
+    // accidental near-collision would also have to appear.
+    "mm_phash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val withDups = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000))
+      MediaOps.phashPairs(
+          MediaOps.perceptualHash(s, MediaStub.withPayload(withDups)).toDF(),
+          k = 3)
+        .orderBy("doc_a", "doc_b")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
@@ -73,5 +96,24 @@ object MultimodalQueries {
          |fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM f)
          |SELECT doc_id, COUNT(*) AS n_sampled, CAST(MAX(frame_idx) AS INTEGER) AS last_frame
          |FROM fr WHERE frame_idx % 3 = 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_phash" ->
+      """SELECT doc_id, FALSE AS decoded, substr(md5(text), 1, 16) AS phash
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "mm_phash_pairs" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 5 = 0),
+        |h AS (SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM src),
+        |p AS (SELECT doc_id,
+        |    ('0x' || substr(ph, 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(ph, 9, 8))::BIGINT AS lo FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

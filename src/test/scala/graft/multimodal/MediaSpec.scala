@@ -97,4 +97,67 @@ class MediaSpec extends SparkTestBase {
     assert(metas.length == 10)
     assert(metas.forall(_.format.startsWith("fake/")))
   }
+
+  /** Deterministic in-test PNG: pixels from a pure function, encoded by
+    * the same JDK ImageIO the decode path uses.
+    */
+  private def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def checkerboard: Array[Byte] =
+    pngBytes(32, 32)((x, y) =>
+      if (((x / 4) + (y / 4)) % 2 == 0) 0xffffff else 0x000000)
+
+  test("perceptualHash: PNG and BMP of the same pixels hash identically; dHash is real, fallback is MD5") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, fixture("testcard_48x32.png")),
+      (2L, fixture("testcard_48x32.bmp")),
+      (3L, checkerboard),
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val ph = MediaOps.perceptualHash(spark, payloads).collect().sortBy(_.doc_id)
+    // same pixels through different containers -> the same 64-bit dHash
+    assert(ph(0).decoded && ph(1).decoded && ph(0).phash == ph(1).phash, ph.mkString(","))
+    // the test card is a left-to-right luminance gradient: every cell is
+    // darker than its right neighbor, so its dHash is all-ones BY
+    // CONSTRUCTION — a strong pin of the bit orientation
+    assert(ph(0).phash == "ffffffffffffffff", ph(0).toString)
+    // the checkerboard alternates: a genuinely different, non-flat hash
+    assert(ph(2).decoded && ph(2).phash != ph(0).phash &&
+      ph(2).phash != "0000000000000000", ph(2).toString)
+    // undecodable payloads: MD5 pseudo-hash, equal bytes collide
+    assert(!ph(3).decoded && ph(3).phash == ph(4).phash)
+    assert(ph(3).phash.length == 16 && ph(3).phash.matches("[0-9a-f]{16}"))
+  }
+
+  test("phashPairs: bit-level Hamming via the pigeonhole bit-string join, exact distances") {
+    import spark.implicits._
+    // hand-built hexes: b differs from a in exactly bits 0 and 63;
+    // c is a at distance 1 (bit 4); d is far from everything
+    val hashes = Seq(
+      (1L, "8000000000000001"), (2L, "0000000000000000"),
+      (3L, "8000000000000011"), (4L, "ffffffff00000000"))
+      .toDF("doc_id", "phash")
+    val r = MediaOps.phashPairs(hashes, k = 2).orderBy("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 1L)), r.toSeq.toString)
+    // the real-image path: png+bmp twins pair at distance 0; the
+    // checkerboard pairs with neither
+    val payloads = Seq(
+      (10L, fixture("testcard_48x32.png")),
+      (11L, fixture("testcard_48x32.bmp")),
+      (12L, checkerboard)).toDF("doc_id", "payload")
+    val imgPairs = MediaOps.phashPairs(
+      MediaOps.perceptualHash(spark, payloads).toDF(), k = 0).collect()
+    assert(imgPairs.length == 1 &&
+      imgPairs(0).getLong(0) == 10L && imgPairs(0).getLong(1) == 11L &&
+      imgPairs(0).getLong(2) == 0L, imgPairs.mkString(","))
+  }
 }
