@@ -96,6 +96,18 @@ object Audit {
       .collect()(0)
     println(s"""{"detector":"auc","n":${auc.getLong(0)},"n_pos":${auc.getLong(1)},""" +
       s""""auc":${if (auc.isNullAt(3)) "null" else auc.getDouble(3)}}""")
+    // numeric drift: exact two-sample KS of the value column between the
+    // error cohort and the rest (r8; the numeric sibling of aud_drift)
+    val ks = AuditOps.ksReport(ev, col("value"), col("event_type") === "error")
+      .collect()(0)
+    println(s"""{"detector":"ks","n_a":${ks.getLong(0)},"n_b":${ks.getLong(1)},""" +
+      s""""ks":${ks.getDouble(3)},"at_value":${ks.getDouble(4)}}""")
+    // Benford first-digit screen on the value column (r8)
+    AuditOps.benfordReport(ev, col("value"))
+      .orderBy("digit").collect().foreach { r =>
+        println(s"""{"detector":"benford","digit":${r.getLong(0)},""" +
+          s""""cnt":${r.getLong(1)},"dev":${r.getDouble(6)}}""")
+      }
 
     val failed = dq.count(_.getLong(6) == 0L)
     println(s"""{"audit":"done","checks":${dq.length},"failed":$failed}""")

@@ -69,7 +69,11 @@ object Plans {
     // over a bounded (day, column) table, BPE encode as a codegen'd
     // replace-chain projection
     "ev_apply_changes", "ev_attribution", "aud_completeness",
-    "tx_bpe_encode")
+    "tx_bpe_encode",
+    // round 8 (cont.): banded two-sample KS CDF (no global window),
+    // 9-row Benford broadcast, shingle first-occurrence novelty
+    // (ids+hashes shuffle, text never moves), compound-blocked linkage
+    "aud_ks", "aud_benford", "tx_novelty", "dd_fuzzy_compound")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

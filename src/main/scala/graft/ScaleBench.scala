@@ -387,6 +387,21 @@ object ScaleBench {
           s.read.parquet(s"$d/documents.parquet"), 3)),
       "tx_gopher_rules" -> ((s: SparkSession, d: String, _: Double) =>
         graft.operators.TextOps.gopherRules(
+          s.read.parquet(s"$d/documents.parquet"))),
+      // round-8 (cont.): the banded KS CDF (distinct-value agg bound —
+      // copies repeat o_totalprice, so the distinct-value table stays
+      // flat while per-value counts scale: the curve should expose the
+      // scan-bound shape), and the
+      // shingle-novelty first-occurrence pass (ids+hashes shuffle only;
+      // substituted copies share no shingles so the hash table grows ∝
+      // corpus while per-key fan-in stays flat)
+      "aud_ks" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.ksReport(
+          s.read.parquet(s"$d/orders.parquet")
+            .filter(col("o_orderstatus").isin("F", "O")),
+          col("o_totalprice"), col("o_orderstatus") === "F")),
+      "tx_novelty" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.noveltyReport(
           s.read.parquet(s"$d/documents.parquet"))))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")

@@ -717,4 +717,120 @@ object AuditOps {
         max(when(verdict, col("x").cast("long"))).as("max_outlier"),
         min(when(verdict, col("x").cast("long"))).as("min_outlier"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic of a numeric column —
+    * the NUMERIC sibling of [[categoricalDrift]]: did the distribution of
+    * `valCol` move between sample A (`sideCol` true) and sample B? The
+    * audit a pipeline runs on a refreshed corpus's length/score/price
+    * columns before swapping it in.
+    *
+    * D = max over observed values v of |F_A(v) − F_B(v)|. Computed exactly:
+    * values collapse to DISTINCT groups carrying (cnt_a, cnt_b); the
+    * inclusive cumulative pair (cum_a, cum_b) follows; and the comparison
+    * runs on the cross-multiplied integer |cum_a·n_b − cum_b·n_a| in
+    * DECIMAL(38,0) — no per-row division, so ties and the argmax are
+    * engine-exact. Emitted: (n_a, n_b, ks_num, ks, at_value) where
+    * `ks = ks_num/(n_a·n_b)` is the only floating-point op (one division
+    * of two exact integers — engine-identical) and `at_value` is the
+    * SMALLEST value attaining D (deterministic tiebreak).
+    *
+    * Scale shape: one map-side-combined aggregation to ≤|distinct values|
+    * rows, then the [[aucReport]] banded-prefix discipline — ≤4097 range
+    * bands via a monotone map, across-band exclusive prefix from a
+    * broadcast ≤4097-row band-total table, within-band window partitioned
+    * by band. No unpartitioned WindowExec anywhere (PlanSpec pins this);
+    * the data itself never sorts or re-shuffles beyond the distinct-value
+    * aggregation. Banding is an execution detail: any monotone bucketing
+    * composes the same exact integer prefix sums.
+    */
+  def ksReport(df: DataFrame, valCol: Column, sideCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(valCol.isNotNull && sideCol.isNotNull)
+      .select(valCol.as("s"), when(sideCol, 1L).otherwise(0L).as("a"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
+      .withColumn("cb", col("cnt") - col("ca"))
+    val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val banded = g.crossJoin(broadcast(mm))
+      .withColumn("band", when(col("hi") > col("lo"),
+          floor((col("s") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(4096.0))))
+        .otherwise(lit(0L)))
+      .drop("lo", "hi")
+    val bandTot = banded.groupBy("band")
+      .agg(sum(col("ca")).as("bca"), sum(col("cb")).as("bcb"))
+    val pref = bandTot.select(col("band"))
+      .join(broadcast(bandTot.select(col("band").as("pb"),
+          col("bca").as("pca"), col("bcb").as("pcb"))),
+        col("pb") < col("band"), "left")
+      .groupBy("band").agg(
+        coalesce(sum(col("pca")), lit(0L)).as("prea"),
+        coalesce(sum(col("pcb")), lit(0L)).as("preb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = banded.join(broadcast(pref), Seq("band"))
+      .withColumn("cum_a", (col("prea") + sum(col("ca")).over(w)).cast(dec))
+      .withColumn("cum_b", (col("preb") + sum(col("cb")).over(w)).cast(dec))
+    val tot = cum.agg(sum(col("ca")).cast(dec).as("n_a"),
+      sum(col("cb")).cast(dec).as("n_b"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .withColumn("d", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val dmax = diffs.agg(max(col("d")).as("dm"))
+    diffs.crossJoin(broadcast(dmax))
+      .filter(col("d") === col("dm"))
+      .agg(min(col("n_a")).cast("long").as("n_a"),
+        min(col("n_b")).cast("long").as("n_b"),
+        min(col("dm")).cast("long").as("ks_num"),
+        (min(col("dm")).cast("double") /
+          (min(col("n_a")) * min(col("n_b"))).cast("double")).as("ks"),
+        min(col("s")).cast("double").as("at_value"))
+  }
+
+  /** Benford first-significant-digit audit of an integer-magnitude column
+    * — the classic anomaly screen for "organically grown" numeric columns
+    * (prices, populations, transaction amounts): their leading digits
+    * should follow P(d) = log10(1 + 1/d). A corpus whose synthetic or
+    * corrupted rows cluster on a digit fails loudly.
+    *
+    * Exactness discipline: the digit comes from the DECIMAL STRING of
+    * `abs(floor(value))` (substring, not a data-dependent `log10` — libm
+    * never touches data), and the deviation is the cross-multiplied
+    * integer `dev_num = |cnt·10⁹ − n·exp_ppb|` against the nine Benford
+    * probabilities hardcoded as parts-per-billion integer constants
+    * (constants, identical in any engine). The only floating-point ops are
+    * the two single divisions emitting `frac` and `dev` from exact
+    * integers. Rows with `floor(|value|) = 0` carry no leading digit and
+    * are excluded (documented; the count is in `n` only via digit rows).
+    *
+    * Scale shape: one map-side-combined aggregation to ≤9 digit rows, then
+    * a 9-row broadcast against the 1-row total — nothing else moves.
+    */
+  def benfordReport(df: DataFrame, valCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // P(d)·1e9, d = 1..9 (log10(1+1/d) rounded half-even at 9 dp; the
+    // rounding residue makes the column sum 1e9 + 1 — documented constant)
+    val ppb = Seq(301029996L, 176091259L, 124938737L, 96910013L,
+      79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+    val x = abs(floor(valCol)).cast("long")
+    val g = df.filter(valCol.isNotNull && x > 0)
+      .select(substring(x.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum(col("cnt")).as("n"))
+    val exp = ppb.zipWithIndex
+      .map { case (p, i) => struct(lit(i + 1L).as("digit"), lit(p).as("exp_ppb")) }
+    val expDf = df.sparkSession.range(1).select(
+        explode(array(exp: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.exp_ppb").as("exp_ppb"))
+    expDf.join(g, Seq("digit"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"), col("n"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("frac"),
+        col("exp_ppb"),
+        abs(col("cnt").cast(dec) * lit(1000000000L).cast(dec) -
+          col("n").cast(dec) * col("exp_ppb").cast(dec)).cast("long").as("dev_num"))
+      .withColumn("dev", col("dev_num").cast("double") /
+        (col("n").cast(dec) * lit(1000000000L).cast(dec)).cast("double"))
+  }
 }

@@ -117,7 +117,21 @@ object AuditQueries {
         when(col("event_id") % 11 === 0, lit(null)).otherwise(col("props")).as("props"))
       AuditOps.completenessReport(ev, Seq("value", "props"), col("day"))
         .orderBy("column_name", "day")
-    }))
+    }),
+
+    // Numeric-drift audit: exact two-sample KS of o_totalprice between the
+    // F and O order cohorts — distinct-value groups, banded cumulative
+    // (no unpartitioned window), cross-multiplied integer verdict.
+    "aud_ks" -> ((s, d) =>
+      AuditOps.ksReport(
+        t(s, d, "orders").filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice"), col("o_orderstatus") === "F")),
+
+    // Benford screen on order totals: digit from the decimal string (no
+    // libm on data), deviation as the exact ppb cross-multiplication.
+    "aud_benford" -> ((s, d) =>
+      AuditOps.benfordReport(t(s, d, "orders"), col("o_totalprice"))
+        .orderBy("digit")))
 
   /** One instance of the q34 exact-percentile CTE chain (binWidth 1024,
     * bins 1024 — the [[AuditOps]] defaults) at the given integer
@@ -449,5 +463,53 @@ object AuditQueries {
         |  CAST(CAST(n_null AS HUGEINT) * p_rows - CAST(p_null AS HUGEINT) * n_rows
         |      AS DOUBLE) /
         |    CAST(CAST(n_rows AS HUGEINT) * p_rows AS DOUBLE) AS rate_delta
-        |FROM l ORDER BY column_name, day""".stripMargin)
+        |FROM l ORDER BY column_name, day""".stripMargin,
+
+    // KS mirrored with one global window over distinct values (oracle
+    // scale); HUGEINT cross-multiplication, smallest arg-max value
+    "aud_ks" ->
+      """WITH b AS (SELECT o_totalprice AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F','O')),
+        |g AS (SELECT s, COUNT(*) AS cnt, SUM(a) AS ca FROM b GROUP BY s),
+        |c AS (SELECT s,
+        |    CAST(SUM(ca) OVER iw AS HUGEINT) AS cum_a,
+        |    CAST(SUM(cnt - ca) OVER iw AS HUGEINT) AS cum_b
+        |  FROM g WINDOW iw AS (ORDER BY s
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(ca) AS HUGEINT) AS n_a,
+        |    CAST(SUM(cnt) - SUM(ca) AS HUGEINT) AS n_b FROM g),
+        |d AS (SELECT c.s, abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS d,
+        |    t.n_a, t.n_b FROM c, t),
+        |m AS (SELECT MAX(d) AS dm FROM d)
+        |SELECT CAST(MIN(d.n_a) AS BIGINT) AS n_a, CAST(MIN(d.n_b) AS BIGINT) AS n_b,
+        |  CAST(MIN(m.dm) AS BIGINT) AS ks_num,
+        |  CAST(MIN(m.dm) AS DOUBLE) / CAST(MIN(d.n_a) * MIN(d.n_b) AS DOUBLE) AS ks,
+        |  CAST(MIN(d.s) AS DOUBLE) AS at_value
+        |FROM d, m WHERE d.d = m.dm""".stripMargin,
+
+    // digit from the integer's decimal string; the nine Benford ppb
+    // constants are literals on both sides; deviations cross-multiplied
+    // in HUGEINT
+    "aud_benford" ->
+      """WITH x AS (SELECT CAST(substr(CAST(CAST(abs(floor(o_totalprice)) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND abs(floor(o_totalprice)) > 0),
+        |g AS (SELECT digit, COUNT(*) AS cnt FROM x GROUP BY digit),
+        |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+        |    unnest([301029996, 176091259, 124938737, 96910013, 79181246,
+        |            66946790, 57991947, 51152522, 45757491]) AS exp_ppb),
+        |t AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n FROM g)
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  CAST(COALESCE(g.cnt, 0) AS BIGINT) AS cnt,
+        |  CAST(t.n AS BIGINT) AS n,
+        |  CAST(COALESCE(g.cnt, 0) AS DOUBLE) / CAST(t.n AS DOUBLE) AS frac,
+        |  CAST(e.exp_ppb AS BIGINT) AS exp_ppb,
+        |  CAST(abs(CAST(COALESCE(g.cnt, 0) AS HUGEINT) * 1000000000
+        |           - t.n * e.exp_ppb) AS BIGINT) AS dev_num,
+        |  CAST(abs(CAST(COALESCE(g.cnt, 0) AS HUGEINT) * 1000000000
+        |           - t.n * e.exp_ppb) AS DOUBLE)
+        |    / CAST(t.n * 1000000000 AS DOUBLE) AS dev
+        |FROM e LEFT JOIN g ON g.digit = e.digit, t ORDER BY digit""".stripMargin)
 }

@@ -119,6 +119,17 @@ object DedupQueries {
           concat_ws(" ", slice(split(col("text"), " "), 1, 3)), k = 2, blockWidth = 4,
           blockOn = Seq(col("lang")))
         .orderBy("doc_a", "doc_b")),
+    // The deployment-shape linkage config measured in ScaleBench: a
+    // COMPOUND blocking key (lang, source) whose cardinality grows with
+    // the corpus keeps block occupancy constant — the knob that took the
+    // fixed-block config's 1.83 scale exponent to 0.59. Gated here so the
+    // compound-key path is value-oracled, not just timed.
+    "dd_fuzzy_compound" -> ((s, d) =>
+      DedupOps.fuzzyPairs(t(s, d, "documents"),
+          col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 3)), k = 2, blockWidth = 4,
+          blockOn = Seq(col("lang"), col("source")))
+        .orderBy("doc_a", "doc_b")),
     // Fixed-width-key twin: pigeonhole segment blocking + Hamming verify
     // (the scale path when every key has the same length and length
     // banding has no leverage).
@@ -378,6 +389,15 @@ object DedupQueries {
           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |    CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
           |  FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.lang = b.lang
+          |  WHERE abs(length(a.key) - length(b.key)) <= 2)
+          |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "dd_fuzzy_compound" ->
+        """WITH k AS (SELECT doc_id, lang, source, array_to_string(string_split(text, ' ')[1:3], ' ') AS key FROM documents),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+          |  FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.lang = b.lang
+          |    AND a.source = b.source
           |  WHERE abs(length(a.key) - length(b.key)) <= 2)
           |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
           |ORDER BY doc_a, doc_b""".stripMargin,

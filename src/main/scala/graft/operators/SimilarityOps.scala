@@ -869,6 +869,59 @@ object SimilarityOps {
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
   }
 
+  /** Persist an IVF index for serving: `centroids.parquet` (cid, ce) plus
+    * the assigned corpus written `partitionBy("cid")` — one directory per
+    * inverted list, so a probe that touches nprobe lists READS nprobe
+    * directories (partition pruning at the file level; the
+    * [[readMinhashIndex]]-style counterpart for the ANN family). The
+    * build pays one assignment pass + one cid-partitioned shuffle write;
+    * every later query batch skips both.
+    */
+  def writeIvfIndex(e0: DataFrame, cents: DataFrame, dir: String): Unit = {
+    OpContract.requireCols(e0, "SimilarityOps.writeIvfIndex corpus", "vec_id", "embedding")
+    OpContract.requireCols(cents, "SimilarityOps.writeIvfIndex centroids", "cid", "ce")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
+    assignToCentroids(e, cents)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists.parquet")
+  }
+
+  /** Reload a persisted [[writeIvfIndex]] as (centroids, lists); feeds
+    * [[ivfTopKFromIndex]] (round-trip equality with the from-scratch
+    * [[ivfTopK]] pinned in SimilaritySpec).
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/lists.parquet"))
+
+  /** [[ivfTopK]] served from a persisted index: identical probe + re-rank,
+    * but the assignment pass is skipped — `lists` is the cid-partitioned
+    * table [[writeIvfIndex]] wrote, and the probe's `cid` filter prunes to
+    * the probed list directories on disk.
+    */
+  def ivfTopKFromIndex(lists: DataFrame, queries: DataFrame, cents: DataFrame,
+      nprobe: Int, k: Int, excludeQueryId: Boolean = true): DataFrame = {
+    OpContract.requireCols(lists, "SimilarityOps.ivfTopKFromIndex lists",
+      "vec_id", "embedding", "cid")
+    OpContract.requireCols(queries, "SimilarityOps.ivfTopKFromIndex queries",
+      "query_id", "qe")
+    OpContract.requireCols(cents, "SimilarityOps.ivfTopKFromIndex centroids",
+      "cid", "ce")
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("qcsim", cosine(col("qe"), col("ce")))
+      .withColumn("qrn", row_number().over(qw))
+      .filter(col("qrn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    rankTopK(
+      probes.join(lists, "cid")
+        .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
+        .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
+  }
+
   /** Upper-triangle COVARIANCE MATRIX of the embedding column — the
     * second-moment statistics feeding whitening, PCA, and the anisotropy
     * audits (a collapsed embedding space shows up as a few dominant

@@ -1240,4 +1240,39 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("cd").cast("double").as("cos_sim"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct 3-word
+    * shingles whose corpus-wide FIRST occurrence (minimum doc_id) is the
+    * doc itself. The curation metric behind "fresh content" weighting —
+    * a doc of mostly already-seen shingles is boilerplate/near-dup tail
+    * even when no single pair-level dedup fires; the per-doc score feeds
+    * [[scoreLinear]]-style mixing the same way quality does.
+    *
+    * Emits `(doc_id, n_shingles, n_novel, novelty)`; docs with fewer than
+    * 3 words have no shingles and are omitted. Exactness: counts are
+    * integers; `novelty` is the single final division.
+    *
+    * Scale shape: docs explode once to (doc_id, 60-bit shingle hash)
+    * pairs — 16 bytes/row; first-occurrence is one map-side-combined
+    * `min(doc_id)` aggregation on the hash; the join back ships only
+    * (hash, id) pairs (text never shuffles). At 100 TB swap
+    * [[graft.functions.CrossHash.mdint]] for `xxhash64` (same plan, no
+    * oracle) and bucket both sides by `shx` to make the join co-located.
+    */
+  def noveltyReport(docs: DataFrame): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.noveltyReport", "doc_id", "text")
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val pairs = docs.repartition(para)
+      .select(col("doc_id"),
+        explode(DedupOps.shinglesCol(col("text"))).as("sh"))
+      .select(col("doc_id"), graft.functions.CrossHash.mdint(col("sh")).as("shx"))
+    val firsts = pairs.groupBy("shx").agg(min(col("doc_id")).as("first_doc"))
+    pairs.join(firsts, Seq("shx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
 }

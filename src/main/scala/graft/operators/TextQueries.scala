@@ -179,6 +179,11 @@ object TextQueries {
     "tx_token_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(t(s, d, "documents")).orderBy("doc_id")),
     "tx_zipf" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))),
+
+    // Per-doc shingle novelty (fresh-content scoring); sorted here, not
+    // in the op.
+    "tx_novelty" -> ((s, d) =>
+      TextOps.noveltyReport(t(s, d, "documents")).orderBy("doc_id")),
     // Inverted-index TF-IDF cosine pairs over 3-word shingles: at sf0.01
     // the 25 survivors are exactly the minhash near-dup pairs — two
     // independent detectors agreeing on the truth set.
@@ -337,6 +342,23 @@ object TextQueries {
     // are exact; numerator and denominator each rounded(6) as doubles
     // BEFORE the single division (absorbs FMA contraction of a·b − c·d),
     // final round(6). Rank ties pinned by (freq DESC, term).
+    // first-occurrence via min(doc_id) per 60-bit shingle hash (the
+    // mirrored CrossHash); counts exact, one final division
+    "tx_novelty" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sets AS (SELECT doc_id, ${DedupQueries.sqlShingles} AS sh
+         |  FROM ws WHERE len(w) >= 3),
+         |ex AS (SELECT doc_id, ${graft.functions.CrossHash.sqlMdint("sx")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS sx FROM sets)),
+         |f AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
+         |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM ex JOIN f USING (h) GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin,
+
     "tx_zipf" ->
       """WITH tf AS (SELECT lang, term, COUNT(*) AS freq FROM (
         |    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)

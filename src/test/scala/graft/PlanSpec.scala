@@ -265,6 +265,26 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ksReport: no unpartitioned WindowExec — banded cumulative CDF") {
+    // same hazard class as aucReport: the two-sample CDF needs a
+    // cumulative over distinct values; the banded rewrite must leave no
+    // global window in the physical plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.AuditOps
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AuditOps.ksReport(
+        Tables.t(spark, sfDir, "orders").filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice"), col("o_orderstatus") === "F")
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        "global window survives:\n" + unpartitioned.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // force a sort-merge join so the bucketing (not broadcast) removes the
     // shuffle — at real scale neither side would be broadcastable

@@ -214,6 +214,27 @@ class AnnClusteredSpec extends SparkTestBase {
     assert(recall >= 0.8, s"trained-IVF clustered recall@10 = $recall")
   }
 
+  test("IVF index parquet round-trip: serving from the persisted lists equals the from-scratch probe") {
+    val df = corpusDf
+    val e = df.select(col("vec_id"), col("embedding"))
+    val cents = df.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    SimilarityOps.writeIvfIndex(e, cents, dir)
+    val (rCents, lists) = SimilarityOps.readIvfIndex(spark, dir)
+    val fresh = SimilarityOps.ivfTopK(e, queriesDf(df), cents, nprobe = 3, k = TOP_K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val served = SimilarityOps.ivfTopKFromIndex(lists, queriesDf(df), rCents,
+        nprobe = 3, k = TOP_K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == fresh, "persisted-index serving must equal the fresh probe")
+    // one directory per inverted list on disk — the partition-pruned
+    // serving layout
+    val listDirs = new java.io.File(s"$dir/lists.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(listDirs.length == 16, s"expected 16 cid= list dirs, got ${listDirs.length}")
+  }
+
   test("PQ/IVFADC preserve cluster geometry: one byte of codes, every retrieved neighbor intra-cluster") {
     // Exact top-10 recall is the WRONG metric on this corpus for a
     // one-byte code: all 49 cluster-mates tie at cos ≈ 0.98 and ADC

@@ -295,4 +295,49 @@ class AuditOpsSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("unknown parent table"))
   }
+
+  test("ksReport: hand-computed KS with deterministic smallest arg-max") {
+    // A=[1,2,3], B=[2,3,4]: cum_a=(1,2,3,3), cum_b=(0,1,2,3), n=3 each;
+    // |cum_a*3 - cum_b*3| = (3,3,3,0) -> D=3/9 at the SMALLEST value 1
+    val rows = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "side")
+    val r = AuditOps.ksReport(rows, col("v"), col("side")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 3, s"ks_num: $r")
+    assert(r.getDouble(3) == 3.0 / 9.0)
+    assert(r.getDouble(4) == 1.0, s"at_value: $r")
+  }
+
+  test("ksReport: identical samples give D = 0") {
+    val rows = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "side")
+    val r = AuditOps.ksReport(rows, col("v"), col("side")).collect()(0)
+    assert(r.getLong(2) == 0 && r.getDouble(3) == 0.0)
+  }
+
+  test("ksReport: banded cumulative stays exact beyond 4096 distinct values") {
+    // evens are A, odds are B over 0..9999: after value 0 the CDFs differ
+    // by exactly 1/5000 and never by more -> D = 5000/(5000*5000)
+    val rows = spark.range(10000)
+      .select(col("id").cast("double").as("v"), (col("id") % 2 === 0).as("side"))
+    val r = AuditOps.ksReport(rows, col("v"), col("side")).collect()(0)
+    assert(r.getLong(0) == 5000 && r.getLong(1) == 5000)
+    assert(r.getLong(2) == 5000, s"ks_num: $r")
+    assert(r.getDouble(4) == 0.0, s"at_value: $r")
+  }
+
+  test("benfordReport: digits from the decimal string, zero-magnitude rows excluded") {
+    // digits: 1.5->1, 19->1, 25->2, -33->3, 9->9; 0.4 has no leading digit
+    val rows = Seq(1.5, 19.0, 25.0, 0.4, -33.0, 9.0).toDF("v")
+    val r = AuditOps.benfordReport(rows, col("v")).orderBy("digit").collect()
+    assert(r.length == 9)
+    val cnt = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cnt == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 1L))
+    assert(r.forall(_.getLong(2) == 5L), "n = 5 scored rows")
+    // digit 1: dev_num = |2e9 - 5*301029996| exactly
+    val d1 = r(0)
+    assert(d1.getLong(5) == math.abs(2000000000L - 5L * 301029996L), d1.toString)
+    assert(d1.getDouble(3) == 0.4)
+  }
 }

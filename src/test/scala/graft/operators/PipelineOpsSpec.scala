@@ -560,6 +560,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(r(0).getDouble(2) + 1.0) < 1e-5, r(0).toString)
   }
 
+  test("noveltyReport: shingle first-occurrence goes to the smallest doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d} — both first here
+      (2L, "a b c x"), // {a b c (seen), b c x (novel)}
+      (3L, "b c d e"), // {b c d (seen), c d e (novel)}
+      (4L, "a b")) // < 3 words -> no shingles -> omitted
+      .toDF("doc_id", "text")
+    val r = TextOps.noveltyReport(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5)), r.toSeq.toString)
+  }
+
+  test("noveltyReport: repeated shingles inside one doc count once") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // windows: "a b c","b c a","c a b" each repeated -> 3 DISTINCT shingles
+    val r = TextOps.noveltyReport(docs).collect()(0)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 3 && r.getDouble(3) == 1.0)
+  }
+
   test("redactPii masks emails/ips/phones; counts are measured on the original text") {
     import spark.implicits._
     val docs = Seq(

@@ -255,6 +255,10 @@ def runLibcheck(): Unit = {
     events, col("value") / 1000.0, col("event_type") === "error"))
   check("AuditOps.categoricalDrift")(AuditOps.categoricalDrift(
     docs, docs.filter(col("doc_id") % 3 =!= 0), "source"))
+  check("AuditOps.ksReport")(AuditOps.ksReport(
+    events, col("value"), col("event_type") === "error"))
+  check("AuditOps.benfordReport")(AuditOps.benfordReport(events, col("value")))
+  check("TextOps.noveltyReport")(TextOps.noveltyReport(docs))
   check("EventOps.transitionCounts")(EventOps.transitionCounts(events))
   locally {
     import spark.implicits._
