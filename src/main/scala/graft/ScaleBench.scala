@@ -261,12 +261,12 @@ object ScaleBench {
     * per-scale min-of-two timings and the least-squares slope of
     * log(time) vs log(scale): slope ≈ 1 is the linear-growth claim, the
     * quadratic anchor would show ≈ 2. 30× tables are built only for what
-    * these ops read (documents/embeddings/events).
+    * these ops read (documents/embeddings/events/orders).
     */
   private def runCurve(spark: SparkSession, sfDir: String): Unit = {
     val tenxDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
     val thirtyDir = sys.env.getOrElse("SPARK_GRAFT_SCALE30_DIR", "/tmp/graft_scale30x")
-    val tables = Set("documents", "embeddings", "events")
+    val tables = Set("documents", "embeddings", "events", "orders")
     buildCorpus(spark, sfDir, tenxDir)
     buildCorpus(spark, sfDir, thirtyDir, copies = 30, tables = tables)
     Seq(sfDir, tenxDir, thirtyDir).foreach { d =>

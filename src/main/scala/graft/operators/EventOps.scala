@@ -153,4 +153,32 @@ object EventOps {
       .select(col("conv_id"), col("touch_id"), col("pos"), col("k"),
         call_function("div", lit(10000L), col("k")).as("weight_bp"))
   }
+
+  /** PSEUDONYMIZATION: replace identifier columns with salted-hash tokens
+    * — the privacy step a training-data pipeline runs before events leave
+    * the trust boundary. Each listed column becomes
+    * `md5(salt ‖ ':' ‖ value)` (hex string; NULL stays NULL, so
+    * completeness audits still see the gap). Deterministic per
+    * (salt, value): the same user maps to the same token across tables
+    * and days — joins, retention, and funnel analyses still work on the
+    * tokens — while rotating the salt unlinks every released dataset
+    * from the previous one. The ':' separator makes the preimage framing
+    * unambiguous (salt "ab" + id "1" cannot collide with "a" + "b1").
+    *
+    * This is PSEUDONYMIZATION (GDPR art. 4(5)), not anonymization: the
+    * salt holder can re-identify; treat the salt as key material.
+    *
+    * Scale shape: a pure projection — codegen'd md5 per row, no shuffle,
+    * no model state. Cross-engine: md5 of the same bytes is identical
+    * everywhere (DuckDB: `md5('salt:' || CAST(x AS VARCHAR))`).
+    */
+  def pseudonymize(df: DataFrame, keyCols: Seq[String], salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "pseudonymize needs at least one key column")
+    OpContract.requireCols(df, "EventOps.pseudonymize", keyCols: _*)
+    keyCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          md5(concat(lit(salt), lit(":"), col(c).cast("string")))))
+    }
+  }
 }

@@ -20,6 +20,15 @@ object EventQueries {
     // MICROSECOND time + event_id, not raw nanos: DuckDB reads the
     // parquet ts at µs resolution, so ordering Spark on full nanos would
     // let two same-µs events resolve ties differently across engines.
+    // Salted-hash pseudonymization of the user key before release; the
+    // token is deterministic per (salt, user), so downstream joins and
+    // retention still work on tokens. Pure projection — no shuffle.
+    "ev_pseudonymize" -> ((s, d) =>
+      EventOps.pseudonymize(t(s, d, "events"), Seq("user_id"), "r8salt")
+        .select(col("event_id"), col("user_id").as("user_token"),
+          col("event_type"))
+        .orderBy("event_id")),
+
     "ev_latest" -> ((s, d) =>
       StreamOps.latestByKey(
           t(s, d, "events").withColumn("ts_us",
@@ -211,6 +220,14 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // md5 of the same salted bytes is engine-identical
+    "ev_pseudonymize" ->
+      """SELECT event_id,
+        |  CASE WHEN user_id IS NOT NULL
+        |       THEN md5('r8salt:' || CAST(user_id AS VARCHAR)) END AS user_token,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "ev_latest" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type

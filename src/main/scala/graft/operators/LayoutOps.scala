@@ -78,4 +78,31 @@ object LayoutOps {
         min(col("zx")).as("x_min"), max(col("zx")).as("x_max"),
         min(col("zy")).as("y_min"), max(col("zy")).as("y_max"))
   }
+
+  /** Small-file COMPACTION: rewrite a parquet directory into
+    * ceil(rows / targetRowsPerFile) files. The maintenance pass that keeps
+    * a long-lived table readable — daily ingests and streaming file sinks
+    * accrete thousands of KB-sized files, and at 100 TB the scan's task
+    * count (and the namenode/listing cost) is dominated by file COUNT,
+    * not bytes. One count pass + one round-robin repartition write; a
+    * `sortBy` column list turns the rewrite into a clustering pass
+    * instead (repartitionByRange + sortWithinPartitions — the zorder16
+    * write recipe), so compaction and layout are one rewrite, not two.
+    *
+    * Overwrites `outDir`; rows pass through byte-identical (spec pins
+    * count and content equality plus the file-count bound).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetRowsPerFile: Long, sortBy: Seq[Column] = Nil): Unit = {
+    require(targetRowsPerFile >= 1, s"targetRowsPerFile >= 1, got $targetRowsPerFile")
+    require(inDir != outDir, "compact cannot overwrite its own input in place")
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val files = math.max(1, ((n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+    val laid =
+      if (sortBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, sortBy: _*)
+        .sortWithinPartitions(sortBy: _*)
+    laid.write.mode("overwrite").parquet(outDir)
+  }
 }

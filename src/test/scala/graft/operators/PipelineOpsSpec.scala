@@ -434,6 +434,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(t.length == 1 && t(0).getLong(1) == 2L)
   }
 
+  test("pseudonymize: deterministic salted tokens, null passthrough, other columns untouched") {
+    import spark.implicits._
+    val a = Seq((1L, Option(42L), "click"), (2L, Option(42L), "view"),
+      (3L, None, "click"), (4L, Option(7L), "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val r = EventOps.pseudonymize(a, Seq("user_id"), "s1")
+      .orderBy("event_id").collect()
+    // same (salt, value) -> same token, across rows and across calls
+    assert(r(0).getString(1) == r(1).getString(1))
+    assert(r(0).getString(1) == md5hex("s1:42"))
+    assert(r(3).getString(1) == md5hex("s1:7"))
+    assert(r(2).isNullAt(1), "null key must stay null for completeness audits")
+    assert(r.map(_.getString(2)).toSeq == Seq("click", "view", "click", "view"))
+    // a different salt unlinks the release
+    val r2 = EventOps.pseudonymize(a, Seq("user_id"), "s2")
+      .orderBy("event_id").collect()
+    assert(r2(0).getString(1) != r(0).getString(1))
+  }
+
+  test("compact: rewrites many small files into the row-bound file count, content-identical") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-cin").toString + "/t.parquet"
+    val out = java.nio.file.Files.createTempDirectory("graft-cout").toString + "/t.parquet"
+    spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(50).write.parquet(in)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(in) == 50)
+    LayoutOps.compact(spark, in, out, targetRowsPerFile = 25)
+    assert(parts(out) == 4, s"expected ceil(100/25)=4 files, got ${parts(out)}")
+    val a = spark.read.parquet(in).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(a == b, "compaction must be a byte-identical row rewrite")
+    intercept[IllegalArgumentException] {
+      LayoutOps.compact(spark, in, in, 25)
+    }
+  }
+
   test("attribution: lookback bounds, equal credit, untouched conversions emit nothing") {
     import spark.implicits._
     // ts in ns (the op divides to µs). Window = 20 µs.

@@ -259,6 +259,8 @@ def runLibcheck(): Unit = {
     events, col("value"), col("event_type") === "error"))
   check("AuditOps.benfordReport")(AuditOps.benfordReport(events, col("value")))
   check("TextOps.noveltyReport")(TextOps.noveltyReport(docs))
+  check("EventOps.pseudonymize")(EventOps.pseudonymize(
+    events, Seq("user_id"), "libchecksalt"))
   check("EventOps.transitionCounts")(EventOps.transitionCounts(events))
   locally {
     import spark.implicits._
