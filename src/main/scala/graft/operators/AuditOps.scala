@@ -745,11 +745,16 @@ object AuditOps {
     */
   def ksReport(df: DataFrame, valCol: Column, sideCol: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // the distinct-value table fans out into six consumers (range, bands,
+    // band totals, prefix, cumulative, totals) — checkpoint once so the
+    // corpus scans exactly once however bushy the downstream tree is
+    // (on a cluster, use reliable checkpointing)
     val g = df.filter(valCol.isNotNull && sideCol.isNotNull)
       .select(valCol.as("s"), when(sideCol, 1L).otherwise(0L).as("a"))
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
       .withColumn("cb", col("cnt") - col("ca"))
+      .localCheckpoint()
     val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
     val banded = g.crossJoin(broadcast(mm))
       .withColumn("band", when(col("hi") > col("lo"),
