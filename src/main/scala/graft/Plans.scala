@@ -73,7 +73,10 @@ object Plans {
     // round 8 (cont.): banded two-sample KS CDF (no global window),
     // 9-row Benford broadcast, shingle first-occurrence novelty
     // (ids+hashes shuffle, text never moves), compound-blocked linkage
-    "aud_ks", "aud_benford", "tx_novelty", "dd_fuzzy_compound")
+    "aud_ks", "aud_benford", "tx_novelty", "dd_fuzzy_compound",
+    // round 8 (cont. 2): (group, day)-reduced spine + bounded-table fill
+    // window; the pseudonymize pure projection
+    "ev_gap_fill", "ev_pseudonymize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

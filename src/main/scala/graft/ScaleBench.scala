@@ -402,7 +402,22 @@ object ScaleBench {
           col("o_totalprice"), col("o_orderstatus") === "F")),
       "tx_novelty" -> ((s: SparkSession, d: String, _: Double) =>
         graft.operators.TextOps.noveltyReport(
-          s.read.parquet(s"$d/documents.parquet"))))
+          s.read.parquet(s"$d/documents.parquet"))),
+      // gap fill reduces to (group, day) immediately — the curve should
+      // be the one reduction scan; quarantine's frontier joins move
+      // 8-byte ids over the (linear-in-corpus) minhash edge set
+      "ev_gap_fill" -> ((s: SparkSession, d: String, _: Double) => {
+        val ev = graft.operators.Tables.normalizeTs(
+          s.read.parquet(s"$d/events.parquet"))
+        graft.operators.EventOps.gapFill(ev,
+          call_function("div", col("ts").cast("long"), lit(1000L)))
+      }),
+      "dd_quarantine" -> ((s: SparkSession, d: String, _: Double) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        graft.operators.GraphOps.quarantineSet(
+          DedupOps.minhashPairs(docs),
+          docs.filter(col("doc_id") % 45 === 0).select("doc_id"), 3)
+      }))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")

@@ -119,6 +119,22 @@ object DedupQueries {
           concat_ws(" ", slice(split(col("text"), " "), 1, 3)), k = 2, blockWidth = 4,
           blockOn = Seq(col("lang")))
         .orderBy("doc_a", "doc_b")),
+    // Contamination blast radius: seeds (every 45th doc plays the
+    // flagged set — the stride intersects the near-dup graph, so the
+    // walk genuinely expands) walk the minhash near-dup graph <= 3
+    // hops; output is
+    // the quarantine set with min hop counts. Frontier BFS in the op;
+    // the oracle (and GraphOpsSpec's Spark-side twin) express the same
+    // walk as a recursive CTE.
+    "dd_quarantine" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      GraphOps.quarantineSet(
+          DedupOps.minhashPairs(docs),
+          docs.filter(col("doc_id") % 45 === 0).select("doc_id"),
+          maxHops = 3)
+        .orderBy("doc_id")
+    }),
+
     // The deployment-shape linkage config measured in ScaleBench: a
     // COMPOUND blocking key (lang, source) whose cardinality grows with
     // the corpus keeps block occupancy constant — the knob that took the
@@ -392,6 +408,18 @@ object DedupQueries {
           |  WHERE abs(length(a.key) - length(b.key)) <= 2)
           |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 2
           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dd_quarantine" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |mpairs AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= $JACCARD_T),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+           |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
+           |walk(doc_id, hops) AS (
+           |  SELECT doc_id, 0 FROM documents WHERE doc_id % 45 = 0
+           |  UNION ALL
+           |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.doc_id
+           |  WHERE w.hops < 3)
+           |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops FROM walk
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dd_fuzzy_compound" ->
         """WITH k AS (SELECT doc_id, lang, source, array_to_string(string_split(text, ' ')[1:3], ' ') AS key FROM documents),
           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,6 +152,48 @@ object EventOps {
       .withColumn("k", count(lit(1)).over(w))
       .select(col("conv_id"), col("touch_id"), col("pos"), col("k"),
         call_function("div", lit(10000L), col("k")).as("weight_bp"))
+  }
+
+  /** Time-series GAP FILL: daily per-group aggregates re-spined onto the
+    * complete day range, missing days materialized with zero counts and a
+    * forward-filled carry of the last observed sum — the regularization
+    * step before any windowed trend/anomaly model consumes an event feed
+    * (a day with no rows is DATA, and silently skipping it shifts every
+    * lag/window downstream).
+    *
+    * Output per (group, day) for EVERY day in the global [min, max] span:
+    * `(event_type, day, n, day_sum, ffill_sum)` — `n = 0` on gap days,
+    * `day_sum` NULL on gaps, `ffill_sum` the last non-NULL `day_sum` at
+    * or before the day (NULL before a group's first observation).
+    *
+    * Scale shape: events reduce IMMEDIATELY to (group, day) aggregates —
+    * bounded by groups × days, not event count, map-side combined. The
+    * spine is groups × days rows built from a 1-row min/max broadcast
+    * (`sequence` + explode); the forward fill is a window over the SAME
+    * bounded table, partitioned by group. Raw events never shuffle.
+    *
+    * Exactness: counts are integers; `day_sum` fixes each addend as
+    * DECIMAL(28,6) before summation (order-independent), emitted as one
+    * double cast; the forward fill copies those exact values.
+    */
+  def gapFill(events: DataFrame, tsUs: Column): DataFrame = {
+    OpContract.requireCols(events, "EventOps.gapFill", "event_type", "value")
+    val dayUs = 86400000000L
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val base = events.select(col("event_type"),
+      call_function("div", tsUs, lit(dayUs)).as("day"), col("value"))
+    val daily = base.groupBy("event_type", "day")
+      .agg(count(col("value")).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("day_sum"))
+    val span = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("ffill_sum", last(col("day_sum"), ignoreNulls = true).over(w))
   }
 
   /** PSEUDONYMIZATION: replace identifier columns with salted-hash tokens

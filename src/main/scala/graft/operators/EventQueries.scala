@@ -20,6 +20,19 @@ object EventQueries {
     // MICROSECOND time + event_id, not raw nanos: DuckDB reads the
     // parquet ts at µs resolution, so ordering Spark on full nanos would
     // let two same-µs events resolve ties differently across engines.
+    // Daily re-spine + forward fill; gaps injected deterministically
+    // (error-type days divisible by 3 dropped) so the zero-count rows and
+    // the carry path are exercised for real.
+    "ev_gap_fill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val tsUs = call_function("div", col("ts").cast("long"), lit(1000L))
+      val day = call_function("div", tsUs, lit(86400000000L))
+      EventOps.gapFill(
+          ev.filter(!(col("event_type") === "error" && day % 3 === 0)),
+          tsUs)
+        .orderBy("event_type", "day")
+    }),
+
     // Salted-hash pseudonymization of the user key before release; the
     // token is deterministic per (salt, user), so downstream joins and
     // retention still work on tokens. Pure projection — no shuffle.
@@ -220,6 +233,27 @@ object EventQueries {
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // spine from one min/max row; addends decimal-fixed before the sum;
+    // IGNORE NULLS carry over the bounded (group, day) table
+    "ev_gap_fill" ->
+      """WITH base AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events
+        |  WHERE NOT (event_type = 'error' AND (epoch_us(ts) // 86400000000) % 3 = 0)),
+        |daily AS (SELECT event_type, day, COUNT(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_sum
+        |  FROM base GROUP BY event_type, day),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+        |spine AS (SELECT DISTINCT d.event_type, u.day FROM daily d,
+        |  (SELECT unnest(range(span.lo, span.hi + 1)) AS day FROM span) u)
+        |SELECT s.event_type, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+        |  d.day_sum,
+        |  last_value(d.day_sum IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+        |FROM spine s LEFT JOIN daily d
+        |  ON d.event_type = s.event_type AND d.day = s.day
+        |ORDER BY 1, 2""".stripMargin,
+
     // md5 of the same salted bytes is engine-identical
     "ev_pseudonymize" ->
       """SELECT event_id,

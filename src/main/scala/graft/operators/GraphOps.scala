@@ -74,4 +74,53 @@ object GraphOps {
     }
     pr
   }
+
+  /** Contamination BLAST RADIUS: starting from a seed set of flagged
+    * documents, walk the (undirected) near-dup pair graph up to `maxHops`
+    * and return every reachable doc with its minimum hop count — the
+    * quarantine set. A benchmark-contaminated doc's near-duplicates (and
+    * THEIR near-duplicates) carry the same leaked content through
+    * paraphrase chains; quarantining only the directly-flagged docs
+    * leaves the copies in the training mix.
+    *
+    * Frontier BFS, one round per hop: join the current frontier against
+    * the id-pair edge list, anti-join out already-visited nodes,
+    * `localCheckpoint` per round (the [[DedupOps.nearDupClustersStar]]
+    * lineage discipline; reliable checkpointing on a cluster). Only
+    * 8-byte ids move; rounds are bounded by `maxHops` and stop early on
+    * an empty frontier. BFS order guarantees the first visit IS the
+    * minimum hop count — no per-node min aggregation needed.
+    *
+    * Spark 4's `WITH RECURSIVE` expresses the same walk declaratively
+    * (GraphOpsSpec pins result equality on the same edges); the explicit
+    * frontier loop is kept as the library op because it checkpoints per
+    * round and early-exits — the controls a 100 TB walk needs.
+    *
+    * `pairs`: (doc_a, doc_b) rows; `seeds`: doc_id rows. Output:
+    * (doc_id, hops), seeds at hops = 0.
+    */
+  def quarantineSet(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, s"maxHops >= 0, got $maxHops")
+    OpContract.requireCols(pairs, "GraphOps.quarantineSet pairs", "doc_a", "doc_b")
+    OpContract.requireCols(seeds, "GraphOps.quarantineSet seeds", "doc_id")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var visited = seeds.select(col("doc_id")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = edges
+        .join(frontier.select(col("doc_id").as("src")), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+  }
 }

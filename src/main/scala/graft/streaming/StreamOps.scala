@@ -565,6 +565,73 @@ object StreamOps {
         .cast("double").as("score"))
   }
 
+  /** STREAMING categorical drift monitor — the windowed twin of
+    * [[graft.operators.AuditOps.categoricalDrift]]: per event-time
+    * tumbling window, the category histogram is held as state (bounded by
+    * \|categories\| longs per open window) and compared against a
+    * broadcast BASELINE histogram when the watermark closes the window.
+    * Emits one row per category in the union of (window, baseline) keys:
+    * `(win, cat, o_cnt, n_cnt, tvd)`, where `tvd` is the window's
+    * total-variation distance in the batch op's exact arithmetic —
+    * Σ\|n_c·N_o − o_c·N_n\| in BigInt with ONE final division, so a
+    * window's verdict is bit-identical to running the batch audit over
+    * the same landed slice (StreamingSpec pins this twin equality).
+    *
+    * State GC: EVENT-TIME timeout at window end — a window's state lives
+    * exactly until the watermark passes it, the [[expiringSessions]]
+    * discipline; total state is open-windows × categories, independent of
+    * stream length. The baseline is driver-held model state
+    * (≤\|categories\| entries), the same bound the batch op's broadcast
+    * carries.
+    */
+  def driftStream(events: DataFrame, baseline: Map[String, Long],
+      windowUs: Long = 86400000000L): Dataset[(Long, String, Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    require(baseline.nonEmpty, "driftStream needs a non-empty baseline histogram")
+    require(windowUs >= 1L, s"windowUs >= 1, got $windowUs")
+    val nOld = BigInt(baseline.values.map(BigInt(_)).sum.toString)
+    // the watermark column must SURVIVE into the grouping input (the
+    // unsupported-operation checker requires it on the child), so etime
+    // rides along even though the key is the derived window index
+    val typed = events
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "0 seconds")
+      .select(call_function("div", unix_micros(col("etime")), lit(windowUs))
+          .as("win"),
+        col("event_type").as("cat"), col("etime"))
+      .as[(Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (Long, String, Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val nNew = BigInt(counts.values.map(BigInt(_)).sum.toString)
+            val cats = (counts.keySet ++ baseline.keySet).toSeq.sorted
+            val num = cats.map { c =>
+              (BigInt(counts.getOrElse(c, 0L)) * nOld -
+                BigInt(baseline.getOrElse(c, 0L)) * nNew).abs
+            }.sum
+            // BigInt→double is correctly rounded, so this single division
+            // matches the batch op's decimal-cast division bit-for-bit
+            val tvd = num.toDouble / (BigInt(2) * nOld * nNew).toDouble
+            cats.iterator.map(c =>
+              (win, c, baseline.getOrElse(c, 0L), counts.getOrElse(c, 0L), tvd))
+          } else {
+            val m = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              (acc, r) => acc.updated(r._2, acc.getOrElse(r._2, 0L) + 1L)
+            }
+            state.update(m)
+            // expire when the watermark passes the window end (ms)
+            state.setTimeoutTimestamp((win + 1L) * (windowUs / 1000L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Watermark-expired sessions via flatMapGroupsWithState with
     * EVENT-TIME timeout: per-user event counts are held as state and
     * emitted only when the watermark passes (session end + 1h) — the

@@ -434,6 +434,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(t.length == 1 && t(0).getLong(1) == 2L)
   }
 
+  test("gapFill: missing days materialize with n=0 and the carry holds the last observed sum") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      ("A", 10 * day + 1, 1.5), ("A", 10 * day + 2, 2.5), ("A", 12 * day, 4.0),
+      ("B", 11 * day, 3.0))
+      .toDF("event_type", "tus", "value")
+    val r = EventOps.gapFill(ev, col("tus")).orderBy("event_type", "day").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) null else x.getDouble(3),
+        if (x.isNullAt(4)) null else x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("A", 10L, 2L, 4.0, 4.0),
+      ("A", 11L, 0L, null, 4.0), // gap day: zero count, carry holds
+      ("A", 12L, 1L, 4.0, 4.0),
+      ("B", 10L, 0L, null, null), // before B's first observation
+      ("B", 11L, 1L, 3.0, 3.0),
+      ("B", 12L, 0L, null, 3.0)), r.toSeq.toString)
+  }
+
   test("pseudonymize: deterministic salted tokens, null passthrough, other columns untouched") {
     import spark.implicits._
     val a = Seq((1L, Option(42L), "click"), (2L, Option(42L), "view"),
@@ -1094,6 +1114,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pr(10L) == pr(11L), "detached symmetric pair must tie bit-exactly")
     val again = GraphOps.pageRank(pairs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pr == again, "ranks must be bit-identical across runs")
+  }
+
+  test("quarantineSet: BFS min hops, hop bound respected, early exit on empty frontier") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus pair 5-6; seeds {1, 5}; maxHops 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val seeds = Seq(1L, 5L).toDF("doc_id")
+    val got = GraphOps.quarantineSet(pairs, seeds, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 0L, 6L -> 1L),
+      s"4 is 3 hops away and must be excluded: $got")
+    // a diamond (1-2, 1-3, 2-4, 3-4): 4 is reachable two ways, hops = 2 once
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val d = GraphOps.quarantineSet(diamond, Seq(1L).toDF("doc_id"), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L), d.toString)
+  }
+
+  test("quarantineSet equals Spark's own WITH RECURSIVE walk (SQL-surface twin)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (4L, 1L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq(1L, 5L).toDF("doc_id")
+    pairs.createOrReplaceTempView("qr_pairs")
+    seeds.createOrReplaceTempView("qr_seeds")
+    val sqlWalk = spark.sql(
+      """WITH RECURSIVE walk(doc_id, hops) AS (
+        |  SELECT doc_id, 0L FROM qr_seeds
+        |  UNION ALL
+        |  SELECT e.dst, w.hops + 1L FROM walk w
+        |  JOIN (SELECT doc_a AS src, doc_b AS dst FROM qr_pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM qr_pairs) e
+        |    ON e.src = w.doc_id
+        |  WHERE w.hops < 3)
+        |SELECT doc_id, MIN(hops) AS hops FROM walk GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val op = GraphOps.quarantineSet(pairs, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(op == sqlWalk, s"op $op vs recursive CTE $sqlWalk")
   }
 
   test("chunkDedup removes only cross-doc chunks and pins the rebuilt text") {

@@ -631,4 +631,41 @@ class StreamingSpec extends SparkTestBase {
       (5L, (20.0 * 3600 * 1e6).toLong, 1L),
       (6L, (0.5 * 3600 * 1e6).toLong, 1L)))
   }
+
+  test("driftStream: a closed window's verdict equals the batch categoricalDrift bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+    val baseline = Map("click" -> 2L, "error" -> 1L)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.driftStream(input.toDF().toDF("ts", "event_type"), baseline)
+      .toDF("win", "cat", "o_cnt", "n_cnt", "tvd")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      // day-0 window: click x3, view x1
+      input.addData((ns(1), "click"), (ns(2), "click"), (ns(3), "click"),
+        (ns(4), "view"))
+      q.processAllAvailable()
+      assert(spark.table("drift_out").count() == 0, "window still open")
+      // day-2 event advances the watermark past day 0; one more batch
+      // applies the new watermark to timeouts
+      input.addData((ns(49), "click"))
+      q.processAllAvailable()
+      input.addData((ns(50), "click"))
+      q.processAllAvailable()
+      val got = spark.table("drift_out").filter(col("win") === 0)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      // batch twin over the identical landed slice
+      val oldDf = baseline.toSeq.flatMap { case (c, n) =>
+        Seq.fill(n.toInt)(c) }.toDF("cat")
+      val newDf = Seq("click", "click", "click", "view").toDF("cat")
+      val batch = graft.operators.AuditOps.categoricalDrift(oldDf, newDf, "cat")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(6))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.map(_._4).head == 8.0 / 24.0, "hand-computed TVD 1/3")
+    } finally q.stop()
+  }
 }

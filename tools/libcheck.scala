@@ -261,6 +261,11 @@ def runLibcheck(): Unit = {
   check("TextOps.noveltyReport")(TextOps.noveltyReport(docs))
   check("EventOps.pseudonymize")(EventOps.pseudonymize(
     events, Seq("user_id"), "libchecksalt"))
+  check("EventOps.gapFill")(EventOps.gapFill(events,
+    call_function("div", col("ts").cast("long"), lit(1000L))))
+  check("GraphOps.quarantineSet")(GraphOps.quarantineSet(
+    DedupOps.minhashPairs(docs),
+    docs.filter(col("doc_id") % 45 === 0).select("doc_id"), 2))
   check("EventOps.transitionCounts")(EventOps.transitionCounts(events))
   locally {
     import spark.implicits._
