@@ -196,6 +196,38 @@ object EventOps {
       .withColumn("ffill_sum", last(col("day_sum"), ignoreNulls = true).over(w))
   }
 
+  /** Trailing N-day ROLLING aggregates per group — a RANGE window frame
+    * over the day VALUE, not a rows frame: a missing day simply isn't in
+    * the frame, so the rolling sum is correct over sparse histories
+    * without a gap-fill pass (compose with [[gapFill]] only when the
+    * output must carry the empty days too). The windowed-trend input
+    * every ops dashboard and anomaly baseline consumes.
+    *
+    * Scale shape: events reduce IMMEDIATELY to (group, day) daily
+    * aggregates (map-side combined, bounded by groups × days); the range
+    * window runs over that bounded table, partitioned by group. Raw
+    * events never shuffle. Exactness: counts are integers; sums fix each
+    * addend as DECIMAL(28,6) pre-aggregation, and the rolling decimal
+    * sum is cast to double once on emission.
+    */
+  def rollingDaily(events: DataFrame, tsUs: Column, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1, got $windowDays")
+    OpContract.requireCols(events, "EventOps.rollingDaily", "event_type", "value")
+    val dayUs = 86400000000L
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val daily = events
+      .select(col("event_type"),
+        call_function("div", tsUs, lit(dayUs)).as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(col("value")).as("n"), sum(col("value").cast(dec)).as("dsum"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    daily.select(col("event_type"), col("day"), col("n"),
+      col("dsum").cast("double").as("day_sum"),
+      sum(col("n")).over(w).as("roll_n"),
+      sum(col("dsum")).over(w).cast("double").as("roll_sum"))
+  }
+
   /** PSEUDONYMIZATION: replace identifier columns with salted-hash tokens
     * — the privacy step a training-data pipeline runs before events leave
     * the trust boundary. Each listed column becomes

@@ -33,6 +33,13 @@ object EventQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Trailing 7-day rolling counts/sums per type — a RANGE frame over
+    // the day value (gap days simply absent from the frame).
+    "ev_rolling7" -> ((s, d) =>
+      EventOps.rollingDaily(t(s, d, "events"),
+          call_function("div", col("ts").cast("long"), lit(1000L)))
+        .orderBy("event_type", "day")),
+
     // Salted-hash pseudonymization of the user key before release; the
     // token is deterministic per (salt, user), so downstream joins and
     // retention still work on tokens. Pure projection — no shuffle.
@@ -253,6 +260,22 @@ object EventQueries {
         |FROM spine s LEFT JOIN daily d
         |  ON d.event_type = s.event_type AND d.day = s.day
         |ORDER BY 1, 2""".stripMargin,
+
+    // RANGE BETWEEN over the integer day in both engines; decimal window
+    // sum cast once
+    "ev_rolling7" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(value) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,6))) AS dsum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |  CAST(dsum AS DOUBLE) AS day_sum,
+        |  CAST(SUM(n) OVER rw AS BIGINT) AS roll_n,
+        |  CAST(SUM(dsum) OVER rw AS DOUBLE) AS roll_sum
+        |FROM daily
+        |WINDOW rw AS (PARTITION BY event_type ORDER BY day
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
 
     // md5 of the same salted bytes is engine-identical
     "ev_pseudonymize" ->

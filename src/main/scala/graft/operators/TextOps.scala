@@ -1241,6 +1241,46 @@ object TextOps {
         col("cd").cast("double").as("cos_sim"))
   }
 
+  /** COLLOCATION mining by LIFT over the corpus bigram table: for every
+    * adjacent word pair seen ≥ `minCount` times, the ratio of its observed
+    * count to the count independence would predict from the pair's
+    * marginals — `lift = n_ab·N / (c_a·c_b)` over the bigram contingency
+    * table (the monotone exp-PMI; ranking by lift IS ranking by PMI with
+    * zero libm). Top-k rows by (lift desc, w1, w2) — the phrase/tokenizer-
+    * merge candidate list (multi-word expressions a word-level pipeline
+    * should treat as units).
+    *
+    * Exactness: all four counts are integers; `n_ab·N` and `c_a·c_b` are
+    * exact DECIMAL(38,0) products (≤ ~1e28 at 1e14 words); `lift` is the
+    * single final division. The top-k is a TakeOrderedAndProject
+    * (distributive, no global sort) under a TOTAL order.
+    *
+    * Scale shape: one corpus scan explodes to bigram rows; three
+    * map-side-combined count aggregations (pairs + both marginals, all
+    * vocabulary-bounded); marginals join back on the word key —
+    * vocabulary-sized tables, broadcast when small.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"pmiCollocations: minCount/k >= 1")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val d = spread(OpContract.requireCols(docs, "TextOps.pmiCollocations", "doc_id", "text"))
+    val bi = d.select(posexplode(words).as(Seq("p", "w1")), words.as("ws"))
+      .filter(col("p") < size(col("ws")) - 1)
+      .select(col("w1"), element_at(col("ws"), col("p") + 2).as("w2"))
+    val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val left = pairs.groupBy("w1").agg(sum(col("n_ab")).as("c1"))
+    val right = pairs.groupBy("w2").agg(sum(col("n_ab")).as("c2"))
+    val tot = pairs.agg(sum(col("n_ab")).as("nn"))
+    pairs.filter(col("n_ab") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"), col("c1"), col("c2"),
+        ((col("n_ab").cast(dec) * col("nn").cast(dec)).cast("double") /
+          (col("c1").cast(dec) * col("c2").cast(dec)).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct 3-word
     * shingles whose corpus-wide FIRST occurrence (minimum doc_id) is the
     * doc itself. The curation metric behind "fresh content" weighting —

@@ -184,6 +184,10 @@ object TextQueries {
     // in the op.
     "tx_novelty" -> ((s, d) =>
       TextOps.noveltyReport(t(s, d, "documents")).orderBy("doc_id")),
+
+    // Top-50 collocations by exact-integer lift (the no-libm PMI rank).
+    "tx_pmi" -> ((s, d) =>
+      TextOps.pmiCollocations(t(s, d, "documents"), minCount = 5L, k = 50)),
     // Inverted-index TF-IDF cosine pairs over 3-word shingles: at sf0.01
     // the 25 survivors are exactly the minhash near-dup pairs — two
     // independent detectors agreeing on the truth set.
@@ -342,6 +346,24 @@ object TextQueries {
     // are exact; numerator and denominator each rounded(6) as doubles
     // BEFORE the single division (absorbs FMA contraction of a·b − c·d),
     // final round(6). Rank ties pinned by (freq DESC, term).
+    // lift = n_ab·N/(c_a·c_b): HUGEINT products, one division; total
+    // order (lift desc, w1, w2) makes the top-50 cut deterministic
+    "tx_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM (
+        |    SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+        |pairs AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+        |l AS (SELECT w1, SUM(n_ab) AS c1 FROM pairs GROUP BY 1),
+        |r AS (SELECT w2, SUM(n_ab) AS c2 FROM pairs GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ab) AS HUGEINT) AS nn FROM pairs)
+        |SELECT p.w1, p.w2, CAST(p.n_ab AS BIGINT) AS n_ab,
+        |  CAST(l.c1 AS BIGINT) AS c1, CAST(r.c2 AS BIGINT) AS c2,
+        |  CAST(CAST(p.n_ab AS HUGEINT) * t.nn AS DOUBLE)
+        |    / CAST(CAST(l.c1 AS HUGEINT) * r.c2 AS DOUBLE) AS lift
+        |FROM pairs p JOIN l USING (w1) JOIN r USING (w2), t
+        |WHERE p.n_ab >= 5
+        |ORDER BY lift DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+
     // first-occurrence via min(doc_id) per 60-bit shingle hash (the
     // mirrored CrossHash); counts exact, one final division
     "tx_novelty" ->

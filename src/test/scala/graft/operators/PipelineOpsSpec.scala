@@ -434,6 +434,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(t.length == 1 && t(0).getLong(1) == 2L)
   }
 
+  test("rollingDaily: RANGE frame excludes absent days by value, not by row position") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      ("A", 1 * day + 5, 10.0), ("A", 2 * day + 5, 20.0),
+      ("A", 9 * day + 1, 5.0), ("A", 9 * day + 2, 5.0))
+      .toDF("event_type", "tus", "value")
+    val r = EventOps.rollingDaily(ev, col("tus"), windowDays = 7)
+      .orderBy("day").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(4), x.getDouble(5)))
+    // day 9's 7-day frame is [3, 9]: days 1 and 2 are OUT even though they
+    // are the adjacent ROWS — the rows-frame bug this op exists to avoid
+    assert(r.toSeq == Seq((1L, 1L, 1L, 10.0), (2L, 1L, 2L, 30.0),
+      (9L, 2L, 2L, 10.0)), r.toSeq.toString)
+  }
+
+  test("pmiCollocations: lift ranks pairs by exact contingency ratio with a total-order cut") {
+    import spark.implicits._
+    // bigrams of "a b a b c b": (a,b)x2 (b,a) (b,c) (c,b); N = 5
+    val docs = Seq((1L, "a b a b c b")).toDF("doc_id", "text")
+    val r = TextOps.pmiCollocations(docs, minCount = 1L, k = 10).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      ("b", "a", 1L, 2.5), ("b", "c", 1L, 2.5), // tie -> w2 ascending
+      ("a", "b", 2L, 10.0 / 6.0), ("c", "b", 1L, 10.0 / 6.0)), r.toSeq.toString)
+  }
+
   test("gapFill: missing days materialize with n=0 and the carry holds the last observed sum") {
     import spark.implicits._
     val day = 86400000000L

@@ -266,6 +266,9 @@ def runLibcheck(): Unit = {
   check("GraphOps.quarantineSet")(GraphOps.quarantineSet(
     DedupOps.minhashPairs(docs),
     docs.filter(col("doc_id") % 45 === 0).select("doc_id"), 2))
+  check("EventOps.rollingDaily")(EventOps.rollingDaily(events,
+    call_function("div", col("ts").cast("long"), lit(1000L))))
+  check("TextOps.pmiCollocations")(TextOps.pmiCollocations(docs))
   check("EventOps.transitionCounts")(EventOps.transitionCounts(events))
   locally {
     import spark.implicits._
