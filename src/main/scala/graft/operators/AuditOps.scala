@@ -792,6 +792,46 @@ object AuditOps {
         min(col("s")).cast("double").as("at_value"))
   }
 
+  /** Per-group [[ksReport]] — the data-card form (one KS row per source/
+    * domain/shard). Same distinct-value construction, but the cumulative
+    * CDF window partitions by the group key, so groups rank in parallel
+    * and no banding is needed — this is also the shape to prefer at
+    * extreme value cardinality (the [[aucReportBy]] pattern). Output per
+    * group: `(grp, n_a, n_b, ks_num, ks, at_value)`; a group with either
+    * side empty reports `ks` NULL (nothing to compare).
+    */
+  def ksReportBy(df: DataFrame, valCol: Column, sideCol: Column,
+      groupCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.ksReportBy", groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(valCol.isNotNull && sideCol.isNotNull)
+      .select(col(groupCol).as("grp"), valCol.as("s"),
+        when(sideCol, 1L).otherwise(0L).as("a"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
+      .withColumn("cb", col("cnt") - col("ca"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val cum = g
+      .withColumn("cum_a", sum(col("ca")).over(w).cast(dec))
+      .withColumn("cum_b", sum(col("cb")).over(w).cast(dec))
+      .withColumn("n_a", sum(col("ca")).over(wg).cast(dec))
+      .withColumn("n_b", sum(col("cb")).over(wg).cast(dec))
+      .withColumn("d", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    cum.withColumn("dm", max(col("d")).over(wg))
+      .filter(col("d") === col("dm"))
+      .groupBy("grp")
+      .agg(min(col("n_a")).cast("long").as("n_a"),
+        min(col("n_b")).cast("long").as("n_b"),
+        min(col("dm")).cast("long").as("ks_num"),
+        when(min(col("n_a")) > 0 && min(col("n_b")) > 0,
+          min(col("dm")).cast("double") /
+            (min(col("n_a")) * min(col("n_b"))).cast("double")).as("ks"),
+        min(col("s")).cast("double").as("at_value"))
+  }
+
   /** Benford first-significant-digit audit of an integer-magnitude column
     * — the classic anomaly screen for "organically grown" numeric columns
     * (prices, populations, transaction amounts): their leading digits

@@ -127,6 +127,14 @@ object AuditQueries {
         t(s, d, "orders").filter(col("o_orderstatus").isin("F", "O")),
         col("o_totalprice"), col("o_orderstatus") === "F")),
 
+    // Data-card KS: per source, does the n_chars distribution differ
+    // between English and non-English docs? (groups rank in parallel —
+    // every window partitions by source; integer values exercise ties)
+    "aud_ks_by_source" -> ((s, d) =>
+      AuditOps.ksReportBy(t(s, d, "documents"), col("n_chars"),
+          col("lang") === "en", "source")
+        .orderBy("grp")),
+
     // Benford screen on order totals: digit from the decimal string (no
     // libm on data), deviation as the exact ppb cross-multiplication.
     "aud_benford" -> ((s, d) =>
@@ -487,6 +495,30 @@ object AuditQueries {
         |  CAST(MIN(m.dm) AS DOUBLE) / CAST(MIN(d.n_a) * MIN(d.n_b) AS DOUBLE) AS ks,
         |  CAST(MIN(d.s) AS DOUBLE) AS at_value
         |FROM d, m WHERE d.d = m.dm""".stripMargin,
+
+    // same construction with every window partitioned by source
+    "aud_ks_by_source" ->
+      """WITH b AS (SELECT source AS grp, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(a) AS ca FROM b GROUP BY grp, s),
+        |c AS (SELECT grp, s,
+        |    CAST(SUM(ca) OVER iw AS HUGEINT) AS cum_a,
+        |    CAST(SUM(cnt - ca) OVER iw AS HUGEINT) AS cum_b,
+        |    CAST(SUM(ca) OVER gw AS HUGEINT) AS n_a,
+        |    CAST(SUM(cnt - ca) OVER gw AS HUGEINT) AS n_b
+        |  FROM g WINDOW iw AS (PARTITION BY grp ORDER BY s
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |              gw AS (PARTITION BY grp)),
+        |d AS (SELECT grp, s, abs(cum_a * n_b - cum_b * n_a) AS d, n_a, n_b,
+        |    MAX(abs(cum_a * n_b - cum_b * n_a)) OVER (PARTITION BY grp) AS dm
+        |  FROM c)
+        |SELECT grp, CAST(MIN(n_a) AS BIGINT) AS n_a, CAST(MIN(n_b) AS BIGINT) AS n_b,
+        |  CAST(MIN(dm) AS BIGINT) AS ks_num,
+        |  CASE WHEN MIN(n_a) > 0 AND MIN(n_b) > 0 THEN
+        |    CAST(MIN(dm) AS DOUBLE) / CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) END AS ks,
+        |  CAST(MIN(s) AS DOUBLE) AS at_value
+        |FROM d WHERE d = dm GROUP BY grp ORDER BY grp""".stripMargin,
 
     // digit from the integer's decimal string; the nine Benford ppb
     // constants are literals on both sides; deviations cross-multiplied

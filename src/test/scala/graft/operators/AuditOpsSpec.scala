@@ -326,6 +326,24 @@ class AuditOpsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 0.0, s"at_value: $r")
   }
 
+  test("ksReportBy: independent per-group KS; a one-sided group reports NULL ks") {
+    val rows = Seq(
+      // group X = the hand-computed ksReport example -> D = 3/9 at value 1
+      ("X", 1.0, true), ("X", 2.0, true), ("X", 3.0, true),
+      ("X", 2.0, false), ("X", 3.0, false), ("X", 4.0, false),
+      // group Y: identical samples -> D = 0
+      ("Y", 5.0, true), ("Y", 5.0, false),
+      // group Z: only side A present -> NULL ks
+      ("Z", 7.0, true))
+      .toDF("src", "v", "side")
+    val r = AuditOps.ksReportBy(rows, col("v"), col("side"), "src")
+      .orderBy("grp").collect()
+    assert(r(0).getLong(3) == 3 && r(0).getDouble(4) == 3.0 / 9.0 &&
+      r(0).getDouble(5) == 1.0, r(0).toString)
+    assert(r(1).getLong(3) == 0 && r(1).getDouble(4) == 0.0, r(1).toString)
+    assert(r(2).isNullAt(4), s"one-sided group must report NULL ks: ${r(2)}")
+  }
+
   test("benfordReport: digits from the decimal string, zero-magnitude rows excluded") {
     // digits: 1.5->1, 19->1, 25->2, -33->3, 9->9; 0.4 has no leading digit
     val rows = Seq(1.5, 19.0, 25.0, 0.4, -33.0, 9.0).toDF("v")

@@ -257,6 +257,8 @@ def runLibcheck(): Unit = {
     docs, docs.filter(col("doc_id") % 3 =!= 0), "source"))
   check("AuditOps.ksReport")(AuditOps.ksReport(
     events, col("value"), col("event_type") === "error"))
+  check("AuditOps.ksReportBy")(AuditOps.ksReportBy(
+    docs, col("n_chars"), col("lang") === "en", "source"))
   check("AuditOps.benfordReport")(AuditOps.benfordReport(events, col("value")))
   check("TextOps.noveltyReport")(TextOps.noveltyReport(docs))
   check("EventOps.pseudonymize")(EventOps.pseudonymize(
