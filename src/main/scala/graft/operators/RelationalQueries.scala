@@ -282,6 +282,22 @@ object RelationalQueries {
           max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // nations per region by customer count) — the SQL-surface twin of the
+    // q7 window top-k. Catalyst decorrelates the lateral into a
+    // join + per-group rank, so the plan is the same distributed shape
+    // the DataFrame form produces (no per-row re-execution).
+    "q40_lateral" -> ((s, d) => {
+      Seq("region", "nation", "customer")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g40_$n"))
+      s.sql("""SELECT r.r_name, t.n_name, t.n_cust FROM g40_region r,
+        |LATERAL (SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+        |  FROM g40_nation n JOIN g40_customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 2) t
+        |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin)
+    }),
+
     // ---- scalar functions -------------------------------------------------
     "q13_string_part" -> ((s, d) =>
       t(s, d, "part")
@@ -555,6 +571,14 @@ object RelationalQueries {
       s"""SELECT CAST(CAST(props->>'k' AS INTEGER) // 10 AS INTEGER) AS k_decile,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_lateral" ->
+      """SELECT r.r_name, t.n_name, t.n_cust FROM region r,
+        |LATERAL (SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 2) t
+        |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin,
+
     "q39_variant" ->
       """SELECT event_type, COUNT(*) AS n,
         |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
