@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AuditOps, DedupOps, SimilarityOps, TextOps}
+import graft.operators.{AuditOps, DedupOps, GraphOps, SimilarityOps, TextOps}
 
 /** End-to-end training-corpus build — the library's operators chained the
   * way a production pipeline runs them, in one command:
@@ -20,6 +20,8 @@ import graft.operators.{AuditOps, DedupOps, SimilarityOps, TextOps}
   *   → admission gate ([[AuditOps.dataQualityReport]] — structural
   *     constraints checked before any transform runs)
   *   → decontaminate (benchmark anti join, [[DedupOps.antiJoinDedup]])
+  *   → quarantine ([[GraphOps.quarantineSet]] — docs transitively
+  *     near-dup to the benchmark leave with it)
   *   → exact dedup (keep-first by content digest)
   *   → near-dup dedup ([[DedupOps.minhashPairs]] → connected components →
   *     [[DedupOps.keepCanonical]])
@@ -115,8 +117,14 @@ object Pipeline {
       println(s"""{"stage":"bucketed_v1","docs":${corpus.count()}}""")
       val bench = corpus.filter(col("doc_id") % 50 === 0)
       // broadcast digest anti join: no corpus shuffle
-      val clean = DedupOps.antiJoinDedup(corpus, bench)
-      println(s"""{"stage":"decontaminated","docs":${clean.count()}}""")
+      val clean0 = DedupOps.antiJoinDedup(corpus, bench)
+      println(s"""{"stage":"decontaminated","docs":${clean0.count()}}""")
+      // contamination blast radius, ids only (the plain path's stage 1b)
+      val qIds = GraphOps.quarantineSet(DedupOps.minhashPairs(corpus),
+          bench.select("doc_id"), maxHops = 2)
+        .filter(col("hops") > 0).select("doc_id").localCheckpoint()
+      val clean = clean0.join(qIds, Seq("doc_id"), "left_anti")
+      println(s"""{"stage":"quarantined","docs":${clean.count()}}""")
       // keep-id sets: digests/ids only ever shuffle, text stays put
       val exactIds = clean.groupBy(md5(col("text")).as("d"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id").localCheckpoint()
@@ -145,7 +153,16 @@ object Pipeline {
       // 1. cross-corpus decontamination (benchmark = every 50th doc, the
       //    gate convention; swap in the real eval set in production)
       val bench = raw.filter(col("doc_id") % 50 === 0)
-      val clean = stage("decontaminated", DedupOps.antiJoinDedup(raw, bench))
+      val clean0 = stage("decontaminated", DedupOps.antiJoinDedup(raw, bench))
+
+      // 1b. contamination blast radius: the benchmark's transitive
+      //     near-dups (paraphrase chains) leave with it — the exact anti
+      //     join above only catches verbatim copies
+      val qIds = GraphOps.quarantineSet(DedupOps.minhashPairs(raw),
+          bench.select("doc_id"), maxHops = 2)
+        .filter(col("hops") > 0).select("doc_id").localCheckpoint()
+      val clean = stage("quarantined",
+        clean0.join(qIds, Seq("doc_id"), "left_anti"))
 
       // 2. exact dedup: keep the smallest doc_id per content digest
       val keepIds = clean.groupBy(md5(col("text")).as("d"))

@@ -1264,9 +1264,11 @@ object TextOps {
     require(minCount >= 1 && k >= 1, s"pmiCollocations: minCount/k >= 1")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val d = spread(OpContract.requireCols(docs, "TextOps.pmiCollocations", "doc_id", "text"))
-    val bi = d.select(posexplode(words).as(Seq("p", "w1")), words.as("ws"))
-      .filter(col("p") < size(col("ws")) - 1)
-      .select(col("w1"), element_at(col("ws"), col("p") + 2).as("w2"))
+    // bigrams via the codegen'd 2-word shingle generator (non-distinct,
+    // positional) — one generate, no word-array carried past the explode
+    val bi = d.select(explode(positionalShingles(2)).as("pair"))
+      .select(substring_index(col("pair"), " ", 1).as("w1"),
+        substring_index(col("pair"), " ", -1).as("w2"))
     val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
     val left = pairs.groupBy("w1").agg(sum(col("n_ab")).as("c1"))
     val right = pairs.groupBy("w2").agg(sum(col("n_ab")).as("c2"))
