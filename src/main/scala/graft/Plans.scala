@@ -76,7 +76,10 @@ object Plans {
     "aud_ks", "aud_benford", "tx_novelty", "dd_fuzzy_compound",
     // round 8 (cont. 2): (group, day)-reduced spine + bounded-table fill
     // window; the pseudonymize pure projection
-    "ev_gap_fill", "ev_pseudonymize")
+    "ev_gap_fill", "ev_pseudonymize",
+    // round 8 (cont. 3): decorrelated LATERAL top-N, group-partitioned
+    // KS, shingle-generator bigram lift, RANGE-frame rolling windows
+    "q40_lateral", "aud_ks_by_source", "tx_pmi", "ev_rolling7")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
