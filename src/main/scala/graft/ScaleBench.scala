@@ -417,7 +417,22 @@ object ScaleBench {
         graft.operators.GraphOps.quarantineSet(
           DedupOps.minhashPairs(docs),
           docs.filter(col("doc_id") % 45 === 0).select("doc_id"), 3)
-      }))
+      }),
+      // vocabulary-bounded count aggs + marginal joins (bigram explode is
+      // the scan term); per-source KS windows partition by group; rolling
+      // windows run over the bounded (group, day) daily table
+      "tx_pmi" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.pmiCollocations(
+          s.read.parquet(s"$d/documents.parquet"))),
+      "aud_ks_by_source" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.ksReportBy(
+          s.read.parquet(s"$d/documents.parquet"),
+          col("n_chars"), col("lang") === "en", "source")),
+      "ev_rolling7" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.rollingDaily(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)))))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
