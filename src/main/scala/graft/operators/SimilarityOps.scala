@@ -869,6 +869,57 @@ object SimilarityOps {
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
   }
 
+  /** BITEXT MINING by ratio margin (Artetxe–Schwenk '19; the
+    * LASER/CCMatrix parallel-corpus construction): for every vector on
+    * side A, its best side-B match scored by
+    * `margin = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2)` — the cosine
+    * normalized by the two local neighborhood densities, which kills the
+    * hub vectors that plain cosine thresholds mis-mine. Output per A-row:
+    * `(src_id, dst_id, cos, margin)` for the best-cosine B match, with
+    * margin ≥ `minMargin` (default 0.0 keeps every non-negative-margin
+    * best match; production mining thresholds around 1.05–1.1).
+    *
+    * Exactness: cosines are the repo's round-6 doubles fixed as
+    * DECIMAL(8,6); the two k-neighborhood sums are exact decimal sums;
+    * `margin = 2k·cos / (sumₓ + sum_y)` is ONE division of exact decimals
+    * (guarded NULL when the denominator is ≤ 0). Ranks break ties by id.
+    *
+    * Scale shape: this form scores A×B exhaustively — the exact baseline
+    * (the gate's scale). At corpus scale, swap the candidate generator
+    * for [[ivfTopKFromIndex]]/[[lshTopK]] over each side (the same
+    * downstream margin arithmetic applies to any candidate set); both
+    * rank windows partition by the vector id and reuse one exchange.
+    */
+  def bitextMine(embA: DataFrame, embB: DataFrame, k: Int = 4,
+      minMargin: Double = 0.0): DataFrame = {
+    require(k >= 1, s"bitextMine needs k >= 1, got $k")
+    OpContract.requireCols(embA, "SimilarityOps.bitextMine side A", "vec_id", "embedding")
+    OpContract.requireCols(embB, "SimilarityOps.bitextMine side B", "vec_id", "embedding")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(8, 6)
+    val sumDec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val scored = embA.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+      .crossJoin(embB.select(col("vec_id").as("dst_id"), col("embedding").as("eb")))
+      .select(col("src_id"), col("dst_id"),
+        cosine(col("ea"), col("eb")).cast(dec).as("c"))
+      .localCheckpoint()
+    val wx = Window.partitionBy(col("src_id")).orderBy(col("c").desc, col("dst_id"))
+    val wy = Window.partitionBy(col("dst_id")).orderBy(col("c").desc, col("src_id"))
+    val sumX = scored.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
+      .groupBy("src_id").agg(sum(col("c")).cast(sumDec).as("sum_x"))
+    val sumY = scored.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
+      .groupBy("dst_id").agg(sum(col("c")).cast(sumDec).as("sum_y"))
+    val best = scored.withColumn("r", row_number().over(wx)).filter(col("r") === 1)
+    val den = (col("sum_x") + col("sum_y")).cast(sumDec)
+    best.join(sumX, "src_id").join(sumY, "dst_id")
+      .withColumn("margin",
+        when(den > 0,
+          (lit(2L * k) * col("c")).cast(sumDec).cast("double") /
+            den.cast("double")))
+      .filter(col("margin").isNotNull && col("margin") >= minMargin)
+      .select(col("src_id"), col("dst_id"), col("c").cast("double").as("cos"),
+        col("margin"))
+  }
+
   /** Persist an IVF index for serving: `centroids.parquet` (cid, ce) plus
     * the assigned corpus written `partitionBy("cid")` — one directory per
     * inverted list, so a probe that touches nprobe lists READS nprobe

@@ -370,6 +370,18 @@ object SimilarityQueries {
     "emb_centroid_sim" -> ((s, d) =>
       SimilarityOps.centroidSimilarity(t(s, d, "embeddings"))),
 
+    // Ratio-margin bitext mining between the even/odd vector halves
+    // (stand-ins for the two language sides); k = 4 neighborhood, all
+    // non-negative-margin best matches kept. Sorted here (gate
+    // determinism).
+    "emb_bitext" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.bitextMine(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          k = 4)
+        .orderBy("src_id")
+    }),
+
     // Random-projection 64→16 reduction; integer-exact on both sides, so
     // the projection values oracle-compare bit-for-bit (CSV string like
     // emb_quantize for a stable cross-engine encoding).
@@ -491,6 +503,32 @@ object SimilarityQueries {
         |FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
         |GROUP BY e.label, d.dim ORDER BY label, dim""".stripMargin,
     // Centroid cosine: means rounded(6) into DECIMAL -> exact dot/norm
+    // round-6 cosines fixed as DECIMAL(8,6); neighborhood sums exact
+    // decimal; margin = 8·cos/(sum_x+sum_y), one division, NULL-guarded
+    "emb_bitext" ->
+      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |sc AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |    CAST(${sqlCosine("a.embedding", "b.embedding")} AS DECIMAL(8,6)) AS c
+         |  FROM a, b),
+         |rx AS (SELECT src_id, dst_id, c, ROW_NUMBER() OVER (
+         |    PARTITION BY src_id ORDER BY c DESC, dst_id) AS r FROM sc),
+         |ry AS (SELECT src_id, dst_id, c, ROW_NUMBER() OVER (
+         |    PARTITION BY dst_id ORDER BY c DESC, src_id) AS r FROM sc),
+         |sx AS (SELECT src_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sum_x
+         |  FROM rx WHERE r <= 4 GROUP BY src_id),
+         |sy AS (SELECT dst_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sum_y
+         |  FROM ry WHERE r <= 4 GROUP BY dst_id),
+         |best AS (SELECT src_id, dst_id, c FROM rx WHERE r = 1),
+         |m AS (SELECT best.src_id, best.dst_id, CAST(best.c AS DOUBLE) AS cos,
+         |    CASE WHEN sx.sum_x + sy.sum_y > 0 THEN
+         |      CAST(CAST(8 * best.c AS DECIMAL(18,6)) AS DOUBLE)
+         |        / CAST(CAST(sx.sum_x + sy.sum_y AS DECIMAL(18,6)) AS DOUBLE) END AS margin
+         |  FROM best JOIN sx USING (src_id) JOIN sy USING (dst_id))
+         |SELECT src_id, dst_id, cos, margin FROM m
+         |WHERE margin IS NOT NULL AND margin >= 0
+         |ORDER BY src_id""".stripMargin,
+
     // sums over the 64 dims; cosine = dot / (sqrt(qa) * sqrt(qb)) with
     // the association mirrored, one final round(6).
     "emb_centroid_sim" ->

@@ -434,6 +434,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(t.length == 1 && t(0).getLong(1) == 2L)
   }
 
+  test("bitextMine: ratio margin normalizes by both neighborhoods, exact decimal arithmetic") {
+    import spark.implicits._
+    val a = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.bitextMine(a, b, k = 1).orderBy("src_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    // x0 -> y1 (cos 1.0): margin 2*1.0/(1.0 + 1.0) = 1.0
+    // x2 -> y3 (cos 0.6): margin 2*0.6/(0.6 + 0.8) = 6/7
+    assert(r(0) == ((0L, 1L, 1.0, 1.0)), r(0).toString)
+    assert(r(1)._1 == 2L && r(1)._2 == 3L && r(1)._3 == 0.6, r(1).toString)
+    assert(math.abs(r(1)._4 - 1.2 / 1.4) < 1e-12, r(1).toString)
+  }
+
   test("rollingDaily: RANGE frame excludes absent days by value, not by row position") {
     import spark.implicits._
     val day = 86400000000L

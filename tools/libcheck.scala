@@ -125,6 +125,9 @@ def runLibcheck(): Unit = {
     .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
   check("SimilarityOps.bruteTopK")(SimilarityOps.bruteTopK(embs, queries, 5))
   check("SimilarityOps.labelKnnGraph")(SimilarityOps.labelKnnGraph(embs, 5))
+  check("SimilarityOps.bitextMine")(SimilarityOps.bitextMine(
+    embs.filter(col("vec_id") % 2 === 0).limit(50),
+    embs.filter(col("vec_id") % 2 === 1).limit(50)))
   // column-expression surfaces: drive through a select over the corpus
   check("SimilarityOps.cosine")(embs.limit(20).crossJoin(
       embs.limit(1).select(col("embedding").as("e2")))
