@@ -792,6 +792,76 @@ object AuditOps {
         min(col("s")).cast("double").as("at_value"))
   }
 
+  /** Operating-point selection — the DECISION member of the classifier
+    * audit family ([[aucReport]] grades the ranking, [[calibrationReport]]
+    * the probabilities, this picks the cutoff): over every candidate
+    * threshold t (the distinct score values), the confusion counts of
+    * "predict positive when score ≥ t", and the single row maximizing F1
+    * (smallest threshold on ties). Emits
+    * `(threshold, tp, fp, fn, precision, recall, f1)`.
+    *
+    * Exactness: tp/fp/fn are exact integers from the distinct-score
+    * prefix sums; precision/recall/f1 are each ONE division of exact
+    * integers — engine-identical, so even the argmax comparison (on f1,
+    * then threshold) is reproducible bit-for-bit.
+    *
+    * Scale shape: the [[aucReport]] banded discipline — one map-side-
+    * combined aggregation to distinct scores, ≤4097 range bands, a
+    * broadcast band-total prefix, within-band windows partitioned by
+    * band; no unpartitioned WindowExec. The final argmax is a 1-row
+    * TakeOrdered over the distinct-score table.
+    */
+  def thresholdReport(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.as("s"), when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      .localCheckpoint()
+    val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val banded = g.crossJoin(broadcast(mm))
+      .withColumn("band", when(col("hi") > col("lo"),
+          floor((col("s") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(4096.0))))
+        .otherwise(lit(0L)))
+      .drop("lo", "hi")
+    val bandTot = banded.groupBy("band")
+      .agg(sum(col("cnt")).as("bcnt"), sum(col("pos")).as("bpos"))
+    val pref = bandTot.select(col("band"))
+      .join(broadcast(bandTot.select(col("band").as("pb"),
+          col("bcnt").as("pc"), col("bpos").as("pp"))),
+        col("pb") < col("band"), "left")
+      .groupBy("band").agg(
+        coalesce(sum(col("pc")), lit(0L)).as("prec0"),
+        coalesce(sum(col("pp")), lit(0L)).as("prep0"))
+    // EXCLUSIVE prefix: rows strictly below the threshold value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = g.agg(sum(col("cnt")).cast(dec).as("n"),
+      sum(col("pos")).cast(dec).as("p"))
+    val conf = banded.join(broadcast(pref), Seq("band"))
+      .withColumn("cumc", col("prec0") + coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("cump", col("prep0") + coalesce(sum(col("pos")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("s"),
+        (col("p") - col("cump")).cast("long").as("tp"),
+        (col("n") - col("p") - (col("cumc") - col("cump"))).cast("long").as("fp"),
+        col("cump").cast("long").as("fn"))
+      .withColumn("f1", when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2) * col("tp")).cast("double") /
+          (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .otherwise(lit(0.0)))
+    conf.orderBy(col("f1").desc, col("s")).limit(1)
+      .select(col("s").cast("double").as("threshold"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0, col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        when(col("tp") + col("fn") > 0, col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double")).as("recall"),
+        col("f1"))
+  }
+
   /** Per-group [[ksReport]] — the data-card form (one KS row per source/
     * domain/shard). Same distinct-value construction, but the cumulative
     * CDF window partitions by the group key, so groups rank in parallel

@@ -127,6 +127,12 @@ object AuditQueries {
         t(s, d, "orders").filter(col("o_orderstatus").isin("F", "O")),
         col("o_totalprice"), col("o_orderstatus") === "F")),
 
+    // Operating point: the floor(value)->error classifier's argmax-F1
+    // cutoff (same score/label pair aud_auc grades as a ranking).
+    "aud_threshold" -> ((s, d) =>
+      AuditOps.thresholdReport(t(s, d, "events"), floor(col("value")),
+        col("event_type") === "error")),
+
     // Data-card KS: per source, does the n_chars distribution differ
     // between English and non-English docs? (groups rank in parallel —
     // every window partitions by source; integer values exercise ties)
@@ -495,6 +501,38 @@ object AuditQueries {
         |  CAST(MIN(m.dm) AS DOUBLE) / CAST(MIN(d.n_a) * MIN(d.n_b) AS DOUBLE) AS ks,
         |  CAST(MIN(d.s) AS DOUBLE) AS at_value
         |FROM d, m WHERE d.d = m.dm""".stripMargin,
+
+    // exclusive prefix over distinct scores; tp/fp/fn integers; each rate
+    // one division; argmax by (f1 DESC, threshold) mirrored
+    "aud_threshold" ->
+      """WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY s),
+        |t AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+        |    CAST(SUM(pos) AS HUGEINT) AS p FROM g),
+        |c AS (SELECT s,
+        |    COALESCE(CAST(SUM(cnt) OVER ew AS HUGEINT), 0) AS cumc,
+        |    COALESCE(CAST(SUM(pos) OVER ew AS HUGEINT), 0) AS cump
+        |  FROM g WINDOW ew AS (ORDER BY s
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |conf AS (SELECT c.s,
+        |    CAST(t.p - c.cump AS BIGINT) AS tp,
+        |    CAST(t.n - t.p - (c.cumc - c.cump) AS BIGINT) AS fp,
+        |    CAST(c.cump AS BIGINT) AS fn
+        |  FROM c, t),
+        |f AS (SELECT s, tp, fp, fn,
+        |    CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |      CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |    ELSE 0.0 END AS f1
+        |  FROM conf)
+        |SELECT CAST(s AS DOUBLE) AS threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  f1
+        |FROM f ORDER BY f1 DESC, s LIMIT 1""".stripMargin,
 
     // same construction with every window partitioned by source
     "aud_ks_by_source" ->

@@ -326,6 +326,18 @@ class AuditOpsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 0.0, s"at_value: $r")
   }
 
+  test("thresholdReport: argmax-F1 cutoff from exact confusion counts") {
+    // scores/labels: (1,+), (1,-), (2,+), (3,+), (3,-) — N=5, P=3
+    // t=1: tp=3 fp=2 fn=0 -> F1 0.75; t=2: 2/3; t=3: 0.4 -> pick t=1
+    val rows = Seq((1.0, true), (1.0, false), (2.0, true), (3.0, true),
+      (3.0, false)).toDF("v", "y")
+    val r = AuditOps.thresholdReport(rows, col("v"), col("y")).collect()(0)
+    assert(r.getDouble(0) == 1.0, r.toString)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 0, r.toString)
+    assert(r.getDouble(4) == 0.6 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 0.75, r.toString)
+  }
+
   test("ksReportBy: independent per-group KS; a one-sided group reports NULL ks") {
     val rows = Seq(
       // group X = the hand-computed ksReport example -> D = 3/9 at value 1

@@ -262,6 +262,8 @@ def runLibcheck(): Unit = {
     events, col("value"), col("event_type") === "error"))
   check("AuditOps.ksReportBy")(AuditOps.ksReportBy(
     docs, col("n_chars"), col("lang") === "en", "source"))
+  check("AuditOps.thresholdReport")(AuditOps.thresholdReport(
+    events, floor(col("value")), col("event_type") === "error"))
   check("AuditOps.benfordReport")(AuditOps.benfordReport(events, col("value")))
   check("TextOps.noveltyReport")(TextOps.noveltyReport(docs))
   check("EventOps.pseudonymize")(EventOps.pseudonymize(
