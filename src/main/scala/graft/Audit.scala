@@ -96,6 +96,13 @@ object Audit {
       .collect()(0)
     println(s"""{"detector":"auc","n":${auc.getLong(0)},"n_pos":${auc.getLong(1)},""" +
       s""""auc":${if (auc.isNullAt(3)) "null" else auc.getDouble(3)}}""")
+    // operating point: the argmax-F1 cutoff for the same score/label
+    // pair the AUC grades (r8)
+    val th = AuditOps.thresholdReport(ev, floor(col("value")),
+      col("event_type") === "error").collect()(0)
+    println(s"""{"detector":"threshold","cut":${th.getDouble(0)},""" +
+      s""""tp":${th.getLong(1)},"fp":${th.getLong(2)},"fn":${th.getLong(3)},""" +
+      s""""f1":${th.getDouble(6)}}""")
     // numeric drift: exact two-sample KS of the value column between the
     // error cohort and the rest (r8; the numeric sibling of aud_drift)
     val ks = AuditOps.ksReport(ev, col("value"), col("event_type") === "error")

@@ -432,7 +432,12 @@ object ScaleBench {
         graft.operators.EventOps.rollingDaily(
           graft.operators.Tables.normalizeTs(
             s.read.parquet(s"$d/events.parquet")),
-          call_function("div", col("ts").cast("long"), lit(1000L)))))
+          call_function("div", col("ts").cast("long"), lit(1000L)))),
+      "aud_threshold" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.thresholdReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          floor(col("value")), col("event_type") === "error")))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
