@@ -533,4 +533,53 @@ object SketchOps {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** AMS (Alon–Matias–Szegedy) SECOND-MOMENT sketch: estimate
+    * F₂ = Σ_k cnt_k² of a key column — the SELF-JOIN SIZE on that key,
+    * the quantity a join planner needs to predict skew/output volume
+    * before paying the join, and the classic streaming second-moment
+    * estimator. Median of `d` means of `w` sign-sketch estimators
+    * X_j = (Σ_rows s_j(key))² with 4-universal-ish signs
+    * s_j = 1 − 2·(perm_j(mdint(key)) mod 2) from the mirrored
+    * [[graft.functions.CrossHash]] family, so the ESTIMATE itself is
+    * value-oracle-checkable (the q30/q36 discipline). Output one row:
+    * `(f2_exact, f2_est, rel_err)` — exact side computed the expensive
+    * way for comparison, like [[kmvDistinct]].
+    *
+    * Scale shape: the sketch side is ONE map-side-combined aggregation
+    * with d·w integer sums — rows never shuffle, state is d·w longs; the
+    * exact side pays the key groupBy (that's the point of the sketch —
+    * at 100 TB run only the sketch). FP: sums and squares are exact
+    * integers (|Σ s_j| ≤ n, squares ≤ n² < 2^63 up to ~3e9 rows; the
+    * means/median stay integer-scaled by w), `f2_est = med/w` and
+    * `rel_err` are single exact-integer divisions.
+    */
+  def amsF2(df: DataFrame, keyCol: Column, d: Int = 5, w: Int = 16): DataFrame = {
+    require(d >= 1 && d % 2 == 1, s"amsF2 needs odd d >= 1, got $d")
+    require(w >= 1, s"amsF2 needs w >= 1, got $w")
+    val h = graft.functions.CrossHash.mdint(keyCol.cast("string"))
+    val base = df.filter(keyCol.isNotNull).select(h.as("h"))
+    val sums = (0 until d * w).map { j =>
+      sum(lit(1L) - lit(2L) * pmod(graft.functions.CrossHash.minhash(col("h"), j),
+        lit(2L))).as(s"s$j")
+    }
+    val sketch = base.agg(sums.head, sums.tail: _*)
+    // means stay integer-scaled by w: mean_i·w = Σ_j X_j; the median of d
+    // such integers is one array sort over d values
+    val meansW = (0 until d).map { i =>
+      (0 until w).map(j => col(s"s${i * w + j}") * col(s"s${i * w + j}"))
+        .reduce(_ + _).as(s"m$i")
+    }
+    val est = sketch.select(meansW: _*)
+      .select(element_at(sort_array(array((0 until d).map(i => col(s"m$i")): _*)),
+        (d + 1) / 2).as("medw"))
+      .select((col("medw").cast("double") / lit(w.toDouble)).as("f2_est"))
+    val exact = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("f2_exact"), col("f2_est"),
+        (abs(col("f2_est") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double")).as("rel_err"))
+  }
 }

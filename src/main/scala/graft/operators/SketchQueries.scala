@@ -23,10 +23,18 @@ object SketchQueries {
   private val BLOOM_M = 1024
   private val BLOOM_K = 3
 
+  private val AMS_D = 5
+  private val AMS_W = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_kmv_distinct" -> ((s, d) =>
       SketchOps.kmvDistinct(t(s, d, "lineitem"), col("l_partkey"),
         "l_returnflag", KMV_K)),
+
+    // AMS second-moment sketch: self-join size of events on user_id —
+    // the join-size estimate a planner wants before paying the join.
+    "q41_ams_f2" -> ((s, d) =>
+      SketchOps.amsF2(t(s, d, "events"), col("user_id"), AMS_D, AMS_W)),
     // Feature binning COMPOSED with the quantile sketch: cutpoints are
     // the p50/p95/p99 est_hi values (integer-valued by construction),
     // collected as model state and applied as a pure projection — the
@@ -213,6 +221,37 @@ object SketchQueries {
          |JOIN dper db ON db.g = e.gb
          |LEFT JOIN inter i ON i.ia = e.ga AND i.ib = e.gb
          |ORDER BY group_a, group_b""".stripMargin
+    },
+    "q41_ams_f2" -> {
+      // per-j sign sums mirrored through the same universal family;
+      // median of the d integer-scaled means via ORDER BY ... OFFSET
+      val sums = (0 until AMS_D * AMS_W).map { j =>
+        s"SUM(1 - 2 * (${CrossHash.sqlMinhash("h", j)} % 2)) AS s$j"
+      }.mkString(",\n    ")
+      val means = (0 until AMS_D).map { i =>
+        (0 until AMS_W).map(j => s"s${i * AMS_W + j} * s${i * AMS_W + j}")
+          .mkString(" + ") + s" AS m$i"
+      }.mkString(",\n    ")
+      s"""WITH b AS (SELECT ${CrossHash.sqlMdint("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |sk AS (SELECT
+         |    $sums
+         |  FROM b),
+         |m AS (SELECT
+         |    $means
+         |  FROM sk),
+         |med AS (SELECT mm AS medw FROM (
+         |    SELECT unnest([${(0 until AMS_D).map(i => s"m$i").mkString(", ")}]) AS mm
+         |    FROM m) ORDER BY mm LIMIT 1 OFFSET ${(AMS_D - 1) / 2}),
+         |ex AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM (
+         |    SELECT COUNT(*) AS cnt FROM events WHERE user_id IS NOT NULL
+         |    GROUP BY user_id))
+         |SELECT ex.f2_exact,
+         |  CAST(med.medw AS DOUBLE) / ${AMS_W.toDouble} AS f2_est,
+         |  abs(CAST(med.medw AS DOUBLE) / ${AMS_W.toDouble}
+         |      - CAST(ex.f2_exact AS DOUBLE))
+         |    / CAST(ex.f2_exact AS DOUBLE) AS rel_err
+         |FROM ex, med""".stripMargin
     },
     "q30_kmv_distinct" -> {
       // (k−1)·2^60 folded exactly on both sides (≤ 8 significant bits)

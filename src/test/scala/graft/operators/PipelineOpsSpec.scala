@@ -773,6 +773,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.45, s"est $est") // 5 sigma
   }
 
+  test("amsF2: exact self-join size on one side, estimate within the sketch error on the other") {
+    import spark.implicits._
+    // 50 keys x 20 rows each -> F2 = 50 * 400 = 20000
+    val df = (0 until 1000).map(i => i % 50).toDF("k")
+    val r = SketchOps.amsF2(df, col("k")).collect()(0)
+    assert(r.getLong(0) == 20000L, r.toString)
+    // median of 5 means of 16 estimators: rel std ~ sqrt(2/16) ~ 0.35 per
+    // mean; 1.0 is a ~3-sigma bracket on the median
+    assert(r.getDouble(2) < 1.0, s"rel_err ${r.getDouble(2)}")
+    // deterministic: the hash family is fixed
+    val again = SketchOps.amsF2(df, col("k")).collect()(0)
+    assert(r.getDouble(1) == again.getDouble(1))
+    intercept[IllegalArgumentException] {
+      SketchOps.amsF2(df, col("k"), d = 4)
+    }
+  }
+
   test("kmvJaccard: exact below saturation, bracketed estimate above, disjoint sets score 0") {
     import spark.implicits._
     // Sub-saturated regime (k=64 > any union): the union sketch holds

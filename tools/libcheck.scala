@@ -83,6 +83,7 @@ def runLibcheck(): Unit = {
     events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))))
   check("SketchOps.profileTyped")(SketchOps.profileTyped(
     events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))))
+  check("SketchOps.amsF2")(SketchOps.amsF2(events, col("user_id")))
   check("SketchOps.cmsCounters")(
     SketchOps.cmsCounters(events, col("user_id"), 4, 1024))
   check("SketchOps.cmsTopKEstimates")(
