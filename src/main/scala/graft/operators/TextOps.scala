@@ -501,6 +501,46 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** EPOCH-REPETITION PLANNER — the data-budgeting decision [[mixWeights]]
+    * explicitly defers ("upsampling beyond 1.0 is an epoch-repetition
+    * decision, not a row op"): given a training token budget, split it
+    * across languages by the α = 0.5 temperature shares
+    * (share_g ∝ √tokens_g) and report how many EPOCHS of each language's
+    * available tokens that target implies — `epochs > 1` marks the
+    * data-constrained languages that will repeat (the multi-epoch
+    * degradation knob a run report must disclose).
+    *
+    * Output per language: `(lang, avail_tokens, share, target_tokens,
+    * epochs, oversampled)`.
+    *
+    * Cross-engine FP: per-language √tokens is one correctly-rounded IEEE
+    * sqrt FIXED at 6 decimals as DECIMAL(18,6) before the share
+    * normalizer sums them (exact decimal sum — order-independent, the
+    * round-6 cosine discipline); share, target and epochs are short
+    * mul/div chains of single correctly-rounded ops in mirrored
+    * association (no additions — nothing for FMA contraction to fuse).
+    *
+    * Scale shape: one map-side-combined token-count aggregate over the
+    * corpus; everything after runs on the ≤\|languages\|-row table.
+    */
+  def mixEpochs(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"mixEpochs needs budgetTokens >= 1, got $budgetTokens")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val sumDec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val tc = OpContract.requireCols(docs, "TextOps.mixEpochs", "lang", "text")
+      .groupBy("lang").agg(sum(size(words)).as("avail_tokens"))
+      .withColumn("s6", round(sqrt(col("avail_tokens").cast("double")), 6).cast(dec))
+    val tot = tc.agg(sum(col("s6")).cast(sumDec).as("st"))
+    val share = col("s6").cast("double") / col("st").cast("double")
+    val target = lit(budgetTokens.toDouble) * share
+    tc.crossJoin(broadcast(tot))
+      .select(col("lang"), col("avail_tokens"),
+        share.as("share"),
+        target.as("target_tokens"),
+        (target / col("avail_tokens").cast("double")).as("epochs"))
+      .withColumn("oversampled", col("epochs") > 1.0)
+  }
+
   /** APPLY step for the α=0.5 temperature mixture ([[mixWeights]]):
     * realize the rebalancing by deterministic hash subsampling. Sampling
     * probability ∝ the temperature weight √(N/n_g), normalized so the

@@ -188,6 +188,12 @@ object TextQueries {
     // Top-50 collocations by exact-integer lift (the no-libm PMI rank).
     "tx_pmi" -> ((s, d) =>
       TextOps.pmiCollocations(t(s, d, "documents"), minCount = 5L, k = 50)),
+
+    // Epoch planner: a 1M-token budget split by the α=0.5 temperature
+    // shares; languages with epochs > 1 are the data-constrained ones.
+    "tx_mix_epochs" -> ((s, d) =>
+      TextOps.mixEpochs(t(s, d, "documents"), budgetTokens = 1000000L)
+        .orderBy("lang")),
     // Inverted-index TF-IDF cosine pairs over 3-word shingles: at sf0.01
     // the 25 survivors are exactly the minhash near-dup pairs — two
     // independent detectors agreeing on the truth set.
@@ -346,6 +352,25 @@ object TextQueries {
     // are exact; numerator and denominator each rounded(6) as doubles
     // BEFORE the single division (absorbs FMA contraction of a·b − c·d),
     // final round(6). Rank ties pinned by (freq DESC, term).
+    // sqrt fixed at 6 dp as decimal pre-sum; share/target/epochs mirrored
+    // mul/div chains with no additions
+    "tx_mix_epochs" ->
+      """WITH tc AS (SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT lang, avail_tokens,
+        |    CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6
+        |  FROM tc),
+        |t AS (SELECT CAST(SUM(s6) AS DECIMAL(28,6)) AS st FROM s)
+        |SELECT s.lang, s.avail_tokens,
+        |  CAST(s.s6 AS DOUBLE) / CAST(t.st AS DOUBLE) AS share,
+        |  1000000.0 * (CAST(s.s6 AS DOUBLE) / CAST(t.st AS DOUBLE)) AS target_tokens,
+        |  (1000000.0 * (CAST(s.s6 AS DOUBLE) / CAST(t.st AS DOUBLE)))
+        |    / CAST(s.avail_tokens AS DOUBLE) AS epochs,
+        |  (1000000.0 * (CAST(s.s6 AS DOUBLE) / CAST(t.st AS DOUBLE)))
+        |    / CAST(s.avail_tokens AS DOUBLE) > 1.0 AS oversampled
+        |FROM s, t ORDER BY lang""".stripMargin,
+
     // lift = n_ab·N/(c_a·c_b): HUGEINT products, one division; total
     // order (lift desc, w1, w2) makes the top-50 cut deterministic
     "tx_pmi" ->

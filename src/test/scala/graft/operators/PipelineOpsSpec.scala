@@ -465,6 +465,25 @@ class PipelineOpsSpec extends SparkTestBase {
       (9L, 2L, 2L, 10.0)), r.toSeq.toString)
   }
 
+  test("mixEpochs: sqrt-temperature budget split, epochs flag the data-constrained language") {
+    import spark.implicits._
+    // lang a: 100 tokens, lang b: 400 -> s6 = 10, 20 -> shares 1/3, 2/3
+    val docs = Seq(
+      (1L, "a", Seq.fill(100)("w").mkString(" ")),
+      (2L, "b", Seq.fill(400)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r = TextOps.mixEpochs(docs, budgetTokens = 900L).orderBy("lang").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getBoolean(5)))
+    // a: target 300 over 100 avail -> 3 epochs (oversampled)
+    // b: target 600 over 400 avail -> 1.5 epochs (oversampled)
+    assert(r(0)._1 == "a" && r(0)._2 == 100L && r(0)._5 == 3.0 && r(0)._6,
+      r(0).toString)
+    assert(r(1)._1 == "b" && r(1)._2 == 400L && r(1)._5 == 1.5 && r(1)._6,
+      r(1).toString)
+    assert(math.abs(r(0)._3 + r(1)._3 - 1.0) < 1e-12, "shares sum to 1")
+  }
+
   test("pmiCollocations: lift ranks pairs by exact contingency ratio with a total-order cut") {
     import spark.implicits._
     // bigrams of "a b a b c b": (a,b)x2 (b,a) (b,c) (c,b); N = 5

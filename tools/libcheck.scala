@@ -64,6 +64,7 @@ def runLibcheck(): Unit = {
   check("TextOps.bigramPerplexity")(TextOps.bigramPerplexity(docs))
   check("TextOps.trigramPerplexity")(TextOps.trigramPerplexity(docs))
   check("TextOps.mixWeights")(TextOps.mixWeights(docs))
+  check("TextOps.mixEpochs")(TextOps.mixEpochs(docs, 1000000L))
   check("LayoutOps.zTiles")(graft.operators.LayoutOps.zTiles(
     events, pmod(col("user_id") * 131, lit(65536L)),
     pmod(col("event_id") * 521, lit(65536L))))
