@@ -79,7 +79,11 @@ object Plans {
     "ev_gap_fill", "ev_pseudonymize",
     // round 8 (cont. 3): decorrelated LATERAL top-N, group-partitioned
     // KS, shingle-generator bigram lift, RANGE-frame rolling windows
-    "q40_lateral", "aud_ks_by_source", "tx_pmi", "ev_rolling7")
+    "q40_lateral", "aud_ks_by_source", "tx_pmi", "ev_rolling7",
+    // round 8 (cont. 4): banded argmax-F1 confusion prefix, ratio-margin
+    // bitext windows, single-agg AMS sign sums, language-bounded epoch
+    // planner
+    "aud_threshold", "emb_bitext", "q41_ams_f2", "tx_mix_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -896,12 +896,55 @@ object SimilarityOps {
     OpContract.requireCols(embA, "SimilarityOps.bitextMine side A", "vec_id", "embedding")
     OpContract.requireCols(embB, "SimilarityOps.bitextMine side B", "vec_id", "embedding")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(8, 6)
-    val sumDec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
     val scored = embA.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
       .crossJoin(embB.select(col("vec_id").as("dst_id"), col("embedding").as("eb")))
       .select(col("src_id"), col("dst_id"),
         cosine(col("ea"), col("eb")).cast(dec).as("c"))
       .localCheckpoint()
+    marginOverScored(scored, k, minMargin)
+  }
+
+  /** The blocked [[bitextMine]] — the production shape: candidate pairs
+    * come from the [[nearPairsLsh]] random-hyperplane buckets (a pair is
+    * scored only when the two sides share an LSH (table, signature)
+    * bucket), and the ratio margin is computed over the CANDIDATE
+    * neighborhoods — exactly how production mining does it (CCMatrix
+    * computes margins over faiss ANN neighborhoods, not exhaustive ones).
+    * Work ∝ bucket collisions, never \|A\|·\|B\|; grow `bits` with the
+    * corpus to hold bucket occupancy constant (the nearPairsLsh scaling
+    * analysis applies verbatim).
+    */
+  def bitextMineLsh(embA: DataFrame, embB: DataFrame, k: Int = 4,
+      minMargin: Double = 0.0, bits: Int = 8, tables: Int = 16,
+      seed: Long = 4241L): DataFrame = {
+    require(k >= 1, s"bitextMineLsh needs k >= 1, got $k")
+    OpContract.requireCols(embA, "SimilarityOps.bitextMineLsh side A", "vec_id", "embedding")
+    OpContract.requireCols(embB, "SimilarityOps.bitextMineLsh side B", "vec_id", "embedding")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(8, 6)
+    def sigsOf(e: DataFrame, idAs: String) = e
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as(idAs),
+        posexplode(graft.functions.VectorFunctions.lsh_signatures(
+          col("embedding"), seed, tables, bits, DIM)).as(Seq("tbl", "sig")))
+    val cand = sigsOf(embA, "src_id").as("x")
+      .join(sigsOf(embB, "dst_id").as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig"))
+      .select(col("src_id"), col("dst_id")).distinct()
+    val scored = cand
+      .join(embA.select(col("vec_id").as("src_id"), col("embedding").as("ea")), "src_id")
+      .join(embB.select(col("vec_id").as("dst_id"), col("embedding").as("eb")), "dst_id")
+      .select(col("src_id"), col("dst_id"),
+        cosine(col("ea"), col("eb")).cast(dec).as("c"))
+      .localCheckpoint()
+    marginOverScored(scored, k, minMargin)
+  }
+
+  /** Shared margin arithmetic over a scored candidate table
+    * `(src_id, dst_id, c DECIMAL(8,6))` — see [[bitextMine]] for the
+    * exactness contract. */
+  private def marginOverScored(scored: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
+    val sumDec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
     val wx = Window.partitionBy(col("src_id")).orderBy(col("c").desc, col("dst_id"))
     val wy = Window.partitionBy(col("dst_id")).orderBy(col("c").desc, col("src_id"))
     val sumX = scored.withColumn("r", row_number().over(wx)).filter(col("r") <= k)

@@ -235,6 +235,25 @@ class AnnClusteredSpec extends SparkTestBase {
     assert(listDirs.length == 16, s"expected 16 cid= list dirs, got ${listDirs.length}")
   }
 
+  test("bitextMineLsh recovers the exhaustive margins on clustered sides") {
+    // even/odd halves of the clustered corpus as the two "languages":
+    // cluster-mates sit at cos ~0.98, so the LSH buckets that work for
+    // near-pairs also recover the bitext best-matches; margins computed
+    // over candidate neighborhoods (the production semantics), so compare
+    // the MATCHED PAIRS, not the margin values
+    val df = corpusDf
+    val a = df.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val b = df.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+    val exact = SimilarityOps.bitextMine(a, b, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = SimilarityOps.bitextMineLsh(a, b, k = 4,
+        bits = 6, tables = 24, seed = 99L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact.count { case (s, d) => blocked.get(s).contains(d) }
+    assert(agree.toDouble / exact.size >= 0.8,
+      s"blocked best-match agreement ${agree.toDouble / exact.size}")
+  }
+
   test("PQ/IVFADC preserve cluster geometry: one byte of codes, every retrieved neighbor intra-cluster") {
     // Exact top-10 recall is the WRONG metric on this corpus for a
     // one-byte code: all 49 cluster-mates tie at cos ≈ 0.98 and ADC

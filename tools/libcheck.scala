@@ -130,6 +130,9 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.bitextMine")(SimilarityOps.bitextMine(
     embs.filter(col("vec_id") % 2 === 0).limit(50),
     embs.filter(col("vec_id") % 2 === 1).limit(50)))
+  check("SimilarityOps.bitextMineLsh")(SimilarityOps.bitextMineLsh(
+    embs.filter(col("vec_id") % 2 === 0),
+    embs.filter(col("vec_id") % 2 === 1), 4, 0.0, 4, 24, 99L))
   // column-expression surfaces: drive through a select over the corpus
   check("SimilarityOps.cosine")(embs.limit(20).crossJoin(
       embs.limit(1).select(col("embedding").as("e2")))
