@@ -108,7 +108,8 @@ object Audit {
     val ks = AuditOps.ksReport(ev, col("value"), col("event_type") === "error")
       .collect()(0)
     println(s"""{"detector":"ks","n_a":${ks.getLong(0)},"n_b":${ks.getLong(1)},""" +
-      s""""ks":${ks.getDouble(3)},"at_value":${ks.getDouble(4)}}""")
+      s""""ks":${if (ks.isNullAt(3)) "null" else ks.getDouble(3)},""" +
+      s""""at_value":${if (ks.isNullAt(4)) "null" else ks.getDouble(4)}}""")
     // Benford first-digit screen on the value column (r8)
     AuditOps.benfordReport(ev, col("value"))
       .orderBy("digit").collect().foreach { r =>

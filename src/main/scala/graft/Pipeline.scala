@@ -117,23 +117,27 @@ object Pipeline {
       println(s"""{"stage":"bucketed_v1","docs":${corpus.count()}}""")
       val bench = corpus.filter(col("doc_id") % 50 === 0)
       // broadcast digest anti join: no corpus shuffle
-      val clean0 = DedupOps.antiJoinDedup(corpus, bench)
+      val clean0 = DedupOps.antiJoinDedup(corpus, bench).localCheckpoint()
       println(s"""{"stage":"decontaminated","docs":${clean0.count()}}""")
       // contamination blast radius, ids only (the plain path's stage 1b)
       val qIds = GraphOps.quarantineSet(DedupOps.minhashPairs(corpus),
           bench.select("doc_id"), maxHops = 2)
         .filter(col("hops") > 0).select("doc_id").localCheckpoint()
-      val clean = clean0.join(qIds, Seq("doc_id"), "left_anti")
+      val clean = clean0.join(qIds, Seq("doc_id"), "left_anti").localCheckpoint()
       println(s"""{"stage":"quarantined","docs":${clean.count()}}""")
       // keep-id sets: digests/ids only ever shuffle, text stays put
       val exactIds = clean.groupBy(md5(col("text")).as("d"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id").localCheckpoint()
-      val exact = corpus.join(exactIds, Seq("doc_id"), "left_semi")
+      // checkpoint the corpus-side frames too: each diagnostic count (and
+      // the next stage's minhashPairs) would otherwise re-execute the
+      // whole un-checkpointed join chain — the plain path's stage()
+      // discipline, applied here
+      val exact = corpus.join(exactIds, Seq("doc_id"), "left_semi").localCheckpoint()
       println(s"""{"stage":"exact_dedup","docs":${exact.count()}}""")
       val nearIds = DedupOps.keepCanonical(exact.select("doc_id"),
           DedupOps.nearDupClusters(DedupOps.minhashPairs(exact)))
         .localCheckpoint()
-      val near = corpus.join(nearIds, Seq("doc_id"), "left_semi")
+      val near = corpus.join(nearIds, Seq("doc_id"), "left_semi").localCheckpoint()
       println(s"""{"stage":"near_dedup","docs":${near.count()}}""")
       val goodIds = TextOps.quality(near)
         .filter(col("quality_score") >= 0.3).select("doc_id").localCheckpoint()

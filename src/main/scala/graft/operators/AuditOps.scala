@@ -442,6 +442,39 @@ object AuditOps {
     * crossJoins over the category table — nothing data-sized past the
     * first aggregations.
     */
+  def categoricalDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
+    OpContract.requireCols(oldDf, "AuditOps.categoricalDrift old", catCol)
+    OpContract.requireCols(newDf, "AuditOps.categoricalDrift new", catCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val o = oldDf.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("o_cnt"))
+    val n = newDf.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cnt"))
+    val j = o.join(n, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
+        coalesce(col("n_cnt"), lit(0L)).cast(dec).as("n_cnt"))
+    val totals = j.agg(sum(col("o_cnt")).as("no"), sum(col("n_cnt")).as("nn"))
+    val withT = j.crossJoin(broadcast(totals))
+    val tvdNum = withT
+      .agg(sum(abs(col("o_cnt") * col("nn") - col("n_cnt") * col("no"))).as("tvd_num"))
+    val c = col("o_cnt") + col("n_cnt")
+    val bigN = col("no") + col("nn")
+    def sq(x: Column) = x * x
+    withT.crossJoin(broadcast(tvdNum))
+      .select(col("cat"),
+        col("o_cnt").cast("long").as("o_cnt"),
+        col("n_cnt").cast("long").as("n_cnt"),
+        (col("o_cnt").cast("double") / col("no").cast("double")).as("o_rate"),
+        (col("n_cnt").cast("double") / col("nn").cast("double")).as("n_rate"),
+        (sq(bigN * col("o_cnt") - col("no") * c).cast("double") /
+            (bigN * col("no") * c).cast("double") +
+          sq(bigN * col("n_cnt") - col("nn") * c).cast("double") /
+            (bigN * col("nn") * c).cast("double")).as("chi2_contrib"),
+        (col("tvd_num").cast("double") /
+          (lit(2).cast(dec) * col("no") * col("nn")).cast("double")).as("tvd"))
+  }
+
   /** Completeness trend audit: per (day, column) null counts/rates plus
     * the day-over-day rate delta — the "did an upstream extractor break
     * last night" panel ([[dataQualityReport]]'s NotNull check is the
@@ -482,39 +515,6 @@ object AuditOps {
         ((col("n_null").cast(dec) * col("p_rows") -
             col("p_null").cast(dec) * col("n_rows")).cast("double") /
           (col("n_rows").cast(dec) * col("p_rows")).cast("double")).as("rate_delta"))
-  }
-
-  def categoricalDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
-    OpContract.requireCols(oldDf, "AuditOps.categoricalDrift old", catCol)
-    OpContract.requireCols(newDf, "AuditOps.categoricalDrift new", catCol)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val o = oldDf.filter(col(catCol).isNotNull)
-      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("o_cnt"))
-    val n = newDf.filter(col(catCol).isNotNull)
-      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cnt"))
-    val j = o.join(n, Seq("cat"), "full_outer")
-      .select(col("cat"),
-        coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
-        coalesce(col("n_cnt"), lit(0L)).cast(dec).as("n_cnt"))
-    val totals = j.agg(sum(col("o_cnt")).as("no"), sum(col("n_cnt")).as("nn"))
-    val withT = j.crossJoin(broadcast(totals))
-    val tvdNum = withT
-      .agg(sum(abs(col("o_cnt") * col("nn") - col("n_cnt") * col("no"))).as("tvd_num"))
-    val c = col("o_cnt") + col("n_cnt")
-    val bigN = col("no") + col("nn")
-    def sq(x: Column) = x * x
-    withT.crossJoin(broadcast(tvdNum))
-      .select(col("cat"),
-        col("o_cnt").cast("long").as("o_cnt"),
-        col("n_cnt").cast("long").as("n_cnt"),
-        (col("o_cnt").cast("double") / col("no").cast("double")).as("o_rate"),
-        (col("n_cnt").cast("double") / col("nn").cast("double")).as("n_rate"),
-        (sq(bigN * col("o_cnt") - col("no") * c).cast("double") /
-            (bigN * col("no") * c).cast("double") +
-          sq(bigN * col("n_cnt") - col("nn") * c).cast("double") /
-            (bigN * col("nn") * c).cast("double")).as("chi2_contrib"),
-        (col("tvd_num").cast("double") /
-          (lit(2).cast(dec) * col("no") * col("nn")).cast("double")).as("tvd"))
   }
 
   /** Single-pass fused numeric audit — [[outlierReport]] (exact z-score),
@@ -813,7 +813,9 @@ object AuditOps {
     */
   def thresholdReport(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+    // NULL labels count as negatives (when().otherwise(0)) — the same
+    // convention as aucReport, so the two grade the SAME score/label pair
+    val g = df.filter(scoreCol.isNotNull)
       .select(scoreCol.as("s"), when(labelCol, 1L).otherwise(0L).as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
@@ -874,7 +876,10 @@ object AuditOps {
       groupCol: String): DataFrame = {
     OpContract.requireCols(df, "AuditOps.ksReportBy", groupCol)
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(valCol.isNotNull && sideCol.isNotNull)
+    // NULL group keys are dropped (a NULL group is not a data card row;
+    // the oracle filters identically)
+    val g = df.filter(valCol.isNotNull && sideCol.isNotNull &&
+        col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"), valCol.as("s"),
         when(sideCol, 1L).otherwise(0L).as("a"))
       .groupBy("grp", "s")
@@ -909,7 +914,7 @@ object AuditOps {
     * corrupted rows cluster on a digit fails loudly.
     *
     * Exactness discipline: the digit comes from the DECIMAL STRING of
-    * `abs(floor(value))` (substring, not a data-dependent `log10` — libm
+    * `floor(abs(value))` (substring, not a data-dependent `log10` — libm
     * never touches data), and the deviation is the cross-multiplied
     * integer `dev_num = |cnt·10⁹ − n·exp_ppb|` against the nine Benford
     * probabilities hardcoded as parts-per-billion integer constants
@@ -927,7 +932,7 @@ object AuditOps {
     // rounding residue makes the column sum 1e9 + 1 — documented constant)
     val ppb = Seq(301029996L, 176091259L, 124938737L, 96910013L,
       79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
-    val x = abs(floor(valCol)).cast("long")
+    val x = floor(abs(valCol)).cast("long")
     val g = df.filter(valCol.isNotNull && x > 0)
       .select(substring(x.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))

@@ -562,10 +562,10 @@ object AuditQueries {
     // constants are literals on both sides; deviations cross-multiplied
     // in HUGEINT
     "aud_benford" ->
-      """WITH x AS (SELECT CAST(substr(CAST(CAST(abs(floor(o_totalprice)) AS BIGINT)
+      """WITH x AS (SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |  FROM orders
-        |  WHERE o_totalprice IS NOT NULL AND abs(floor(o_totalprice)) > 0),
+        |  WHERE o_totalprice IS NOT NULL AND floor(abs(o_totalprice)) > 0),
         |g AS (SELECT digit, COUNT(*) AS cnt FROM x GROUP BY digit),
         |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
         |    unnest([301029996, 176091259, 124938737, 96910013, 79181246,

@@ -105,7 +105,9 @@ object EventOps {
     all.groupBy(keys.map(col): _*)
       .agg(max_by(row, struct(ord: _*)).as("r"))
       .select(col("r.*"))
-      .filter(!tombstone)
+      // three-valued logic: a NULL tombstone verdict means the row did NOT
+      // match the delete predicate — it must survive, not be dropped
+      .filter(coalesce(!tombstone, lit(true)))
   }
 
   /** Linear multi-touch attribution: each `convType` conversion is joined

@@ -880,9 +880,11 @@ object SimilarityOps {
     * best match; production mining thresholds around 1.05–1.1).
     *
     * Exactness: cosines are the repo's round-6 doubles fixed as
-    * DECIMAL(8,6); the two k-neighborhood sums are exact decimal sums;
-    * `margin = 2k·cos / (sumₓ + sum_y)` is ONE division of exact decimals
-    * (guarded NULL when the denominator is ≤ 0). Ranks break ties by id.
+    * DECIMAL(8,6); the two k-neighborhood sums are exact decimal sums
+    * carrying their ACTUAL sizes k_x, k_y ≤ k (a sparse candidate set
+    * averages over what it has); `margin = 2·k_x·k_y·cos /
+    * (sumₓ·k_y + sum_y·k_x)` is ONE division of exact decimals (guarded
+    * NULL when the denominator is ≤ 0). Ranks break ties by id.
     *
     * Scale shape: this form scores A×B exhaustively — the exact baseline
     * (the gate's scale). At corpus scale, swap the candidate generator
@@ -947,17 +949,25 @@ object SimilarityOps {
     val sumDec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
     val wx = Window.partitionBy(col("src_id")).orderBy(col("c").desc, col("dst_id"))
     val wy = Window.partitionBy(col("dst_id")).orderBy(col("c").desc, col("src_id"))
+    // neighborhood sums carry their ACTUAL size: a sparse candidate set
+    // (blocked path) must average over the candidates it has, not be
+    // divided by a constant k — otherwise an isolated pair whose only
+    // neighbor is its own match would score margin ≈ k regardless of
+    // cosine quality, exactly the hub-free noise the margin exists to kill
     val sumX = scored.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
-      .groupBy("src_id").agg(sum(col("c")).cast(sumDec).as("sum_x"))
+      .groupBy("src_id").agg(sum(col("c")).cast(sumDec).as("sum_x"),
+        count(lit(1)).as("k_x"))
     val sumY = scored.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
-      .groupBy("dst_id").agg(sum(col("c")).cast(sumDec).as("sum_y"))
+      .groupBy("dst_id").agg(sum(col("c")).cast(sumDec).as("sum_y"),
+        count(lit(1)).as("k_y"))
     val best = scored.withColumn("r", row_number().over(wx)).filter(col("r") === 1)
-    val den = (col("sum_x") + col("sum_y")).cast(sumDec)
+    // margin = c / ((sum_x/k_x + sum_y/k_y) / 2) cross-multiplied into
+    // one division of exact decimals
+    val num = (lit(2L) * col("k_x") * col("k_y") * col("c")).cast(sumDec)
+    val den = (col("sum_x") * col("k_y") + col("sum_y") * col("k_x")).cast(sumDec)
     best.join(sumX, "src_id").join(sumY, "dst_id")
       .withColumn("margin",
-        when(den > 0,
-          (lit(2L * k) * col("c")).cast(sumDec).cast("double") /
-            den.cast("double")))
+        when(den > 0, num.cast("double") / den.cast("double")))
       .filter(col("margin").isNotNull && col("margin") >= minMargin)
       .select(col("src_id"), col("dst_id"), col("c").cast("double").as("cos"),
         col("margin"))

@@ -504,7 +504,8 @@ object SimilarityQueries {
         |GROUP BY e.label, d.dim ORDER BY label, dim""".stripMargin,
     // Centroid cosine: means rounded(6) into DECIMAL -> exact dot/norm
     // round-6 cosines fixed as DECIMAL(8,6); neighborhood sums exact
-    // decimal; margin = 8·cos/(sum_x+sum_y), one division, NULL-guarded
+    // decimal with their actual sizes; margin cross-multiplied into one
+    // NULL-guarded division
     "emb_bitext" ->
       s"""WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
          |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
@@ -515,15 +516,18 @@ object SimilarityQueries {
          |    PARTITION BY src_id ORDER BY c DESC, dst_id) AS r FROM sc),
          |ry AS (SELECT src_id, dst_id, c, ROW_NUMBER() OVER (
          |    PARTITION BY dst_id ORDER BY c DESC, src_id) AS r FROM sc),
-         |sx AS (SELECT src_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sum_x
+         |sx AS (SELECT src_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sum_x,
+         |    COUNT(*) AS k_x
          |  FROM rx WHERE r <= 4 GROUP BY src_id),
-         |sy AS (SELECT dst_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sum_y
+         |sy AS (SELECT dst_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sum_y,
+         |    COUNT(*) AS k_y
          |  FROM ry WHERE r <= 4 GROUP BY dst_id),
          |best AS (SELECT src_id, dst_id, c FROM rx WHERE r = 1),
          |m AS (SELECT best.src_id, best.dst_id, CAST(best.c AS DOUBLE) AS cos,
-         |    CASE WHEN sx.sum_x + sy.sum_y > 0 THEN
-         |      CAST(CAST(8 * best.c AS DECIMAL(18,6)) AS DOUBLE)
-         |        / CAST(CAST(sx.sum_x + sy.sum_y AS DECIMAL(18,6)) AS DOUBLE) END AS margin
+         |    CASE WHEN sx.sum_x * sy.k_y + sy.sum_y * sx.k_x > 0 THEN
+         |      CAST(CAST(2 * sx.k_x * sy.k_y * best.c AS DECIMAL(18,6)) AS DOUBLE)
+         |        / CAST(CAST(sx.sum_x * sy.k_y + sy.sum_y * sx.k_x
+         |            AS DECIMAL(18,6)) AS DOUBLE) END AS margin
          |  FROM best JOIN sx USING (src_id) JOIN sy USING (dst_id))
          |SELECT src_id, dst_id, cos, margin FROM m
          |WHERE margin IS NOT NULL AND margin >= 0

@@ -625,8 +625,11 @@ object StreamOps {
               (acc, r) => acc.updated(r._2, acc.getOrElse(r._2, 0L) + 1L)
             }
             state.update(m)
-            // expire when the watermark passes the window end (ms)
-            state.setTimeoutTimestamp((win + 1L) * (windowUs / 1000L))
+            // expire when the watermark passes the window end — CEIL to
+            // ms so a window never times out before its true end (early
+            // timeout would re-open the window on a late-but-in-window
+            // event and emit it twice with split counts)
+            state.setTimeoutTimestamp(((win + 1L) * windowUs + 999L) / 1000L)
             Iterator.empty
           }
       }

@@ -254,6 +254,18 @@ class AnnClusteredSpec extends SparkTestBase {
       s"blocked best-match agreement ${agree.toDouble / exact.size}")
   }
 
+  test("bitext margin averages over the ACTUAL candidate neighborhood, not a constant k") {
+    // an isolated candidate pair (each side's only neighbor is the other)
+    // must score margin = c / c = 1.0, not 2k*c/(2c) = k
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val r = SimilarityOps.bitextMine(a, b, k = 4).collect()(0)
+    assert(r.getDouble(3) == 1.0, s"isolated pair must score margin 1.0: $r")
+  }
+
   test("PQ/IVFADC preserve cluster geometry: one byte of codes, every retrieved neighbor intra-cluster") {
     // Exact top-10 recall is the WRONG metric on this corpus for a
     // one-byte code: all 49 cluster-mates tie at cos ≈ 0.98 and ADC

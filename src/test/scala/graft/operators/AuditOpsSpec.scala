@@ -326,11 +326,12 @@ class AuditOpsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 0.0, s"at_value: $r")
   }
 
-  test("thresholdReport: argmax-F1 cutoff from exact confusion counts") {
-    // scores/labels: (1,+), (1,-), (2,+), (3,+), (3,-) — N=5, P=3
+  test("thresholdReport: argmax-F1 cutoff from exact confusion counts; NULL label = negative") {
+    // scores/labels: (1,+), (1,-), (2,+), (3,+), (3,NULL->-) — N=5, P=3
     // t=1: tp=3 fp=2 fn=0 -> F1 0.75; t=2: 2/3; t=3: 0.4 -> pick t=1
-    val rows = Seq((1.0, true), (1.0, false), (2.0, true), (3.0, true),
-      (3.0, false)).toDF("v", "y")
+    // (the NULL label counts as a negative, the aucReport convention)
+    val rows = Seq((1.0, Option(true)), (1.0, Option(false)), (2.0, Option(true)),
+      (3.0, Option(true)), (3.0, Option.empty[Boolean])).toDF("v", "y")
     val r = AuditOps.thresholdReport(rows, col("v"), col("y")).collect()(0)
     assert(r.getDouble(0) == 1.0, r.toString)
     assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 0, r.toString)
@@ -357,8 +358,10 @@ class AuditOpsSpec extends SparkTestBase {
   }
 
   test("benfordReport: digits from the decimal string, zero-magnitude rows excluded") {
-    // digits: 1.5->1, 19->1, 25->2, -33->3, 9->9; 0.4 has no leading digit
-    val rows = Seq(1.5, 19.0, 25.0, 0.4, -33.0, 9.0).toDF("v")
+    // digits: 1.5->1, 19->1, 25->2, -33.7->3 (floor of |x|, NOT |floor x|
+    // which would give 34), 9->9; 0.4 and -0.9 have magnitude < 1 -> no
+    // leading digit, excluded
+    val rows = Seq(1.5, 19.0, 25.0, 0.4, -33.7, 9.0, -0.9).toDF("v")
     val r = AuditOps.benfordReport(rows, col("v")).orderBy("digit").collect()
     assert(r.length == 9)
     val cnt = r.map(x => x.getLong(0) -> x.getLong(1)).toMap

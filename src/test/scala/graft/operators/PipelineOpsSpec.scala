@@ -553,6 +553,19 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("applyChangelog: a NULL tombstone verdict keeps the row (three-valued logic)") {
+    import spark.implicits._
+    // user 9's surviving row has a NULL type: !(NULL === 'del') is NULL,
+    // which must read as "did not match the delete predicate"
+    val snap = Seq((9L, Option.empty[String], 1L), (8L, Option("ok"), 1L))
+      .toDF("user_id", "typ", "ord")
+    val chg = Seq((8L, Option("del"), 2L)).toDF("user_id", "typ", "ord")
+    val r = EventOps.applyChangelog(snap, chg, Seq("user_id"), Seq(col("ord")),
+        col("typ") === "del")
+      .collect().map(_.getLong(0)).toSet
+    assert(r == Set(9L), s"user 9 must survive its NULL verdict, 8 deletes: $r")
+  }
+
   test("attribution: lookback bounds, equal credit, untouched conversions emit nothing") {
     import spark.implicits._
     // ts in ns (the op divides to µs). Window = 20 µs.
