@@ -66,6 +66,22 @@ object MultimodalQueries {
           MediaOps.perceptualHash(s, MediaStub.withPayload(withDups)).toDF(),
           k = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Image near-dup CLUSTERING end-to-end: dHash pairs -> the SAME
+    // star-contraction CC engine the text dedup uses — the visual
+    // counterpart of dd_clusters_star (one dedup graph machinery, any
+    // pair detector).
+    "mm_phash_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val withDups = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000))
+      DedupOps.nearDupClustersStar(
+          MediaOps.phashPairs(
+            MediaOps.perceptualHash(s, MediaStub.withPayload(withDups)).toDF(),
+            k = 3))
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -115,5 +131,28 @@ object MultimodalQueries {
         |    AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // recursive min-label closure over the same pair construction — the
+    // dd_clusters oracle applied to the visual edge detector
+    "mm_phash_clusters" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 5 = 0),
+        |h AS (SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM src),
+        |p AS (SELECT doc_id,
+        |    ('0x' || substr(ph, 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(ph, 9, 8))::BIGINT AS lo FROM h),
+        |mp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+        |          UNION ALL SELECT doc_b, doc_a FROM mp),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin)
 }
