@@ -437,7 +437,28 @@ object ScaleBench {
         graft.operators.AuditOps.thresholdReport(
           graft.operators.Tables.normalizeTs(
             s.read.parquet(s"$d/events.parquet")),
-          floor(col("value")), col("event_type") === "error")))
+          floor(col("value")), col("event_type") === "error")),
+      // bitext anchor/twin pair in the FIXED-PROBE-BATCH shape (the
+      // dd_minhash_incr_probe pattern — a constant 250-vector batch mined
+      // against the growing other side; the full-corpus exhaustive form
+      // is O(|A|·|B|) and intractable past 10x, which is the point of
+      // the anchor): exhaustive cost grows ∝ |B|, the LSH-blocked
+      // production shape ∝ bucket collisions at scaled bits
+      "emb_bitext_probe" -> ((s: SparkSession, d: String, _: Double) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        SimilarityOps.bitextMine(
+          e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 500)
+            .select("vec_id", "embedding"),
+          e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"), 4)
+      }),
+      "emb_bitext_probe_lsh" -> ((s: SparkSession, d: String, k: Double) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        SimilarityOps.bitextMineLsh(
+          e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 500)
+            .select("vec_id", "embedding"),
+          e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+          4, 0.0, scaledBits(k), 16, 4241L)
+      }))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
