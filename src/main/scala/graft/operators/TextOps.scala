@@ -989,8 +989,16 @@ object TextOps {
     * scheme's tens of thousands of rounded products of two already-
     * divergent doubles); everything downstream — the Σ cnt·L(cnt) sum,
     * the /n division (half-away integer division at scale 7), the final
-    * DECIMAL(20,7) emission — is exact integer/decimal arithmetic. The
-    * p=1 doc (all tokens equal) hits no −0.0: L(1) = 0 exactly.
+    * emission — is exact integer arithmetic. The p=1 doc (all tokens
+    * equal) hits no −0.0: L(1) = 0 exactly.
+    *
+    * Emission convention (r9, battery-wide rule): the entropy is emitted
+    * as `ent_e7` — BIGINT micro-bits (entropy·1e7), the [[SimilarityOps
+    * .quantize]] integer-output convention — NOT as a wide decimal. The
+    * r7/r8 driver-gate reds for this query were isolated (VERDICT r8) to
+    * the DECIMAL(20,7) output column, the battery's only one; an integer
+    * column has a single cross-engine representation. Callers wanting
+    * bits divide by 1e7 (exact in a double below 2^53).
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -1007,8 +1015,7 @@ object TextOps {
       .withColumn("ent7",
         expr("CAST(ln7 AS BIGINT) - ((2 * a + n_tokens) div (2 * n_tokens))"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("ent7").cast(DecimalType(20, 7)) / lit(10000000L))
-          .cast(DecimalType(20, 7)).as("entropy"))
+        col("ent7").cast("long").as("ent_e7"))
   }
 
   /** Zipf rank-frequency slope per language: least-squares fit of

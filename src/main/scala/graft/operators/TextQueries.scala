@@ -329,8 +329,11 @@ object TextQueries {
     // Token entropy restructured as H = log2(n) − (Σ cnt·log2 cnt)/n
     // (r7 driver gate flipped a per-term round(−p·log2 p, 7) tie): libm
     // only touches log2(integer) on the few distinct counts, rounded once
-    // into DECIMAL; the sum, /n (half-away integer division at scale 7)
-    // and DECIMAL(20,7) emission are exact integer arithmetic.
+    // into DECIMAL; the sum and /n (half-away integer division at scale
+    // 7) are exact integer arithmetic. Emitted as BIGINT micro-bits
+    // (ent_e7 = entropy·1e7, the emb_quantize integer convention) — the
+    // r7/r8 driver reds were isolated to the battery's only DECIMAL(20,7)
+    // output column (VERDICT r8), so no decimal leaves the query.
     "tx_token_entropy" ->
       """WITH wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -344,9 +347,7 @@ object TextQueries {
         |        * 10000000 AS BIGINT)
         |      - (2 * CAST(s * 10000000 AS HUGEINT) + n) // (2 * n) AS ent7
         |  FROM ag)
-        |SELECT doc_id, n AS n_tokens,
-        |  CAST(ent7 * CAST(0.0000001 AS DECIMAL(8, 7)) AS DECIMAL(20, 7))
-        |    AS entropy
+        |SELECT doc_id, n AS n_tokens, CAST(ent7 AS BIGINT) AS ent_e7
         |FROM e ORDER BY doc_id""".stripMargin,
     // Zipf slope: x/y rounded(7) into DECIMAL so the four regression sums
     // are exact; numerator and denominator each rounded(6) as doubles

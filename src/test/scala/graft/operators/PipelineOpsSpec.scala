@@ -342,10 +342,11 @@ class PipelineOpsSpec extends SparkTestBase {
       (2L, "a a b c")               // H = 1.5 exactly (0.5 + 2*0.5)
     ).toDF("doc_id", "text")
     val r = TextOps.tokenEntropy(docs).orderBy("doc_id").collect()
-    def h(i: Int) = r(i).getDecimal(2).doubleValue()
-    assert(r(0).getLong(1) == 5 && h(0) == 0.0)
-    assert(r(1).getLong(1) == 4 && h(1) == 2.0)
-    assert(r(2).getLong(1) == 4 && h(2) == 1.5)
+    // Emission is BIGINT micro-bits (entropy·1e7) — see tokenEntropy doc.
+    def h(i: Int) = r(i).getLong(2)
+    assert(r(0).getLong(1) == 5 && h(0) == 0L)
+    assert(r(1).getLong(1) == 4 && h(1) == 20000000L)
+    assert(r(2).getLong(1) == 4 && h(2) == 15000000L)
   }
 
   test("trigramPerplexity: closed-form mixture values on a token-disjoint two-doc corpus") {
