@@ -119,8 +119,15 @@ object Pipeline {
       // broadcast digest anti join: no corpus shuffle
       val clean0 = DedupOps.antiJoinDedup(corpus, bench).localCheckpoint()
       println(s"""{"stage":"decontaminated","docs":${clean0.count()}}""")
+      // MinHash pass runs ONCE per build (ADVICE r8: quarantine and
+      // near-dup each paid a full shingle→minhash→band pass — the most
+      // expensive scan in the pipeline, twice). Pairs are pairwise
+      // (per-doc signatures, band equijoin), so the near-dup stage's
+      // pairs over the exact-deduped corpus are EXACTLY these pairs with
+      // both endpoints surviving — a semi join, not a recompute.
+      val pairsAll = DedupOps.minhashPairs(corpus).localCheckpoint()
       // contamination blast radius, ids only (the plain path's stage 1b)
-      val qIds = GraphOps.quarantineSet(DedupOps.minhashPairs(corpus),
+      val qIds = GraphOps.quarantineSet(pairsAll,
           bench.select("doc_id"), maxHops = 2)
         .filter(col("hops") > 0).select("doc_id").localCheckpoint()
       val clean = clean0.join(qIds, Seq("doc_id"), "left_anti").localCheckpoint()
@@ -128,14 +135,16 @@ object Pipeline {
       // keep-id sets: digests/ids only ever shuffle, text stays put
       val exactIds = clean.groupBy(md5(col("text")).as("d"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id").localCheckpoint()
-      // checkpoint the corpus-side frames too: each diagnostic count (and
-      // the next stage's minhashPairs) would otherwise re-execute the
-      // whole un-checkpointed join chain — the plain path's stage()
-      // discipline, applied here
+      // checkpoint the corpus-side frames too: each diagnostic count
+      // would otherwise re-execute the whole un-checkpointed join chain —
+      // the plain path's stage() discipline, applied here
       val exact = corpus.join(exactIds, Seq("doc_id"), "left_semi").localCheckpoint()
       println(s"""{"stage":"exact_dedup","docs":${exact.count()}}""")
+      val exactPairs = pairsAll
+        .join(exactIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(exactIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
       val nearIds = DedupOps.keepCanonical(exact.select("doc_id"),
-          DedupOps.nearDupClusters(DedupOps.minhashPairs(exact)))
+          DedupOps.nearDupClusters(exactPairs))
         .localCheckpoint()
       val near = corpus.join(nearIds, Seq("doc_id"), "left_semi").localCheckpoint()
       println(s"""{"stage":"near_dedup","docs":${near.count()}}""")
@@ -159,10 +168,16 @@ object Pipeline {
       val bench = raw.filter(col("doc_id") % 50 === 0)
       val clean0 = stage("decontaminated", DedupOps.antiJoinDedup(raw, bench))
 
+      // MinHash pass runs ONCE per build (ADVICE r8) — quarantine uses
+      // the full-corpus pairs, near-dup derives ITS pairs by semi-joining
+      // both endpoints against the exact-dedup survivors (pairs are
+      // pairwise, so the restriction is exact, not an approximation)
+      val pairsAll = DedupOps.minhashPairs(raw).localCheckpoint()
+
       // 1b. contamination blast radius: the benchmark's transitive
       //     near-dups (paraphrase chains) leave with it — the exact anti
       //     join above only catches verbatim copies
-      val qIds = GraphOps.quarantineSet(DedupOps.minhashPairs(raw),
+      val qIds = GraphOps.quarantineSet(pairsAll,
           bench.select("doc_id"), maxHops = 2)
         .filter(col("hops") > 0).select("doc_id").localCheckpoint()
       val clean = stage("quarantined",
@@ -175,8 +190,12 @@ object Pipeline {
         clean.join(keepIds, Seq("doc_id"), "left_semi"))
 
       // 3. near-dup dedup: pairs → components → canonical survivors
+      val survIds = exact.select("doc_id").localCheckpoint()
+      val exactPairs = pairsAll
+        .join(survIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(survIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
       val nearDeduped = stage("near_dedup", DedupOps.keepCanonical(exact,
-        DedupOps.nearDupClusters(DedupOps.minhashPairs(exact))))
+        DedupOps.nearDupClusters(exactPairs)))
 
       // 4. quality floor
       val goodIds = TextOps.quality(nearDeduped)

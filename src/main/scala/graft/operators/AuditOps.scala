@@ -749,7 +749,10 @@ object AuditOps {
     // band totals, prefix, cumulative, totals) — checkpoint once so the
     // corpus scans exactly once however bushy the downstream tree is
     // (on a cluster, use reliable checkpointing)
-    val g = df.filter(valCol.isNotNull && sideCol.isNotNull)
+    // NULL side counts as sample B (when().otherwise(0)) — the family
+    // convention (aucReport/thresholdReport treat NULL labels as
+    // negatives), and what the aud_ks oracle's CASE..ELSE 0 computes
+    val g = df.filter(valCol.isNotNull)
       .select(valCol.as("s"), when(sideCol, 1L).otherwise(0L).as("a"))
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
@@ -787,8 +790,11 @@ object AuditOps {
       .agg(min(col("n_a")).cast("long").as("n_a"),
         min(col("n_b")).cast("long").as("n_b"),
         min(col("dm")).cast("long").as("ks_num"),
-        (min(col("dm")).cast("double") /
-          (min(col("n_a")) * min(col("n_b"))).cast("double")).as("ks"),
+        // an empty side means nothing to compare: ks NULL, not 0/0 = NaN
+        // (IEEE double division — isNull guards downstream would miss it)
+        when(min(col("n_a")) > 0 && min(col("n_b")) > 0,
+          min(col("dm")).cast("double") /
+            (min(col("n_a")) * min(col("n_b"))).cast("double")).as("ks"),
         min(col("s")).cast("double").as("at_value"))
   }
 
@@ -877,9 +883,9 @@ object AuditOps {
     OpContract.requireCols(df, "AuditOps.ksReportBy", groupCol)
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     // NULL group keys are dropped (a NULL group is not a data card row;
-    // the oracle filters identically)
-    val g = df.filter(valCol.isNotNull && sideCol.isNotNull &&
-        col(groupCol).isNotNull)
+    // the oracle filters identically). NULL side counts as sample B —
+    // the family convention, matching the oracle's CASE..ELSE 0.
+    val g = df.filter(valCol.isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"), valCol.as("s"),
         when(sideCol, 1L).otherwise(0L).as("a"))
       .groupBy("grp", "s")

@@ -95,7 +95,26 @@ object LayoutOps {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetRowsPerFile: Long, sortBy: Seq[Column] = Nil): Unit = {
     require(targetRowsPerFile >= 1, s"targetRowsPerFile >= 1, got $targetRowsPerFile")
-    require(inDir != outDir, "compact cannot overwrite its own input in place")
+    // Self-overwrite guard on CANONICALIZED paths (ADVICE r8): plain
+    // string inequality lets a trailing slash, a relative spelling, or a
+    // symlink alias through, and mode(overwrite) on the input dir would
+    // destroy the source mid-scan. toRealPath resolves symlinks for
+    // existing prefixes; for a not-yet-created outDir canonicalize the
+    // deepest existing ancestor and rebuild. Non-local URIs (hdfs://,
+    // s3a://) skip the filesystem resolution and compare normalized
+    // string forms — alias detection there would need the Hadoop
+    // FileSystem, and the local case is where dev destroys data.
+    def canon(p: String): String =
+      if (p.contains("://")) p.replaceAll("/+$", "")
+      else {
+        var f = new java.io.File(p).getAbsoluteFile
+        val tail = new scala.collection.mutable.ListBuffer[String]
+        while (f != null && !f.exists()) { tail.prepend(f.getName); f = f.getParentFile }
+        val base = if (f == null) "" else f.toPath.toRealPath().toString
+        (base +: tail.toList).mkString(java.io.File.separator)
+      }
+    require(canon(inDir) != canon(outDir),
+      s"compact cannot overwrite its own input in place ($inDir vs $outDir)")
     val df = spark.read.parquet(inDir)
     val n = df.count()
     val files = math.max(1, ((n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)

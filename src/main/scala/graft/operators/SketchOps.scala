@@ -549,10 +549,13 @@ object SketchOps {
     * Scale shape: the sketch side is ONE map-side-combined aggregation
     * with d·w integer sums — rows never shuffle, state is d·w longs; the
     * exact side pays the key groupBy (that's the point of the sketch —
-    * at 100 TB run only the sketch). FP: sums and squares are exact
-    * integers (|Σ s_j| ≤ n, squares ≤ n² < 2^63 up to ~3e9 rows; the
-    * means/median stay integer-scaled by w), `f2_est = med/w` and
-    * `rel_err` are single exact-integer divisions.
+    * at 100 TB run only the sketch). FP: the per-row sums are exact longs
+    * (|Σ s_j| ≤ n < 2^63); the squares and their w-sum are computed in
+    * DECIMAL(38,0) — w·n² silently wraps a long from n ≈ √(2^63/w)
+    * ≈ 7.6e8 rows at w=16, exactly the one-hot-key skew this sketch
+    * exists to detect, so the squares must never ride a long. The
+    * means/median stay integer-scaled by w; `f2_est = med/w` and
+    * `rel_err` are single exact-value divisions.
     */
   def amsF2(df: DataFrame, keyCol: Column, d: Int = 5, w: Int = 16): DataFrame = {
     require(d >= 1 && d % 2 == 1, s"amsF2 needs odd d >= 1, got $d")
@@ -565,10 +568,15 @@ object SketchOps {
     }
     val sketch = base.agg(sums.head, sums.tail: _*)
     // means stay integer-scaled by w: mean_i·w = Σ_j X_j; the median of d
-    // such integers is one array sort over d values
+    // such integers is one array sort over d values. Squares in
+    // DECIMAL(38,0): a hot key drives |s_j| toward n, and w·n² wraps a
+    // long from n ≈ 7.6e8 (ADVICE r8) — decimal is exact to n ≈ 2.5e18.
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val meansW = (0 until d).map { i =>
-      (0 until w).map(j => col(s"s${i * w + j}") * col(s"s${i * w + j}"))
-        .reduce(_ + _).as(s"m$i")
+      (0 until w).map { j =>
+        val sj = col(s"s${i * w + j}").cast(dec38)
+        sj * sj
+      }.reduce(_ + _).as(s"m$i")
     }
     val est = sketch.select(meansW: _*)
       .select(element_at(sort_array(array((0 until d).map(i => col(s"m$i")): _*)),
