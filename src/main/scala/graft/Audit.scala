@@ -116,6 +116,24 @@ object Audit {
         println(s"""{"detector":"benford","digit":${r.getLong(0)},""" +
           s""""cnt":${r.getLong(1)},"dev":${r.getDouble(6)}}""")
       }
+    // per-source data card over the documents corpus (r9 completes the
+    // panel: aucReportBy/ksReportBy graded ranking and drift per source;
+    // calibrationReportBy and thresholdReportBy add the probability
+    // quality and the per-source operating point for the same
+    // length->English classifier)
+    val docs = t("documents")
+    val enLabel = col("lang") === "en"
+    AuditOps.calibrationReportBy(docs, col("n_chars") / 2000.0, enLabel, "source")
+      .select("grp", "ece").distinct().orderBy("grp").collect().foreach { r =>
+        println(s"""{"detector":"calibration_by_source","source":"${r.getString(0)}",""" +
+          s""""ece":${r.getDouble(1)}}""")
+      }
+    AuditOps.thresholdReportBy(docs, col("n_chars"), enLabel, "source")
+      .orderBy("grp").collect().foreach { r =>
+        println(s"""{"detector":"threshold_by_source","source":"${r.getString(0)}",""" +
+          s""""cut":${r.getDouble(1)},"tp":${r.getLong(2)},"fp":${r.getLong(3)},""" +
+          s""""fn":${r.getLong(4)},"f1":${r.getDouble(7)}}""")
+      }
 
     val failed = dq.count(_.getLong(6) == 0L)
     println(s"""{"audit":"done","checks":${dq.length},"failed":$failed}""")

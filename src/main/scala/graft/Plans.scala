@@ -83,7 +83,11 @@ object Plans {
     // round 8 (cont. 4): banded argmax-F1 confusion prefix, ratio-margin
     // bitext windows, single-agg AMS sign sums, language-bounded epoch
     // planner
-    "aud_threshold", "emb_bitext", "q41_ams_f2", "tx_mix_epochs")
+    "aud_threshold", "emb_bitext", "q41_ams_f2", "tx_mix_epochs",
+    // round 9: per-source reliability/operating-point panels — every
+    // window partitions by source, totals ride a <=|sources|-row
+    // broadcast join
+    "aud_calibration_by_source", "aud_threshold_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -418,6 +418,48 @@ object AuditOps {
           (lit(2L * bins).cast(dec) * col("nn")).cast("double")).as("ece"))
   }
 
+  /** Per-group [[calibrationReport]] — the data-card form (one reliability
+    * diagram + ECE per source/domain/shard), completing the per-group
+    * audit panel next to [[aucReportBy]]/[[ksReportBy]]: a classifier can
+    * be well-calibrated in aggregate while badly mis-calibrated on one
+    * source, which is exactly the source whose sampling weights it will
+    * distort. NULL group keys are dropped (not a data-card row); NULL
+    * labels count as negatives (family convention). Output per (grp,
+    * bin): `(grp, bin, conf_mid, n, n_pos, acc, ece)` with `ece` the
+    * GROUP's expected calibration error on every row of that group.
+    *
+    * Same FP discipline as the global form (exact integer ECE numerators
+    * in DECIMAL(38,0), single divisions). Scale shape: one map-side-
+    * combined aggregation to ≤|groups|·bins rows, then a ≤|groups|-row
+    * broadcast join for the per-group totals — data-card group counts
+    * (sources/domains) are bounded; nothing data-sized past the first
+    * aggregation.
+    */
+  def calibrationReportBy(df: DataFrame, scoreCol: Column, labelCol: Column,
+      groupCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationReportBy needs bins >= 2, got $bins")
+    OpContract.requireCols(df, "AuditOps.calibrationReportBy", groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        greatest(least(floor(scoreCol * bins).cast("long"), lit(bins - 1L)),
+          lit(0L)).as("bin"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = g.groupBy("grp").agg(
+      sum(col("n")).cast(dec).as("nn"),
+      sum(abs(lit(2L * bins).cast(dec) * col("n_pos") -
+        col("n").cast(dec) * (lit(2) * col("bin") + 1))).as("ece_num"))
+    g.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("bin"),
+        ((lit(2) * col("bin") + 1).cast("double") / lit(2.0 * bins)).as("conf_mid"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"),
+        (col("ece_num").cast("double") /
+          (lit(2L * bins).cast(dec) * col("nn")).cast("double")).as("ece"))
+  }
+
   /** Categorical DRIFT report between two corpus snapshots — the audit a
     * recurring crawl refresh runs next to [[graft.operators.DedupOps.snapshotDiff]]:
     * per category of `catCol`, both snapshots' counts and rates, the
@@ -862,6 +904,62 @@ object AuditOps {
         .otherwise(lit(0.0)))
     conf.orderBy(col("f1").desc, col("s")).limit(1)
       .select(col("s").cast("double").as("threshold"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0, col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        when(col("tp") + col("fn") > 0, col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double")).as("recall"),
+        col("f1"))
+  }
+
+  /** Per-group [[thresholdReport]] — the data-card form (one argmax-F1
+    * operating point per source/domain/shard): the global cutoff is the
+    * wrong knob when score distributions differ by source, and the
+    * per-group rows make that visible next to [[aucReportBy]]'s per-group
+    * ranking quality. NULL group keys are dropped; NULL labels count as
+    * negatives. Output per group:
+    * `(grp, threshold, tp, fp, fn, precision, recall, f1)`.
+    *
+    * Same exactness as the global form: confusion counts are exact
+    * integers from per-group exclusive prefix sums; each rate is ONE
+    * division of exact integers, so the (f1 desc, threshold asc) argmax
+    * is engine-reproducible bit-for-bit. Scale shape: the
+    * [[aucReportBy]]/[[ksReportBy]] discipline — one map-side-combined
+    * aggregation to per-group distinct scores, every window PARTITIONED
+    * by group (groups rank in parallel, no banding needed, no
+    * unpartitioned WindowExec), and the final argmax is a row_number
+    * filter over the same partitioned ordering.
+    */
+  def thresholdReportBy(df: DataFrame, scoreCol: Column, labelCol: Column,
+      groupCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.thresholdReportBy", groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), scoreCol.as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val ew = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val conf = g
+      .withColumn("cumc", coalesce(sum(col("cnt")).over(ew), lit(0L)))
+      .withColumn("cump", coalesce(sum(col("pos")).over(ew), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(gw).cast(dec))
+      .withColumn("p", sum(col("pos")).over(gw).cast(dec))
+      .select(col("grp"), col("s"),
+        (col("p") - col("cump")).cast("long").as("tp"),
+        (col("n") - col("p") - (col("cumc") - col("cump"))).cast("long").as("fp"),
+        col("cump").cast("long").as("fn"))
+      .withColumn("f1", when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2) * col("tp")).cast("double") /
+          (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .otherwise(lit(0.0)))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("f1").desc, col("s"))
+    conf.withColumn("rk", row_number().over(rw)).filter(col("rk") === 1)
+      .select(col("grp"), col("s").cast("double").as("threshold"),
         col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") > 0, col("tp").cast("double") /
           (col("tp") + col("fp")).cast("double")).as("precision"),

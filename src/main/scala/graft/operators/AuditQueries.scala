@@ -141,6 +141,23 @@ object AuditQueries {
           col("lang") === "en", "source")
         .orderBy("grp")),
 
+    // Data-card calibration: per source, is n_chars/2000 calibrated as a
+    // "probability of English"? Completes the per-source audit panel
+    // (aud_auc_by_source grades the ranking, this the probabilities —
+    // same score/label pair). Long docs saturate into bin 9 by design.
+    "aud_calibration_by_source" -> ((s, d) =>
+      AuditOps.calibrationReportBy(t(s, d, "documents"),
+          col("n_chars") / 2000.0, col("lang") === "en", "source")
+        .orderBy("grp", "bin")),
+
+    // Data-card operating point: per source, the argmax-F1 length cutoff
+    // for predicting English — the per-group DECISION row next to the
+    // per-group AUC/KS/calibration (windows all partition by source).
+    "aud_threshold_by_source" -> ((s, d) =>
+      AuditOps.thresholdReportBy(t(s, d, "documents"),
+          col("n_chars"), col("lang") === "en", "source")
+        .orderBy("grp")),
+
     // Benford screen on order totals: digit from the decimal string (no
     // libm on data), deviation as the exact ppb cross-multiplication.
     "aud_benford" -> ((s, d) =>
@@ -557,6 +574,63 @@ object AuditQueries {
         |    CAST(MIN(dm) AS DOUBLE) / CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) END AS ks,
         |  CAST(MIN(s) AS DOUBLE) AS at_value
         |FROM d WHERE d = dm GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // per-group reliability diagram: integer-exact ECE numerator per
+    // source; the (n_chars/2000.0)*10 bin map is one double division +
+    // one multiply + floor, mirrored op-for-op
+    "aud_calibration_by_source" ->
+      """WITH b AS (SELECT source AS grp,
+        |    GREATEST(LEAST(CAST(floor((n_chars / 2000.0) * 10) AS BIGINT), 9), 0) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT grp, bin, COUNT(*) AS n, SUM(y) AS n_pos
+        |  FROM b GROUP BY grp, bin),
+        |t AS (SELECT grp, CAST(SUM(n) AS HUGEINT) AS nn,
+        |    CAST(SUM(abs(20 * n_pos - n * (2 * bin + 1))) AS HUGEINT) AS ece_num
+        |  FROM g GROUP BY grp)
+        |SELECT g.grp, g.bin, CAST(2 * g.bin + 1 AS DOUBLE) / 20.0 AS conf_mid,
+        |  CAST(g.n AS BIGINT) AS n, CAST(g.n_pos AS BIGINT) AS n_pos,
+        |  CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS acc,
+        |  CAST(t.ece_num AS DOUBLE) / CAST(20 * t.nn AS DOUBLE) AS ece
+        |FROM g JOIN t ON g.grp = t.grp ORDER BY g.grp, g.bin""".stripMargin,
+
+    // per-group argmax-F1: exclusive prefixes and totals all PARTITION BY
+    // grp; confusion counts exact integers, each rate one division, the
+    // (f1 DESC, s) argmax a ROW_NUMBER filter — mirrored op-for-op
+    "aud_threshold_by_source" ->
+      """WITH b AS (SELECT source AS grp, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(y) AS pos
+        |  FROM b GROUP BY grp, s),
+        |c AS (SELECT grp, s,
+        |    COALESCE(CAST(SUM(cnt) OVER ew AS HUGEINT), 0) AS cumc,
+        |    COALESCE(CAST(SUM(pos) OVER ew AS HUGEINT), 0) AS cump,
+        |    CAST(SUM(cnt) OVER gw AS HUGEINT) AS n,
+        |    CAST(SUM(pos) OVER gw AS HUGEINT) AS p
+        |  FROM g WINDOW ew AS (PARTITION BY grp ORDER BY s
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              gw AS (PARTITION BY grp)),
+        |conf AS (SELECT grp, s,
+        |    CAST(p - cump AS BIGINT) AS tp,
+        |    CAST(n - p - (cumc - cump) AS BIGINT) AS fp,
+        |    CAST(cump AS BIGINT) AS fn
+        |  FROM c),
+        |f AS (SELECT grp, s, tp, fp, fn,
+        |    CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |      CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |    ELSE 0.0 END AS f1
+        |  FROM conf),
+        |r AS (SELECT grp, s, tp, fp, fn, f1,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY f1 DESC, s) AS rk
+        |  FROM f)
+        |SELECT grp, CAST(s AS DOUBLE) AS threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  f1
+        |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
 
     // digit from the integer's decimal string; the nine Benford ppb
     // constants are literals on both sides; deviations cross-multiplied

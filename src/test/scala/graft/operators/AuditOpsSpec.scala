@@ -339,6 +339,50 @@ class AuditOpsSpec extends SparkTestBase {
       r.getDouble(6) == 0.75, r.toString)
   }
 
+  test("calibrationReportBy: per-group bins and ECE; NULL group dropped") {
+    // group A = the global test's data -> ece 0.21 on both its rows
+    // group B: (0.45,F)×2 -> bin4, n=2, pos=0, acc=0,
+    //   ece_num = |20·0 − 2·9| = 18, ece = 18/(20·2) = 0.45
+    val df = Seq(
+      (Option("A"), 0.05, true), (Option("A"), 0.05, false),
+      (Option("A"), 0.95, true), (Option("A"), 0.95, true),
+      (Option("A"), 0.95, true),
+      (Option("B"), 0.45, false), (Option("B"), 0.45, false),
+      (Option.empty[String], 0.5, true))
+      .toDF("src", "s", "y")
+    val r = AuditOps.calibrationReportBy(df, col("s"), col("y"), "src")
+      .orderBy("grp", "bin").collect()
+    assert(r.length == 3, r.mkString(";"))
+    assert(r(0).getString(0) == "A" && r(0).getLong(1) == 0 &&
+      r(0).getLong(3) == 2 && r(0).getLong(4) == 1 &&
+      r(0).getDouble(5) == 0.5 && r(0).getDouble(6) == 0.21, r(0).toString)
+    assert(r(1).getString(0) == "A" && r(1).getLong(1) == 9 &&
+      r(1).getDouble(5) == 1.0 && r(1).getDouble(6) == 0.21, r(1).toString)
+    assert(r(2).getString(0) == "B" && r(2).getLong(1) == 4 &&
+      r(2).getDouble(5) == 0.0 && r(2).getDouble(6) == 0.45, r(2).toString)
+  }
+
+  test("thresholdReportBy: independent per-group argmax-F1 operating points") {
+    // group A = the global thresholdReport example -> t=1, f1=0.75
+    // group B: (1,-),(2,+) -> t=2 is a perfect classifier, f1=1
+    val df = Seq(
+      ("A", 1.0, Option(true)), ("A", 1.0, Option(false)),
+      ("A", 2.0, Option(true)), ("A", 3.0, Option(true)),
+      ("A", 3.0, Option.empty[Boolean]),
+      ("B", 1.0, Option(false)), ("B", 2.0, Option(true)))
+      .toDF("src", "v", "y")
+    val r = AuditOps.thresholdReportBy(df, col("v"), col("y"), "src")
+      .orderBy("grp").collect()
+    assert(r.length == 2, r.mkString(";"))
+    assert(r(0).getString(0) == "A" && r(0).getDouble(1) == 1.0 &&
+      r(0).getLong(2) == 3 && r(0).getLong(3) == 2 && r(0).getLong(4) == 0 &&
+      r(0).getDouble(5) == 0.6 && r(0).getDouble(6) == 1.0 &&
+      r(0).getDouble(7) == 0.75, r(0).toString)
+    assert(r(1).getString(0) == "B" && r(1).getDouble(1) == 2.0 &&
+      r(1).getLong(2) == 1 && r(1).getLong(3) == 0 && r(1).getLong(4) == 0 &&
+      r(1).getDouble(7) == 1.0, r(1).toString)
+  }
+
   test("ksReportBy: independent per-group KS; a one-sided group reports NULL ks") {
     val rows = Seq(
       // group X = the hand-computed ksReport example -> D = 3/9 at value 1
