@@ -208,7 +208,11 @@ object DedupOps {
         least(col("sz_a"), col("sz_b")) * 10 >=
           greatest(col("sz_a"), col("sz_b")) * 3 - 1)
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, inv.select(col("doc_id"), col("sz"), col("shingle")),
+    // verify joins on the 64-bit shingle hash, not the string — the
+    // postings shuffle carries 8-byte keys (the candidate-stage
+    // convention; collisions ~|shingles|²/2^64, value-oracle-checked)
+    verifyJaccard(cand, inv.select(col("doc_id"), col("sz"),
+        col("shx").as("shingle")),
       "doc_a", "doc_b")
   }
 
