@@ -134,6 +134,11 @@ object Audit {
           s""""cut":${r.getDouble(1)},"tp":${r.getLong(2)},"fp":${r.getLong(3)},""" +
           s""""fn":${r.getLong(4)},"f1":${r.getDouble(7)}}""")
       }
+    // source-concentration grade for the mixture rebalance (r9)
+    val gini = AuditOps.giniReport(docs, "source").collect()(0)
+    println(s"""{"detector":"gini","categories":${gini.getLong(0)},""" +
+      s""""rows":${gini.getLong(1)},"gini":${
+        if (gini.isNullAt(2)) "null" else gini.getDouble(2)}}""")
 
     val failed = dq.count(_.getLong(6) == 0L)
     println(s"""{"audit":"done","checks":${dq.length},"failed":$failed}""")

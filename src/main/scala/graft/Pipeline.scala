@@ -62,6 +62,9 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wall-clock from here (session up, nothing read) — the number the
+    // end-to-end scale curve fits, free of JVM/sbt startup constants
+    val t0 = System.nanoTime()
 
     def stage(name: String, df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint()
@@ -251,7 +254,8 @@ object Pipeline {
     codebooks.write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
     codes.write.mode("overwrite").parquet(s"$outDir/pq_codes")
     println(s"""{"stage":"emb_indexed","codes":${codes.count()},"codebook_rows":${codebooks.count()}}""")
-    println(s"""{"stage":"written","out":"$outDir"}""")
+    println(s"""{"stage":"written","out":"$outDir","wall_s":${
+      (System.nanoTime() - t0) / 1e9}}""")
     spark.stop()
   }
 }

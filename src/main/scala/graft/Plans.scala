@@ -86,8 +86,10 @@ object Plans {
     "aud_threshold", "emb_bitext", "q41_ams_f2", "tx_mix_epochs",
     // round 9: per-source reliability/operating-point panels — every
     // window partitions by source, totals ride a <=|sources|-row
-    // broadcast join
-    "aud_calibration_by_source", "aud_threshold_by_source")
+    // broadcast join; PSI (counts-only, ln(integer) once) and Gini
+    // (bounded all-pairs over the count table)
+    "aud_calibration_by_source", "aud_threshold_by_source",
+    "aud_psi", "aud_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -105,6 +107,14 @@ object Plans {
     sb.append("Regenerate with `sbt \"runMain graft.Plans\"`. Reviewed per the design\n")
     sb.append("rules: filters/projections reach the scan, always-small dims broadcast,\n")
     sb.append("partial aggregation before every shuffle, simulation stays shuffle-free.\n")
+    sb.append("\nDeliberate scale anchors (gate configs kept exact-verifiable on purpose;\n")
+    sb.append("each has a measured scale-safe deployment twin — do NOT copy the anchor\n")
+    sb.append("config to production data): `emb_near_pairs` (exact all-pairs; twin\n")
+    sb.append("`emb_near_pairs_lsh`), `q22_percentiles` (exact global percentile; twin\n")
+    sb.append("`q34_quantile_refine`), `emb_bitext` (exhaustive A×B margin; twin\n")
+    sb.append("`bitextMineLsh`), and `dd_fuzzy`/`dd_fuzzy_clusters` (fixed-cardinality\n")
+    sb.append("blocking — measured exponent 1.83 at 30×; twins `dd_fuzzy_compound` and\n")
+    sb.append("the `dd_fuzzy_scaledblocks` curve config, exponent 0.59).\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(

@@ -517,6 +517,101 @@ object AuditOps {
           (lit(2).cast(dec) * col("no") * col("nn")).cast("double")).as("tvd"))
   }
 
+  /** Population Stability Index between two corpus snapshots — the
+    * industry-standard drift score next to [[categoricalDrift]]'s
+    * TVD/chi² (credit-risk monitoring convention: PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted): per category,
+    * psi_term = (p_c − q_c)·ln(p_c/q_c) with p = old rate, q = new rate,
+    * and every row carries the total PSI.
+    *
+    * FP discipline (the tokenEntropy log rule — libm touches only
+    * integers, once): ln(p_c/q_c) rewrites to ln(o_c·Nn) − ln(n_c·No) —
+    * each a `ln(integer)` rounded ONCE to 7 decimals into DECIMAL(12,7);
+    * the term numerator (o_c·Nn − n_c·No)·(L₁ − L₂) and its sum are then
+    * EXACT decimal arithmetic, divided ONCE by No·Nn per emitted value.
+    * Categories absent from either snapshot have an undefined log-ratio:
+    * their `psi_term` is NULL and they are EXCLUDED from the total
+    * (documented convention; the standard epsilon hack trades one
+    * arbitrary constant for another and breaks exactness).
+    *
+    * Scale shape: identical to [[categoricalDrift]] — one map-side-
+    * combined count per snapshot to ≤\|categories\| rows, a full-outer
+    * join, 1-row broadcast totals. Nothing data-sized past the counts.
+    */
+  def psiReport(oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
+    OpContract.requireCols(oldDf, "AuditOps.psiReport old", catCol)
+    OpContract.requireCols(newDf, "AuditOps.psiReport new", catCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dec7 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 7)
+    val o = oldDf.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("o_cnt"))
+    val n = newDf.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cnt"))
+    val j = o.join(n, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
+        coalesce(col("n_cnt"), lit(0L)).cast(dec).as("n_cnt"))
+    val totals = j.agg(sum(col("o_cnt")).as("no"), sum(col("n_cnt")).as("nn"))
+    def l7(x: Column) = round(log(x.cast("double")), 7).cast(dec7)
+    // num rides DECIMAL(20,0) so num·ΔL is DECIMAL(34,7) — EXACT in both
+    // engines (a (38,0)×(13,7) product would overflow precision 38 and
+    // silently drop to scale 6 under Spark's precision-loss rule; DuckDB
+    // errors). Bound: |o·Nn − n·No| < 1e20, i.e. snapshots below ~1e10
+    // rows per side — the categoricalDrift 2^53 claim class, documented.
+    val dec20 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0)
+    val withT = j.crossJoin(broadcast(totals))
+      .withColumn("num",
+        (col("o_cnt") * col("nn") - col("n_cnt") * col("no")).cast(dec20))
+      .withColumn("dl", when(col("o_cnt") > 0 && col("n_cnt") > 0,
+        l7(col("o_cnt") * col("nn")) - l7(col("n_cnt") * col("no"))))
+      .withColumn("tnum", col("num") * col("dl"))
+    val tot = withT.agg(sum(col("tnum")).as("psi_num"))
+    withT.crossJoin(broadcast(tot))
+      .select(col("cat"),
+        col("o_cnt").cast("long").as("o_cnt"),
+        col("n_cnt").cast("long").as("n_cnt"),
+        (col("o_cnt").cast("double") / col("no").cast("double")).as("o_rate"),
+        (col("n_cnt").cast("double") / col("nn").cast("double")).as("n_rate"),
+        (col("tnum").cast("double") /
+          (col("no") * col("nn")).cast("double")).as("psi_term"),
+        (col("psi_num").cast("double") /
+          (col("no") * col("nn")).cast("double")).as("psi"))
+  }
+
+  /** Gini concentration of a categorical column — "how unbalanced is the
+    * corpus across sources/languages/shards", the single number a mixture
+    * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:
+    * G = Σᵢ Σⱼ \|cᵢ − cⱼ\| / (2·K·Σc) over the K category counts — 0 =
+    * perfectly uniform, → 1 = one category holds everything. Emits ONE
+    * row `(n_categories, n_rows, gini)`.
+    *
+    * FP: the numerator is an exact integer (all-pairs \|Δcount\| sum in
+    * DECIMAL(38,0)); gini is ONE division by the exact 2·K·N. The
+    * all-pairs stage is ≤K² over the COUNT table, not the corpus —
+    * categorical cardinality (sources, langs) is bounded by construction,
+    * the [[benfordReport]] 9-row argument. Scale shape: one map-side-
+    * combined count aggregation, then a broadcast self-join of the
+    * ≤K-row count table.
+    */
+  def giniReport(df: DataFrame, catCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.giniReport", catCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("cnt"))
+    val pairs = g.select(col("cnt").as("ca"))
+      .crossJoin(broadcast(g.select(col("cnt").as("cb"))))
+    pairs.agg(
+        sum(abs(col("ca").cast(dec) - col("cb").cast(dec))).as("num"))
+      .crossJoin(broadcast(g.agg(
+        count(lit(1)).as("n_categories"), sum(col("cnt")).cast(dec).as("n_rows"))))
+      .select(col("n_categories"),
+        col("n_rows").cast("long").as("n_rows"),
+        when(col("n_categories") > 0 && col("n_rows") > 0,
+          col("num").cast("double") /
+            (lit(2).cast(dec) * col("n_categories") * col("n_rows"))
+              .cast("double")).as("gini"))
+  }
+
   /** Completeness trend audit: per (day, column) null counts/rates plus
     * the day-over-day rate delta — the "did an upstream extractor break
     * last night" panel ([[dataQualityReport]]'s NotNull check is the

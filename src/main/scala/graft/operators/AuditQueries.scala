@@ -104,6 +104,21 @@ object AuditQueries {
         .orderBy("cat")
     }),
 
+    // PSI drift on the same snapshot pair as aud_drift: the credit-risk
+    // convention's stability score, libm confined to ln(integer) rounded
+    // once (the tokenEntropy discipline); zero-count categories carry a
+    // NULL psi_term and are excluded from the total by definition.
+    "aud_psi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      AuditOps.psiReport(docs, docs.filter(col("doc_id") % 3 =!= 0), "source")
+        .orderBy("cat")
+    }),
+
+    // Source concentration: exact all-pairs |Δcount| over the bounded
+    // per-source count table, one division — the mixture-rebalance grade.
+    "aud_gini" -> ((s, d) =>
+      AuditOps.giniReport(t(s, d, "documents"), "source")),
+
     // Completeness trend: the source events have no NULLs, so the gate
     // injects them deterministically (value on every 7th id, props on
     // every 11th — the dd_exact injection pattern) before the per-day
@@ -631,6 +646,52 @@ object AuditQueries {
         |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
         |  f1
         |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
+
+    // PSI mirrored exactly: ln(integer) rounded once into DECIMAL(12,7)
+    // per side, the (o·Nn − n·No) numerator in DECIMAL(20,0) so num·ΔL
+    // is exact DECIMAL in both engines, one division per emitted value
+    "aud_psi" ->
+      """WITH o AS (SELECT source AS cat, COUNT(*) AS o_cnt FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |nw AS (SELECT source AS cat, COUNT(*) AS n_cnt FROM documents
+        |  WHERE source IS NOT NULL AND doc_id % 3 <> 0 GROUP BY source),
+        |j AS (SELECT COALESCE(o.cat, nw.cat) AS cat,
+        |    CAST(COALESCE(o.o_cnt, 0) AS HUGEINT) AS o_cnt,
+        |    CAST(COALESCE(nw.n_cnt, 0) AS HUGEINT) AS n_cnt
+        |  FROM o FULL OUTER JOIN nw ON o.cat = nw.cat),
+        |t AS (SELECT CAST(SUM(o_cnt) AS HUGEINT) AS no,
+        |    CAST(SUM(n_cnt) AS HUGEINT) AS nn FROM j),
+        |w AS (SELECT j.cat, j.o_cnt, j.n_cnt, t.no, t.nn,
+        |    CAST(j.o_cnt * t.nn - j.n_cnt * t.no AS DECIMAL(20, 0)) AS num,
+        |    CASE WHEN j.o_cnt > 0 AND j.n_cnt > 0 THEN
+        |      CAST(round(ln(CAST(j.o_cnt * t.nn AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |      - CAST(round(ln(CAST(j.n_cnt * t.no AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |    END AS dl
+        |  FROM j, t),
+        |w2 AS (SELECT *, num * dl AS tnum FROM w),
+        |tt AS (SELECT SUM(tnum) AS psi_num FROM w2)
+        |SELECT w2.cat, CAST(w2.o_cnt AS BIGINT) AS o_cnt,
+        |  CAST(w2.n_cnt AS BIGINT) AS n_cnt,
+        |  CAST(w2.o_cnt AS DOUBLE) / CAST(w2.no AS DOUBLE) AS o_rate,
+        |  CAST(w2.n_cnt AS DOUBLE) / CAST(w2.nn AS DOUBLE) AS n_rate,
+        |  CAST(w2.tnum AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi_term,
+        |  CAST(tt.psi_num AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi
+        |FROM w2, tt ORDER BY cat""".stripMargin,
+
+    // exact integer all-pairs |Δcount| numerator over the bounded count
+    // table; one division by 2·K·N
+    "aud_gini" ->
+      """WITH g AS (SELECT source AS cat, CAST(COUNT(*) AS HUGEINT) AS cnt
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |n AS (SELECT CAST(SUM(abs(a.cnt - b.cnt)) AS HUGEINT) AS num
+        |  FROM g a, g b),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(cnt) AS HUGEINT) AS n_rows FROM g)
+        |SELECT t.n_categories, CAST(t.n_rows AS BIGINT) AS n_rows,
+        |  CASE WHEN t.n_categories > 0 AND t.n_rows > 0 THEN
+        |    CAST(n.num AS DOUBLE)
+        |      / CAST(2 * t.n_categories * t.n_rows AS DOUBLE) END AS gini
+        |FROM n, t""".stripMargin,
 
     // digit from the integer's decimal string; the nine Benford ppb
     // constants are literals on both sides; deviations cross-multiplied

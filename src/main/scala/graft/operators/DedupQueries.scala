@@ -113,6 +113,16 @@ object DedupQueries {
     // the whole corpus in one band and degenerate to corpus²/2 candidates,
     // the regime dd_hamming's pigeonhole blocking is for. Found the hard
     // way: a 40-char-prefix key ground for minutes at sf0.1).
+    //
+    // DELIBERATE SCALE ANCHOR (the emb_near_pairs convention): this
+    // config's blocking attributes — (length band, lang) — are both
+    // FIXED-cardinality, so block occupancy grows with the corpus and
+    // the measured 30× curve is quadratic (exponent 1.83, 424 s —
+    // BENCHNOTES r8). It is kept as the exact-verifiable correctness
+    // anchor; deployment shapes are dd_fuzzy_compound (per-source
+    // compound key, green gate) and the dd_fuzzy_scaledblocks curve
+    // config (corpus-growing batch key, exponent 0.59). Do not copy this
+    // blocking config to production data.
     "dd_fuzzy" -> ((s, d) =>
       DedupOps.fuzzyPairs(t(s, d, "documents"),
           col("doc_id"),

@@ -339,6 +339,43 @@ class AuditOpsSpec extends SparkTestBase {
       r.getDouble(6) == 0.75, r.toString)
   }
 
+  test("psiReport: hand-computed terms; one-sided category excluded from the total") {
+    // old = [a,a,a,b], new = [a,b] (the categoricalDrift spec corpus):
+    //  a: num = 3·2−1·4 = 2, dl = round(ln 6,7)−round(ln 4,7) = 0.4054651
+    //  b: num = 1·2−1·4 = −2, dl = round(ln 2,7)−round(ln 4,7) = −0.6931472
+    //  psi = (2·0.4054651 + 2·0.6931472)/8
+    val o = Seq("a", "a", "a", "b").toDF("cat0")
+    val n = Seq("a", "b").toDF("cat0")
+    val r = AuditOps.psiReport(o, n, "cat0").orderBy("cat").collect()
+    assert(r.length == 2)
+    val termA = BigDecimal("0.8109302").toDouble / 8.0
+    val termB = BigDecimal("1.3862944").toDouble / 8.0
+    val psi = BigDecimal("2.1972246").toDouble / 8.0
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 1)
+    assert(r(0).getDouble(3) == 0.75 && r(0).getDouble(4) == 0.5)
+    assert(r(0).getDouble(5) == termA && r(1).getDouble(5) == termB,
+      s"${r(0)} ${r(1)}")
+    assert(r(0).getDouble(6) == psi && r(1).getDouble(6) == psi)
+    // a category present only in one snapshot: NULL term, excluded total
+    val o2 = Seq("a", "a", "z").toDF("cat0")
+    val r2 = AuditOps.psiReport(o2, Seq("a").toDF("cat0"), "cat0")
+      .orderBy("cat").collect()
+    assert(r2(1).isNullAt(5), r2(1).toString)
+    // only a's term remains: num = 2·1−1·3 = −1, dl = round(ln 2,7)−round(ln 3,7)
+    val dlA = BigDecimal("0.6931472") - BigDecimal("1.0986123")
+    assert(r2(0).getDouble(6) == (-dlA).toDouble / 3.0, r2(0).toString)
+  }
+
+  test("giniReport: uniform counts give 0; hand-computed concentration") {
+    // counts a:3, b:1 -> num = 0+2+2+0 = 4, gini = 4/(2·2·4) = 0.25
+    val df = Seq("a", "a", "a", "b").toDF("cat0")
+    val r = AuditOps.giniReport(df, "cat0").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4 && r.getDouble(2) == 0.25,
+      r.toString)
+    val u = Seq("a", "a", "b", "b").toDF("cat0")
+    assert(AuditOps.giniReport(u, "cat0").collect()(0).getDouble(2) == 0.0)
+  }
+
   test("calibrationReportBy: per-group bins and ECE; NULL group dropped") {
     // group A = the global test's data -> ece 0.21 on both its rows
     // group B: (0.45,F)×2 -> bin4, n=2, pos=0, acc=0,
