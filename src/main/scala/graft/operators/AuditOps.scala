@@ -1063,6 +1063,66 @@ object AuditOps {
         col("f1"))
   }
 
+  /** Two-proportion A/B experiment audit — per variant vs the named
+    * control: exposure/conversion counts, the conversion rate, the
+    * absolute lift, and the pooled two-proportion z statistic (emitted as
+    * both `z2` — the 1-dof chi-square form — and `z`), the readout a
+    * product-analytics pipeline runs next to [[graft.operators.EventOps]]'
+    * funnels before shipping a variant.
+    *
+    * Exactness: every statistic is built from the four exact integers
+    * (n₀, c₀, nᵥ, cᵥ). lift = (cᵥ·n₀ − c₀·nᵥ)/(nᵥ·n₀) — exact integer
+    * numerator, ONE division. z² = (cᵥ·n₀ − c₀·nᵥ)²·N /
+    * (nᵥ·n₀·C·(N−C)) with N = nᵥ+n₀, C = cᵥ+c₀ — numerator split as
+    * [num²/(nᵥ·n₀)]·[N/(C·(N−C))]: two exact-integer divisions and one
+    * multiply (a single-fraction DECIMAL(38,0) form overflows at ~2e9
+    * rows/side; the split form is three correctly-rounded IEEE ops on
+    * engine-identical inputs — deterministic, no FMA-contractable a·b±c
+    * shape). z = sqrt(z²), one more single op. The square itself stays
+    * decimal-exact below ~3e9 rows per side; overflow raises loudly
+    * (the outlierReport convention), never returns a wrong number.
+    *
+    * Scale shape: ONE map-side-combined aggregation to ≤\|variants\|
+    * rows; the control row broadcasts. The control emits NULL
+    * lift/z2/z (a variant compared to itself is not a test).
+    */
+  def abTestReport(df: DataFrame, variantCol: Column, successCol: Column,
+      control: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(variantCol.isNotNull)
+      .select(variantCol.as("variant"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
+    val ctl = g.filter(col("variant") === control)
+      .select(col("n").as("n0"), col("conv").as("c0"))
+    val j = g.crossJoin(broadcast(ctl))
+    val num = col("conv").cast(dec) * col("n0") - col("c0").cast(dec) * col("n")
+    val bigN = (col("n") + col("n0")).cast(dec)
+    val bigC = (col("conv") + col("c0")).cast(dec)
+    val num2 = num * num
+    val d1 = col("n").cast(dec) * col("n0")
+    val d2 = bigC * (bigN - bigC)
+    // decimal NULL here can only be overflow of num² (~3e9 rows/side) —
+    // raise, don't emit a silently wrong statistic
+    val num2Safe = when(num2.isNotNull, num2).otherwise(
+      raise_error(lit("AuditOps.abTestReport: DECIMAL(38,0) overflow in" +
+        " z^2 — keep variant exposures below ~3e9 rows or pre-aggregate"))
+        .cast(dec))
+    val z2 = when(col("variant") =!= control &&
+        col("conv") + col("c0") > 0 && bigN > bigC && d1 > 0,
+      (num2Safe.cast("double") / d1.cast("double")) *
+        (bigN.cast("double") / d2.cast("double")))
+    j.select(col("variant"),
+        col("n"), col("conv"),
+        (col("conv").cast("double") / col("n").cast("double")).as("rate"),
+        when(col("variant") =!= control,
+          num.cast("double") / d1.cast("double")).as("lift"),
+        z2.as("z2"),
+        sqrt(z2).as("z"))
+      .orderBy("variant")
+  }
+
   /** Per-group [[ksReport]] — the data-card form (one KS row per source/
     * domain/shard). Same distinct-value construction, but the cumulative
     * CDF window partitions by the group key, so groups rank in parallel

@@ -104,6 +104,15 @@ object AuditQueries {
         .orderBy("cat")
     }),
 
+    // A/B experiment readout: purchase-rate lift + pooled two-proportion
+    // z of user-cohort variants vs the v0 control — all four statistics
+    // from exact integer counts (split-fraction z², no a·b±c double
+    // shapes).
+    "aud_abtest" -> ((s, d) =>
+      AuditOps.abTestReport(t(s, d, "events"),
+        concat(lit("v"), pmod(col("user_id"), lit(3))),
+        col("event_type") === "purchase", "v0")),
+
     // PSI drift on the same snapshot pair as aud_drift: the credit-risk
     // convention's stability score, libm confined to ln(integer) rounded
     // once (the tokenEntropy discipline); zero-count categories carry a
@@ -646,6 +655,37 @@ object AuditQueries {
         |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
         |  f1
         |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
+
+    // two-proportion z mirrored as the same split fractions over HUGEINT
+    // integers: div, div, mul, sqrt — each a single correctly-rounded op
+    // on engine-identical inputs
+    "aud_abtest" ->
+      """WITH g AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ctl AS (SELECT n AS n0, conv AS c0 FROM g WHERE variant = 'v0'),
+        |j AS (SELECT g.variant, g.n, g.conv,
+        |    CAST(g.conv AS HUGEINT) * ctl.n0
+        |      - CAST(ctl.c0 AS HUGEINT) * g.n AS num,
+        |    CAST(g.n + ctl.n0 AS HUGEINT) AS bign,
+        |    CAST(g.conv + ctl.c0 AS HUGEINT) AS bigc,
+        |    CAST(g.n AS HUGEINT) * ctl.n0 AS d1
+        |  FROM g, ctl)
+        |SELECT variant, CAST(n AS BIGINT) AS n, conv,
+        |  CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  CASE WHEN variant <> 'v0' THEN
+        |    CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) END AS lift,
+        |  CASE WHEN variant <> 'v0' AND bigc > 0 AND bign > bigc AND d1 > 0 THEN
+        |    (CAST(num * num AS DOUBLE) / CAST(d1 AS DOUBLE))
+        |      * (CAST(bign AS DOUBLE) / CAST(bigc * (bign - bigc) AS DOUBLE))
+        |  END AS z2,
+        |  CASE WHEN variant <> 'v0' AND bigc > 0 AND bign > bigc AND d1 > 0 THEN
+        |    sqrt((CAST(num * num AS DOUBLE) / CAST(d1 AS DOUBLE))
+        |      * (CAST(bign AS DOUBLE) / CAST(bigc * (bign - bigc) AS DOUBLE)))
+        |  END AS z
+        |FROM j ORDER BY variant""".stripMargin,
 
     // PSI mirrored exactly: ln(integer) rounded once into DECIMAL(12,7)
     // per side, the (o·Nn − n·No) numerator in DECIMAL(20,0) so num·ΔL

@@ -320,6 +320,64 @@ object TextOps {
         length(col("clean_text")).cast("long").as("n_clean_chars"))
   }
 
+  /** CONTENT-DEFINED chunking (the LBFS/FastCDC boundary scheme,
+    * Muthitacharoen et al. SOSP'01, over tokens instead of bytes): a
+    * chunk boundary falls AFTER token i whenever the hash of the
+    * `window`-token context ending at i has its low `maskBits` bits zero
+    * — so boundaries are a function of LOCAL content only, and an
+    * insertion near the head of a document shifts every downstream chunk
+    * of [[chunkDedup]]'s fixed grid but re-synchronizes here after one
+    * window. This is the chunking that makes cross-version dedup of
+    * edited documents work (expected chunk length 2^maskBits tokens).
+    * Emits one row per chunk: `(doc_id, idx, n_tokens_chunk, chunk)` —
+    * compose with the [[chunkDedup]] hash-count stage for the dedup
+    * apply, or feed the chunk table to incremental ingest diffing.
+    *
+    * Implementation is pure codegen'd array functions — boundary
+    * positions via `filter(sequence)` over window hashes
+    * ([[graft.functions.CrossHash.mdint]], the SQL-mirrorable 60-bit md5
+    * family), chunk slices via `transform` over adjacent boundary pairs;
+    * NO explode until the final per-chunk rows, no shuffle at all (the
+    * chunker is a projection). A window hash per position costs
+    * O(window) — constant; the true rolling-hash optimization changes
+    * the constant, not the shape, and would cost SQL-oracle parity.
+    *
+    * Determinism: boundaries and slices are exact integer/string ops;
+    * the 60-bit hash is the cross-engine [[graft.functions.CrossHash]]
+    * family — every value (including chunk text) is oracle-comparable.
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 3, maskBits: Int = 6): DataFrame = {
+    require(window >= 1, s"cdcChunks needs window >= 1, got $window")
+    require(maskBits >= 1 && maskBits <= 30,
+      s"cdcChunks needs maskBits in [1,30], got $maskBits")
+    OpContract.requireCols(docs, "TextOps.cdcChunks", "doc_id", "text")
+    import graft.functions.CrossHash
+    val mask = (1L << maskBits) - 1
+    val toks = words
+    val n = size(toks).cast("bigint")
+    // boundary AFTER token i (1-based, i >= window): low maskBits of the
+    // window hash are zero. The document end is always a boundary.
+    val bpos = filter(sequence(lit(window.toLong), n), i =>
+      CrossHash.mdint(array_join(
+        slice(toks, (i - (window - 1)).cast("int"), lit(window)), " "))
+        .bitwiseAND(lit(mask)) === 0L)
+    val withEdges = spread(docs).filter(size(toks) >= 1)
+      .withColumn("edges", array_distinct(concat(
+        array(lit(0L)), bpos, array(n))))
+    withEdges.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("edges")) - 1), j =>
+          struct(
+            (element_at(col("edges"), j + 1) -
+              element_at(col("edges"), j)).as("len"),
+            array_join(slice(toks,
+              (element_at(col("edges"), j) + 1).cast("int"),
+              (element_at(col("edges"), j + 1) -
+                element_at(col("edges"), j)).cast("int")), " ").as("c"))))
+          .as(Seq("idx", "ch")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        col("ch.len").as("n_tokens_chunk"), col("ch.c").as("chunk"))
+  }
+
   /** Repetition filter (the Gopher-style quality signal): fraction of
     * positional 3-grams that are duplicates within the document —
     * boilerplate/spam detection in every large-scale corpus pipeline.

@@ -73,6 +73,12 @@ object TextQueries {
     // ~30-word vocabulary (5-word chunks are near-unique at this SF).
     "tx_chunk_dedup" -> ((s, d) =>
       TextOps.chunkDedup(t(s, d, "documents")).orderBy("doc_id")),
+    // Content-defined chunking: boundaries from the 60-bit window hash
+    // (maskBits=5 -> expected 32-token chunks, so the synthetic ~60-token
+    // docs actually split; chunk text itself is oracle-compared).
+    "tx_cdc_chunks" -> ((s, d) =>
+      TextOps.cdcChunks(t(s, d, "documents"), window = 3, maskBits = 5)
+        .orderBy("doc_id", "idx")),
     "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
     "tx_mix_apply" -> ((s, d) => TextOps.applyMixture(t(s, d, "documents"))),
     // DSIR: target distribution = the src0 slice of the corpus.
@@ -777,6 +783,31 @@ object TextQueries {
         |  CAST(shared AS DOUBLE) / least(pa.nfp, pb.nfp) AS overlap
         |FROM pair JOIN pc pa ON pa.doc_id = doc_a JOIN pc pb ON pb.doc_id = doc_b
         |WHERE shared >= 1 ORDER BY doc_a, doc_b""".stripMargin,
+    // CDC: identical window hash (60-bit md5 family), identical 1-based
+    // inclusive slices; range(w, n+1) = sequence(w, n); list_sort guards
+    // DuckDB's list_distinct order while Spark's array_distinct is
+    // order-preserving over the already-sorted edge array.
+    "tx_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 1),
+        |e AS (SELECT doc_id, toks,
+        |    list_sort(list_distinct(list_concat(list_concat(
+        |      [CAST(0 AS BIGINT)],
+        |      list_filter(range(3, len(toks) + 1), i ->
+        |        (${graft.functions.CrossHash.sqlMdint(
+                   "array_to_string(toks[(i-2):i], ' ')")} & 31) = 0)),
+        |      [CAST(len(toks) AS BIGINT)]))) AS edges
+        |  FROM d),
+        |c AS (SELECT doc_id, toks, edges,
+        |    unnest(range(1, len(edges))) AS j FROM e)
+        |SELECT doc_id, CAST(j - 1 AS BIGINT) AS idx,
+        |  CAST(edges[CAST(j + 1 AS INT)] - edges[CAST(j AS INT)] AS BIGINT)
+        |    AS n_tokens_chunk,
+        |  array_to_string(
+        |    toks[CAST(edges[CAST(j AS INT)] + 1 AS INT):CAST(edges[CAST(j + 1 AS INT)] AS INT)],
+        |    ' ') AS chunk
+        |FROM c ORDER BY doc_id, idx""".stripMargin,
+
     // Chunk dedup: identical chunking (1-based clamped slices both
     // engines), identical 60-bit chunk hash, >= 2 DISTINCT docs rule;
     // string_agg(... ORDER BY idx) mirrors the array_sort rebuild, and

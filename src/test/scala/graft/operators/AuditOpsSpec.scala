@@ -339,6 +339,30 @@ class AuditOpsSpec extends SparkTestBase {
       r.getDouble(6) == 0.75, r.toString)
   }
 
+  test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
+    // v0 (control): n=4, conv=1; v1: n=4, conv=3
+    // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
+    // N=8, C=4 -> z² = (64/16)·(8/(4·4)) = 4·0.5 = 2.0
+    val df = Seq(
+      ("v0", true), ("v0", false), ("v0", false), ("v0", false),
+      ("v1", true), ("v1", true), ("v1", true), ("v1", false))
+      .toDF("variant", "ok")
+    val r = AuditOps.abTestReport(df, col("variant"), col("ok"), "v0")
+      .orderBy("variant").collect()
+    assert(r(0).getString(0) == "v0" && r(0).getLong(1) == 4 &&
+      r(0).getLong(2) == 1 && r(0).getDouble(3) == 0.25, r(0).toString)
+    assert(r(0).isNullAt(4) && r(0).isNullAt(5) && r(0).isNullAt(6),
+      s"control row must carry NULL lift/z2/z: ${r(0)}")
+    assert(r(1).getDouble(3) == 0.75 && r(1).getDouble(4) == 0.5, r(1).toString)
+    assert(r(1).getDouble(5) == 2.0 && r(1).getDouble(6) == math.sqrt(2.0),
+      r(1).toString)
+    // degenerate: all successes (N == C) -> z undefined, NULL
+    val alls = Seq(("v0", true), ("v1", true)).toDF("variant", "ok")
+    val r2 = AuditOps.abTestReport(alls, col("variant"), col("ok"), "v0")
+      .orderBy("variant").collect()
+    assert(r2(1).isNullAt(5), r2(1).toString)
+  }
+
   test("psiReport: hand-computed terms; one-sided category excluded from the total") {
     // old = [a,a,a,b], new = [a,b] (the categoricalDrift spec corpus):
     //  a: num = 3·2−1·4 = 2, dl = round(ln 6,7)−round(ln 4,7) = 0.4054651

@@ -334,6 +334,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r(("B", "C")) == 0.0)
   }
 
+  test("cdcChunks: lossless reassembly; boundaries resynchronize after an insertion") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val edited = "INSERTED TOKENS HERE " + base
+    val docs = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val r = TextOps.cdcChunks(docs, window = 3, maskBits = 4)
+      .orderBy("doc_id", "idx").collect()
+    val byDoc = r.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    // lossless: chunks joined in order reproduce the exact text
+    assert(byDoc(0L).map(_.getString(3)).mkString(" ") == base)
+    assert(byDoc(1L).map(_.getString(3)).mkString(" ") == edited)
+    // chunk token counts sum to the doc token count
+    assert(byDoc(0L).map(_.getLong(2)).sum == 400)
+    // resynchronization: boundaries are local-content functions, so after
+    // the head insertion the two docs share their entire chunk TAIL —
+    // fixed-grid chunking (chunkDedup) shares none. At least half of
+    // doc 0's chunks must reappear verbatim in doc 1.
+    val c0 = byDoc(0L).map(_.getString(3)).toSet
+    val c1 = byDoc(1L).map(_.getString(3)).toSet
+    val shared = c0.intersect(c1).size
+    assert(shared * 2 >= byDoc(0L).size,
+      s"only $shared of ${byDoc(0L).size} chunks resynchronized")
+    // multiple chunks actually formed (maskBits=4 -> ~16-token chunks)
+    assert(byDoc(0L).size >= 10, s"got ${byDoc(0L).size} chunks")
+  }
+
   test("tokenEntropy: zero for constant docs, log2(n) for uniform docs, bounded by distinct count") {
     import spark.implicits._
     val docs = Seq(
