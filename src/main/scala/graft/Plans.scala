@@ -90,9 +90,9 @@ object Plans {
     // (bounded all-pairs over the count table)
     "aud_calibration_by_source", "aud_threshold_by_source",
     "aud_psi", "aud_gini",
-    // round 9 (cont.): shuffle-free array-function CDC chunker; counts-
-    // only two-proportion experiment readout
-    "tx_cdc_chunks", "aud_abtest")
+    // round 9 (cont.): shuffle-free array-function CDC chunker (+ its
+    // dedup apply); counts-only two-proportion experiment readout
+    "tx_cdc_chunks", "tx_cdc_dedup", "aud_abtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -378,6 +378,49 @@ object TextOps {
         col("ch.len").as("n_tokens_chunk"), col("ch.c").as("chunk"))
   }
 
+  /** The CDC dedup APPLY step: [[cdcChunks]] boundaries + the
+    * [[chunkDedup]] removal rule (drop any chunk appearing in ≥ 2
+    * distinct documents) + per-doc reassembly. Same output contract as
+    * [[chunkDedup]] — `(doc_id, n_chunks, n_removed, digest,
+    * n_clean_chars)` — so the two chunking disciplines are directly
+    * comparable on one corpus: the fixed grid catches aligned
+    * boilerplate, CDC also catches boilerplate SHIFTED by edits
+    * (insertions/deletions upstream of the copy), which the grid misses
+    * once the alignment breaks.
+    *
+    * Scale shape: the chunker is a shuffle-free projection
+    * ([[cdcChunks]]); the dup-detection shuffle carries the 8-byte chunk
+    * hash; only the per-doc rebuild groups text (unavoidable — the
+    * chunkDedup argument verbatim). The dup-flag join is opportunistic
+    * broadcast with the same `broadcastDup = false` escape.
+    */
+  def cdcChunkDedup(docs: DataFrame, window: Int = 3, maskBits: Int = 6,
+      broadcastDup: Boolean = true): DataFrame = {
+    import graft.functions.CrossHash
+    val chunks = cdcChunks(docs, window, maskBits)
+    val hashed = chunks.withColumn("h", CrossHash.mdint(col("chunk")))
+    val dup = hashed.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("dup"))
+    val dupSide = if (broadcastDup) dup else dup.hint("shuffle_merge")
+    val flagged = hashed.join(dupSide, Seq("h"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dup"), struct(col("idx").as("i"), col("chunk").as("c"))))),
+            s => s.getField("c")),
+          " ").as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        md5(col("clean_text")).as("digest"),
+        length(col("clean_text")).cast("long").as("n_clean_chars"))
+  }
+
   /** Repetition filter (the Gopher-style quality signal): fraction of
     * positional 3-grams that are duplicates within the document —
     * boilerplate/spam detection in every large-scale corpus pipeline.

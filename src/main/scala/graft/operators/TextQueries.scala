@@ -79,6 +79,13 @@ object TextQueries {
     "tx_cdc_chunks" -> ((s, d) =>
       TextOps.cdcChunks(t(s, d, "documents"), window = 3, maskBits = 5)
         .orderBy("doc_id", "idx")),
+    // The CDC dedup apply: ~8-token content-defined chunks (maskBits=3)
+    // so the shared-boilerplate rule actually fires on the ~30-word
+    // synthetic vocabulary; chunkDedup output contract, byte-pinned
+    // rebuild digests.
+    "tx_cdc_dedup" -> ((s, d) =>
+      TextOps.cdcChunkDedup(t(s, d, "documents"), window = 3, maskBits = 3)
+        .orderBy("doc_id")),
     "tx_mix_weights" -> ((s, d) => TextOps.mixWeights(t(s, d, "documents"))),
     "tx_mix_apply" -> ((s, d) => TextOps.applyMixture(t(s, d, "documents"))),
     // DSIR: target distribution = the src0 slice of the corpus.
@@ -807,6 +814,38 @@ object TextQueries {
         |    toks[CAST(edges[CAST(j AS INT)] + 1 AS INT):CAST(edges[CAST(j + 1 AS INT)] AS INT)],
         |    ' ') AS chunk
         |FROM c ORDER BY doc_id, idx""".stripMargin,
+
+    // CDC apply: the tx_cdc_chunks chunker (mask 7 = maskBits 3) feeding
+    // the tx_chunk_dedup removal/rebuild tail verbatim
+    "tx_cdc_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 1),
+        |e AS (SELECT doc_id, toks,
+        |    list_sort(list_distinct(list_concat(list_concat(
+        |      [CAST(0 AS BIGINT)],
+        |      list_filter(range(3, len(toks) + 1), i ->
+        |        (${graft.functions.CrossHash.sqlMdint(
+                   "array_to_string(toks[(i-2):i], ' ')")} & 7) = 0)),
+        |      [CAST(len(toks) AS BIGINT)]))) AS edges
+        |  FROM d),
+        |c AS (SELECT doc_id, toks, edges,
+        |    unnest(range(1, len(edges))) AS j FROM e),
+        |ch AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS idx,
+        |    array_to_string(
+        |      toks[CAST(edges[CAST(j AS INT)] + 1 AS INT):CAST(edges[CAST(j + 1 AS INT)] AS INT)],
+        |      ' ') AS chunk
+        |  FROM c),
+        |hs AS (SELECT doc_id, idx, chunk,
+        |    ${graft.functions.CrossHash.sqlMdint("chunk")} AS h FROM ch),
+        |dup AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, idx, chunk, h IN (SELECT h FROM dup) AS dup FROM hs),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    COALESCE(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY idx), '') AS clean_text
+        |  FROM fl GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_removed, md5(clean_text) AS digest,
+        |  CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+        |FROM pd ORDER BY doc_id""".stripMargin,
 
     // Chunk dedup: identical chunking (1-based clamped slices both
     // engines), identical 60-bit chunk hash, >= 2 DISTINCT docs rule;

@@ -565,6 +565,83 @@ object StreamOps {
         .cast("double").as("score"))
   }
 
+  /** Streaming twin of [[graft.operators.AuditOps.abTestReport]] — the
+    * live experiment monitor: per closed event-time window, each
+    * variant's exposure/conversion counts, rate, and lift + pooled z²/z
+    * vs the `control` variant, computed over EXACT BigInt integers in
+    * the batch op's split-fraction form, so a closed window's rows are
+    * bit-identical to running the batch readout on the same landed slice
+    * (StreamingSpec pins the twin equality — the driftStream contract).
+    * Emits `(win, variant, n, conv, rate, lift, z2, z)`; the control row
+    * (and every row of a window that never saw the control) carries NULL
+    * lift/z2/z.
+    *
+    * State GC: event-time timeout at window end; state is one
+    * (n, conv) pair per (open window, variant) — bounded by design,
+    * independent of stream length.
+    */
+  def abTestStream(events: DataFrame, variantCol: Column, successCol: Column,
+      control: String, windowUs: Long = 86400000000L)
+      : Dataset[(Long, String, Long, Long, Double,
+        Option[Double], Option[Double], Option[Double])] = {
+    import events.sparkSession.implicits._
+    require(windowUs >= 1L, s"windowUs >= 1, got $windowUs")
+    val typed = events
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "0 seconds")
+      .filter(variantCol.isNotNull)
+      .select(call_function("div", unix_micros(col("etime")), lit(windowUs))
+          .as("win"),
+        variantCol.cast("string").as("variant"),
+        when(successCol, true).otherwise(false).as("ok"), col("etime"))
+      .as[(Long, String, Boolean, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)],
+        (Long, String, Long, Long, Double,
+          Option[Double], Option[Double], Option[Double])](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, rows: Iterator[(Long, String, Boolean, java.sql.Timestamp)],
+            state: GroupState[Map[String, (Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val (n0, c0) = counts.getOrElse(control, (0L, 0L))
+            counts.toSeq.sortBy(_._1).iterator.map { case (v, (n, c)) =>
+              val rate = c.toDouble / n.toDouble
+              if (v == control || n0 == 0L) (win, v, n, c, rate, None, None, None)
+              else {
+                // exact integers; each emitted value is the batch op's
+                // op-for-op division/multiply chain (BigInt→double is
+                // correctly rounded, matching the decimal casts)
+                val num = BigInt(c) * n0 - BigInt(c0) * n
+                val d1 = BigInt(n) * n0
+                val bigN = BigInt(n) + n0
+                val bigC = BigInt(c) + c0
+                val lift = Some(num.toDouble / d1.toDouble)
+                val z2 =
+                  if (bigC > 0 && bigN > bigC)
+                    Some(((num * num).toDouble / d1.toDouble) *
+                      (bigN.toDouble / (bigC * (bigN - bigC)).toDouble))
+                  else None
+                (win, v, n, c, rate, lift, z2, z2.map(math.sqrt))
+              }
+            }
+          } else {
+            val m = rows.foldLeft(
+              state.getOption.getOrElse(Map.empty[String, (Long, Long)])) {
+              (acc, r) =>
+                val (n, c) = acc.getOrElse(r._2, (0L, 0L))
+                acc.updated(r._2, (n + 1L, c + (if (r._3) 1L else 0L)))
+            }
+            state.update(m)
+            state.setTimeoutTimestamp((win + 1) * windowUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+
   /** STREAMING categorical drift monitor — the windowed twin of
     * [[graft.operators.AuditOps.categoricalDrift]]: per event-time
     * tumbling window, the category histogram is held as state (bounded by

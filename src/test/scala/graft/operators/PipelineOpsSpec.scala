@@ -360,6 +360,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byDoc(0L).size >= 10, s"got ${byDoc(0L).size} chunks")
   }
 
+  test("cdcChunkDedup: removes boilerplate shifted by an edit; rebuild digests pin bytes") {
+    import spark.implicits._
+    // same 400-token body, doc 1 with a 3-token head insertion: the CDC
+    // boundaries resynchronize, so the shared body chunks are detected
+    // as duplicates in BOTH docs despite the offset
+    val body = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val docs = Seq((0L, body), (1L, "INSERTED TOKENS HERE " + body))
+      .toDF("doc_id", "text")
+    val r = TextOps.cdcChunkDedup(docs, window = 3, maskBits = 4)
+      .orderBy("doc_id").collect()
+    // most of both docs must be flagged as shared (resynchronized tail)
+    assert(r(0).getLong(2) * 2 >= r(0).getLong(1),
+      s"doc0 removed ${r(0).getLong(2)} of ${r(0).getLong(1)} chunks")
+    assert(r(1).getLong(2) > 0, r(1).toString)
+    // survivors reassemble deterministically: digest = md5 of clean text
+    val clean0 = r(0).getString(3)
+    assert(clean0.length == 32 && r(0).getLong(4) >= 0)
+  }
+
   test("tokenEntropy: zero for constant docs, log2(n) for uniform docs, bounded by distinct count") {
     import spark.implicits._
     val docs = Seq(

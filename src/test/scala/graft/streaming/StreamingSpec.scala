@@ -668,4 +668,49 @@ class StreamingSpec extends SparkTestBase {
       assert(got.map(_._4).head == 8.0 / 24.0, "hand-computed TVD 1/3")
     } finally q.stop()
   }
+
+  test("abTestStream: a closed window's rows equal the batch abTestReport bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = StreamOps.abTestStream(input.toDF().toDF("ts", "variant", "ok"),
+        col("variant"), col("ok"), "v0")
+      .toDF("win", "variant", "n", "conv", "rate", "lift", "z2", "z")
+      .writeStream.format("memory").queryName("abtest_out")
+      .outputMode("append").start()
+    try {
+      // day-0 window = the AuditOpsSpec hand case: v0 1/4, v1 3/4
+      input.addData(
+        (ns(1), "v0", true), (ns(2), "v0", false), (ns(3), "v0", false),
+        (ns(4), "v0", false),
+        (ns(5), "v1", true), (ns(6), "v1", true), (ns(7), "v1", true),
+        (ns(8), "v1", false))
+      q.processAllAvailable()
+      assert(spark.table("abtest_out").count() == 0, "window still open")
+      input.addData((ns(49), "v0", false))
+      q.processAllAvailable()
+      input.addData((ns(50), "v0", false))
+      q.processAllAvailable()
+      val got = spark.table("abtest_out").filter(col("win") === 0)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6),
+          if (r.isNullAt(7)) null else r.getDouble(7))).toSet
+      val batchIn = Seq(("v0", true), ("v0", false), ("v0", false),
+        ("v0", false), ("v1", true), ("v1", true), ("v1", true),
+        ("v1", false)).toDF("variant", "ok")
+      val batch = graft.operators.AuditOps
+        .abTestReport(batchIn, col("variant"), col("ok"), "v0")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.exists(t => t._1 == "v1" && t._6 == 2.0),
+        "hand-computed z^2 = 2")
+    } finally q.stop()
+  }
 }
