@@ -92,7 +92,10 @@ object Plans {
     "aud_psi", "aud_gini",
     // round 9 (cont.): shuffle-free array-function CDC chunker (+ its
     // dedup apply); counts-only two-proportion experiment readout
-    "tx_cdc_chunks", "tx_cdc_dedup", "aud_abtest")
+    "tx_cdc_chunks", "tx_cdc_dedup", "aud_abtest",
+    // round 9 (cont. 2): MMR rerank — pool-bounded pairwise sims per
+    // query, runtime greedy loop in one aggregate() (constant tree)
+    "knn_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

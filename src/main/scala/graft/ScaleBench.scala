@@ -458,7 +458,38 @@ object ScaleBench {
             .select("vec_id", "embedding"),
           e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
           4, 0.0, scaledBits(k), 16, 4241L)
-      }))
+      }),
+      // round-9 additions: the shuffle-free CDC chunker (per-token work —
+      // the linear claim) and its dedup apply (adds the 8-byte-hash dup
+      // shuffle + per-doc rebuild); PSI (counts-only — near-flat);
+      // two-proportion readout (one map-side agg to |variants| rows);
+      // the per-source calibration/operating-point panels (bounded
+      // group-keyed windows over distinct scores)
+      "tx_cdc_chunks" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.cdcChunks(
+          s.read.parquet(s"$d/documents.parquet"), 3, 5)),
+      "tx_cdc_dedup" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.cdcChunkDedup(
+          s.read.parquet(s"$d/documents.parquet"), 3, 3)),
+      "aud_psi" -> ((s: SparkSession, d: String, _: Double) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        graft.operators.AuditOps.psiReport(docs,
+          docs.filter(col("doc_id") % 3 =!= 0), "source")
+      }),
+      "aud_abtest" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.abTestReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          concat(lit("v"), pmod(col("user_id"), lit(3))),
+          col("event_type") === "purchase", "v0")),
+      "aud_calibration_by_source" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.calibrationReportBy(
+          s.read.parquet(s"$d/documents.parquet"),
+          col("n_chars") / 2000.0, col("lang") === "en", "source")),
+      "aud_threshold_by_source" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.thresholdReportBy(
+          s.read.parquet(s"$d/documents.parquet"),
+          col("n_chars"), col("lang") === "en", "source")))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")

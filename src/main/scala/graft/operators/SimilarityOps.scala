@@ -772,6 +772,96 @@ object SimilarityOps {
         .withColumn("cos", cosine(col("qe"), col("embedding"))), k)
   }
 
+  /** MMR-diversified top-k (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR'98) — the RAG-serving rerank that trades relevance
+    * against redundancy: greedily select k of a `pool`-sized candidate
+    * shortlist, each step maximizing
+    * λ·cos(q, c) − (1−λ)·max_{s∈selected} cos(c, s). A plain top-k
+    * returns five paraphrases of the same document; MMR returns the
+    * five DIFFERENT relevant documents.
+    *
+    * λ is a RATIONAL `lambdaNum/lambdaDen` (default 1/2) and every
+    * cosine is the round-6 value scaled to an exact integer (·10⁶), so
+    * each greedy comparison is `λn·sq6 − (λd−λn)·ms6` over exact longs —
+    * the argmax (ties by ascending vec_id) is engine-reproducible
+    * bit-for-bit, and the whole selection is value-oracled as an
+    * unrolled SQL step chain.
+    *
+    * Scale shape: candidate generation is [[bruteTopK]] at gate scale —
+    * swap in [[ivfTopK]]/[[lshTopK]] shortlists at corpus scale; the MMR
+    * stage itself touches ONLY the pool (pool² pairwise sims per query,
+    * pool bounded ≤ 64) collected to one row per query, and the greedy
+    * k-step loop runs at RUNTIME inside one `aggregate(sequence(1, k))`
+    * — the selected set is a lambda variable, so the expression tree is
+    * CONSTANT in k (an unrolled variant re-embeds the selected-set
+    * expression per step and grows geometrically — measured OOM at k=5
+    * during analysis). No shuffle, no driver loop over data.
+    */
+  def mmrTopK(e: DataFrame, queries: DataFrame, k: Int, pool: Int = 10,
+      lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 64, s"mmrTopK needs 1 <= k <= 64, got $k")
+    // pool is a CAP on the shortlist, not a guarantee — a query with
+    // fewer candidates than k simply exhausts them (no null rows)
+    require(pool >= 1 && pool <= 64, s"mmrTopK needs 1 <= pool <= 64, got $pool")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda = $lambdaNum/$lambdaDen must sit in [0, 1]")
+    val cand = bruteTopK(e, queries, pool)
+      .withColumn("sq6", round(col("cos") * 1e6).cast("long"))
+    val ce = cand.select("query_id", "vec_id", "sq6")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val sims = ce.select(col("query_id"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      .join(ce.select(col("query_id").as("q2"), col("vec_id").as("vb"),
+          col("embedding").as("eb")),
+        col("query_id") === col("q2") && col("va") < col("vb"))
+      .select(col("query_id"), col("va"), col("vb"),
+        round(cosine(col("ea"), col("eb")) * 1e6).cast("long").as("s6"))
+    val perQ = ce.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id").as("v"), col("sq6"))).as("cands"))
+      .join(sims.groupBy("query_id")
+          .agg(collect_list(struct(col("va"), col("vb"), col("s6"))).as("sims")),
+        Seq("query_id"), "left")
+      .withColumn("sims", coalesce(col("sims"),
+        array().cast("array<struct<va:bigint,vb:bigint,s6:bigint>>")))
+    // greedy unroll: pick_t = argmax over unselected candidates of
+    // λn·sq6 − (λd−λn)·max_selected s6, ties by ascending vec_id — all
+    // exact long arithmetic (ms = 0 only at step 1, when nothing is
+    // selected and the subtrahend multiplies an empty max)
+    def msim(sel: Column, v: Column): Column = coalesce(
+      array_max(transform(
+        filter(col("sims"), p =>
+          (p("va") === v && array_contains(sel, p("vb"))) ||
+            (p("vb") === v && array_contains(sel, p("va")))),
+        p => p("s6"))),
+      lit(0L))
+    def pick(sel: Column): Column = aggregate(
+      filter(col("cands"), c => !array_contains(sel, c("v"))),
+      lit(null).cast("struct<score:bigint,v:bigint>"),
+      (acc, c) => {
+        val score = lit(lambdaNum.toLong) * c("sq6") -
+          lit((lambdaDen - lambdaNum).toLong) * msim(sel, c("v"))
+        val cur = struct(score.as("score"), c("v").as("v"))
+        when(acc.isNull || score > acc("score") ||
+          (score === acc("score") && c("v") < acc("v")), cur).otherwise(acc)
+      })("v")
+    val selArr = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<bigint>"),
+      (sel, _) => {
+        val p = pick(sel)
+        when(p.isNull, sel).otherwise(concat(sel, array(p)))
+      })
+    val sq6Of = (v: Column) => element_at(
+      map_from_arrays(transform(col("cands"), c => c("v")),
+        transform(col("cands"), c => c("sq6"))), v)
+    perQ.select(col("query_id"), col("cands"),
+        posexplode(selArr).as(Seq("pos", "v")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("v").as("vec_id"),
+        (sq6Of(col("v")).cast("double") / lit(1e6)).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Label-blocked exact kNN graph: every vector's top-k cosine neighbors
     * WITHIN its block (label = any routing key — a class label, an IVF
     * list, a SemDeDup cluster). The graph that seeds dup-graph

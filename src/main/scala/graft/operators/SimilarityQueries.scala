@@ -312,6 +312,15 @@ object SimilarityQueries {
       SimilarityOps.lshTopK(e, queriesOf(e), TOP_K)
     }),
 
+    // MMR-diversified rerank of a 10-candidate brute shortlist (k=4,
+    // λ=1/2): every greedy comparison is exact integer-scaled round-6
+    // cosines, so the 4-step selection is value-oracled as an unrolled
+    // SQL step chain.
+    "knn_mmr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.mmrTopK(e, queriesOf(e), k = 4, pool = 10)
+    }),
+
     // Recall@10 of the LSH path against the brute truth — the evaluation
     // loop as a first-class gated operator.
     "knn_eval" -> ((s, d) => {
@@ -685,6 +694,55 @@ object SimilarityQueries {
     // signature bit; projections are O(0.5)-magnitude sums of 64 terms, so
     // a <1e-14 |proj| is a ~1e-11 event across the whole corpus — accepted.
     "knn_lsh" -> knnLshOracleSql,
+    // MMR greedy unrolled as a 4-step CTE chain: step 1 = pure-relevance
+    // argmax; step t joins each unselected candidate to its MAX round-6
+    // sim (integer-scaled) against the selected set and re-ranks by the
+    // exact long score 1·sq6 − 1·ms, ties by ascending vec_id — the op's
+    // comparisons verbatim
+    "knn_mmr" -> {
+      def step(t: Int): String =
+        s"""ms$t AS (SELECT s.query_id, s.x AS vec_id, MAX(s.s6) AS ms FROM sims s
+           |  JOIN sel${t - 1} t$t ON t$t.query_id = s.query_id AND t$t.vec_id = s.y
+           |  GROUP BY s.query_id, s.x),
+           |p$t AS (SELECT query_id, vec_id, sq6 FROM (
+           |  SELECT c.query_id, c.vec_id, c.sq6,
+           |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+           |      ORDER BY (1 * c.sq6 - 1 * m.ms) DESC, c.vec_id) AS rn
+           |  FROM cand c JOIN ms$t m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+           |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)) z
+           |  WHERE rn = 1),
+           |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $N_QUERIES),
+         |cand AS (SELECT query_id, vec_id,
+         |    CAST(round(cos * 1000000, 0) AS BIGINT) AS sq6 FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${sqlCosine("q.qe", "e.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlCosine("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id) x WHERE rn <= 10),
+         |ce AS (SELECT c.query_id, c.vec_id, c.sq6, e.embedding
+         |  FROM cand c JOIN embeddings e USING (vec_id)),
+         |sims AS (SELECT a.query_id, a.vec_id AS x, b.vec_id AS y,
+         |    CAST(round(${sqlCosine("a.embedding", "b.embedding")} * 1000000, 0)
+         |      AS BIGINT) AS s6
+         |  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT query_id, vec_id, sq6 FROM (
+         |  SELECT query_id, vec_id, sq6, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sq6 DESC, vec_id) AS rn FROM cand) y
+         |  WHERE rn = 1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(sq6 AS DOUBLE) / 1000000 AS cos
+         |FROM (SELECT query_id, vec_id, sq6, 1 AS rank FROM sel1
+         |  UNION ALL SELECT query_id, vec_id, sq6, 2 FROM p2
+         |  UNION ALL SELECT query_id, vec_id, sq6, 3 FROM p3
+         |  UNION ALL SELECT query_id, vec_id, sq6, 4 FROM p4) f
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // Full value oracle for TRAINED IVF: two distributed Lloyd iterations
     // unrolled as CTEs. Reproducible cross-engine because every stage obeys

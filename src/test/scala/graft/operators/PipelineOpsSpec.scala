@@ -334,6 +334,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r(("B", "C")) == 0.0)
   }
 
+  test("mmrTopK: diversified pick beats the redundant runner-up; ties break by id") {
+    import spark.implicits._
+    // q = (1,0,0); A(id1) cos .8; B(id2) cos .6 but near-dup of A
+    // (cos(A,B) = .96); C(id3) cos .6, orthogonal-ish to A (cos 0).
+    // plain top-2 = [A, B] (id tie-break on the .6 pair); MMR λ=1/2
+    // step 2 scores B at .6 − .96 = −.36 vs C at .6 − 0 = .6 → [A, C].
+    val e = Seq(
+      (1L, Array(0.8f, 0.6f, 0f)), (2L, Array(0.6f, 0.8f, 0f)),
+      (3L, Array(0.6f, -0.8f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f))).toDF("query_id", "qe")
+    val plain = SimilarityOps.bruteTopK(e, q, 2).collect().map(_.getLong(2))
+    assert(plain.toSeq == Seq(1L, 2L), plain.mkString(","))
+    val mmr = SimilarityOps.mmrTopK(e, q, k = 2, pool = 3).collect()
+    assert(mmr.map(_.getLong(2)).toSeq == Seq(1L, 3L),
+      mmr.mkString(";"))
+    assert(mmr(0).getLong(1) == 1 && mmr(1).getLong(1) == 2)
+    assert(mmr(0).getDouble(3) == 0.8 && mmr(1).getDouble(3) == 0.6)
+    // k > candidates: exhausts the pool, no null rows
+    val all = SimilarityOps.mmrTopK(e, q, k = 5, pool = 3).collect()
+    assert(all.length == 3 && all.map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("cdcChunks: lossless reassembly; boundaries resynchronize after an insertion") {
     import spark.implicits._
     val base = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
