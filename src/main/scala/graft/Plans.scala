@@ -95,7 +95,11 @@ object Plans {
     "tx_cdc_chunks", "tx_cdc_dedup", "aud_abtest",
     // round 9 (cont. 2): MMR rerank — pool-bounded pairwise sims per
     // query, runtime greedy loop in one aggregate() (constant tree)
-    "knn_mmr")
+    "knn_mmr",
+    // round 9 (cont. 3): mergeable-sketch set-op cardinalities — all
+    // pairwise work over the G·k-row bottom-k sketches, per-group
+    // stats ride a broadcast join
+    "q42_kmv_setops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

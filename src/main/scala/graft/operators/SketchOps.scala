@@ -194,6 +194,74 @@ object SketchOps {
       .orderBy("group_a", "group_b")
   }
 
+  /** KMV SET-OPERATION cardinalities between every pair of groups — the
+    * mergeable-sketch completion of [[kmvJaccard]]: from the per-group
+    * bottom-k sketches ALONE (no second data pass), estimate
+    * `|A ∪ B|`, `|A ∩ B|`, `|A \ B|`, `|B \ A|` for every group pair —
+    * the numbers a corpus-merge plan needs ("how many new documents does
+    * source B actually add?") at G·k sketch rows of cost. Estimators
+    * (Beyer et al. SIGMOD'07): union from the KMV distinct estimator on
+    * the merged sketch; intersection as Ĵ·Û; differences as each side's
+    * own KMV estimate minus the intersection (clamped at 0 — finite-k
+    * noise can push the subtraction slightly negative).
+    *
+    * Unlike [[kmvJaccard]] there is deliberately NO exact comparison
+    * path: this op IS the production shape (kmvJaccard's gate already
+    * pins sketch-vs-exact on the same input family); every emitted
+    * estimate is still value-oracled because the whole chain is
+    * deterministic — bottom-k over the 60-bit mdint hashes, then
+    * single correctly-rounded divisions/multiplies mirrored op-for-op.
+    *
+    * Scale shape: identical to [[kmvJaccard]] minus its exact path —
+    * one distinct on (group, hash), per-group bottom-k window, all
+    * pairwise work on G·k-row sketches.
+    */
+  def kmvSetOps(df: DataFrame, keyCol: Column, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val nn = df.filter(keyCol.isNotNull)
+    val hashed = nn
+      .select(col(groupCol).as("g"), CrossHash.mdint(keyCol.cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val sketch = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("g", "h")
+    val per = sketch.groupBy("g")
+      .agg(count(lit(1)).as("nk"), max(col("h")).as("kth"))
+    def estOf(nk: Column, kth: Column) = when(nk < k, nk.cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0d) / kth.cast("double"))
+    val groups = sketch.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .join(groups.select(col("g").as("gb")), col("ga") < col("gb"))
+    val pu = pairs.join(sketch, col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(when(col("g") === col("ga"), 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === col("gb"), 1).otherwise(0)).as("in_b"))
+    val uw = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val est = pu.withColumn("urn", row_number().over(uw))
+      .filter(col("urn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_union_kept"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        max(col("h")).as("ukth"))
+      .withColumn("est_union", estOf(col("n_union_kept"), col("ukth")))
+      .withColumn("est_jaccard",
+        col("n_both").cast("double") / col("n_union_kept").cast("double"))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+    est
+      .join(broadcast(per.select(col("g").as("ga"),
+        col("nk").as("nka"), col("kth").as("ktha"))), Seq("ga"))
+      .join(broadcast(per.select(col("g").as("gb"),
+        col("nk").as("nkb"), col("kth").as("kthb"))), Seq("gb"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_union_kept"), col("est_union"), col("est_jaccard"),
+        col("est_intersection"),
+        greatest(estOf(col("nka"), col("ktha")) - col("est_intersection"),
+          lit(0.0)).as("est_only_a"),
+        greatest(estOf(col("nkb"), col("kthb")) - col("est_intersection"),
+          lit(0.0)).as("est_only_b"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Count–min sketch heavy hitters: d universal-family hash rows × w
     * buckets; a key's estimate is min over rows of its bucket counter
     * (never under the true count, biased up by collisions). Returns the

@@ -68,6 +68,14 @@ object SketchQueries {
         t(s, d, "documents").select(col("source"),
           explode(DedupOps.shinglesCol(col("text"))).as("sh3")),
         col("sh3"), "source", KMV_K)),
+    // Sketch set ops on the SAME input family as q36: per source pair,
+    // union/intersection/difference vocabulary cardinalities from the
+    // bottom-k sketches alone — the merge-planning readout.
+    "q42_kmv_setops" -> ((s, d) =>
+      SketchOps.kmvSetOps(
+        t(s, d, "documents").select(col("source"),
+          explode(DedupOps.shinglesCol(col("text"))).as("sh3")),
+        col("sh3"), "source", KMV_K)),
     "ev_heavy_hitters" -> ((s, d) =>
       SketchOps.cmsHeavyHitters(t(s, d, "events"), col("user_id"),
         CMS_D, CMS_W, CMS_TOPK)),
@@ -221,6 +229,47 @@ object SketchQueries {
          |JOIN dper db ON db.g = e.gb
          |LEFT JOIN inter i ON i.ia = e.ga AND i.ib = e.gb
          |ORDER BY group_a, group_b""".stripMargin
+    },
+    // set-ops estimates mirrored from the same sketches: est_union via
+    // the saturation-aware KMV estimator ((k−1)·2^60 exact in a double),
+    // intersection = jaccard·union (multiply of two correctly-rounded
+    // values), differences clamped at 0 — op-for-op
+    "q42_kmv_setops" -> {
+      val h = graft.functions.CrossHash.sqlMdint("key")
+      val c260 = "1152921504606846976.0"
+      def est(nk: String, kth: String) =
+        s"CASE WHEN $nk < $KMV_K THEN CAST($nk AS DOUBLE) " +
+          s"ELSE ${KMV_K - 1}.0 * $c260 / CAST($kth AS DOUBLE) END"
+      s"""WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |shg AS (SELECT source AS g, unnest(${DedupQueries.sqlShingles}) AS key FROM ws),
+         |hashed AS (SELECT DISTINCT g, $h AS h FROM shg),
+         |sk AS (SELECT g, h FROM (
+         |    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+         |    FROM hashed) x WHERE rn <= $KMV_K),
+         |per AS (SELECT g, COUNT(*) AS nk, MAX(h) AS kth FROM sk GROUP BY g),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |pu AS (SELECT p.ga, p.gb, s.h,
+         |    MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+         |  GROUP BY p.ga, p.gb, s.h),
+         |est AS (SELECT ga, gb, COUNT(*) AS n_union_kept,
+         |    SUM(in_a * in_b) AS n_both, MAX(h) AS ukth
+         |  FROM (SELECT pu.*, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS urn
+         |        FROM pu) y
+         |  WHERE urn <= $KMV_K GROUP BY ga, gb),
+         |ej AS (SELECT e.ga, e.gb, e.n_union_kept,
+         |    ${est("e.n_union_kept", "e.ukth")} AS est_union,
+         |    CAST(e.n_both AS DOUBLE) / CAST(e.n_union_kept AS DOUBLE) AS est_jaccard,
+         |    ${est("da.nk", "da.kth")} AS est_a,
+         |    ${est("db.nk", "db.kth")} AS est_b
+         |  FROM est e JOIN per da ON da.g = e.ga JOIN per db ON db.g = e.gb)
+         |SELECT ga AS group_a, gb AS group_b, n_union_kept, est_union,
+         |  est_jaccard, est_jaccard * est_union AS est_intersection,
+         |  GREATEST(est_a - est_jaccard * est_union, 0.0) AS est_only_a,
+         |  GREATEST(est_b - est_jaccard * est_union, 0.0) AS est_only_b
+         |FROM ej ORDER BY group_a, group_b""".stripMargin
     },
     "q41_ams_f2" -> {
       // per-j sign sums mirrored through the same universal family;

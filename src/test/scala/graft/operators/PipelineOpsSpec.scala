@@ -923,6 +923,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rn == rs, "null keys must be invisible to both paths")
   }
 
+  test("kmvSetOps: exact below saturation, bracketed above, nulls invisible") {
+    import spark.implicits._
+    // Sub-saturated (k=64 > every union): all four set-op estimates must
+    // be EXACT — est_union = nk (the < k branch), jaccard = n_both/n_union,
+    // differences from exact per-group sizes. A={0..9}, B={5..14}, C disjoint.
+    val small = ((0 until 10).map(i => ("A", i)) ++ (5 until 15).map(i => ("B", i)) ++
+      (100 until 110).map(i => ("C", i))).toDF("g", "key")
+    val rs = SketchOps.kmvSetOps(small, col("key"), "g", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(rs(("A", "B")) == ((15L, 15.0, 5.0, 5.0, 5.0)))
+    assert(rs(("A", "C")) == ((20L, 20.0, 0.0, 10.0, 10.0)))
+    assert(rs(("B", "C")) == ((20L, 20.0, 0.0, 10.0, 10.0)))
+    // Saturated: X={0..999}, Y={500..1499} -> union 1500, inter 500,
+    // each difference 500. k=64: union kept caps at k; every estimate
+    // within a generous ~5-sigma multiplicative bracket.
+    val big = ((0 until 1000).map(i => ("X", i)) ++ (500 until 1500).map(i => ("Y", i)))
+      .toDF("g", "key")
+    val rb = SketchOps.kmvSetOps(big, col("key"), "g", 64).collect().head
+    assert(rb.getLong(2) == 64L, "union sketch must cap at k")
+    assert(math.abs(rb.getDouble(3) - 1500.0) < 600.0, s"union ${rb.getDouble(3)}")
+    assert(math.abs(rb.getDouble(5) - 500.0) < 450.0, s"inter ${rb.getDouble(5)}")
+    assert(math.abs(rb.getDouble(6) - 500.0) < 500.0, s"only_a ${rb.getDouble(6)}")
+    assert(math.abs(rb.getDouble(7) - 500.0) < 500.0, s"only_b ${rb.getDouble(7)}")
+    // Differences are clamped at 0 even when finite-k noise pushes the
+    // subtraction negative; identical groups must report only_a=only_b=0
+    // exactly (est_a = est_union, jaccard = 1).
+    val twin = ((0 until 200).map(i => ("P", i)) ++ (0 until 200).map(i => ("Q", i)))
+      .toDF("g", "key")
+    val rt = SketchOps.kmvSetOps(twin, col("key"), "g", 64).collect().head
+    assert(rt.getDouble(4) == 1.0 && rt.getDouble(6) == 0.0 && rt.getDouble(7) == 0.0, rt.toString)
+    // Null keys invisible (set semantics), as in kmvJaccard.
+    val withNulls = small.unionAll(
+      Seq(("A", null.asInstanceOf[Integer]), ("B", null.asInstanceOf[Integer]))
+        .toDF("g", "key").select(col("g"), col("key").cast("int")))
+    val rn = SketchOps.kmvSetOps(withNulls, col("key"), "g", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(rn == rs, "null keys must be invisible")
+    intercept[IllegalArgumentException] {
+      SketchOps.kmvSetOps(small, col("key"), "g", 1)
+    }
+  }
+
   test("cmsHeavyHitters: estimates never undercount, exact counts correct, rank deterministic") {
     import spark.implicits._
     // skewed stream: key 0 is the heavy hitter
