@@ -103,6 +103,15 @@ object Audit {
     println(s"""{"detector":"threshold","cut":${th.getDouble(0)},""" +
       s""""tp":${th.getLong(1)},"fp":${th.getLong(2)},"fn":${th.getLong(3)},""" +
       s""""f1":${th.getDouble(6)}}""")
+    // targeting curve: decile cumulative gains/lift of the same pair —
+    // the whole curve next to the AUC's one number (r9)
+    AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")
+      .collect().foreach { r =>
+        println(s"""{"detector":"gains","bucket":${r.getLong(0)},""" +
+          s""""cum_n":${r.getLong(3)},"cum_pos":${r.getLong(4)},""" +
+          s""""gain":${if (r.isNullAt(5)) "null" else r.getDouble(5)},""" +
+          s""""lift":${if (r.isNullAt(6)) "null" else r.getDouble(6)}}""")
+      }
     // numeric drift: exact two-sample KS of the value column between the
     // error cohort and the rest (r8; the numeric sibling of aud_drift)
     val ks = AuditOps.ksReport(ev, col("value"), col("event_type") === "error")

@@ -99,7 +99,10 @@ object Plans {
     // round 9 (cont. 3): mergeable-sketch set-op cardinalities — all
     // pairwise work over the G·k-row bottom-k sketches, per-group
     // stats ride a broadcast join
-    "q42_kmv_setops")
+    "q42_kmv_setops",
+    // round 9 (cont. 4): gains/lift — banded descending prefix, then
+    // everything collapses to <=B rows (B×B broadcast cumulative)
+    "aud_gains")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

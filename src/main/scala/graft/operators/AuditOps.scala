@@ -1212,4 +1212,90 @@ object AuditOps {
       .withColumn("dev", col("dev_num").cast("double") /
         (col("n").cast(dec) * lit(1000000000L).cast(dec)).cast("double"))
   }
+
+  /** Cumulative-gains / lift table — the TARGETING-EFFICIENCY member of
+    * the classifier audit family ([[aucReport]] grades the ranking as one
+    * number, [[thresholdReport]] picks one cutoff; this shows the whole
+    * curve a campaign/filtering budget is planned on): rank rows by score
+    * DESCENDING, cut into `buckets` equal-count buckets, and per bucket
+    * report how much of the positive class the top-k cut captures
+    * (`gain` = cum_pos/P) and how much better than random it is
+    * (`lift` = (cum_pos/cum_n)/(P/N)). Output per non-empty bucket:
+    * `(bucket, n_bucket, pos_bucket, cum_n, cum_pos, gain, lift)`.
+    *
+    * Determinism under ties: rows never rank individually — scores
+    * collapse to DISTINCT values (the [[aucReport]] construction) and a
+    * whole tie-group lands in the bucket of its FIRST row from the top,
+    * `bucket = (above·B) div N + 1` with `above` = exact count of rows
+    * strictly greater. Integer `div`, so bucket assignment is
+    * engine-exact; a dominant tie-group can leave later buckets EMPTY
+    * (they are simply absent — document-by-construction, the oracle
+    * agrees). NULL labels count as negatives, NULL scores are dropped
+    * (family convention).
+    *
+    * Exactness: every count is an exact integer; `gain` is ONE division
+    * of exact integers; `lift` is one division of two DECIMAL(38,0)
+    * products (cum_pos·N, cum_n·P), each cast→double correctly rounded —
+    * the [[ksReport]] pattern. `gain`/`lift` are NULL when P = 0.
+    *
+    * Scale shape: one map-side-combined aggregation to distinct scores,
+    * the ≤4097-band descending exclusive prefix ([[aucReport]]'s banded
+    * discipline — no unpartitioned WindowExec), then everything collapses
+    * to ≤`buckets` rows; the cross-bucket cumulative runs as a bounded
+    * B×B broadcast theta-join.
+    */
+  def gainsReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"AuditOps.gainsReport: buckets must be in [2, 10000], got $buckets")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull)
+      .select(scoreCol.as("s"), when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val banded = g.crossJoin(broadcast(mm))
+      .withColumn("band", when(col("hi") > col("lo"),
+          floor((col("s") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(4096.0))))
+        .otherwise(lit(0L)))
+      .drop("lo", "hi")
+    val bandTot = banded.groupBy("band").agg(sum(col("cnt")).as("bcnt"))
+    // rows in strictly HIGHER bands (banding is monotone, so higher band
+    // means higher score): the descending mirror of aucReport's prefix
+    val pref = bandTot.select(col("band"))
+      .join(broadcast(bandTot.select(col("band").as("pb"), col("bcnt").as("pcnt"))),
+        col("pb") > col("band"), "left")
+      .groupBy("band").agg(coalesce(sum(col("pcnt")), lit(0L)).as("babove"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = g.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+    val bucketed = banded.join(broadcast(pref), Seq("band"))
+      .withColumn("above",
+        col("babove") + coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"above * $buckets div n") + lit(1L))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("n_bucket"), sum(col("pos")).as("pos_bucket"),
+        min(col("n")).as("n"), min(col("p")).as("p"))
+    // cross-bucket INCLUSIVE cumulative over <= `buckets` rows: bounded
+    // broadcast theta-join, same reason as the band prefix
+    bucketed
+      .join(broadcast(bucketed.select(col("bucket").as("qb"),
+          col("n_bucket").as("qn"), col("pos_bucket").as("qp"))),
+        col("qb") <= col("bucket"))
+      .groupBy(col("bucket"), col("n_bucket"), col("pos_bucket"),
+        col("n"), col("p"))
+      .agg(sum(col("qn")).as("cum_n"), sum(col("qp")).as("cum_pos"))
+      .select(col("bucket"), col("n_bucket"), col("pos_bucket"),
+        col("cum_n"), col("cum_pos"),
+        when(col("p") > 0,
+          col("cum_pos").cast("double") / col("p").cast("double")).as("gain"),
+        when(col("p") > 0,
+          (col("cum_pos").cast(dec) * col("n").cast(dec)).cast("double") /
+            (col("cum_n").cast(dec) * col("p").cast(dec)).cast("double"))
+          .as("lift"))
+      .orderBy("bucket")
+  }
 }

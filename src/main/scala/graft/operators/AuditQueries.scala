@@ -157,6 +157,14 @@ object AuditQueries {
       AuditOps.thresholdReport(t(s, d, "events"), floor(col("value")),
         col("event_type") === "error")),
 
+    // Decile cumulative gains / lift of the same score/label pair — the
+    // whole targeting curve next to aud_auc's one number. Tie-groups land
+    // in the bucket of their first row (exact integer div), so bucket
+    // assignment is engine-exact.
+    "aud_gains" -> ((s, d) =>
+      AuditOps.gainsReport(t(s, d, "events"), floor(col("value")),
+        col("event_type") === "error")),
+
     // Data-card KS: per source, does the n_chars distribution differ
     // between English and non-English docs? (groups rank in parallel —
     // every window partitions by source; integer values exercise ties)
@@ -574,6 +582,38 @@ object AuditQueries {
         |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
         |  f1
         |FROM f ORDER BY f1 DESC, s LIMIT 1""".stripMargin,
+
+    // gains/lift: descending exclusive prefix -> integer-div bucket of
+    // the group's FIRST row from the top; gain = one division of exact
+    // integers, lift = one division of two exact HUGEINT products
+    "aud_gains" ->
+      """WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY s),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS p FROM g),
+        |c AS (SELECT s, cnt, pos,
+        |    COALESCE(CAST(SUM(cnt) OVER dw AS BIGINT), 0) AS above
+        |  FROM g WINDOW dw AS (ORDER BY s DESC
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |d AS (SELECT (c.above * 10) // t.n + 1 AS bucket, c.cnt, c.pos,
+        |    t.n, t.p FROM c, t),
+        |bk AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_bucket,
+        |    CAST(SUM(pos) AS BIGINT) AS pos_bucket,
+        |    MIN(n) AS n, MIN(p) AS p FROM d GROUP BY bucket),
+        |cm AS (SELECT bucket, n_bucket, pos_bucket, n, p,
+        |    CAST(SUM(n_bucket) OVER cw AS BIGINT) AS cum_n,
+        |    CAST(SUM(pos_bucket) OVER cw AS BIGINT) AS cum_pos
+        |  FROM bk WINDOW cw AS (ORDER BY bucket
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_bucket, pos_bucket, cum_n, cum_pos,
+        |  CASE WHEN p > 0 THEN
+        |    CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) END AS gain,
+        |  CASE WHEN p > 0 THEN
+        |    CAST(CAST(cum_pos AS HUGEINT) * n AS DOUBLE) /
+        |      CAST(CAST(cum_n AS HUGEINT) * p AS DOUBLE) END AS lift
+        |FROM cm ORDER BY bucket""".stripMargin,
 
     // same construction with every window partitioned by source
     "aud_ks_by_source" ->

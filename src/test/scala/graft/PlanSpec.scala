@@ -301,6 +301,22 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("gainsReport: no unpartitioned WindowExec — banded descending prefix") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.AuditOps
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AuditOps.gainsReport(Tables.t(spark, sfDir, "events"),
+        floor(col("value")), col("event_type") === "error")
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        "global window survives:\n" + unpartitioned.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // force a sort-merge join so the bucketing (not broadcast) removes the
     // shuffle — at real scale neither side would be broadcastable

@@ -339,6 +339,43 @@ class AuditOpsSpec extends SparkTestBase {
       r.getDouble(6) == 0.75, r.toString)
   }
 
+  test("gainsReport: hand-computed quintiles, tie collapse, P=0 NULLs") {
+    // 10 rows, scores 1..10 (one each), positives at 9 and 10; B=5.
+    // above(s) = 10−s -> bucket = (above·5) div 10 + 1 = two rows each.
+    // Bucket 1 captures both positives: gain 1.0 from bucket 1 on,
+    // lift 10/cum_n: 5.0, 2.5, 5/3, 1.25, 1.0 (last bucket always 1.0).
+    val rows = (1 to 10).map(i => (i.toDouble, i >= 9)).toDF("v", "y")
+    val r = AuditOps.gainsReport(rows, col("v"), col("y"), 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6)))
+    assert(r.length == 5, r.mkString(";"))
+    assert(r(0) == ((1L, 2L, 2L, 2L, 2L, 1.0, 5.0)), r(0).toString)
+    assert(r(1) == ((2L, 2L, 0L, 4L, 2L, 1.0, 2.5)), r(1).toString)
+    assert(r(2) == ((3L, 2L, 0L, 6L, 2L, 1.0, 10.0 / 6.0)), r(2).toString)
+    assert(r(4) == ((5L, 2L, 0L, 10L, 2L, 1.0, 1.0)), r(4).toString)
+    // One giant tie-group: the whole group lands in the bucket of its
+    // first row -> bucket 1 holds everything, buckets 2..5 are absent.
+    val tie = (1 to 10).map(i => (7.0, i <= 3)).toDF("v", "y")
+    val rt = AuditOps.gainsReport(tie, col("v"), col("y"), 5).collect()
+    assert(rt.length == 1 && rt(0).getLong(0) == 1L &&
+      rt(0).getLong(3) == 10L && rt(0).getLong(4) == 3L &&
+      rt(0).getDouble(5) == 1.0 && rt(0).getDouble(6) == 1.0,
+      rt.mkString(";"))
+    // NULL score dropped, NULL label = negative (family convention)
+    val nulls = Seq((Option(1.0), Option(true)), (Option(2.0), Option.empty[Boolean]),
+      (Option.empty[Double], Option(true))).toDF("v", "y")
+    val rn = AuditOps.gainsReport(nulls, col("v"), col("y"), 2).collect()
+    assert(rn.map(_.getLong(1)).sum == 2L, rn.mkString(";"))
+    assert(rn.map(_.getLong(2)).sum == 1L, rn.mkString(";"))
+    // no positives at all -> gain/lift NULL, counts still exact
+    val np = Seq((1.0, false), (2.0, false)).toDF("v", "y")
+    val rz = AuditOps.gainsReport(np, col("v"), col("y"), 2).collect()
+    assert(rz.forall(x => x.isNullAt(5) && x.isNullAt(6)), rz.mkString(";"))
+    intercept[IllegalArgumentException] {
+      AuditOps.gainsReport(rows, col("v"), col("y"), 1)
+    }
+  }
+
   test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
     // v0 (control): n=4, conv=1; v1: n=4, conv=3
     // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
