@@ -102,7 +102,10 @@ object Plans {
     "q42_kmv_setops",
     // round 9 (cont. 4): gains/lift — banded descending prefix, then
     // everything collapses to <=B rows (B×B broadcast cumulative)
-    "aud_gains")
+    "aud_gains",
+    // round 9 (cont. 5): degree-oriented triangle census — O(√m)
+    // out-neighborhoods, wedges closed by one hash join on ids
+    "dd_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

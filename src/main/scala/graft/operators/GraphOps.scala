@@ -123,4 +123,65 @@ object GraphOps {
     }
     visited
   }
+
+  /** Triangle census of the near-dup pair graph — the graph-QA readout
+    * next to connectivity ([[DedupOps.nearDupClusters]]) and centrality
+    * ([[pageRank]]): `triangles` counts closed triples, `wedges` open
+    * ones, and the global clustering coefficient `3·T/W` says whether
+    * dup clusters are clique-like (true duplicate sets transitively agree
+    * → coefficient near 1) or chain-like (threshold-grazing near-dups
+    * that do NOT transitively agree — the cluster-quality smell that
+    * makes min-label components over-merge). One summary row:
+    * `(n_edges, triangles, wedges, global_clustering)`.
+    *
+    * Algorithm (Suri & Vassilvitskii WWW'11 degree orientation): each
+    * undirected edge is directed from its lower-degree endpoint (ties by
+    * id), so every node's out-neighborhood is O(√m) on any graph; wedges
+    * are built by self-joining the oriented list on the source and closed
+    * by one hash join against the canonical edge set — each triangle is
+    * counted exactly once, no node ever enumerates a hub's full
+    * neighborhood. `wedges` comes straight off the degree table
+    * (Σ d·(d−1)/2, exact integers).
+    *
+    * Exactness: counts are exact integers; the coefficient is ONE
+    * division of exact integers (NULL when the graph has no wedges) —
+    * engine-identical. Input `pairs`: (doc_a, doc_b), doc_a < doc_b
+    * canonical, one row per undirected edge (dups are collapsed here).
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    OpContract.requireCols(pairs, "GraphOps.triangleStats", "doc_a", "doc_b")
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    val wedge = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
+    // close each wedge against the canonical edge set: distinct oriented
+    // wedges map 1:1 to candidate (wa, wb) closures, and each closed
+    // wedge is exactly one triangle (counted once — the orientation makes
+    // the wedge apex the triangle's unique lowest-degree corner)
+    val triCnt = wedge
+      .join(e.select(col("a").as("wa"), col("b").as("wb")), Seq("wa", "wb"))
+      .agg(count(lit(1)).as("triangles"))
+    val degAgg = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(broadcast(triCnt)).crossJoin(broadcast(degAgg))
+      .select(col("n_edges"), col("triangles"), col("wedges"),
+        when(col("wedges") > 0,
+          (lit(3) * col("triangles")).cast("double") /
+            col("wedges").cast("double")).as("global_clustering"))
+  }
 }

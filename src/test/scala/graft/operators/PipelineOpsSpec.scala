@@ -1358,6 +1358,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(op == sqlWalk, s"op $op vs recursive CTE $sqlWalk")
   }
 
+  test("triangleStats: hand-counted census, once-per-triangle, degenerate edges") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendant 4-5: 6+1 edges, C(4,3)=4 triangles.
+    // Wedges: degs are 3,3,3,4,1 -> 3+3+3+6+0 = 15; coeff = 12/15 = 0.8
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val r = GraphOps.triangleStats(k4p).collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L && r.getLong(2) == 15L,
+      r.toString)
+    assert(r.getDouble(3) == 12.0 / 15.0, r.toString)
+    // a triangle-free star: 0 triangles, coefficient 0.0 (wedges > 0)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val rs = GraphOps.triangleStats(star).collect().head
+    assert(rs.getLong(1) == 0L && rs.getLong(2) == 3L && rs.getDouble(3) == 0.0)
+    // a single edge: no wedges -> coefficient NULL, not 0/0
+    val one = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val ro = GraphOps.triangleStats(one).collect().head
+    assert(ro.getLong(0) == 1L && ro.getLong(2) == 0L && ro.isNullAt(3), ro.toString)
+    // duplicate rows and self-loops are collapsed/dropped before counting
+    val messy = Seq((1L, 2L), (1L, 2L), (3L, 3L), (2L, 3L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val rm = GraphOps.triangleStats(messy).collect().head
+    assert(rm.getLong(0) == 3L && rm.getLong(1) == 1L, rm.toString)
+  }
+
   test("chunkDedup removes only cross-doc chunks and pins the rebuilt text") {
     import spark.implicits._
     val docs = Seq(
