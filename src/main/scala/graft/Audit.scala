@@ -137,6 +137,12 @@ object Audit {
         println(s"""{"detector":"calibration_by_source","source":"${r.getString(0)}",""" +
           s""""ece":${r.getDouble(1)}}""")
       }
+    AuditOps.gainsReportBy(docs, col("n_chars"), enLabel, "source", 5)
+      .filter(col("bucket") === 1).collect().foreach { r =>
+        println(s"""{"detector":"gains_by_source","source":"${r.getString(0)}",""" +
+          s""""top_bucket_gain":${if (r.isNullAt(6)) "null" else r.getDouble(6)},""" +
+          s""""top_bucket_lift":${if (r.isNullAt(7)) "null" else r.getDouble(7)}}""")
+      }
     AuditOps.thresholdReportBy(docs, col("n_chars"), enLabel, "source")
       .orderBy("grp").collect().foreach { r =>
         println(s"""{"detector":"threshold_by_source","source":"${r.getString(0)}",""" +

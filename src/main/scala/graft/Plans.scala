@@ -105,7 +105,10 @@ object Plans {
     "aud_gains",
     // round 9 (cont. 5): degree-oriented triangle census — O(√m)
     // out-neighborhoods, wedges closed by one hash join on ids
-    "dd_triangles")
+    "dd_triangles",
+    // round 9 (cont. 6): per-source gains — every window partitioned
+    // by source, cross-bucket cumulative a per-group <=B×B join
+    "aud_gains_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1244,6 +1244,60 @@ object AuditOps {
     * to ≤`buckets` rows; the cross-bucket cumulative runs as a bounded
     * B×B broadcast theta-join.
     */
+  /** Per-group [[gainsReport]] — the data-card form (one gains curve per
+    * source/domain/shard), completing the per-group panel next to
+    * [[aucReportBy]]/[[ksReportBy]]/[[calibrationReportBy]]/
+    * [[thresholdReportBy]]: a global lift curve hides a source whose
+    * scores don't rank at all. Same distinct-score construction and
+    * integer-div bucket assignment, but every window PARTITIONS by the
+    * group key (groups rank in parallel — no banding needed, no
+    * unpartitioned WindowExec), per-group totals ride the same
+    * aggregation, and the cross-bucket cumulative is a per-group
+    * ≤B×B broadcast theta-join. NULL group keys are dropped (family
+    * convention). Output: `(grp, bucket, n_bucket, pos_bucket, cum_n,
+    * cum_pos, gain, lift)`.
+    */
+  def gainsReportBy(df: DataFrame, scoreCol: Column, labelCol: Column,
+      groupCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"AuditOps.gainsReportBy: buckets must be in [2, 10000], got $buckets")
+    OpContract.requireCols(df, "AuditOps.gainsReportBy", groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), scoreCol.as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val bucketed = g
+      .withColumn("above", coalesce(sum(col("cnt")).over(dw), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(gw))
+      .withColumn("p", sum(col("pos")).over(gw))
+      .withColumn("bucket", expr(s"above * $buckets div n") + lit(1L))
+      .groupBy("grp", "bucket")
+      .agg(sum(col("cnt")).as("n_bucket"), sum(col("pos")).as("pos_bucket"),
+        min(col("n")).as("n"), min(col("p")).as("p"))
+    bucketed
+      .join(bucketed.select(col("grp").as("qg"), col("bucket").as("qb"),
+          col("n_bucket").as("qn"), col("pos_bucket").as("qp")),
+        col("qg") === col("grp") && col("qb") <= col("bucket"))
+      .groupBy(col("grp"), col("bucket"), col("n_bucket"), col("pos_bucket"),
+        col("n"), col("p"))
+      .agg(sum(col("qn")).as("cum_n"), sum(col("qp")).as("cum_pos"))
+      .select(col("grp"), col("bucket"), col("n_bucket"), col("pos_bucket"),
+        col("cum_n"), col("cum_pos"),
+        when(col("p") > 0,
+          col("cum_pos").cast("double") / col("p").cast("double")).as("gain"),
+        when(col("p") > 0,
+          (col("cum_pos").cast(dec) * col("n").cast(dec)).cast("double") /
+            (col("cum_n").cast(dec) * col("p").cast(dec)).cast("double"))
+          .as("lift"))
+      .orderBy("grp", "bucket")
+  }
+
   def gainsReport(df: DataFrame, scoreCol: Column, labelCol: Column,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 10000,

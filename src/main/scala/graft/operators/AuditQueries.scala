@@ -190,6 +190,12 @@ object AuditQueries {
           col("n_chars"), col("lang") === "en", "source")
         .orderBy("grp")),
 
+    // Per-source gains curve for the same pair — a global lift curve
+    // hides a source whose scores don't rank at all.
+    "aud_gains_by_source" -> ((s, d) =>
+      AuditOps.gainsReportBy(t(s, d, "documents"),
+        col("n_chars"), col("lang") === "en", "source", 5)),
+
     // Benford screen on order totals: digit from the decimal string (no
     // libm on data), deviation as the exact ppb cross-multiplication.
     "aud_benford" -> ((s, d) =>
@@ -614,6 +620,38 @@ object AuditQueries {
         |    CAST(CAST(cum_pos AS HUGEINT) * n AS DOUBLE) /
         |      CAST(CAST(cum_n AS HUGEINT) * p AS DOUBLE) END AS lift
         |FROM cm ORDER BY bucket""".stripMargin,
+
+    // per-source gains: the aud_gains construction with every window
+    // partitioned by source (5 buckets — sources are ~1k docs each)
+    "aud_gains_by_source" ->
+      """WITH b AS (SELECT source AS grp, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(y) AS pos
+        |  FROM b GROUP BY grp, s),
+        |c AS (SELECT grp, s, cnt, pos,
+        |    COALESCE(CAST(SUM(cnt) OVER dw AS BIGINT), 0) AS above,
+        |    CAST(SUM(cnt) OVER gw AS BIGINT) AS n,
+        |    CAST(SUM(pos) OVER gw AS BIGINT) AS p
+        |  FROM g WINDOW dw AS (PARTITION BY grp ORDER BY s DESC
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                gw AS (PARTITION BY grp)),
+        |d AS (SELECT grp, (above * 5) // n + 1 AS bucket, cnt, pos, n, p FROM c),
+        |bk AS (SELECT grp, bucket, CAST(SUM(cnt) AS BIGINT) AS n_bucket,
+        |    CAST(SUM(pos) AS BIGINT) AS pos_bucket,
+        |    MIN(n) AS n, MIN(p) AS p FROM d GROUP BY grp, bucket),
+        |cm AS (SELECT grp, bucket, n_bucket, pos_bucket, n, p,
+        |    CAST(SUM(n_bucket) OVER cw AS BIGINT) AS cum_n,
+        |    CAST(SUM(pos_bucket) OVER cw AS BIGINT) AS cum_pos
+        |  FROM bk WINDOW cw AS (PARTITION BY grp ORDER BY bucket
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT grp, bucket, n_bucket, pos_bucket, cum_n, cum_pos,
+        |  CASE WHEN p > 0 THEN
+        |    CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) END AS gain,
+        |  CASE WHEN p > 0 THEN
+        |    CAST(CAST(cum_pos AS HUGEINT) * n AS DOUBLE) /
+        |      CAST(CAST(cum_n AS HUGEINT) * p AS DOUBLE) END AS lift
+        |FROM cm ORDER BY grp, bucket""".stripMargin,
 
     // same construction with every window partitioned by source
     "aud_ks_by_source" ->

@@ -376,6 +376,28 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  test("gainsReportBy: per-group curves match the global op group-by-group") {
+    // group A = the global gainsReport quintile example; group B = one
+    // tie-group. Each group's curve must equal gainsReport run on that
+    // group alone (same distinct-score construction, windows partitioned).
+    val a = (1 to 10).map(i => ("A", i.toDouble, i >= 9))
+    val b = (1 to 10).map(i => ("B", 7.0, i <= 3))
+    val df = (a ++ b).toDF("src", "v", "y")
+    val by = AuditOps.gainsReportBy(df, col("v"), col("y"), "src", 5)
+      .collect().groupBy(_.getString(0))
+    for (grp <- Seq("A", "B")) {
+      val solo = AuditOps.gainsReport(df.filter(col("src") === grp),
+        col("v"), col("y"), 5).collect().map(_.toSeq).toSeq
+      val got = by(grp).map(_.toSeq.drop(1)).toSeq
+      assert(got == solo, s"group $grp: $got vs solo $solo")
+    }
+    // NULL group keys dropped
+    val withNull = df.unionAll(Seq((null.asInstanceOf[String], 1.0, true))
+      .toDF("src", "v", "y"))
+    assert(AuditOps.gainsReportBy(withNull, col("v"), col("y"), "src", 5)
+      .count() == by.values.map(_.length).sum)
+  }
+
   test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
     // v0 (control): n=4, conv=1; v1: n=4, conv=3
     // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
