@@ -489,7 +489,35 @@ object ScaleBench {
       "aud_threshold_by_source" -> ((s: SparkSession, d: String, _: Double) =>
         graft.operators.AuditOps.thresholdReportBy(
           s.read.parquet(s"$d/documents.parquet"),
-          col("n_chars"), col("lang") === "en", "source")))
+          col("n_chars"), col("lang") === "en", "source")),
+      // round-9 additions (cont.): gains curves (banded global + the
+      // group-partitioned form — counts-only, bounded outputs), the KMV
+      // set-op pair table (G·k sketch rows regardless of corpus size),
+      // the degree-oriented triangle census (wedge volume is the graph's
+      // own, not the corpus's), and MMR rerank over a FIXED query batch
+      // (pool-bounded pairwise work per query; corpus only pays the
+      // brute-candidate scan)
+      "aud_gains" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.gainsReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          floor(col("value")), col("event_type") === "error")),
+      "aud_gains_by_source" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.gainsReportBy(
+          s.read.parquet(s"$d/documents.parquet"),
+          col("n_chars"), col("lang") === "en", "source", 5)),
+      "q42_kmv_setops" -> ((s: SparkSession, d: String, _: Double) =>
+        SparkEntry.queries("q42_kmv_setops")(s, d)),
+      "dd_triangles" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.GraphOps.triangleStats(
+          DedupOps.minhashPairs(s.read.parquet(s"$d/documents.parquet")))),
+      "knn_mmr" -> ((s: SparkSession, d: String, _: Double) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        SimilarityOps.mmrTopK(e,
+          e.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 4, pool = 10)
+      }))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")

@@ -56,4 +56,42 @@ class CorpusSinkSpec extends SparkTestBase {
     assert(dup.keySet == good.keySet)
     dup.foreach { case (s, (n, _)) => assert(n == 2 * good(s)._1) }
   }
+
+  test("readJsonl: round-trip, corrupt-line and missing-required quarantine") {
+    import graft.sources.CorpusSource
+    import org.apache.spark.sql.types._
+    val docs = graft.operators.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang").limit(50)
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    CorpusSource.writeJsonl(docs.repartition(1), out)
+    // tamper: a malformed line, a blank line, and a parsed-but-unusable
+    // record (null doc_id) appended to the shard set
+    val extra = java.nio.file.Paths.get(out, "part-extra.txt")
+    java.nio.file.Files.write(extra,
+      java.util.Arrays.asList(
+        """{"doc_id": 999, "text": "truncat""",
+        "",
+        """{"doc_id": null, "text": "no id", "lang": "en"}"""))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val r = CorpusSource.readJsonl(spark, out, schema, required = Seq("doc_id"))
+    // good rows: the 50 originals, content identical (blank line dropped)
+    assert(r.good.count() == 50)
+    val gotTexts = r.good.select("doc_id", "text", "lang").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).sortBy(_._1).toSeq
+    val want = docs.collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).sortBy(_._1).toSeq
+    assert(gotTexts == want)
+    assert(r.good.columns.contains("source_file"))
+    // quarantine: exactly the two rejects, with the right reasons
+    val q = r.quarantine.collect()
+      .map(x => x.getString(2) -> x.getString(0)).toMap
+    assert(q.size == 2, q.toString)
+    assert(q("malformed_json").startsWith("""{"doc_id": 999"""))
+    assert(q("missing_required").contains("no id"))
+    // contract violations fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      CorpusSource.readJsonl(spark, out, schema, required = Seq("nope"))
+    }
+  }
 }
