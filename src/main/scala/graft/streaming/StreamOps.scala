@@ -82,14 +82,31 @@ object StreamOps {
       .withWatermark("etime", "45 minutes"))
 
   /** Per-user session windows (8h inactivity gap): session start + size. */
-  def userSessions(events: DataFrame): DataFrame =
-    graft.operators.OpContract.requireCols(events, "StreamOps.userSessions", "ts", "user_id")
-      .withColumn("etime", eventTime(col("ts")))
+  def userSessions(events: DataFrame): DataFrame = {
+    graft.operators.OpContract.requireCols(events, "StreamOps.userSessions",
+      Seq("user_id") ++
+        (if (events.columns.contains("etime")) Nil else Seq("ts")): _*)
+    val withTime =
+      if (events.columns.contains("etime")) events
+      else events.withColumn("etime", eventTime(col("ts")))
+    withTime
       .groupBy(session_window(col("etime"), "8 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
+  }
+
+  /** Streaming form of [[userSessions]]: watermark + Spark's native
+    * `session_window` state merging — a session row emits when the
+    * watermark passes its close (last event + gap), so state per open
+    * session is one (start, end, count) triple and GC is automatic. The
+    * append-mode row is final: downstream consumers (retention, funnel
+    * denominators) never see a session twice.
+    */
+  def userSessionsStream(events: DataFrame): DataFrame =
+    userSessions(events.withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "1 hour"))
 
   /** Interval join: each error joined to the clicks of the same user in the
     * preceding 30 minutes. In batch this is an oracle-checked range join

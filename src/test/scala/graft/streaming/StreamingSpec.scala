@@ -632,6 +632,36 @@ class StreamingSpec extends SparkTestBase {
       (6L, (0.5 * 3600 * 1e6).toLong, 1L)))
   }
 
+  test("userSessionsStream: closed sessions equal the batch op over the landed slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.userSessionsStream(
+        input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 5: events at 0h and 1h (one session); user 6 at 0.5h
+      input.addData((ns(0.0), 5L), (ns(1.0), 5L), (ns(0.5), 6L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "sessions still open")
+      // an event at 20h lifts the watermark to 19h — past both sessions'
+      // closes (1h+8h=9h, 0.5h+8h=8.5h) -> they emit, final
+      input.addData((ns(20.0), 5L))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batchOverSame = StreamOps.userSessions(
+          Seq((ns(0.0), 5L), (ns(1.0), 5L), (ns(0.5), 6L))
+            .toDF("ts", "user_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(closed == batchOverSame, s"stream $closed vs batch $batchOverSame")
+      // the 20h event's own session is still open (nothing re-emits)
+      assert(closed.size == 2)
+    } finally q.stop()
+  }
+
   test("driftStream: a closed window's verdict equals the batch categoricalDrift bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
