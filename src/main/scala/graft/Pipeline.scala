@@ -129,6 +129,12 @@ object Pipeline {
       // pairs over the exact-deduped corpus are EXACTLY these pairs with
       // both endpoints surviving — a semi join, not a recompute.
       val pairsAll = DedupOps.minhashPairs(corpus).localCheckpoint()
+      // dup-graph shape QA: clique-like clusters are healthy, chain-like
+      // ones over-merge (one pass over the checkpointed pair set)
+      val gqB = GraphOps.triangleStats(pairsAll).collect()(0)
+      println(s"""{"stage":"graph_qa","edges":${gqB.getLong(0)},""" +
+        s""""triangles":${gqB.getLong(1)},"wedges":${gqB.getLong(2)},""" +
+        s""""clustering":${if (gqB.isNullAt(3)) "null" else gqB.getDouble(3)}}""")
       // contamination blast radius, ids only (the plain path's stage 1b)
       val qIds = GraphOps.quarantineSet(pairsAll,
           bench.select("doc_id"), maxHops = 2)
@@ -176,6 +182,11 @@ object Pipeline {
       // both endpoints against the exact-dedup survivors (pairs are
       // pairwise, so the restriction is exact, not an approximation)
       val pairsAll = DedupOps.minhashPairs(raw).localCheckpoint()
+      // dup-graph shape QA (see the bucketed path's note)
+      val gqP = GraphOps.triangleStats(pairsAll).collect()(0)
+      println(s"""{"stage":"graph_qa","edges":${gqP.getLong(0)},""" +
+        s""""triangles":${gqP.getLong(1)},"wedges":${gqP.getLong(2)},""" +
+        s""""clustering":${if (gqP.isNullAt(3)) "null" else gqP.getDouble(3)}}""")
 
       // 1b. contamination blast radius: the benchmark's transitive
       //     near-dups (paraphrase chains) leave with it — the exact anti
