@@ -108,7 +108,10 @@ object Plans {
     "dd_triangles",
     // round 9 (cont. 6): per-source gains — every window partitioned
     // by source, cross-bucket cumulative a per-group <=B×B join
-    "aud_gains_by_source")
+    "aud_gains_by_source",
+    // round 9 (cont. 7): antithetic battery — shuffle-free union of two
+    // codegen'd Range→Projects, exact-integer moment aggregation
+    "sim_walk_antithetic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -159,7 +159,9 @@ trait UniformStream { def next(): Double }
   */
 object Rngs {
   def uniform(familyId: Int, seed: Long, model: Long, sim: Long, step: Long): Double =
-    familyId match {
+    if ((familyId & RngFamily.AntiBit) != 0)
+      1.0 - uniform(familyId & ~RngFamily.AntiBit, seed, model, sim, step)
+    else familyId match {
       case 0 => DeterministicRng.uniform(seed, model, sim, step) // CounterHash
       case 1 => Philox.uniform(seed, model, sim, step)
       case 4 => Pcg64.uniform(seed, model, sim, step)
@@ -173,7 +175,10 @@ object Rngs {
     }
 
   def stream(familyId: Int, seed: Long, model: Long, sim: Long): UniformStream =
-    familyId match {
+    if ((familyId & RngFamily.AntiBit) != 0) {
+      val inner = stream(familyId & ~RngFamily.AntiBit, seed, model, sim)
+      new UniformStream { def next(): Double = 1.0 - inner.next() }
+    } else familyId match {
       case 0 => new UniformStream {
         private var step = 0L
         def next(): Double = {
@@ -244,6 +249,24 @@ object RngFamily {
   case object SFC64       extends RngFamily("SFC64",   998244353L, 2)
   case object MT19937     extends RngFamily("MT19937", 754974721L, 3)
   case object CounterHash extends RngFamily("CounterHash", 0L, 0)
+
+  /** Antithetic-variates flag bit carried INSIDE the family id: a wrapped
+    * family draws the COMPLEMENT stream u' = 1 − u of its inner family at
+    * the same (seed, model, sim, step) counters. Because the flag rides
+    * the id (decoded once in [[Rngs.uniform]]/[[Rngs.stream]]) and the
+    * salt is the inner family's, every kernel, model, SQL function and
+    * tier supports antithetic pairing with ZERO signature changes, and
+    * the twin trace is guaranteed to share its primary's seeds.
+    * u' ∈ (0, 1]: the coin/walk comparisons and the Box-Muller log guard
+    * all tolerate the closed upper end.
+    */
+  val AntiBit: Int = 0x100
+  final case class Antithetic(inner: RngFamily)
+      extends RngFamily(s"Antithetic(${inner.name})", inner.salt,
+        inner.id | AntiBit) {
+    require((inner.id & AntiBit) == 0,
+      "RngFamily.Antithetic: cannot wrap an already-antithetic family")
+  }
 
   val all: Seq[RngFamily] = Seq(PCG64, Philox, SFC64, MT19937, CounterHash)
 

@@ -41,7 +41,36 @@ final class MCBattery(
     */
   def simulate(specs: Seq[SimulationSpec], numPartitions: Option[Int] = None): DataFrame = {
     require(specs.nonEmpty, "at least one simulation spec required")
+    simulateResolved(resolveSeeds(specs), numPartitions, rng)
+  }
+
+  /** Antithetic-variates battery: every simulation is emitted TWICE —
+    * the primary trace and its antithetic twin drawn from the complement
+    * stream u' = 1 − u at the SAME (seed, model, sim, step) counters
+    * (classic MC variance reduction: for a monotone payoff the pair's
+    * estimates are negatively correlated, so the paired-mean estimator's
+    * variance drops below the 2N-independent-path one at equal cost).
+    * Output adds `variant` ('p' | 'a') to the simulate() schema; pair
+    * (model_id, sim_id) across variants to form the paired estimator.
+    *
+    * Seeds are resolved ONCE and shared by both passes — with unseeded
+    * (reference-style fresh-random) batteries the twin would otherwise
+    * draw unrelated seeds and the pairing would silently be noise. The
+    * plan stays a shuffle-free union of two codegen'd Range→Project
+    * passes; the anti pass costs exactly one extra subtraction per draw.
+    */
+  def simulateAntithetic(specs: Seq[SimulationSpec],
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(specs.nonEmpty, "at least one simulation spec required")
     val rs = resolveSeeds(specs)
+    simulateResolved(rs, numPartitions, rng).withColumn("variant", lit("p"))
+      .unionAll(simulateResolved(rs, numPartitions, RngFamily.Antithetic(rng))
+        .withColumn("variant", lit("a")))
+      .select(col("model_id"), col("sim_id"), col("variant"), col("trace"))
+  }
+
+  private def simulateResolved(rs: Seq[SimulationSpec],
+      numPartitions: Option[Int], family: RngFamily): DataFrame = {
     val offsets = rs.map(_.numberSimulations).scanLeft(0L)(_ + _) // len = n+1
     val total = offsets.last
     val parts = numPartitions.getOrElse(
@@ -62,7 +91,7 @@ final class MCBattery(
       val s = rs(i)
       ModelRegistry(s.modelName).traceCol(
         s.numberPoints, s.parameters, s.startingPoint,
-        lit(s.seed), lit(s.modelId.toLong), id - lit(offsets(i)), rng)
+        lit(s.seed), lit(s.modelId.toLong), id - lit(offsets(i)), family)
     }
     base.select(
       modelCol.cast("int").as("model_id"),

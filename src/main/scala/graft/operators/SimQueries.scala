@@ -104,6 +104,41 @@ object SimQueries {
           count(lit(1)).as("n_sims"))
         .orderBy(col("model_id"))
     }),
+    // Antithetic-variates battery: each walk paired with its complement-
+    // stream twin; the paired-estimator variance ratio Var(pairsum)/
+    // (2·Var(x)) < 1 IS the variance-reduction claim, computed from exact
+    // integer moment sums with ONE division of exact products (the mean is
+    // one more). Fully value-oracled — the twin's uniforms are 1−u at the
+    // same counters, mirrored in SQL.
+    "sim_walk_antithetic" -> ((spark, _) => {
+      import org.apache.spark.sql.types.DataTypes
+      val dec = DataTypes.createDecimalType(38, 0)
+      val fin = new MCBattery(spark, RngFamily.CounterHash)
+        .simulateAntithetic(walkSpecs)
+        .select(col("model_id"), col("sim_id"),
+          element_at(col("trace"), -1).cast("long").as("fin"))
+      val ind = fin.groupBy("model_id").agg(
+        count(lit(1)).cast(dec).as("n2"),
+        sum(col("fin")).cast(dec).as("sx"),
+        sum(col("fin") * col("fin")).cast(dec).as("sx2"))
+      val pr = fin.groupBy("model_id", "sim_id")
+        .agg(sum(col("fin")).as("s"))
+        .groupBy("model_id").agg(
+          count(lit(1)).cast(dec).as("np"),
+          sum(col("s")).cast(dec).as("ss"),
+          sum(col("s") * col("s")).cast(dec).as("ss2"))
+      ind.join(broadcast(pr), Seq("model_id"))
+        .select(col("model_id"),
+          col("np").cast("long").as("n_pairs"),
+          (col("ss").cast("double") / col("n2").cast("double"))
+            .as("avg_final_paired"),
+          when(col("n2") * col("sx2") - col("sx") * col("sx") > 0,
+            (lit(2).cast(dec) * (col("np") * col("ss2") - col("ss") * col("ss")))
+              .cast("double") /
+              (col("n2") * col("sx2") - col("sx") * col("sx")).cast("double"))
+            .as("var_ratio"))
+        .orderBy("model_id")
+    }),
     // Convergence along the trace: per-step H fraction in long format.
     "sim_trace_long" -> ((spark, _) => {
       MCBattery.explodeTraces(new MCBattery(spark, RngFamily.CounterHash).simulate(coinSpecs))
@@ -352,6 +387,36 @@ object SimQueries {
          |  MIN(final_pos) AS min_final, MAX(final_pos) AS max_final,
          |  COUNT(*) AS n_sims
          |FROM fin GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_walk_antithetic" -> {
+      // the twin draws 1−u at the same counters; moment sums are exact
+      // HUGEINTs, the ratio/mean each one division of exact products
+      val uv = s"CASE WHEN v.av = 1 THEN 1.0 - ($u) ELSE ($u) END"
+      val stepv = s"CASE WHEN $uv < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END"
+      s"""WITH fin AS (
+         |  SELECT m.model_id, s.sim_id, v.av,
+         |    CAST(SUM($stepv) AS BIGINT) AS fin
+         |  FROM ${coinValues(walkSpecs)}
+         |  CROSS JOIN (VALUES (0), (1)) AS v(av)
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 23) AS st(step)
+         |  GROUP BY 1, 2, 3),
+         |ind AS (SELECT model_id, CAST(COUNT(*) AS HUGEINT) AS n2,
+         |    CAST(SUM(fin) AS HUGEINT) AS sx,
+         |    CAST(SUM(fin * fin) AS HUGEINT) AS sx2
+         |  FROM fin GROUP BY 1),
+         |prs AS (SELECT model_id, sim_id, SUM(fin) AS s FROM fin GROUP BY 1, 2),
+         |pr AS (SELECT model_id, CAST(COUNT(*) AS HUGEINT) AS np,
+         |    CAST(SUM(s) AS HUGEINT) AS ss,
+         |    CAST(SUM(s * s) AS HUGEINT) AS ss2
+         |  FROM prs GROUP BY 1)
+         |SELECT i.model_id, CAST(p.np AS BIGINT) AS n_pairs,
+         |  CAST(p.ss AS DOUBLE) / CAST(i.n2 AS DOUBLE) AS avg_final_paired,
+         |  CASE WHEN i.n2 * i.sx2 - i.sx * i.sx > 0 THEN
+         |    CAST(2 * (p.np * p.ss2 - p.ss * p.ss) AS DOUBLE) /
+         |      CAST(i.n2 * i.sx2 - i.sx * i.sx AS DOUBLE) END AS var_ratio
+         |FROM ind i JOIN pr p ON p.model_id = i.model_id
+         |ORDER BY i.model_id""".stripMargin
+    },
     "sim_trace_long" ->
       s"""SELECT m.model_id, CAST(st.step AS INTEGER) AS step,
          |  AVG(CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE 0 END) AS h_frac

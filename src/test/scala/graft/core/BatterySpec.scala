@@ -237,6 +237,37 @@ class BatterySpec extends SparkTestBase {
     assert(physical.contains("Range"), physical)
   }
 
+  test("simulateAntithetic: twin shares seeds, bias-.5 walk negates exactly, stream is 1-u") {
+    // complement stream identity at the Rngs level, every family
+    for (f <- RngFamily.all) {
+      val p = Rngs.stream(f.id, 42L, 1L, 2L)
+      val a = Rngs.stream(f.id | RngFamily.AntiBit, 42L, 1L, 2L)
+      (0 until 16).foreach { _ =>
+        assert(a.next() == 1.0 - p.next(), f.name)
+      }
+    }
+    // battery pairing: a bias-0.5 walk's antithetic twin takes the exact
+    // mirrored step at every draw -> final position negates, sim by sim.
+    // Seeds come from a masterSeed (auto sentinel 0) — the pairing only
+    // holds because both passes resolve seeds ONCE.
+    val b = new MCBattery(spark, RngFamily.CounterHash, masterSeed = Some(5L))
+    val specs = Seq(SimulationSpec(0, "random_walk", 50, 16, Seq(0.5), Nil, 0))
+    val fin = b.simulateAntithetic(specs)
+      .select(org.apache.spark.sql.functions.col("sim_id"),
+        org.apache.spark.sql.functions.col("variant"),
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("trace"), -1).cast("long").as("f"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fin.size == 100, "50 sims x 2 variants")
+    (0 until 50).foreach { s =>
+      assert(fin((s.toLong, "a")) == -fin((s.toLong, "p")), s"sim $s")
+    }
+    // double-wrapping is a hard error
+    intercept[IllegalArgumentException] {
+      RngFamily.Antithetic(RngFamily.Antithetic(RngFamily.PCG64))
+    }
+  }
+
   test("reference CSV sink: one file per model, one row per sim, overwrite on rerun") {
     val tmp = Files.createTempDirectory("graft-csv")
     val specs = Seq(
