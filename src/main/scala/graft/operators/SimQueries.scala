@@ -307,6 +307,51 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // Control variates — the second classic variance-reduction member
+    // (sim_walk_antithetic is the first): estimate E[drawdown] with the
+    // final position as control (its mean is EXACTLY known: n·(2b−1)).
+    // Emits the decision quantities, each ONE division of exact integer
+    // moment sums: the sample means, the optimal coefficient
+    // β = Cov(dd,fin)/Var(fin), and the achievable variance ratio
+    // 1 − ρ² = (Vd·Vf − C²)/(Vd·Vf) — the combined point estimate is
+    // deliberately NOT emitted (mean_dd − β·(mean_fin − μ) is an
+    // FMA-contractable a·b±c chain, the repo's cross-engine ulp trap;
+    // callers compose it from the emitted pieces).
+    "sim_walk_cv" -> ((spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DataTypes
+      val dec = DataTypes.createDecimalType(38, 0)
+      val byStep = Window.partitionBy(col("model_id"), col("sim_id")).orderBy(col("step"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pos = MCBattery.explodeTraces(
+          new MCBattery(spark, RngFamily.CounterHash).simulate(walkSpecs))
+        .select(col("model_id"), col("sim_id"), col("step"),
+          col("value").cast("long").as("pos"))
+      val per = pos
+        .withColumn("runmax", max(col("pos")).over(byStep))
+        .groupBy(col("model_id"), col("sim_id"))
+        .agg(max(col("runmax") - col("pos")).as("dd"),
+          max(when(col("step") === lit(23), col("pos"))).as("fin"))
+      val m = per.groupBy("model_id").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("dd")).cast(dec).as("sd"),
+        sum(col("fin")).cast(dec).as("sf"),
+        sum(col("dd") * col("dd")).cast(dec).as("sd2"),
+        sum(col("fin") * col("fin")).cast(dec).as("sf2"),
+        sum(col("dd") * col("fin")).cast(dec).as("sdf"))
+      val vd = m("n") * m("sd2") - m("sd") * m("sd")
+      val vf = m("n") * m("sf2") - m("sf") * m("sf")
+      val cv = m("n") * m("sdf") - m("sd") * m("sf")
+      m.select(col("model_id"), col("n").cast("long").as("n_sims"),
+          (col("sd").cast("double") / col("n").cast("double")).as("mean_dd"),
+          (col("sf").cast("double") / col("n").cast("double")).as("mean_fin"),
+          when(vf > 0, cv.cast("double") / vf.cast("double")).as("beta"),
+          when(vd > 0 && vf > 0,
+            (vd * vf - cv * cv).cast("double") / (vd * vf).cast("double"))
+            .as("var_ratio_cv"))
+        .orderBy("model_id")
+    }),
+
     // Running estimator along the trace: cumulative H fraction per sim
     // (window cumsum over the exploded long format).
     "sim_running_mean" -> ((spark, _) => {
@@ -514,6 +559,42 @@ object SimQueries {
          |SELECT model_id, AVG(drawdown) AS avg_drawdown,
          |  MAX(drawdown) AS max_drawdown, COUNT(*) AS n_sims
          |FROM dd GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_walk_cv" ->
+      s"""WITH pos AS (
+         |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,
+         |    CAST(SUM(CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END)
+         |      OVER (PARTITION BY m.model_id, s.sim_id ORDER BY st.step
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos
+         |  FROM ${coinValues(walkSpecs)}
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 23) AS st(step)),
+         |rm AS (
+         |  SELECT model_id, sim_id, step, pos,
+         |    CAST(MAX(pos) OVER (PARTITION BY model_id, sim_id ORDER BY step
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmax
+         |  FROM pos),
+         |per AS (
+         |  SELECT model_id, sim_id, MAX(runmax - pos) AS dd,
+         |    MAX(CASE WHEN step = 23 THEN pos END) AS fin
+         |  FROM rm GROUP BY model_id, sim_id),
+         |mo AS (SELECT model_id, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(dd) AS HUGEINT) AS sd, CAST(SUM(fin) AS HUGEINT) AS sf,
+         |    CAST(SUM(dd * dd) AS HUGEINT) AS sd2,
+         |    CAST(SUM(fin * fin) AS HUGEINT) AS sf2,
+         |    CAST(SUM(dd * fin) AS HUGEINT) AS sdf
+         |  FROM per GROUP BY model_id)
+         |SELECT model_id, CAST(n AS BIGINT) AS n_sims,
+         |  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_dd,
+         |  CAST(sf AS DOUBLE) / CAST(n AS DOUBLE) AS mean_fin,
+         |  CASE WHEN n * sf2 - sf * sf > 0 THEN
+         |    CAST(n * sdf - sd * sf AS DOUBLE) /
+         |      CAST(n * sf2 - sf * sf AS DOUBLE) END AS beta,
+         |  CASE WHEN n * sd2 - sd * sd > 0 AND n * sf2 - sf * sf > 0 THEN
+         |    CAST((n * sd2 - sd * sd) * (n * sf2 - sf * sf)
+         |        - (n * sdf - sd * sf) * (n * sdf - sd * sf) AS DOUBLE) /
+         |      CAST((n * sd2 - sd * sd) * (n * sf2 - sf * sf) AS DOUBLE)
+         |  END AS var_ratio_cv
+         |FROM mo ORDER BY model_id""".stripMargin,
     "sim_running_mean" ->
       s"""WITH flips AS (
          |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,
