@@ -352,6 +352,53 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // Importance sampling — the third variance-reduction member: the
+    // rare event P(final ≥ 16) of the fair 24-step walk (true p ≈ 7.7e-4
+    // — a 1000-path naive battery usually sees 0-2 hits) estimated from
+    // a bias-0.75 proposal with EXACT likelihood ratios: under 0.5→0.75,
+    // L = (2/3)^u · 2^(n−u) = 2^n / 3^u with u = (fin+n)/2 the up-step
+    // count, an exact rational whose scaled numerator 3^(n−u) ≤ 81 on
+    // hit paths (u ≥ 20) — so every moment sum is a small exact integer
+    // and p̂_IS and the IS/naive variance ratio are each ONE division of
+    // exact integer products. No other engine competency makes the IS
+    // estimator itself value-oracle-able like the counter RNG does.
+    "sim_walk_importance" -> ((spark, _) => {
+      import org.apache.spark.sql.types.DataTypes
+      val dec = DataTypes.createDecimalType(38, 0)
+      val T = 16
+      val naiveSpec = Seq(SimulationSpec(0, "random_walk", 1000, 24, Seq(0.5), Nil, 7))
+      val isSpec = Seq(SimulationSpec(1, "random_walk", 1000, 24, Seq(0.75), Nil, 9))
+      val b = new MCBattery(spark, RngFamily.CounterHash)
+      def fins(specs: Seq[SimulationSpec]) = b.simulate(specs)
+        .select(element_at(col("trace"), -1).cast("long").as("fin"))
+      val pow3 = array(lit(1L), lit(3L), lit(9L), lit(27L), lit(81L))
+      val nv = fins(naiveSpec)
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(when(col("fin") >= T, 1L).otherwise(0L)).cast(dec).as("hits_naive"))
+      val isw = fins(isSpec)
+        .select(expr("(fin + 24) div 2").as("u"))
+        .select(when(col("u") >= 20L,
+          element_at(pow3, (lit(25L) - col("u")).cast("int"))).otherwise(lit(0L)).as("w"))
+        .agg(sum(when(col("w") > 0, 1L).otherwise(0L)).as("hits_is"),
+          sum(col("w")).cast(dec).as("sw"),
+          sum(col("w") * col("w")).cast(dec).as("sw2"))
+      val p2_24 = lit(1L << 24).cast(dec)         // 2^24
+      val p2_48 = lit(1L << 48).cast(dec)         // 2^48
+      val p3_24 = lit(282429536481L).cast(dec)    // 3^24
+      val p3_48 = (lit(282429536481L).cast(dec) * lit(282429536481L)).cast(dec) // 3^48
+      nv.crossJoin(broadcast(isw))
+        .select(col("n").cast("long").as("n_sims"),
+          col("hits_naive").cast("long").as("n_hits_naive"),
+          col("hits_is").as("n_hits_is"),
+          (col("hits_naive").cast("double") / col("n").cast("double")).as("p_naive"),
+          ((p2_24 * col("sw")).cast("double") /
+            (col("n") * p3_24).cast("double")).as("p_is"),
+          when(col("n") * col("hits_naive") - col("hits_naive") * col("hits_naive") > 0,
+            ((col("n") * col("sw2") - col("sw") * col("sw")) * p2_48).cast("double") /
+              ((col("n") * col("hits_naive") - col("hits_naive") * col("hits_naive")) * p3_48)
+                .cast("double")).as("var_ratio_is"))
+    }),
+
     // Running estimator along the trace: cumulative H fraction per sim
     // (window cumsum over the exploded long format).
     "sim_running_mean" -> ((spark, _) => {
@@ -559,6 +606,40 @@ object SimQueries {
          |SELECT model_id, AVG(drawdown) AS avg_drawdown,
          |  MAX(drawdown) AS max_drawdown, COUNT(*) AS n_sims
          |FROM dd GROUP BY model_id ORDER BY model_id""".stripMargin,
+    "sim_walk_importance" -> {
+      // two pinned batteries (naive seed 7 bias .5; proposal seed 9 bias
+      // .75); weights from the exact 3^(24-u) lookup on hit paths only
+      s"""WITH fin AS (
+         |  SELECT m.model_id, s.sim_id,
+         |    CAST(SUM(CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS fin
+         |  FROM (VALUES (0, 0.5, 7), (1, 0.75, 9)) AS m(model_id, bias, seed)
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 23) AS st(step)
+         |  GROUP BY 1, 2),
+         |nv AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(CASE WHEN fin >= 16 THEN 1 ELSE 0 END) AS HUGEINT) AS h
+         |  FROM fin WHERE model_id = 0),
+         |ws AS (SELECT CASE WHEN (fin + 24) // 2 >= 20 THEN
+         |      ([1, 3, 9, 27, 81])[CAST(25 - (fin + 24) // 2 AS INTEGER)]
+         |    ELSE 0 END AS w
+         |  FROM fin WHERE model_id = 1),
+         |iw AS (SELECT CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_is,
+         |    CAST(SUM(w) AS HUGEINT) AS sw,
+         |    CAST(SUM(w * w) AS HUGEINT) AS sw2 FROM ws)
+         |SELECT CAST(nv.n AS BIGINT) AS n_sims,
+         |  CAST(nv.h AS BIGINT) AS n_hits_naive,
+         |  iw.hits_is AS n_hits_is,
+         |  CAST(nv.h AS DOUBLE) / CAST(nv.n AS DOUBLE) AS p_naive,
+         |  CAST(16777216 * iw.sw AS DOUBLE) /
+         |    CAST(nv.n * 282429536481 AS DOUBLE) AS p_is,
+         |  CASE WHEN nv.n * nv.h - nv.h * nv.h > 0 THEN
+         |    CAST((nv.n * iw.sw2 - iw.sw * iw.sw) * 281474976710656 AS DOUBLE) /
+         |      CAST((nv.n * nv.h - nv.h * nv.h) *
+         |        (CAST(282429536481 AS HUGEINT) * 282429536481) AS DOUBLE)
+         |  END AS var_ratio_is
+         |FROM nv, iw""".stripMargin
+    },
     "sim_walk_cv" ->
       s"""WITH pos AS (
          |  SELECT m.model_id, s.sim_id, CAST(st.step AS INTEGER) AS step,
