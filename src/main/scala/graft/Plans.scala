@@ -111,7 +111,10 @@ object Plans {
     "aud_gains_by_source",
     // round 9 (cont. 7): antithetic battery — shuffle-free union of two
     // codegen'd Range→Projects, exact-integer moment aggregation
-    "sim_walk_antithetic")
+    "sim_walk_antithetic",
+    // round 9 (cont. 8): importance sampling — two Range batteries to
+    // two 1-row moment aggregates, one broadcast stitch
+    "sim_walk_importance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
