@@ -399,6 +399,48 @@ object SimQueries {
                 .cast("double")).as("var_ratio_is"))
     }),
 
+    // Stratified sampling — the fourth variance-reduction member:
+    // estimate p = P(u < b) with systematic strata u_i = (i + v_i)/N
+    // (every stratum sampled exactly once; only the boundary stratum
+    // contributes variance, so Var drops ~N× vs naive). Measured across
+    // R replicates against a naive battery of the same budget: per-
+    // replicate hit counts are EXACT INTEGERS, so the cross-replicate
+    // variance ratio is ONE division of exact integer products and the
+    // whole readout value-oracles. The only FP on the stratified path is
+    // the single correctly-rounded add i + v and its compare — mirrored
+    // op-for-op in the oracle.
+    "sim_coin_stratified" -> ((spark, _) => {
+      import org.apache.spark.sql.types.DataTypes
+      val dec = DataTypes.createDecimalType(38, 0)
+      val R = 200L; val N = 100L; val bn = 30.55 // bias·N (b = 0.3055)
+      val gid = spark.range(0, R * N)
+      def hitsOf(seed: Long, stratified: Boolean) = {
+        val v = DeterministicRng.uniformCol(lit(seed), lit(0L), col("id"), lit(0L))
+        val hit = if (stratified) (col("id") % N).cast("double") + v < lit(bn)
+          else v < lit(0.3055) // plain draw vs the bias literal, zero FP ops
+        gid.select(expr(s"id div $N").as("r"),
+            when(hit, 1L).otherwise(0L).as("y"))
+          .groupBy("r").agg(sum(col("y")).as("h"))
+          .agg(count(lit(1)).cast(dec).as("rr"),
+            sum(col("h")).cast(dec).as("sh"),
+            sum(col("h") * col("h")).cast(dec).as("sh2"))
+      }
+      val st = hitsOf(77L, stratified = true)
+      val nv = hitsOf(78L, stratified = false)
+        .select(col("rr").as("nrr"), col("sh").as("nsh"), col("sh2").as("nsh2"))
+      st.crossJoin(broadcast(nv))
+        .select(col("rr").cast("long").as("r_replicates"),
+          lit(N).as("n_per_replicate"),
+          (col("sh").cast("double") / (col("rr") * lit(N).cast(dec)).cast("double"))
+            .as("p_strat"),
+          (col("nsh").cast("double") / (col("nrr") * lit(N).cast(dec)).cast("double"))
+            .as("p_naive"),
+          when(col("nrr") * col("nsh2") - col("nsh") * col("nsh") > 0,
+            (col("rr") * col("sh2") - col("sh") * col("sh")).cast("double") /
+              (col("nrr") * col("nsh2") - col("nsh") * col("nsh")).cast("double"))
+            .as("var_ratio_strat"))
+    }),
+
     // Running estimator along the trace: cumulative H fraction per sim
     // (window cumsum over the exploded long format).
     "sim_running_mean" -> ((spark, _) => {
@@ -639,6 +681,31 @@ object SimQueries {
          |        (CAST(282429536481 AS HUGEINT) * 282429536481) AS DOUBLE)
          |  END AS var_ratio_is
          |FROM nv, iw""".stripMargin
+    },
+    "sim_coin_stratified" -> {
+      val us = uniformSql("77", "0", "g.gid", "0")
+      val un = uniformSql("78", "0", "g.gid", "0")
+      s"""WITH g AS (SELECT gid FROM generate_series(0, 19999) AS t(gid)),
+         |sh AS (SELECT gid // 100 AS r,
+         |    CASE WHEN CAST(gid % 100 AS DOUBLE) + $us < 30.55
+         |      THEN 1 ELSE 0 END AS y FROM g),
+         |nh AS (SELECT gid // 100 AS r,
+         |    CASE WHEN $un < 0.3055 THEN 1 ELSE 0 END AS y FROM g),
+         |sm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS rr,
+         |    CAST(SUM(h) AS HUGEINT) AS sh, CAST(SUM(h * h) AS HUGEINT) AS sh2
+         |  FROM (SELECT r, SUM(y) AS h FROM sh GROUP BY r)),
+         |nm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nrr,
+         |    CAST(SUM(h) AS HUGEINT) AS nsh, CAST(SUM(h * h) AS HUGEINT) AS nsh2
+         |  FROM (SELECT r, SUM(y) AS h FROM nh GROUP BY r))
+         |SELECT CAST(sm.rr AS BIGINT) AS r_replicates,
+         |  CAST(100 AS BIGINT) AS n_per_replicate,
+         |  CAST(sm.sh AS DOUBLE) / CAST(sm.rr * 100 AS DOUBLE) AS p_strat,
+         |  CAST(nm.nsh AS DOUBLE) / CAST(nm.nrr * 100 AS DOUBLE) AS p_naive,
+         |  CASE WHEN nm.nrr * nm.nsh2 - nm.nsh * nm.nsh > 0 THEN
+         |    CAST(sm.rr * sm.sh2 - sm.sh * sm.sh AS DOUBLE) /
+         |      CAST(nm.nrr * nm.nsh2 - nm.nsh * nm.nsh AS DOUBLE)
+         |  END AS var_ratio_strat
+         |FROM sm, nm""".stripMargin
     },
     "sim_walk_cv" ->
       s"""WITH pos AS (
