@@ -517,6 +517,59 @@ object AuditOps {
           (lit(2).cast(dec) * col("no") * col("nn")).cast("double")).as("tvd"))
   }
 
+  /** Per-group [[categoricalDrift]] — the data-card form (one drift panel
+    * per source/domain/shard), completing the per-group family next to
+    * [[aucReportBy]]/[[ksReportBy]]/[[gainsReportBy]]: global drift can
+    * hide one source whose category mix shifted against a stable rest.
+    * Same full-outer per-category count join and exact cross-multiplied
+    * arithmetic, with every aggregation keyed by (group, category) and
+    * the per-group totals/TVD numerators riding ≤\|groups\|-row broadcast
+    * joins. NULL group or category keys are dropped (family convention).
+    * Output: `(grp, cat, o_cnt, n_cnt, o_rate, n_rate, chi2_contrib,
+    * tvd)` — `tvd` is the GROUP's total variation distance, repeated on
+    * its rows (the categoricalDrift convention).
+    */
+  def categoricalDriftBy(oldDf: DataFrame, newDf: DataFrame, catCol: String,
+      groupCol: String): DataFrame = {
+    OpContract.requireCols(oldDf, "AuditOps.categoricalDriftBy old", catCol, groupCol)
+    OpContract.requireCols(newDf, "AuditOps.categoricalDriftBy new", catCol, groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def counts(df: DataFrame, as: String) =
+      df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+        .agg(count(lit(1)).as(as))
+    val j = counts(oldDf, "o_cnt").join(counts(newDf, "n_cnt"),
+        Seq("grp", "cat"), "full_outer")
+      .select(col("grp"), col("cat"),
+        coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
+        coalesce(col("n_cnt"), lit(0L)).cast(dec).as("n_cnt"))
+    val totals = j.groupBy("grp")
+      .agg(sum(col("o_cnt")).as("no"), sum(col("n_cnt")).as("nn"))
+    val withT = j.join(broadcast(totals), Seq("grp"))
+    val tvdNum = withT.groupBy("grp")
+      .agg(sum(abs(col("o_cnt") * col("nn") - col("n_cnt") * col("no"))).as("tvd_num"))
+    val c = col("o_cnt") + col("n_cnt")
+    val bigN = col("no") + col("nn")
+    def sq(x: Column) = x * x
+    withT.join(broadcast(tvdNum), Seq("grp"))
+      .select(col("grp"), col("cat"),
+        col("o_cnt").cast("long").as("o_cnt"),
+        col("n_cnt").cast("long").as("n_cnt"),
+        when(col("no") > 0,
+          col("o_cnt").cast("double") / col("no").cast("double")).as("o_rate"),
+        when(col("nn") > 0,
+          col("n_cnt").cast("double") / col("nn").cast("double")).as("n_rate"),
+        when(col("no") > 0 && col("nn") > 0 && c > 0,
+          sq(bigN * col("o_cnt") - col("no") * c).cast("double") /
+              (bigN * col("no") * c).cast("double") +
+            sq(bigN * col("n_cnt") - col("nn") * c).cast("double") /
+              (bigN * col("nn") * c).cast("double")).as("chi2_contrib"),
+        when(col("no") > 0 && col("nn") > 0,
+          col("tvd_num").cast("double") /
+            (lit(2).cast(dec) * col("no") * col("nn")).cast("double")).as("tvd"))
+      .orderBy("grp", "cat")
+  }
+
   /** Population Stability Index between two corpus snapshots — the
     * industry-standard drift score next to [[categoricalDrift]]'s
     * TVD/chi² (credit-risk monitoring convention: PSI < 0.1 stable,

@@ -104,6 +104,15 @@ object AuditQueries {
         .orderBy("cat")
     }),
 
+    // Per-source drift of the LANGUAGE mix between the same snapshot
+    // pair — global drift can hide one source shifting against a stable
+    // rest (the data-card form next to aud_auc/ks/gains_by_source).
+    "aud_drift_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      AuditOps.categoricalDriftBy(docs, docs.filter(col("doc_id") % 3 =!= 0),
+        "lang", "source")
+    }),
+
     // A/B experiment readout: purchase-rate lift + pooled two-proportion
     // z of user-cohort variants vs the v0 control — all four statistics
     // from exact integer counts (split-fraction z², no a·b±c double
@@ -489,6 +498,45 @@ object AuditQueries {
         |  AS chi2_contrib,
         |  CAST(tv.tvd_num AS DOUBLE) / CAST(2 * t.no * t.nn AS DOUBLE) AS tvd
         |FROM j, t, tv ORDER BY cat""".stripMargin,
+
+    // the aud_drift construction with every count/total keyed by source;
+    // CASE guards mirror the op's degenerate-side NULLs
+    "aud_drift_by_source" ->
+      """WITH o AS (SELECT source AS grp, lang AS cat, COUNT(*) AS o_cnt
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY source, lang),
+        |nw AS (SELECT source AS grp, lang AS cat, COUNT(*) AS n_cnt
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id % 3 <> 0 GROUP BY source, lang),
+        |j AS (SELECT COALESCE(o.grp, nw.grp) AS grp,
+        |    COALESCE(o.cat, nw.cat) AS cat,
+        |    CAST(COALESCE(o.o_cnt, 0) AS HUGEINT) AS o_cnt,
+        |    CAST(COALESCE(nw.n_cnt, 0) AS HUGEINT) AS n_cnt
+        |  FROM o FULL OUTER JOIN nw ON o.grp = nw.grp AND o.cat = nw.cat),
+        |t AS (SELECT grp, CAST(SUM(o_cnt) AS HUGEINT) AS no,
+        |    CAST(SUM(n_cnt) AS HUGEINT) AS nn FROM j GROUP BY grp),
+        |tv AS (SELECT j.grp,
+        |    CAST(SUM(abs(j.o_cnt * t.nn - j.n_cnt * t.no)) AS HUGEINT) AS tvd_num
+        |  FROM j JOIN t ON t.grp = j.grp GROUP BY j.grp)
+        |SELECT j.grp, j.cat, CAST(j.o_cnt AS BIGINT) AS o_cnt,
+        |  CAST(j.n_cnt AS BIGINT) AS n_cnt,
+        |  CASE WHEN t.no > 0 THEN
+        |    CAST(j.o_cnt AS DOUBLE) / CAST(t.no AS DOUBLE) END AS o_rate,
+        |  CASE WHEN t.nn > 0 THEN
+        |    CAST(j.n_cnt AS DOUBLE) / CAST(t.nn AS DOUBLE) END AS n_rate,
+        |  CASE WHEN t.no > 0 AND t.nn > 0 AND j.o_cnt + j.n_cnt > 0 THEN
+        |    CAST(((t.no + t.nn) * j.o_cnt - t.no * (j.o_cnt + j.n_cnt))
+        |        * ((t.no + t.nn) * j.o_cnt - t.no * (j.o_cnt + j.n_cnt)) AS DOUBLE)
+        |      / CAST((t.no + t.nn) * t.no * (j.o_cnt + j.n_cnt) AS DOUBLE)
+        |    + CAST(((t.no + t.nn) * j.n_cnt - t.nn * (j.o_cnt + j.n_cnt))
+        |        * ((t.no + t.nn) * j.n_cnt - t.nn * (j.o_cnt + j.n_cnt)) AS DOUBLE)
+        |      / CAST((t.no + t.nn) * t.nn * (j.o_cnt + j.n_cnt) AS DOUBLE)
+        |  END AS chi2_contrib,
+        |  CASE WHEN t.no > 0 AND t.nn > 0 THEN
+        |    CAST(tv.tvd_num AS DOUBLE) / CAST(2 * t.no * t.nn AS DOUBLE)
+        |  END AS tvd
+        |FROM j JOIN t ON t.grp = j.grp JOIN tv ON tv.grp = j.grp
+        |ORDER BY j.grp, j.cat""".stripMargin,
 
     // same construction with the window partitioned by source; the NULL
     // branch mirrors the op's one-class guard
