@@ -631,6 +631,61 @@ object AuditOps {
           (col("no") * col("nn")).cast("double")).as("psi"))
   }
 
+  /** Per-group [[psiReport]] — the data-card form (one PSI per source/
+    * domain/shard), the last per-group member of the audit panel: the
+    * same exact-integer cross-multiplication with ln confined to
+    * ln(integer) rounded once into DECIMAL(12,7), every aggregation
+    * keyed by (group, category), and per-group totals/PSI numerators on
+    * ≤\|groups\|-row broadcast joins. NULL group/category keys dropped.
+    * Output: `(grp, cat, o_cnt, n_cnt, o_rate, n_rate, psi_term, psi)` —
+    * `psi` is the GROUP total, repeated on its rows; zero-count
+    * categories carry NULL psi_term and are excluded from the total
+    * (the psiReport convention — the emitted psi is the partial sum
+    * over two-sided categories).
+    */
+  def psiReportBy(oldDf: DataFrame, newDf: DataFrame, catCol: String,
+      groupCol: String): DataFrame = {
+    OpContract.requireCols(oldDf, "AuditOps.psiReportBy old", catCol, groupCol)
+    OpContract.requireCols(newDf, "AuditOps.psiReportBy new", catCol, groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dec7 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 7)
+    val dec20 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0)
+    def counts(df: DataFrame, as: String) =
+      df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+        .agg(count(lit(1)).as(as))
+    val j = counts(oldDf, "o_cnt").join(counts(newDf, "n_cnt"),
+        Seq("grp", "cat"), "full_outer")
+      .select(col("grp"), col("cat"),
+        coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
+        coalesce(col("n_cnt"), lit(0L)).cast(dec).as("n_cnt"))
+    val totals = j.groupBy("grp")
+      .agg(sum(col("o_cnt")).as("no"), sum(col("n_cnt")).as("nn"))
+    def l7(x: Column) = round(log(x.cast("double")), 7).cast(dec7)
+    val withT = j.join(broadcast(totals), Seq("grp"))
+      .withColumn("num",
+        (col("o_cnt") * col("nn") - col("n_cnt") * col("no")).cast(dec20))
+      .withColumn("dl", when(col("o_cnt") > 0 && col("n_cnt") > 0,
+        l7(col("o_cnt") * col("nn")) - l7(col("n_cnt") * col("no"))))
+      .withColumn("tnum", col("num") * col("dl"))
+    val tot = withT.groupBy("grp").agg(sum(col("tnum")).as("psi_num"))
+    withT.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("cat"),
+        col("o_cnt").cast("long").as("o_cnt"),
+        col("n_cnt").cast("long").as("n_cnt"),
+        when(col("no") > 0,
+          col("o_cnt").cast("double") / col("no").cast("double")).as("o_rate"),
+        when(col("nn") > 0,
+          col("n_cnt").cast("double") / col("nn").cast("double")).as("n_rate"),
+        when(col("no") > 0 && col("nn") > 0,
+          col("tnum").cast("double") /
+            (col("no") * col("nn")).cast("double")).as("psi_term"),
+        when(col("no") > 0 && col("nn") > 0,
+          col("psi_num").cast("double") /
+            (col("no") * col("nn")).cast("double")).as("psi"))
+      .orderBy("grp", "cat")
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

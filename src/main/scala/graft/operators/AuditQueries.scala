@@ -132,6 +132,14 @@ object AuditQueries {
         .orderBy("cat")
     }),
 
+    // Per-source PSI of the language mix — the last per-group member of
+    // the audit data-card panel.
+    "aud_psi_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      AuditOps.psiReportBy(docs, docs.filter(col("doc_id") % 3 =!= 0),
+        "lang", "source")
+    }),
+
     // Source concentration: exact all-pairs |Δcount| over the bounded
     // per-source count table, one division — the mixture-rebalance grade.
     "aud_gini" -> ((s, d) =>
@@ -843,6 +851,45 @@ object AuditQueries {
         |  CAST(w2.tnum AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi_term,
         |  CAST(tt.psi_num AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi
         |FROM w2, tt ORDER BY cat""".stripMargin,
+
+    // the aud_psi construction keyed by (source, lang); CASE guards
+    // mirror the op's degenerate-side NULLs
+    "aud_psi_by_source" ->
+      """WITH o AS (SELECT source AS grp, lang AS cat, COUNT(*) AS o_cnt
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY source, lang),
+        |nw AS (SELECT source AS grp, lang AS cat, COUNT(*) AS n_cnt
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id % 3 <> 0 GROUP BY source, lang),
+        |j AS (SELECT COALESCE(o.grp, nw.grp) AS grp,
+        |    COALESCE(o.cat, nw.cat) AS cat,
+        |    CAST(COALESCE(o.o_cnt, 0) AS HUGEINT) AS o_cnt,
+        |    CAST(COALESCE(nw.n_cnt, 0) AS HUGEINT) AS n_cnt
+        |  FROM o FULL OUTER JOIN nw ON o.grp = nw.grp AND o.cat = nw.cat),
+        |t AS (SELECT grp, CAST(SUM(o_cnt) AS HUGEINT) AS no,
+        |    CAST(SUM(n_cnt) AS HUGEINT) AS nn FROM j GROUP BY grp),
+        |w AS (SELECT j.grp, j.cat, j.o_cnt, j.n_cnt, t.no, t.nn,
+        |    CAST(j.o_cnt * t.nn - j.n_cnt * t.no AS DECIMAL(20, 0)) AS num,
+        |    CASE WHEN j.o_cnt > 0 AND j.n_cnt > 0 THEN
+        |      CAST(round(ln(CAST(j.o_cnt * t.nn AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |      - CAST(round(ln(CAST(j.n_cnt * t.no AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |    END AS dl
+        |  FROM j JOIN t ON t.grp = j.grp),
+        |w2 AS (SELECT *, num * dl AS tnum FROM w),
+        |tt AS (SELECT grp, SUM(tnum) AS psi_num FROM w2 GROUP BY grp)
+        |SELECT w2.grp, w2.cat, CAST(w2.o_cnt AS BIGINT) AS o_cnt,
+        |  CAST(w2.n_cnt AS BIGINT) AS n_cnt,
+        |  CASE WHEN w2.no > 0 THEN
+        |    CAST(w2.o_cnt AS DOUBLE) / CAST(w2.no AS DOUBLE) END AS o_rate,
+        |  CASE WHEN w2.nn > 0 THEN
+        |    CAST(w2.n_cnt AS DOUBLE) / CAST(w2.nn AS DOUBLE) END AS n_rate,
+        |  CASE WHEN w2.no > 0 AND w2.nn > 0 THEN
+        |    CAST(w2.tnum AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE)
+        |  END AS psi_term,
+        |  CASE WHEN w2.no > 0 AND w2.nn > 0 THEN
+        |    CAST(tt.psi_num AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE)
+        |  END AS psi
+        |FROM w2 JOIN tt ON tt.grp = w2.grp ORDER BY w2.grp, w2.cat""".stripMargin,
 
     // exact integer all-pairs |Δcount| numerator over the bounded count
     // table; one division by 2·K·N

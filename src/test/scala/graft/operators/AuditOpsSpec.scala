@@ -420,6 +420,22 @@ class AuditOpsSpec extends SparkTestBase {
       by.values.map(_.length).sum)
   }
 
+  test("psiReportBy: per-group panels match the global op group-by-group") {
+    val oldDf = Seq(("A", "en"), ("A", "en"), ("A", "de"), ("B", "en"), ("B", "fr"))
+      .toDF("src", "lang")
+    val newDf = Seq(("A", "en"), ("A", "de"), ("A", "de"), ("B", "fr"), ("B", "fr"))
+      .toDF("src", "lang")
+    val by = AuditOps.psiReportBy(oldDf, newDf, "lang", "src")
+      .collect().groupBy(_.getString(0))
+    for (grp <- Seq("A", "B")) {
+      val solo = AuditOps.psiReport(
+          oldDf.filter(col("src") === grp), newDf.filter(col("src") === grp), "lang")
+        .orderBy("cat").collect().map(_.toSeq).toSeq
+      val got = by(grp).sortBy(_.getString(1)).map(_.toSeq.drop(1)).toSeq
+      assert(got == solo, s"group $grp: $got vs solo $solo")
+    }
+  }
+
   test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
     // v0 (control): n=4, conv=1; v1: n=4, conv=3
     // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
