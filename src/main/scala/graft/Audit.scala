@@ -149,6 +149,21 @@ object Audit {
           s""""cut":${r.getDouble(1)},"tp":${r.getLong(2)},"fp":${r.getLong(3)},""" +
           s""""fn":${r.getLong(4)},"f1":${r.getDouble(7)}}""")
       }
+    // per-source language-mix drift + stability vs the thinned snapshot
+    // (one TVD / one PSI row per source — the drift wing of the panel)
+    val thinned = docs.filter(col("doc_id") % 3 =!= 0)
+    AuditOps.categoricalDriftBy(docs, thinned, "lang", "source")
+      .groupBy("grp").agg(min(col("tvd")).as("tvd"))
+      .orderBy("grp").collect().foreach { r =>
+        println(s"""{"detector":"drift_by_source","source":"${r.getString(0)}",""" +
+          s""""tvd":${if (r.isNullAt(1)) "null" else r.getDouble(1)}}""")
+      }
+    AuditOps.psiReportBy(docs, thinned, "lang", "source")
+      .groupBy("grp").agg(min(col("psi")).as("psi"))
+      .orderBy("grp").collect().foreach { r =>
+        println(s"""{"detector":"psi_by_source","source":"${r.getString(0)}",""" +
+          s""""psi":${if (r.isNullAt(1)) "null" else r.getDouble(1)}}""")
+      }
     // source-concentration grade for the mixture rebalance (r9)
     val gini = AuditOps.giniReport(docs, "source").collect()(0)
     println(s"""{"detector":"gini","categories":${gini.getLong(0)},""" +
