@@ -114,7 +114,10 @@ object Plans {
     "sim_walk_antithetic",
     // round 9 (cont. 8): importance sampling — two Range batteries to
     // two 1-row moment aggregates, one broadcast stitch
-    "sim_walk_importance")
+    "sim_walk_importance",
+    // round 9 (cont. 9): per-source drift/PSI — (group, category)-keyed
+    // counts, per-group totals on broadcast joins
+    "aud_drift_by_source", "aud_psi_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -41,6 +41,35 @@ class AuditPropertiesSpec extends SparkTestBase {
     }, "auc-vs-brute", trials = 30)
   }
 
+  test("gainsReport invariants: partition of N, monotone cumulatives, brute gains") {
+    check(Prop.forAll(rowsGen, Gen.chooseNum(2, 6)) { (rows, b) =>
+      val df = rows.toDF("s", "y")
+      val rs = AuditOps.gainsReport(df, col("s"), col("y"), b)
+        .collect().sortBy(_.getLong(0))
+      val n = rows.size.toLong
+      val p = rows.count(_._2).toLong
+      // buckets partition the rows; cumulatives are monotone and end at
+      // (N, P); gain of the last bucket is 1 when P > 0
+      val partition = rs.map(_.getLong(1)).sum == n &&
+        rs.map(_.getLong(2)).sum == p
+      val cums = rs.map(r => (r.getLong(3), r.getLong(4)))
+      val monotone = cums.zip(cums.drop(1)).forall { case ((a, c), (b2, d)) =>
+        a < b2 && c <= d }
+      val ends = cums.last == ((n, p))
+      // brute check: every bucket's cum cut lands on a tie-group boundary
+      // (whole groups per bucket), so taking cum_n rows from the sorted
+      // top yields exactly the bucket's rows regardless of within-tie
+      // order — cum_pos must equal the brute positive count there
+      val sorted = rows.sortBy(-_._1)
+      val brute = rs.forall { r =>
+        val k = r.getLong(3).toInt // cum_n rows from the top
+        r.getLong(4) == sorted.take(k).count(_._2).toLong
+      }
+      val gainOk = p == 0 || rs.last.getDouble(5) == 1.0
+      partition && monotone && ends && brute && gainOk
+    }, "gains-invariants", trials = 25)
+  }
+
   test("outlierReport flags exactly the brute-force |x-mean|>z*sigma set") {
     val vg = Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)).suchThat(_.size >= 2)
     check(Prop.forAll(vg, Gen.chooseNum(1, 3)) { (xs, z) =>
