@@ -517,6 +517,18 @@ object ScaleBench {
           e.filter(col("vec_id") < 50)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
           k = 4, pool = 10)
+      }),
+      // round-9 final wave: per-source drift/PSI — counts-only, bounded
+      // (sources × langs) outputs; cost is the two snapshot scans
+      "aud_drift_by_source" -> ((s: SparkSession, d: String, _: Double) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        graft.operators.AuditOps.categoricalDriftBy(docs,
+          docs.filter(col("doc_id") % 3 =!= 0), "lang", "source")
+      }),
+      "aud_psi_by_source" -> ((s: SparkSession, d: String, _: Double) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        graft.operators.AuditOps.psiReportBy(docs,
+          docs.filter(col("doc_id") % 3 =!= 0), "lang", "source")
       }))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
