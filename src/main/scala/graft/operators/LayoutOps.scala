@@ -124,4 +124,30 @@ object LayoutOps {
         .sortWithinPartitions(sortBy: _*)
     laid.write.mode("overwrite").parquet(outDir)
   }
+
+  /** Parquet write with IN-FLIGHT metrics via Spark's `Observation` API:
+    * the row count, per-key-column null count, and min/max id ride the
+    * SAME pass that writes the files — no second scan. This is the
+    * zero-cost half of write certification; [[graft.sources.CorpusSink
+    * .manifest]] remains the read-back half (it certifies the BYTES ON
+    * DISK and costs a scan; this certifies what the writing job streamed
+    * out and costs nothing). At 100 TB a daily publish runs this always
+    * and the read-back only on delivery disputes.
+    *
+    * Returns the observed metrics: `n_rows`, `id_nulls`, `id_min`,
+    * `id_max` (min/max NULL on an empty input). Observation metrics are
+    * collected on the driver from task-completion events — exact, not
+    * sampled, and safe at any scale (four longs).
+    */
+  def writeObserved(df: DataFrame, outDir: String,
+      idCol: Column): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(idCol.isNull, 1L).otherwise(0L)).as("id_nulls"),
+        min(idCol).as("id_min"),
+        max(idCol).as("id_max"))
+      .write.mode("overwrite").parquet(outDir)
+    obs.get
+  }
 }

@@ -602,6 +602,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r2(0).getString(1) != r(0).getString(1))
   }
 
+  test("writeObserved: in-flight metrics equal the read-back truth, no second scan") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-observed").toString + "/t"
+    val df = Seq((Option(1L), "a"), (Option(2L), "b"), (Option(3L), "c"),
+      (Option.empty[Long], "d")).toDF("id", "v")
+    val m = LayoutOps.writeObserved(df, out, col("id"))
+    assert(m("n_rows") == 4L && m("id_nulls") == 1L, m.toString)
+    assert(m("id_min") == 1L && m("id_max") == 3L, m.toString)
+    // read-back agrees with the streamed-out metrics
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4 && back.filter(col("id").isNull).count() == 1)
+    // empty input: count 0, min/max NULL — the documented degenerate form
+    val me = LayoutOps.writeObserved(df.filter(lit(false)), out + "2", col("id"))
+    assert(me("n_rows") == 0L && me("id_min") == null, me.toString)
+  }
+
   test("compact: rewrites many small files into the row-bound file count, content-identical") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft-cin").toString + "/t.parquet"
