@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned corpus publishes with ATOMIC snapshot swap and time travel —
+  * the missing lifecycle around the sinks: [[CorpusSink]] writes and
+  * certifies ONE delivery; training pipelines need "publish v(n+1),
+  * readers atomically flip, v(n) stays readable until vacuumed, roll
+  * back = point at v(n) again". The design re-expresses the public
+  * Delta/Iceberg core idea — data files are immutable, commits are a
+  * metadata pointer swap — at the minimal scale this library needs:
+  *
+  * ```
+  * <root>/v=<n>/part-*.parquet      immutable data of version n
+  * <root>/_meta/v=<n>.json          manifest: n_rows + order-independent
+  *                                  XOR id digest (the CorpusSink columns)
+  * <root>/_latest                   ONE file holding the live version id,
+  *                                  replaced by atomic rename
+  * ```
+  *
+  * Readers resolve `_latest` once and then read only `v=<n>/` — a
+  * publish in progress is invisible (its dir isn't pointed at) and a
+  * completed publish is all-or-nothing (rename is atomic on POSIX
+  * filesystems; on object stores swap the pointer in whatever atomic
+  * primitive the store offers — the layout is unchanged). Scale shape:
+  * commit cost is O(1) metadata regardless of data size; time-travel
+  * reads are ordinary parquet scans of an immutable dir, so caching /
+  * bucketing / statistics all keep working.
+  *
+  * Single-writer by design (version allocation scans existing dirs);
+  * concurrent publishers need an external lock — documented, same as
+  * the reference-scale Delta story without a log-coordination service.
+  */
+object SnapshotStore {
+
+  private def metaDir(root: String) = s"$root/_meta"
+  private def dataDir(root: String, v: Long) = s"$root/v=$v"
+  private def pointer(root: String) = java.nio.file.Paths.get(root, "_latest")
+
+  private def existingVersions(root: String): Seq[Long] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Publish `df` as the next version and atomically flip `_latest`.
+    * Order: data dir → manifest → pointer swap; a crash before the swap
+    * leaves an orphan dir (re-publish allocates past it; [[vacuum]]
+    * removes it) and NEVER a reader-visible partial version. Returns the
+    * new version id.
+    */
+  def publish(df: DataFrame, root: String, idCol: Column): Long = {
+    val v = existingVersions(root).lastOption.getOrElse(0L) + 1L
+    df.write.mode("errorifexists").parquet(dataDir(root, v))
+    // manifest certifies the written bytes (read back, the CorpusSink
+    // discipline): count + order-independent XOR digest of the id hash
+    // (native bit_xor aggregate — exact, distributive, 8 bytes of state)
+    val back = df.sparkSession.read.parquet(dataDir(root, v))
+    val m = back.agg(count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(xxhash64(idCol)), lit(0L)).as("digest"))
+      .collect()(0)
+    val metaD = new java.io.File(metaDir(root)); metaD.mkdirs()
+    val meta = s"""{"version":$v,"n_rows":${m.getLong(0)},"digest":${m.getLong(1)}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(metaDir(root), s"v=$v.json"),
+      meta.getBytes("UTF-8"))
+    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.$v")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointer(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** The live version id, or None before the first publish. */
+  def latestVersion(root: String): Option[Long] = {
+    val p = pointer(root)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** Read the live snapshot (resolves `_latest` once at call time). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"SnapshotStore: no published version at $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** Time travel: read a pinned version (must not be vacuumed). */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    spark.read.parquet(dataDir(root, v))
+
+  /** Roll back: atomically point `_latest` at an EXISTING older version
+    * (no data movement — the whole point of immutable version dirs).
+    */
+  def rollback(root: String, v: Long): Unit = {
+    require(existingVersions(root).contains(v),
+      s"SnapshotStore.rollback: version $v does not exist at $root")
+    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.rb$v")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointer(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Version table from the manifests: (version, n_rows, digest). */
+  def versions(spark: SparkSession, root: String): DataFrame = {
+    val d = new java.io.File(metaDir(root))
+    if (!d.exists())
+      return spark.range(0).select(col("id").as("version"),
+        col("id").as("n_rows"), col("id").as("digest"))
+    spark.read.json(d.listFiles().filter(_.getName.endsWith(".json"))
+        .map(_.getPath).toSeq: _*)
+      .select(col("version").cast("long"), col("n_rows").cast("long"),
+        col("digest").cast("long"))
+      .orderBy("version")
+  }
+
+  /** Remove data dirs (and manifests) of all versions EXCEPT the newest
+    * `keep` and the live pointer's target — bounded storage without ever
+    * breaking `read`. Orphan dirs from crashed publishes (newer than the
+    * pointer, never pointed at) count against `keep` like any version.
+    * Returns the removed version ids.
+    */
+  def vacuum(root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"SnapshotStore.vacuum: keep >= 1, got $keep")
+    val live = latestVersion(root)
+    val all = existingVersions(root)
+    val victims = all.dropRight(keep).filterNot(live.contains)
+    victims.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dataDir(root, v)))
+      new java.io.File(metaDir(root), s"v=$v.json").delete()
+    }
+    victims
+  }
+}

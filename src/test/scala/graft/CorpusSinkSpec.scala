@@ -57,6 +57,47 @@ class CorpusSinkSpec extends SparkTestBase {
     dup.foreach { case (s, (n, _)) => assert(n == 2 * good(s)._1) }
   }
 
+  test("SnapshotStore: publish/flip/time-travel/rollback/vacuum lifecycle") {
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/corpus"
+    val docs = graft.operators.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang").limit(100)
+    assert(SnapshotStore.latestVersion(root).isEmpty)
+    intercept[IllegalStateException] { SnapshotStore.read(spark, root) }
+    // v1: full set; v2: a thinned re-publish — the pointer flips, v1
+    // stays readable (time travel), versions() carries the manifests
+    val v1 = SnapshotStore.publish(docs, root, col("doc_id"))
+    val v2 = SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0),
+      root, col("doc_id"))
+    assert(v1 == 1L && v2 == 2L)
+    assert(SnapshotStore.latestVersion(root).contains(2L))
+    assert(SnapshotStore.read(spark, root).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count())
+    assert(SnapshotStore.readVersion(spark, root, 1L).count() == docs.count())
+    val vs = SnapshotStore.versions(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vs(1L) == docs.count() && vs(2L) == SnapshotStore.read(spark, root).count())
+    // rollback is a metadata flip to an existing version
+    SnapshotStore.rollback(root, 1L)
+    assert(SnapshotStore.read(spark, root).count() == docs.count())
+    intercept[IllegalArgumentException] { SnapshotStore.rollback(root, 99L) }
+    // vacuum keeps the newest `keep` AND never the live target: with the
+    // pointer rolled back to v1, vacuum(keep=1) may remove nothing live
+    val removedNow = SnapshotStore.vacuum(root, keep = 1)
+    assert(!removedNow.contains(1L), s"live version vacuumed: $removedNow")
+    assert(SnapshotStore.read(spark, root).count() == docs.count())
+    // flip forward again and vacuum v1 away; reads of latest survive
+    SnapshotStore.rollback(root, 2L)
+    val removed = SnapshotStore.vacuum(root, keep = 1)
+    assert(removed == Seq(1L), removed.toString)
+    assert(SnapshotStore.read(spark, root).count() == vs(2L))
+    // the next publish allocates past the vacuumed ids
+    val v3 = SnapshotStore.publish(docs.limit(10), root, col("doc_id"))
+    assert(v3 == 3L && SnapshotStore.read(spark, root).count() == 10)
+    // no pointer tmp files left behind (atomic-rename discipline)
+    assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("_latest.tmp")))
+  }
+
   test("readJsonl: round-trip, corrupt-line and missing-required quarantine") {
     import graft.sources.CorpusSource
     import org.apache.spark.sql.types._
