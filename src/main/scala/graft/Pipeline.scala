@@ -229,6 +229,12 @@ object Pipeline {
       packs.select("lang", "pack_id").distinct().count()}}""")
     mixed.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus")
     packs.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/packs")
+    // versioned publish: each build lands as an immutable snapshot with
+    // an atomic pointer flip — consumers read the live version, previous
+    // builds stay pinned for rollback until vacuumed
+    val snapV = graft.sources.SnapshotStore.publish(
+      mixed, s"$outDir/snapshots", col("doc_id"))
+    println(s"""{"stage":"snapshot_published","version":$snapV}""")
 
     // 6b. padding-based layout alongside the packed one (encoder-style
     //     dataloaders), plus the release data card per source
