@@ -406,6 +406,25 @@ object StreamOps {
       sink(batchId, graft.operators.DedupOps.minhashPairsAgainst(corpusIndex, batch))
     }
 
+  /** STREAMING versioned publish — each non-empty micro-batch lands as
+    * an immutable [[graft.sources.SnapshotStore]] version with an atomic
+    * pointer flip: the delivery-log shape (every version is one
+    * micro-batch's rows; consumers read the live version or fold the
+    * version table for the full history — [[graft.sources.SnapshotStore
+    * .versions]] carries counts and digests per delivery). Combined with
+    * checkpointing, a replayed micro-batch publishes a NEW version
+    * rather than corrupting an old one — immutability makes at-least-
+    * once delivery auditable instead of silent (the manifest digests of
+    * a duplicate delivery match exactly).
+    */
+  def snapshotPublishStream(docs: DataFrame, root: String,
+      idCol: Column): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      if (!batch.isEmpty) {
+        graft.sources.SnapshotStore.publish(batch, root, idCol); ()
+      }
+    }
+
   /** STATELESS ingest-time classifier scoring — the streaming twin of
     * [[graft.operators.TextOps.scoreLinear]] for the "score documents as
     * they arrive" filter stage. The batch op explodes to (doc, feature)

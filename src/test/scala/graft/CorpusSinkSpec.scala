@@ -98,6 +98,24 @@ class CorpusSinkSpec extends SparkTestBase {
     assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("_latest.tmp")))
   }
 
+  test("SnapshotStore versions feed snapshotDiff: the version-audit composition") {
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString + "/c"
+    val docs = graft.operators.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(60)
+    SnapshotStore.publish(docs.filter(col("doc_id") % 10 =!= 0), root, col("doc_id"))
+    SnapshotStore.publish(docs.filter(col("doc_id") % 13 =!= 0), root, col("doc_id"))
+    val d = graft.operators.DedupOps.snapshotDiff(
+        SnapshotStore.readVersion(spark, root, 1L),
+        SnapshotStore.readVersion(spark, root, 2L))
+      .collect().map(r => r.getString(1) -> r).groupBy(_._1).view.mapValues(_.length).toMap
+    // doc_ids divisible by 10 (absent in v1) appear as added; divisible
+    // by 13 (absent in v2) as removed — exact counts from the carve
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(d.getOrElse("added", 0) == ids.count(i => i % 10 == 0 && i % 13 != 0), d.toString)
+    assert(d.getOrElse("removed", 0) == ids.count(i => i % 13 == 0 && i % 10 != 0), d.toString)
+  }
+
   test("readJsonl: round-trip, corrupt-line and missing-required quarantine") {
     import graft.sources.CorpusSource
     import org.apache.spark.sql.types._

@@ -632,6 +632,31 @@ class StreamingSpec extends SparkTestBase {
       (6L, (0.5 * 3600 * 1e6).toLong, 1L)))
   }
 
+  test("snapshotPublishStream: each micro-batch lands as one immutable version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-snapstream").toString + "/c"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.snapshotPublishStream(
+        input.toDF().toDF("doc_id", "text"), root, col("doc_id"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(SnapshotStore.latestVersion(root).contains(2L))
+      // the live version is the LAST delivery; v1 pinned with its batch
+      assert(SnapshotStore.read(spark, root).collect().map(_.getLong(0)).toSet == Set(3L))
+      assert(SnapshotStore.readVersion(spark, root, 1L)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      val vs = SnapshotStore.versions(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(vs == Map(1L -> 2L, 2L -> 1L), vs.toString)
+    } finally q.stop()
+  }
+
   test("userSessionsStream: closed sessions equal the batch op over the landed slice") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
