@@ -686,6 +686,54 @@ object AuditOps {
       .orderBy("grp", "cat")
   }
 
+  /** k-anonymity / l-diversity release audit (Sweeney '02; Machanavajjhala
+    * '07) — the formal privacy gate next to [[graft.operators.EventOps]]'
+    * pseudonymization: rows grouped by the quasi-identifier columns (the
+    * attributes an attacker can link on); a release is k-anonymous iff
+    * every group holds ≥ k rows, and l-diverse iff every group carries ≥
+    * l distinct sensitive values (k alone still leaks when a small group
+    * is homogeneous in the sensitive attribute). One summary row:
+    * `(n_rows, n_groups, min_group_size, rows_below_k, frac_below_k,
+    * min_l, k_anonymous, l_diverse)`.
+    *
+    * Exactness: every statistic is an exact integer off one aggregation
+    * (`frac_below_k` is ONE division of exact integers); the verdicts are
+    * integer comparisons — engine-identical. NULL quasi values form their
+    * own group (NULL-linked rows are still linkable); NULL sensitive
+    * values don't count toward diversity.
+    *
+    * Scale shape: one map-side-combined aggregation to the quasi-group
+    * table (count + distinct-sensitive per group — the distinct is
+    * per-group, so partial aggregation applies), then a second bounded
+    * aggregation to the single summary row. Nothing driver-side grows
+    * with the data.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, k: Int, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "AuditOps.kAnonymityReport: quasiCols must be non-empty")
+    require(k >= 2 && l >= 1,
+      s"AuditOps.kAnonymityReport: need k >= 2 and l >= 1, got k=$k l=$l")
+    OpContract.requireCols(df, "AuditOps.kAnonymityReport", quasiCols: _*)
+    val g = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(sensitiveCol).as("lv"))
+    g.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("cnt")).as("min_group_size"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).cast("long")
+          .as("rows_below_k"),
+        min(col("lv")).as("min_l"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("rows_below_k"),
+        when(col("n_rows") > 0,
+          col("rows_below_k").cast("double") / col("n_rows").cast("double"))
+          .as("frac_below_k"),
+        col("min_l"),
+        (col("min_group_size") >= k).as("k_anonymous"),
+        (col("min_l") >= l).as("l_diverse"))
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

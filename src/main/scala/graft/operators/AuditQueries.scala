@@ -132,6 +132,16 @@ object AuditQueries {
         .orderBy("cat")
     }),
 
+    // Privacy release gate: k-anonymity / l-diversity over the
+    // (lang, n_chars-band) quasi-identifiers with source as the
+    // sensitive attribute — would publishing these columns let an
+    // attacker re-identify a row's provenance?
+    "aud_kanon" -> ((s, d) =>
+      AuditOps.kAnonymityReport(
+        t(s, d, "documents")
+          .withColumn("len_band", expr("n_chars div 200")),
+        Seq("lang", "len_band"), col("source"), k = 5, l = 3)),
+
     // Per-source PSI of the language mix — the last per-group member of
     // the audit data-card panel.
     "aud_psi_by_source" -> ((s, d) => {
@@ -851,6 +861,25 @@ object AuditQueries {
         |  CAST(w2.tnum AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi_term,
         |  CAST(tt.psi_num AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi
         |FROM w2, tt ORDER BY cat""".stripMargin,
+
+    // quasi-group sizes + per-group distinct sensitive values; every
+    // statistic exact integer, one division
+    "aud_kanon" ->
+      """WITH g AS (SELECT lang, n_chars // 200 AS len_band,
+        |    COUNT(*) AS cnt, COUNT(DISTINCT source) AS lv
+        |  FROM documents GROUP BY lang, n_chars // 200)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_groups,
+        |  CAST(MIN(cnt) AS BIGINT) AS min_group_size,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  CASE WHEN SUM(cnt) > 0 THEN
+        |    CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS DOUBLE) /
+        |      CAST(SUM(cnt) AS DOUBLE) END AS frac_below_k,
+        |  CAST(MIN(lv) AS BIGINT) AS min_l,
+        |  MIN(cnt) >= 5 AS k_anonymous,
+        |  MIN(lv) >= 3 AS l_diverse
+        |FROM g""".stripMargin,
 
     // the aud_psi construction keyed by (source, lang); CASE guards
     // mirror the op's degenerate-side NULLs

@@ -436,6 +436,32 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  test("kAnonymityReport: hand-built groups, NULL quasi linkable, NULL sensitive uncounted") {
+    // quasi (age_band): "a" x5 (3 distinct cities), "b" x2 (1 city),
+    // NULL x3 (2 cities, one NULL city)
+    val rows = Seq(
+      (Option("a"), Option("x")), (Option("a"), Option("y")), (Option("a"), Option("z")),
+      (Option("a"), Option("x")), (Option("a"), Option("x")),
+      (Option("b"), Option("x")), (Option("b"), Option("x")),
+      (Option.empty[String], Option("x")), (Option.empty[String], Option("y")),
+      (Option.empty[String], Option.empty[String]))
+      .toDF("band", "city")
+    val r = AuditOps.kAnonymityReport(rows, Seq("band"), col("city"), k = 3, l = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 10 && r.getLong(1) == 3, r.toString)
+    assert(r.getLong(2) == 2, "min group is the b-band pair")
+    assert(r.getLong(3) == 2 && r.getDouble(4) == 0.2, r.toString)
+    assert(r.getLong(5) == 1, "b-band has one distinct city")
+    assert(!r.getBoolean(6) && !r.getBoolean(7), r.toString)
+    // all groups >= k and >= l distinct -> both verdicts flip true
+    val ok = AuditOps.kAnonymityReport(rows.filter(col("band") === "a"),
+      Seq("band"), col("city"), k = 3, l = 2).collect()(0)
+    assert(ok.getBoolean(6) && ok.getBoolean(7), ok.toString)
+    intercept[IllegalArgumentException] {
+      AuditOps.kAnonymityReport(rows, Seq("band"), col("city"), k = 1)
+    }
+  }
+
   test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
     // v0 (control): n=4, conv=1; v1: n=4, conv=3
     // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
