@@ -164,6 +164,14 @@ object Audit {
         println(s"""{"detector":"psi_by_source","source":"${r.getString(0)}",""" +
           s""""psi":${if (r.isNullAt(1)) "null" else r.getDouble(1)}}""")
       }
+    // privacy release gate: k-anonymity / l-diversity of the
+    // (lang, length-band) quasi-identifiers vs source (r9)
+    val ka = AuditOps.kAnonymityReport(
+      docs.withColumn("len_band", expr("n_chars div 200")),
+      Seq("lang", "len_band"), col("source"), k = 5, l = 3).collect()(0)
+    println(s"""{"detector":"k_anonymity","n_groups":${ka.getLong(1)},""" +
+      s""""min_group":${ka.getLong(2)},"min_l":${ka.getLong(5)},""" +
+      s""""k_anonymous":${ka.getBoolean(6)},"l_diverse":${ka.getBoolean(7)}}""")
     // source-concentration grade for the mixture rebalance (r9)
     val gini = AuditOps.giniReport(docs, "source").collect()(0)
     println(s"""{"detector":"gini","categories":${gini.getLong(0)},""" +
