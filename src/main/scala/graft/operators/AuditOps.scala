@@ -734,6 +734,57 @@ object AuditOps {
         (col("min_l") >= l).as("l_diverse"))
   }
 
+  /** ε-differentially-private COUNT RELEASE by the discrete geometric
+    * mechanism (Ghosh–Roughgarden–Sundararajan '09 — the universally
+    * optimal mechanism for counts; two-sided geometric noise = discrete
+    * Laplace): per category, `noisy_count = count + G₁ − G₂` with
+    * Gᵢ ~ Geometric(p = e^(−ε)), ε = 1/invEps. The privacy-audited
+    * sibling of [[kAnonymityReport]]: k-anonymity gates what may be
+    * released as-is; this releases the histogram itself with a formal
+    * ε-DP guarantee (sensitivity 1 per category for disjoint categories).
+    *
+    * Determinism-by-seed: the noise draws come from the counter RNG at
+    * `(seed, 0, mdint(cat), draw)` — a FIXED seed yields one reproducible
+    * draw of the mechanism (the release artifact is stable across reruns
+    * and engines; the DP guarantee is over the choice of seed, so a seed
+    * must be drawn fresh per release and never reused against the same
+    * data — documented contract, same as any DP deployment's RNG).
+    *
+    * Exactness (what makes a DP mechanism value-oracle-able at all):
+    * uniforms quantize to the integer grid u_q = floor(u·2³⁰) + 1, the
+    * geometric inverse-CDF runs on `round(ln(integer), 7)` decimals (the
+    * aud_psi libm discipline — ln touches only integers), the ε division
+    * is an exact decimal multiply by the integer `invEps`, and the floor
+    * is decimal — every emitted count is bit-identical across engines.
+    *
+    * Scale shape: ONE map-side-combined aggregation to the category
+    * table; noise is a pure projection over it. Output:
+    * `(cat, noisy_count, epsilon)`.
+    */
+  def dpCounts(df: DataFrame, catCol: Column, seed: Long,
+      invEps: Int = 2): DataFrame = {
+    require(invEps >= 1 && invEps <= 1000,
+      s"AuditOps.dpCounts: invEps in [1, 1000], got $invEps")
+    val dec7 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 7)
+    val g = df.filter(catCol.isNotNull)
+      .groupBy(catCol.as("cat")).agg(count(lit(1)).as("cnt"))
+    def l7(x: Column) = round(log(x.cast("double")), 7).cast(dec7)
+    // ln(2^30) rounded once — the same constant both engines compute
+    // from the same integer
+    val l7Max = l7(lit(1073741824L))
+    def geo(draw: Int) = {
+      val u = graft.core.DeterministicRng.uniformCol(
+        lit(seed), lit(0L), graft.functions.CrossHash.mdint(col("cat").cast("string")),
+        lit(draw.toLong))
+      val uq = (floor(u * lit(1073741824.0)) + lit(1)).cast("long")
+      floor(lit(invEps) * (l7Max - l7(uq))).cast("long")
+    }
+    g.select(col("cat"),
+        (col("cnt") + geo(0) - geo(1)).as("noisy_count"),
+        (lit(1.0) / lit(invEps.toDouble)).as("epsilon"))
+      .orderBy("cat")
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

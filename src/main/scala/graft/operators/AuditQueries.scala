@@ -142,6 +142,13 @@ object AuditQueries {
           .withColumn("len_band", expr("n_chars div 200")),
         Seq("lang", "len_band"), col("source"), k = 5, l = 3)),
 
+    // DP count release: the per-source histogram with two-sided
+    // geometric noise at eps = 0.5, seed pinned — every noisy count
+    // value-oracled (quantized uniforms + ln(integer) decimals).
+    "aud_dp_counts" -> ((s, d) =>
+      AuditOps.dpCounts(t(s, d, "documents"), col("source"),
+        seed = 1234567L, invEps = 2)),
+
     // Per-source PSI of the language mix — the last per-group member of
     // the audit data-card panel.
     "aud_psi_by_source" -> ((s, d) => {
@@ -861,6 +868,25 @@ object AuditQueries {
         |  CAST(w2.tnum AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi_term,
         |  CAST(tt.psi_num AS DOUBLE) / CAST(w2.no * w2.nn AS DOUBLE) AS psi
         |FROM w2, tt ORDER BY cat""".stripMargin,
+
+    // DP release mirrored draw-for-draw: quantized counter uniforms at
+    // (seed, 0, mdint(cat), draw), geometric inverse-CDF on
+    // round(ln(integer), 7) decimals, exact decimal multiply by invEps
+    "aud_dp_counts" -> {
+      def geo(draw: Int): String = {
+        val u = graft.core.DeterministicRng.uniformSql(
+          "1234567", "0", graft.functions.CrossHash.sqlMdint("CAST(cat AS VARCHAR)"),
+          draw.toString)
+        s"""CAST(floor(2 * (CAST(round(ln(1073741824.0), 7) AS DECIMAL(12, 7))
+           |  - CAST(round(ln(CAST(CAST(floor(($u) * 1073741824.0) + 1 AS BIGINT)
+           |      AS DOUBLE)), 7) AS DECIMAL(12, 7)))) AS BIGINT)""".stripMargin
+      }
+      s"""WITH g AS (SELECT source AS cat, COUNT(*) AS cnt FROM documents
+         |  WHERE source IS NOT NULL GROUP BY source)
+         |SELECT cat, cnt + (${geo(0)}) - (${geo(1)}) AS noisy_count,
+         |  0.5 AS epsilon
+         |FROM g ORDER BY cat""".stripMargin
+    },
 
     // quasi-group sizes + per-group distinct sensitive values; every
     // statistic exact integer, one division

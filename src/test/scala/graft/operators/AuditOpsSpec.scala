@@ -462,6 +462,45 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dpCounts: seed-deterministic, seed-sensitive, noise matches the Scala reference") {
+    val df = (0 until 400).map(i => s"c${i % 40}").toDF("cat")
+      .select(col("cat"))
+    val a = AuditOps.dpCounts(df, col("cat"), seed = 11L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = AuditOps.dpCounts(df, col("cat"), seed = 11L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "same seed must reproduce the release exactly")
+    val c = AuditOps.dpCounts(df, col("cat"), seed = 12L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a != c, "a fresh seed is a fresh draw")
+    // Scala reference of the exact mechanism for every category: the
+    // emitted count must match the independent recomputation bit-for-bit
+    def l7(x: Long): BigDecimal =
+      BigDecimal(math.log(x.toDouble)).setScale(7, BigDecimal.RoundingMode.HALF_EVEN)
+    def mdintRef(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def geo(cat: String, draw: Long): Long = {
+      val sim = mdintRef(cat)
+      val u = graft.core.DeterministicRng.uniform(11L, 0L, sim, draw)
+      val uq = (u * 1073741824.0).floor.toLong + 1L
+      ((l7(1073741824L) - l7(uq)) * 2).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }
+    val trueCnt = 10L
+    a.foreach { case (cat, noisy) =>
+      assert(noisy == trueCnt + geo(cat, 0L) - geo(cat, 1L), cat)
+    }
+    // mechanism sanity across the 40 categories: mean |noise| in the
+    // two-sided-geometric ballpark for eps=0.5 (std ~2.4), not degenerate
+    val noises = a.values.map(_ - trueCnt)
+    assert(noises.exists(_ != 0L), "noise must actually perturb")
+    val meanAbs = noises.map(math.abs).sum.toDouble / noises.size
+    assert(meanAbs > 0.3 && meanAbs < 8.0, s"meanAbs $meanAbs")
+    intercept[IllegalArgumentException] {
+      AuditOps.dpCounts(df, col("cat"), seed = 1L, invEps = 0)
+    }
+  }
+
   test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
     // v0 (control): n=4, conv=1; v1: n=4, conv=3
     // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
