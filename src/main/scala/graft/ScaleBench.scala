@@ -529,7 +529,18 @@ object ScaleBench {
         val docs = s.read.parquet(s"$d/documents.parquet")
         graft.operators.AuditOps.psiReportBy(docs,
           docs.filter(col("doc_id") % 3 =!= 0), "lang", "source")
-      }))
+      }),
+      // privacy gates: one quasi-group aggregation (+ bounded summary);
+      // the DP release is one category aggregation + a pure projection
+      "aud_kanon" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.kAnonymityReport(
+          s.read.parquet(s"$d/documents.parquet")
+            .withColumn("len_band", expr("n_chars div 200")),
+          Seq("lang", "len_band"), col("source"), k = 5, l = 3)),
+      "aud_dp_counts" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.dpCounts(
+          s.read.parquet(s"$d/documents.parquet"), col("source"),
+          seed = 1234567L, invEps = 2)))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
