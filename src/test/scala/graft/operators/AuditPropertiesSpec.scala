@@ -124,4 +124,50 @@ class AuditPropertiesSpec extends SparkTestBase {
       sameTile == samePrefix
     }, "zorder-tile-prefix", trials = 60)
   }
+
+  test("triangleStats equals brute triple enumeration on random graphs") {
+    // small random edge lists with heavy duplicate/self-loop pressure
+    val edgeGen = Gen.listOf(Gen.zip(Gen.chooseNum(1L, 9L), Gen.chooseNum(1L, 9L)))
+    check(Prop.forAll(edgeGen) { raw =>
+      val canon = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (canon.isEmpty) true
+      else {
+        val r = GraphOps.triangleStats(canon.toDF("doc_a", "doc_b")).collect().head
+        val es = canon.toSet
+        val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val bruteTri = (for {
+          i <- nodes.indices; j <- nodes.indices if i < j
+          k <- nodes.indices if j < k
+          (a, b, c) = (nodes(i), nodes(j), nodes(k))
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield 1).size.toLong
+        val deg = canon.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val bruteWedges = deg.values.map(d => d * (d - 1) / 2).sum
+        r.getLong(0) == canon.size.toLong && r.getLong(1) == bruteTri &&
+          r.getLong(2) == bruteWedges
+      }
+    }, "triangles-vs-brute", trials = 25)
+  }
+
+  test("kmvSetOps is exact below saturation on random two-set inputs") {
+    val setGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 40)).map(_.toSet),
+      Gen.nonEmptyListOf(Gen.chooseNum(20, 60)).map(_.toSet))
+    check(Prop.forAll(setGen) { case (sa, sb) =>
+      val df = (sa.toSeq.map(("A", _)) ++ sb.toSeq.map(("B", _)))
+        .toDF("g", "key")
+      // k = 128 > any union here: kept-count and union are EXACT; the
+      // derived intersection/differences go through (n_both/n_union)*U —
+      // two IEEE roundings — so assert them to 1e-9, not bit-exact
+      val r = SketchOps.kmvSetOps(df, col("key"), "g", 128).collect().head
+      def near(x: Double, want: Int) = math.abs(x - want) < 1e-9
+      r.getLong(2) == (sa ++ sb).size.toLong &&
+        r.getDouble(3) == (sa ++ sb).size.toDouble &&
+        near(r.getDouble(5), (sa & sb).size) &&
+        near(r.getDouble(6), (sa -- sb).size) &&
+        near(r.getDouble(7), (sb -- sa).size)
+    }, "kmv-setops-exact", trials = 25)
+  }
 }
