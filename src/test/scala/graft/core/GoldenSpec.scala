@@ -83,4 +83,11 @@ class GoldenSpec extends SparkTestBase {
   test("seeded MT19937 battery output is byte-identical to the committed golden files") {
     checkFamily(RngFamily.MT19937, "golden_mt_")
   }
+
+  test("seeded Antithetic(CounterHash) output is byte-identical to the committed golden files") {
+    // pins the COMPLEMENT streams (u' = 1 − u at the same counters): a
+    // regression in the anti-flag decode would silently break every
+    // antithetic pairing while all primary-family goldens stay green
+    checkFamily(RngFamily.Antithetic(RngFamily.CounterHash), "golden_anti_")
+  }
 }
