@@ -244,6 +244,16 @@ object Pipeline {
     val report = TextOps.corpusReport(mixed)
     report.write.mode("overwrite").parquet(s"$outDir/report")
     println(s"""{"stage":"data_card","sources":${report.count()}}""")
+    // privacy verdict on the released mix: k-anonymity / l-diversity of
+    // the (lang, length-band) quasi-identifiers vs source — a WARNING
+    // line, not an abort (what counts as a quasi-identifier is a release
+    // policy; the DQ admission gate is the aborting one)
+    val ka = graft.operators.AuditOps.kAnonymityReport(
+      mixed.withColumn("len_band", expr("n_chars div 200")),
+      Seq("lang", "len_band"), col("source"), k = 5, l = 3).collect()(0)
+    println(s"""{"stage":"privacy_gate","min_group":${ka.getLong(2)},""" +
+      s""""min_l":${ka.getLong(5)},"k_anonymous":${ka.getBoolean(6)},""" +
+      s""""l_diverse":${ka.getBoolean(7)}}""")
 
     // ---- embedding side: semantic decontamination + dedup + PQ index ----
     val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
