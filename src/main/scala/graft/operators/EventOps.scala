@@ -257,4 +257,108 @@ object EventOps {
           md5(concat(lit(salt), lit(":"), col(c).cast("string")))))
     }
   }
+
+  /** Markov REMOVAL-EFFECT attribution (Anderl et al. '14 — the
+    * principled multi-touch model; [[attribution]] is the last-touch
+    * heuristic, this credits channels by how much conversion probability
+    * DISAPPEARS when the channel is removed from the journey graph):
+    * per-user journeys become a first-order chain START → touches →
+    * CONV/DROP (absorbing); channel c's removal effect is
+    * `1 − P(CONV | transitions through c redirected to DROP)/P(CONV)`,
+    * and `share` normalizes the effects over channels. Returns
+    * `(channel, removal_effect, share)` plus the baseline row
+    * `("__p_conv__", P(CONV), NULL)` so callers can audit the chain.
+    *
+    * Distributed/driver split (the trainCentroids model-state class):
+    * journeys reduce on the CLUSTER to the ≤(\|types\|+2)² transition-
+    * count table (the [[transitionCounts]] machinery with synthetic
+    * START/absorbing ends — raw events shuffle once on user_id); the
+    * absorbing-chain solves run on the DRIVER over that bounded matrix
+    * (fixed-point iteration, deterministic order and iteration count, so
+    * results are reproducible across runs/partitionings). Conversions
+    * END a journey: post-conversion touches start a NEW journey (the
+    * standard convention; documented).
+    *
+    * No DuckDB gate: the solve is a driver-side matrix fixed point, not
+    * a SQL expression — spec-tested against hand-solved chains instead
+    * (the sink/source convention).
+    */
+  def markovAttribution(events: DataFrame, convType: String,
+      iters: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val e = OpContract.requireCols(events, "EventOps.markovAttribution",
+      "user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id", "journey").orderBy(col("ts"), col("event_id"))
+    // journey index: conversions close a journey, so a user's events
+    // split at each conversion (cumulative conv count of PRECEDING rows)
+    val uw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val journeys = e
+      .withColumn("journey",
+        coalesce(sum(when(col("event_type") === convType, 1L).otherwise(0L))
+          .over(uw), lit(0L)))
+    val steps = journeys
+      .select(col("user_id"), col("journey"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .select(col("from_type"),
+        // a journey's last event transitions to CONV if it IS the
+        // conversion, else the journey dangles -> DROP
+        when(col("to_type").isNotNull, col("to_type"))
+          .when(col("from_type") === convType, lit("__conv__"))
+          .otherwise(lit("__drop__")).as("to_type"))
+      // conversions are absorbing: their own outgoing row is the CONV edge
+      .withColumn("to_type",
+        when(col("from_type") === convType, lit("__conv__"))
+          .otherwise(col("to_type")))
+    val starts = journeys
+      .groupBy("user_id", "journey")
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("to_type"))
+      .select(lit("__start__").as("from_type"), col("to_type"))
+    val counts = steps.unionAll(starts)
+      .filter(col("from_type") =!= convType || col("to_type") === "__conv__")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // driver-side bounded solve
+    val froms = counts.keys.map(_._1).toSet
+    val channels = (froms ++ counts.keys.map(_._2))
+      .filterNot(Set("__start__", "__conv__", "__drop__", convType)).toSeq.sorted
+    val outTot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def pConv(removed: Option[String]): Double = {
+      // v(s) = P(absorb in CONV from s); CONV=1, DROP=0; fixed point of
+      // v = P·v with removed channel's INCOMING edges sent to DROP
+      var v = Map[String, Double]().withDefaultValue(0.0)
+      (0 until iters).foreach { _ =>
+        v = froms.map { s =>
+          val tot = outTot(s).toDouble
+          val x = counts.collect {
+            case ((`s`, t), n) =>
+              val p = n / tot
+              val tEff = if (removed.contains(t)) "__drop__" else t
+              tEff match {
+                case "__conv__" => p
+                case "__drop__" => 0.0
+                case other => p * v(other)
+              }
+          }.sum
+          s -> x
+        }.toMap.withDefaultValue(0.0)
+      }
+      v("__start__")
+    }
+    val base = pConv(None)
+    val effects = channels.map { c =>
+      val without = pConv(Some(c))
+      c -> (if (base > 0) 1.0 - without / base else 0.0)
+    }
+    val totEff = effects.map(_._2).sum
+    val rows = effects.map { case (c, eff) =>
+      (c, eff, if (totEff > 0) Some(eff / totEff) else None)
+    } :+ (("__p_conv__", base, Option.empty[Double]))
+    rows.toDF("channel", "removal_effect", "share")
+      .select(col("channel"), col("removal_effect"),
+        col("share").as("share"))
+      .orderBy("channel")
+  }
 }

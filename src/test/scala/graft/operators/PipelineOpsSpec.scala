@@ -473,6 +473,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(t.length == 1 && t(0).getString(0) == "X" && t(0).getString(1) == "Y")
   }
 
+  test("markovAttribution: hand-solved removal effects, conversion splits journeys") {
+    import spark.implicits._
+    // u1: ad -> purchase; u2: ad -> search -> purchase; u3: search (drop).
+    // Chain: P(conv)=2/3; remove ad -> 1/6 (effect 3/4); remove search
+    // -> 1/3 (effect 1/2); shares 0.6 / 0.4.
+    val ev = Seq(
+      (1L, 1L, 1L, "ad"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "ad"), (2L, 2L, 4L, "search"), (2L, 3L, 5L, "purchase"),
+      (3L, 1L, 6L, "search")).toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventOps.markovAttribution(ev, "purchase").collect()
+      .map(x => x.getString(0) -> x).toMap
+    def d(x: Double, want: Double) = math.abs(x - want) < 1e-9
+    assert(d(r("__p_conv__").getDouble(1), 2.0 / 3.0), r.toString)
+    assert(d(r("ad").getDouble(1), 0.75) && d(r("ad").getDouble(2), 0.6), r.toString)
+    assert(d(r("search").getDouble(1), 0.5) && d(r("search").getDouble(2), 0.4),
+      r.toString)
+    // a post-conversion touch starts a NEW journey (u4: ad -> purchase ->
+    // search, the search dangles): hand-resolved chain gives P(conv)=0.6
+    val ev2 = ev.unionAll(Seq(
+      (4L, 1L, 7L, "ad"), (4L, 2L, 8L, "purchase"), (4L, 3L, 9L, "search"))
+      .toDF("user_id", "ts", "event_id", "event_type"))
+    val r2 = EventOps.markovAttribution(ev2, "purchase").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(d(r2("__p_conv__"), 0.6), r2.toString)
+  }
+
   test("applyChangelog: update wins, stale change loses, tombstone deletes, insert lands") {
     import spark.implicits._
     val snap = Seq(
