@@ -312,6 +312,54 @@ def runLibcheck(): Unit = {
   spark.sql("DROP TABLE IF EXISTS lc_docs_a")
   spark.sql("DROP TABLE IF EXISTS lc_docs_b")
 
+  // round-9 surfaces
+  check("SketchOps.kmvSetOps")(
+    SketchOps.kmvSetOps(events, col("user_id"), "event_type", 64))
+  check("GraphOps.triangleStats")(GraphOps.triangleStats(
+    DedupOps.minhashPairs(docs)))
+  check("AuditOps.gainsReport")(AuditOps.gainsReport(
+    events, floor(col("value")), col("event_type") === "error"))
+  check("AuditOps.gainsReportBy")(AuditOps.gainsReportBy(
+    docs, col("n_chars"), col("lang") === "en", "source", 5))
+  check("AuditOps.categoricalDriftBy")(AuditOps.categoricalDriftBy(
+    docs, docs.filter(col("doc_id") % 3 =!= 0), "lang", "source"))
+  check("AuditOps.psiReportBy")(AuditOps.psiReportBy(
+    docs, docs.filter(col("doc_id") % 3 =!= 0), "lang", "source"))
+  check("AuditOps.kAnonymityReport")(AuditOps.kAnonymityReport(
+    docs.withColumn("len_band", expr("n_chars div 200")),
+    Seq("lang", "len_band"), col("source"), 5, 3))
+  check("AuditOps.dpCounts")(AuditOps.dpCounts(
+    docs, col("source"), seed = 7L))
+  check("TextOps.cdcChunks")(TextOps.cdcChunks(docs, 3, 5))
+  check("TextOps.cdcChunkDedup")(TextOps.cdcChunkDedup(docs, 3, 3))
+  check("EventOps.markovAttribution")(EventOps.markovAttribution(
+    events, "purchase"))
+  check("SimilarityOps.mmrTopK")(SimilarityOps.mmrTopK(embs,
+    embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+    k = 3, pool = 8))
+  // lifecycle: JSONL round-trip, observed write, versioned snapshots
+  val lcDir = java.nio.file.Files.createTempDirectory("graft-lc").toString
+  graft.sources.CorpusSource.writeJsonl(
+    docs.select("doc_id", "text").limit(20), s"$lcDir/jsonl")
+  check("CorpusSource.readJsonl")(graft.sources.CorpusSource.readJsonl(spark,
+    s"$lcDir/jsonl", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType))), Seq("doc_id")).good)
+  val obs = LayoutOps.writeObserved(docs.limit(30), s"$lcDir/obs", col("doc_id"))
+  require(obs("n_rows") == 30L, s"writeObserved metrics off: $obs")
+  println(f"LayoutOps.writeObserved          ${obs("n_rows")}%8s rows (in-flight)")
+  val v1 = graft.sources.SnapshotStore.publish(
+    docs.limit(25), s"$lcDir/snap", col("doc_id"))
+  require(v1 == 1L, s"snapshot version off: $v1")
+  check("SnapshotStore.read")(graft.sources.SnapshotStore.read(spark, s"$lcDir/snap"))
+  // antithetic battery: paired variants present
+  check("MCBattery.simulateAntithetic")(new MCBattery(spark,
+    RngFamily.CounterHash).simulateAntithetic(
+    Seq(SimulationSpec(0, "random_walk", 20, 8, Seq(0.5), Nil, 7))))
+
   // engine core: simulate on the default family (real PCG64) + parity sink
   val out = java.nio.file.Files.createTempDirectory("graft-libcheck")
   val specs = Seq(SimulationSpec(0, "coin_sequence", 100, 16, Seq(0.5), Nil,
