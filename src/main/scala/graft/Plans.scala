@@ -117,7 +117,10 @@ object Plans {
     "sim_walk_importance",
     // round 9 (cont. 9): per-source drift/PSI — (group, category)-keyed
     // counts, per-group totals on broadcast joins
-    "aud_drift_by_source", "aud_psi_by_source")
+    "aud_drift_by_source", "aud_psi_by_source",
+    // round 9 (cont. 10): privacy gates — one quasi-group agg + bounded
+    // summary; DP release is a category agg + pure noise projection
+    "aud_kanon", "aud_dp_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
