@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
+  // This implementation's version listing and pointer swap use the LOCAL
+  // filesystem (java.io/java.nio): a scheme-qualified root (hdfs://,
+  // s3a://) would silently list nothing and allocate version 1 forever.
+  // Fail loudly instead; a distributed-FS port swaps these primitives for
+  // Hadoop FileSystem listStatus + the store's atomic pointer op, with
+  // the layout unchanged.
+  private def requireLocal(root: String): Unit =
+    require(!root.contains("://"),
+      s"SnapshotStore: local-filesystem roots only (got $root) — port the " +
+        "listing/pointer primitives to your store's atomic ops for remote use")
+
   private def metaDir(root: String) = s"$root/_meta"
   private def dataDir(root: String, v: Long) = s"$root/v=$v"
   private def pointer(root: String) = java.nio.file.Paths.get(root, "_latest")
@@ -54,6 +65,7 @@ object SnapshotStore {
     * new version id.
     */
   def publish(df: DataFrame, root: String, idCol: Column): Long = {
+    requireLocal(root)
     val v = existingVersions(root).lastOption.getOrElse(0L) + 1L
     df.write.mode("errorifexists").parquet(dataDir(root, v))
     // manifest certifies the written bytes (read back, the CorpusSink
@@ -78,6 +90,7 @@ object SnapshotStore {
 
   /** The live version id, or None before the first publish. */
   def latestVersion(root: String): Option[Long] = {
+    requireLocal(root)
     val p = pointer(root)
     if (!java.nio.file.Files.exists(p)) None
     else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
@@ -98,6 +111,7 @@ object SnapshotStore {
     * (no data movement — the whole point of immutable version dirs).
     */
   def rollback(root: String, v: Long): Unit = {
+    requireLocal(root)
     require(existingVersions(root).contains(v),
       s"SnapshotStore.rollback: version $v does not exist at $root")
     val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.rb$v")
@@ -127,6 +141,7 @@ object SnapshotStore {
     * Returns the removed version ids.
     */
   def vacuum(root: String, keep: Int): Seq[Long] = {
+    requireLocal(root)
     require(keep >= 1, s"SnapshotStore.vacuum: keep >= 1, got $keep")
     val live = latestVersion(root)
     val all = existingVersions(root)
