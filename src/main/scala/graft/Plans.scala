@@ -120,7 +120,10 @@ object Plans {
     "aud_drift_by_source", "aud_psi_by_source",
     // round 9 (cont. 10): privacy gates — one quasi-group agg + bounded
     // summary; DP release is a category agg + pure noise projection
-    "aud_kanon", "aud_dp_counts")
+    "aud_kanon", "aud_dp_counts",
+    // round 9 (cont. 11): CUSUM — one stats pass + one group-partitioned
+    // sort feeding a streaming per-partition fold (true recursion)
+    "aud_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -51,6 +51,13 @@ object AuditQueries {
           "value", z = 3, minPrior = 30)
         .orderBy("grp")),
 
+    // CUSUM sequential drift detection per event type (k=30 slack,
+    // h=150 threshold — a minority of alarms on this data): the
+    // drift-optimal fold the z-detector's point test can't express.
+    "aud_cusum" -> ((s, d) =>
+      AuditOps.cusumReport(t(s, d, "events"), "event_type", "ts", "event_id",
+        "value", k = 30L, h = 150L)),
+
     // The treat step: clip o_totalprice into each status group's exact
     // [2.5%, 97.5%] percentiles (sketch-locates bins, one pruned ranking
     // pass) and report clip pressure + the winsorized decimal sum.
@@ -380,6 +387,40 @@ object AuditQueries {
         |  MIN(CASE WHEN fl = 1 THEN event_id END) AS first_anomaly,
         |  MAX(CASE WHEN fl = 1 THEN event_id END) AS last_anomaly
         |FROM v GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // the CUSUM fold unrolled as a recursive CTE over per-group row
+    // numbers; integer-scaled residuals n·x − Σx keep every state value
+    // exact, the two max-statistic divisions are the only FP
+    "aud_cusum" ->
+      """WITH RECURSIVE b AS (SELECT event_type AS grp, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s FROM b GROUP BY grp),
+        |r AS (SELECT b.grp, b.event_id, st.n,
+        |    CAST(st.n * b.x - st.s AS HUGEINT) AS res,
+        |    ROW_NUMBER() OVER (PARTITION BY b.grp ORDER BY b.ts, b.event_id) AS rn
+        |  FROM b JOIN st ON st.grp = b.grp),
+        |f(grp, rn, tp, tn) AS (
+        |  SELECT grp, CAST(0 AS BIGINT), CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+        |  FROM st
+        |  UNION ALL
+        |  SELECT r.grp, r.rn,
+        |    GREATEST(CAST(0 AS HUGEINT), f.tp + r.res - r.n * 30),
+        |    GREATEST(CAST(0 AS HUGEINT), f.tn - r.res - r.n * 30)
+        |  FROM f JOIN r ON r.grp = f.grp AND r.rn = f.rn + 1),
+        |al AS (SELECT f.grp, f.rn, f.tp, f.tn, r.event_id, r.n,
+        |    CASE WHEN f.tp > r.n * 150 THEN 1 ELSE 0 END AS up,
+        |    CASE WHEN f.tn > r.n * 150 THEN 1 ELSE 0 END AS dn
+        |  FROM f JOIN r ON r.grp = f.grp AND r.rn = f.rn)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(up) AS BIGINT) AS n_alarms_up,
+        |  CAST(SUM(dn) AS BIGINT) AS n_alarms_down,
+        |  arg_min(event_id, rn) FILTER (WHERE up = 1 OR dn = 1)
+        |    AS first_alarm_id,
+        |  CAST(MAX(tp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_up,
+        |  CAST(MAX(tn) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_down
+        |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
 
     // the q34 percentile CTE chain (integer permille rank arithmetic, same
     // 3-op interpolation) at [25, 975], then the clip + decimal sum

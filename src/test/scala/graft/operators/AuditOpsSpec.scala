@@ -501,6 +501,28 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cusumReport: hand-folded level shift, group reset, quiet group") {
+    // g: four 0s then four 10s (mu=5). Scaled residuals 8x-40 = -40/+40;
+    // k=2 -> nk=16, h=8 -> nh=64. Hand fold: tp = 0,0,0,0,24,48,72,96
+    // (up alarms at rows 7,8); tn = 24,48,72,96,40,0,0,0 (down alarms at
+    // rows 3,4 -> first alarm id 3); max stats 96/8 = 12.0 both sides.
+    val g = (1 to 8).map(i => ("g", i.toLong, i.toLong, if (i <= 4) 0.0 else 10.0))
+    val q = (1 to 6).map(i => ("q", i.toLong, 100L + i, 7.0)) // constant: quiet
+    val df = (g ++ q).toDF("grp", "ord", "id", "v")
+    val r = AuditOps.cusumReport(df, "grp", "ord", "id", "v", k = 2L, h = 8L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val rg = r("g")
+    assert(rg.getLong(1) == 8 && rg.getLong(2) == 2 && rg.getLong(3) == 2, rg.toString)
+    assert(rg.getLong(4) == 3L, s"first alarm must be the down alarm at id 3: $rg")
+    assert(rg.getDouble(5) == 12.0 && rg.getDouble(6) == 12.0, rg.toString)
+    val rq = r("q")
+    assert(rq.getLong(2) == 0 && rq.getLong(3) == 0 && rq.isNullAt(4), rq.toString)
+    assert(rq.getDouble(5) == 0.0 && rq.getDouble(6) == 0.0, rq.toString)
+    intercept[IllegalArgumentException] {
+      AuditOps.cusumReport(df, "grp", "ord", "id", "v", k = -1L, h = 8L)
+    }
+  }
+
   test("abTestReport: hand-computed lift and pooled z²; control row NULLs") {
     // v0 (control): n=4, conv=1; v1: n=4, conv=3
     // num = 3·4 − 1·4 = 8 -> lift = 8/16 = 0.5
