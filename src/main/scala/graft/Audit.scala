@@ -103,6 +103,14 @@ object Audit {
     println(s"""{"detector":"threshold","cut":${th.getDouble(0)},""" +
       s""""tp":${th.getLong(1)},"fp":${th.getLong(2)},"fn":${th.getLong(3)},""" +
       s""""f1":${th.getDouble(6)}}""")
+    // sequential drift: CUSUM per event type (r9 — the persistent-shift
+    // detector next to the sequential z verdicts)
+    AuditOps.cusumReport(ev, "event_type", "ts", "event_id", "value",
+        k = 30L, h = 150L).collect().foreach { r =>
+      println(s"""{"detector":"cusum","group":"${r.getString(0)}",""" +
+        s""""alarms_up":${r.getLong(2)},"alarms_down":${r.getLong(3)},""" +
+        s""""max_up":${r.getDouble(5)},"max_down":${r.getDouble(6)}}""")
+    }
     // targeting curve: decile cumulative gains/lift of the same pair —
     // the whole curve next to the AUC's one number (r9)
     AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")

@@ -540,7 +540,14 @@ object ScaleBench {
       "aud_dp_counts" -> ((s: SparkSession, d: String, _: Double) =>
         graft.operators.AuditOps.dpCounts(
           s.read.parquet(s"$d/documents.parquet"), col("source"),
-          seed = 1234567L, invEps = 2)))
+          seed = 1234567L, invEps = 2)),
+      // CUSUM: one stats pass + one group-partitioned sort + streaming
+      // fold - the only linear-sort member of the audit family
+      "aud_cusum" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.cusumReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          "event_type", "ts", "event_id", "value", k = 30L, h = 150L)))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
