@@ -487,6 +487,53 @@ object StreamOps {
       }
   }
 
+  /** State for [[cusumStream]]: the two CUSUM accumulators — two longs
+    * per group, bounded forever. */
+  final case class CusumState(tp: Long, tn: Long)
+
+  /** STREAMING CUSUM — the stateful twin of [[graft.operators.AuditOps
+    * .cusumReport]] with the ONLINE reference convention: the batch form
+    * centers on the group's own (retrospective) mean; a stream cannot
+    * know its final mean, so the deployment form takes an explicit
+    * reference `mu` from a baseline period (how production CUSUM is
+    * actually run — the reference and slack are CONTROL parameters, not
+    * data estimates). State per group is the two accumulators
+    * S⁺/S⁻ (two longs, bounded forever); each arriving row updates
+    * `S⁺ = max(0, S⁺ + x − mu − k)` / `S⁻ = max(0, S⁻ − x + mu − k)` in
+    * exact long arithmetic (loud Math.*Exact overflow) and emits
+    * `(grp, id, x, statUp, statDown)` WHEN either statistic exceeds h —
+    * the alarm stream. Rows within a micro-batch are processed in
+    * `(ord, id)` order, so on an event-time-ordered feed the emitted
+    * alarm sequence is identical across micro-batch splits (the carried
+    * accumulators stitch the boundary; StreamingSpec proves equality
+    * against a single-batch feed).
+    */
+  def cusumStream(rows: Dataset[AnomRow], mu: Long, k: Long = 1L,
+      h: Long = 20L): Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(k >= 0 && h >= 1, s"cusumStream needs k >= 0 and h >= 1, got k=$k h=$h")
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[CusumState, (String, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[AnomRow], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          it.toSeq.sortBy(r => (r.ord, r.id)).foreach { r =>
+            val d = Math.subtractExact(r.x, mu)
+            val tp = math.max(0L,
+              Math.addExact(st.tp, Math.subtractExact(d, k)))
+            val tn = math.max(0L,
+              Math.subtractExact(st.tn, Math.addExact(d, k)))
+            st = CusumState(tp, tn)
+            if (tp > h || tn > h) out += ((grp, r.id, r.x, tp, tn))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** State for [[transitionsStream]]: the user's last-seen event — one
     * small row per user, bounded forever. */
   final case class LastEvent(ord: Long, id: Long, tpe: String)

@@ -260,6 +260,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cusumStream: alarm sequence identical across a mid-series split; hand fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hand series (the batch cusumReport spec's shape, fixed mu=5):
+    // x = 0,0,0,0,10,10,10,10; k=2, h=8 -> down alarms at rows 3,4
+    // (tn 9,12), up alarms at rows 7,8 (tp 9,12)
+    val rows = (1 to 8).map(i =>
+      StreamOps.AnomRow("g", i.toLong, i.toLong, if (i <= 4) 0L else 10L))
+    def run(batches: Seq[Seq[StreamOps.AnomRow]], name: String) = {
+      val input = MemoryStream[StreamOps.AnomRow]
+      val q = StreamOps.cusumStream(input.toDS(), mu = 5L, k = 2L, h = 8L)
+        .toDF("grp", "id", "x", "tp", "tn")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      } finally q.stop()
+    }
+    val single = run(Seq(rows), "cusum_one")
+    assert(single == Set((3L, 0L, 9L), (4L, 0L, 12L), (7L, 9L, 0L), (8L, 12L, 0L)),
+      single.toString)
+    // mid-series split: the carried accumulators stitch the boundary
+    val split = run(Seq(rows.take(5), rows.drop(5)), "cusum_two")
+    assert(split == single, s"split $split vs single $single")
+  }
+
   test("transitionsStream: edge multiset equals batch transitions across a mid-user split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
