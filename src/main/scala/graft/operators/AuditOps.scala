@@ -757,6 +757,16 @@ object AuditOps {
     * is an exact decimal multiply by the integer `invEps`, and the floor
     * is decimal — every emitted count is bit-identical across engines.
     *
+    * Guarantee fine print: the 2³⁰ quantization grid TRUNCATES the
+    * geometric tail at G_max = floor(invEps·ln 2³⁰) (≈ 41 at invEps=2) —
+    * draws that would exceed it are impossible, so the release is
+    * (ε, δ)-DP rather than pure ε-DP, with δ bounded by the clipped
+    * tail mass P(G > G_max) ≈ e^(−G_max/invEps) ≈ 2⁻³⁰ per draw
+    * (≤ 2·2⁻³⁰ per released category over its two one-sided draws) —
+    * negligible for any audit release, stated here so the docstring
+    * does not overclaim. A pure-ε mechanism needs an unquantized
+    * geometric draw and forfeits the cross-engine value oracle.
+    *
     * Scale shape: ONE map-side-combined aggregation to the category
     * table; noise is a pure projection over it. Output:
     * `(cat, noisy_count, epsilon)`.
@@ -793,6 +803,14 @@ object AuditOps {
     * exceeds h. Output one row per group:
     * `(grp, n, n_alarms_up, n_alarms_down, first_alarm_id,
     * max_cusum_up, max_cusum_down)`.
+    *
+    * Input quantization: `valueCol` is `floor()`ed to a long BEFORE the
+    * integer-scaled recursion, so sub-integer structure is truncated
+    * away — a persistent shift smaller than 1 unit is invisible.
+    * PRE-SCALE the value column so the smallest shift of interest is
+    * ≥ 1 unit (e.g. `col * 1000` for milli-resolution), scaling k and h
+    * by the same factor; the overflow note below then bounds how far
+    * that scaling can go.
     *
     * Exactness: the recursion runs on INTEGER-SCALED residuals
     * r_t = n·x_t − Σx (mean-centering multiplied through by the group
@@ -1388,8 +1406,20 @@ object AuditOps {
         when(successCol, 1L).otherwise(0L).as("y"))
       .groupBy("variant")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
-    val ctl = g.filter(col("variant") === control)
-      .select(col("n").as("n0"), col("conv").as("c0"))
+    // The control row is extracted by a GLOBAL aggregate (always exactly
+    // one row, even over an empty input) so an absent/misspelled control
+    // label raises loudly at execution instead of cross-joining with an
+    // empty side and silently returning zero rows.
+    val ctl = g.agg(
+        max(when(col("variant") === control, col("n"))).as("n0m"),
+        max(when(col("variant") === control, col("conv"))).as("c0m"))
+      .select(
+        coalesce(col("n0m"), raise_error(lit(
+          s"AuditOps.abTestReport: control variant '$control' matched no" +
+            " rows — check the label")).cast("long")).as("n0"),
+        coalesce(col("c0m"), raise_error(lit(
+          s"AuditOps.abTestReport: control variant '$control' matched no" +
+            " rows — check the label")).cast("long")).as("c0"))
     val j = g.crossJoin(broadcast(ctl))
     val num = col("conv").cast(dec) * col("n0") - col("c0").cast(dec) * col("n")
     val bigN = (col("n") + col("n0")).cast(dec)

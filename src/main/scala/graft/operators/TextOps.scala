@@ -356,11 +356,18 @@ object TextOps {
     val toks = words
     val n = size(toks).cast("bigint")
     // boundary AFTER token i (1-based, i >= window): low maskBits of the
-    // window hash are zero. The document end is always a boundary.
-    val bpos = filter(sequence(lit(window.toLong), n), i =>
-      CrossHash.mdint(array_join(
-        slice(toks, (i - (window - 1)).cast("int"), lit(window)), " "))
-        .bitwiseAND(lit(mask)) === 0L)
+    // window hash are zero. The document end is always a boundary. Docs
+    // shorter than the window have no interior boundary candidates and
+    // yield one whole-doc chunk — guarded explicitly because Spark's
+    // sequence(window, n) DESCENDS when n < window (it would emit i <
+    // window, driving slice() starts to zero or negative), while the
+    // oracle's range(window, n+1) is simply empty there.
+    val bpos = when(n >= window,
+      filter(sequence(lit(window.toLong), n), i =>
+        CrossHash.mdint(array_join(
+          slice(toks, (i - (window - 1)).cast("int"), lit(window)), " "))
+          .bitwiseAND(lit(mask)) === 0L))
+      .otherwise(array().cast("array<bigint>"))
     val withEdges = spread(docs).filter(size(toks) >= 1)
       .withColumn("edges", array_distinct(concat(
         array(lit(0L)), bpos, array(n))))

@@ -710,6 +710,12 @@ object StreamOps {
                 (win, v, n, c, rate, lift, z2, z2.map(math.sqrt))
               }
             }
+          } else if ((win + 1) * windowUs / 1000L <= state.getCurrentWatermarkMs()) {
+            // Late rows for an already-closed window: flatMapGroupsWithState
+            // does NOT auto-drop late data, and setTimeoutTimestamp at or
+            // below the watermark throws — drop the stragglers instead of
+            // failing the query (the window's report already shipped).
+            Iterator.empty
           } else {
             val m = rows.foldLeft(
               state.getOption.getOrElse(Map.empty[String, (Long, Long)])) {
@@ -780,6 +786,11 @@ object StreamOps {
             val tvd = num.toDouble / (BigInt(2) * nOld * nNew).toDouble
             cats.iterator.map(c =>
               (win, c, baseline.getOrElse(c, 0L), counts.getOrElse(c, 0L), tvd))
+          } else if (((win + 1L) * windowUs + 999L) / 1000L
+              <= state.getCurrentWatermarkMs()) {
+            // late rows for a closed window — drop, don't recreate state
+            // (setTimeoutTimestamp at/below the watermark would throw)
+            Iterator.empty
           } else {
             val m = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
               (acc, r) => acc.updated(r._2, acc.getOrElse(r._2, 0L) + 1L)
@@ -821,8 +832,13 @@ object StreamOps {
             var (maxTs, n) = state.getOption.getOrElse((0L, 0L))
             rows.foreach { r => maxTs = math.max(maxTs, r._2.getTime); n += 1 }
             state.update((maxTs, n))
-            // expire once the watermark passes last event + 1 hour
-            state.setTimeoutTimestamp(maxTs + 3600 * 1000L)
+            // expire once the watermark passes last event + 1 hour; a
+            // >1h-late straggler re-opens the session, so clamp the
+            // timeout ABOVE the current watermark (setTimeoutTimestamp
+            // at/below it throws) — the sessionization guard at the
+            // userSessionsStream call site, applied here too
+            state.setTimeoutTimestamp(math.max(maxTs + 3600 * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
       }

@@ -545,6 +545,14 @@ class AuditOpsSpec extends SparkTestBase {
     val r2 = AuditOps.abTestReport(alls, col("variant"), col("ok"), "v0")
       .orderBy("variant").collect()
     assert(r2(1).isNullAt(5), r2(1).toString)
+    // a misspelled control label raises loudly instead of returning an
+    // empty DataFrame (the empty-crossJoin silent-no-data trap)
+    val ex = intercept[Exception] {
+      AuditOps.abTestReport(df, col("variant"), col("ok"), "v_typo").collect()
+    }
+    assert(ex.getMessage.contains("v_typo") ||
+      Option(ex.getCause).exists(_.getMessage.contains("v_typo")),
+      s"expected a loud missing-control error, got: ${ex.getMessage}")
   }
 
   test("psiReport: hand-computed terms; one-sided category excluded from the total") {

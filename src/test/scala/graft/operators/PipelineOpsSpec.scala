@@ -382,6 +382,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byDoc(0L).size >= 10, s"got ${byDoc(0L).size} chunks")
   }
 
+  test("cdcChunks: docs shorter than the window yield one whole-doc chunk (no crash)") {
+    import spark.implicits._
+    // 1- and 2-token docs have NO interior boundary candidates at
+    // window=3: sequence(3, n) would descend and drive slice() starts
+    // to 0/negative without the n >= window guard. Contract (mirrors
+    // the oracle's empty range(3, n+1)): exactly one chunk = the doc.
+    val docs = Seq((0L, "solo"), (1L, "two tokens"), (2L, "one two three"),
+      (3L, (1 to 50).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.cdcChunks(docs, window = 3, maskBits = 2)
+      .orderBy("doc_id", "idx").collect()
+    val byDoc = r.groupBy(_.getLong(0))
+    assert(byDoc(0L).length == 1 && byDoc(0L).head.getString(3) == "solo")
+    assert(byDoc(0L).head.getLong(1) == 0L && byDoc(0L).head.getLong(2) == 1L)
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getString(3) == "two tokens")
+    assert(byDoc(1L).head.getLong(2) == 2L)
+    // exactly-window-length doc still runs the boundary filter path
+    assert(byDoc(2L).map(_.getString(3)).mkString(" ") == "one two three")
+    // long doc unaffected by the guard: lossless reassembly holds
+    assert(byDoc(3L).map(_.getLong(2)).sum == 50L)
+    // and the dedup apply over the same mixed-length corpus doesn't crash
+    val d = TextOps.cdcChunkDedup(docs, window = 3, maskBits = 2)
+      .orderBy("doc_id").collect()
+    assert(d.length == 4 && d.forall(_.getLong(1) >= 1L))
+  }
+
   test("cdcChunkDedup: removes boilerplate shifted by an edit; rebuild digests pin bytes") {
     import spark.implicits._
     // same 400-token body, doc 1 with a 3-token head insertion: the CDC

@@ -796,4 +796,59 @@ class StreamingSpec extends SparkTestBase {
         "hand-computed z^2 = 2")
     } finally q.stop()
   }
+
+  test("abTestStream/driftStream: late rows for a closed window are dropped, not fatal") {
+    // flatMapGroupsWithState does NOT auto-drop late rows; without the
+    // watermark guard a late event re-creates state for a closed window
+    // and setTimeoutTimestamp(<= watermark) throws, killing the query.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = StreamOps.abTestStream(input.toDF().toDF("ts", "variant", "ok"),
+        col("variant"), col("ok"), "v0")
+      .toDF("win", "variant", "n", "conv", "rate", "lift", "z2", "z")
+      .writeStream.format("memory").queryName("abtest_late_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ns(1), "v0", true), (ns(2), "v1", true))
+      q.processAllAvailable()
+      // two batches: advance the watermark past day 0, then fire timeouts
+      input.addData((ns(49), "v0", false))
+      q.processAllAvailable()
+      input.addData((ns(50), "v0", false))
+      q.processAllAvailable()
+      val closed = spark.table("abtest_late_out").filter(col("win") === 0).count()
+      assert(closed == 2, s"day-0 window should have closed with 2 rows, got $closed")
+      // a day-0 straggler arrives AFTER the window closed: must be
+      // silently dropped — the query keeps running and day-0 output
+      // is unchanged (no re-emit, no split counts)
+      input.addData((ns(3), "v1", false))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died on a late row: ${q.exception}")
+      assert(spark.table("abtest_late_out").filter(col("win") === 0).count() == 2,
+        "late row must not re-open or re-emit the closed window")
+    } finally q.stop()
+
+    val dInput = MemoryStream[(Long, String)]
+    val dq = StreamOps.driftStream(dInput.toDF().toDF("ts", "event_type"),
+        Map("click" -> 1L))
+      .toDF("win", "cat", "o_cnt", "n_cnt", "tvd")
+      .writeStream.format("memory").queryName("drift_late_out")
+      .outputMode("append").start()
+    try {
+      dInput.addData((ns(1), "click"))
+      dq.processAllAvailable()
+      dInput.addData((ns(49), "click"))
+      dq.processAllAvailable()
+      dInput.addData((ns(50), "click"))
+      dq.processAllAvailable()
+      val n0 = spark.table("drift_late_out").filter(col("win") === 0).count()
+      assert(n0 == 1, s"day-0 drift window should have closed, got $n0 rows")
+      dInput.addData((ns(2), "view"))
+      dq.processAllAvailable()
+      assert(dq.exception.isEmpty, s"query died on a late row: ${dq.exception}")
+      assert(spark.table("drift_late_out").filter(col("win") === 0).count() == 1)
+    } finally dq.stop()
+  }
 }
