@@ -28,9 +28,17 @@ import org.apache.spark.sql.functions._
   * reads are ordinary parquet scans of an immutable dir, so caching /
   * bucketing / statistics all keep working.
   *
-  * Single-writer by design (version allocation scans existing dirs);
-  * concurrent publishers need an external lock — documented, same as
-  * the reference-scale Delta story without a log-coordination service.
+  * Single-writer ENFORCED (not just documented): every writer-side op
+  * (publish / rollback / vacuum) first claims `<root>/_publish.lease`
+  * by exclusive create (`CREATE_NEW` — the POSIX O_EXCL semantics), so
+  * a second concurrent writer fails loudly instead of racing the
+  * version counter or flipping the pointer out of order. The lease is
+  * released in a finally; a crashed writer leaves a stale lease that
+  * [[breakLease]] removes after a human (or orchestrator) confirms the
+  * holder is dead — the store itself is still consistent (the crash
+  * discipline above holds: at worst an orphan dir, never a visible
+  * partial version). On an object store the lease maps to a
+  * conditional PUT (`If-None-Match: *` on S3/GCS) of the same key.
   */
 object SnapshotStore {
 
@@ -48,6 +56,43 @@ object SnapshotStore {
   private def metaDir(root: String) = s"$root/_meta"
   private def dataDir(root: String, v: Long) = s"$root/v=$v"
   private def pointer(root: String) = java.nio.file.Paths.get(root, "_latest")
+  private def leasePath(root: String) = java.nio.file.Paths.get(root, "_publish.lease")
+
+  /** Run `body` holding the exclusive writer lease. Exclusive-create is
+    * the atomic claim; a held lease raises (second writer fails loudly —
+    * the store is never left racing two version allocations or pointer
+    * swaps). Always released on exit, including failure paths.
+    */
+  private def withLease[A](root: String, op: String)(body: => A): A = {
+    new java.io.File(root).mkdirs()
+    val lease = leasePath(root)
+    try
+      java.nio.file.Files.write(lease,
+        s"""{"op":"$op","pid":${ProcessHandle.current.pid}}""".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = try new String(
+          java.nio.file.Files.readAllBytes(lease), "UTF-8") catch {
+          case _: java.io.IOException => "<unreadable>"
+        }
+        throw new IllegalStateException(
+          s"SnapshotStore.$op: another writer holds $lease ($holder) — " +
+            "wait for it to finish, or if its process is dead, clear the " +
+            "stale lease with SnapshotStore.breakLease(root)")
+    }
+    try body finally java.nio.file.Files.deleteIfExists(lease)
+  }
+
+  /** Remove a stale writer lease left by a CRASHED publisher. Only call
+    * after confirming the holding process (recorded in the lease body) is
+    * dead — breaking a live writer's lease re-opens the race the lease
+    * exists to prevent. Returns true iff a lease file was removed.
+    */
+  def breakLease(root: String): Boolean = {
+    requireLocal(root)
+    java.nio.file.Files.deleteIfExists(leasePath(root))
+  }
 
   private def existingVersions(root: String): Seq[Long] = {
     val d = new java.io.File(root)
@@ -66,6 +111,7 @@ object SnapshotStore {
     */
   def publish(df: DataFrame, root: String, idCol: Column): Long = {
     requireLocal(root)
+    withLease(root, "publish") {
     val v = existingVersions(root).lastOption.getOrElse(0L) + 1L
     df.write.mode("errorifexists").parquet(dataDir(root, v))
     // manifest certifies the written bytes (read back, the CorpusSink
@@ -86,6 +132,7 @@ object SnapshotStore {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
+    }
   }
 
   /** The live version id, or None before the first publish. */
@@ -112,13 +159,16 @@ object SnapshotStore {
     */
   def rollback(root: String, v: Long): Unit = {
     requireLocal(root)
-    require(existingVersions(root).contains(v),
-      s"SnapshotStore.rollback: version $v does not exist at $root")
-    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.rb$v")
-    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, pointer(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    withLease(root, "rollback") {
+      require(existingVersions(root).contains(v),
+        s"SnapshotStore.rollback: version $v does not exist at $root")
+      val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.rb$v")
+      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, pointer(root),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 
   /** Version table from the manifests: (version, n_rows, digest). */
@@ -143,17 +193,19 @@ object SnapshotStore {
   def vacuum(root: String, keep: Int): Seq[Long] = {
     requireLocal(root)
     require(keep >= 1, s"SnapshotStore.vacuum: keep >= 1, got $keep")
-    val live = latestVersion(root)
-    val all = existingVersions(root)
-    val victims = all.dropRight(keep).filterNot(live.contains)
-    victims.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+    withLease(root, "vacuum") {
+      val live = latestVersion(root)
+      val all = existingVersions(root)
+      val victims = all.dropRight(keep).filterNot(live.contains)
+      victims.foreach { v =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dataDir(root, v)))
+        new java.io.File(metaDir(root), s"v=$v.json").delete()
       }
-      rm(new java.io.File(dataDir(root, v)))
-      new java.io.File(metaDir(root), s"v=$v.json").delete()
+      victims
     }
-    victims
   }
 }

@@ -98,6 +98,69 @@ class CorpusSinkSpec extends SparkTestBase {
     assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("_latest.tmp")))
   }
 
+  test("SnapshotStore: a second concurrent writer fails loudly; breakLease recovers") {
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-snaplease").toString + "/c"
+    val docs = graft.operators.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang").limit(20)
+    val v1 = SnapshotStore.publish(docs, root, col("doc_id"))
+    assert(v1 == 1L)
+    // lease released after a clean publish
+    assert(!new java.io.File(root, "_publish.lease").exists())
+    // emulate writer A mid-publish: hold the lease externally (the
+    // deterministic interleaving — exclusive-create is the atomic claim,
+    // so "held" is indistinguishable from a concurrent writer's window)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_publish.lease"),
+      """{"op":"publish","pid":0}""".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // every writer-side op raises; the store stays intact
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.publish(docs, root, col("doc_id"))
+    }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    intercept[IllegalStateException] { SnapshotStore.rollback(root, 1L) }
+    intercept[IllegalStateException] { SnapshotStore.vacuum(root, keep = 1) }
+    // the failed second writer must NOT have deleted writer A's lease
+    assert(new java.io.File(root, "_publish.lease").exists())
+    // the store is untouched: pointer still v1, no v=2 dir, reads work
+    assert(SnapshotStore.latestVersion(root).contains(1L))
+    assert(!new java.io.File(root, "v=2").exists())
+    assert(SnapshotStore.read(spark, root).count() == 20)
+    // crashed-writer recovery: breakLease, then publish proceeds
+    assert(SnapshotStore.breakLease(root))
+    assert(!SnapshotStore.breakLease(root), "second break finds no lease")
+    val v2 = SnapshotStore.publish(docs.limit(5), root, col("doc_id"))
+    assert(v2 == 2L && SnapshotStore.read(spark, root).count() == 5)
+    // genuinely-racing writers: exactly one of two simultaneous publishes
+    // wins when they collide; a loser (if any) raises the lease error
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          gate.await()
+          try Right(SnapshotStore.publish(docs.limit(3 + i), root, col("doc_id")))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = results.map(_.get())
+    pool.shutdown()
+    val wins = outcomes.collect { case Right(v) => v }
+    assert(wins.nonEmpty, s"no publish won: $outcomes")
+    outcomes.collect { case Left(t) => t }.foreach { t =>
+      assert(t.isInstanceOf[IllegalStateException] &&
+        t.getMessage.contains("lease"), t.toString)
+    }
+    // allocation stayed race-free: versions are dense and distinct
+    val vsAfter = SnapshotStore.versions(spark, root).collect().map(_.getLong(0))
+    assert(vsAfter.distinct.length == vsAfter.length)
+    assert(SnapshotStore.latestVersion(root).contains(vsAfter.max))
+  }
+
   test("SnapshotStore versions feed snapshotDiff: the version-audit composition") {
     import graft.sources.SnapshotStore
     val root = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString + "/c"

@@ -355,6 +355,22 @@ def runLibcheck(): Unit = {
     docs.limit(25), s"$lcDir/snap", col("doc_id"))
   require(v1 == 1L, s"snapshot version off: $v1")
   check("SnapshotStore.read")(graft.sources.SnapshotStore.read(spark, s"$lcDir/snap"))
+  // single-writer lease: a held lease rejects the second writer loudly;
+  // breakLease recovers (the graft.Snapshots CLI verbs drive these same ops)
+  java.nio.file.Files.write(
+    java.nio.file.Paths.get(s"$lcDir/snap", "_publish.lease"),
+    "{}".getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
+  val leaseRejected = try {
+    graft.sources.SnapshotStore.publish(docs.limit(5), s"$lcDir/snap", col("doc_id")); false
+  } catch { case e: IllegalStateException => e.getMessage.contains("lease") }
+  require(leaseRejected, "held lease must reject a second writer")
+  require(graft.sources.SnapshotStore.breakLease(s"$lcDir/snap"), "breakLease")
+  require(graft.sources.SnapshotStore.publish(
+    docs.limit(5), s"$lcDir/snap", col("doc_id")) == 2L, "post-lease publish")
+  graft.sources.SnapshotStore.rollback(s"$lcDir/snap", 1L)
+  check("SnapshotStore.versions")(graft.sources.SnapshotStore.versions(
+    spark, s"$lcDir/snap"))
+  println("SnapshotStore lease/rollback       single-writer enforced OK")
   // antithetic battery: paired variants present
   check("MCBattery.simulateAntithetic")(new MCBattery(spark,
     RngFamily.CounterHash).simulateAntithetic(
