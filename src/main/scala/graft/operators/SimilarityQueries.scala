@@ -331,13 +331,19 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
-    // Hybrid retrieval: the BM25 lexical ranking (tx_bm25's terms, ranked
+    // Hybrid retrieval: the BM25 lexical TOP-10 (tx_bm25's terms, ranked
     // by score with a doc_id tie-break) fused with the exact cosine
     // top-10 for query vector 0 via reciprocal-rank fusion. doc_id and
-    // vec_id share the id space by testdata construction.
+    // vec_id share the id space by testdata construction. The lexical
+    // side is capped to TOP_K by orderBy+limit (TakeOrdered — per-
+    // partition heaps, no global sort) BEFORE the rank window, so the
+    // window ranks <= TOP_K rows instead of the whole scored corpus in
+    // one partition (the cmsHeavyHitters discipline); fusing the two
+    // top-k LISTS is also the canonical RRF setup.
     "knn_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val lexical = TextOps.bm25(t(s, d, "documents"), Seq("query", "spark", "table"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(TOP_K)
         .select(col("doc_id").as("id"),
           row_number().over(
             Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank"))
@@ -671,7 +677,8 @@ object SimilarityQueries {
     "knn_rrf" ->
       s"""WITH bmr AS (SELECT doc_id AS id,
          |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a
-         |  FROM (${TextQueries.bm25OracleSql}) bm),
+         |  FROM (SELECT * FROM (${TextQueries.bm25OracleSql}) bm0
+         |        ORDER BY bm25 DESC, doc_id LIMIT $TOP_K) bm),
          |cosr AS (SELECT vec_id AS id, CAST(rank AS BIGINT) AS rank_b
          |  FROM ($knnBruteOracleSql) kb WHERE query_id = 0),
          |f AS (SELECT COALESCE(bmr.id, cosr.id) AS id,

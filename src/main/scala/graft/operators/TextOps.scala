@@ -877,8 +877,13 @@ object TextOps {
         explode(transform(sequence(lit(1), length(col("word")) - 1),
           i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(sum(col("freq")).as("total"))
+      // top-k via orderBy+limit (TakeOrdered: per-partition heaps, no
+      // global sort) BEFORE the rank window, so the unpartitioned
+      // row_number runs over <= k rows — the char-pair table is already
+      // bounded by charset², but the knn_rrf/cmsHeavyHitters discipline
+      // costs nothing and keeps every rank window input k-bounded
+      .orderBy(col("total").desc, col("pair")).limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("rank", "pair", "total")
       .orderBy("rank")
   }

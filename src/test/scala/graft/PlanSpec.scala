@@ -265,6 +265,31 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("knn_rrf gate: lexical rank window is TakeOrdered-bounded, never corpus-sized") {
+    // VERDICT r9: the gate used to rank the WHOLE scored BM25 table in
+    // one unpartitioned window. The capped form may keep an
+    // unpartitioned rank window, but only over the TakeOrdered top-k —
+    // every empty-partition-spec window must have a
+    // TakeOrderedAndProject (per-partition heaps, no global sort) in
+    // its subtree bounding its input to k rows.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("knn_rrf")(spark, sfDir)
+      val unpart = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.nonEmpty, "expected the bounded lexical rank window")
+      unpart.foreach { w =>
+        val bounded = w.collect { case t: TakeOrderedAndProjectExec => t }
+        assert(bounded.nonEmpty,
+          s"unpartitioned window with unbounded input in knn_rrf plan:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("ksReport: no unpartitioned WindowExec — banded cumulative CDF") {
     // same hazard class as aucReport: the two-sample CDF needs a
     // cumulative over distinct values; the banded rewrite must leave no
