@@ -788,7 +788,8 @@ object SimilarityOps {
     * unrolled SQL step chain.
     *
     * Scale shape: candidate generation is [[bruteTopK]] at gate scale —
-    * swap in [[ivfTopK]]/[[lshTopK]] shortlists at corpus scale; the MMR
+    * at corpus scale feed [[ivfTopK]]/[[lshTopK]] shortlists to
+    * [[mmrRerank]] (this op = mmrRerank ∘ bruteTopK); the MMR
     * stage itself touches ONLY the pool (pool² pairwise sims per query,
     * pool bounded ≤ 64) collected to one row per query, and the greedy
     * k-step loop runs at RUNTIME inside one `aggregate(sequence(1, k))`
@@ -799,13 +800,38 @@ object SimilarityOps {
     */
   def mmrTopK(e: DataFrame, queries: DataFrame, k: Int, pool: Int = 10,
       lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
-    require(k >= 1 && k <= 64, s"mmrTopK needs 1 <= k <= 64, got $k")
     // pool is a CAP on the shortlist, not a guarantee — a query with
     // fewer candidates than k simply exhausts them (no null rows)
     require(pool >= 1 && pool <= 64, s"mmrTopK needs 1 <= pool <= 64, got $pool")
+    mmrRerank(e, bruteTopK(e, queries, pool), k, lambdaNum, lambdaDen)
+  }
+
+  /** ANN-fed MMR — the serving shape of [[mmrTopK]]: rerank an EXISTING
+    * candidate shortlist instead of always paying [[bruteTopK]]'s
+    * per-query-batch corpus scan. `candidates` is any table in the
+    * shared top-k contract `(query_id, rank, vec_id, cos)` — feed it
+    * from [[ivfTopK]]/[[ivfPqTopK]]/[[lshTopK]] at corpus scale (the
+    * index prunes, MMR diversifies the survivors), or [[bruteTopK]] for
+    * the exact gate form; on identical shortlists the two paths select
+    * identically (spec-pinned on the planted-cluster corpus). Rows with
+    * `rank > 64` are dropped — the pool bound that keeps the per-query
+    * pairwise-sim state ≤ 64² and the greedy argmax engine-exact.
+    *
+    * The greedy selection itself is [[mmrTopK]]'s documented machinery
+    * verbatim: round-6 integer-scaled cosines, rational λ, the
+    * runtime `aggregate(sequence(1, k))` unroll — no shuffle beyond the
+    * candidate/corpus embedding join, no driver loop.
+    */
+  def mmrRerank(e: DataFrame, candidates: DataFrame, k: Int,
+      lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 64, s"mmrRerank needs 1 <= k <= 64, got $k")
     require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"lambda = $lambdaNum/$lambdaDen must sit in [0, 1]")
-    val cand = bruteTopK(e, queries, pool)
+    OpContract.requireCols(e, "SimilarityOps.mmrRerank corpus",
+      "vec_id", "embedding")
+    OpContract.requireCols(candidates, "SimilarityOps.mmrRerank candidates",
+      "query_id", "rank", "vec_id", "cos")
+    val cand = candidates.filter(col("rank") <= 64)
       .withColumn("sq6", round(col("cos") * 1e6).cast("long"))
     val ce = cand.select("query_id", "vec_id", "sq6")
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")

@@ -214,6 +214,50 @@ class AnnClusteredSpec extends SparkTestBase {
     assert(recall >= 0.8, s"trained-IVF clustered recall@10 = $recall")
   }
 
+  test("ANN-fed MMR: IVF-shortlist rerank agrees with brute-fed MMR on clustered data") {
+    // the serving shape (VERDICT r9 #5): mmrRerank diversifies whatever
+    // shortlist the index returns, instead of always paying bruteTopK's
+    // corpus scan. Two pins on the planted clusters:
+    //  (a) identical shortlists => IDENTICAL selections (mmrTopK is
+    //      literally mmrRerank ∘ bruteTopK — the delegation contract);
+    //  (b) a trained-IVF shortlist's MMR picks stay high-overlap with
+    //      the brute-fed picks (the bitextMineLsh discipline: the
+    //      production path recovers the anchor's answers on data with
+    //      real structure).
+    val df = corpusDf
+    val e = df.select(col("vec_id"), col("embedding"))
+    val qs = queriesDf(df)
+    val pool = 10; val k = 4
+    // (a) exact agreement when fed the same candidates
+    val viaTopK = SimilarityOps.mmrTopK(e, qs, k = k, pool = pool)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val viaRerank = SimilarityOps.mmrRerank(e,
+        SimilarityOps.bruteTopK(e, qs, pool), k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaTopK.toSeq == viaRerank.toSeq,
+      s"brute-fed rerank diverged from mmrTopK:\n${viaTopK.toSeq}\n${viaRerank.toSeq}")
+    // (b) IVF-fed serving path: train on stride-seeded centroids, probe,
+    // rerank the survivors; per-query overlap with brute-fed MMR >= 3/4
+    val kCents = 16
+    val stride = N / kCents
+    val init = e.filter(col("vec_id") % stride === 0)
+      .select((col("vec_id") / stride).cast("long").as("cid"),
+        col("embedding").as("ce"))
+    val cents = SimilarityOps.trainCentroids(e, init, 3)
+    val ivfCand = SimilarityOps.ivfTopK(e, qs, cents, nprobe = 3, k = pool)
+    val viaIvf = SimilarityOps.mmrRerank(e, ivfCand, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val bruteSel = viaTopK.map(t => (t._1, t._3)).toSet
+    val byQ = viaIvf.groupBy(_._1)
+    assert(byQ.keySet.size == N_QUERIES.toInt, s"queries missing: ${byQ.keySet}")
+    byQ.foreach { case (q, picks) =>
+      val overlap = picks.count(bruteSel.contains)
+      assert(overlap >= k - 1,
+        s"query $q: IVF-fed MMR picked ${picks.map(_._2).toSeq}, " +
+          s"only $overlap/$k shared with brute-fed")
+    }
+  }
+
   test("IVF index parquet round-trip: serving from the persisted lists equals the from-scratch probe") {
     val df = corpusDf
     val e = df.select(col("vec_id"), col("embedding"))

@@ -338,6 +338,11 @@ def runLibcheck(): Unit = {
     embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
     k = 3, pool = 8))
+  check("SimilarityOps.mmrRerank")(SimilarityOps.mmrRerank(embs,
+    SimilarityOps.lshTopK(embs,
+      embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      k = 8), k = 3))
   // lifecycle: JSONL round-trip, observed write, versioned snapshots
   val lcDir = java.nio.file.Files.createTempDirectory("graft-lc").toString
   graft.sources.CorpusSource.writeJsonl(
