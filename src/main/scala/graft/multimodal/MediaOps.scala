@@ -5,13 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal transforms as DataFrame→DataFrame functions — the public
   * library surface over [[MediaStub]]'s decode plumbing (the gate queries
-  * in `operators.MultimodalQueries` are thin bindings). The decode itself
-  * is the documented stub (this container has no image/audio libraries);
-  * the Spark-side shapes — typed mapPartitions decode, binary slicing,
+  * in `operators.MultimodalQueries` are thin bindings). Image and audio
+  * header decode are REAL (JDK `javax.imageio` / `javax.sound.sampled`);
+  * only genuinely unknown bytes (video) take the documented stub. The
+  * Spark-side shapes — typed mapPartitions decode, binary slicing,
   * generator explode — are the real 100 TB plumbing and are all
   * embarrassingly parallel map work.
   */
 object MediaOps {
+
+  /** Audio metadata extraction over a binary payload column — the audio
+    * sibling of [[MediaStub.decodeAll]]: real `javax.sound.sampled`
+    * header parse ([[MediaStub.decodeAudio]]) per asset, unrecognized
+    * payloads emit a `decoded = false` zero row (column totals stay
+    * complete — the [[thumbnailPixels]] fallback convention). Same
+    * mapPartitions discipline: iterator-to-iterator, embarrassingly
+    * parallel, no shuffle at any scale.
+    */
+  def audioMeta(spark: SparkSession,
+      docsWithPayload: DataFrame): Dataset[MediaStub.AudioMeta] = {
+    import spark.implicits._
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.audioMeta", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaStub.decodeAudio(id, bytes).getOrElse(
+          MediaStub.AudioMeta(id, decoded = false, bytes.length,
+            0, 0, 0, 0L, 0L, "unknown"))
+      })
+  }
 
   /** Thumbnail/preview extraction shape: slice the leading bytes of the
     * binary payload and fingerprint them (a real pipeline would decode and

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * typed extracted metadata.
   *
   * The decode is REAL for image containers the JDK ships readers for
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeImage]]); payloads no
-  * installed reader recognizes (audio/video, and the synthetic UTF-8 gate
-  * corpus) fall back to the clearly-marked deterministic STUB
-  * ([[decodeStub]]). Everything Spark-side is real and tested either way:
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeImage]]) and for
+  * audio containers `javax.sound.sampled` parses (WAV/AIFF/AU —
+  * [[decodeAudio]]); payloads no installed reader recognizes (video,
+  * and the synthetic UTF-8 gate corpus) fall back to the clearly-marked
+  * deterministic STUB ([[decodeStub]]). Everything Spark-side is real and tested either way:
   * the binary column handling, the typed `Dataset.mapPartitions` batch
   * shape (one decoder instantiation per partition, streaming iterator, no
   * per-row setup cost — the same shape a JNI/FFmpeg decoder needs), the
@@ -67,9 +68,74 @@ object MediaStub {
     } finally if (iis != null) iis.close()
   }
 
-  /** Decode dispatch: real image decode first, stub for everything else. */
+  /** Extracted per-asset AUDIO metadata (what a real decoder returns). */
+  final case class AudioMeta(
+      doc_id: Long, decoded: Boolean, n_bytes: Int, channels: Int,
+      sample_rate: Int, bits_per_sample: Int, n_frames: Long,
+      duration_us: Long, format: String)
+
+  /** REAL audio header decode via `javax.sound.sampled` (JDK built-in, no
+    * external deps — the same no-new-deps discipline as [[decodeImage]]):
+    * parses WAV/AIFF/AU container headers into channels, sample rate,
+    * sample width, frame count and exact-integer µs duration
+    * (frames·10⁶/rate, one floor division). Returns None when no
+    * installed provider recognizes the payload, so callers fall back to
+    * [[decodeStub]] — audio joins images in the REAL-decode domain and
+    * the stub now covers only genuinely unknown bytes (video).
+    */
+  def decodeAudio(docId: Long, payload: Array[Byte]): Option[AudioMeta] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      val rate = Math.round(f.getSampleRate)
+      val frames = aff.getFrameLength.toLong
+      Some(AudioMeta(docId, decoded = true, payload.length, f.getChannels,
+        rate, f.getSampleSizeInBits, frames,
+        if (rate > 0 && frames >= 0) frames * 1000000L / rate else -1L,
+        "audio/" + aff.getType.toString.toLowerCase))
+    } catch { case _: Exception => None }
+
+  /** Minimal PCM WAV writer (the public RIFF layout: 44-byte header +
+    * interleaved little-endian samples). Hand-rolled independently of
+    * `javax.sound.sampled` ON PURPOSE — the mm_audio_meta gate
+    * synthesizes payloads here and decodes them through the real
+    * AudioSystem header parse, so the two implementations cross-check
+    * (an off-by-one in either fails the oracle). Sample content is a
+    * deterministic byte ramp: irrelevant to header decode, but non-zero
+    * so truncated length fields can't hide.
+    */
+  def synthWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1 && nFrames >= 0 &&
+      bitsPerSample >= 8 && bitsPerSample % 8 == 0,
+      s"synthWav: bad params ($sampleRate, $channels, $bitsPerSample, $nFrames)")
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { bb.put((i * 31 % 251).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Decode dispatch: real image decode, then real audio-header decode
+    * (folded into the [[MediaMeta]] shape: width/height 0, n_frames =
+    * audio frames), stub only for genuinely unknown bytes.
+    */
   def decode(docId: Long, payload: Array[Byte]): MediaMeta =
-    decodeImage(docId, payload).getOrElse(decodeStub(docId, payload))
+    decodeImage(docId, payload)
+      .orElse(decodeAudio(docId, payload).map(a => MediaMeta(
+        doc_id = docId, n_bytes = a.n_bytes, width = 0, height = 0,
+        n_frames = math.max(math.min(a.n_frames, Int.MaxValue.toLong).toInt, 1),
+        format = a.format)))
+      .getOrElse(decodeStub(docId, payload))
 
   /** Attach a binary payload column (stand-in for real media bytes). */
   def withPayload(docs: DataFrame): DataFrame =

@@ -45,6 +45,33 @@ object MultimodalQueries {
         MediaStub.withPayload(t(s, d, "documents").filter(col("doc_id") < 100)))
         .orderBy("doc_id")),
 
+    // REAL audio-header decode as a value-oracled gate: per doc, a PCM
+    // WAV payload is synthesized by the hand-rolled RIFF writer
+    // (rate/channels/frames derived arithmetically from doc_id and the
+    // text length), then parsed back through the INDEPENDENT
+    // javax.sound.sampled header decoder — the oracle recomputes every
+    // field from the same arithmetic, so a bug in either the writer's
+    // or the parser's header layout fails the hash. All exact integers.
+    "mm_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), octet_length(col("text")).as("nb"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, nb) =>
+          val wav = MediaStub.synthWav(
+            sampleRate = 8000 + (id % 8).toInt * 1000,
+            channels = 1 + (id % 2).toInt,
+            bitsPerSample = 16,
+            nFrames = 100 + nb)
+          (id, wav)
+        })
+        .toDF("doc_id", "payload")
+        .transform(df => MediaOps.audioMeta(s, df).toDF())
+        .select("doc_id", "decoded", "n_bytes", "channels", "sample_rate",
+          "bits_per_sample", "n_frames", "duration_us", "format")
+        .orderBy("doc_id")
+    }),
+
     // Perceptual hash: the synthetic gate payloads never decode, so every
     // row takes the documented MD5 pseudo-hash fallback the oracle can
     // mirror; the REAL dHash pixel path is fixture-pinned in MediaOpsSpec.
@@ -113,6 +140,22 @@ object MultimodalQueries {
          |SELECT doc_id, COUNT(*) AS n_sampled, CAST(MAX(frame_idx) AS INTEGER) AS last_frame
          |FROM fr WHERE frame_idx % 3 = 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // header arithmetic mirror of synthWav: blockAlign = ch·2 (16-bit),
+    // n_bytes = 44 + frames·blockAlign, duration = frames·10⁶ // rate
+    "mm_audio_meta" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,
+         |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+         |    CAST(100 + $sqlNBytes AS BIGINT) AS frames
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, TRUE AS decoded,
+         |  CAST(44 + frames * ch * 2 AS INTEGER) AS n_bytes,
+         |  ch AS channels, rate AS sample_rate,
+         |  CAST(16 AS INTEGER) AS bits_per_sample,
+         |  frames AS n_frames,
+         |  CAST(frames * 1000000 // rate AS BIGINT) AS duration_us,
+         |  'audio/wave' AS format
+         |FROM p ORDER BY doc_id""".stripMargin,
     "mm_phash" ->
       """SELECT doc_id, FALSE AS decoded, substr(md5(text), 1, 16) AS phash
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,

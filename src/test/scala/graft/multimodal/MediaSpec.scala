@@ -39,6 +39,50 @@ class MediaSpec extends SparkTestBase {
     assert(stub.width == 32 + stub.n_bytes % 512)
   }
 
+  test("decodeAudio parses the committed WAV fixture (real javax.sound header fields)") {
+    // fixture pinned byte-for-byte: synthWav(8000, 1, 16, 1600) committed
+    // at generation time — the md5 guards the artifact, the field asserts
+    // guard the INDEPENDENT AudioSystem header parse of it
+    val wav = fixture("tone_8k_mono.wav")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(md.digest(wav).map("%02x".format(_)).mkString ==
+      "f46e665a4f062d6b15f6960d233c0d25", "fixture bytes changed")
+    val a = MediaStub.decodeAudio(7L, wav)
+    assert(a.isDefined, "AudioSystem must recognize the PCM WAV")
+    val m = a.get
+    assert(m.decoded && m.doc_id == 7L)
+    assert(m.n_bytes == 3244, m.toString)          // 44 + 1600·2
+    assert(m.channels == 1 && m.sample_rate == 8000)
+    assert(m.bits_per_sample == 16 && m.n_frames == 1600L)
+    assert(m.duration_us == 200000L, m.toString)   // 1600·10⁶/8000
+    assert(m.format == "audio/wave", m.format)
+    // non-audio bytes: no provider, None (stub domain)
+    assert(MediaStub.decodeAudio(8L, "plain text".getBytes("UTF-8")).isEmpty)
+    // stereo/other-rate synthesis round-trips through the real parser too
+    val st = MediaStub.decodeAudio(9L, MediaStub.synthWav(44100, 2, 16, 441)).get
+    assert(st.channels == 2 && st.sample_rate == 44100 && st.n_frames == 441L)
+    assert(st.duration_us == 441L * 1000000L / 44100L)
+  }
+
+  test("decode dispatch: audio bytes take the real audio path, not the stub") {
+    val m = MediaStub.decode(3L, fixture("tone_8k_mono.wav"))
+    assert(m.format == "audio/wave", m.toString)
+    assert(m.width == 0 && m.height == 0 && m.n_frames == 1600)
+  }
+
+  test("audioMeta: mixed corpus — WAV rows decode, unknown payloads fall back complete") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, fixture("tone_8k_mono.wav")),
+      (2L, MediaStub.synthWav(16000, 2, 16, 320)),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val r = MediaOps.audioMeta(spark, payloads).collect().sortBy(_.doc_id)
+    assert(r.length == 3, "fallback must keep column totals complete")
+    assert(r(0).decoded && r(0).sample_rate == 8000 && r(0).n_frames == 1600L)
+    assert(r(1).decoded && r(1).channels == 2 && r(1).duration_us == 20000L)
+    assert(!r(2).decoded && r(2).format == "unknown" && r(2).n_bytes == 9)
+  }
+
   test("thumbnailPixels: real resize through the mapPartitions path; stub fallback fingerprints bytes") {
     import spark.implicits._
     val pngBytes = fixture("testcard_48x32.png")

@@ -236,6 +236,10 @@ def runLibcheck(): Unit = {
     MediaOps.frameSample(MediaStub.withPayload(docs.limit(50))))
   check("MediaOps.thumbnailPixels")(
     MediaOps.thumbnailPixels(spark, MediaStub.withPayload(docs.limit(50))).toDF())
+  check("MediaOps.audioMeta")(MediaOps.audioMeta(spark,
+    spark.range(3).select(col("id").as("doc_id"),
+      udf((i: Long) => MediaStub.synthWav(8000 + i.toInt * 1000, 1, 16, 200))
+        .apply(col("id")).as("payload"))).toDF())
   check("MediaOps.frameSampleDecoded")(
     MediaOps.frameSampleDecoded(spark, MediaStub.withPayload(docs.limit(50))))
   // data-quality constraint suite + exact outliers + streaming twin
