@@ -42,13 +42,28 @@ object CorpusSource {
     * a row to count as good (default: none beyond JSON validity).
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      required: Seq[String] = Nil): JsonlRead =
+    parseJsonl(spark.read.text(path)
+      .select(col("value"), input_file_name().as("source_file")),
+      schema, required)
+
+  /** The parse/quarantine core of [[readJsonl]] over an EXISTING
+    * `(value, source_file)` line table — shared verbatim by the batch
+    * reader above and the streaming ingest
+    * ([[graft.streaming.StreamOps.ingestPipeline]] feeds it
+    * `readStream.text` batches inside foreachBatch), so the two paths
+    * cannot drift: one parser, one quarantine contract, spec-pinned once.
+    */
+  def parseJsonl(lines: DataFrame, schema: StructType,
       required: Seq[String] = Nil): JsonlRead = {
-    require(schema.fieldNames.nonEmpty, "CorpusSource.readJsonl: empty schema")
+    require(schema.fieldNames.nonEmpty, "CorpusSource.parseJsonl: empty schema")
     require(!schema.fieldNames.contains("_corrupt_record"),
-      "CorpusSource.readJsonl: _corrupt_record is reserved for the parser")
+      "CorpusSource.parseJsonl: _corrupt_record is reserved for the parser")
     val missing = required.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
-      s"CorpusSource.readJsonl: required fields not in schema: $missing")
+      s"CorpusSource.parseJsonl: required fields not in schema: $missing")
+    graft.operators.OpContract.requireCols(lines,
+      "CorpusSource.parseJsonl", "value", "source_file")
     // PERMISSIVE from_json does NOT reliably null the whole struct on a
     // malformed line — a truncated record can surface the fields Jackson
     // managed to read before the syntax error. The in-struct corrupt
@@ -57,9 +72,9 @@ object CorpusSource {
     // does not apply to from_json.)
     val parseSchema = schema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value"),
-        input_file_name().as("source_file"),
+        col("source_file"),
         from_json(col("value"), parseSchema,
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))

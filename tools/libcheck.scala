@@ -380,6 +380,33 @@ def runLibcheck(): Unit = {
   check("SnapshotStore.versions")(graft.sources.SnapshotStore.versions(
     spark, s"$lcDir/snap"))
   println("SnapshotStore lease/rollback       single-writer enforced OK")
+  // composed streaming ingest: land two JSONL lines (one corrupt), run
+  // the checkpointed chain once, read back the published snapshot
+  val ingestDir = s"$lcDir/ingest"; new java.io.File(s"$ingestDir/landing").mkdirs()
+  java.nio.file.Files.write(
+    java.nio.file.Paths.get(s"$ingestDir/landing/f1.jsonl"),
+    ("{\"doc_id\":1,\"text\":\"alpha beta gamma delta epsilon zeta\"}\n" +
+      "{\"doc_id\":2,\"text\": BROKEN").getBytes("UTF-8"))
+  val ingestIdx = graft.operators.DedupOps.minhashIndex(
+    docs.select("doc_id", "lang", "n_chars", "text").limit(10))
+  val ingestModel = spark.range(256).select(col("id").as("feature"),
+    lit(0.5).as("weight"))
+  val ingestQ = graft.streaming.StreamOps.ingestPipeline(spark,
+    s"$ingestDir/landing",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType))),
+    Seq("doc_id", "text"), ingestIdx, ingestModel, minScore = 0.0,
+    snapRoot = s"$ingestDir/snap", quarantineDir = s"$ingestDir/quarantine",
+    checkpointDir = s"$ingestDir/ckpt")
+  try ingestQ.processAllAvailable() finally ingestQ.stop()
+  check("StreamOps.ingestPipeline -> snapshot")(
+    graft.sources.SnapshotStore.read(spark, s"$ingestDir/snap"))
+  require(spark.read.parquet(s"$ingestDir/quarantine").count() == 1L,
+    "ingest quarantine row missing")
+
   // antithetic battery: paired variants present
   check("MCBattery.simulateAntithetic")(new MCBattery(spark,
     RngFamily.CounterHash).simulateAntithetic(
