@@ -890,6 +890,83 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** Wald–Wolfowitz RUNS test per group — the randomness-of-sequence
+    * audit next to [[cusumReport]]'s drift detector: binarize each value
+    * against its group MEAN (exact cross-multiply n·x > Σx — no
+    * division touches data), count runs of consecutive same-side values
+    * in (order, id) order, and compare against the null-hypothesis run
+    * count. Too FEW runs = a stuck/level-shifted metric (the silent
+    * sensor, the classifier pinned to one label); too MANY = oscillation
+    * (a flapping upstream, alternating duplicate interleave). Output one
+    * row per group:
+    * `(grp, n, n1, n0, n_runs, longest_run, mu_runs, var_runs, z_runs)`.
+    *
+    * Exactness: side flags, run boundaries (one lag window), run ids
+    * (one prefix-sum window) and all counts are exact integers; the
+    * emitted statistics are the classical μ_R = (n + 2·n1·n0)/n — ONE
+    * division of exact integers — and σ²_R in the SPLIT two-division
+    * form [2n1n0/n²]·[(2n1n0−n)/(n−1)] (the [[abTestReport]] overflow
+    * discipline: each factor one exact-integer division, one multiply —
+    * three correctly-rounded IEEE ops on engine-identical inputs);
+    * z = [(R·n − n − 2n1n0)/n] / √σ²_R, two more single ops. One-sided
+    * groups (n1·n0 = 0) and n < 2 emit NULL var/z (the test is
+    * undefined; NULL, never a fake 0 — and never IEEE −0.0 from a
+    * 0·negative product).
+    *
+    * Scale shape: one stats pass broadcast back (the [[cusumReport]]
+    * shape), then both windows PARTITION BY the group key — groups rank
+    * in parallel, no unpartitioned WindowExec; run lengths collapse via
+    * one (grp, run_id) aggregation. `valueCol` is floor-quantized like
+    * [[cusumReport]] (pre-scale sub-integer structure).
+    */
+  def runsReport(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.runsReport",
+      groupCol, orderCol, idCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(orderCol).cast("long").as("ord"), col(idCol).cast("long").as("id"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val stats = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val sided = base.join(broadcast(stats), Seq("grp"))
+      .withColumn("side",
+        when(col("x").cast(dec) * col("n") > col("s").cast(dec), 1L)
+          .otherwise(0L))
+    import org.apache.spark.sql.expressions.{Window => Win}
+    val w = Win.partitionBy("grp").orderBy("ord", "id")
+    val runIds = sided
+      .withColumn("chg",
+        when(lag(col("side"), 1).over(w).isNull ||
+          lag(col("side"), 1).over(w) =!= col("side"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(w.rowsBetween(Win.unboundedPreceding, Win.currentRow)))
+    val runAgg = runIds.groupBy("grp", "run_id")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("grp")
+      .agg(max(col("run_id")).as("n_runs"), max(col("len")).as("longest_run"))
+    val ones = sided.groupBy("grp").agg(sum(col("side")).as("n1"))
+    val j = stats.join(runAgg, "grp").join(ones, "grp")
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("tno", lit(2).cast(dec) * col("n1") * col("n0"))
+    val defined = col("n") >= 2 && col("n1") > 0 && col("n0") > 0
+    val varRuns = when(defined,
+      (col("tno").cast("double") /
+        (col("n").cast(dec) * col("n")).cast("double")) *
+        ((col("tno") - col("n")).cast("double") /
+          (col("n") - 1).cast("double")))
+    val zNum = (col("n_runs").cast(dec) * col("n") - col("n") - col("tno"))
+      .cast("double") / col("n").cast("double")
+    j.select(col("grp"), col("n"), col("n1"), col("n0"),
+        col("n_runs"), col("longest_run"),
+        ((col("n").cast(dec) + col("tno")).cast("double") /
+          col("n").cast("double")).as("mu_runs"),
+        varRuns.as("var_runs"),
+        when(defined && varRuns > 0, zNum / sqrt(varRuns)).as("z_runs"))
+      .orderBy("grp")
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

@@ -58,6 +58,13 @@ object AuditQueries {
       AuditOps.cusumReport(t(s, d, "events"), "event_type", "ts", "event_id",
         "value", k = 30L, h = 150L)),
 
+    // Wald–Wolfowitz runs test per event type: too few runs = stuck
+    // metric, too many = oscillation — the sequence-randomness audit
+    // the point/drift detectors can't see.
+    "aud_runs" -> ((s, d) =>
+      AuditOps.runsReport(t(s, d, "events"), "event_type", "ts", "event_id",
+        "value")),
+
     // The treat step: clip o_totalprice into each status group's exact
     // [2.5%, 97.5%] percentiles (sketch-locates bins, one pruned ranking
     // pass) and report clip pressure + the winsorized decimal sum.
@@ -421,6 +428,47 @@ object AuditQueries {
         |  CAST(MAX(tp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_up,
         |  CAST(MAX(tn) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_down
         |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // runs test: mean-side flags by exact cross-multiply, one lag +
+    // one prefix-sum window per group, statistics in the split
+    // two-division form mirrored op-for-op
+    "aud_runs" ->
+      """WITH b AS (SELECT event_type AS grp, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s FROM b GROUP BY grp),
+        |sd AS (SELECT b.grp, b.ts, b.event_id,
+        |    CASE WHEN st.n * b.x > st.s THEN 1 ELSE 0 END AS side
+        |  FROM b JOIN st ON st.grp = b.grp),
+        |ch AS (SELECT grp, ts, event_id, side,
+        |    CASE WHEN LAG(side) OVER (PARTITION BY grp ORDER BY ts, event_id)
+        |        IS DISTINCT FROM side THEN 1 ELSE 0 END AS chg
+        |  FROM sd),
+        |ri AS (SELECT grp, side,
+        |    SUM(chg) OVER (PARTITION BY grp ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM ch),
+        |rl AS (SELECT grp, run_id, COUNT(*) AS len FROM ri GROUP BY grp, run_id),
+        |ra AS (SELECT grp, CAST(MAX(run_id) AS BIGINT) AS n_runs,
+        |    CAST(MAX(len) AS BIGINT) AS longest_run FROM rl GROUP BY grp),
+        |n1t AS (SELECT grp, CAST(SUM(side) AS HUGEINT) AS n1 FROM sd GROUP BY grp),
+        |j AS (SELECT st.grp, st.n, n1t.n1, st.n - n1t.n1 AS n0,
+        |    2 * n1t.n1 * (st.n - n1t.n1) AS tno, ra.n_runs, ra.longest_run
+        |  FROM st JOIN ra ON ra.grp = st.grp JOIN n1t ON n1t.grp = st.grp)
+        |SELECT grp, CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n0 AS BIGINT) AS n0, n_runs, longest_run,
+        |  CAST(n + tno AS DOUBLE) / CAST(n AS DOUBLE) AS mu_runs,
+        |  CASE WHEN n >= 2 AND n1 > 0 AND n0 > 0 THEN
+        |    (CAST(tno AS DOUBLE) / CAST(n * n AS DOUBLE)) *
+        |      (CAST(tno - n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) END AS var_runs,
+        |  CASE WHEN n >= 2 AND n1 > 0 AND n0 > 0 AND
+        |      (CAST(tno AS DOUBLE) / CAST(n * n AS DOUBLE)) *
+        |        (CAST(tno - n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) > 0 THEN
+        |    (CAST(n_runs * n - n - tno AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(tno AS DOUBLE) / CAST(n * n AS DOUBLE)) *
+        |        (CAST(tno - n AS DOUBLE) / CAST(n - 1 AS DOUBLE))) END AS z_runs
+        |FROM j ORDER BY grp""".stripMargin,
 
     // the q34 percentile CTE chain (integer permille rank arithmetic, same
     // 3-op interpolation) at [25, 975], then the clip + decimal sum

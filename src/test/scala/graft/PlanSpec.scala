@@ -265,6 +265,22 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runsReport: both windows partition by the group key — no unpartitioned WindowExec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.AuditOps
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AuditOps.runsReport(Tables.t(spark, sfDir, "events"),
+        "event_type", "ts", "event_id", "value")
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        "global window survives:\n" + unpartitioned.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("knn_rrf gate: lexical rank window is TakeOrdered-bounded, never corpus-sized") {
     // VERDICT r9: the gate used to rank the WHOLE scored BM25 table in
     // one unpartitioned window. The capped form may keep an

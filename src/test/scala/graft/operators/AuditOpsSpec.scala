@@ -555,6 +555,40 @@ class AuditOpsSpec extends SparkTestBase {
       s"expected a loud missing-control error, got: ${ex.getMessage}")
   }
 
+  test("runsReport: hand-computed alternating/stuck/constant cases; NULL on one-sided groups") {
+    import spark.implicits._
+    // A alternates around its mean 5 -> 4 runs of length 1 (oscillation,
+    // z > 0); B is the stuck shape -> 2 runs of length 2 (z < 0);
+    // C is constant -> every side 0 (x·n > Σx false), test undefined.
+    val df = Seq(
+      ("A", 1L, 10L, 1.0), ("A", 2L, 11L, 9.0), ("A", 3L, 12L, 1.0),
+      ("A", 4L, 13L, 9.0),
+      ("B", 1L, 20L, 1.0), ("B", 2L, 21L, 1.0), ("B", 3L, 22L, 9.0),
+      ("B", 4L, 23L, 9.0),
+      ("C", 1L, 30L, 5.0), ("C", 2L, 31L, 5.0), ("C", 3L, 32L, 5.0))
+      .toDF("g", "ts0", "id0", "v")
+    val r = AuditOps.runsReport(df, "g", "ts0", "id0", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 2 && a.getLong(3) == 2)
+    assert(a.getLong(4) == 4 && a.getLong(5) == 1, a.toString)
+    // mu = (4 + 2·2·2)/4 = 3; var = (8/16)·((8−4)/3) = 2/3;
+    // z = ((4·4 − 4 − 8)/4) / sqrt(2/3) = 1/sqrt(2/3)
+    assert(a.getDouble(6) == 3.0)
+    assert(a.getDouble(7) == (8.0 / 16.0) * (4.0 / 3.0))
+    assert(a.getDouble(8) == 1.0 / math.sqrt((8.0 / 16.0) * (4.0 / 3.0)))
+    assert(a.getDouble(8) > 0, "alternating sequence must z-score positive")
+    val b = r("B")
+    assert(b.getLong(4) == 2 && b.getLong(5) == 2)
+    assert(b.getDouble(8) < 0, "stuck sequence must z-score negative")
+    val c = r("C")
+    // constant group: all sides 0 (strict >), one long run, undefined test
+    assert(c.getLong(2) == 0 && c.getLong(4) == 1 && c.getLong(5) == 3)
+    assert(c.getDouble(6) == 1.0, "mu = (n+0)/n")
+    assert(c.isNullAt(7) && c.isNullAt(8),
+      s"one-sided group must emit NULL var/z, not 0/−0: $c")
+  }
+
   test("psiReport: hand-computed terms; one-sided category excluded from the total") {
     // old = [a,a,a,b], new = [a,b] (the categoricalDrift spec corpus):
     //  a: num = 3·2−1·4 = 2, dl = round(ln 6,7)−round(ln 4,7) = 0.4054651
