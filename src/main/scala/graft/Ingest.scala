@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** One-command streaming ingest — the operational wrapper over
+  * [[graft.streaming.StreamOps.ingestPipeline]], completing the CLI
+  * family (Pipeline = batch corpus build, Audit = data card,
+  * Snapshots = lifecycle, Ingest = continuous intake):
+  *
+  *   sbt "runMain graft.Ingest <landingDir> <corpusParquet> <outRoot> [minScore] [--follow]"
+  *
+  * `<corpusParquet>` is the RELEASED corpus (documents-shaped parquet:
+  * doc_id, lang, n_chars, text) that incoming docs are decontaminated
+  * against — its MinHash index is built once at startup (the production
+  * deployment loads a persisted [[graft.operators.DedupOps.writeMinhashIndex]]
+  * instead; this CLI favors zero setup). `<outRoot>/snap` receives one
+  * immutable snapshot version per micro-batch, `<outRoot>/quarantine`
+  * the reject rows, `<outRoot>/ckpt` the checkpoint — re-running the
+  * same command RESUMES from the checkpoint (landed-but-processed files
+  * are not reprocessed; the StreamingIngestSpec restart contract).
+  *
+  * By default the command drains everything currently in the landing
+  * dir and exits (the cron-driven intake shape); `--follow` keeps the
+  * query running until killed (the daemon shape). `minScore` (default
+  * disabled) applies the classifier floor with a uniform demo model —
+  * production passes a trained model through the library API.
+  */
+object Ingest {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.Ingest <landingDir> <corpusParquet> <outRoot>" +
+          " [minScore] [--follow]")
+      sys.exit(2)
+    }
+    val Array(landing, corpusPath, outRoot) = args.take(3)
+    val follow = args.contains("--follow")
+    val minScore = args.drop(3).filterNot(_.startsWith("--"))
+      .headOption.map(_.toDouble).getOrElse(Double.NegativeInfinity)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = spark.read.parquet(corpusPath)
+      .select("doc_id", "lang", "n_chars", "text")
+    val index = graft.operators.DedupOps.minhashIndex(corpus)
+    index._1.persist(); index._2.persist()
+    // demo model: uniform zero weights -> score 0 for every doc; the
+    // floor only bites when the caller passes minScore > 0 with a real
+    // model through the library API
+    val model = spark.range(1).select(lit(0L).as("feature"),
+      lit(0.0).as("weight"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = graft.streaming.StreamOps.ingestPipeline(spark, landing, schema,
+      required = Seq("doc_id", "text"), corpusIndex = index, model = model,
+      minScore = minScore, snapRoot = s"$outRoot/snap",
+      quarantineDir = s"$outRoot/quarantine", checkpointDir = s"$outRoot/ckpt")
+    if (follow) q.awaitTermination()
+    else {
+      q.processAllAvailable()
+      q.stop()
+      val live = graft.sources.SnapshotStore.latestVersion(s"$outRoot/snap")
+      println(s"""{"cli":"ingest","landing":"$landing","live_version":${
+        live.map(_.toString).getOrElse("null")}}""")
+    }
+    spark.stop()
+  }
+}

@@ -44,6 +44,46 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** TIME-TO-NEXT-ACTION dwell latency per event type — "after a user
+    * does X, how long until they do ANYTHING next": for every event, the
+    * gap to the same user's next event (per-user `(us, event_id)` order,
+    * the [[transitionCounts]] sequencing contract), aggregated per the
+    * FROM event's type. The engagement-cadence panel next to
+    * [[transitionCounts]]' "where do they go" — this is "how fast".
+    * Output: `(event_type, n_gaps, min_gap_us, max_gap_us, mean_gap_us)`.
+    *
+    * `tsUs` must be microseconds since epoch (the gate passes
+    * `ts div 1000` over the int64-nanos column — gaps are computed on
+    * the µs values themselves so both engines difference identical
+    * integers, the cohortRetention convention). Exactness: gaps and
+    * min/max are exact longs, the sum a DECIMAL(38,0), the mean ONE
+    * division. Scale shape: one user_id hash exchange for the lead
+    * window (users sequence in parallel), then a map-side-combined
+    * aggregate to ≤\|types\| rows; events shuffle once as
+    * (user, us, id, type) — no payload.
+    */
+  def dwellReport(events: DataFrame, tsUs: org.apache.spark.sql.Column): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.dwellReport",
+      "user_id", "event_id", "event_type")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = e.select(col("user_id"), tsUs.as("us"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - col("us"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us").cast(dec)).as("gsum"))
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"),
+        (col("gsum").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** First-order Markov TRANSITION MATRIX of user journeys: for each
     * ordered pair of event types, how many times a user's event of
     * `from_type` was IMMEDIATELY followed by one of `to_type` (per-user

@@ -172,6 +172,13 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Time-to-next-action dwell per event type: gaps on the µs values
+    // themselves (ts div 1000 before differencing — the cohortRetention
+    // convention, so both engines difference identical integers).
+    "ev_dwell" -> ((s, d) =>
+      EventOps.dwellReport(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)))),
+
     // Markov transition matrix of user journeys (next-event panel):
     // per-user (µs, event_id) sequencing — the ev_scd2 ordering
     // convention, so both engines break ties identically.
@@ -333,6 +340,21 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Dwell: LEAD over the same (µs, event_id) per-user order; gaps are
+    // exact µs integers, the mean one HUGEINT-sum division
+    "ev_dwell" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |g AS (SELECT event_type, us, event_id,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(MIN(next_us - us) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(next_us - us) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(CAST(next_us - us AS HUGEINT)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
+        |FROM g WHERE next_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Transitions: LEAD over the same (µs, event_id) per-user order; p is
     // one exact-integer division
     "ev_transitions" ->

@@ -356,6 +356,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(all.length == 3 && all.map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("dwellReport: per-user gaps credited to the FROM event's type; last events emit nothing") {
+    import spark.implicits._
+    // user 1: click@1µs -> view@25 -> click2@100 (gap 24 credited to
+    // click, 75 to view, nothing to the last event); user 2: one event
+    // only -> no gap rows
+    val ev = Seq(
+      (10L, 1L, 1L, "click"), (11L, 1L, 25L, "view"), (12L, 1L, 100L, "click2"),
+      (20L, 2L, 50L, "view"))
+      .toDF("event_id", "user_id", "us0", "event_type")
+    val r = EventOps.dwellReport(
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+          col("us0").as("ts")), col("ts"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r("click") == ((1L, 24L, 24L, 24.0)), r.toString)
+    assert(r("view") == ((1L, 75L, 75L, 75.0)), r.toString)
+    // the user's LAST event (click2@100) and the single-event user
+    // produce no gap rows at all
+    assert(!r.contains("click2"))
+    assert(r.values.map(_._1).sum == 2L)
+  }
+
   test("cdcChunks: lossless reassembly; boundaries resynchronize after an insertion") {
     import spark.implicits._
     val base = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
