@@ -547,7 +547,42 @@ object ScaleBench {
         graft.operators.AuditOps.cusumReport(
           graft.operators.Tables.normalizeTs(
             s.read.parquet(s"$d/events.parquet")),
-          "event_type", "ts", "event_id", "value", k = 30L, h = 150L)))
+          "event_type", "ts", "event_id", "value", k = 30L, h = 150L)),
+      // round-10 additions: runs test (stats pass + two group-partitioned
+      // windows — the window sort is the scan-bound term), dwell (one
+      // user_id exchange for the lead window, then a bounded agg),
+      // audio decode (pure mapPartitions projection — embarrassingly
+      // parallel), and ANN-fed MMR (LSH candidate generation ∝ bucket
+      // collisions; the greedy stage stays pool-bounded per query)
+      "aud_runs" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.runsReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          "event_type", "ts", "event_id", "value")),
+      "ev_dwell" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.dwellReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)))),
+      "mm_audio_meta" -> ((s: SparkSession, d: String, _: Double) => {
+        import s.implicits._
+        graft.multimodal.MediaOps.audioMeta(s,
+          s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), octet_length(col("text")).as("nb"))
+            .as[(Long, Int)]
+            .mapPartitions(_.map { case (id, nb) =>
+              (id, graft.multimodal.MediaStub.synthWav(
+                8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt, 16, 100 + nb))
+            })
+            .toDF("doc_id", "payload")).toDF()
+      }),
+      "knn_mmr_rerank_lsh" -> ((s: SparkSession, d: String, k: Double) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val qs = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        SimilarityOps.mmrRerank(e,
+          SimilarityOps.lshTopK(e, qs, k = 10, bits = scaledBits(k)), k = 4)
+      }))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
