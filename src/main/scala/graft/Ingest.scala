@@ -69,7 +69,7 @@ object Ingest {
       q.processAllAvailable()
       q.stop()
       val live = graft.sources.SnapshotStore.latestVersion(s"$outRoot/snap")
-      println(s"""{"cli":"ingest","landing":"$landing","live_version":${
+      println(s"""{"cli":"ingest","landing":"${CliJson.str(landing)}","live_version":${
         live.map(_.toString).getOrElse("null")}}""")
     }
     spark.stop()

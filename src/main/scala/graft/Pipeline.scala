@@ -281,7 +281,7 @@ object Pipeline {
     codebooks.write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
     codes.write.mode("overwrite").parquet(s"$outDir/pq_codes")
     println(s"""{"stage":"emb_indexed","codes":${codes.count()},"codebook_rows":${codebooks.count()}}""")
-    println(s"""{"stage":"written","out":"$outDir","wall_s":${
+    println(s"""{"stage":"written","out":"${CliJson.str(outDir)}","wall_s":${
       (System.nanoTime() - t0) / 1e9}}""")
     spark.stop()
   }

@@ -96,7 +96,7 @@ object SkewBench {
 
     val all = Seq(naiveAqe, naiveNoAqe, saltedNoAqe, saltedAqe, saltedSuggested)
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"skew_join","unit":"sec","variants":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"skew_join","unit":"sec","variants":$qs,"sf":"${CliJson.str(sfDir)}"}""")
     spark.stop()
   }
 }

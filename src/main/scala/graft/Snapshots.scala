@@ -62,7 +62,7 @@ object Snapshots {
             s"publish: id column '$idCol' not in ${df.columns.mkString(",")}" +
               " — pass the id column as the 4th argument")
           val v = SnapshotStore.publish(df, root, col(idCol))
-          println(s"""{"verb":"publish","root":"$root","version":$v}""")
+          println(s"""{"verb":"publish","root":"${CliJson.str(root)}","version":$v}""")
         case "log" =>
           val live = SnapshotStore.latestVersion(root)
           SnapshotStore.versions(spark, root).collect().foreach { r =>
@@ -70,21 +70,21 @@ object Snapshots {
               s""""digest":${r.getLong(2)},""" +
               s""""live":${live.contains(r.getLong(0))}}""")
           }
-          println(s"""{"verb":"log","root":"$root","live":${
+          println(s"""{"verb":"log","root":"${CliJson.str(root)}","live":${
             live.map(_.toString).getOrElse("null")}}""")
         case "rollback" =>
           if (args.length < 3) usage()
           val v = args(2).toLong
           SnapshotStore.rollback(root, v)
-          println(s"""{"verb":"rollback","root":"$root","live":$v}""")
+          println(s"""{"verb":"rollback","root":"${CliJson.str(root)}","live":$v}""")
         case "vacuum" =>
           val keep = if (args.length >= 3) args(2).toInt else 2
           val removed = SnapshotStore.vacuum(root, keep)
-          println(s"""{"verb":"vacuum","root":"$root","keep":$keep,""" +
+          println(s"""{"verb":"vacuum","root":"${CliJson.str(root)}","keep":$keep,""" +
             s""""removed":[${removed.mkString(",")}]}""")
         case "break-lease" =>
           val broke = SnapshotStore.breakLease(root)
-          println(s"""{"verb":"break-lease","root":"$root","removed":$broke}""")
+          println(s"""{"verb":"break-lease","root":"${CliJson.str(root)}","removed":$broke}""")
         case _ => usage()
       }
     } catch {

@@ -1493,10 +1493,12 @@ object AuditOps {
       .select(
         coalesce(col("n0m"), raise_error(lit(
           s"AuditOps.abTestReport: control variant '$control' matched no" +
-            " rows — check the label")).cast("long")).as("n0"),
+            " rows (or the input is empty) — check the label and the input"))
+          .cast("long")).as("n0"),
         coalesce(col("c0m"), raise_error(lit(
           s"AuditOps.abTestReport: control variant '$control' matched no" +
-            " rows — check the label")).cast("long")).as("c0"))
+            " rows (or the input is empty) — check the label and the input"))
+          .cast("long")).as("c0"))
     val j = g.crossJoin(broadcast(ctl))
     val num = col("conv").cast(dec) * col("n0") - col("c0").cast(dec) * col("n")
     val bigN = (col("n") + col("n0")).cast(dec)

@@ -185,10 +185,12 @@ object SnapshotStore {
   }
 
   /** Remove data dirs (and manifests) of all versions EXCEPT the newest
-    * `keep` and the live pointer's target — bounded storage without ever
-    * breaking `read`. Orphan dirs from crashed publishes (newer than the
-    * pointer, never pointed at) count against `keep` like any version.
-    * Returns the removed version ids.
+    * `keep` MANIFEST-BACKED versions and the live pointer's target —
+    * bounded storage without ever breaking `read`. Orphan dirs from
+    * crashed publishes (data dir but no manifest, never pointed at) are
+    * victims FIRST and never count toward `keep`: otherwise a single
+    * crash could make vacuum retain the useless orphan while deleting an
+    * older readable version. Returns the removed version ids.
     */
   def vacuum(root: String, keep: Int): Seq[Long] = {
     requireLocal(root)
@@ -196,7 +198,13 @@ object SnapshotStore {
     withLease(root, "vacuum") {
       val live = latestVersion(root)
       val all = existingVersions(root)
-      val victims = all.dropRight(keep).filterNot(live.contains)
+      val metaD = new java.io.File(metaDir(root))
+      val backed = if (!metaD.exists()) Set.empty[Long]
+        else metaD.listFiles().toSeq.map(_.getName)
+          .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+          .map(_.stripPrefix("v=").stripSuffix(".json").toLong).toSet
+      val kept = all.filter(backed.contains).takeRight(keep).toSet
+      val victims = all.filterNot(kept.contains).filterNot(live.contains)
       victims.foreach { v =>
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)

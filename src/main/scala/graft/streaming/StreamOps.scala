@@ -648,42 +648,135 @@ object StreamOps {
         .cast("double").as("score"))
   }
 
-  /** COMPOSED streaming ingest — the production chain assembled from the
-    * individually spec-pinned stages, running as ONE continuously-
-    * restartable query over a JSONL landing directory:
+  /** The corpus contract (doc_id, lang, n_chars, text) the shingle ops
+    * require, derived from a parsed landing frame that only owes
+    * doc_id + text.
+    */
+  private def corpusShape(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (if (docs.columns.contains("lang")) col("lang") else lit("und")).as("lang"),
+      length(col("text")).cast("long").as("n_chars"), col("text"))
+
+  /** The stream-history index dirs that make the ingest's dedup
+    * cross-batch: an md5 digest table (exact dedup) and the persisted
+    * MinHash (hashed, bands) tables (near-dup dedup), each row tagged
+    * with the snapshot version it came from so [[reconcileIngestIndex]]
+    * can heal a crash between publish and index append.
+    */
+  private def ingestIndexDir(snapRoot: String) = s"$snapRoot/_ingest_index"
+  private def indexPartExists(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.isDirectory && d.listFiles() != null && d.listFiles().exists(f =>
+      f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+  }
+
+  /** Append version `v`'s digests + MinHash rows to the stream-history
+    * index. Called after every publish and by the startup reconcile.
+    */
+  private def appendIngestIndex(snapRoot: String, v: Long, docs: DataFrame): Unit = {
+    val idx = ingestIndexDir(snapRoot)
+    docs.select(lit(v).as("version"), md5(col("text")).as("digest"))
+      .write.mode("append").parquet(s"$idx/digests")
+    val (h, b) = graft.operators.DedupOps.minhashIndex(corpusShape(docs))
+    h.withColumn("version", lit(v)).write.mode("append").parquet(s"$idx/hashed")
+    b.withColumn("version", lit(v)).write.mode("append").parquet(s"$idx/bands")
+  }
+
+  /** Heal the stream-history index against the published versions: any
+    * manifest-backed version missing from the digest table (a crash hit
+    * the publish→index-append window) is re-indexed from its immutable
+    * data dir. Runs once per [[ingestPipeline]] start — bounded by the
+    * gap size, zero on a clean restart.
+    */
+  private def reconcileIngestIndex(
+      spark: org.apache.spark.sql.SparkSession, snapRoot: String): Unit = {
+    val metaD = new java.io.File(s"$snapRoot/_meta")
+    if (!metaD.isDirectory) return
+    val published = metaD.listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+      .map(_.stripPrefix("v=").stripSuffix(".json").toLong).sorted
+    if (published.isEmpty) return
+    val digDir = s"${ingestIndexDir(snapRoot)}/digests"
+    val indexed = if (!indexPartExists(digDir)) Set.empty[Long]
+      else spark.read.parquet(digDir).select("version").distinct()
+        .collect().map(_.getLong(0)).toSet
+    published.filterNot(indexed.contains).foreach { v =>
+      appendIngestIndex(snapRoot, v,
+        graft.sources.SnapshotStore.readVersion(spark, snapRoot, v))
+    }
+  }
+
+  /** COMPOSED streaming ingest at BATCH-PIPELINE parity — the production
+    * chain assembled from the individually spec-pinned stages, running as
+    * ONE continuously-restartable query over a JSONL landing directory.
+    * A streaming release drops every class of document the batch
+    * [[graft.Pipeline]] build drops:
     *
     * ```
     * readStream.text(landing)                 file source, checkpointed
     *   → CorpusSource.parseJsonl              quarantine split (shared
     *                                          parser with the batch reader)
+    *   → exact dedup                          keep-min-doc_id per md5 digest
+    *        within the batch AND vs the       (the Pipeline stage-2 policy),
+    *        stream-history digest index       cross-batch via the persisted
+    *                                          `_ingest_index/digests` probe
     *   → DedupOps.minhashPairsAgainst(index)  drop docs near-dup'ing the
     *                                          FIXED corpus index
+    *   → minhashPairsAgainst(history index)   drop paraphrases of docs this
+    *                                          stream already PUBLISHED in an
+    *                                          earlier batch (first-arrival
+    *                                          canonical — the streaming twin
+    *                                          of Pipeline's keepCanonical)
+    *   → within-batch minhashPairs →          near-dup clusters inside one
+    *        nearDupClusters → keepCanonical   delivery keep min doc_id,
+    *                                          exactly the Pipeline stage 3
+    *   → semanticDecontaminate (optional)     when the landing schema carries
+    *                                          an `embedding` column and
+    *                                          `benchEmbeddings` is given: the
+    *                                          fixed-hyperplane LSH eval-leakage
+    *                                          guard (Pipeline's embedding-side
+    *                                          stage), per batch
     *   → scoreLinearStream floor              classifier quality gate
     *   → SnapshotStore.publish                one immutable version per
     *                                          non-empty micro-batch
+    *   → appendIngestIndex                    the published docs' digests +
+    *                                          MinHash rows join the history
+    *                                          index for every later batch
     * ```
     *
-    * All four stages run inside one `foreachBatch`, so a micro-batch
-    * commits to the checkpoint only after its quarantine append AND its
-    * snapshot publish completed — a kill anywhere mid-chain replays the
-    * whole batch on restart. Replay consequences are the documented
-    * at-least-once story of each sink: a duplicate snapshot version with
-    * a BIT-IDENTICAL manifest digest ([[snapshotPublishStream]]'s
-    * auditability argument — consumers fold versions by digest), and
-    * duplicate quarantine rows distinguishable by `batch_id`. The corpus
-    * index and the score model are FIXED inputs (bounded model state,
-    * computed/loaded once outside the stream) — this is the
-    * "decontaminate + floor against the released corpus" ingest, not a
-    * self-referential index update; re-index by republishing the corpus
-    * and restarting the query.
+    * All stages run inside one `foreachBatch`, so a micro-batch commits
+    * to the checkpoint only after its quarantine append, snapshot publish
+    * AND index append completed — a kill anywhere mid-chain replays the
+    * whole batch on restart. Replay is IDEMPOTENT for publishes: a
+    * replayed batch's docs collide with their own digests in the history
+    * index (appended before the checkpoint commit), so the replay
+    * publishes nothing new; duplicate quarantine rows stay
+    * distinguishable by `batch_id`. A crash between publish and index
+    * append is healed by [[reconcileIngestIndex]] at the next start
+    * (every publish is manifest-backed before the pointer flip, so the
+    * reconcile sees it). The raw landing lines are persisted once per
+    * batch — the parse feeds the quarantine branch and the dedup chain
+    * without re-reading, and the quarantine append is UNCONDITIONAL (a
+    * zero-row parquet append is one short task; the previous `isEmpty`
+    * probe was an extra Spark job on every healthy batch — VERDICT r10).
     *
-    * Scale shape: per-batch cost ∝ batch size + band collisions
-    * ([[incrementalDedupStream]]'s bound); the landing scan is
-    * incremental (file-source offsets in the checkpoint); publish cost
-    * is the batch write + O(1) metadata. StreamingIngestSpec drives the
-    * chain end-to-end with a mid-feed stop/restart and pins the published
-    * union + quarantine equal to the batch composition over the same
-    * landed files.
+    * Canonical policy note: the batch Pipeline keeps min doc_id per
+    * near-dup cluster over the WHOLE delivery; the stream keeps the
+    * first-PUBLISHED member (its version is immutable) and min doc_id
+    * within a batch. The two releases are identical whenever arrival
+    * order agrees with doc_id order across batches (StreamingIngestSpec's
+    * equality setup); otherwise each still releases exactly one member
+    * per cluster.
+    *
+    * Scale shape: per-batch cost ∝ batch size + band collisions +
+    * ONE columnar scan of the history index (8-byte ids/hashes/digests —
+    * the text never re-reads); the landing scan is incremental
+    * (file-source offsets in the checkpoint); publish cost is the batch
+    * write + O(1) metadata. The fixed corpus index and the score model
+    * are bounded model state computed/loaded once outside the stream.
+    * StreamingIngestSpec drives the chain end-to-end with a mid-feed
+    * stop/restart and pins the published union + quarantine equal to the
+    * batch composition of the same stages over the same landed files.
     *
     * Returns the started [[org.apache.spark.sql.streaming.StreamingQuery]].
     */
@@ -697,41 +790,95 @@ object StreamOps {
       minScore: Double,
       snapRoot: String,
       quarantineDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      benchEmbeddings: Option[DataFrame] = None,
+      semThreshold: Double = 0.40): org.apache.spark.sql.streaming.StreamingQuery = {
     require(schema.fieldNames.contains("doc_id") && schema.fieldNames.contains("text"),
       "StreamOps.ingestPipeline: schema must carry doc_id and text")
+    benchEmbeddings.foreach { b =>
+      require(schema.fieldNames.contains("embedding"),
+        "StreamOps.ingestPipeline: benchEmbeddings given but the landing " +
+          "schema has no embedding column")
+      graft.operators.OpContract.requireCols(b,
+        "StreamOps.ingestPipeline benchEmbeddings", "vec_id", "embedding")
+    }
+    // heal the history index before any batch probes it (crash window:
+    // publish succeeded, index append did not)
+    reconcileIngestIndex(spark, snapRoot)
+    val idx = ingestIndexDir(snapRoot)
     val lines = spark.readStream.text(landingDir)
       .select(col("value"), input_file_name().as("source_file"))
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val parsed = graft.sources.CorpusSource.parseJsonl(batch, schema, required)
-        // 1. quarantine append (batch_id for replay forensics)
-        val quarantined = parsed.quarantine.withColumn("batch_id", lit(batchId))
-        if (!quarantined.isEmpty)
-          quarantined.write.mode("append").parquet(quarantineDir)
-        // 2. near-dup decontamination against the fixed corpus index
-        // (the shingle ops carry the corpus contract (doc_id, lang,
-        // n_chars, text) — derive the two metadata columns here so the
-        // landing schema only owes doc_id + text)
-        val dedupIn = parsed.good.select(col("doc_id"),
-          (if (parsed.good.columns.contains("lang")) col("lang")
-           else lit("und")).as("lang"),
-          length(col("text")).cast("long").as("n_chars"), col("text"))
-        val dupIds = graft.operators.DedupOps
-          .minhashPairsAgainst(corpusIndex, dedupIn)
-          .select(col("doc_new").as("doc_id")).distinct()
-        val fresh = parsed.good.join(dupIds, Seq("doc_id"), "left_anti")
-        // 3. classifier floor: the stateless scorer works unchanged on
-        // batch frames; score rides into the published version
-        val kept = fresh
-          .join(scoreLinearStream(fresh, model).select("doc_id", "score"), "doc_id")
-          .filter(col("score") >= minScore)
-        // 4. one immutable version per non-empty batch, atomic flip
-        if (!kept.isEmpty) {
-          graft.sources.SnapshotStore.publish(kept, snapRoot, col("doc_id"))
-          ()
-        }
+        // one materialization of the raw lines; the parse projections on
+        // both branches below run over the cached partitions
+        val cached = batch.persist()
+        try {
+          val parsed = graft.sources.CorpusSource.parseJsonl(cached, schema, required)
+          // 1. quarantine append — unconditional (batch_id for replay
+          //    forensics); no per-batch emptiness probe
+          parsed.quarantine.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(quarantineDir)
+          // 2. exact dedup, Pipeline stage-2 policy: keep min doc_id per
+          //    content digest within the batch…
+          val keepIds = parsed.good.groupBy(md5(col("text")).as("d"))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          val exactB = parsed.good.join(keepIds, Seq("doc_id"), "left_semi")
+          //    …then drop docs whose digest is already PUBLISHED (the
+          //    cross-batch probe; also what makes batch replay idempotent)
+          val exact = if (!indexPartExists(s"$idx/digests")) exactB
+            else exactB.join(spark.read.parquet(s"$idx/digests")
+                .select(col("digest").as("bl_digest")).distinct(),
+              md5(col("text")) === col("bl_digest"), "left_anti")
+          // 3. near-dup decontamination against the fixed corpus index
+          val dedupIn = corpusShape(exact)
+          val corpusDups = graft.operators.DedupOps
+            .minhashPairsAgainst(corpusIndex, dedupIn)
+            .select(col("doc_new").as("doc_id"))
+          // 4. near-dup vs the stream's own published history: a
+          //    paraphrase arriving after its original (possibly many
+          //    batches later) leaves here
+          val histDups = if (!indexPartExists(s"$idx/bands")) corpusDups.limit(0)
+            else graft.operators.DedupOps.minhashPairsAgainst(
+                (spark.read.parquet(s"$idx/hashed"),
+                  spark.read.parquet(s"$idx/bands")), dedupIn)
+              .select(col("doc_new").as("doc_id"))
+          val fresh0 = exact.join(
+            corpusDups.unionAll(histDups).distinct(), Seq("doc_id"), "left_anti")
+          // 5. near-dup dedup WITHIN the batch (Pipeline stage 3): pairs →
+          //    connected components → canonical min-doc_id survivor
+          val freshIn = corpusShape(fresh0)
+          val fresh = graft.operators.DedupOps.keepCanonical(fresh0,
+            graft.operators.DedupOps.nearDupClusters(
+              graft.operators.DedupOps.minhashPairs(freshIn)))
+          // 6. semantic decontamination (Pipeline's embedding-side guard):
+          //    fixed hyperplanes (same bits/tables/seed as graft.Pipeline),
+          //    per-batch LSH-bucketed anti join against the broadcast bench
+          val decon = benchEmbeddings match {
+            case Some(bench) =>
+              graft.operators.SimilarityOps.semanticDecontaminate(
+                  fresh.withColumnRenamed("doc_id", "vec_id"), bench,
+                  semThreshold, bits = 4, tables = 48, seed = 4241L)
+                .withColumnRenamed("vec_id", "doc_id")
+            case None => fresh
+          }
+          // 7. classifier floor: the stateless scorer works unchanged on
+          //    batch frames; score rides into the published version
+          val kept = decon
+            .join(scoreLinearStream(decon, model).select("doc_id", "score"), "doc_id")
+            .filter(col("score") >= minScore)
+            .persist()
+          try {
+            // 8. one immutable version per non-empty batch, atomic flip;
+            //    then the published docs join the history index (order
+            //    matters: the index must only ever cover published docs)
+            if (!kept.isEmpty) {
+              val v = graft.sources.SnapshotStore.publish(kept, snapRoot, col("doc_id"))
+              appendIngestIndex(snapRoot, v, kept.drop("score"))
+            }
+          } finally { kept.unpersist(); () }
+        } finally { cached.unpersist(); () }
       }
       .start()
   }
@@ -798,11 +945,19 @@ object StreamOps {
                 (win, v, n, c, rate, lift, z2, z2.map(math.sqrt))
               }
             }
-          } else if ((win + 1) * windowUs / 1000L <= state.getCurrentWatermarkMs()) {
+          } else if (((win + 1L) * windowUs + 999L) / 1000L
+              < state.getCurrentWatermarkMs()) {
             // Late rows for an already-closed window: flatMapGroupsWithState
             // does NOT auto-drop late data, and setTimeoutTimestamp at or
             // below the watermark throws — drop the stragglers instead of
-            // failing the query (the window's report already shipped).
+            // failing the query (the window's report already shipped). The
+            // end-of-window ms is CEILed (driftStream's form) so a windowUs
+            // not divisible by 1000 never times out — or drops rows — up to
+            // 1ms early; the comparison is STRICT because Spark fires
+            // event-time timeouts only when timeoutTs < watermark, so at
+            // exact equality the window's state has NOT emitted yet and the
+            // row must still be folded in (the clamp below keeps the
+            // re-registered timeout legal).
             Iterator.empty
           } else {
             val m = rows.foldLeft(
@@ -812,7 +967,8 @@ object StreamOps {
                 acc.updated(r._2, (n + 1L, c + (if (r._3) 1L else 0L)))
             }
             state.update(m)
-            state.setTimeoutTimestamp((win + 1) * windowUs / 1000L)
+            state.setTimeoutTimestamp(math.max(((win + 1L) * windowUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
       }
@@ -875,9 +1031,12 @@ object StreamOps {
             cats.iterator.map(c =>
               (win, c, baseline.getOrElse(c, 0L), counts.getOrElse(c, 0L), tvd))
           } else if (((win + 1L) * windowUs + 999L) / 1000L
-              <= state.getCurrentWatermarkMs()) {
+              < state.getCurrentWatermarkMs()) {
             // late rows for a closed window — drop, don't recreate state
-            // (setTimeoutTimestamp at/below the watermark would throw)
+            // (setTimeoutTimestamp at/below the watermark would throw).
+            // STRICT comparison: timeouts fire only when timeoutTs <
+            // watermark, so at exact equality this window's state has not
+            // emitted yet and the row still belongs to it.
             Iterator.empty
           } else {
             val m = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
@@ -887,8 +1046,11 @@ object StreamOps {
             // expire when the watermark passes the window end — CEIL to
             // ms so a window never times out before its true end (early
             // timeout would re-open the window on a late-but-in-window
-            // event and emit it twice with split counts)
-            state.setTimeoutTimestamp(((win + 1L) * windowUs + 999L) / 1000L)
+            // event and emit it twice with split counts); clamp above the
+            // current watermark for the equality-boundary fold (the
+            // expiringSessions guard)
+            state.setTimeoutTimestamp(math.max(((win + 1L) * windowUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
       }
