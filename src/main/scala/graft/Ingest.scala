@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * family (Pipeline = batch corpus build, Audit = data card,
   * Snapshots = lifecycle, Ingest = continuous intake):
   *
-  *   sbt "runMain graft.Ingest <landingDir> <corpusParquet> <outRoot> [minScore] [--follow]"
+  *   sbt "runMain graft.Ingest <landingDir> <corpusParquet> <outRoot>
+  *        [minScore] [--follow] [--compact-every=N] [--keep=K]"
   *
   * `<corpusParquet>` is the RELEASED corpus (documents-shaped parquet:
   * doc_id, lang, n_chars, text) that incoming docs are decontaminated
@@ -26,19 +27,32 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * query running until killed (the daemon shape). `minScore` (default
   * disabled) applies the classifier floor with a uniform demo model —
   * production passes a trained model through the library API.
+  *
+  * Maintenance: `--compact-every=N` folds the log into one compacted
+  * full-snapshot version whenever N increment versions accrete
+  * ([[graft.streaming.StreamOps.compactIngestLog]] — bounds versions AND
+  * small files under continuous ingest); `--keep=K` (default 2) retains
+  * K full snapshots as rollback history (only meaningful with
+  * `--compact-every`). Read the current corpus with
+  * [[graft.streaming.StreamOps.ingestCorpus]].
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
         "usage: graft.Ingest <landingDir> <corpusParquet> <outRoot>" +
-          " [minScore] [--follow]")
+          " [minScore] [--follow] [--compact-every=N] [--keep=K]")
       sys.exit(2)
     }
     val Array(landing, corpusPath, outRoot) = args.take(3)
     val follow = args.contains("--follow")
     val minScore = args.drop(3).filterNot(_.startsWith("--"))
       .headOption.map(_.toDouble).getOrElse(Double.NegativeInfinity)
+    def flagVal(name: String): Option[Int] = args.collectFirst {
+      case a if a.startsWith(s"--$name=") => a.stripPrefix(s"--$name=").toInt
+    }
+    val compactEvery = flagVal("compact-every").getOrElse(0)
+    val keepFull = flagVal("keep").getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-ingest")
@@ -63,7 +77,8 @@ object Ingest {
     val q = graft.streaming.StreamOps.ingestPipeline(spark, landing, schema,
       required = Seq("doc_id", "text"), corpusIndex = index, model = model,
       minScore = minScore, snapRoot = s"$outRoot/snap",
-      quarantineDir = s"$outRoot/quarantine", checkpointDir = s"$outRoot/ckpt")
+      quarantineDir = s"$outRoot/quarantine", checkpointDir = s"$outRoot/ckpt",
+      compactEvery = compactEvery, keepFull = keepFull)
     if (follow) q.awaitTermination()
     else {
       q.processAllAvailable()

@@ -36,6 +36,27 @@ object MediaOps {
       })
   }
 
+  /** Video container-metadata extraction over a binary payload column —
+    * the video sibling of [[audioMeta]]: real pure-JVM ISO BMFF box walk
+    * ([[MediaStub.decodeVideo]]) per asset, unrecognized payloads emit a
+    * `decoded = false` zero row. Same mapPartitions discipline:
+    * iterator-to-iterator, embarrassingly parallel, no shuffle at any
+    * scale.
+    */
+  def videoMeta(spark: SparkSession,
+      docsWithPayload: DataFrame): Dataset[MediaStub.VideoMeta] = {
+    import spark.implicits._
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.videoMeta", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaStub.decodeVideo(id, bytes).getOrElse(
+          MediaStub.VideoMeta(id, decoded = false, bytes.length,
+            0, 0L, 0L, 0, "unknown"))
+      })
+  }
+
   /** Thumbnail/preview extraction shape: slice the leading bytes of the
     * binary payload and fingerprint them (a real pipeline would decode and
     * resize; the byte-slice + digest plumbing is identical).

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * typed extracted metadata.
   *
   * The decode is REAL for image containers the JDK ships readers for
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeImage]]) and for
-  * audio containers `javax.sound.sampled` parses (WAV/AIFF/AU —
-  * [[decodeAudio]]); payloads no installed reader recognizes (video,
-  * and the synthetic UTF-8 gate corpus) fall back to the clearly-marked
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeImage]]), for audio
+  * containers `javax.sound.sampled` parses (WAV/AIFF/AU —
+  * [[decodeAudio]]), and for MP4/ISO-BMFF video containers via the
+  * pure-JVM box walk ([[decodeVideo]]); payloads no decoder recognizes
+  * (the synthetic UTF-8 gate corpus) fall back to the clearly-marked
   * deterministic STUB ([[decodeStub]]). Everything Spark-side is real and tested either way:
   * the binary column handling, the typed `Dataset.mapPartitions` batch
   * shape (one decoder instantiation per partition, streaming iterator, no
@@ -80,8 +81,9 @@ object MediaStub {
     * sample width, frame count and exact-integer µs duration
     * (frames·10⁶/rate, one floor division). Returns None when no
     * installed provider recognizes the payload, so callers fall back to
-    * [[decodeStub]] — audio joins images in the REAL-decode domain and
-    * the stub now covers only genuinely unknown bytes (video).
+    * [[decodeStub]] — audio joins images in the REAL-decode domain (and
+    * since r11, MP4 video via [[decodeVideo]]); the stub covers only
+    * genuinely unknown bytes.
     */
   def decodeAudio(docId: Long, payload: Array[Byte]): Option[AudioMeta] =
     try {
@@ -125,9 +127,129 @@ object MediaStub {
     bb.array()
   }
 
+  /** Extracted per-asset VIDEO container metadata (the `moov/mvhd` header
+    * fields a real probe reports before any codec work).
+    */
+  final case class VideoMeta(
+      doc_id: Long, decoded: Boolean, n_bytes: Int, timescale: Int,
+      duration_ticks: Long, duration_us: Long, n_tracks: Int, format: String)
+
+  /** Minimal ISO BMFF (MP4) writer: `ftyp` + `moov(mvhd, trak·n)` + `mdat`
+    * with version-0 full boxes in the public ISO/IEC 14496-12 layout.
+    * Hand-rolled independently of [[decodeVideo]] ON PURPOSE — the
+    * mm_video_meta gate synthesizes payloads here and parses them back
+    * through the independent box walk, so the two implementations
+    * cross-check against the DuckDB arithmetic oracle (the r10
+    * [[synthWav]]/[[decodeAudio]] pattern). `mdat` carries a
+    * deterministic byte ramp so truncated size fields can't hide.
+    * Layout arithmetic the oracle mirrors: n_bytes = 20 (ftyp) + 8 +
+    * 108 (mvhd) + 100·nTracks (trak/tkhd) + 8 + dataLen (mdat).
+    */
+  def synthMp4(timescale: Int, durationTicks: Long, nTracks: Int,
+      dataLen: Int): Array[Byte] = {
+    require(timescale >= 1 && durationTicks >= 0 && durationTicks <= 0xFFFFFFFFL &&
+      nTracks >= 1 && dataLen >= 0,
+      s"synthMp4: bad params ($timescale, $durationTicks, $nTracks, $dataLen)")
+    val total = 20 + 8 + 108 + 100 * nTracks + 8 + dataLen
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN) // ISO BMFF is big-endian
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    // ftyp: major brand isom, minor version 0, one compatible brand
+    bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0); fourcc("isom")
+    // moov
+    bb.putInt(8 + 108 + 100 * nTracks); fourcc("moov")
+    //   mvhd v0: creation/modification 0, rate 1.0 (16.16), volume 1.0
+    bb.putInt(108); fourcc("mvhd"); bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0).putInt(timescale).putInt(durationTicks.toInt)
+    bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+    bb.putInt(0).putInt(0) // reserved
+    // unity matrix (9 × u32)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => { bb.putInt(v); () })
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(nTracks + 1) // next_track_ID
+    //   trak boxes, each a minimal tkhd v0
+    (1 to nTracks).foreach { tid =>
+      bb.putInt(100); fourcc("trak")
+      bb.putInt(92); fourcc("tkhd"); bb.putInt(7) // v0, flags=enabled|in-movie|in-preview
+      bb.putInt(0).putInt(0).putInt(tid).putInt(0).putInt(durationTicks.toInt)
+      bb.putInt(0).putInt(0) // reserved
+      bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => { bb.putInt(v); () })
+      bb.putInt(0).putInt(0) // width/height (16.16; no visual stream here)
+    }
+    // mdat: deterministic ramp payload
+    bb.putInt(8 + dataLen); fourcc("mdat")
+    var i = 0
+    while (i < dataLen) { bb.put((i * 31 % 251).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** REAL MP4/ISO-BMFF container-header decode in pure JVM — the box walk
+    * a probe tool performs: scan top-level boxes for `ftyp` (major brand)
+    * and `moov`, inside `moov` read `mvhd` (version 0 AND 1 layouts:
+    * timescale, duration in ticks) and count `trak` children. Exact
+    * integers throughout; duration_us = ticks·10⁶ / timescale, one floor
+    * division. Returns None when the payload is not a plausible BMFF
+    * stream (no valid box structure or no `moov/mvhd`), so the decode
+    * dispatch can fall through — video joins image/audio in the
+    * REAL-decode domain and [[decodeStub]] now covers only genuinely
+    * unknown bytes.
+    */
+  def decodeVideo(docId: Long, payload: Array[Byte]): Option[VideoMeta] = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def u32(at: Int): Long = bb.getInt(at).toLong & 0xFFFFFFFFL
+    def name(at: Int): String =
+      new String(payload, at, 4, "US-ASCII")
+    def plausibleType(s: String): Boolean = s.forall(c => c >= ' ' && c <= '~')
+    if (payload.length < 16) return None
+    var brand = "isom"
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    var sawMoov = false
+    var pos = 0
+    while (pos + 8 <= payload.length) {
+      val size = u32(pos)
+      if (size < 8 || pos + size > payload.length) return None
+      val typ = name(pos + 4)
+      if (!plausibleType(typ)) return None
+      typ match {
+        case "ftyp" if size >= 16 => brand = name(pos + 8).trim
+        case "moov" =>
+          sawMoov = true
+          var cp = pos + 8
+          val end = pos + size.toInt
+          while (cp + 8 <= end) {
+            val csize = u32(cp)
+            if (csize < 8 || cp + csize > end) return None
+            name(cp + 4) match {
+              case "mvhd" =>
+                val version = payload(cp + 8) & 0xFF
+                if (version == 0 && csize >= 32) {
+                  timescale = u32(cp + 20); duration = u32(cp + 24)
+                } else if (version == 1 && csize >= 44) {
+                  timescale = u32(cp + 28); duration = bb.getLong(cp + 32)
+                } else return None
+              case "trak" => tracks += 1
+              case _ => ()
+            }
+            cp += csize.toInt
+          }
+        case _ => ()
+      }
+      pos += size.toInt
+    }
+    if (!sawMoov || timescale <= 0 || duration < 0) None
+    else Some(VideoMeta(docId, decoded = true, payload.length,
+      timescale.toInt, duration, duration * 1000000L / timescale,
+      tracks, "video/" + brand.toLowerCase))
+  }
+
   /** Decode dispatch: real image decode, then real audio-header decode
     * (folded into the [[MediaMeta]] shape: width/height 0, n_frames =
-    * audio frames), stub only for genuinely unknown bytes.
+    * audio frames), then real video container-header decode (width/height
+    * 0 — mvhd carries no pixel dims — and n_frames 1), stub only for
+    * genuinely unknown bytes.
     */
   def decode(docId: Long, payload: Array[Byte]): MediaMeta =
     decodeImage(docId, payload)
@@ -135,6 +257,9 @@ object MediaStub {
         doc_id = docId, n_bytes = a.n_bytes, width = 0, height = 0,
         n_frames = math.max(math.min(a.n_frames, Int.MaxValue.toLong).toInt, 1),
         format = a.format)))
+      .orElse(decodeVideo(docId, payload).map(v => MediaMeta(
+        doc_id = docId, n_bytes = v.n_bytes, width = 0, height = 0,
+        n_frames = 1, format = v.format)))
       .getOrElse(decodeStub(docId, payload))
 
   /** Attach a binary payload column (stand-in for real media bytes). */

@@ -72,6 +72,34 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL MP4 container decode as a value-oracled gate — the r10 audio
+    // pattern applied to the last synthetic-bytes domain: per doc, an
+    // ISO BMFF payload is synthesized by the hand-rolled box writer
+    // (timescale/duration/tracks derived arithmetically from doc_id and
+    // the text length), then parsed back through the INDEPENDENT pure-JVM
+    // box walk — the oracle recomputes every field from the same
+    // arithmetic, so a bug in either the writer's or the parser's box
+    // layout fails the hash. All exact integers.
+    "mm_video_meta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), octet_length(col("text")).as("nb"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, nb) =>
+          val mp4 = MediaStub.synthMp4(
+            timescale = 1000 + (id % 7).toInt * 500,
+            durationTicks = (100L + nb) * 30L,
+            nTracks = 1 + (id % 3).toInt,
+            dataLen = nb)
+          (id, mp4)
+        })
+        .toDF("doc_id", "payload")
+        .transform(df => MediaOps.videoMeta(s, df).toDF())
+        .select("doc_id", "decoded", "n_bytes", "timescale",
+          "duration_ticks", "duration_us", "n_tracks", "format")
+        .orderBy("doc_id")
+    }),
+
     // Perceptual hash: the synthetic gate payloads never decode, so every
     // row takes the documented MD5 pseudo-hash fallback the oracle can
     // mirror; the REAL dHash pixel path is fixture-pinned in MediaOpsSpec.
@@ -155,6 +183,22 @@ object MultimodalQueries {
          |  frames AS n_frames,
          |  CAST(frames * 1000000 // rate AS BIGINT) AS duration_us,
          |  'audio/wave' AS format
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // box-layout arithmetic mirror of synthMp4: n_bytes = 20 (ftyp) +
+    // 8 + 108 (moov hdr + mvhd) + 100·tracks (trak/tkhd) + 8 + nb (mdat);
+    // duration_us = ticks·10⁶ // timescale
+    "mm_video_meta" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(1000 + (doc_id % 7) * 500 AS INTEGER) AS ts,
+         |    CAST((100 + $sqlNBytes) * 30 AS BIGINT) AS dur,
+         |    CAST(1 + doc_id % 3 AS INTEGER) AS tracks,
+         |    CAST($sqlNBytes AS INTEGER) AS nb
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, TRUE AS decoded,
+         |  CAST(144 + 100 * tracks + nb AS INTEGER) AS n_bytes,
+         |  ts AS timescale, dur AS duration_ticks,
+         |  CAST(dur * 1000000 // ts AS BIGINT) AS duration_us,
+         |  tracks AS n_tracks, 'video/isom' AS format
          |FROM p ORDER BY doc_id""".stripMargin,
     "mm_phash" ->
       """SELECT doc_id, FALSE AS decoded, substr(md5(text), 1, 16) AS phash

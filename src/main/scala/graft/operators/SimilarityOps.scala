@@ -1095,7 +1095,10 @@ object SimilarityOps {
     * directories (partition pruning at the file level; the
     * [[readMinhashIndex]]-style counterpart for the ANN family). The
     * build pays one assignment pass + one cid-partitioned shuffle write;
-    * every later query batch skips both.
+    * every later query batch skips both. Also writes `stats.parquet` —
+    * the build's assignment-similarity percentiles (p10/p50 of each
+    * vector's cosine to its winning centroid), the fixed reference
+    * [[appendToIvfIndex]]'s drift guard compares against.
     */
   def writeIvfIndex(e0: DataFrame, cents: DataFrame, dir: String): Unit = {
     OpContract.requireCols(e0, "SimilarityOps.writeIvfIndex corpus", "vec_id", "embedding")
@@ -1105,6 +1108,11 @@ object SimilarityOps {
     assignToCentroids(e, cents)
       .select(col("vec_id"), col("embedding"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists.parquet")
+    // stats from the WRITTEN index (one columnar re-scan, no second
+    // corpus-sized materialization): the cid is known per row, so the
+    // winning similarity is one broadcast join + cosine, no rank window
+    ivfAssignmentStats(e0.sparkSession, dir)
+      .write.mode("overwrite").parquet(s"$dir/stats.parquet")
   }
 
   /** Reload a persisted [[writeIvfIndex]] as (centroids, lists); feeds
@@ -1115,6 +1123,75 @@ object SimilarityOps {
       dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/centroids.parquet"),
       spark.read.parquet(s"$dir/lists.parquet"))
+
+  /** Assignment-quality summary of a persisted IVF index: (n, p10, p50)
+    * of each indexed vector's cosine to its own list's centroid — the
+    * recall proxy the drift guard tracks (vectors drifting away from
+    * every centroid land in lists that prune badly long before top-k
+    * quality visibly degrades). Exact interpolated percentiles over
+    * round-6 cosines: deterministic, engine-reproducible.
+    */
+  def ivfAssignmentStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (cents, lists) = readIvfIndex(spark, dir)
+    lists.join(broadcast(cents), "cid")
+      .select(cosine(col("embedding"), col("ce")).as("csim"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(csim, 0.1)").as("p10"),
+        expr("percentile(csim, 0.5)").as("p50"))
+  }
+
+  /** INCREMENTAL IVF index append — the ingest path [[writeIvfIndex]]
+    * lacks: assign `newVectors` against the index's PERSISTED centroids
+    * and append them to the per-list directories, so new embeddings join
+    * the ANN index at per-batch cost (batch × centroids assignment + a
+    * batch-sized partitioned append) instead of the full-corpus rebuild.
+    * Serving ([[ivfTopKFromIndex]]) needs no change: the probe reads the
+    * same cid dirs, now with extra part files (AnnClusteredSpec pins
+    * round-trip equality with a from-scratch rebuild on the union corpus
+    * under the same centroids).
+    *
+    * Returns a one-row DRIFT REPORT instead of Unit — appending under
+    * FROZEN centroids is only sound while the new data still looks like
+    * the build: `(n_appended, batch_p10, batch_p50, build_p10, build_p50,
+    * recommend_retrain)`, where `recommend_retrain` fires when the
+    * batch's MEDIAN assignment similarity falls below the build's 10th
+    * percentile (the appended vectors sit farther from every centroid
+    * than 90% of the build did — list routing is degrading). On a firing
+    * guard: retrain centroids ([[trainCentroids]]), rebuild with
+    * [[writeIvfIndex]], and audit the new partition's separation with
+    * [[centroidSimilarity]] over the cid labels. The persisted
+    * `stats.parquet` stays the ORIGINAL build's reference — appends
+    * measure drift against the trained state, not against yesterday's
+    * drift.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newVectors: DataFrame): DataFrame = {
+    OpContract.requireCols(newVectors, "SimilarityOps.appendToIvfIndex",
+      "vec_id", "embedding")
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = newVectors
+      .repartition(newVectors.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
+      .persist()
+    try {
+      assigned.select(col("vec_id"), col("embedding"), col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/lists.parquet")
+      val batch = assigned.agg(count(lit(1)).as("n_appended"),
+        expr("percentile(csim, 0.1)").as("batch_p10"),
+        expr("percentile(csim, 0.5)").as("batch_p50"))
+      val build = spark.read.parquet(s"$dir/stats.parquet")
+        .select(col("p10").as("build_p10"), col("p50").as("build_p50"))
+      batch.crossJoin(broadcast(build))
+        .withColumn("recommend_retrain", col("batch_p50") < col("build_p10"))
+        .localCheckpoint()
+    } finally { assigned.unpersist(); () }
+  }
 
   /** [[ivfTopK]] served from a persisted index: identical probe + re-rank,
     * but the assignment pass is skipped — `lists` is the cid-partitioned

@@ -205,15 +205,36 @@ object SnapshotStore {
           .map(_.stripPrefix("v=").stripSuffix(".json").toLong).toSet
       val kept = all.filter(backed.contains).takeRight(keep).toSet
       val victims = all.filterNot(kept.contains).filterNot(live.contains)
-      victims.foreach { v =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(dataDir(root, v)))
-        new java.io.File(metaDir(root), s"v=$v.json").delete()
-      }
-      victims
+      removeVersions(root, victims)
     }
+  }
+
+  /** Caller-policy vacuum: remove every version EXCEPT the `keep` set and
+    * the live pointer's target. Used where newest-K is the wrong policy —
+    * e.g. the streaming ingest log retains its compacted full snapshots
+    * and drops the increments they fold
+    * ([[graft.streaming.StreamOps.compactIngestLog]]). Manifest-less
+    * orphans not in `keep` are victims like any version. Returns the
+    * removed version ids.
+    */
+  def vacuumKeeping(root: String, keep: Set[Long]): Seq[Long] = {
+    requireLocal(root)
+    withLease(root, "vacuumKeeping") {
+      val live = latestVersion(root)
+      removeVersions(root,
+        existingVersions(root).filterNot(keep.contains).filterNot(live.contains))
+    }
+  }
+
+  private def removeVersions(root: String, victims: Seq[Long]): Seq[Long] = {
+    victims.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dataDir(root, v)))
+      new java.io.File(metaDir(root), s"v=$v.json").delete()
+    }
+    victims
   }
 }

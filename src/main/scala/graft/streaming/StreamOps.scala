@@ -661,13 +661,136 @@ object StreamOps {
     * cross-batch: an md5 digest table (exact dedup) and the persisted
     * MinHash (hashed, bands) tables (near-dup dedup), each row tagged
     * with the snapshot version it came from so [[reconcileIngestIndex]]
-    * can heal a crash between publish and index append.
+    * can heal a crash between publish and index append. The three dirs
+    * live or die together (the reconcile consistency guard): the index
+    * is a pure derivation of the published versions, so a partial set
+    * is reset and rebuilt rather than patched.
     */
   private def ingestIndexDir(snapRoot: String) = s"$snapRoot/_ingest_index"
   private def indexPartExists(dir: String): Boolean = {
     val d = new java.io.File(dir)
     d.isDirectory && d.listFiles() != null && d.listFiles().exists(f =>
       f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+  }
+  private def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && f.listFiles() != null) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Manifest-backed version ids of the ingest's snapshot log, sorted. */
+  private def manifestVersions(snapRoot: String): Seq[Long] = {
+    val metaD = new java.io.File(s"$snapRoot/_meta")
+    if (!metaD.isDirectory) Nil
+    else metaD.listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+      .map(_.stripPrefix("v=").stripSuffix(".json").toLong).sorted
+  }
+
+  /** Full-snapshot markers: version `v` holds the ENTIRE corpus (a
+    * [[compactIngestLog]] product), not a micro-batch increment. Kept in
+    * the ingest-owned index dir so [[graft.sources.SnapshotStore]]'s
+    * layout stays untouched.
+    */
+  private def fullMarkerPath(snapRoot: String, v: Long) =
+    java.nio.file.Paths.get(ingestIndexDir(snapRoot), s"full_v=$v.marker")
+  private def fullVersions(snapRoot: String): Seq[Long] = {
+    val d = new java.io.File(ingestIndexDir(snapRoot))
+    if (!d.isDirectory) Nil
+    else d.listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("full_v=") && n.endsWith(".marker"))
+      .map(_.stripPrefix("full_v=").stripSuffix(".marker").toLong).sorted
+  }
+
+  /** The CURRENT corpus of a streaming ingest log: the newest full
+    * snapshot (if any compaction ran) unioned with every increment
+    * published after it — the reader contract for `ingestPipeline`
+    * output. `dropDuplicates(doc_id)` makes the fold exact even inside
+    * the one maintenance window where a freshly-published full snapshot
+    * briefly coexists with the increments it folds.
+    */
+  def ingestCorpus(spark: org.apache.spark.sql.SparkSession,
+      snapRoot: String): DataFrame = {
+    val pub = manifestVersions(snapRoot)
+    require(pub.nonEmpty, s"StreamOps.ingestCorpus: nothing published at $snapRoot")
+    val from = fullVersions(snapRoot).filter(pub.contains).lastOption
+      .getOrElse(Long.MinValue)
+    val dirs = pub.filter(_ >= math.max(from, pub.min)).map(v => s"$snapRoot/v=$v")
+    spark.read.parquet(dirs: _*).dropDuplicates("doc_id")
+  }
+
+  /** MAINTENANCE: fold the ingest log's increments into one compacted
+    * full-snapshot version, rewrite the history index to match, and
+    * vacuum the folded increments plus full snapshots beyond `keepFull`
+    * (rollback history). Continuous ingest otherwise accretes one
+    * version + a few small parquet files per micro-batch — at real
+    * arrival rates the version count and FILE COUNT (not bytes)
+    * dominate the read path ([[graft.operators.LayoutOps.compact]]'s
+    * argument; this is that rewrite expressed as a snapshot publish, so
+    * the live pointer flips atomically and a reader resolving `_latest`
+    * is never broken mid-maintenance). Returns the compacted version id.
+    *
+    * Crash discipline: publish → full marker → index rewrite → vacuum.
+    * A crash anywhere leaves a readable store; the index reconcile's
+    * consistency guard and digest anti-join heal the index at the next
+    * start, and an unmarked compacted version is just a (redundant but
+    * deduplicated — [[ingestCorpus]] folds by doc_id) increment until
+    * the next compaction folds it.
+    */
+  def compactIngestLog(spark: org.apache.spark.sql.SparkSession,
+      snapRoot: String, keepFull: Int = 2,
+      targetRowsPerFile: Long = 1L << 20): Long = {
+    require(keepFull >= 1, s"compactIngestLog: keepFull >= 1, got $keepFull")
+    // one materialization: the union feeds a count AND the publish write
+    val corpus = ingestCorpus(spark, snapRoot).localCheckpoint()
+    val n = corpus.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val vc = graft.sources.SnapshotStore.publish(
+      corpus.repartition(files), snapRoot, col("doc_id"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(ingestIndexDir(snapRoot)))
+    java.nio.file.Files.write(fullMarkerPath(snapRoot, vc), Array.empty[Byte])
+    rewriteIngestIndex(spark, snapRoot, vc)
+    val keep = (fullVersions(snapRoot).filter(_ < vc).takeRight(keepFull - 1) :+ vc).toSet
+    graft.sources.SnapshotStore.vacuumKeeping(snapRoot, keep)
+    fullVersions(snapRoot).filterNot(keep.contains).foreach(v =>
+      java.nio.file.Files.deleteIfExists(fullMarkerPath(snapRoot, v)))
+    vc
+  }
+
+  /** Rewrite the three history-index tables re-tagged to the compacted
+    * version `vc`: dedup any crash-window double-index on the natural
+    * keys, drop reconcile sentinels, and collapse the per-batch small
+    * files into `defaultParallelism` files. Swap order puts `digests`
+    * LAST — it is the reconcile's source of truth, so a crash mid-swap
+    * leaves either a complete old index or a state the consistency
+    * guard resets.
+    */
+  private def rewriteIngestIndex(spark: org.apache.spark.sql.SparkSession,
+      snapRoot: String, vc: Long): Unit = {
+    val idx = ingestIndexDir(snapRoot)
+    Seq(
+      "hashed" -> Seq("doc_id", "sz", "shingle", "h"),
+      "bands" -> Seq("doc_id", "band", "key"),
+      "digests" -> Seq("digest")).foreach { case (name, keys) =>
+      val dir = s"$idx/$name"
+      if (indexPartExists(dir)) {
+        val cleaned = spark.read.parquet(dir).drop("version")
+          .filter(if (name == "digests") col("digest") =!= "~" else lit(true))
+          .dropDuplicates(keys)
+          .withColumn("version", lit(vc))
+        val tmp = s"$dir.compacting"
+        deleteDir(tmp)
+        cleaned.repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(tmp)
+        deleteDir(dir)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(dir))
+        ()
+      }
+    }
   }
 
   /** Append version `v`'s digests + MinHash rows to the stream-history
@@ -684,25 +807,41 @@ object StreamOps {
 
   /** Heal the stream-history index against the published versions: any
     * manifest-backed version missing from the digest table (a crash hit
-    * the publish→index-append window) is re-indexed from its immutable
-    * data dir. Runs once per [[ingestPipeline]] start — bounded by the
-    * gap size, zero on a clean restart.
+    * the publish→index-append window, or a compacted full snapshot whose
+    * content is already indexed under older tags) gets its NOT-YET-
+    * INDEXED docs appended (digest anti-join — re-indexing an already-
+    * covered doc would double its shingle rows and corrupt the jaccard
+    * verify counts) plus a sentinel row recording the version as
+    * covered. Runs once per [[ingestPipeline]] start — bounded by the
+    * gap size, zero on a clean restart. The consistency guard first
+    * resets a PARTIAL index (a crash mid-append or mid-rewrite): the
+    * three dirs are a pure derivation of the published versions, so
+    * rebuild beats patching.
     */
   private def reconcileIngestIndex(
       spark: org.apache.spark.sql.SparkSession, snapRoot: String): Unit = {
-    val metaD = new java.io.File(s"$snapRoot/_meta")
-    if (!metaD.isDirectory) return
-    val published = metaD.listFiles().toSeq.map(_.getName)
-      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
-      .map(_.stripPrefix("v=").stripSuffix(".json").toLong).sorted
+    val published = manifestVersions(snapRoot)
     if (published.isEmpty) return
-    val digDir = s"${ingestIndexDir(snapRoot)}/digests"
+    val idx = ingestIndexDir(snapRoot)
+    val states = Seq("digests", "hashed", "bands").map(n => indexPartExists(s"$idx/$n"))
+    if (states.exists(identity) && !states.forall(identity))
+      Seq("digests", "hashed", "bands").foreach(n => deleteDir(s"$idx/$n"))
+    val digDir = s"$idx/digests"
     val indexed = if (!indexPartExists(digDir)) Set.empty[Long]
       else spark.read.parquet(digDir).select("version").distinct()
         .collect().map(_.getLong(0)).toSet
     published.filterNot(indexed.contains).foreach { v =>
-      appendIngestIndex(snapRoot, v,
-        graft.sources.SnapshotStore.readVersion(spark, snapRoot, v))
+      val docs = graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)
+      val fresh = if (!indexPartExists(digDir)) docs
+        else docs.join(spark.read.parquet(digDir)
+            .select(col("digest").as("bl_digest")).distinct(),
+          md5(col("text")) === col("bl_digest"), "left_anti")
+      appendIngestIndex(snapRoot, v, fresh)
+      // presence row: keeps this version out of every future reconcile
+      // even when all its docs were already covered ("~" can never equal
+      // a 32-char md5 hex digest)
+      spark.range(1).select(lit(v).as("version"), lit("~").as("digest"))
+        .write.mode("append").parquet(digDir)
     }
   }
 
@@ -792,9 +931,13 @@ object StreamOps {
       quarantineDir: String,
       checkpointDir: String,
       benchEmbeddings: Option[DataFrame] = None,
-      semThreshold: Double = 0.40): org.apache.spark.sql.streaming.StreamingQuery = {
+      semThreshold: Double = 0.40,
+      compactEvery: Int = 0,
+      keepFull: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     require(schema.fieldNames.contains("doc_id") && schema.fieldNames.contains("text"),
       "StreamOps.ingestPipeline: schema must carry doc_id and text")
+    require(compactEvery >= 0, s"compactEvery >= 0, got $compactEvery")
+    require(keepFull >= 1, s"keepFull >= 1, got $keepFull")
     benchEmbeddings.foreach { b =>
       require(schema.fieldNames.contains("embedding"),
         "StreamOps.ingestPipeline: benchEmbeddings given but the landing " +
@@ -876,6 +1019,23 @@ object StreamOps {
             if (!kept.isEmpty) {
               val v = graft.sources.SnapshotStore.publish(kept, snapRoot, col("doc_id"))
               appendIngestIndex(snapRoot, v, kept.drop("score"))
+              // 9. maintenance policy: once `compactEvery` increments
+              //    accrete past the newest full snapshot, fold them into
+              //    one compacted version and vacuum to `keepFull` fulls —
+              //    continuous ingest never grows versions/small files
+              //    unboundedly (metadata-only check per batch)
+              if (compactEvery > 0) {
+                val pub = manifestVersions(snapRoot)
+                val increments = fullVersions(snapRoot).filter(pub.contains)
+                  .lastOption match {
+                  case Some(f) => pub.count(_ > f)
+                  case None => pub.size
+                }
+                if (increments >= compactEvery) {
+                  compactIngestLog(spark, snapRoot, keepFull)
+                  ()
+                }
+              }
             }
           } finally { kept.unpersist(); () }
         } finally { cached.unpersist(); () }

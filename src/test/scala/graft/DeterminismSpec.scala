@@ -1,0 +1,75 @@
+package graft
+
+/** Determinism under PARALLELISM (VERDICT r10 #7): the repo's FP
+  * discipline (decimal exact sums, single correctly-rounded final ops,
+  * integer gate comparisons) promises results independent of partial-
+  * aggregate merge order — which `spark.sql.shuffle.partitions` directly
+  * perturbs. The correctness gate proves cross-ENGINE equality (Spark vs
+  * DuckDB at one partitioning); this spec proves cross-PARTITIONING
+  * equality: a representative gate slice re-runs at 4 vs 32 shuffle
+  * partitions and every output must match row-for-row, bit-for-bit
+  * (Double.toString is shortest-unique per bit pattern, so string
+  * equality is bit equality).
+  *
+  * The slice deliberately over-weights the families where merge order
+  * bites: decimal-sum aggregates (pricing, perplexity, entropy, BM25,
+  * covariance), rank/percentile arithmetic, iterative convergence
+  * (clusters, CUSUM), sketches (KMV, AMS), similarity scoring, and the
+  * hash-derived samplers.
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  // ≥20 gates; every family with nontrivial aggregation arithmetic
+  private val GATES = Seq(
+    "q1_pricing_summary",   // decimal sums + avg
+    "q9_rollup_lineitem",   // rollup over decimal sums
+    "q22_percentiles",      // exact global percentiles
+    "q34_quantile_refine",  // two-pass sketch-refine percentile
+    "q30_kmv_distinct",     // KMV sketch
+    "q41_ams_f2",           // AMS F2 sketch
+    "q37_skew_report",      // skew statistics
+    "tx_token_entropy",     // decimal-fixed entropy sums
+    "tx_bm25",              // idf·tf scoring sums
+    "tx_dsir",              // importance weights
+    "tx_zipf",              // rank-frequency fit
+    "tx_weighted_sample",   // hash-derived sampler
+    "tx_quality",           // ratio arithmetic
+    "aud_auc",              // exact rank-sum AUC
+    "aud_gini",             // cumulative share arithmetic
+    "aud_ks",               // max-gap statistic
+    "aud_cusum",            // sequential fold
+    "aud_drift",            // exact TVD
+    "aud_runs",             // runs-test cross-multiply
+    "dd_exact",             // digest aggregate
+    "dd_minhash",           // banded signatures + jaccard verify
+    "dd_clusters",          // iterative connected components
+    "emb_covariance",       // quantized second moments
+    "emb_centroid_sim",     // decimal dot/norm arithmetic
+    "knn_brute",            // cosine ranking
+    "ev_sessions",          // sessionization windows
+    "ev_retention",         // cohort arithmetic
+    "sim_gbm_stats")        // RNG + trace statistics
+
+  test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAt(name: String, parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    try {
+      val missing = GATES.filterNot(SparkEntry.queries.contains)
+      assert(missing.isEmpty, s"unknown gates in the sweep: $missing")
+      val diffs = GATES.flatMap { g =>
+        val at4 = runAt(g, "4")
+        val at32 = runAt(g, "32")
+        if (at4 == at32) None
+        else Some(s"$g: ${at4.length} vs ${at32.length} rows, first diff " +
+          at4.zip(at32).find(p => p._1 != p._2).map(p => s"${p._1} != ${p._2}")
+            .getOrElse("row-count mismatch"))
+      }
+      assert(diffs.isEmpty,
+        s"outputs changed with shuffle partitioning:\n${diffs.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}

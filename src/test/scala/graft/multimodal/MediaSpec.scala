@@ -83,6 +83,69 @@ class MediaSpec extends SparkTestBase {
     assert(!r(2).decoded && r(2).format == "unknown" && r(2).n_bytes == 9)
   }
 
+  test("decodeVideo parses the synthMp4 box layout (independent writer/parser cross-check)") {
+    // the writer's bytes are pinned by md5 (the committed-fixture
+    // discipline without the file): any layout change in synthMp4 must be
+    // deliberate, and the INDEPENDENT box walk then re-derives every field
+    val mp4 = MediaStub.synthMp4(timescale = 90000, durationTicks = 270000L,
+      nTracks = 2, dataLen = 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(md.digest(mp4).map("%02x".format(_)).mkString ==
+      "d95b4294a67e955dbcb89cb27bd83c54", "synthMp4 byte layout changed")
+    assert(mp4.length == 144 + 100 * 2 + 50)
+    val v = MediaStub.decodeVideo(7L, mp4)
+    assert(v.isDefined, "box walk must recognize the BMFF stream")
+    val m = v.get
+    assert(m.decoded && m.doc_id == 7L)
+    assert(m.n_bytes == mp4.length)
+    assert(m.timescale == 90000 && m.duration_ticks == 270000L)
+    assert(m.duration_us == 3000000L, m.toString) // 270000·10⁶/90000
+    assert(m.n_tracks == 2 && m.format == "video/isom")
+    // non-video bytes: no box structure, None (stub domain)
+    assert(MediaStub.decodeVideo(8L, "plain text here".getBytes("UTF-8")).isEmpty)
+    // truncated stream (size field past the buffer): None, never a crash
+    assert(MediaStub.decodeVideo(9L, mp4.take(40)).isEmpty)
+  }
+
+  test("decodeVideo reads the mvhd VERSION 1 layout (64-bit duration) the writer never emits") {
+    // hand-built v1 mvhd inside a minimal moov — proves the parser covers
+    // the layout domain beyond its own writer (the cross-check stays
+    // independent in both directions)
+    val bb = java.nio.ByteBuffer.allocate(8 + 120)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(128).put("moov".getBytes("US-ASCII"))
+    bb.putInt(120).put("mvhd".getBytes("US-ASCII"))
+    bb.put(1.toByte).put(Array[Byte](0, 0, 0))   // version 1, flags
+    bb.putLong(0L).putLong(0L)                   // creation/modification u64
+    bb.putInt(600)                               // timescale
+    bb.putLong(5000000001L)                      // duration u64 (past u32)
+    while (bb.hasRemaining) bb.put(0.toByte)
+    val v = MediaStub.decodeVideo(1L, bb.array())
+    assert(v.isDefined, "v1 mvhd must parse")
+    assert(v.get.timescale == 600 && v.get.duration_ticks == 5000000001L)
+    assert(v.get.duration_us == 5000000001L * 1000000L / 600L)
+    assert(v.get.n_tracks == 0 && v.get.format == "video/isom")
+  }
+
+  test("decode dispatch: MP4 bytes take the real video path, not the stub") {
+    val m = MediaStub.decode(3L, MediaStub.synthMp4(600, 1200L, 1, 10))
+    assert(m.format == "video/isom", m.toString)
+    assert(m.width == 0 && m.height == 0 && m.n_frames == 1)
+  }
+
+  test("videoMeta: mixed corpus — MP4 rows decode, unknown payloads fall back complete") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, MediaStub.synthMp4(1000, 3000L, 1, 5)),
+      (2L, MediaStub.synthMp4(30000, 90000L, 3, 0)),
+      (3L, "not a video".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val r = MediaOps.videoMeta(spark, payloads).collect().sortBy(_.doc_id)
+    assert(r.length == 3, "fallback must keep column totals complete")
+    assert(r(0).decoded && r(0).timescale == 1000 && r(0).duration_us == 3000000L)
+    assert(r(1).decoded && r(1).n_tracks == 3 && r(1).duration_us == 3000000L)
+    assert(!r(2).decoded && r(2).format == "unknown" && r(2).n_bytes == 11)
+  }
+
   test("thumbnailPixels: real resize through the mapPartitions path; stub fallback fingerprints bytes") {
     import spark.implicits._
     val pngBytes = fixture("testcard_48x32.png")

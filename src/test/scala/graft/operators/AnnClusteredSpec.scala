@@ -279,6 +279,60 @@ class AnnClusteredSpec extends SparkTestBase {
     assert(listDirs.length == 16, s"expected 16 cid= list dirs, got ${listDirs.length}")
   }
 
+  test("appendToIvfIndex: incremental append equals a from-scratch rebuild on the union; drift guard fires on off-manifold data") {
+    val df = corpusDf
+    // build the index on the FIRST 8 clusters; clusters 8-9 arrive later
+    // as the incremental batch (same manifold -> no drift)
+    val build = df.filter(col("cluster") < 8).select("vec_id", "embedding")
+    val late = df.filter(col("cluster") >= 8).select("vec_id", "embedding")
+    // one centroid per planted cluster: build assignments sit at cos≈0.97,
+    // so the build's p10 reference is tight and off-manifold data is
+    // unambiguously below it
+    val cents = df.filter(col("vec_id") % PER_CLUSTER === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    SimilarityOps.writeIvfIndex(build, cents, dir)
+
+    val report = SimilarityOps.appendToIvfIndex(spark, dir, late).collect()(0)
+    assert(report.getLong(0) == late.count(), "every late vector appended")
+
+    // round-trip equality: serving from the appended index == serving
+    // from a from-scratch rebuild over the union corpus under the SAME
+    // frozen centroids (assignment is deterministic given centroids)
+    val (rCents, lists) = SimilarityOps.readIvfIndex(spark, dir)
+    val served = SimilarityOps.ivfTopKFromIndex(lists, queriesDf(df), rCents,
+        nprobe = 3, k = TOP_K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfapp2").toString
+    SimilarityOps.writeIvfIndex(df.select("vec_id", "embedding"), cents, dir2)
+    val (c2, l2) = SimilarityOps.readIvfIndex(spark, dir2)
+    val rebuilt = SimilarityOps.ivfTopKFromIndex(l2, queriesDf(df), c2,
+        nprobe = 3, k = TOP_K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == rebuilt,
+      "appended index must serve the same top-k as the union rebuild")
+
+    // same-manifold batch: median assignment sim comfortably above the
+    // build's 10th percentile -> no retrain recommendation
+    assert(!report.getBoolean(5),
+      s"drift guard must stay quiet on same-manifold data: $report")
+    // stats.parquet stays the ORIGINAL build reference after the append
+    val statsAfter = spark.read.parquet(s"$dir/stats.parquet").collect()(0)
+    assert(statsAfter.getLong(0) == build.count(),
+      "build stats must not be rewritten by an append")
+
+    // off-manifold batch: axis-aligned one-hot vectors sit near-orthogonal
+    // to every planted centroid -> batch median below build p10 -> retrain
+    import spark.implicits._
+    val off = (0 until 40).map { i =>
+      val v = Array.fill(DIM)(0.0f); v(i % DIM) = 1.0f
+      (100000L + i, v)
+    }.toDF("vec_id", "embedding")
+    val driftReport = SimilarityOps.appendToIvfIndex(spark, dir, off).collect()(0)
+    assert(driftReport.getBoolean(5),
+      s"drift guard must fire on off-manifold data: $driftReport")
+  }
+
   test("bitextMineLsh recovers the exhaustive margins on clustered sides") {
     // even/odd halves of the clustered corpus as the two "languages":
     // cluster-mates sit at cos ~0.98, so the LSH buckets that work for

@@ -261,6 +261,95 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(pub.columns.contains("embedding"))
   }
 
+  test("ingestPipeline maintenance: compactEvery folds increments, keepFull bounds versions, dedup survives the index rewrite") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-mnt").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val snapRoot = s"$base/snap"
+
+    val corpus = Seq((1L, "en", 60L, "held reference corpus about container " +
+      "orchestration and service meshes that matches nothing below"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val index = graft.operators.DedupOps.minhashIndex(corpus)
+    val model = spark.range(1).select(lit(0L).as("feature"), lit(0.0).as("weight"))
+    val dA = "granite summit ledger velvet falcon meadow crimson anchor " +
+      "lantern cobalt prism ember willow breeze harbor archive quiver"
+    val dB = "orchard tunnel marble sonnet glacier pepper mosaic thunder " +
+      "ribbon casket violet hammer sparrow nectar dune cipher tundra"
+    val dC = "galaxy nebula quasar photon meteor comet aurora eclipse " +
+      "orbit zenith parallax spectrum pulsar corona telescope horizon"
+    val dD = "harvest barley clover furrow sickle meadowlark granary " +
+      "paddock fallow thresher windmill silo pasture orchardist plough"
+    val dE = "voltage capacitor inductor resistor transistor diode " +
+      "amplifier oscillator rectifier transformer circuit breaker relay"
+    val dF = "basalt rhyolite gneiss schist marble quartzite obsidian " +
+      "pumice granite andesite dolomite shale limestone slate chert"
+
+    def run(): Unit = {
+      val q = StreamOps.ingestPipeline(spark, landing, schema,
+        required = Seq("doc_id", "text"), corpusIndex = index, model = model,
+        minScore = Double.NegativeInfinity, snapRoot = snapRoot,
+        quarantineDir = s"$base/quarantine", checkpointDir = s"$base/ckpt",
+        compactEvery = 2, keepFull = 1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def land(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(landing, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def versionIds: Set[Long] = graft.sources.SnapshotStore
+      .versions(spark, snapRoot).collect().map(_.getLong(0)).toSet
+    def fullMarkers: Set[Long] = new java.io.File(s"$snapRoot/_ingest_index")
+      .listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("full_v=") && n.endsWith(".marker"))
+      .map(_.stripPrefix("full_v=").stripSuffix(".marker").toLong).toSet
+    def corpusIds: Set[Long] = StreamOps.ingestCorpus(spark, snapRoot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // run 1: one increment — below the compaction threshold
+    land("f1.jsonl", Seq(jline(401, dA), jline(402, dB)))
+    run()
+    assert(versionIds == Set(1L) && corpusIds == Set(401L, 402L))
+
+    // run 2: second increment trips compactEvery=2 — the log folds into
+    // ONE full snapshot and the increments vacuum away (keepFull=1)
+    land("f2.jsonl", Seq(jline(403, dC)))
+    run()
+    assert(versionIds == Set(3L),
+      s"after compaction only the full snapshot remains: $versionIds")
+    assert(fullMarkers == Set(3L))
+    assert(graft.sources.SnapshotStore.latestVersion(snapRoot).contains(3L),
+      "live pointer must flip to the compacted version")
+    assert(corpusIds == Set(401L, 402L, 403L))
+    // live read never broken: the pointer target is always readable
+    assert(graft.sources.SnapshotStore.read(spark, snapRoot).count() == 3L)
+    // the rewritten index carries no sentinels, one digest per doc, all
+    // re-tagged to the compacted version
+    val dig = spark.read.parquet(s"$snapRoot/_ingest_index/digests")
+    assert(dig.filter(col("digest") === "~").count() == 0L)
+    assert(dig.select("version").distinct().collect().map(_.getLong(0)).toSet
+      == Set(3L))
+    assert(dig.count() == 3L)
+
+    // run 3: dedup must SURVIVE the rewrite — 405 is an exact dup of 401
+    // (digest table) and 407 a paraphrase of 402 (minhash tables), both
+    // published before the compaction
+    land("f3.jsonl", Seq(jline(404, dD), jline(405, dA),
+      jline(406, dE), jline(407, dB + " maple")))
+    run()
+    assert(versionIds == Set(3L, 4L))
+    assert(corpusIds == Set(401L, 402L, 403L, 404L, 406L),
+      s"post-compaction dedup failed: $corpusIds")
+
+    // run 4: second compaction cycle — keepFull=1 drops the older full
+    land("f4.jsonl", Seq(jline(408, dF)))
+    run()
+    assert(versionIds == Set(6L), s"second cycle versions: $versionIds")
+    assert(fullMarkers == Set(6L), "older full snapshot's marker must go")
+    assert(corpusIds == Set(401L, 402L, 403L, 404L, 406L, 408L))
+    assert(StreamOps.ingestCorpus(spark, snapRoot)
+      .select("doc_id").distinct().count() == 6L, "fold must stay duplicate-free")
+  }
+
   test("ingestPipeline: per-batch plan has no emptiness probe — job structure is independent of quarantine content (VERDICT r10 #5)") {
     import spark.implicits._
     // Two single-batch runs that differ ONLY in whether a malformed line

@@ -147,6 +147,15 @@ def runLibcheck(): Unit = {
   check("SimilarityOps.trainCentroids")(trained)
   check("SimilarityOps.ivfTopK")(
     SimilarityOps.ivfTopK(embs, queries, trained, 3, 5))
+  // persisted IVF index lifecycle: build, incremental append + drift
+  // report, serve from the appended lists
+  val ivfDir = java.nio.file.Files.createTempDirectory("graft-lc-ivf").toString
+  SimilarityOps.writeIvfIndex(embs.filter(col("vec_id") % 2 === 0), trained, ivfDir)
+  check("SimilarityOps.appendToIvfIndex")(SimilarityOps.appendToIvfIndex(
+    spark, ivfDir, embs.filter(col("vec_id") % 2 === 1)))
+  val (lcCents, lcLists) = SimilarityOps.readIvfIndex(spark, ivfDir)
+  check("SimilarityOps.ivfTopKFromIndex")(
+    SimilarityOps.ivfTopKFromIndex(lcLists, queries, lcCents, 3, 5))
   check("SimilarityOps.ivfPqTopK (trained coarse)")(
     SimilarityOps.ivfPqTopK(embs, queries, trained, 3, 5))
   check("SimilarityOps.pqCodebooks")(SimilarityOps.pqCodebooks(embs))
@@ -406,6 +415,16 @@ def runLibcheck(): Unit = {
     graft.sources.SnapshotStore.read(spark, s"$ingestDir/snap"))
   require(spark.read.parquet(s"$ingestDir/quarantine").count() == 1L,
     "ingest quarantine row missing")
+  // maintenance surface: fold the log into one full snapshot, read back
+  check("StreamOps.ingestCorpus")(
+    graft.streaming.StreamOps.ingestCorpus(spark, s"$ingestDir/snap"))
+  val compactedV = graft.streaming.StreamOps.compactIngestLog(
+    spark, s"$ingestDir/snap", keepFull = 1)
+  require(graft.sources.SnapshotStore.latestVersion(s"$ingestDir/snap")
+    .contains(compactedV), "compacted version must be live")
+  require(graft.streaming.StreamOps.ingestCorpus(spark, s"$ingestDir/snap")
+    .count() == 1L, "compacted corpus row count off")
+  println("StreamOps.compactIngestLog         maintenance cycle OK")
 
   // antithetic battery: paired variants present
   check("MCBattery.simulateAntithetic")(new MCBattery(spark,
