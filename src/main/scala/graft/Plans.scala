@@ -123,7 +123,13 @@ object Plans {
     "aud_kanon", "aud_dp_counts",
     // round 9 (cont. 11): CUSUM — one stats pass + one group-partitioned
     // sort feeding a streaming per-partition fold (true recursion)
-    "aud_cusum")
+    "aud_cusum",
+    // round 10: runs test (both windows group-partitioned), dwell lead
+    // window per user, audio header decode via mapPartitions
+    "aud_runs", "ev_dwell", "mm_audio_meta",
+    // round 11: MP4 box walk — synth projection → mapPartitions decode,
+    // embarrassingly parallel, no shuffle before the final sort
+    "mm_video_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
