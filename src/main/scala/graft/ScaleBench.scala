@@ -582,7 +582,35 @@ object ScaleBench {
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         SimilarityOps.mmrRerank(e,
           SimilarityOps.lshTopK(e, qs, k = 10, bits = scaledBits(k)), k = 4)
-      }))
+      }),
+      // round-11: incremental IVF append in the FIXED-PROBE-BATCH shape
+      // (the dd_minhash_incr_probe pattern) — a constant 500-vector batch
+      // assigned against the per-scale index's frozen centroids and
+      // appended to its lists. The claim the exponent tests: append cost
+      // is ∝ batch (+ the 1-row stats read), INDEPENDENT of how large the
+      // indexed corpus has grown — the whole point of the append path vs
+      // writeIvfIndex's full-corpus rebuild. The one-time per-scale index
+      // build happens on the first of time2's two runs and is absorbed by
+      // min-of-two (the warm run is pure append).
+      "knn_ivf_append_probe" -> {
+        val built = scala.collection.mutable.Map[String, String]()
+        (s: SparkSession, d: String, _: Double) => {
+          val e = s.read.parquet(s"$d/embeddings.parquet")
+          val dir = built.getOrElseUpdate(d, {
+            val tmp = java.nio.file.Files
+              .createTempDirectory("graft-curve-ivfapp").toString
+            SimilarityOps.writeIvfIndex(
+              e.filter(col("vec_id") % 50 =!= 0).select("vec_id", "embedding"),
+              e.filter(col("vec_id") < 16)
+                .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+              tmp)
+            tmp
+          })
+          SimilarityOps.appendToIvfIndex(s, dir,
+            e.filter(col("vec_id") % 50 === 0).limit(500)
+              .select("vec_id", "embedding"))
+        }
+      })
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")

@@ -350,6 +350,80 @@ class StreamingIngestSpec extends SparkTestBase {
       .select("doc_id").distinct().count() == 6L, "fold must stay duplicate-free")
   }
 
+  test("ingestPipeline crash-heal: a lost or partial history index is rebuilt at start and dedup still works") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-heal").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val snapRoot = s"$base/snap"
+
+    val corpus = Seq((1L, "en", 55L, "reference corpus about submarine " +
+      "cable routing and landing stations that matches nothing below"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val index = graft.operators.DedupOps.minhashIndex(corpus)
+    val model = spark.range(1).select(lit(0L).as("feature"), lit(0.0).as("weight"))
+    val dA = "citrus ladder whisper canyon mirror tempest drizzle copper " +
+      "lantern saddle thicket plume harvest ember trellis brook"
+    val dB = "binary heap traversal balanced rotations pivot quicksort " +
+      "partition merge buffer stack recursion depth first search order"
+
+    def run(): Unit = {
+      val q = StreamOps.ingestPipeline(spark, landing, schema,
+        required = Seq("doc_id", "text"), corpusIndex = index, model = model,
+        minScore = Double.NegativeInfinity, snapRoot = snapRoot,
+        quarantineDir = s"$base/quarantine", checkpointDir = s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def land(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(landing, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def rm(path: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        if (f.isDirectory && f.listFiles() != null) f.listFiles().foreach(go)
+        f.delete(); ()
+      }
+      go(new java.io.File(path))
+    }
+
+    land("f1.jsonl", Seq(jline(501, dA), jline(502, dB)))
+    run()
+
+    // crash window 1: the WHOLE index is lost (e.g. a kill between the
+    // rewrite's delete and move) — the startup reconcile must rebuild it
+    // from the published versions, so a later exact dup and a later
+    // paraphrase of run-1 docs are still dropped
+    Seq("digests", "hashed", "bands").foreach(n => rm(s"$snapRoot/_ingest_index/$n"))
+    land("f2.jsonl", Seq(jline(503, dA),                  // exact dup of 501
+      jline(504, dB + " override")))                      // paraphrase of 502
+    run()
+    val pub2 = graft.sources.SnapshotStore.versions(spark, snapRoot)
+      .collect().map(_.getLong(0)).flatMap(v =>
+        graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)
+          .select("doc_id").collect().map(_.getLong(0))).toSet
+    assert(pub2 == Set(501L, 502L),
+      s"rebuilt index must still drop the dup and the paraphrase: $pub2")
+
+    // crash window 2: a PARTIAL index (bands dir lost mid-append) — the
+    // consistency guard must reset all three and rebuild, never probe a
+    // digests/bands pair that disagrees
+    rm(s"$snapRoot/_ingest_index/bands")
+    land("f3.jsonl", Seq(jline(505, dB),                  // exact dup of 502
+      jline(506, "entirely novel content about tidal estuaries sediment " +
+        "transport and brackish marsh ecology measurements")))
+    run()
+    val pub3 = graft.sources.SnapshotStore.versions(spark, snapRoot)
+      .collect().map(_.getLong(0)).flatMap(v =>
+        graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)
+          .select("doc_id").collect().map(_.getLong(0))).toSet
+    assert(pub3 == Set(501L, 502L, 506L),
+      s"partial-index reset must heal before probing: $pub3")
+    // the healed index covers the published docs exactly once: a doubled
+    // shingle table would corrupt jaccard verify counts
+    val hashed = spark.read.parquet(s"$snapRoot/_ingest_index/hashed")
+    val dupShingles = hashed.groupBy("doc_id", "shingle")
+      .count().filter(col("count") > 1).count()
+    assert(dupShingles == 0L, "healed index must not double-index any doc")
+  }
+
   test("ingestPipeline: per-batch plan has no emptiness probe — job structure is independent of quarantine content (VERDICT r10 #5)") {
     import spark.implicits._
     // Two single-batch runs that differ ONLY in whether a malformed line
