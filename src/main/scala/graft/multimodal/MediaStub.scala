@@ -224,8 +224,12 @@ object MediaStub {
             if (csize < 8 || cp + csize > end) return None
             name(cp + 4) match {
               case "mvhd" =>
+                // size check BEFORE the version-byte read: a malformed
+                // 8-byte mvhd ending at the buffer edge must yield None,
+                // not an out-of-bounds read
+                if (csize < 32) return None
                 val version = payload(cp + 8) & 0xFF
-                if (version == 0 && csize >= 32) {
+                if (version == 0) {
                   timescale = u32(cp + 20); duration = u32(cp + 24)
                 } else if (version == 1 && csize >= 44) {
                   timescale = u32(cp + 28); duration = bb.getLong(cp + 32)
@@ -239,7 +243,12 @@ object MediaStub {
       }
       pos += size.toInt
     }
-    if (!sawMoov || timescale <= 0 || duration < 0) None
+    // domain guards: a u32 timescale past Int.MaxValue would wrap the
+    // typed field negative, and a v1 duration past ~9.2e12 ticks would
+    // overflow the µs multiply — both are outside any real container's
+    // range, treated as unrecognized rather than silently wrong
+    if (!sawMoov || timescale <= 0 || timescale > Int.MaxValue ||
+      duration < 0 || duration > Long.MaxValue / 1000000L) None
     else Some(VideoMeta(docId, decoded = true, payload.length,
       timescale.toInt, duration, duration * 1000000L / timescale,
       tracks, "video/" + brand.toLowerCase))

@@ -1187,8 +1187,12 @@ object SimilarityOps {
         expr("percentile(csim, 0.5)").as("batch_p50"))
       val build = spark.read.parquet(s"$dir/stats.parquet")
         .select(col("p10").as("build_p10"), col("p50").as("build_p50"))
+      // empty batch → NULL percentiles; coalesce keeps the verdict a
+      // real boolean (no retrain signal from no data) instead of a NULL
+      // that NPEs a getBoolean reader
       batch.crossJoin(broadcast(build))
-        .withColumn("recommend_retrain", col("batch_p50") < col("build_p10"))
+        .withColumn("recommend_retrain",
+          coalesce(col("batch_p50") < col("build_p10"), lit(false)))
         .localCheckpoint()
     } finally { assigned.unpersist(); () }
   }

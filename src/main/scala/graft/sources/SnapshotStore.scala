@@ -94,6 +94,28 @@ object SnapshotStore {
     java.nio.file.Files.deleteIfExists(leasePath(root))
   }
 
+  /** Manifest-backed version ids, sorted — shared with the streaming
+    * ingest's index reconcile ([[graft.streaming.StreamOps]]), which
+    * must key off the same "publish completed" evidence [[vacuum]] uses.
+    */
+  private[graft] def manifestVersions(root: String): Seq[Long] = {
+    val metaD = new java.io.File(metaDir(root))
+    if (!metaD.isDirectory) Nil
+    else metaD.listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+      .map(_.stripPrefix("v=").stripSuffix(".json").toLong).sorted
+  }
+
+  /** Recursive delete — the one implementation [[removeVersions]] and the
+    * ingest-index maintenance share. */
+  private[graft] def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && f.listFiles() != null) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   private def existingVersions(root: String): Seq[Long] = {
     val d = new java.io.File(root)
     if (!d.exists()) Nil
@@ -198,15 +220,19 @@ object SnapshotStore {
     withLease(root, "vacuum") {
       val live = latestVersion(root)
       val all = existingVersions(root)
-      val metaD = new java.io.File(metaDir(root))
-      val backed = if (!metaD.exists()) Set.empty[Long]
-        else metaD.listFiles().toSeq.map(_.getName)
-          .filter(n => n.startsWith("v=") && n.endsWith(".json"))
-          .map(_.stripPrefix("v=").stripSuffix(".json").toLong).toSet
+      val backed = manifestVersions(root).toSet
       val kept = all.filter(backed.contains).takeRight(keep).toSet
       val victims = all.filterNot(kept.contains).filterNot(live.contains)
       removeVersions(root, victims)
     }
+  }
+
+  private def removeVersions(root: String, victims: Seq[Long]): Seq[Long] = {
+    victims.foreach { v =>
+      deleteRecursively(dataDir(root, v))
+      new java.io.File(metaDir(root), s"v=$v.json").delete()
+    }
+    victims
   }
 
   /** Caller-policy vacuum: remove every version EXCEPT the `keep` set and
@@ -226,15 +252,4 @@ object SnapshotStore {
     }
   }
 
-  private def removeVersions(root: String, victims: Seq[Long]): Seq[Long] = {
-    victims.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(dataDir(root, v)))
-      new java.io.File(metaDir(root), s"v=$v.json").delete()
-    }
-    victims
-  }
 }

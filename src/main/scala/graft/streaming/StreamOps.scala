@@ -657,36 +657,31 @@ object StreamOps {
       (if (docs.columns.contains("lang")) col("lang") else lit("und")).as("lang"),
       length(col("text")).cast("long").as("n_chars"), col("text"))
 
-  /** The stream-history index dirs that make the ingest's dedup
-    * cross-batch: an md5 digest table (exact dedup) and the persisted
-    * MinHash (hashed, bands) tables (near-dup dedup), each row tagged
-    * with the snapshot version it came from so [[reconcileIngestIndex]]
-    * can heal a crash between publish and index append. The three dirs
-    * live or die together (the reconcile consistency guard): the index
-    * is a pure derivation of the published versions, so a partial set
-    * is reset and rebuilt rather than patched.
+  /** The stream-history index that makes the ingest's dedup cross-batch:
+    * an md5 digest table (exact dedup) and the persisted MinHash
+    * (hashed, bands) tables (near-dup dedup). LAYOUT: one
+    * `version=<v>/` partition subdir per snapshot version under each
+    * table, written with OVERWRITE per version — so an index write is
+    * idempotent (a replay or heal re-writes the same subdir; duplicate
+    * rows, which would corrupt the jaccard verify counts, are
+    * structurally impossible) and a version counts as indexed exactly
+    * when its `digests/version=<v>` subdir committed (`_SUCCESS`).
+    * Within [[appendIngestIndex]] the digests table is written LAST:
+    * it is [[reconcileIngestIndex]]'s source of truth, so every crash
+    * window collapses to "digests subdir absent → recompute all three".
+    * The invariant the whole scheme maintains: each published DOC is
+    * indexed exactly once, under the first version that published it.
     */
   private def ingestIndexDir(snapRoot: String) = s"$snapRoot/_ingest_index"
-  private def indexPartExists(dir: String): Boolean = {
-    val d = new java.io.File(dir)
-    d.isDirectory && d.listFiles() != null && d.listFiles().exists(f =>
-      f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
-  }
-  private def deleteDir(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory && f.listFiles() != null) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
 
-  /** Manifest-backed version ids of the ingest's snapshot log, sorted. */
-  private def manifestVersions(snapRoot: String): Seq[Long] = {
-    val metaD = new java.io.File(s"$snapRoot/_meta")
-    if (!metaD.isDirectory) Nil
-    else metaD.listFiles().toSeq.map(_.getName)
-      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
-      .map(_.stripPrefix("v=").stripSuffix(".json").toLong).sorted
+  /** Version subdirs of one index table that fully committed. */
+  private def indexedVersions(tableDir: String): Seq[Long] = {
+    val d = new java.io.File(tableDir)
+    if (!d.isDirectory || d.listFiles() == null) Nil
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("version=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("version=").toLong).sorted
   }
 
   /** Full-snapshot markers: version `v` holds the ENTIRE corpus (a
@@ -713,7 +708,7 @@ object StreamOps {
     */
   def ingestCorpus(spark: org.apache.spark.sql.SparkSession,
       snapRoot: String): DataFrame = {
-    val pub = manifestVersions(snapRoot)
+    val pub = graft.sources.SnapshotStore.manifestVersions(snapRoot)
     require(pub.nonEmpty, s"StreamOps.ingestCorpus: nothing published at $snapRoot")
     val from = fullVersions(snapRoot).filter(pub.contains).lastOption
       .getOrElse(Long.MinValue)
@@ -722,22 +717,27 @@ object StreamOps {
   }
 
   /** MAINTENANCE: fold the ingest log's increments into one compacted
-    * full-snapshot version, rewrite the history index to match, and
-    * vacuum the folded increments plus full snapshots beyond `keepFull`
-    * (rollback history). Continuous ingest otherwise accretes one
-    * version + a few small parquet files per micro-batch — at real
-    * arrival rates the version count and FILE COUNT (not bytes)
-    * dominate the read path ([[graft.operators.LayoutOps.compact]]'s
-    * argument; this is that rewrite expressed as a snapshot publish, so
-    * the live pointer flips atomically and a reader resolving `_latest`
-    * is never broken mid-maintenance). Returns the compacted version id.
+    * full-snapshot version, vacuum the folded increments plus full
+    * snapshots beyond `keepFull` (rollback history), and rebuild the
+    * history index bounded to the retained versions. Continuous ingest
+    * otherwise accretes one version + a few small parquet files per
+    * micro-batch — at real arrival rates the version count and FILE
+    * COUNT (not bytes) dominate the read path
+    * ([[graft.operators.LayoutOps.compact]]'s argument; this is that
+    * rewrite expressed as a snapshot publish, so the live pointer flips
+    * atomically and a reader resolving `_latest` is never broken
+    * mid-maintenance). Returns the compacted version id.
     *
-    * Crash discipline: publish → full marker → index rewrite → vacuum.
-    * A crash anywhere leaves a readable store; the index reconcile's
-    * consistency guard and digest anti-join heal the index at the next
-    * start, and an unmarked compacted version is just a (redundant but
-    * deduplicated — [[ingestCorpus]] folds by doc_id) increment until
-    * the next compaction folds it.
+    * Crash discipline: publish → full marker → vacuum → index reset →
+    * reconcile rebuild. A crash anywhere leaves a readable store, and
+    * every index window collapses onto [[reconcileIngestIndex]]'s
+    * version-ordered induction at the next start; an unmarked compacted
+    * version is just a (redundant but deduplicated — [[ingestCorpus]]
+    * folds by doc_id) increment until the next compaction folds it.
+    * The index rebuild re-hashes the retained corpus once — the same
+    * asymptotic class as the compaction's own corpus rewrite, paid
+    * every `compactEvery` batches, in exchange for the exactly-once
+    * index invariant holding through any crash.
     */
   def compactIngestLog(spark: org.apache.spark.sql.SparkSession,
       snapRoot: String, keepFull: Int = 2,
@@ -752,96 +752,76 @@ object StreamOps {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(ingestIndexDir(snapRoot)))
     java.nio.file.Files.write(fullMarkerPath(snapRoot, vc), Array.empty[Byte])
-    rewriteIngestIndex(spark, snapRoot, vc)
     val keep = (fullVersions(snapRoot).filter(_ < vc).takeRight(keepFull - 1) :+ vc).toSet
     graft.sources.SnapshotStore.vacuumKeeping(snapRoot, keep)
     fullVersions(snapRoot).filterNot(keep.contains).foreach(v =>
       java.nio.file.Files.deleteIfExists(fullMarkerPath(snapRoot, v)))
+    // index rebuild bounded to the retained versions: reset, then the
+    // reconcile induction re-indexes oldest-full-first (each later full
+    // anti-joins to its genuinely new docs, the compacted version to the
+    // newest increments) — exactly-once coverage by construction
+    val idx = ingestIndexDir(snapRoot)
+    Seq("digests", "hashed", "bands").foreach(t =>
+      graft.sources.SnapshotStore.deleteRecursively(s"$idx/$t"))
+    reconcileIngestIndex(spark, snapRoot)
     vc
   }
 
-  /** Rewrite the three history-index tables re-tagged to the compacted
-    * version `vc`: dedup any crash-window double-index on the natural
-    * keys, drop reconcile sentinels, and collapse the per-batch small
-    * files into `defaultParallelism` files. Swap order puts `digests`
-    * LAST — it is the reconcile's source of truth, so a crash mid-swap
-    * leaves either a complete old index or a state the consistency
-    * guard resets.
-    */
-  private def rewriteIngestIndex(spark: org.apache.spark.sql.SparkSession,
-      snapRoot: String, vc: Long): Unit = {
-    val idx = ingestIndexDir(snapRoot)
-    Seq(
-      "hashed" -> Seq("doc_id", "sz", "shingle", "h"),
-      "bands" -> Seq("doc_id", "band", "key"),
-      "digests" -> Seq("digest")).foreach { case (name, keys) =>
-      val dir = s"$idx/$name"
-      if (indexPartExists(dir)) {
-        val cleaned = spark.read.parquet(dir).drop("version")
-          .filter(if (name == "digests") col("digest") =!= "~" else lit(true))
-          .dropDuplicates(keys)
-          .withColumn("version", lit(vc))
-        val tmp = s"$dir.compacting"
-        deleteDir(tmp)
-        cleaned.repartition(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(tmp)
-        deleteDir(dir)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(dir))
-        ()
-      }
-    }
-  }
-
-  /** Append version `v`'s digests + MinHash rows to the stream-history
-    * index. Called after every publish and by the startup reconcile.
+  /** Write version `v`'s index rows — md5 digests + MinHash (hashed,
+    * bands) — as the three `version=<v>/` subdirs, OVERWRITE mode,
+    * digests LAST (see the layout note on [[ingestIndexDir]]). Called
+    * after every publish and by the reconcile; idempotent per version.
     */
   private def appendIngestIndex(snapRoot: String, v: Long, docs: DataFrame): Unit = {
     val idx = ingestIndexDir(snapRoot)
-    docs.select(lit(v).as("version"), md5(col("text")).as("digest"))
-      .write.mode("append").parquet(s"$idx/digests")
     val (h, b) = graft.operators.DedupOps.minhashIndex(corpusShape(docs))
-    h.withColumn("version", lit(v)).write.mode("append").parquet(s"$idx/hashed")
-    b.withColumn("version", lit(v)).write.mode("append").parquet(s"$idx/bands")
+    h.repartition(2).write.mode("overwrite").parquet(s"$idx/hashed/version=$v")
+    b.repartition(2).write.mode("overwrite").parquet(s"$idx/bands/version=$v")
+    docs.select(md5(col("text")).as("digest")).repartition(1)
+      .write.mode("overwrite").parquet(s"$idx/digests/version=$v")
   }
 
-  /** Heal the stream-history index against the published versions: any
-    * manifest-backed version missing from the digest table (a crash hit
-    * the publish→index-append window, or a compacted full snapshot whose
-    * content is already indexed under older tags) gets its NOT-YET-
-    * INDEXED docs appended (digest anti-join — re-indexing an already-
-    * covered doc would double its shingle rows and corrupt the jaccard
-    * verify counts) plus a sentinel row recording the version as
-    * covered. Runs once per [[ingestPipeline]] start — bounded by the
-    * gap size, zero on a clean restart. The consistency guard first
-    * resets a PARTIAL index (a crash mid-append or mid-rewrite): the
-    * three dirs are a pure derivation of the published versions, so
-    * rebuild beats patching.
+  /** Heal the stream-history index against the published versions, in
+    * VERSION ORDER: any manifest-backed version whose `digests`
+    * subdir never committed (a crash hit the publish→index window, a
+    * compaction reset the index, or an operator lost the dirs) gets its
+    * NOT-YET-COVERED docs indexed — the anti-join against the digests
+    * of EARLIER versions reproduces exactly the doc set the original
+    * append would have written (published versions are mutually
+    * dup-free because every publish probed a complete index), so
+    * overwriting the three subdirs restores exactly-once coverage; a
+    * version whose docs are all covered (a retained older full
+    * snapshot) gets committed EMPTY subdirs as its presence marker.
+    * A second guard heals a digests-complete version whose hashed or
+    * bands subdir is missing (partial manual loss): its doc set is
+    * recomputed from the same earlier-versions anti-join. Runs once per
+    * [[ingestPipeline]] start — bounded by the gap size, zero on a
+    * clean restart.
     */
   private def reconcileIngestIndex(
       spark: org.apache.spark.sql.SparkSession, snapRoot: String): Unit = {
-    val published = manifestVersions(snapRoot)
+    val published = graft.sources.SnapshotStore.manifestVersions(snapRoot)
     if (published.isEmpty) return
     val idx = ingestIndexDir(snapRoot)
-    val states = Seq("digests", "hashed", "bands").map(n => indexPartExists(s"$idx/$n"))
-    if (states.exists(identity) && !states.forall(identity))
-      Seq("digests", "hashed", "bands").foreach(n => deleteDir(s"$idx/$n"))
-    val digDir = s"$idx/digests"
-    val indexed = if (!indexPartExists(digDir)) Set.empty[Long]
-      else spark.read.parquet(digDir).select("version").distinct()
-        .collect().map(_.getLong(0)).toSet
-    published.filterNot(indexed.contains).foreach { v =>
-      val docs = graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)
-      val fresh = if (!indexPartExists(digDir)) docs
-        else docs.join(spark.read.parquet(digDir)
-            .select(col("digest").as("bl_digest")).distinct(),
-          md5(col("text")) === col("bl_digest"), "left_anti")
-      appendIngestIndex(snapRoot, v, fresh)
-      // presence row: keeps this version out of every future reconcile
-      // even when all its docs were already covered ("~" can never equal
-      // a 32-char md5 hex digest)
-      spark.range(1).select(lit(v).as("version"), lit("~").as("digest"))
-        .write.mode("append").parquet(digDir)
+    def coveredBefore(v: Long): DataFrame => DataFrame = docs =>
+      if (indexedVersions(s"$idx/digests").forall(_ >= v)) docs
+      else docs.join(spark.read.parquet(s"$idx/digests")
+          .filter(col("version") < v)
+          .select(col("digest").as("bl_digest")).distinct(),
+        md5(col("text")) === col("bl_digest"), "left_anti")
+    published.filterNot(indexedVersions(s"$idx/digests").toSet).foreach { v =>
+      appendIngestIndex(snapRoot, v, coveredBefore(v)(
+        graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)))
+    }
+    // partial-loss guard: digests committed but a MinHash table's subdir
+    // is gone — recompute that version's doc set and overwrite the pair
+    val digested = indexedVersions(s"$idx/digests").toSet
+    val incomplete = digested --
+      (indexedVersions(s"$idx/hashed").toSet intersect
+        indexedVersions(s"$idx/bands").toSet)
+    incomplete.toSeq.sorted.foreach { v =>
+      appendIngestIndex(snapRoot, v, coveredBefore(v)(
+        graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)))
     }
   }
 
@@ -970,7 +950,7 @@ object StreamOps {
           val exactB = parsed.good.join(keepIds, Seq("doc_id"), "left_semi")
           //    …then drop docs whose digest is already PUBLISHED (the
           //    cross-batch probe; also what makes batch replay idempotent)
-          val exact = if (!indexPartExists(s"$idx/digests")) exactB
+          val exact = if (indexedVersions(s"$idx/digests").isEmpty) exactB
             else exactB.join(spark.read.parquet(s"$idx/digests")
                 .select(col("digest").as("bl_digest")).distinct(),
               md5(col("text")) === col("bl_digest"), "left_anti")
@@ -982,7 +962,8 @@ object StreamOps {
           // 4. near-dup vs the stream's own published history: a
           //    paraphrase arriving after its original (possibly many
           //    batches later) leaves here
-          val histDups = if (!indexPartExists(s"$idx/bands")) corpusDups.limit(0)
+          val histDups = if (indexedVersions(s"$idx/bands").isEmpty)
+              corpusDups.limit(0)
             else graft.operators.DedupOps.minhashPairsAgainst(
                 (spark.read.parquet(s"$idx/hashed"),
                   spark.read.parquet(s"$idx/bands")), dedupIn)
@@ -1025,7 +1006,7 @@ object StreamOps {
               //    continuous ingest never grows versions/small files
               //    unboundedly (metadata-only check per batch)
               if (compactEvery > 0) {
-                val pub = manifestVersions(snapRoot)
+                val pub = graft.sources.SnapshotStore.manifestVersions(snapRoot)
                 val increments = fullVersions(snapRoot).filter(pub.contains)
                   .lastOption match {
                   case Some(f) => pub.count(_ > f)

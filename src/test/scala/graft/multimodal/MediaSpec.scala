@@ -105,6 +105,14 @@ class MediaSpec extends SparkTestBase {
     assert(MediaStub.decodeVideo(8L, "plain text here".getBytes("UTF-8")).isEmpty)
     // truncated stream (size field past the buffer): None, never a crash
     assert(MediaStub.decodeVideo(9L, mp4.take(40)).isEmpty)
+    // malformed 8-byte mvhd ending exactly at the buffer edge: the size
+    // guard must fire BEFORE the version-byte read (None, not an
+    // ArrayIndexOutOfBoundsException through the mapPartitions path)
+    val tiny = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    tiny.putInt(16).put("moov".getBytes("US-ASCII"))
+    tiny.putInt(8).put("mvhd".getBytes("US-ASCII"))
+    assert(MediaStub.decodeVideo(10L, tiny.array()).isEmpty)
   }
 
   test("decodeVideo reads the mvhd VERSION 1 layout (64-bit duration) the writer never emits") {

@@ -331,6 +331,13 @@ class AnnClusteredSpec extends SparkTestBase {
     val driftReport = SimilarityOps.appendToIvfIndex(spark, dir, off).collect()(0)
     assert(driftReport.getBoolean(5),
       s"drift guard must fire on off-manifold data: $driftReport")
+
+    // empty batch (an ingest tick that deduped to nothing): the report
+    // stays readable — n 0, a real false verdict, never a NULL boolean
+    val emptyReport = SimilarityOps.appendToIvfIndex(spark, dir,
+      late.limit(0)).collect()(0)
+    assert(emptyReport.getLong(0) == 0L && !emptyReport.getBoolean(5),
+      s"empty-batch report must be (0, ..., false): $emptyReport")
   }
 
   test("bitextMineLsh recovers the exhaustive margins on clustered sides") {

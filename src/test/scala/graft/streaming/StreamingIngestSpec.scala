@@ -211,7 +211,8 @@ class StreamingIngestSpec extends SparkTestBase {
       // the history index covers exactly the published versions (the
       // reconcile invariant a crash-heal depends on)
       val idxVersions = spark.read.parquet(s"$snapRoot/_ingest_index/digests")
-        .select("version").distinct().collect().map(_.getLong(0)).toSet
+        .select(col("version").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
       assert(idxVersions == versions.toSet,
         s"index versions $idxVersions vs published ${versions.toSet}")
     } finally { index._1.unpersist(); index._2.unpersist() }
@@ -326,8 +327,8 @@ class StreamingIngestSpec extends SparkTestBase {
     // re-tagged to the compacted version
     val dig = spark.read.parquet(s"$snapRoot/_ingest_index/digests")
     assert(dig.filter(col("digest") === "~").count() == 0L)
-    assert(dig.select("version").distinct().collect().map(_.getLong(0)).toSet
-      == Set(3L))
+    assert(dig.select(col("version").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L))
     assert(dig.count() == 3L)
 
     // run 3: dedup must SURVIVE the rewrite — 405 is an exact dup of 401
