@@ -1272,6 +1272,71 @@ object TextOps {
         sum(col("cnt") * col("t")).cast("double").as("score"))
   }
 
+  /** BATCH-PERCEPTRON TRAINING of the hashed linear text classifier
+    * (Rosenblatt '58; the batch form of the mistake-driven update
+    * Collins EMNLP'02 popularized for NLP) — the TRAIN side of the
+    * [[scoreLinear]] apply: a quality/domain classifier is fit on a
+    * labeled seed set over the SAME `mdint(word) % buckets` feature
+    * space, so the returned `(feature, weight)` table feeds
+    * [[scoreLinear]] (and the streaming floor) unchanged. Per
+    * iteration, every misclassified doc (predict positive iff the
+    * integer score > 0) contributes `y·count` to its buckets' gradient;
+    * weights accumulate `lr = lrNum/lrDen` times the gradient.
+    *
+    * EXACT BY CONSTRUCTION: training runs entirely over INTEGER
+    * accumulators — the learning rate factors out of the sign test
+    * (sign(lr·Σ) = sign(Σ) for lr > 0), so no float enters any
+    * iteration, and the emitted weight is ONE division of exact
+    * integers (`G·lrNum / lrDen`) at the end. The oracle unrolls the
+    * iterations as a SQL CTE chain (the trained-Lloyd discipline);
+    * every intermediate is bit-identical cross-engine, not just
+    * correctly rounded.
+    *
+    * Scale shape: the (doc, feature) count table is computed ONCE
+    * (map-side combined, localCheckpoint'ed — every iteration reuses it
+    * without re-scanning the corpus); per iteration one broadcast-map
+    * score pass + one ≤`buckets`-row gradient aggregate collects to the
+    * driver — model state is ≤`buckets` longs, the Lloyd bound. Null
+    * labels train as negatives (document your label column).
+    */
+  def trainPerceptron(docs: DataFrame, label: Column, buckets: Int = 256,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 1000L): DataFrame = {
+    require(buckets >= 1 && iters >= 1 && lrNum >= 1 && lrDen >= 1,
+      s"trainPerceptron: bad hyperparameters ($buckets, $iters, $lrNum, $lrDen)")
+    val d = spread(OpContract.requireCols(docs, "TextOps.trainPerceptron",
+      "doc_id", "text"))
+    val s = docs.sparkSession
+    val pf = d.select(col("doc_id"),
+        when(label, 1L).otherwise(-1L).as("y"), explode(words).as("w"))
+      .withColumn("f", graft.functions.CrossHash.mdint(col("w")) % buckets)
+      .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def mapOf(g: Map[Long, Long]) = {
+      val entries = g.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      if (entries.isEmpty) typedLit(Map.empty[Long, Long]) else map(entries: _*)
+    }
+    var g = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      val wmap = mapOf(g)
+      val miscl = pf.groupBy("doc_id", "y")
+        .agg(sum(col("cnt") * coalesce(element_at(wmap, col("f")), lit(0L))).as("s"))
+        .filter((col("y") === 1L && col("s") <= 0L) ||
+          (col("y") === -1L && col("s") > 0L))
+        .select("doc_id")
+      g = pf.join(miscl, "doc_id")
+        .groupBy("f").agg(sum(col("y") * col("cnt")).as("gb"))
+        .collect()
+        .foldLeft(g) { (acc, r) =>
+          val nv = acc.getOrElse(r.getLong(0), 0L) + r.getLong(1)
+          if (nv == 0L) acc - r.getLong(0) else acc.updated(r.getLong(0), nv)
+        }
+    }
+    val gmap = mapOf(g)
+    s.range(buckets).select(col("id").as("feature"),
+      ((coalesce(element_at(gmap, col("id")), lit(0L)) * lrNum).cast("double")
+        / lit(lrDen.toDouble)).as("weight"))
+  }
+
   /** BM25 relevance scores (Robertson et al., the Lucene-practical form
     * with the +1 idf floor) of every document against a fixed query term
     * set — the retrieval-scoring step of a search or query-targeted

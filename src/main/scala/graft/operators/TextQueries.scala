@@ -117,6 +117,13 @@ object TextQueries {
         ((col("id") * 37 % 2001 - 1000).cast("double") / 1000.0).as("weight"))
       TextOps.scoreLinear(t(s, d, "documents"), model).orderBy("doc_id")
     }),
+    // The TRAIN side of scoreLinear: 3 batch-perceptron iterations over
+    // the lang='en' label in the shared hashed feature space — pure
+    // integer accumulators, one exact division at the end, the oracle an
+    // unrolled 3-iteration CTE chain (the trained-Lloyd discipline).
+    "tx_train_classifier" -> ((s, d) =>
+      TextOps.trainPerceptron(t(s, d, "documents"), col("lang") === "en",
+        buckets = 256, iters = 3).orderBy("feature")),
     // Normalization needs dirt to clean: inject case noise and runs of
     // whitespace (the tx_pii_redact injection pattern).
     "tx_normalize" -> ((s, d) =>
@@ -518,6 +525,50 @@ object TextQueries {
          |  CAST(SUM(p.cnt * COALESCE(m.t, 0)) AS DOUBLE) AS score
          |FROM pf p LEFT JOIN m ON m.feature = p.feature
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    },
+    // Batch perceptron, 3 iterations unrolled (the trained-Lloyd CTE
+    // pattern): iter 1 under zero weights misclassifies exactly the
+    // positives; iters 2-3 score via the accumulated integer gradient,
+    // fold the misclassified docs' y·cnt per bucket, and FULL OUTER
+    // merge. All arithmetic BIGINT; ONE division at the end.
+    "tx_train_classifier" -> {
+      val h = graft.functions.CrossHash.sqlMdint("wx")
+      s"""WITH lab AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wx
+         |        FROM documents),
+         |pf AS (SELECT t.doc_id, CAST(l.y AS BIGINT) AS y, $h % 256 AS f,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM tok t JOIN lab l ON l.doc_id = t.doc_id
+         |       GROUP BY t.doc_id, l.y, f),
+         |g1 AS (SELECT f, SUM(y * cnt) AS g FROM pf WHERE y = 1 GROUP BY f),
+         |s2 AS (SELECT p.doc_id, p.y,
+         |         SUM(p.cnt * CAST(COALESCE(a.g, 0) AS BIGINT)) AS s
+         |       FROM pf p LEFT JOIN g1 a ON a.f = p.f
+         |       GROUP BY p.doc_id, p.y),
+         |m2 AS (SELECT doc_id FROM s2
+         |       WHERE (y = 1 AND s <= 0) OR (y = -1 AND s > 0)),
+         |d2 AS (SELECT p.f, SUM(p.y * p.cnt) AS g FROM pf p
+         |       JOIN m2 ON m2.doc_id = p.doc_id GROUP BY p.f),
+         |g2 AS (SELECT COALESCE(a.f, b.f) AS f,
+         |         CAST(COALESCE(a.g, 0) + COALESCE(b.g, 0) AS BIGINT) AS g
+         |       FROM g1 a FULL OUTER JOIN d2 b ON a.f = b.f),
+         |s3 AS (SELECT p.doc_id, p.y,
+         |         SUM(p.cnt * CAST(COALESCE(a.g, 0) AS BIGINT)) AS s
+         |       FROM pf p LEFT JOIN g2 a ON a.f = p.f
+         |       GROUP BY p.doc_id, p.y),
+         |m3 AS (SELECT doc_id FROM s3
+         |       WHERE (y = 1 AND s <= 0) OR (y = -1 AND s > 0)),
+         |d3 AS (SELECT p.f, SUM(p.y * p.cnt) AS g FROM pf p
+         |       JOIN m3 ON m3.doc_id = p.doc_id GROUP BY p.f),
+         |g3 AS (SELECT COALESCE(a.f, b.f) AS f,
+         |         CAST(COALESCE(a.g, 0) + COALESCE(b.g, 0) AS BIGINT) AS g
+         |       FROM g2 a FULL OUTER JOIN d3 b ON a.f = b.f)
+         |SELECT CAST(gs AS BIGINT) AS feature,
+         |  CAST(CAST(COALESCE(g3.g, 0) * 1 AS DOUBLE) / 1000.0 AS DOUBLE)
+         |    AS weight
+         |FROM generate_series(0, 255) gg(gs)
+         |LEFT JOIN g3 ON g3.f = gs ORDER BY feature""".stripMargin
     },
     "tx_bm25" -> bm25OracleSql,
     // Normalization: same injection, lower/collapse/trim in both dialects.

@@ -33,6 +33,7 @@ class DeterminismSpec extends SparkTestBase {
     "tx_dsir",              // importance weights
     "tx_zipf",              // rank-frequency fit
     "tx_weighted_sample",   // hash-derived sampler
+    "tx_train_classifier",  // iterative integer-gradient training
     "tx_quality",           // ratio arithmetic
     "aud_auc",              // exact rank-sum AUC
     "aud_gini",             // cumulative share arithmetic

@@ -1656,6 +1656,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(outDup == out, "duplicate model features combine, never fan out")
   }
 
+  test("trainPerceptron: hand-traced updates; converges on separable data; trained model feeds scoreLinear") {
+    import spark.implicits._
+    import graft.functions.CrossHash
+    def f(w: String): Long =
+      spark.range(1).select(CrossHash.mdint(lit(w)) % 256).head().getLong(0)
+    // separable seed set sharing one word across classes: iter 1 updates
+    // only the positives (all scores 0 under zero weights); the shared
+    // word then misleads the negative doc until its updates push it back
+    val docs = Seq(
+      (1L, "good good good"), (2L, "good fine"), // y = +1
+      (3L, "good spam"), (4L, "spam spam"))      // y = -1
+      .toDF("doc_id", "text")
+    val label = col("doc_id") <= 2L
+    require(Set(f("good"), f("fine"), f("spam")).size == 3,
+      "toy words must not collide in 256 buckets")
+
+    // iter 1 by hand: misclassified = {1, 2} -> G = {good: +4, fine: +1}
+    val w1 = TextOps.trainPerceptron(docs, label, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1(f("good")) == 0.004 && w1(f("fine")) == 0.001, w1.toString)
+    assert(w1(f("spam")) == 0.0)
+    assert(w1.values.count(_ != 0.0) == 2, "only touched buckets move")
+
+    // iter 2 by hand: doc3 scores 4 > 0 -> misclassified -> G gains
+    // {good: -1, spam: -1}; doc4 scores 0 -> already correct
+    val w2 = TextOps.trainPerceptron(docs, label, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w2(f("good")) == 0.003 && w2(f("spam")) == -0.001, w2.toString)
+
+    // after enough iterations the separable set is fully correct, and
+    // the trained table drives scoreLinear (the train -> apply pair):
+    // positives strictly above 0, negatives at or below
+    val model = TextOps.trainPerceptron(docs, label, iters = 6)
+    val scored = TextOps.scoreLinear(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > 0 && scored(2L) > 0, scored.toString)
+    assert(scored(3L) <= 0 && scored(4L) <= 0, scored.toString)
+  }
+
   test("bucketize: cut boundaries inclusive, nulls null, equi-depth composition holds") {
     import spark.implicits._
     val df = Seq[java.lang.Double](0.0, 9.9, 10.0, 49.9, 50.0, 100.0, null)

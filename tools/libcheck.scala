@@ -418,6 +418,8 @@ def runLibcheck(): Unit = {
   // maintenance surface: fold the log into one full snapshot, read back
   check("StreamOps.ingestCorpus")(
     graft.streaming.StreamOps.ingestCorpus(spark, s"$ingestDir/snap"))
+  check("TextOps.trainPerceptron")(graft.operators.TextOps.trainPerceptron(
+    docs.limit(50), col("lang") === "en", iters = 2))
   val compactedV = graft.streaming.StreamOps.compactIngestLog(
     spark, s"$ingestDir/snap", keepFull = 1)
   require(graft.sources.SnapshotStore.latestVersion(s"$ingestDir/snap")
