@@ -111,6 +111,27 @@ object Audit {
         s""""alarms_up":${r.getLong(2)},"alarms_down":${r.getLong(3)},""" +
         s""""max_up":${r.getDouble(5)},"max_down":${r.getDouble(6)}}""")
     }
+    // monotone drift: Mann–Kendall trend of the daily volume per event
+    // type (r11 — the steady-drift audit the jump detectors miss)
+    AuditOps.trendReport(ev, "event_type",
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L))).collect().foreach { r =>
+      println(s"""{"detector":"trend","group":"${r.getString(0)}",""" +
+        s""""n_days":${r.getLong(1)},"s":${r.getLong(2)},""" +
+        s""""z":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
+        s""""trend":"${r.getString(5)}"}""")
+    }
+    // ...and its magnitude: Theil-Sen robust slope of the same series
+    // (events/day/type; outlier days don't move it)
+    AuditOps.theilSenReport(ev, "event_type",
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L))).collect().foreach { r =>
+      println(s"""{"detector":"theilsen","group":"${r.getString(0)}",""" +
+        s""""n_days":${r.getLong(1)},"n_pairs":${r.getLong(2)},""" +
+        s""""slope":${if (r.isNullAt(3)) "null" else r.getDouble(3)}}""")
+    }
     // targeting curve: decile cumulative gains/lift of the same pair —
     // the whole curve next to the AUC's one number (r9)
     AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")

@@ -67,11 +67,14 @@ object Ingest {
       .select("doc_id", "lang", "n_chars", "text")
     val index = graft.operators.DedupOps.minhashIndex(corpus)
     index._1.persist(); index._2.persist()
-    // demo model: uniform zero weights -> score 0 for every doc; the
-    // floor only bites when the caller passes minScore > 0 with a real
-    // model through the library API
-    val model = spark.range(1).select(lit(0L).as("feature"),
-      lit(0.0).as("weight"))
+    // demo model: a REAL perceptron trained at startup on the released
+    // corpus (label = lang='en' — swap in curated seed labels in
+    // production, or pass a trained table through the library API). The
+    // floor only bites when the caller passes a minScore; with the
+    // default -inf the scores still ride into the published versions as
+    // the floor's evidence column.
+    val model = graft.operators.TextOps.trainPerceptron(
+      corpus, col("lang") === "en", iters = 3).localCheckpoint()
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val q = graft.streaming.StreamOps.ingestPipeline(spark, landing, schema,

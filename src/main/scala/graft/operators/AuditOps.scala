@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint checks (the Deequ/Great-Expectations
@@ -964,6 +965,114 @@ object AuditOps {
           col("n").cast("double")).as("mu_runs"),
         varRuns.as("var_runs"),
         when(defined && varRuns > 0, zNum / sqrt(varRuns)).as("z_runs"))
+      .orderBy("grp")
+  }
+
+  /** MANN–KENDALL trend test per group (Mann '45; Kendall's tau-b
+    * machinery) over the DAILY metric series — the monotone-trend audit
+    * between the point detectors ([[outlierReport]]), the change-point
+    * fold ([[cusumReport]]), and the randomness screen ([[runsReport]]):
+    * a metric drifting steadily up or down never trips a z-score or a
+    * CUSUM threshold tuned for jumps, but its pairwise order statistics
+    * give it away. S = Σ_{i<j} sgn(x_j − x_i) over the day-ordered
+    * daily counts; Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) with the
+    * standard tie correction; z applies the ±1 continuity correction.
+    * Emits `(grp, n_days, s, var18, z, trend)` with trend =
+    * increasing/decreasing at |z| ≥ 1.96 (two-sided 5%).
+    *
+    * FP discipline: S, the tie term, and var18 are EXACT integers
+    * (sign comparisons and integer products); z is the three-op chain
+    * `(S∓1) / sqrt(var18/18)` — division, IEEE sqrt, division, each
+    * correctly rounded on engine-identical inputs and mirrored
+    * op-for-op in the oracle, so even the 1.96 verdict comparison is
+    * cross-engine stable. Undefined variance (n < 2 or all days tied)
+    * emits NULL z and trend 'none'.
+    *
+    * Scale shape: the raw stream reduces to the bounded (grp, day)
+    * count table FIRST (one map-side-combined aggregation); the
+    * pairwise S join, the tie aggregation, and the closed-form variance
+    * all run over that ≤groups×days model table — the [[giniReport]]
+    * bounded-table argument. Nothing corpus-sized ever self-joins.
+    */
+  def trendReport(df: DataFrame, groupCol: String, dayCol: Column): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.trendReport", groupCol)
+    val daily = df.select(col(groupCol).cast("string").as("grp"),
+        dayCol.cast("long").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+      .localCheckpoint() // bounded model table feeding three consumers
+    val n = daily.groupBy("grp").agg(count(lit(1)).as("n_days"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.grp") === col("b.grp") && col("b.day") > col("a.day"))
+      .groupBy(col("a.grp").as("grp"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy("grp", "x").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .groupBy("grp")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+    val j = n.join(s, Seq("grp"), "left").join(ties, Seq("grp"), "left")
+      .select(col("grp"), col("n_days"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - coalesce(col("tsum"), lit(0L))).as("var18"))
+    val sd = sqrt(col("var18").cast("double") / lit(18.0))
+    val z = when(col("var18") > 0,
+      when(col("s") > 0, (col("s") - 1).cast("double") / sd)
+        .when(col("s") < 0, (col("s") + 1).cast("double") / sd)
+        .otherwise(lit(0.0)))
+    j.select(col("grp"), col("n_days"), col("s"), col("var18"),
+        z.as("z"),
+        when(z.isNotNull && z >= 1.96, "increasing")
+          .when(z.isNotNull && z <= -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy("grp")
+  }
+
+  /** THEIL–SEN robust slope per group (Theil '50; Sen '68) over the same
+    * DAILY series as [[trendReport]] — the magnitude companion to
+    * Mann–Kendall's verdict: MK says WHETHER the metric drifts
+    * monotonically, the Theil–Sen estimator says HOW FAST, and unlike an
+    * OLS slope it shrugs off the outlier days the point detectors flag
+    * (breakdown point ~29%). slope = median over all i<j of
+    * (x_j − x_i)/(day_j − day_i). Emits `(grp, n_days, n_pairs, slope)`.
+    *
+    * FP discipline: each pairwise slope is ONE correctly-rounded
+    * division of two exact integers, so both engines materialize the
+    * identical double multiset; the median picks values at sorted-rank
+    * positions — well-defined on the multiset no matter how either
+    * engine breaks ties — and the even-count case averages exactly two
+    * doubles (one add, one exact halving), mirrored op-for-op in the
+    * oracle. No FMA-contractible a*b+c anywhere. Groups with a single
+    * day have no pairs and emit NULL slope.
+    *
+    * Scale shape: identical to [[trendReport]] — one map-side-combined
+    * reduction to the bounded (grp, day) count table, then the pair
+    * join, ranking window (PARTITIONED by grp), and median selection
+    * all run over ≤groups×days² model rows. Nothing corpus-sized
+    * self-joins, and the ranking window is never unpartitioned.
+    */
+  def theilSenReport(df: DataFrame, groupCol: String, dayCol: Column): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.theilSenReport", groupCol)
+    val daily = df.select(col(groupCol).cast("string").as("grp"),
+        dayCol.cast("long").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+      .localCheckpoint() // bounded model table feeding both consumers
+    val n = daily.groupBy("grp").agg(count(lit(1)).as("n_days"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.grp") === col("b.grp") && col("b.day") > col("a.day"))
+      .select(col("a.grp").as("grp"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val np = pairs.groupBy("grp").agg(count(lit(1)).as("n_pairs"))
+    val ranked = pairs.withColumn("rn",
+      row_number().over(Window.partitionBy("grp").orderBy("slope")))
+    val med = ranked.join(np, Seq("grp"))
+      .filter(col("rn") === call_function("div", col("n_pairs") + 1, lit(2L)) ||
+        col("rn") === call_function("div", col("n_pairs") + 2, lit(2L)))
+      .groupBy("grp").agg(avg(col("slope")).as("slope"))
+    n.join(np, Seq("grp"), "left").join(med, Seq("grp"), "left")
+      .select(col("grp"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
       .orderBy("grp")
   }
 

@@ -65,6 +65,28 @@ object AuditQueries {
       AuditOps.runsReport(t(s, d, "events"), "event_type", "ts", "event_id",
         "value")),
 
+    // Mann–Kendall monotone-trend test per event type over the daily
+    // volume series — the steady-drift audit between the jump detectors
+    // (CUSUM/outliers) and the randomness screen (runs): S and the
+    // tie-corrected Var·18 are exact integers, z the mirrored three-op
+    // chain.
+    "aud_trend" -> ((s, d) =>
+      AuditOps.trendReport(t(s, d, "events"), "event_type",
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L)))),
+
+    // Theil–Sen robust slope of the same daily volume series — the
+    // magnitude companion to aud_trend's verdict: each pairwise slope is
+    // one exact-integer division, the median picks sorted-rank positions
+    // of the identical double multiset, the even case averages exactly
+    // two doubles (mirrored add + exact halving).
+    "aud_theilsen" -> ((s, d) =>
+      AuditOps.theilSenReport(t(s, d, "events"), "event_type",
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L)))),
+
     // The treat step: clip o_totalprice into each status group's exact
     // [2.5%, 97.5%] percentiles (sketch-locates bins, one pruned ranking
     // pass) and report clip pressure + the winsorized decimal sum.
@@ -672,6 +694,64 @@ object AuditQueries {
     // cross-multiplied exact-integer form — never a difference of two
     // rounded doubles. LAG partitions by column over the bounded
     // (day, column) table.
+    // Mann–Kendall: pairwise sign sum + tie-corrected variance over the
+    // bounded (grp, day) count table; z mirrored as the identical
+    // divide → sqrt → divide chain, so the 1.96 verdict is stable.
+    "aud_trend" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |d AS (SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS x
+        |      FROM e GROUP BY grp, day),
+        |n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY grp),
+        |sp AS (SELECT a.grp,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM d a JOIN d b ON b.grp = a.grp AND b.day > a.day GROUP BY a.grp),
+        |tt AS (SELECT grp,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM d GROUP BY grp, x) g WHERE t > 1 GROUP BY grp),
+        |j AS (SELECT n.grp, n.n_days, COALESCE(sp.s, 0) AS s,
+        |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+        |      - COALESCE(tt.tsum, 0) AS var18
+        |  FROM n LEFT JOIN sp ON sp.grp = n.grp
+        |         LEFT JOIN tt ON tt.grp = n.grp),
+        |z AS (SELECT grp, n_days, s, var18,
+        |    CASE WHEN var18 > 0 THEN
+        |      CASE WHEN s > 0 THEN
+        |             CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |           WHEN s < 0 THEN
+        |             CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |           ELSE 0.0 END
+        |    END AS z FROM j)
+        |SELECT grp, n_days, s, var18, z,
+        |  CASE WHEN z IS NOT NULL AND z >= 1.96 THEN 'increasing'
+        |       WHEN z IS NOT NULL AND z <= -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM z ORDER BY grp""".stripMargin,
+    // Theil–Sen: the pair join and ranking window over the bounded
+    // (grp, day) table; slope = one exact-int division per pair, median
+    // = values at sorted-rank positions, even case averaged as the
+    // identical add + exact halving.
+    "aud_theilsen" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |d AS (SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS x
+        |      FROM e GROUP BY grp, day),
+        |n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY grp),
+        |p AS (SELECT a.grp,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON b.grp = a.grp AND b.day > a.day),
+        |np AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY grp),
+        |r AS (SELECT grp, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY slope) AS rn FROM p),
+        |m AS (SELECT r.grp, AVG(r.slope) AS slope
+        |  FROM r JOIN np ON np.grp = r.grp
+        |  WHERE r.rn = (np.n_pairs + 1) // 2 OR r.rn = (np.n_pairs + 2) // 2
+        |  GROUP BY r.grp)
+        |SELECT n.grp, n.n_days, COALESCE(np.n_pairs, 0) AS n_pairs, m.slope
+        |FROM n LEFT JOIN np ON np.grp = n.grp LEFT JOIN m ON m.grp = n.grp
+        |ORDER BY n.grp""".stripMargin,
     "aud_completeness" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,

@@ -41,6 +41,8 @@ class DeterminismSpec extends SparkTestBase {
     "aud_cusum",            // sequential fold
     "aud_drift",            // exact TVD
     "aud_runs",             // runs-test cross-multiply
+    "aud_trend",            // Mann-Kendall pairwise sign sums
+    "aud_theilsen",         // pairwise-slope median at sorted ranks
     "dd_exact",             // digest aggregate
     "dd_minhash",           // banded signatures + jaccard verify
     "dd_clusters",          // iterative connected components

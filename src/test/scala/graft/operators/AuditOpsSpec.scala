@@ -555,6 +555,66 @@ class AuditOpsSpec extends SparkTestBase {
       s"expected a loud missing-control error, got: ${ex.getMessage}")
   }
 
+  test("trendReport: hand-computed Mann-Kendall — monotone up, tied-flat, mild down") {
+    import spark.implicits._
+    // (grp, day) rows: daily count = number of rows that day
+    // up:   counts 1,2,3,4,5  -> S = 10 pairs all +1, no ties,
+    //       var18 = 5*4*15 = 300, z = 9/sqrt(300/18) ≈ 2.2045 -> increasing
+    // flat: counts 2,2,2,2    -> S = 0, one tie group t=4 ->
+    //       tsum = 4*3*13 = 156 = var18 base -> var18 = 0 -> z NULL, none
+    // down: counts 4,3,2,1    -> S = -6, var18 = 4*3*13 = 156,
+    //       z = -5/sqrt(156/18) ≈ -1.698 -> above -1.96 -> none
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(d)(("up", d.toLong))) ++
+      (1 to 4).flatMap(d => Seq.fill(2)(("flat", d.toLong))) ++
+      (1 to 4).flatMap(d => Seq.fill(5 - d)(("down", d.toLong)))
+    val df = rows.toDF("event_type", "day")
+    val out = AuditOps.trendReport(df, "event_type", col("day"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val up = out("up")
+    assert(up.getLong(1) == 5L && up.getLong(2) == 10L && up.getLong(3) == 300L)
+    assert(math.abs(up.getDouble(4) - 9.0 / math.sqrt(300.0 / 18.0)) < 1e-12)
+    assert(up.getString(5) == "increasing")
+
+    val flat = out("flat")
+    assert(flat.getLong(2) == 0L && flat.getLong(3) == 0L)
+    assert(flat.isNullAt(4) && flat.getString(5) == "none",
+      "zero variance must yield NULL z, never a division")
+
+    val down = out("down")
+    assert(down.getLong(2) == -6L && down.getLong(3) == 156L)
+    assert(math.abs(down.getDouble(4) - (-5.0 / math.sqrt(156.0 / 18.0))) < 1e-12)
+    assert(down.getString(5) == "none", "mild slope stays below the 1.96 gate")
+  }
+
+  test("theilSenReport: hand-computed medians — constant slope, odd, even, singleton") {
+    import spark.implicits._
+    // up:    counts 1,2,3,4,5 on days 1..5 -> all 10 slopes are 1.0
+    // odd:   days 1,2,3 counts 3,1,2 -> slopes {-2, -0.5, 1} -> median -0.5
+    // even:  days 1..4 counts 2,2,4,1 -> slopes {0, 1, -1/3, 2, -0.5, -3}
+    //        sorted [-3,-0.5,-1/3,0,1,2], ranks 3&4 -> (-1/3 + 0)/2 = -1/6
+    // lone:  one day -> 0 pairs, NULL slope
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(d)(("up", d.toLong))) ++
+      Seq.fill(3)(("odd", 1L)) ++ Seq.fill(1)(("odd", 2L)) ++
+        Seq.fill(2)(("odd", 3L)) ++
+      Seq.fill(2)(("even", 1L)) ++ Seq.fill(2)(("even", 2L)) ++
+        Seq.fill(4)(("even", 3L)) ++ Seq.fill(1)(("even", 4L)) ++
+      Seq.fill(7)(("lone", 1L))
+    val out = AuditOps.theilSenReport(rows.toDF("event_type", "day"),
+        "event_type", col("day"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(out("up").getLong(2) == 10L && out("up").getDouble(3) == 1.0)
+    assert(out("odd").getLong(2) == 3L && out("odd").getDouble(3) == -0.5)
+    assert(out("even").getLong(2) == 6L &&
+      out("even").getDouble(3) == (-1.0 / 3.0 + 0.0) / 2.0,
+      "even count must average exactly the two middle slopes")
+    assert(out("lone").getLong(1) == 1L && out("lone").getLong(2) == 0L &&
+      out("lone").isNullAt(3), "a single day has no pairs and NULL slope")
+  }
+
   test("runsReport: hand-computed alternating/stuck/constant cases; NULL on one-sided groups") {
     import spark.implicits._
     // A alternates around its mean 5 -> 4 runs of length 1 (oscillation,
