@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Snapshots = lifecycle, Ingest = continuous intake):
   *
   *   sbt "runMain graft.Ingest <landingDir> <corpusParquet> <outRoot>
-  *        [minScore] [--follow] [--compact-every=N] [--keep=K]"
+  *        [minScore] [--follow] [--compact-every=N] [--keep=K]
+  *        [--ann-index=DIR]"
   *
   * `<corpusParquet>` is the RELEASED corpus (documents-shaped parquet:
   * doc_id, lang, n_chars, text) that incoming docs are decontaminated
@@ -35,6 +36,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * K full snapshots as rollback history (only meaningful with
   * `--compact-every`). Read the current corpus with
   * [[graft.streaming.StreamOps.ingestCorpus]].
+  *
+  * ANN maintenance: `--ann-index=DIR` names a persisted IVF index
+  * ([[graft.operators.SimilarityOps.writeIvfIndex]]); each published
+  * batch's vectors join it as an idempotent versioned append with a
+  * persisted drift report ([[graft.operators.SimilarityOps
+  * .appendVersionToIvfIndex]]). Requires the landing schema to carry an
+  * `embedding` column, so this CLI enables it only together with the
+  * flag (the default schema is doc_id + text).
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
@@ -53,6 +62,9 @@ object Ingest {
     }
     val compactEvery = flagVal("compact-every").getOrElse(0)
     val keepFull = flagVal("keep").getOrElse(2)
+    val annIndexDir = args.collectFirst {
+      case a if a.startsWith("--ann-index=") => a.stripPrefix("--ann-index=")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-ingest")
@@ -75,13 +87,17 @@ object Ingest {
     // the floor's evidence column.
     val model = graft.operators.TextOps.trainPerceptron(
       corpus, col("lang") === "en", iters = 3).localCheckpoint()
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType)) ++
+        annIndexDir.map(_ => StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
     val q = graft.streaming.StreamOps.ingestPipeline(spark, landing, schema,
       required = Seq("doc_id", "text"), corpusIndex = index, model = model,
       minScore = minScore, snapRoot = s"$outRoot/snap",
       quarantineDir = s"$outRoot/quarantine", checkpointDir = s"$outRoot/ckpt",
-      compactEvery = compactEvery, keepFull = keepFull)
+      compactEvery = compactEvery, keepFull = keepFull,
+      annIndexDir = annIndexDir)
     if (follow) q.awaitTermination()
     else {
       q.processAllAvailable()

@@ -1169,32 +1169,127 @@ object SimilarityOps {
       dir: String, newVectors: DataFrame): DataFrame = {
     OpContract.requireCols(newVectors, "SimilarityOps.appendToIvfIndex",
       "vec_id", "embedding")
+    val assigned = assignToPersistedCentroids(spark, dir, newVectors).persist()
+    try {
+      assigned.select(col("vec_id"), col("embedding"), col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/lists.parquet")
+      driftReport(spark, dir, assigned)
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** Nearest persisted centroid per new vector: the shared assignment
+    * core of [[appendToIvfIndex]] and [[appendVersionToIvfIndex]] —
+    * batch × broadcast-centroids, deterministic min-cid tie break.
+    */
+  private def assignToPersistedCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, newVectors: DataFrame): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
     val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = newVectors
+    newVectors
       .repartition(newVectors.sparkSession.sparkContext.defaultParallelism)
       .join(broadcast(cents))
       .withColumn("csim", cosine(col("embedding"), col("ce")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
-      .persist()
+  }
+
+  /** The one-row drift report both append paths return: batch assignment
+    * percentiles vs the persisted BUILD stats, `recommend_retrain` when
+    * the batch median falls below the build p10 (see
+    * [[appendToIvfIndex]]'s contract).
+    */
+  private def driftReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String, assigned: DataFrame): DataFrame = {
+    val batch = assigned.agg(count(lit(1)).as("n_appended"),
+      expr("percentile(csim, 0.1)").as("batch_p10"),
+      expr("percentile(csim, 0.5)").as("batch_p50"))
+    val build = spark.read.parquet(s"$dir/stats.parquet")
+      .select(col("p10").as("build_p10"), col("p50").as("build_p50"))
+    // empty batch → NULL percentiles; coalesce keeps the verdict a
+    // real boolean (no retrain signal from no data) instead of a NULL
+    // that NPEs a getBoolean reader
+    batch.crossJoin(broadcast(build))
+      .withColumn("recommend_retrain",
+        coalesce(col("batch_p50") < col("build_p10"), lit(false)))
+      .localCheckpoint()
+  }
+
+  /** VERSIONED ANN index append — [[appendToIvfIndex]] re-expressed for
+    * the streaming ingest's crash discipline: the batch's vectors land in
+    * an OVERWRITE `appends/version=<v>/` partition subdir (cid-partitioned
+    * inside, like the base lists) instead of appending part files into
+    * `lists.parquet`, so the write is IDEMPOTENT per snapshot version — a
+    * micro-batch replay or a [[graft.streaming.StreamOps]] reconcile
+    * re-writes the same subdir and duplicate index rows are structurally
+    * impossible (the `_ingest_index` per-version-overwrite argument). A
+    * version counts as ANN-indexed exactly when its subdir committed
+    * (`_SUCCESS`). The drift report is persisted to `drift/version=<v>`
+    * (and returned), giving continuous ingest a queryable drift HISTORY
+    * ([[ivfDriftHistory]]) rather than one transient verdict; the
+    * persisted `stats.parquet` stays the original build's reference.
+    * Serve with [[readIvfIndexAll]] + [[ivfTopKFromIndex]].
+    */
+  def appendVersionToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: Long, newVectors: DataFrame): DataFrame = {
+    OpContract.requireCols(newVectors, "SimilarityOps.appendVersionToIvfIndex",
+      "vec_id", "embedding")
+    val assigned = assignToPersistedCentroids(spark, dir, newVectors).persist()
     try {
       assigned.select(col("vec_id"), col("embedding"), col("cid"))
-        .write.mode("append").partitionBy("cid").parquet(s"$dir/lists.parquet")
-      val batch = assigned.agg(count(lit(1)).as("n_appended"),
-        expr("percentile(csim, 0.1)").as("batch_p10"),
-        expr("percentile(csim, 0.5)").as("batch_p50"))
-      val build = spark.read.parquet(s"$dir/stats.parquet")
-        .select(col("p10").as("build_p10"), col("p50").as("build_p50"))
-      // empty batch → NULL percentiles; coalesce keeps the verdict a
-      // real boolean (no retrain signal from no data) instead of a NULL
-      // that NPEs a getBoolean reader
-      batch.crossJoin(broadcast(build))
-        .withColumn("recommend_retrain",
-          coalesce(col("batch_p50") < col("build_p10"), lit(false)))
-        .localCheckpoint()
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$dir/appends/version=$version")
+      val report = driftReport(spark, dir, assigned)
+      report.write.mode("overwrite").parquet(s"$dir/drift/version=$version")
+      report
     } finally { assigned.unpersist(); () }
+  }
+
+  /** Reload a persisted index INCLUDING its versioned appends as
+    * (centroids, lists): the base `lists.parquet` unioned with every
+    * committed `appends/version=*` subdir, projected to the serving
+    * schema — [[ivfTopKFromIndex]] works unchanged (AnnClusteredSpec
+    * pins equality with a from-scratch rebuild on the union corpus
+    * under the same centroids).
+    */
+  def readIvfIndexAll(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (cents, base) = readIvfIndex(spark, dir)
+    val lists = annAppendedVersions(dir) match {
+      case Nil => base
+      case vs => base.unionByName(
+        spark.read.option("basePath", s"$dir/appends")
+          .parquet(vs.map(v => s"$dir/appends/version=$v"): _*)
+          .select(col("vec_id"), col("embedding"), col("cid")))
+    }
+    (cents, lists)
+  }
+
+  /** Version subdirs of `appends/` that fully committed. */
+  private[graft] def annAppendedVersions(dir: String): Seq[Long] = {
+    val d = new java.io.File(s"$dir/appends")
+    if (!d.isDirectory || d.listFiles() == null) Nil
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("version=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("version=").toLong).sorted
+  }
+
+  /** The persisted drift-report history of a versioned-append index, one
+    * row per appended snapshot version, version-ordered — "when did the
+    * arriving data start drifting off the trained centroids" as a table
+    * instead of a log grep.
+    */
+  def ivfDriftHistory(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val vs = annAppendedVersions(dir)
+      .filter(v => new java.io.File(s"$dir/drift/version=$v/_SUCCESS").isFile)
+    require(vs.nonEmpty, s"SimilarityOps.ivfDriftHistory: no drift reports at $dir")
+    spark.read.option("basePath", s"$dir/drift")
+      .parquet(vs.map(v => s"$dir/drift/version=$v"): _*)
+      .withColumn("version", col("version").cast("long"))
+      .orderBy("version")
   }
 
   /** [[ivfTopK]] served from a persisted index: identical probe + re-rank,

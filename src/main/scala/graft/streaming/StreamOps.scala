@@ -825,6 +825,54 @@ object StreamOps {
     }
   }
 
+  /** Heal a versioned-append ANN index ([[graft.operators.SimilarityOps
+    * .appendVersionToIvfIndex]]) against the published snapshot log: any
+    * manifest-backed version with no committed `appends/version=<v>`
+    * subdir gets its NOT-YET-INDEXED vectors appended — the anti-join
+    * against the vec_ids already in the index (base lists + committed
+    * appends; an 8-byte-column scan, the text/embeddings never re-read
+    * on the probe side) reproduces exactly the set the original append
+    * would have written, so a crash in the publish→ANN-append window, an
+    * operator-deleted subdir, or a [[compactIngestLog]] product (whose
+    * docs are ALL already indexed under their original increments) each
+    * heal to exactly-once vector coverage; a fully-covered version gets
+    * a committed EMPTY subdir as its presence marker, so the heal is
+    * zero-cost on every later start. Versions published without an
+    * embedding column (a pre-ANN era of the log) are marked the same
+    * way. Runs once per [[ingestPipeline]] start when `annIndexDir` is
+    * set, and after every in-loop compaction.
+    */
+  def reconcileIvfAppends(spark: org.apache.spark.sql.SparkSession,
+      snapRoot: String, annDir: String): Unit = {
+    val published = graft.sources.SnapshotStore.manifestVersions(snapRoot)
+    val covered = graft.operators.SimilarityOps.annAppendedVersions(annDir).toSet
+    val missing = published.filterNot(covered)
+    if (missing.isEmpty) return
+    val ceType = spark.read.parquet(s"$annDir/centroids.parquet")
+      .schema("ce").dataType
+    def emptyVectors = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding", ceType))))
+    missing.foreach { v =>
+      val docs = graft.sources.SnapshotStore.readVersion(spark, snapRoot, v)
+      val vectors =
+        if (!docs.columns.contains("embedding")) emptyVectors
+        else {
+          val indexed = graft.operators.SimilarityOps
+            .readIvfIndexAll(spark, annDir)._2.select("vec_id")
+          docs.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .join(indexed, Seq("vec_id"), "left_anti")
+        }
+      graft.operators.SimilarityOps.appendVersionToIvfIndex(
+        spark, annDir, v, vectors)
+      ()
+    }
+  }
+
   /** COMPOSED streaming ingest at BATCH-PIPELINE parity — the production
     * chain assembled from the individually spec-pinned stages, running as
     * ONE continuously-restartable query over a JSONL landing directory.
@@ -861,6 +909,14 @@ object StreamOps {
     *   → appendIngestIndex                    the published docs' digests +
     *                                          MinHash rows join the history
     *                                          index for every later batch
+    *   → appendVersionToIvfIndex (optional)   when `annIndexDir` names a
+    *                                          persisted IVF index: the
+    *                                          published vectors join the ANN
+    *                                          index as an idempotent
+    *                                          `appends/version=<v>` subdir,
+    *                                          drift report persisted per
+    *                                          version ([[reconcileIvfAppends]]
+    *                                          heals any crash window at start)
     * ```
     *
     * All stages run inside one `foreachBatch`, so a micro-batch commits
@@ -913,7 +969,8 @@ object StreamOps {
       benchEmbeddings: Option[DataFrame] = None,
       semThreshold: Double = 0.40,
       compactEvery: Int = 0,
-      keepFull: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+      keepFull: Int = 2,
+      annIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(schema.fieldNames.contains("doc_id") && schema.fieldNames.contains("text"),
       "StreamOps.ingestPipeline: schema must carry doc_id and text")
     require(compactEvery >= 0, s"compactEvery >= 0, got $compactEvery")
@@ -925,9 +982,20 @@ object StreamOps {
       graft.operators.OpContract.requireCols(b,
         "StreamOps.ingestPipeline benchEmbeddings", "vec_id", "embedding")
     }
+    annIndexDir.foreach { d =>
+      require(schema.fieldNames.contains("embedding"),
+        "StreamOps.ingestPipeline: annIndexDir given but the landing " +
+          "schema has no embedding column")
+      require(new java.io.File(s"$d/centroids.parquet").isDirectory,
+        s"StreamOps.ingestPipeline: no persisted IVF index at $d " +
+          "(build one with SimilarityOps.writeIvfIndex first)")
+    }
     // heal the history index before any batch probes it (crash window:
-    // publish succeeded, index append did not)
+    // publish succeeded, index append did not), then the ANN appends
+    // against the healed log (crash window: publish + history index
+    // succeeded, ANN append did not)
     reconcileIngestIndex(spark, snapRoot)
+    annIndexDir.foreach(reconcileIvfAppends(spark, snapRoot, _))
     val idx = ingestIndexDir(snapRoot)
     val lines = spark.readStream.text(landingDir)
       .select(col("value"), input_file_name().as("source_file"))
@@ -1000,6 +1068,19 @@ object StreamOps {
             if (!kept.isEmpty) {
               val v = graft.sources.SnapshotStore.publish(kept, snapRoot, col("doc_id"))
               appendIngestIndex(snapRoot, v, kept.drop("score"))
+              // 8b. ANN maintenance: the published vectors join the
+              //     versioned-append IVF index (overwrite per version →
+              //     idempotent under replay; a crash before this line is
+              //     healed by reconcileIvfAppends at the next start);
+              //     the drift report lands in drift/version=<v>
+              annIndexDir.foreach { d =>
+                // only docs that ARRIVED with a vector join the index (a
+                // JSONL line without the optional field parses to null)
+                graft.operators.SimilarityOps.appendVersionToIvfIndex(
+                  spark, d, v, kept.filter(col("embedding").isNotNull)
+                    .select(col("doc_id").as("vec_id"), col("embedding")))
+                ()
+              }
               // 9. maintenance policy: once `compactEvery` increments
               //    accrete past the newest full snapshot, fold them into
               //    one compacted version and vacuum to `keepFull` fulls —
@@ -1014,6 +1095,10 @@ object StreamOps {
                 }
                 if (increments >= compactEvery) {
                   compactIngestLog(spark, snapRoot, keepFull)
+                  // the compacted full's docs are all ANN-indexed under
+                  // their original increments — the heal writes its empty
+                  // presence marker now instead of at the next restart
+                  annIndexDir.foreach(reconcileIvfAppends(spark, snapRoot, _))
                   ()
                 }
               }

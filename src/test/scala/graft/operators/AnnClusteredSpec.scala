@@ -340,6 +340,50 @@ class AnnClusteredSpec extends SparkTestBase {
       s"empty-batch report must be (0, ..., false): $emptyReport")
   }
 
+  test("appendVersionToIvfIndex: overwrite-idempotent versioned appends, union serving equality, drift history") {
+    val df = corpusDf
+    val build = df.filter(col("cluster") < 8).select("vec_id", "embedding")
+    val b1 = df.filter(col("cluster") === 8).select("vec_id", "embedding")
+    val b2 = df.filter(col("cluster") === 9).select("vec_id", "embedding")
+    val cents = df.filter(col("vec_id") % PER_CLUSTER === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfver").toString
+    SimilarityOps.writeIvfIndex(build, cents, dir)
+
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 1L, b1)
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 2L, b2)
+    // a REPLAY of version 2 (the ingest's crash story) overwrites its own
+    // subdir — the index must come out identical, never double-rowed
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 2L, b2)
+
+    val (rCents, lists) = SimilarityOps.readIvfIndexAll(spark, dir)
+    assert(lists.count() == df.count(), "every vector indexed exactly once")
+    assert(lists.groupBy("vec_id").count().filter(col("count") > 1).count() == 0L,
+      "replayed version append must not duplicate rows")
+
+    // serving through the versioned appends == from-scratch rebuild on
+    // the union corpus under the SAME frozen centroids
+    val served = SimilarityOps.ivfTopKFromIndex(lists, queriesDf(df), rCents,
+        nprobe = 3, k = TOP_K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfver2").toString
+    SimilarityOps.writeIvfIndex(df.select("vec_id", "embedding"), cents, dir2)
+    val (c2, l2) = SimilarityOps.readIvfIndex(spark, dir2)
+    val rebuilt = SimilarityOps.ivfTopKFromIndex(l2, queriesDf(df), c2,
+        nprobe = 3, k = TOP_K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == rebuilt,
+      "versioned-append index must serve the same top-k as the union rebuild")
+
+    // drift HISTORY: one persisted row per version, version-ordered,
+    // same-manifold batches keep the guard quiet
+    val hist = SimilarityOps.ivfDriftHistory(spark, dir).collect()
+    assert(hist.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L),
+      s"drift history must carry one row per version: ${hist.toSeq}")
+    assert(hist.forall(!_.getAs[Boolean]("recommend_retrain")),
+      "same-manifold appends must not recommend retrain")
+  }
+
   test("bitextMineLsh recovers the exhaustive margins on clustered sides") {
     // even/odd halves of the clustered corpus as the two "languages":
     // cluster-mates sit at cos ~0.98, so the LSH buckets that work for
