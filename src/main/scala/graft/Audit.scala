@@ -132,6 +132,15 @@ object Audit {
         s""""n_days":${r.getLong(1)},"n_pairs":${r.getLong(2)},""" +
         s""""slope":${if (r.isNullAt(3)) "null" else r.getDouble(3)}}""")
     }
+    // periodic pattern: day-of-week chi-square uniformity per event type
+    AuditOps.seasonalityReport(ev, "event_type",
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L))).collect().foreach { r =>
+      println(s"""{"detector":"seasonal","group":"${r.getString(0)}",""" +
+        s""""n":${r.getLong(1)},"chi2":${r.getDouble(2)},""" +
+        s""""seasonal":${r.getBoolean(4)}}""")
+    }
     // targeting curve: decile cumulative gains/lift of the same pair —
     // the whole curve next to the AUC's one number (r9)
     AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")

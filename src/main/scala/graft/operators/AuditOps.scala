@@ -1076,6 +1076,54 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** SEASONALITY screen per group: Pearson chi-square uniformity test of
+    * event volume across the `period` day-of-period slots (default 7 =
+    * day-of-week) — the periodic-pattern audit that completes the
+    * detector family (jumps: [[outlierReport]]/[[cusumReport]]; steady
+    * drift: [[trendReport]]; non-randomness: [[runsReport]]): a metric
+    * that swings with the week never trips any of those, but its slot
+    * histogram does. chi² = Σ_s (O_s − n/p)²/(n/p) over ALL p slots
+    * (absent slots contribute n²), algebraically rearranged to
+    * `Σ_s (p·O_s − n)² / (p·n)` so the numerator is an EXACT integer
+    * (DECIMAL(38,0) / HUGEINT — no rounded E subtractions); chi² is then
+    * ONE correctly-rounded division. The 5% critical value for p−1
+    * degrees of freedom comes from the Wilson–Hilferty cube
+    * approximation `dof·((1 − 2/(9·dof)) + 1.645·√(2/(9·dof)))³`,
+    * evaluated op-for-op identically in the oracle, so the boolean
+    * verdict is cross-engine stable. Emits
+    * `(grp, n, chi2, crit, seasonal)`.
+    *
+    * Scale shape: ONE map-side-combined reduction to the ≤groups×period
+    * slot-count table; everything after runs on that bounded model
+    * table. The critical value is a plan-time constant.
+    */
+  def seasonalityReport(df: DataFrame, groupCol: String, dayCol: Column,
+      period: Int = 7): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.seasonalityReport", groupCol)
+    require(period >= 2, s"seasonalityReport: period >= 2, got $period")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val slots = df.select(col(groupCol).cast("string").as("grp"),
+        (dayCol.cast("long") % period).as("slot"))
+      .groupBy("grp", "slot").agg(count(lit(1)).as("o"))
+    val n = slots.groupBy("grp")
+      .agg(sum(col("o")).as("n"), count(lit(1)).as("present"))
+    val chi2num = slots.join(n, Seq("grp"))
+      .groupBy("grp")
+      .agg(sum((lit(period.toLong) * col("o") - col("n")).cast(dec) *
+        (lit(period.toLong) * col("o") - col("n")).cast(dec)).as("presentSum"))
+    val dof = (period - 1).toDouble
+    val c = (1.0 - 2.0 / (9.0 * dof)) + 1.645 * math.sqrt(2.0 / (9.0 * dof))
+    val crit = dof * (c * c * c)
+    val chi2 = (col("presentSum") +
+        (lit(period.toLong) - col("present")).cast(dec) *
+          col("n").cast(dec) * col("n").cast(dec)).cast("double") /
+      (lit(period.toLong) * col("n")).cast("double")
+    n.join(chi2num, Seq("grp"))
+      .select(col("grp"), col("n"), chi2.as("chi2"), lit(crit).as("crit"),
+        (chi2 >= crit).as("seasonal"))
+      .orderBy("grp")
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

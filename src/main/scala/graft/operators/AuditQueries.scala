@@ -87,6 +87,17 @@ object AuditQueries {
           call_function("div", col("ts").cast("long"), lit(1000L)),
           lit(86400000000L)))),
 
+    // Chi-square day-of-week uniformity screen per event type — the
+    // periodic-pattern audit (jumps: outliers/CUSUM; drift: trend;
+    // non-randomness: runs; season: this): numerator exact integer via
+    // the (p·O − n)² rearrangement, one division, Wilson–Hilferty 5%
+    // critical value mirrored op-for-op.
+    "aud_seasonal" -> ((s, d) =>
+      AuditOps.seasonalityReport(t(s, d, "events"), "event_type",
+        call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L)))),
+
     // The treat step: clip o_totalprice into each status group's exact
     // [2.5%, 97.5%] percentiles (sketch-locates bins, one pruned ranking
     // pass) and report clip pressure + the winsorized decimal sum.
@@ -729,6 +740,30 @@ object AuditQueries {
         |       WHEN z IS NOT NULL AND z <= -1.96 THEN 'decreasing'
         |       ELSE 'none' END AS trend
         |FROM z ORDER BY grp""".stripMargin,
+    // Seasonality: exact HUGEINT numerator over the bounded (grp, slot)
+    // count table (absent slots contribute n²), one division; the
+    // Wilson–Hilferty critical value is the identical op chain on both
+    // engines so even the boolean verdict hash-matches.
+    "aud_seasonal" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |    (epoch_us(ts) // 86400000000) % 7 AS slot FROM events),
+        |s AS (SELECT grp, slot, CAST(COUNT(*) AS BIGINT) AS o
+        |      FROM e GROUP BY grp, slot),
+        |n AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS present FROM s GROUP BY grp),
+        |x AS (SELECT s.grp,
+        |    SUM(CAST(7*s.o - n.n AS HUGEINT) * CAST(7*s.o - n.n AS HUGEINT))
+        |      AS psum
+        |  FROM s JOIN n ON n.grp = s.grp GROUP BY s.grp),
+        |k AS (SELECT (1.0 - 2.0/54.0) + 1.645*sqrt(2.0/54.0) AS cc),
+        |c AS (SELECT n.grp, n.n,
+        |    CAST(x.psum + CAST(7 - n.present AS HUGEINT)
+        |        * CAST(n.n AS HUGEINT) * CAST(n.n AS HUGEINT) AS DOUBLE)
+        |      / CAST(7*n.n AS DOUBLE) AS chi2
+        |  FROM n JOIN x ON x.grp = n.grp)
+        |SELECT grp, n, chi2, 6.0*(cc*cc*cc) AS crit,
+        |  chi2 >= 6.0*(cc*cc*cc) AS seasonal
+        |FROM c, k ORDER BY grp""".stripMargin,
     // Theil–Sen: the pair join and ranking window over the bounded
     // (grp, day) table; slope = one exact-int division per pair, median
     // = values at sorted-rank positions, even case averaged as the

@@ -43,6 +43,7 @@ class DeterminismSpec extends SparkTestBase {
     "aud_runs",             // runs-test cross-multiply
     "aud_trend",            // Mann-Kendall pairwise sign sums
     "aud_theilsen",         // pairwise-slope median at sorted ranks
+    "aud_seasonal",         // exact chi-square numerator + WH critical
     "dd_exact",             // digest aggregate
     "dd_minhash",           // banded signatures + jaccard verify
     "dd_clusters",          // iterative connected components

@@ -615,6 +615,34 @@ class AuditOpsSpec extends SparkTestBase {
       out("lone").isNullAt(3), "a single day has no pairs and NULL slope")
   }
 
+  test("seasonalityReport: hand-computed chi-square — uniform, weekend-heavy, absent slots") {
+    import spark.implicits._
+    // uniform: one event on each of days 0..6 -> every slot O=1, n=7,
+    //   chi2 = 0 -> not seasonal
+    // heavy:   10 events on day 0, 10 on day 1, slots 2..6 absent ->
+    //   n=20: (70-20)^2 + (70-20)^2 + 5*20^2 = 7000; /(7*20) = 50 ->
+    //   seasonal (crit ~= 12.57)
+    val rows =
+      (0 to 6).map(d => ("uniform", d.toLong)) ++
+      Seq.fill(10)(("heavy", 0L)) ++ Seq.fill(10)(("heavy", 1L))
+    val out = AuditOps.seasonalityReport(rows.toDF("event_type", "day"),
+        "event_type", col("day"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val u = out("uniform")
+    assert(u.getLong(1) == 7L && u.getDouble(2) == 0.0 && !u.getBoolean(4))
+
+    val h = out("heavy")
+    assert(h.getLong(1) == 20L && h.getDouble(2) == 50.0,
+      s"absent slots must contribute n^2 to the numerator: ${h.getDouble(2)}")
+    assert(h.getBoolean(4), "chi2 50 must clear the ~12.57 critical value")
+
+    val dof = 6.0
+    val c = (1.0 - 2.0 / (9.0 * dof)) + 1.645 * math.sqrt(2.0 / (9.0 * dof))
+    assert(u.getDouble(3) == dof * (c * c * c),
+      "critical value must be the exact Wilson-Hilferty chain")
+  }
+
   test("runsReport: hand-computed alternating/stuck/constant cases; NULL on one-sided groups") {
     import spark.implicits._
     // A alternates around its mean 5 -> 4 runs of length 1 (oscillation,
