@@ -129,7 +129,14 @@ object Plans {
     "aud_runs", "ev_dwell", "mm_audio_meta",
     // round 11: MP4 box walk — synth projection → mapPartitions decode,
     // embarrassingly parallel, no shuffle before the final sort
-    "mm_video_meta")
+    "mm_video_meta",
+    // round 11 (cont.): integer-accumulator perceptron training (per-iter
+    // bounded weight table re-broadcast), the trend family over the
+    // bounded (grp, day)/(grp, slot) model tables (pair joins + grp-
+    // partitioned ranking never corpus-sized), band-filtered hard
+    // negatives (broadcast queries, per-query rank window)
+    "tx_train_classifier", "aud_trend", "aud_theilsen", "aud_seasonal",
+    "emb_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1292,6 +1292,48 @@ object SimilarityOps {
       .orderBy("version")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive embedding training (the
+    * triplet/InfoNCE data prep): per query, the top-`k` corpus vectors
+    * whose cosine falls in the semi-hard band `[lo, hi)` — similar
+    * enough to teach the margin (≥ lo prunes the easy negatives the
+    * loss ignores), but below the positive/near-dup zone (< hi keeps
+    * paraphrases and true matches out of the negative set, the label
+    * noise that collapses contrastive training). Emits the shared
+    * top-k contract `(query_id, rank, vec_id, cos)`.
+    *
+    * Works on ANY scored candidate table in the `(query_id, vec_id,
+    * cos)` contract — the [[mmrRerank]] composition rule: at gate scale
+    * feed the exhaustive scores ([[hardNegatives]] = this ∘ brute
+    * scoring); at corpus scale feed an ANN shortlist with `pool` ≫ k
+    * ([[ivfTopKFromIndex]]/[[lshTopK]] target the top of the cosine
+    * distribution, which is exactly where the semi-hard band sits —
+    * take top-pool, band-filter, keep k). Band edges compare against
+    * the round-6 cosine with both engines evaluating the identical
+    * literals, so membership is engine-stable.
+    */
+  def hardNegativesFrom(candidates: DataFrame, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    OpContract.requireCols(candidates, "SimilarityOps.hardNegativesFrom",
+      "query_id", "vec_id", "cos")
+    require(lo < hi, s"hardNegativesFrom: lo < hi required, got [$lo, $hi)")
+    rankTopK(candidates.filter(col("cos") >= lo && col("cos") < hi)
+      .select("query_id", "vec_id", "cos"), k)
+  }
+
+  /** [[hardNegativesFrom]] over the exhaustive brute scoring — the gate
+    * anchor; broadcast query side, per-query rank window.
+    */
+  def hardNegatives(e: DataFrame, queries: DataFrame, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.hardNegatives corpus",
+      "vec_id", "embedding")
+    OpContract.requireCols(queries, "SimilarityOps.hardNegatives queries",
+      "query_id", "qe")
+    hardNegativesFrom(
+      e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding"))), k, lo, hi)
+  }
+
   /** [[ivfTopK]] served from a persisted index: identical probe + re-rank,
     * but the assignment pass is skipped — `lists` is the cid-partitioned
     * table [[writeIvfIndex]] wrote, and the probe's `cid` filter prunes to

@@ -290,6 +290,16 @@ object SimilarityQueries {
       SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K)
     }),
 
+    // Hard-negative mining for contrastive training: per query the top-5
+    // semi-hard band [0.15, 0.35) — below the positive zone (corpus max
+    // cos ≈ 0.40), above the easy-negative mass (p50 ≈ 0.005). Gate
+    // anchor = exhaustive scoring; at corpus scale feed an ANN shortlist
+    // through hardNegativesFrom (the mmrRerank composition rule).
+    "emb_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.hardNegatives(e, queriesOf(e), 5, 0.15, 0.35)
+    }),
+
     // Exact kNN graph within label blocks (labels stand in for any
     // routing key): N·k edges, per-block quadratic cost bounded by the
     // block population.
@@ -640,6 +650,20 @@ object SimilarityQueries {
          |    AND ${sqlCosine("c.embedding", "b.embedding")} >= $NEAR_T)
          |ORDER BY c.vec_id""".stripMargin,
     "knn_brute" -> knnBruteOracleSql,
+    // Hard negatives: identical brute scoring, band-filtered on the
+    // round-6 cosine BEFORE ranking (both engines compare the same
+    // literals against the same round-6 values).
+    "emb_hard_negatives" ->
+      s"""SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $N_QUERIES
+         |    AND ${sqlCosine("q.embedding", "e.embedding")} >= 0.15
+         |    AND ${sqlCosine("q.embedding", "e.embedding")} < 0.35) x
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // kNN graph: brute-force truth restricted to each vector's label
     // block — the blocking is part of the SEMANTICS here, so exhaustive

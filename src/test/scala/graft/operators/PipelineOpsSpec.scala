@@ -356,6 +356,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(all.length == 3 && all.map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("hardNegatives: band membership, exclusions, shortlist-fed equality") {
+    import spark.implicits._
+    // q = (1,0,0,0): id1 cos 1.0 (positive zone, >= hi -> OUT),
+    // id2 cos .6 (band), id3 cos 0 (easy, < lo -> OUT), id4 cos .8 (band)
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.6f, 0.8f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0.8f, 0.6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "qe")
+    val out = SimilarityOps.hardNegatives(e, q, k = 2, lo = 0.5, hi = 0.95)
+      .collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L) &&
+      out.map(_.getDouble(3)).toSeq == Seq(0.8, 0.6),
+      out.mkString(";"))
+    // k exceeds band population: just the band, never padded
+    assert(SimilarityOps.hardNegatives(e, q, 5, 0.5, 0.95).count() == 2L)
+    // shortlist contract: mining over a brute top-pool shortlist that
+    // covers the band equals mining over the exhaustive scores
+    val fed = SimilarityOps.hardNegativesFrom(
+        SimilarityOps.bruteTopK(e, q, 4).drop("rank"), 2, 0.5, 0.95)
+      .collect()
+    assert(fed.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq,
+      "ANN-shortlist-fed mining must equal the exhaustive anchor")
+  }
+
   test("dwellReport: per-user gaps credited to the FROM event's type; last events emit nothing") {
     import spark.implicits._
     // user 1: click@1µs -> view@25 -> click2@100 (gap 24 credited to
