@@ -1124,6 +1124,75 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** SERIAL-CORRELATION screen per group: lag-k sample autocorrelation of
+    * the quantized metric sequence — the dependence audit that closes the
+    * sequential-detector family ([[cusumReport]] jumps, [[trendReport]]
+    * drift, [[runsReport]] sidedness, [[seasonalityReport]] periodicity):
+    * an AR(1)-sticky metric (each reading dragging the next — a caching
+    * bug, a feedback loop, a stuck sensor interleaved with a live one)
+    * passes all four but lights up lag-1 here. For each lag k ≤ `maxLag`,
+    * over the in-group pairs (x_t, x_{t+k}) ordered by (`orderCol`,
+    * `idCol`): r_k = (m·Σxy − Σx·Σy) / (√(m·Σx²−(Σx)²)·√(m·Σy²−(Σy)²))
+    * — the Pearson correlation of the series against its own k-shift
+    * (tapered form: moments over the m overlapping pairs, not the full
+    * series). `significant` flags |r_k| > 2/√m, the white-noise band.
+    * Emits `(grp, lag, n_pairs, r, significant)`; (grp, lag) cells with
+    * no pairs (series shorter than k+1) emit nothing.
+    *
+    * FP discipline: x is floor-quantized ([[runsReport]]) so every moment
+    * is an EXACT DECIMAL(38,0)/HUGEINT integer; r_k is the mirrored
+    * five-op chain cast(num)→÷(√d1·√d2) — each op correctly rounded on
+    * engine-identical inputs (no FMA-contractible a*b+c: the product of
+    * two sqrts feeds a lone division). The decimal→double casts are exact
+    * below 2⁵³ and correctly rounded past it — identical in both engines
+    * either way. The 2/√m band comparison reuses the same discipline, so
+    * even the boolean is cross-engine stable.
+    *
+    * Scale shape: ONE window pass computes all `maxLag` leads (Spark
+    * evaluates sibling lead() offsets in a single per-group sort), the
+    * stack unpivot is a row-local Generate, and everything reduces in one
+    * map-side-combined aggregation to ≤ groups×maxLag moment rows. The
+    * window is PARTITIONED by grp — per-group sequences sort in parallel,
+    * never a global sort ([[runsReport]]'s shape, same 100 TB argument).
+    */
+  def autocorrReport(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, valueCol: String, maxLag: Int = 3): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.autocorrReport",
+      groupCol, orderCol, idCol, valueCol)
+    require(maxLag >= 1 && maxLag <= 16,
+      s"autocorrReport: 1 <= maxLag <= 16, got $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(orderCol).cast("long").as("ord"), col(idCol).cast("long").as("id"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val w = Window.partitionBy("grp").orderBy("ord", "id")
+    val leads = base.select(col("grp") +: col("x") +:
+      (1 to maxLag).map(k => lead(col("x"), k).over(w).as(s"y$k")): _*)
+    val stackArgs = (1 to maxLag).map(k => s"CAST($k AS BIGINT), y$k")
+      .mkString(", ")
+    val pairs = leads
+      .selectExpr("grp", "x", s"stack($maxLag, $stackArgs) AS (lag, y)")
+      .filter(col("y").isNotNull)
+    val agg = pairs.groupBy("grp", "lag").agg(
+      count(lit(1)).as("m"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+    val num = (col("m").cast(dec) * col("sxy") - col("sx") * col("sy"))
+    val d1 = (col("m").cast(dec) * col("sxx") - col("sx") * col("sx"))
+    val d2 = (col("m").cast(dec) * col("syy") - col("sy") * col("sy"))
+    val r = when(d1 > 0 && d2 > 0, num.cast("double") /
+      (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+    agg.select(col("grp"), col("lag"), col("m").as("n_pairs"),
+        r.as("r"),
+        when(r.isNotNull,
+          abs(r) > lit(2.0) / sqrt(col("m").cast("double")))
+          .otherwise(lit(false)).as("significant"))
+      .orderBy("grp", "lag")
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

@@ -98,6 +98,14 @@ object AuditQueries {
           call_function("div", col("ts").cast("long"), lit(1000L)),
           lit(86400000000L)))),
 
+    // Lag-1..3 serial correlation per event type: the dependence screen
+    // an AR(1)-sticky metric trips when jumps/drift/runs/seasonality all
+    // pass — exact HUGEINT moments, r the mirrored √·√÷ five-op chain,
+    // |r| > 2/√m white-noise band.
+    "aud_autocorr" -> ((s, d) =>
+      AuditOps.autocorrReport(t(s, d, "events"), "event_type", "ts",
+        "event_id", "value", maxLag = 3)),
+
     // The treat step: clip o_totalprice into each status group's exact
     // [2.5%, 97.5%] percentiles (sketch-locates bins, one pruned ranking
     // pass) and report clip pressure + the winsorized decimal sum.
@@ -764,6 +772,38 @@ object AuditQueries {
         |SELECT grp, n, chi2, 6.0*(cc*cc*cc) AS crit,
         |  chi2 >= 6.0*(cc*cc*cc) AS seasonal
         |FROM c, k ORDER BY grp""".stripMargin,
+    // Serial correlation: all three leads from one window pass, exact
+    // HUGEINT moments, r and the 2/√m band in the mirrored
+    // cast→√·√→÷ op order.
+    "aud_autocorr" ->
+      """WITH b AS (SELECT event_type AS grp, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT grp, x,
+        |    LEAD(x, 1) OVER w AS y1, LEAD(x, 2) OVER w AS y2,
+        |    LEAD(x, 3) OVER w AS y3
+        |  FROM b WINDOW w AS (PARTITION BY grp ORDER BY ts, event_id)),
+        |u AS (SELECT grp, CAST(1 AS BIGINT) AS lag, x, y1 AS y FROM l
+        |  UNION ALL SELECT grp, 2, x, y2 FROM l
+        |  UNION ALL SELECT grp, 3, x, y3 FROM l),
+        |a AS (SELECT grp, lag, CAST(COUNT(*) AS HUGEINT) AS m,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT)*CAST(y AS HUGEINT)) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+        |  FROM u WHERE y IS NOT NULL GROUP BY grp, lag),
+        |d AS (SELECT grp, lag, m,
+        |    m*sxy - sx*sy AS num, m*sxx - sx*sx AS d1, m*syy - sy*sy AS d2
+        |  FROM a)
+        |SELECT grp, lag, CAST(m AS BIGINT) AS n_pairs,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN CAST(num AS DOUBLE) /
+        |    (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) END AS r,
+        |  COALESCE(CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |      abs(CAST(num AS DOUBLE) /
+        |        (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
+        |        > 2.0 / sqrt(CAST(m AS DOUBLE)) END, FALSE) AS significant
+        |FROM d ORDER BY grp, lag""".stripMargin,
     // Theil–Sen: the pair join and ranking window over the bounded
     // (grp, day) table; slope = one exact-int division per pair, median
     // = values at sorted-rank positions, even case averaged as the

@@ -643,6 +643,38 @@ class AuditOpsSpec extends SparkTestBase {
       "critical value must be the exact Wilson-Hilferty chain")
   }
 
+  test("autocorrReport: alternating series r1=-1/r2=+1; constant NULL; short series emits only defined lags") {
+    import spark.implicits._
+    // A = [0,1,0,1,0,1]: lag1 pairs m=5 -> num=5·0−2·3=−6, d1=5·2−4=6,
+    // d2=5·3−9=6, r1=−1 (perfect anti-correlation, |r|>2/√5 significant);
+    // lag2 m=4 -> r2=+1; lag3 m=3: x=[0,1,0],y=[1,0,1] -> num=3·0−2·1?
+    // Σx=1,Σy=2,Σxy=0 -> num=−2, d1=3·1−1=2, d2=3·2−4=2 -> r3=−1.
+    // B constant -> d1=d2=0 -> NULL r, significant=false.
+    // C two rows -> lag1 m=1 d1=0 -> NULL; lags 2,3 absent.
+    val df = (1 to 6).map(i => ("A", i.toLong, i.toLong, (i % 2).toDouble)) ++
+      (1 to 4).map(i => ("B", i.toLong, (10 + i).toLong, 5.0)) ++
+      Seq(("C", 1L, 20L, 1.0), ("C", 2L, 21L, 7.0))
+    val out = AuditOps.autocorrReport(df.toDF("g", "ts0", "id0", "v"),
+      "g", "ts0", "id0", "v").collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(out.size == 3 + 3 + 1, out.keys.toSeq.sorted.mkString(","))
+    // expected values mirror the op chain exactly: √d·√d is the correctly
+    // rounded square, not d (√6·√6 = 5.999…), so r1 ≈ −1 to 1 ulp
+    assert(out(("A", 1L)).getLong(2) == 5 &&
+      out(("A", 1L)).getDouble(3) == -6.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+      && out(("A", 1L)).getBoolean(4))
+    // lag2: d1=d2=4 exact squares -> r2 = 4/(2·2) = 1.0; |r|=1 vs band
+    // 2/√4=1 -> NOT significant (strict >)
+    assert(out(("A", 2L)).getDouble(3) == 1.0 && !out(("A", 2L)).getBoolean(4))
+    assert(out(("A", 3L)).getDouble(3) ==
+      -2.0 / (math.sqrt(2.0) * math.sqrt(2.0)))
+    (1L to 3L).foreach { k =>
+      assert(out(("B", k)).isNullAt(3) && !out(("B", k)).getBoolean(4),
+        s"constant series lag $k must emit NULL r, false flag")
+    }
+    assert(out(("C", 1L)).getLong(2) == 1 && out(("C", 1L)).isNullAt(3))
+  }
+
   test("runsReport: hand-computed alternating/stuck/constant cases; NULL on one-sided groups") {
     import spark.implicits._
     // A alternates around its mean 5 -> 4 runs of length 1 (oscillation,
