@@ -84,6 +84,68 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary user
+    * scoring (Hughes '94) behind lifecycle cohorts and churn targeting:
+    * per user, recency = whole `unitTicks` units between the user's last
+    * event and the corpus-latest event, frequency = event count, monetary
+    * = exact decimal sum of `valueCol`; each metric scores 1–4 against
+    * the caller's three cutpoints (recency lower-is-better, the others
+    * higher), and `rfm` packs them as r·100 + f·10 + m (111…444). The
+    * cutpoints are CONFIG — derive data-driven quartiles with
+    * [[graft.operators.SketchOps.exactQuantileRefine]] over this
+    * function's own per-user aggregate and pass them back in (the spec
+    * pins that composition); fixed business thresholds work unchanged.
+    *
+    * FP discipline: frequency/recency are exact integers; monetary
+    * quantizes each double ONCE to DECIMAL(28,6) ([[AuditOps.winsorize]]'s
+    * order-independent accumulation), and the m-score compares the
+    * single correctly-rounded decimal→double cast against the literal
+    * cutpoints — every comparison engine-stable. All-null users score
+    * m via COALESCE(·, 0).
+    *
+    * Scale shape: ONE map-side-combined per-user aggregation (no window
+    * — the corpus never sorts), a 1-row global-max broadcast crossJoin,
+    * then row-local scoring. At 10⁹ users the output is the user table,
+    * partitioned by the groupBy hash — nothing unpartitioned anywhere.
+    */
+  def rfmReport(events: DataFrame, tsTicks: Column, userCol: String,
+      valueCol: String, unitTicks: Long,
+      cutR: (Long, Long, Long), cutF: (Long, Long, Long),
+      cutM: (Double, Double, Double)): DataFrame = {
+    OpContract.requireCols(events, "EventOps.rfmReport", userCol, valueCol)
+    require(unitTicks >= 1L, s"rfmReport: unitTicks >= 1, got $unitTicks")
+    require(cutR._1 <= cutR._2 && cutR._2 <= cutR._3 &&
+      cutF._1 <= cutF._2 && cutF._2 <= cutF._3 &&
+      cutM._1 <= cutM._2 && cutM._2 <= cutM._3,
+      "rfmReport: cutpoints must be ascending per metric")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val u = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).cast("long").as("user_id"),
+        tsTicks.cast("long").as("tsn"), col(valueCol).cast(dec).as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("frequency"), sum(col("v")).as("monetary"),
+        max(col("tsn")).as("mx"))
+    val gmax = u.agg(max(col("mx")).as("gmx"))
+    val md = coalesce(col("monetary").cast("double"), lit(0.0))
+    val rScore = lit(1L) + (col("recency") <= cutR._3).cast("long") +
+      (col("recency") <= cutR._2).cast("long") +
+      (col("recency") <= cutR._1).cast("long")
+    val fScore = lit(1L) + (col("frequency") >= cutF._1).cast("long") +
+      (col("frequency") >= cutF._2).cast("long") +
+      (col("frequency") >= cutF._3).cast("long")
+    val mScore = lit(1L) + (md >= cutM._1).cast("long") +
+      (md >= cutM._2).cast("long") + (md >= cutM._3).cast("long")
+    u.crossJoin(broadcast(gmax))
+      .withColumn("recency",
+        call_function("div", col("gmx") - col("mx"), lit(unitTicks)))
+      .select(col("user_id"), col("recency"), col("frequency"),
+        col("monetary"), rScore.as("r_score"), fScore.as("f_score"),
+        mScore.as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("user_id")
+  }
+
   /** First-order Markov TRANSITION MATRIX of user journeys: for each
     * ordered pair of event types, how many times a user's event of
     * `from_type` was IMMEDIATELY followed by one of `to_type` (per-user

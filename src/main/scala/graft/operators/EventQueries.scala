@@ -179,6 +179,17 @@ object EventQueries {
       EventOps.dwellReport(t(s, d, "events"),
         call_function("div", col("ts").cast("long"), lit(1000L)))),
 
+    // RFM segmentation on the µs values (the ev_dwell convention):
+    // recency in whole hours vs the corpus-latest event, frequency,
+    // exact DECIMAL(28,6) monetary; quartile-ish cutpoints as config
+    // (2/7/14 h, 60/66/73 events, 2900/3300/3650 value).
+    "ev_rfm" -> ((s, d) =>
+      EventOps.rfmReport(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        "user_id", "value", unitTicks = 3600000000L,
+        cutR = (2L, 7L, 14L), cutF = (60L, 66L, 73L),
+        cutM = (2900.0, 3300.0, 3650.0))),
+
     // Markov transition matrix of user journeys (next-event panel):
     // per-user (µs, event_id) sequencing — the ev_scd2 ordering
     // convention, so both engines break ties identically.
@@ -355,6 +366,28 @@ object EventQueries {
         |    CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
         |FROM g WHERE next_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // RFM: per-user aggregate, 1-row global max, row-local scoring; the
+    // m-score compares the one decimal→double cast against the literals.
+    "ev_rfm" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(28,6))) AS monetary,
+        |    MAX(epoch_us(ts)) AS mx
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |g AS (SELECT MAX(mx) AS gmx FROM u),
+        |s AS (SELECT user_id, (g.gmx - u.mx) // 3600000000 AS recency,
+        |    frequency, monetary,
+        |    COALESCE(CAST(monetary AS DOUBLE), 0.0) AS md FROM u, g),
+        |sc AS (SELECT user_id, recency, frequency, monetary,
+        |    1 + CAST(recency <= 14 AS BIGINT) + CAST(recency <= 7 AS BIGINT)
+        |      + CAST(recency <= 2 AS BIGINT) AS r_score,
+        |    1 + CAST(frequency >= 60 AS BIGINT) + CAST(frequency >= 66 AS BIGINT)
+        |      + CAST(frequency >= 73 AS BIGINT) AS f_score,
+        |    1 + CAST(md >= 2900.0 AS BIGINT) + CAST(md >= 3300.0 AS BIGINT)
+        |      + CAST(md >= 3650.0 AS BIGINT) AS m_score
+        |  FROM s)
+        |SELECT user_id, recency, frequency, monetary, r_score, f_score,
+        |  m_score, r_score*100 + f_score*10 + m_score AS rfm
+        |FROM sc ORDER BY user_id""".stripMargin,
     // Transitions: LEAD over the same (µs, event_id) per-user order; p is
     // one exact-integer division
     "ev_transitions" ->

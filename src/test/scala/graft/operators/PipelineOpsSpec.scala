@@ -382,6 +382,46 @@ class PipelineOpsSpec extends SparkTestBase {
       "ANN-shortlist-fed mining must equal the exhaustive anchor")
   }
 
+  test("rfmReport: hand-computed scores; null users dropped; quantile-refine cutpoint composition") {
+    import spark.implicits._
+    // gmx=100, unit=10: u1 rec 0, f 2, m 30.75; u2 rec 0, f 1, m NULL->0;
+    // u3 rec (100-30)/10=7, f 3, m 3.0
+    val e = Seq(
+      (Some(1L), 5L, Some(10.5)), (Some(1L), 95L, Some(20.25)),
+      (Some(2L), 100L, None), (Some(3L), 10L, Some(1.0)),
+      (Some(3L), 20L, Some(1.0)), (Some(3L), 30L, Some(1.0)),
+      (None, 100L, Some(99.0)))
+      .toDF("user_id", "tk", "value")
+    val out = EventOps.rfmReport(e, col("tk"), "user_id", "value", 10L,
+      cutR = (0L, 3L, 7L), cutF = (1L, 2L, 3L), cutM = (1.0, 5.0, 30.0))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3, "null user_id row must be dropped")
+    assert(out(1L).getLong(1) == 0 && out(1L).getLong(2) == 2 &&
+      out(1L).getDecimal(3).doubleValue == 30.75 && out(1L).getLong(7) == 434,
+      out(1L).toString)
+    assert(out(2L).isNullAt(3) && out(2L).getLong(7) == 421, out(2L).toString)
+    assert(out(3L).getLong(1) == 7 && out(3L).getLong(7) == 242,
+      out(3L).toString)
+    // cutpoint composition: quartiles from exactQuantileRefine over the
+    // op's own per-user monetary feed back in as cutM — 8 users with
+    // monetary 1..8 quarter into m_score buckets of exactly 2
+    val e8 = (1 to 8).map(i => (i.toLong, i.toLong, i.toDouble))
+      .toDF("user_id", "tk", "value")
+    val base = EventOps.rfmReport(e8, col("tk"), "user_id", "value", 1L,
+      (0L, 0L, 0L), (1L, 1L, 1L), (0.0, 0.0, 0.0))
+    val cuts = SketchOps.exactQuantileRefine(
+        base.withColumn("one", lit("all")),
+        col("monetary").cast("double"), "one", binWidth = 1L, bins = 16,
+        permille = Seq(250, 500, 750))
+      .orderBy("q").collect().map(_.getDouble(2))
+    assert(cuts.toSeq == Seq(2.75, 4.5, 6.25), cuts.mkString(","))
+    val scored = EventOps.rfmReport(e8, col("tk"), "user_id", "value", 1L,
+      (0L, 0L, 0L), (1L, 1L, 1L), (cuts(0), cuts(1), cuts(2)))
+    val hist = scored.groupBy("m_score").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L), hist.toString)
+  }
+
   test("dwellReport: per-user gaps credited to the FROM event's type; last events emit nothing") {
     import spark.implicits._
     // user 1: click@1µs -> view@25 -> click2@100 (gap 24 credited to
