@@ -428,6 +428,54 @@ object TextOps {
         length(col("clean_text")).cast("long").as("n_clean_chars"))
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall 2010),
+    * the length-independent lexical-diversity score: plain TTR
+    * (types/tokens) shrinks mechanically as documents grow, so it can't
+    * rank a tweet against a chapter; MATTR instead averages the TTR of
+    * every `w`-token sliding window, making "how varied is the
+    * vocabulary" comparable across lengths — the diversity axis of the
+    * quality panel next to [[repetition]] (verbatim copying) and
+    * [[tokenEntropy]] (distributional skew). Documents shorter than `w`
+    * fall back to plain TTR over one whole-document window (the paper's
+    * convention). Emits `(doc_id, n_tokens, n_windows, mattr)`.
+    *
+    * FP discipline: every per-window distinct count is an exact integer,
+    * so mattr = Σdistinct / (n_windows·w) is ONE correctly-rounded
+    * division of exact integers (the mean of per-window ratios with a
+    * COMMON denominator folds into a single fraction — no per-window FP).
+    *
+    * Scale shape: the window runs PARTITIONED by doc_id with an O(w)
+    * frame (collect_set over ROWS CURRENT..w−1 FOLLOWING) — per-doc cost
+    * is tokens×w, parallel across docs, and the corpus reduces to one
+    * row per document. The frame aggregate is an ObjectWindowFunction
+    * (no codegen) — acceptable because the state is w strings, never the
+    * document.
+    */
+  def mattr(docs: DataFrame, w: Int = 20): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.mattr", "doc_id", "text")
+    require(w >= 2 && w <= 1000, s"TextOps.mattr: 2 <= w <= 1000, got $w")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val short = base.filter(col("n") < w)
+      .select(col("doc_id"), col("n").as("n_tokens"), lit(1L).as("n_windows"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          col("n").cast("double")).as("mattr"))
+    val fw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1L)
+    val slid = base.filter(col("n") >= w)
+      .select(col("doc_id"), col("n"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("dcount", size(collect_set(col("tok")).over(fw)).cast("long"))
+      .filter(col("pos") <= col("n") - w)
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_windows"),
+        sum(col("dcount")).as("sd"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        (col("sd").cast("double") /
+          (col("n_windows") * w).cast("double")).as("mattr"))
+    short.unionByName(slid)
+  }
+
   /** Repetition filter (the Gopher-style quality signal): fraction of
     * positional 3-grams that are duplicates within the document —
     * boilerplate/spam detection in every large-scale corpus pipeline.

@@ -54,6 +54,10 @@ object TextQueries {
       TextOps.quality(t(s, d, "documents").filter(col("doc_id") < 200))
         .orderBy("doc_id")),
     "tx_langid" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // MATTR lexical diversity (w=20): per-window distinct counts fold
+    // into one exact-integer fraction per doc.
+    "tx_mattr" -> ((s, d) =>
+      TextOps.mattr(t(s, d, "documents"), w = 20).orderBy("doc_id")),
     // Gopher rule filter: defaults (minWords 50 splits the 10–99-token
     // corpus; the stop/unique rules split on marker vocabulary / length).
     "tx_gopher_rules" -> ((s, d) =>
@@ -744,6 +748,27 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN CAST(total - uniq AS DOUBLE) / CAST(total AS DOUBLE) >= 0.2
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    // MATTR: sliding windows as 1-based inclusive list slices; the mean
+    // of per-window TTRs folds into ONE division of exact integers
+    // (common denominator n_windows·w); short docs = whole-doc TTR.
+    "tx_mattr" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |s AS (SELECT doc_id, n AS n_tokens, CAST(1 AS BIGINT) AS n_windows,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE) AS mattr
+        |  FROM n WHERE n < 20),
+        |l AS (SELECT doc_id, n,
+        |    CAST(len(list_distinct(toks[i:i+19])) AS BIGINT) AS dcount
+        |  FROM n, unnest(generate_series(1, CAST(n - 19 AS BIGINT))) AS t(i)
+        |  WHERE n >= 20),
+        |a AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(dcount) AS BIGINT) AS sd FROM l GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_windows,
+        |  CAST(sd AS DOUBLE) / CAST(n_windows * 20 AS DOUBLE) AS mattr FROM a
+        |UNION ALL
+        |SELECT doc_id, n_tokens, n_windows, mattr FROM s
+        |ORDER BY doc_id""".stripMargin,
     "tx_token_stats" ->
       """WITH x AS (
         |  SELECT lang, n_chars,

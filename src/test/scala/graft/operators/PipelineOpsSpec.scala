@@ -382,6 +382,28 @@ class PipelineOpsSpec extends SparkTestBase {
       "ANN-shortlist-fed mining must equal the exhaustive anchor")
   }
 
+  test("mattr: hand-computed windows, short-doc TTR fallback, length independence") {
+    import spark.implicits._
+    // w=3: "a b a b" -> windows [a b a]=2,[b a b]=2 -> 4/6; "c c c c c"
+    // -> 3 windows of 1 -> 3/9; "x y" short -> TTR 2/2 = 1
+    val docs = Seq((1L, "a b a b"), (2L, "c c c c c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.mattr(docs, w = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getLong(2) == 2 &&
+      out(1L).getDouble(3) == 4.0 / 6.0, out(1L).toString)
+    assert(out(2L).getLong(2) == 3 && out(2L).getDouble(3) == 3.0 / 9.0)
+    assert(out(3L).getLong(1) == 2 && out(3L).getLong(2) == 1 &&
+      out(3L).getDouble(3) == 1.0)
+    // length independence (the MATTR point): a doc repeated 5x keeps the
+    // same per-window diversity while plain TTR would collapse
+    val rep = Seq((4L, Seq.fill(5)("a b a b").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m4 = TextOps.mattr(rep, w = 3).collect()(0)
+    assert(m4.getLong(1) == 20 && m4.getDouble(3) == 36.0 / 54.0,
+      s"18 windows of alternating a/b each have 2 distinct: $m4")
+  }
+
   test("rfmReport: hand-computed scores; null users dropped; quantile-refine cutpoint composition") {
     import spark.implicits._
     // gmx=100, unit=10: u1 rec 0, f 2, m 30.75; u2 rec 0, f 1, m NULL->0;
