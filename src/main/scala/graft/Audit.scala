@@ -141,6 +141,16 @@ object Audit {
         s""""n":${r.getLong(1)},"chi2":${r.getDouble(2)},""" +
         s""""seasonal":${r.getBoolean(4)}}""")
     }
+    // serial dependence: lag-1..3 autocorrelation per event type (r11 —
+    // the AR(1)-stickiness screen the jump/drift/runs/season quartet
+    // can't see)
+    AuditOps.autocorrReport(ev, "event_type", "ts", "event_id", "value")
+      .collect().foreach { r =>
+        println(s"""{"detector":"autocorr","group":"${r.getString(0)}",""" +
+          s""""lag":${r.getLong(1)},"n_pairs":${r.getLong(2)},""" +
+          s""""r":${if (r.isNullAt(3)) "null" else r.getDouble(3)},""" +
+          s""""significant":${r.getBoolean(4)}}""")
+      }
     // targeting curve: decile cumulative gains/lift of the same pair —
     // the whole curve next to the AUC's one number (r9)
     AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")

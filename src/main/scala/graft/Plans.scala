@@ -136,7 +136,11 @@ object Plans {
     // partitioned ranking never corpus-sized), band-filtered hard
     // negatives (broadcast queries, per-query rank window)
     "tx_train_classifier", "aud_trend", "aud_theilsen", "aud_seasonal",
-    "emb_hard_negatives")
+    "emb_hard_negatives",
+    // round 11 (cont. 2): autocorr leads from one group-partitioned
+    // window, RFM one per-user agg + 1-row broadcast, MATTR doc-
+    // partitioned O(w)-frame window
+    "aud_autocorr", "ev_rfm", "tx_mattr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

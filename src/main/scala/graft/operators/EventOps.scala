@@ -125,6 +125,10 @@ object EventOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("frequency"), sum(col("v")).as("monetary"),
         max(col("tsn")).as("mx"))
+      // the user table feeds BOTH the global max and the scored output —
+      // without the (lazy) checkpoint each side re-aggregates the raw
+      // events, doubling the corpus scan (the cmsHeavyHitters pattern)
+      .localCheckpoint(false)
     val gmax = u.agg(max(col("mx")).as("gmx"))
     val md = coalesce(col("monetary").cast("double"), lit(0.0))
     val rScore = lit(1L) + (col("recency") <= cutR._3).cast("long") +

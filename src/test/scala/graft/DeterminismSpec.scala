@@ -44,6 +44,10 @@ class DeterminismSpec extends SparkTestBase {
     "aud_trend",            // Mann-Kendall pairwise sign sums
     "aud_theilsen",         // pairwise-slope median at sorted ranks
     "aud_seasonal",         // exact chi-square numerator + WH critical
+    "aud_autocorr",         // exact lag moments + √·√÷ chain
+    "ev_rfm",               // decimal monetary sums + cutpoint scores
+    "tx_mattr",             // per-window distinct counts, one division
+    "emb_hard_negatives",   // band-filtered cosine ranking
     "dd_exact",             // digest aggregate
     "dd_minhash",           // banded signatures + jaccard verify
     "dd_clusters",          // iterative connected components
