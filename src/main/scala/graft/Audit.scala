@@ -151,6 +151,18 @@ object Audit {
           s""""r":${if (r.isNullAt(3)) "null" else r.getDouble(3)},""" +
           s""""significant":${r.getBoolean(4)}}""")
       }
+    // nonparametric A/B: Mann–Whitney U of value between even/odd user
+    // cohorts per event type (r11 — the distribution-shift readout next
+    // to the two-proportion z)
+    AuditOps.mannWhitneyReport(ev, "event_type",
+        pmod(col("user_id"), lit(2)) === 0, "value")
+      .collect().foreach { r =>
+        println(s"""{"detector":"mannwhitney","group":"${r.getString(0)}",""" +
+          s""""n1":${r.getLong(1)},"n2":${r.getLong(2)},""" +
+          s""""u1":${r.getDouble(3)},""" +
+          s""""z":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
+          s""""significant":${r.getBoolean(5)}}""")
+      }
     // targeting curve: decile cumulative gains/lift of the same pair —
     // the whole curve next to the AUC's one number (r9)
     AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")

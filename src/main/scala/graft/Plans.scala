@@ -140,7 +140,10 @@ object Plans {
     // round 11 (cont. 2): autocorr leads from one group-partitioned
     // window, RFM one per-user agg + 1-row broadcast, MATTR doc-
     // partitioned O(w)-frame window
-    "aud_autocorr", "ev_rfm", "tx_mattr")
+    "aud_autocorr", "ev_rfm", "tx_mattr",
+    // round 11 (cont. 3): rank window over the bounded (grp, value)
+    // count table, never raw rows
+    "aud_mannwhitney")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

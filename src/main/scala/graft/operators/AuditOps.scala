@@ -1193,6 +1193,73 @@ object AuditOps {
       .orderBy("grp", "lag")
   }
 
+  /** MANN–WHITNEY U rank-sum test per group (Mann & Whitney '47) — the
+    * NONPARAMETRIC A/B readout next to [[abTestReport]]'s two-proportion
+    * z: "did arm A's metric DISTRIBUTION shift vs arm B" with no
+    * normality assumption and rank-level robustness to the outliers
+    * [[outlierReport]] flags. Rows split into arms by `armACol`
+    * (boolean); per group: U₁ = R₁ − n₁(n₁+1)/2 over average ranks of
+    * the quantized metric, z from the tie-corrected normal approximation
+    * Var = n₁n₂·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)) with the ±0.5
+    * continuity correction. Emits `(grp, n1, n2, u1, z, significant)`
+    * (two-sided 5%); groups with an empty arm or zero variance (all
+    * values tied) emit NULL z.
+    *
+    * FP discipline: average ranks ride the 2×-scale trick (2·avgrank =
+    * 2·cum_prev + c + 1 — an EXACT integer per distinct value), so 2R₁,
+    * 2U₁, the tie term and both variance factors are exact
+    * DECIMAL(38,0)/HUGEINT integers; z is the mirrored four-op chain
+    * VN/VD → √ → halve → ÷, and u1 one exact halving. Exactness holds
+    * while n³·n₁·n₂ fits 38 digits (≈ n ≤ 10⁷ per group balanced —
+    * far past any single test cohort); past that BOTH engines leave the
+    * exact regime together.
+    *
+    * Scale shape: the corpus reduces FIRST to the (grp, value) count
+    * table (map-side combined, ≤ groups×distinct-values rows); the
+    * ranking window runs PARTITIONED by grp over THAT bounded table —
+    * never over raw rows — and the final stats are one aggregation of
+    * it. Raw events shuffle once, as (grp, x, arm) triples.
+    */
+  def mannWhitneyReport(df: DataFrame, groupCol: String, armACol: Column,
+      valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.mannWhitneyReport",
+      groupCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull && armACol.isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        floor(col(valueCol)).cast("long").as("x"),
+        armACol.cast("boolean").as("a"))
+    val byVal = base.groupBy("grp", "x")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"))
+    val w = Window.partitionBy("grp").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cum_prev", coalesce(sum(col("c")).over(w), lit(0L)))
+    val agg = ranked.groupBy("grp").agg(
+      sum(col("ca")).as("n1"), sum(col("c")).as("n"),
+      sum(col("ca").cast(dec) *
+        (lit(2L) * col("cum_prev") + col("c") + 1L).cast(dec)).as("r1x2"),
+      sum((col("c").cast(dec) * col("c") * col("c") - col("c"))).as("t3t"))
+    val n1 = col("n1").cast(dec)
+    val n2 = (col("n") - col("n1")).cast(dec)
+    val nn = col("n").cast(dec)
+    val u1x2 = col("r1x2") - n1 * (n1 + 1)
+    val num2 = u1x2 - n1 * n2
+    val num2c = when(num2 > 0, num2 - 1).when(num2 < 0, num2 + 1)
+      .otherwise(lit(0L).cast(dec))
+    val vn = n1 * n2 * ((nn + 1) * nn * (nn - 1) - col("t3t"))
+    val vd = lit(12L).cast(dec) * nn * (nn - 1)
+    val z = when(vn > 0,
+      (num2c.cast("double") / lit(2.0)) /
+        sqrt(vn.cast("double") / vd.cast("double")))
+    agg.select(col("grp"), col("n1"), (col("n") - col("n1")).as("n2"),
+        (u1x2.cast("double") / lit(2.0)).as("u1"), z.as("z"),
+        when(z.isNotNull && abs(z) >= 1.96, true).otherwise(false)
+          .as("significant"))
+      .orderBy("grp")
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

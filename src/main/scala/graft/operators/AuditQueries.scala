@@ -177,6 +177,13 @@ object AuditQueries {
         concat(lit("v"), pmod(col("user_id"), lit(3))),
         col("event_type") === "purchase", "v0")),
 
+    // Nonparametric A/B companion: Mann–Whitney U of the quantized value
+    // between even/odd user cohorts per event type — rank arithmetic on
+    // the 2×-scale trick, tie-corrected variance, ±0.5 continuity.
+    "aud_mannwhitney" -> ((s, d) =>
+      AuditOps.mannWhitneyReport(t(s, d, "events"), "event_type",
+        pmod(col("user_id"), lit(2)) === 0, "value")),
+
     // PSI drift on the same snapshot pair as aud_drift: the credit-risk
     // convention's stability score, libm confined to ln(integer) rounded
     // once (the tokenEntropy discipline); zero-count categories carry a
@@ -1051,6 +1058,44 @@ object AuditQueries {
         |  f1
         |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
 
+    // Mann–Whitney: 2×-scaled average ranks over the (grp, value) count
+    // table, exact HUGEINT tie/variance factors, z the mirrored
+    // ÷→√→halve→÷ chain
+    "aud_mannwhitney" ->
+      """WITH b AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS x,
+        |    (user_id % 2 = 0) AS a
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |v AS (SELECT grp, x, CAST(COUNT(*) AS HUGEINT) AS c,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS ca
+        |  FROM b GROUP BY grp, x),
+        |r AS (SELECT grp, x, c, ca,
+        |    COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM v),
+        |ag AS (SELECT grp, CAST(SUM(ca) AS HUGEINT) AS n1,
+        |    CAST(SUM(c) AS HUGEINT) AS n,
+        |    CAST(SUM(ca * (2*cum_prev + c + 1)) AS HUGEINT) AS r1x2,
+        |    CAST(SUM(c*c*c - c) AS HUGEINT) AS t3t
+        |  FROM r GROUP BY grp),
+        |d AS (SELECT grp, n1, n - n1 AS n2,
+        |    r1x2 - n1*(n1+1) AS u1x2,
+        |    r1x2 - n1*(n1+1) - n1*(n - n1) AS num2,
+        |    n1*(n - n1)*((n+1)*n*(n-1) - t3t) AS vn,
+        |    CAST(12 AS HUGEINT)*n*(n-1) AS vd
+        |  FROM ag),
+        |e AS (SELECT grp, n1, n2, u1x2, vn, vd,
+        |    CASE WHEN num2 > 0 THEN num2 - 1
+        |      WHEN num2 < 0 THEN num2 + 1 ELSE 0 END AS num2c
+        |  FROM d)
+        |SELECT grp, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(u1x2 AS DOUBLE) / 2.0 AS u1,
+        |  CASE WHEN vn > 0 THEN (CAST(num2c AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE)) END AS z,
+        |  COALESCE(CASE WHEN vn > 0 THEN
+        |      abs((CAST(num2c AS DOUBLE) / 2.0) /
+        |        sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE))) >= 1.96
+        |    END, FALSE) AS significant
+        |FROM e ORDER BY grp""".stripMargin,
     // two-proportion z mirrored as the same split fractions over HUGEINT
     // integers: div, div, mul, sqrt — each a single correctly-rounded op
     // on engine-identical inputs

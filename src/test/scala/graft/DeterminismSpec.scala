@@ -45,6 +45,7 @@ class DeterminismSpec extends SparkTestBase {
     "aud_theilsen",         // pairwise-slope median at sorted ranks
     "aud_seasonal",         // exact chi-square numerator + WH critical
     "aud_autocorr",         // exact lag moments + √·√÷ chain
+    "aud_mannwhitney",      // 2×-scaled rank sums + tie-corrected var
     "ev_rfm",               // decimal monetary sums + cutpoint scores
     "tx_mattr",             // per-window distinct counts, one division
     "emb_hard_negatives",   // band-filtered cosine ranking

@@ -643,6 +643,31 @@ class AuditOpsSpec extends SparkTestBase {
       "critical value must be the exact Wilson-Hilferty chain")
   }
 
+  test("mannWhitneyReport: hand-computed no-tie/tied cases; empty arm NULL z") {
+    import spark.implicits._
+    // g: A={1,3}, B={2,4} -> ranks 1..4, R1=4, U1=1, num2=-2 (cont -1),
+    // VN = 4·(5·4·3−0)=240, VD=144 -> z = -0.5/√(240/144)
+    // t: A={5,5}, B={5,7} -> avg rank of 5s = 2 (2×=4), R1=4, U1=1,
+    // T=3³−3=24, VN=4·(60−24)=144, VD=144 -> z = -0.5
+    // e: only arm A -> n2=0 -> NULL z, false flag
+    val df = Seq(
+      ("g", 1L, 1.0), ("g", 3L, 3.0), ("g", 2L, 2.0), ("g", 4L, 4.0),
+      ("t", 1L, 5.0), ("t", 3L, 5.0), ("t", 2L, 5.0), ("t", 4L, 7.0),
+      ("e", 2L, 1.0), ("e", 4L, 9.0))
+      .toDF("grp0", "uid", "v")
+    val out = AuditOps.mannWhitneyReport(df, "grp0",
+        pmod(col("uid"), lit(2)) === 1, "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) == 2 && g.getLong(2) == 2 && g.getDouble(3) == 1.0)
+    assert(g.getDouble(4) == (-1.0 / 2.0) / math.sqrt(240.0 / 144.0) &&
+      !g.getBoolean(5), g.toString)
+    val t = out("t")
+    assert(t.getDouble(3) == 1.0 && t.getDouble(4) == -0.5, t.toString)
+    val e = out("e")
+    assert(e.getLong(1) == 0 && e.isNullAt(4) && !e.getBoolean(5), e.toString)
+  }
+
   test("autocorrReport: alternating series r1=-1/r2=+1; constant NULL; short series emits only defined lags") {
     import spark.implicits._
     // A = [0,1,0,1,0,1]: lag1 pairs m=5 -> num=5·0−2·3=−6, d1=5·2−4=6,
