@@ -143,7 +143,10 @@ object Plans {
     "aud_autocorr", "ev_rfm", "tx_mattr",
     // round 11 (cont. 3): rank window over the bounded (grp, value)
     // count table, never raw rows
-    "aud_mannwhitney")
+    "aud_mannwhitney",
+    // round 11 (cont. 4): broadcast centroids, cid-partitioned pick
+    // window, ≤ k_c·k output rows
+    "emb_diverse_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -86,6 +86,52 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** CLUSTER-BALANCED DIVERSE SAMPLING — the data-selection step after
+    * clustering in web-scale curation pipelines (the SemDeDup/DCLM
+    * cluster-then-pick shape): assign every vector to its nearest
+    * centroid, then keep the top-`k` per cluster by centroid cosine —
+    * `mostCentral = true` picks each cluster's k PROTOTYPES (the
+    * cleanest representatives, the keep side of a semantic dedup),
+    * `false` picks the k FRINGE vectors (farthest-first — the
+    * hard/novel examples an active-learning loop asks for). Capping per
+    * cluster instead of globally is what makes the sample DIVERSE: no
+    * cluster can flood the budget, so coverage follows the cluster
+    * structure, not the density skew ([[graft.operators.TextOps]]'
+    * capPerGroup argument, lifted to embedding space). Emits the
+    * shared-contract `(cid, rank, vec_id, csim)`.
+    *
+    * Pass ANY `(cid, ce)` centroid table: [[trainCentroids]] output at
+    * build time, or [[readIvfIndex]]'s persisted centroids to sample
+    * consistently with the serving index. Membership and order are
+    * engine-stable: csim is the round-6 cosine, ties break on vec_id.
+    *
+    * Scale shape: centroids broadcast (k_c×dim model state); assignment
+    * is the [[assignToCentroids]] per-vector argmax (no shuffle of the
+    * corpus beyond the rank exchange); the pick window is PARTITIONED by
+    * cid — per-cluster sorts run in parallel and the output is ≤ k_c·k
+    * rows. Embeddings never self-join.
+    */
+  def diverseSample(e: DataFrame, cents: DataFrame, k: Int,
+      mostCentral: Boolean = true): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.diverseSample corpus",
+      "vec_id", "embedding")
+    OpContract.requireCols(cents, "SimilarityOps.diverseSample centroids",
+      "cid", "ce")
+    require(k >= 1, s"diverseSample: k >= 1, got $k")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"), col("csim"))
+    val wPick = Window.partitionBy("cid").orderBy(
+      (if (mostCentral) col("csim").desc else col("csim").asc), col("vec_id"))
+    assigned.withColumn("rank", row_number().over(wPick))
+      .filter(col("rank") <= k)
+      .select(col("cid"), col("rank"), col("vec_id"), col("csim"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * assign every vector to its nearest centroid, then find near-duplicate

@@ -256,6 +256,15 @@ object SimilarityQueries {
       SimilarityOps.ivfTopK(e, queriesOf(e), cents, N_PROBE, TOP_K)
     }),
 
+    // Cluster-balanced diverse sampling: 5 prototypes per trained
+    // cluster (the knn_ivf_trained coarse quantizer) — no cluster can
+    // flood the budget, coverage follows structure, not density.
+    "emb_diverse_sample" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = SimilarityOps.trainCentroids(e, firstCentroids(e), 2)
+      SimilarityOps.diverseSample(e, cents, k = 5).orderBy("cid", "rank")
+    }),
+
     // Embedding-cosine near-duplicate pairs, exact all-pairs formulation —
     // kept as the ORACLE ANCHOR for the blocked path below; right plan only
     // at oracle scale.
@@ -806,6 +815,35 @@ object SimilarityQueries {
          |  WHERE a.vec_id <> p.query_id
          |)
          |${sqlRerank("cand")}""".stripMargin,
+
+    // Diverse sample: the knn_ivf_trained Lloyd chain, assignment WITH
+    // its winning round-6 csim, per-cluster rank window, top-5
+    "emb_diverse_sample" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+         |  WHERE vec_id < $N_CENTROIDS
+         |), a0 AS (
+         |  ${sqlAssign("c0")}
+         |), c1 AS (
+         |  ${sqlLloyd("a0")}
+         |), a1 AS (
+         |  ${sqlAssign("c1")}
+         |), c2 AS (
+         |  ${sqlLloyd("a1")}
+         |), asg AS (
+         |  SELECT vec_id, cid, csim FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ${sqlCosine("e.embedding", "c.ce")} AS csim,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+         |    FROM embeddings e CROSS JOIN c2 c) x
+         |  WHERE crn = 1)
+         |SELECT cid, rank, vec_id, csim FROM (
+         |  SELECT cid, vec_id, csim,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY csim DESC, vec_id) AS rank
+         |  FROM asg) y
+         |WHERE rank <= 5 ORDER BY cid, rank""".stripMargin,
 
     // Full value oracle for PQ encode: the four subspace training chains
     // unrolled (same FP discipline as knn_ivf_trained — round-6 cosine

@@ -444,6 +444,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(hist == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L), hist.toString)
   }
 
+  test("diverseSample: nearest-centroid membership, per-cluster cap, prototype vs fringe") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0))).toDF("cid", "ce")
+    // c0: v1 csim 1.0, v2 .9; c1: v3 1.0, v5 ~.9536, v4 .9
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.4358899f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0.4358899f, 0.9f, 0f, 0f)),
+      (5L, Array(0.3f, 0.95f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top1 = SimilarityOps.diverseSample(e, cents, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1 == Map(0L -> 1L, 1L -> 3L), top1.toString)
+    val fringe1 = SimilarityOps.diverseSample(e, cents, 1, mostCentral = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fringe1 == Map(0L -> 2L, 1L -> 4L),
+      s"farthest-first must pick each cluster's least-central: $fringe1")
+    // the cap is PER CLUSTER: k=2 keeps 2 of c1's 3 members, 4 rows total
+    val k2 = SimilarityOps.diverseSample(e, cents, 2)
+    assert(k2.count() == 4 &&
+      k2.filter(col("cid") === 1L).collect().map(_.getLong(2)).toSet ==
+        Set(3L, 5L))
+  }
+
   test("dwellReport: per-user gaps credited to the FROM event's type; last events emit nothing") {
     import spark.implicits._
     // user 1: click@1µs -> view@25 -> click2@100 (gap 24 credited to
