@@ -2048,4 +2048,90 @@ object AuditOps {
           .as("lift"))
       .orderBy("bucket")
   }
+
+  /** Poisson(1) inverse-CDF thresholds at 2^60 scale: a 60-bit hash h
+    * draws weight w = #{k : h ≥ T_k} (i.e. w=0 below T(0), w=k for
+    * h ∈ [T(k−1), T(k)), capped at 8 above T(7); P(w>8) ≈ 1.1e-6, a
+    * negligible truncation that BOUNDS any row's replicate weight).
+    * Shared verbatim by [[bootstrapCiReport]] and its SQL oracle
+    * ([[graft.operators.AuditQueries]]) so weight assignment is pure
+    * 64-bit integer comparison in both engines — no FP anywhere in the
+    * resampling. T_k = ⌊CDF_Poisson(1)(k) · 2^60⌋.
+    */
+  val PoissonT60: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L, 1152909688087595836L)
+
+  /** Poisson-bootstrap confidence envelope of the per-group mean — "is the
+    * day-over-day metric move inside its own sampling noise?" without any
+    * distributional assumption, the resampling companion to the parametric
+    * [[abTestReport]] z-test. True bootstrap resampling (draw n rows with
+    * replacement, B times) is unrunnable at corpus scale — B shuffled
+    * copies of the data — so this is the one-pass Poisson bootstrap
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * Google 2012): each row enters replicate b with weight
+    * w ~ Poisson(1) drawn DETERMINISTICALLY from
+    * hash("boot:" + b + ":" + id) via the integer thresholds
+    * [[PoissonT60]], so the resample is a pure function of the row id —
+    * reproducible across runs, partitionings and engines (the
+    * [[graft.operators.TextOps.stratifiedSampleHash]] discipline applied
+    * to resampling). Emits per group:
+    * `(grp, n, mean, n_replicates, ci_lo, ci_hi)` where [ci_lo, ci_hi]
+    * is the ENVELOPE (min/max) of the B replicate means — with B=20 an
+    * ≈ 90% interval by the order-statistics rule E[F(min), F(max)] =
+    * [1/(B+1), B/(B+1)]; callers wanting tighter coverage raise B.
+    *
+    * FP discipline: x is floor-quantized; per-replicate sums Σw (long)
+    * and Σw·x (DECIMAL 38,0) are exact integers; each replicate mean is
+    * ONE correctly-rounded double division of engine-identical integers;
+    * min/max over replicate means are order-independent. The full-sample
+    * mean is the same single division. Nothing else touches FP — the
+    * envelope is bit-identical cross-engine.
+    *
+    * Scale shape: one scan of the input, exploded ×B BEFORE the partial
+    * aggregate — map-side combine reduces each partition to (groups × B)
+    * partial rows, so the only shuffle moves O(partitions · groups · B)
+    * counter rows, never a resampled copy of the data. The replicate →
+    * envelope re-agg and the full-mean join are (groups × B)-sized —
+    * driver-bounded. At 100 TB this is exactly the published
+    * production shape: B× CPU on the scan, zero extra data movement.
+    */
+  def bootstrapCiReport(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, reps: Int = 20): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.bootstrapCiReport",
+      groupCol, idCol, valueCol)
+    require(reps >= 2 && reps <= 200,
+      s"AuditOps.bootstrapCiReport: reps must be in [2, 200], got $reps")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val full = base.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"))
+    val h = graft.functions.CrossHash.mdint(
+      concat(lit("boot:"), col("b"), lit(":"), col("id")))
+    val wgt = PoissonT60.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
+        acc.when(h < lit(t), k.toLong)
+      }.otherwise(lit(PoissonT60.length.toLong))
+    val envelope = base
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("w", wgt)
+      .groupBy("grp", "b")
+      .agg(sum(col("w")).as("ne"),
+        sum(col("w").cast(dec) * col("x")).as("wx"))
+      .filter(col("ne") > 0)
+      .withColumn("mean_b",
+        col("wx").cast("double") / col("ne").cast("double"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_replicates"),
+        min(col("mean_b")).as("ci_lo"), max(col("mean_b")).as("ci_hi"))
+    full.join(envelope, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+        col("n_replicates"), col("ci_lo"), col("ci_hi"))
+      .orderBy("grp")
+  }
 }

@@ -184,6 +184,15 @@ object AuditQueries {
       AuditOps.mannWhitneyReport(t(s, d, "events"), "event_type",
         pmod(col("user_id"), lit(2)) === 0, "value")),
 
+    // Poisson-bootstrap envelope of the mean quantized value per event
+    // type: 20 deterministic hash-weighted replicates (integer-threshold
+    // Poisson(1) weights, PoissonT60), replicate means as single exact
+    // divisions, min/max envelope ≈ 90% CI. The nonparametric uncertainty
+    // companion to aud_abtest's z-test.
+    "aud_bootstrap" -> ((s, d) =>
+      AuditOps.bootstrapCiReport(t(s, d, "events"), "event_type",
+        "event_id", "value")),
+
     // PSI drift on the same snapshot pair as aud_drift: the credit-risk
     // convention's stability score, libm confined to ln(integer) rounded
     // once (the tokenEntropy discipline); zero-count categories carry a
@@ -1096,6 +1105,36 @@ object AuditQueries {
         |        sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE))) >= 1.96
         |    END, FALSE) AS significant
         |FROM e ORDER BY grp""".stripMargin,
+    // the same integer Poisson thresholds (AuditOps.PoissonT60 interpolated
+    // verbatim — single source of truth), HUGEINT replicate sums, one
+    // double division per replicate mean, order-independent min/max
+    "aud_bootstrap" -> {
+      val h = graft.functions.CrossHash.sqlMdint(
+        "'boot:' || CAST(b AS VARCHAR) || ':' || CAST(id AS VARCHAR)")
+      val cases = AuditOps.PoissonT60.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+      s"""WITH base AS (SELECT event_type AS grp, event_id AS id,
+         |    CAST(floor(value) AS BIGINT) AS x
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         |reps AS (SELECT grp, id, x, gs.b
+         |  FROM base, generate_series(0, 19) AS gs(b)),
+         |wt AS (SELECT grp, b, x, CASE $cases ELSE 8 END AS w
+         |  FROM (SELECT grp, b, x, $h AS h FROM reps)),
+         |rep AS (SELECT grp, b, CAST(SUM(w) AS BIGINT) AS ne,
+         |    CAST(SUM(CAST(w AS HUGEINT) * x) AS HUGEINT) AS wx
+         |  FROM wt GROUP BY grp, b),
+         |m AS (SELECT grp, CAST(wx AS DOUBLE) / CAST(ne AS DOUBLE) AS mean_b
+         |  FROM rep WHERE ne > 0),
+         |ci AS (SELECT grp, COUNT(*) AS n_replicates, MIN(mean_b) AS ci_lo,
+         |    MAX(mean_b) AS ci_hi FROM m GROUP BY grp),
+         |f AS (SELECT grp, COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx
+         |  FROM base GROUP BY grp)
+         |SELECT f.grp, f.n, CAST(f.sx AS DOUBLE) / CAST(f.n AS DOUBLE) AS mean,
+         |  ci.n_replicates, ci.ci_lo, ci.ci_hi
+         |FROM f LEFT JOIN ci USING (grp) ORDER BY grp""".stripMargin
+    },
+
     // two-proportion z mirrored as the same split fractions over HUGEINT
     // integers: div, div, mul, sqrt — each a single correctly-rounded op
     // on engine-identical inputs

@@ -849,4 +849,56 @@ class AuditOpsSpec extends SparkTestBase {
     assert(d1.getLong(5) == math.abs(2000000000L - 5L * 301029996L), d1.toString)
     assert(d1.getDouble(3) == 0.4)
   }
+
+  /** Independent md5→Poisson-weight oracle: first 15 hex chars of md5 as a
+    * long, then the [[AuditOps.PoissonT60]] threshold walk — a from-scratch
+    * reimplementation (MessageDigest, not the Md5Int60 expression) so the
+    * spec pins the whole hash→weight→mean chain, not just its determinism.
+    */
+  private def poissonWeight(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val k = AuditOps.PoissonT60.indexWhere(h < _)
+    if (k < 0) AuditOps.PoissonT60.length.toLong else k.toLong
+  }
+
+  test("bootstrapCiReport: envelope matches an independent md5 oracle; constant group collapses; nulls excluded") {
+    import spark.implicits._
+    val xs = Map(10L -> 4L, 11L -> 7L, 12L -> 1L, 13L -> 9L, 14L -> 2L)
+    val reps = 6
+    // independent expectation: per replicate b, mean = Σw·x/Σw over the
+    // hand md5 weights; envelope = min/max over replicates with Σw>0
+    val means = (0 until reps).flatMap { b =>
+      val ws = xs.toSeq.map { case (id, x) => (poissonWeight(s"boot:$b:$id"), x) }
+      val ne = ws.map(_._1).sum
+      if (ne == 0) None
+      else Some(ws.map { case (w, x) => w * x }.sum.toDouble / ne.toDouble)
+    }
+    def jd(x: Double): java.lang.Double = x
+    val df = (xs.toSeq.map { case (id, x) => ("a", id, jd(x.toDouble + 0.5)) } ++
+      Seq(("c", 20L, jd(3.0)), ("c", 21L, jd(3.9)), ("c", 22L, jd(3.2)),
+        ("a", 30L, null.asInstanceOf[java.lang.Double])))
+      .toDF("grp0", "id0", "v")
+    val out = AuditOps.bootstrapCiReport(df, "grp0", "id0", "v", reps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 5L, "null value row must be excluded from n")
+    assert(a.getDouble(2) == 23.0 / 5.0)
+    assert(a.getLong(3) == means.size.toLong, a.toString)
+    assert(a.getDouble(4) == means.min && a.getDouble(5) == means.max,
+      s"envelope must equal the independent md5 oracle: $a vs " +
+        s"[${means.min}, ${means.max}]")
+    // constant group: every replicate mean is exactly the constant
+    val c = out("c")
+    assert(c.getDouble(4) == 3.0 && c.getDouble(5) == 3.0 &&
+      c.getDouble(2) == 3.0, c.toString)
+    // determinism across partitionings (the FP-discipline promise)
+    val again = AuditOps.bootstrapCiReport(df.repartition(7), "grp0", "id0",
+      "v", reps).collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(again == out.map { case (k, r) => k -> r.toString })
+    intercept[IllegalArgumentException] {
+      AuditOps.bootstrapCiReport(df, "grp0", "id0", "v", reps = 1)
+    }
+  }
 }
