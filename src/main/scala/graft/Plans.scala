@@ -146,7 +146,13 @@ object Plans {
     "aud_mannwhitney",
     // round 11 (cont. 4): broadcast centroids, cid-partitioned pick
     // window, ≤ k_c·k output rows
-    "emb_diverse_sample")
+    "emb_diverse_sample",
+    // round 11 (cont. 5): explode ×B BEFORE the partial agg — the only
+    // shuffle moves O(partitions·groups·B) counter rows, never data
+    "aud_bootstrap",
+    // round 11 (cont. 6): one map-side-combined reduction to the
+    // contingency table; everything after is distinct(a)×distinct(b)
+    "aud_chisq_indep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2134,4 +2134,71 @@ object AuditOps {
         col("n_replicates"), col("ci_lo"), col("ci_hi"))
       .orderBy("grp")
   }
+
+  /** Chi-square test of INDEPENDENCE between two categorical columns +
+    * Cramér's V effect size — the collection-bias audit ("is language
+    * independent of source?"): a source over-contributing one language
+    * skews any mixture built on either margin, and the marginal screens
+    * ([[driftReport]], [[psiReport]]) can't see it because each margin
+    * alone looks stable. One row out:
+    * `(n, n_rows, n_cols, dof, chi2, crit, cramers_v, dependent)`.
+    *
+    * FP discipline — the chi-square statistic is EXACT: by the standard
+    * rearrangement χ² = N·(Σ_ij O_ij²/(R_i·C_j) − 1), each cell term is
+    * computed as the integer FLOOR division (O²·N·10⁹) div (R·C) —
+    * floor division of exact DECIMAL(38,0)/HUGEINT integers is
+    * bit-identical cross-engine (all operands positive, so trunc =
+    * floor in both), the quantization error is < cells/10⁹ (reported
+    * χ² is a deterministic value, not an FP accident), and the scaled
+    * statistic N·Σterms − N²·10⁹ stays an exact integer; χ² is then ONE
+    * correctly-rounded double division by 10⁹·1. The Wilson–Hilferty 5%
+    * critical value must be computed at RUNTIME dof (unlike
+    * [[seasonalityReport]]'s constant period): its chain has the FMA-
+    * contractible a + b·√c shape, so cc is round(·,12)-pinned in BOTH
+    * engines before cubing — past that, crit = dof·cc·cc·cc is pure
+    * multiplication (correctly rounded, never contracted). Cramér's V =
+    * √(χ²/(N·(min(r,c)−1))): one division + one sqrt on engine-identical
+    * inputs. Even the boolean verdict hash-matches.
+    *
+    * Scale shape: the data reduces to the (a, b) contingency table in
+    * ONE map-side-combined aggregation — everything after (margins,
+    * floor divisions, the 1-row stitch) is bounded by distinct(a) ×
+    * distinct(b), driver-scale by assumption (categorical × categorical).
+    * Integer-width bound: terms need O²·N·10⁹ ≤ 10³⁸, i.e. N ≤ ~10⁹·⁶
+    * rows per tested pair — beyond that, pre-aggregate or sample the
+    * contingency table (the test's power is saturated long before).
+    */
+  def independenceReport(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.independenceReport", aCol, bCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = 1000000000L
+    val o = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = o.groupBy("a").agg(sum("o").as("ra"))
+    val cb = o.groupBy("b").agg(sum("o").as("cb"))
+    val tot = o.agg(sum("o").as("n"), count_distinct(col("a")).as("r"),
+      count_distinct(col("b")).as("c"))
+    val terms = o.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .select(call_function("div",
+        col("o").cast(dec) * col("o") * col("n") * lit(q),
+        col("ra").cast(dec) * col("cb")).as("tq"))
+      .agg(sum("tq").cast(dec).as("tq"))
+    val x = broadcast(tot).crossJoin(broadcast(terms))
+      .withColumn("dof", ((col("r") - 1) * (col("c") - 1)).cast("long"))
+      .withColumn("chi2",
+        (col("n").cast(dec) * col("tq") -
+          col("n").cast(dec) * col("n") * lit(q)).cast("double") /
+          (lit(q).cast("double") * col("n").cast("double")))
+    val cc = round(
+      (lit(1.0) - lit(2.0) / (lit(9.0) * col("dof"))) +
+        lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * col("dof"))), 12)
+    val crit = when(col("dof") > 0, col("dof") * (cc * cc * cc))
+    val vDen = (col("n") * (least(col("r"), col("c")) - lit(1))).cast("double")
+    x.select(col("n"), col("r").as("n_rows"), col("c").as("n_cols"),
+        col("dof"), col("chi2"), crit.as("crit"),
+        when(col("dof") > 0, sqrt(col("chi2") / vDen)).as("cramers_v"),
+        coalesce(col("dof") > 0 && col("chi2") >= crit, lit(false))
+          .as("dependent"))
+  }
 }

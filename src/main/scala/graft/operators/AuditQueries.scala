@@ -193,6 +193,15 @@ object AuditQueries {
       AuditOps.bootstrapCiReport(t(s, d, "events"), "event_type",
         "event_id", "value")),
 
+    // Chi-square independence of lang × source over documents — the
+    // collection-bias audit the marginal screens can't see. The χ²
+    // statistic is exact (quantized integer floor divisions over the
+    // bounded contingency table), the runtime-dof Wilson–Hilferty
+    // critical value is round(·,12)-pinned before cubing, Cramér's V
+    // one ÷ + one √ on engine-identical inputs.
+    "aud_chisq_indep" -> ((s, d) =>
+      AuditOps.independenceReport(t(s, d, "documents"), "lang", "source")),
+
     // PSI drift on the same snapshot pair as aud_drift: the credit-risk
     // convention's stability score, libm confined to ln(integer) rounded
     // once (the tokenEntropy discipline); zero-count categories carry a
@@ -1134,6 +1143,36 @@ object AuditQueries {
          |  ci.n_replicates, ci.ci_lo, ci.ci_hi
          |FROM f LEFT JOIN ci USING (grp) ORDER BY grp""".stripMargin
     },
+
+    // exact quantized-floor-division chi-square over the contingency
+    // table (HUGEINT // is trunc = floor for positives, identical to
+    // Spark's decimal div), round(cc,12) before cubing, V as ÷ then √
+    "aud_chisq_indep" ->
+      """WITH o AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY a, b),
+        |r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY a),
+        |c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY b),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM o),
+        |t AS (SELECT CAST(SUM((CAST(o.o AS HUGEINT)*o.o*n.n*1000000000)
+        |      // (CAST(r.ra AS HUGEINT)*c.cb)) AS HUGEINT) AS tq
+        |  FROM o JOIN r USING (a) JOIN c USING (b) CROSS JOIN n),
+        |x AS (SELECT n.n, n.r, n.c, (n.r-1)*(n.c-1) AS dof,
+        |    CAST(CAST(n.n AS HUGEINT)*t.tq
+        |        - CAST(n.n AS HUGEINT)*n.n*1000000000 AS DOUBLE)
+        |      / (1000000000.0 * CAST(n.n AS DOUBLE)) AS chi2
+        |  FROM n CROSS JOIN t),
+        |k AS (SELECT *, round((1.0 - 2.0/(9.0*dof))
+        |    + 1.645*sqrt(2.0/(9.0*dof)), 12) AS cc FROM x)
+        |SELECT n, r AS n_rows, c AS n_cols, CAST(dof AS BIGINT) AS dof,
+        |  chi2, CASE WHEN dof > 0 THEN dof*(cc*cc*cc) END AS crit,
+        |  CASE WHEN dof > 0
+        |    THEN sqrt(chi2/CAST(n*(least(r,c)-1) AS DOUBLE)) END AS cramers_v,
+        |  COALESCE(dof > 0 AND chi2 >= dof*(cc*cc*cc), FALSE) AS dependent
+        |FROM k""".stripMargin,
 
     // two-proportion z mirrored as the same split fractions over HUGEINT
     // integers: div, div, mul, sqrt — each a single correctly-rounded op

@@ -901,4 +901,38 @@ class AuditOpsSpec extends SparkTestBase {
       AuditOps.bootstrapCiReport(df, "grp0", "id0", "v", reps = 1)
     }
   }
+
+  test("independenceReport: hand-computed 2x2 chi2/V; dof=0 guard; nulls excluded; determinism") {
+    import spark.implicits._
+    // contingency x/u=4, x/v=1, y/u=2, y/v=3: chi2 = 5/3, dof = 1
+    val rows = Seq.fill(4)(("x", "u")) ++ Seq(("x", "v")) ++
+      Seq.fill(2)(("y", "u")) ++ Seq.fill(3)(("y", "v")) ++
+      Seq((null, "u"), ("x", null))
+    val df = rows.toDF("lang0", "src0")
+    val r = AuditOps.independenceReport(df, "lang0", "src0").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 10L, "null cells excluded from n")
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L && row.getLong(3) == 1L)
+    // quantized-exact chi2: hand floor divisions at Q=1e9
+    val tq = 160000000000L / 30 + 10000000000L / 20 +
+      40000000000L / 30 + 90000000000L / 20
+    val chi2 = (10L * tq - 100L * 1000000000L).toDouble / (1.0e9 * 10.0)
+    assert(row.getDouble(4) == chi2, s"chi2 ${row.getDouble(4)} != $chi2")
+    val cc = BigDecimal((1.0 - 2.0 / 9.0) + 1.645 * math.sqrt(2.0 / 9.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(5) == 1L * (cc * cc * cc))
+    assert(row.getDouble(6) == math.sqrt(chi2 / 10.0))
+    assert(!row.getBoolean(7), "chi2 ~1.67 < crit ~3.74")
+    // determinism across partitionings
+    val again = AuditOps.independenceReport(df.repartition(7), "lang0", "src0")
+      .collect().head
+    assert(again.toString == row.toString)
+    // dof = 0 (single category on one side): null crit/V, dependent false
+    val one = AuditOps.independenceReport(
+      Seq(("x", "u"), ("x", "v")).toDF("lang0", "src0"), "lang0", "src0")
+      .collect().head
+    assert(one.getLong(3) == 0L && one.isNullAt(5) && one.isNullAt(6) &&
+      !one.getBoolean(7), one.toString)
+  }
 }
