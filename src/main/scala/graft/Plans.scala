@@ -152,7 +152,10 @@ object Plans {
     "aud_bootstrap",
     // round 11 (cont. 6): one map-side-combined reduction to the
     // contingency table; everything after is distinct(a)×distinct(b)
-    "aud_chisq_indep")
+    "aud_chisq_indep",
+    // round 11 (cont. 7): three codegen'd per-row regex counts, one
+    // map-side-combined agg to ≤|groups| rows
+    "tx_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1590,4 +1590,49 @@ object TextOps {
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
   }
+
+  /** READABILITY audit per group (source/domain): corpus-level Flesch
+    * Reading Ease from the classic regex approximations — words =
+    * maximal `[a-z]+` runs of the lowered text, sentences = maximal
+    * `[.!?]+` runs (floored at 1/doc so a fragment without terminal
+    * punctuation counts as one sentence, the standard convention),
+    * syllables = maximal `[aeiouy]+` vowel-group runs (the textbook
+    * syllable proxy; exact dictionary syllabification is a lexicon
+    * problem, not an engine problem). A pretraining mix that drifts
+    * toward very low FRE (dense legalese/generated sludge) or very high
+    * (fragment spam) shows up here per source before any model does.
+    * Emits `(grp, n_docs, words, sentences, syllables, flesch)` with
+    * FRE computed on the POOLED group totals:
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W), round(·,12).
+    *
+    * FP discipline: all three counts are exact integers (regexp_count ↔
+    * DuckDB len(regexp_extract_all) on character-class-only patterns —
+    * identical across regex dialects); W/S and Y/W are single divisions
+    * of engine-identical integers; the final two multiply-subtract steps
+    * have the FMA-contractible a−b·c shape, so the result is
+    * round(·,12)-pinned in both engines (the [[AuditOps
+    * .independenceReport]] cc discipline).
+    *
+    * Scale shape: one scan, three codegen'd per-row regex counts, one
+    * map-side-combined aggregation to ≤|groups| rows. Nothing shuffles
+    * but the counter rows.
+    */
+  def readabilityReport(docs: DataFrame, groupCol: String): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.readabilityReport", groupCol, "text")
+    val perDoc = docs.select(col(groupCol).cast("string").as("grp"),
+      regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("w"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+        .as("s"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("y"))
+    perDoc.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("s").as("sentences"), sum("y").as("syllables"))
+      .withColumn("flesch", when(col("words") > 0, round(
+        lit(206.835) -
+          lit(1.015) * (col("words").cast("double") /
+            col("sentences").cast("double")) -
+          lit(84.6) * (col("syllables").cast("double") /
+            col("words").cast("double")), 12)))
+      .orderBy("grp")
+  }
 }

@@ -58,6 +58,10 @@ object TextQueries {
     // into one exact-integer fraction per doc.
     "tx_mattr" -> ((s, d) =>
       TextOps.mattr(t(s, d, "documents"), w = 20).orderBy("doc_id")),
+    // Pooled Flesch Reading Ease per source: three exact regex counts,
+    // two single divisions, round(.,12)-pinned multiply-subtract tail.
+    "tx_readability" -> ((s, d) =>
+      TextOps.readabilityReport(t(s, d, "documents"), "source")),
     // Gopher rule filter: defaults (minWords 50 splits the 10–99-token
     // corpus; the stop/unique rules split on marker vocabulary / length).
     "tx_gopher_rules" -> ((s, d) =>
@@ -769,6 +773,26 @@ object TextQueries {
         |UNION ALL
         |SELECT doc_id, n_tokens, n_windows, mattr FROM s
         |ORDER BY doc_id""".stripMargin,
+    // Flesch on pooled group totals: regexp_count ↔ len(regexp_extract_all)
+    // on character-class-only patterns, the FMA-shaped tail round(.,12)
+    // in both engines
+    "tx_readability" ->
+      """WITH d AS (SELECT CAST(source AS VARCHAR) AS grp,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |      1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS y
+        |  FROM documents)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS words,
+        |  CAST(SUM(s) AS BIGINT) AS sentences,
+        |  CAST(SUM(y) AS BIGINT) AS syllables,
+        |  CASE WHEN SUM(w) > 0 THEN round(206.835
+        |    - 1.015*(CAST(SUM(w) AS DOUBLE)/CAST(SUM(s) AS DOUBLE))
+        |    - 84.6*(CAST(SUM(y) AS DOUBLE)/CAST(SUM(w) AS DOUBLE)), 12)
+        |  END AS flesch
+        |FROM d GROUP BY grp ORDER BY grp""".stripMargin,
     "tx_token_stats" ->
       """WITH x AS (
         |  SELECT lang, n_chars,

@@ -404,6 +404,34 @@ class PipelineOpsSpec extends SparkTestBase {
       s"18 windows of alternating a/b each have 2 distinct: $m4")
   }
 
+  test("readabilityReport: hand-counted words/sentences/vowel-groups; sentence floor; flesch formula") {
+    import spark.implicits._
+    // "The cat sat. It ran!" -> words 5, sentence runs 2,
+    // vowel groups: the(1) cat(1) sat(1) it(1) ran(1) = 5
+    // "hmm" -> words 1, sentences floor 1, vowel groups 0
+    val docs = Seq(("s1", "The cat sat. It ran!"), ("s1", "hmm"),
+      ("s2", "Queueing!?"))
+      .toDF("source", "text")
+    val out = TextOps.readabilityReport(docs, "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("s1")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 6 && a.getLong(3) == 3 &&
+      a.getLong(4) == 5, a.toString)
+    val expected = BigDecimal(206.835 - 1.015 * (6.0 / 3.0) - 84.6 * (5.0 / 6.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getDouble(5) == expected, s"${a.getDouble(5)} != $expected")
+    // queueing: 1 word, "!?" one sentence run, vowel groups ueuei+... ->
+    // q-ueuei-ng = 1 group
+    val b = out("s2")
+    assert(b.getLong(2) == 1 && b.getLong(3) == 1 && b.getLong(4) == 1,
+      b.toString)
+    // determinism across partitionings
+    val again = TextOps.readabilityReport(docs.repartition(5), "source")
+      .collect().map(_.toString).toSeq
+    assert(again == out.values.map(_.toString).toSeq.sorted ||
+      again.sorted == out.values.map(_.toString).toSeq.sorted)
+  }
+
   test("rfmReport: hand-computed scores; null users dropped; quantile-refine cutpoint composition") {
     import spark.implicits._
     // gmx=100, unit=10: u1 rec 0, f 2, m 30.75; u2 rec 0, f 1, m NULL->0;
