@@ -155,7 +155,10 @@ object Plans {
     "aud_chisq_indep",
     // round 11 (cont. 7): three codegen'd per-row regex counts, one
     // map-side-combined agg to ≤|groups| rows
-    "tx_readability")
+    "tx_readability",
+    // round 11 (cont. 8): one user-partitioned lead window, 1-row
+    // corpus-max broadcast, bounded (type, bucket) cumulative
+    "ev_hazard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -467,4 +467,66 @@ object EventOps {
         col("share").as("share"))
       .orderBy("channel")
   }
+
+  /** Decade bucket edges in µs (1 µs … 10¹¹ µs ≈ 28 h) for
+    * [[hazardReport]] — shared verbatim with the SQL oracle so the
+    * bucket index is a pure chain of integer comparisons in both
+    * engines. Bucket of t = #{k : t ≥ 10^k} ∈ 0..12.
+    */
+  val DecadeUs: Seq[Long] = (0 to 11).map(k => math.pow(10, k).toLong)
+
+  /** DISCRETE-TIME HAZARD table per event type — the Kaplan–Meier
+    * ingredient panel for "how quickly does the next action happen, and
+    * does that decay": per user, the gap to the next event (the
+    * [[dwellReport]] sequencing contract) is an OBSERVED time; each
+    * user's LAST event contributes a RIGHT-CENSORED time (corpus-max ts
+    * − last event ts — still alive, next action not yet seen), so the
+    * risk sets are honest instead of survivor-biased. Times discretize
+    * into the [[DecadeUs]] decade buckets; per (from-type, bucket):
+    * `n_events` d_b, `n_censored` c_b, `n_at_risk` = Σ_{b' ≥ b}(d+c)
+    * (the standard at-risk convention: censored inside the interval
+    * still entered it), and `hazard` = d_b/n_at_risk_b. The discrete
+    * KM survival is Π(1−hazard) over a prefix — a cumulative PRODUCT of
+    * FP values, deliberately NOT emitted (order-dependent FP; callers
+    * fold the ≤13 rows per type themselves).
+    *
+    * Exactness: bucket indices are integer threshold counts, d/c/at-risk
+    * exact longs (the cumulative over the bounded per-type bucket table),
+    * hazard ONE division of engine-identical integers.
+    *
+    * Scale shape: one user_id hash exchange for the lead window (users
+    * sequence in parallel), a 1-row corpus-max broadcast, then a
+    * map-side-combined aggregate to ≤\|types\|·13 rows — the descending
+    * cumulative window runs on that bounded table, partitioned by type.
+    * Events shuffle once as (user, us, id, type); no payload moves.
+    */
+  def hazardReport(events: DataFrame, tsUs: org.apache.spark.sql.Column): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.hazardReport",
+      "user_id", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val base = e.select(col("user_id"), tsUs.as("us"), col("event_id"),
+        col("event_type"))
+    val maxUs = base.agg(max(col("us")).as("corpus_max_us"))
+    val times = base
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .crossJoin(broadcast(maxUs))
+      .select(col("event_type"),
+        when(col("next_us").isNotNull, col("next_us") - col("us"))
+          .otherwise(col("corpus_max_us") - col("us")).as("t_us"),
+        col("next_us").isNotNull.as("observed"))
+    val bucket = DecadeUs.map(t => when(col("t_us") >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val cells = times.withColumn("bucket", bucket)
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"))
+    val atRisk = Window.partitionBy("event_type")
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(atRisk))
+      .withColumn("hazard",
+        col("n_events").cast("double") / col("n_at_risk").cast("double"))
+      .orderBy("event_type", "bucket")
+  }
 }

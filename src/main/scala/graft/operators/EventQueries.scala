@@ -179,6 +179,14 @@ object EventQueries {
       EventOps.dwellReport(t(s, d, "events"),
         call_function("div", col("ts").cast("long"), lit(1000L)))),
 
+    // Discrete-time hazard per event type on the same µs convention:
+    // observed gaps + right-censored last events, decade buckets as
+    // integer threshold counts, at-risk a descending cumulative over
+    // the bounded (type, bucket) table, hazard one division.
+    "ev_hazard" -> ((s, d) =>
+      EventOps.hazardReport(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)))),
+
     // RFM segmentation on the µs values (the ev_dwell convention):
     // recency in whole hours vs the corpus-latest event, frequency,
     // exact DECIMAL(28,6) monetary; quartile-ish cutpoints as config
@@ -366,6 +374,41 @@ object EventQueries {
         |    CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
         |FROM g WHERE next_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Hazard: the same LEAD order; last events right-censor at the
+    // corpus max; the DecadeUs thresholds interpolate verbatim (single
+    // source of truth), at-risk a window over the bounded bucket table
+    "ev_hazard" -> {
+      val bucket = graft.operators.EventOps.DecadeUs
+        .map(t => s"(CASE WHEN t_us >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |m AS (SELECT MAX(us) AS corpus_max_us FROM e),
+         |g AS (SELECT event_type, us,
+         |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS next_us
+         |  FROM e),
+         |t AS (SELECT event_type,
+         |    CASE WHEN next_us IS NOT NULL THEN next_us - us
+         |         ELSE m.corpus_max_us - us END AS t_us,
+         |    next_us IS NOT NULL AS observed
+         |  FROM g, m),
+         |c AS (SELECT event_type, CAST($bucket AS BIGINT) AS bucket,
+         |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_events,
+         |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_censored
+         |  FROM t GROUP BY event_type, bucket)
+         |SELECT event_type, bucket, n_events, n_censored,
+         |  CAST(SUM(n_events + n_censored) OVER (PARTITION BY event_type
+         |    ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS BIGINT) AS n_at_risk,
+         |  CAST(n_events AS DOUBLE) / CAST(SUM(n_events + n_censored)
+         |    OVER (PARTITION BY event_type ORDER BY bucket DESC ROWS
+         |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS hazard
+         |FROM c ORDER BY event_type, bucket""".stripMargin
+    },
+
     // RFM: per-user aggregate, 1-row global max, row-local scoring; the
     // m-score compares the one decimal→double cast against the literals.
     "ev_rfm" ->

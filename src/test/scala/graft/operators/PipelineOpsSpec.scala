@@ -432,6 +432,25 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("hazardReport: observed gaps + right-censored last events, decade buckets, at-risk cumulative") {
+    import spark.implicits._
+    // u1: A@0 -> gap 5 (bucket 1); B@5 -> gap 995 (bucket 3); A@1000
+    // censored t=0 (bucket 0). u2: B@0 censored t=1000 (bucket 4).
+    val e = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "B"), (1L, 1000L, 3L, "A"),
+      (2L, 0L, 4L, "B")).toDF("user_id", "tk", "event_id", "event_type")
+    val out = EventOps.hazardReport(e, col("tk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 0L, 1L, 2L, 0.0), ("A", 1L, 1L, 0L, 1L, 1.0),
+      ("B", 3L, 1L, 0L, 2L, 0.5), ("B", 4L, 0L, 1L, 1L, 0.0)), out.toSeq)
+    // determinism across partitionings
+    val again = EventOps.hazardReport(e.repartition(5), col("tk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("rfmReport: hand-computed scores; null users dropped; quantile-refine cutpoint composition") {
     import spark.implicits._
     // gmx=100, unit=10: u1 rec 0, f 2, m 30.75; u2 rec 0, f 1, m NULL->0;
