@@ -158,7 +158,10 @@ object Plans {
     "tx_readability",
     // round 11 (cont. 8): one user-partitioned lead window, 1-row
     // corpus-max broadcast, bounded (type, bucket) cumulative
-    "ev_hazard")
+    "ev_hazard",
+    // round 11 (cont. 9): two codegen'd regex counts, integer
+    // cross-multiply flag, one map-side-combined agg
+    "tx_code_detect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1617,6 +1617,46 @@ object TextOps {
     * map-side-combined aggregation to ≤|groups| rows. Nothing shuffles
     * but the counter rows.
     */
+  /** CODE-CONTAMINATION screen per group (source/domain) — the mix audit
+    * for "how much of this prose source is actually source code" (and
+    * vice versa: a code source full of prose): per doc, two exact
+    * signals — `n_sym` = count of code-structural characters
+    * `{}();=<>`, `n_kw` = count of `\b`-delimited programming keywords
+    * (def/class/import/return/function/var/const/if/else/for/while) —
+    * and a doc is flagged code-like when symbols exceed 2% of chars
+    * (integer cross-multiply `50·n_sym > n_chars`, no FP threshold) or
+    * it contains ≥ 2 keyword hits. Emits per group:
+    * `(grp, n_docs, n_code, sym_total, kw_total, code_frac)` with
+    * `code_frac` the single division. A classifier ([[trainPerceptron]])
+    * beats this once labels exist; this is the label-free screen that
+    * runs first and cross-checks the classifier forever after.
+    *
+    * Exactness: both regex counts are character-class / alternation
+    * patterns with identical Java-regex and RE2 semantics (`\b` included);
+    * the flag is pure integer arithmetic; `code_frac` ONE division.
+    * Scale shape: one scan, two codegen'd per-row regex counts, one
+    * map-side-combined aggregation to ≤|groups| rows.
+    */
+  def codeDetectReport(docs: DataFrame, groupCol: String): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.codeDetectReport",
+      groupCol, "text", "n_chars")
+    val kwRe =
+      "\\b(def|class|import|return|function|var|const|if|else|for|while)\\b"
+    val perDoc = docs.select(col(groupCol).cast("string").as("grp"),
+        col("n_chars"),
+        regexp_count(col("text"), lit("[{}();=<>]")).cast("long").as("n_sym"),
+        regexp_count(col("text"), lit(kwRe)).cast("long").as("n_kw"))
+      .withColumn("is_code",
+        lit(50L) * col("n_sym") > col("n_chars") || col("n_kw") >= 2L)
+    perDoc.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+        sum("n_sym").as("sym_total"), sum("n_kw").as("kw_total"))
+      .withColumn("code_frac",
+        col("n_code").cast("double") / col("n_docs").cast("double"))
+      .orderBy("grp")
+  }
+
   def readabilityReport(docs: DataFrame, groupCol: String): DataFrame = {
     OpContract.requireCols(docs, "TextOps.readabilityReport", groupCol, "text")
     val perDoc = docs.select(col(groupCol).cast("string").as("grp"),

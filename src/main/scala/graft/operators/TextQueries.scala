@@ -62,6 +62,10 @@ object TextQueries {
     // two single divisions, round(.,12)-pinned multiply-subtract tail.
     "tx_readability" -> ((s, d) =>
       TextOps.readabilityReport(t(s, d, "documents"), "source")),
+    // Label-free code-contamination screen per source: two exact regex
+    // counts, integer cross-multiply flag, one division.
+    "tx_code_detect" -> ((s, d) =>
+      TextOps.codeDetectReport(t(s, d, "documents"), "source")),
     // Gopher rule filter: defaults (minWords 50 splits the 10–99-token
     // corpus; the stop/unique rules split on marker vocabulary / length).
     "tx_gopher_rules" -> ((s, d) =>
@@ -773,6 +777,25 @@ object TextQueries {
         |UNION ALL
         |SELECT doc_id, n_tokens, n_windows, mattr FROM s
         |ORDER BY doc_id""".stripMargin,
+    // code screen: identical character-class / \b-alternation semantics
+    // in Java regex and RE2; the flag is integer cross-multiplication
+    "tx_code_detect" ->
+      """WITH d AS (SELECT CAST(source AS VARCHAR) AS grp, n_chars,
+        |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT)
+        |      AS n_sym,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b(def|class|import|return|function|var|const|if|else|for|while)\b'))
+        |      AS BIGINT) AS n_kw
+        |  FROM documents),
+        |f AS (SELECT grp, n_sym, n_kw,
+        |    (50 * n_sym > n_chars OR n_kw >= 2) AS is_code FROM d)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+        |  CAST(SUM(n_sym) AS BIGINT) AS sym_total,
+        |  CAST(SUM(n_kw) AS BIGINT) AS kw_total,
+        |  CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS code_frac
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
     // Flesch on pooled group totals: regexp_count ↔ len(regexp_extract_all)
     // on character-class-only patterns, the FMA-shaped tail round(.,12)
     // in both engines

@@ -432,6 +432,24 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("codeDetectReport: symbol cross-multiply flag, keyword threshold, hand counts") {
+    import spark.implicits._
+    // d1: "def f(x): return x;" -> syms ( ) ; : is not in set -> ( ) ; = 3
+    //     n_chars 19; 50*3=150 > 19 -> code. kws def, return = 2 -> code.
+    // d2: "the quiet morning" -> 0 syms, 0 kws, 17 chars -> prose
+    // d3: "a = b" -> 1 sym '='; 50 > 5 -> code by symbols, 0 kws
+    // d4: "if only they knew if that" -> kw 'if' twice -> code, 0 syms
+    val docs = Seq(
+      ("s1", "def f(x): return x;", 19L), ("s1", "the quiet morning", 17L),
+      ("s2", "a = b", 5L), ("s2", "if only they knew if that", 26L))
+      .toDF("source", "text", "n_chars")
+    val out = TextOps.codeDetectReport(docs, "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("s1", 2L, 1L, 3L, 2L, 0.5),
+      ("s2", 2L, 2L, 1L, 2L, 1.0)), out.toSeq)
+  }
+
   test("hazardReport: observed gaps + right-censored last events, decade buckets, at-risk cumulative") {
     import spark.implicits._
     // u1: A@0 -> gap 5 (bucket 1); B@5 -> gap 995 (bucket 3); A@1000
