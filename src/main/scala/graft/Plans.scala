@@ -161,7 +161,10 @@ object Plans {
     "ev_hazard",
     // round 11 (cont. 9): two codegen'd regex counts, integer
     // cross-multiply flag, one map-side-combined agg
-    "tx_code_detect")
+    "tx_code_detect",
+    // round 11 (cont. 10): corpus → labels×dim model state, centroid
+    // arrays broadcast back, scoring a pure projection
+    "emb_ood")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

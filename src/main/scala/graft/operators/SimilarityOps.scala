@@ -608,6 +608,53 @@ object SimilarityOps {
       .orderBy("label_a", "label_b")
   }
 
+  /** OUT-OF-DISTRIBUTION screen per label block — "which vectors don't
+    * belong to the cluster they're labeled with": each vector's round-6
+    * cosine against its OWN label's centroid ([[labelCentroids]], the
+    * same decimal-pinned centroid [[centroidSimilarity]] audits), and a
+    * vector is OOD when that cosine falls below `threshold`. Per label:
+    * `(label, n, n_ood, ood_rate, min_csim, mean_csim)` — the companion
+    * audit to [[centroidSimilarity]]: that one asks "do the blocks
+    * separate", this one asks "does each block actually contain its own
+    * members" (label noise, ingestion mix-ups, embedding drift after a
+    * model swap all surface here before any blocked op silently
+    * degrades).
+    *
+    * FP discipline: centroid dims are round(·,6) DECIMAL(12,6) (exact
+    * in any order); each vector's csim is the native left-to-right
+    * dot-product chain round(·,6) — the cosine-oracle contract — so the
+    * threshold compare is engine-stable; `min_csim` is an exact min;
+    * `mean_csim` sums the round-6 values as DECIMAL(12,6) (exact) and
+    * divides ONCE; `ood_rate` is one division of exact counts.
+    *
+    * Scale shape: the corpus reduces to labels×dim centroid model state
+    * in one map-side-combined pass; centroid arrays broadcast back and
+    * scoring is a pure projection — the only shuffle after the centroid
+    * agg is the ≤|labels|-row report agg. Embeddings never self-join.
+    */
+  def oodReport(e: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    OpContract.requireCols(e, "SimilarityOps.oodReport",
+      "vec_id", "label", "embedding")
+    val ce = labelCentroids(e).select(col("label"), col("dim"),
+        round(col("m"), 6).cast(DecimalType(12, 6)).as("cd"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+        s => s.getField("cd").cast("double")).as("ce"))
+    e.join(broadcast(ce), "label")
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("csim") < threshold, 1L).otherwise(0L)).as("n_ood"),
+        min(col("csim")).as("min_csim"),
+        sum(col("csim").cast(DecimalType(12, 6))).as("ssum"))
+      .select(col("label").cast("long").as("label"), col("n"), col("n_ood"),
+        (col("n_ood").cast("double") / col("n").cast("double")).as("ood_rate"),
+        col("min_csim"),
+        (col("ssum").cast("double") / col("n").cast("double")).as("mean_csim"))
+      .orderBy("label")
+  }
+
   /** MEAN-CENTER + L2-NORMALIZE the embedding column — the standard
     * preprocessing in front of cosine ANN / clustering / SemDeDup
     * (centering removes the corpus-wide offset that compresses cosine

@@ -404,6 +404,12 @@ object SimilarityQueries {
     "emb_centroid_sim" -> ((s, d) =>
       SimilarityOps.centroidSimilarity(t(s, d, "embeddings"))),
 
+    // OOD screen: each vector's round-6 cosine vs its OWN label
+    // centroid; threshold compare on the engine-stable round-6 value,
+    // mean over exact DECIMAL(12,6) sums.
+    "emb_ood" -> ((s, d) =>
+      SimilarityOps.oodReport(t(s, d, "embeddings"), threshold = 0.2)),
+
     // Ratio-margin bitext mining between the even/odd vector halves
     // (stand-ins for the two language sides); k = 4 neighborhood, all
     // non-negative-margin best matches kept. Sorted here (gate
@@ -589,6 +595,32 @@ object SimilarityQueries {
         |JOIN nrm na ON na.label = d.label_a
         |JOIN nrm nb ON nb.label = d.label_b
         |ORDER BY label_a, label_b""".stripMargin,
+    // OOD: the same decimal-pinned label centroids, per-vector cosine
+    // via the sequential list_dot_product contract, round-6 threshold
+    "emb_ood" ->
+      """WITH c AS (SELECT e.label, d.dim,
+        |    CAST(round(
+        |      CAST(SUM(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 12)
+        |        AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*), 6)
+        |      AS DECIMAL(12, 6)) AS cd
+        |  FROM embeddings e CROSS JOIN generate_series(0, 63) d(dim)
+        |  GROUP BY e.label, d.dim),
+        |ce AS (SELECT label, list(CAST(cd AS DOUBLE) ORDER BY dim) AS ce
+        |  FROM c GROUP BY label),
+        |s AS (SELECT e.label, round(
+        |    list_dot_product(e.embedding::DOUBLE[], ce.ce) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(ce.ce, ce.ce))), 6) AS csim
+        |  FROM embeddings e JOIN ce USING (label))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN csim < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ood,
+        |  CAST(SUM(CASE WHEN csim < 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS ood_rate,
+        |  MIN(csim) AS min_csim,
+        |  CAST(SUM(CAST(csim AS DECIMAL(12, 6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_csim
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
     // Integer-exact random projection: weights floor(7u)−3 regenerated via
     // uniformSql on a generate_series grid (the knn_lsh pattern), inputs
     // quantized to round(1000·x); every product/sum is an integer-valued

@@ -542,4 +542,33 @@ class AnnClusteredSpec extends SparkTestBase {
       .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     semPairs.foreach { case (a, b) => assert(asg(a) == asg(b), s"cross-cluster pair ($a,$b)") }
   }
+
+  test("oodReport: hand-computed cosines vs the decimal-pinned label centroid; threshold split; singleton label") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // label 0: two (1,0,0) + one off-axis (0,1,0); centroid rounds to
+    // (0.666667, 0.333333, 0); label 1: singleton -> csim exactly 1.0
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(0f, 0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cd = Array(r6(2.0 / 3.0), r6(1.0 / 3.0), 0.0)
+    val cn = math.sqrt(cd(0) * cd(0) + cd(1) * cd(1) + cd(2) * cd(2))
+    val csimOn = r6(cd(0) / (1.0 * cn))   // (1,0,0) vs centroid
+    val csimOff = r6(cd(1) / (1.0 * cn))  // (0,1,0) vs centroid
+    assert(csimOn > 0.5 && csimOff < 0.5, s"$csimOn / $csimOff")
+    val out = SimilarityOps.oodReport(e, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(0L)
+    assert(a.getLong(1) == 3 && a.getLong(2) == 1, a.toString)
+    assert(a.getDouble(3) == 1.0 / 3.0)
+    assert(a.getDouble(4) == csimOff, s"${a.getDouble(4)} != $csimOff")
+    // mean over the exact DECIMAL(12,6) sum of the round-6 csims
+    val meanExp = (BigDecimal(csimOn) * 2 + BigDecimal(csimOff)).toDouble / 3.0
+    assert(a.getDouble(5) == meanExp, s"${a.getDouble(5)} != $meanExp")
+    val b = out(1L)
+    assert(b.getLong(1) == 1 && b.getLong(2) == 0 && b.getDouble(4) == 1.0 &&
+      b.getDouble(5) == 1.0, b.toString)
+  }
 }
