@@ -164,7 +164,10 @@ object Plans {
     "tx_code_detect",
     // round 11 (cont. 10): corpus → labels×dim model state, centroid
     // arrays broadcast back, scoring a pure projection
-    "emb_ood")
+    "emb_ood",
+    // round 11 (cont. 11): one agg to ≤|variants| rows, 1-row loud
+    // control broadcast, row-local TOST arithmetic
+    "aud_tost")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

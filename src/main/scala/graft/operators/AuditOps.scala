@@ -1819,6 +1819,79 @@ object AuditOps {
       .orderBy("variant")
   }
 
+  /** TOST EQUIVALENCE readout for a two-proportion experiment — the
+    * question [[abTestReport]] can't answer: not "is the variant
+    * different" but "is it provably NO WORSE (and no better) than the
+    * control by more than `margin`" — the non-inferiority gate for a
+    * cheaper model/pipeline swap, where failing to reject H0 in the
+    * classic z-test is NOT evidence of equivalence. Schuirmann's two
+    * one-sided tests at α=0.05 each: with d = p_v − p_0 and the
+    * UNPOOLED se (the correct se under the equivalence null, unlike the
+    * pooled form the difference test uses), the variant is equivalent
+    * iff z_lower = (d+margin)/se ≥ 1.645 AND z_upper = (margin−d)/se ≥
+    * 1.645 — i.e. the 90% CI of d sits inside ±margin. Emits per
+    * variant `(variant, n, conv, rate, diff, se, z_lower, z_upper,
+    * equivalent)`; the control row carries NULL diff/se/z and
+    * equivalent = false.
+    *
+    * FP discipline: diff is ONE division of exact integers (the
+    * [[abTestReport]] cross-multiplied numerator); se² is TWO single
+    * divisions of exact integers (c(n−c) over n³, each side) plus ONE
+    * addition in fixed variant-then-control order — no a·b+c shape
+    * anywhere, so nothing can FMA-contract; se is one sqrt; each z is
+    * one add/subtract then one division. Every op is individually
+    * correctly rounded on engine-identical inputs, so the booleans
+    * hash-match. Integer-width bound: n³ needs DECIMAL(38,0), i.e.
+    * ≤ ~10¹² rows per variant (tighter than abTestReport's z² bound but
+    * far past any experiment).
+    *
+    * Scale shape: identical to [[abTestReport]] — one map-side-combined
+    * aggregate to ≤|variants| rows, a 1-row loud control extraction
+    * broadcast back, then row-local arithmetic.
+    */
+  def tostReport(df: DataFrame, variantCol: Column, successCol: Column,
+      control: String, margin: Double): DataFrame = {
+    require(margin > 0 && margin < 1,
+      s"AuditOps.tostReport: margin must be in (0,1), got $margin")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(variantCol.isNotNull)
+      .select(variantCol.as("variant"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
+    val ctl = g.agg(
+        max(when(col("variant") === control, col("n"))).as("n0m"),
+        max(when(col("variant") === control, col("conv"))).as("c0m"))
+      .select(
+        coalesce(col("n0m"), raise_error(lit(
+          s"AuditOps.tostReport: control variant '$control' matched no" +
+            " rows (or the input is empty) — check the label and the input"))
+          .cast("long")).as("n0"),
+        coalesce(col("c0m"), raise_error(lit(
+          s"AuditOps.tostReport: control variant '$control' matched no" +
+            " rows (or the input is empty) — check the label and the input"))
+          .cast("long")).as("c0"))
+    val j = g.crossJoin(broadcast(ctl))
+    val num = col("conv").cast(dec) * col("n0") - col("c0").cast(dec) * col("n")
+    val diff = num.cast("double") /
+      (col("n").cast(dec) * col("n0")).cast("double")
+    val se2 =
+      (col("conv").cast(dec) * (col("n") - col("conv"))).cast("double") /
+        (col("n").cast(dec) * col("n") * col("n")).cast("double") +
+      (col("c0").cast(dec) * (col("n0") - col("c0"))).cast("double") /
+        (col("n0").cast(dec) * col("n0") * col("n0")).cast("double")
+    val live = col("variant") =!= control && se2 > 0
+    val se = when(live, sqrt(se2))
+    val zl = when(live, (diff + lit(margin)) / sqrt(se2))
+    val zu = when(live, (lit(margin) - diff) / sqrt(se2))
+    j.select(col("variant"), col("n"), col("conv"),
+        (col("conv").cast("double") / col("n").cast("double")).as("rate"),
+        when(col("variant") =!= control, diff).as("diff"),
+        se.as("se"), zl.as("z_lower"), zu.as("z_upper"),
+        coalesce(zl >= 1.645 && zu >= 1.645, lit(false)).as("equivalent"))
+      .orderBy("variant")
+  }
+
   /** Per-group [[ksReport]] — the data-card form (one KS row per source/
     * domain/shard). Same distinct-value construction, but the cumulative
     * CDF window partitions by the group key, so groups rank in parallel

@@ -177,6 +177,15 @@ object AuditQueries {
         concat(lit("v"), pmod(col("user_id"), lit(3))),
         col("event_type") === "purchase", "v0")),
 
+    // TOST equivalence on the same split: is each variant provably
+    // within ±2pp of control? diff/se² as single divisions of exact
+    // integers (unpooled n³ denominators), one fixed-order addition,
+    // no FMA-contractible shape — the booleans hash-match.
+    "aud_tost" -> ((s, d) =>
+      AuditOps.tostReport(t(s, d, "events"),
+        concat(lit("v"), pmod(col("user_id"), lit(3))),
+        col("event_type") === "purchase", "v0", margin = 0.02)),
+
     // Nonparametric A/B companion: Mann–Whitney U of the quantized value
     // between even/odd user cohorts per event type — rank arithmetic on
     // the 2×-scale trick, tie-corrected variance, ±0.5 continuity.
@@ -1177,6 +1186,43 @@ object AuditQueries {
     // two-proportion z mirrored as the same split fractions over HUGEINT
     // integers: div, div, mul, sqrt — each a single correctly-rounded op
     // on engine-identical inputs
+    // TOST: diff one division, se² two divisions + one fixed-order add
+    // (variant term then control term), each z one add/sub + one divide
+    "aud_tost" ->
+      """WITH g AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ctl AS (SELECT n AS n0, conv AS c0 FROM g WHERE variant = 'v0'),
+        |j AS (SELECT g.variant, g.n, g.conv,
+        |    CAST(g.conv AS HUGEINT) * ctl.n0
+        |      - CAST(ctl.c0 AS HUGEINT) * g.n AS num,
+        |    CAST(g.n AS HUGEINT) * ctl.n0 AS d1,
+        |    CAST(g.conv AS HUGEINT) * (g.n - g.conv) AS sa,
+        |    CAST(g.n AS HUGEINT) * g.n * g.n AS na3,
+        |    CAST(ctl.c0 AS HUGEINT) * (ctl.n0 - ctl.c0) AS sb,
+        |    CAST(ctl.n0 AS HUGEINT) * ctl.n0 * ctl.n0 AS nb3
+        |  FROM g, ctl),
+        |k AS (SELECT variant, n, conv,
+        |    CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) AS diff,
+        |    CAST(sa AS DOUBLE) / CAST(na3 AS DOUBLE)
+        |      + CAST(sb AS DOUBLE) / CAST(nb3 AS DOUBLE) AS se2
+        |  FROM j)
+        |SELECT variant, CAST(n AS BIGINT) AS n, conv,
+        |  CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  CASE WHEN variant <> 'v0' THEN diff END AS diff,
+        |  CASE WHEN variant <> 'v0' AND se2 > 0 THEN sqrt(se2) END AS se,
+        |  CASE WHEN variant <> 'v0' AND se2 > 0
+        |    THEN (diff + 0.02) / sqrt(se2) END AS z_lower,
+        |  CASE WHEN variant <> 'v0' AND se2 > 0
+        |    THEN (0.02 - diff) / sqrt(se2) END AS z_upper,
+        |  COALESCE(CASE WHEN variant <> 'v0' AND se2 > 0 THEN
+        |      (diff + 0.02) / sqrt(se2) >= 1.645
+        |      AND (0.02 - diff) / sqrt(se2) >= 1.645 END, FALSE)
+        |    AS equivalent
+        |FROM k ORDER BY variant""".stripMargin,
+
     "aud_abtest" ->
       """WITH g AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
         |    COUNT(*) AS n,

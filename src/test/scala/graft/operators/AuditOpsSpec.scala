@@ -902,6 +902,35 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  test("tostReport: hand-computed Schuirmann z pair; equivalent and non-equivalent variants; control row nulls") {
+    import spark.implicits._
+    // c: 500/1000, t: 510/1000 (within ±10pp), w: 700/1000 (outside)
+    def arm(v: String, n: Int, conv: Int) =
+      (0 until n).map(i => (v, i < conv))
+    val df = (arm("c", 1000, 500) ++ arm("t", 1000, 510) ++
+      arm("w", 1000, 700)).toDF("variant", "ok")
+    val out = AuditOps.tostReport(df, col("variant"), col("ok"), "c", 0.10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = out("t")
+    val diff = (510L * 1000 - 500L * 1000).toDouble / (1000L * 1000).toDouble
+    val se2 = (510.0 * 490.0) / 1.0e9 + (500.0 * 500.0) / 1.0e9
+    assert(t.getDouble(4) == diff && t.getDouble(5) == math.sqrt(se2))
+    assert(t.getDouble(6) == (diff + 0.10) / math.sqrt(se2))
+    assert(t.getDouble(7) == (0.10 - diff) / math.sqrt(se2))
+    assert(t.getBoolean(8), "t is within +-10pp with tight CI")
+    assert(!out("w").getBoolean(8), "w is 20pp off, not equivalent")
+    val c = out("c")
+    assert(c.isNullAt(4) && c.isNullAt(5) && c.isNullAt(6) && !c.getBoolean(8))
+    intercept[IllegalArgumentException] {
+      AuditOps.tostReport(df, col("variant"), col("ok"), "c", margin = 0.0)
+    }
+    // loud failure on a misspelled control label
+    val err = intercept[Exception] {
+      AuditOps.tostReport(df, col("variant"), col("ok"), "nope", 0.1).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("independenceReport: hand-computed 2x2 chi2/V; dof=0 guard; nulls excluded; determinism") {
     import spark.implicits._
     // contingency x/u=4, x/v=1, y/u=2, y/v=3: chi2 = 5/3, dof = 1
