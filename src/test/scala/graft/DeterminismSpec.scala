@@ -57,7 +57,14 @@ class DeterminismSpec extends SparkTestBase {
     "knn_brute",            // cosine ranking
     "ev_sessions",          // sessionization windows
     "ev_retention",         // cohort arithmetic
-    "sim_gbm_stats")        // RNG + trace statistics
+    "sim_gbm_stats",        // RNG + trace statistics
+    "aud_bootstrap",        // hash-weighted replicate sums + envelope
+    "aud_chisq_indep",      // quantized floor-division chi-square
+    "aud_tost",             // unpooled se² two-division + add chain
+    "tx_readability",       // pooled regex counts + FMA-pinned tail
+    "tx_code_detect",       // cross-multiply flag + one division
+    "ev_hazard",            // censored risk-set cumulative
+    "emb_ood")              // decimal centroid + round-6 cosine mean
 
   test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
