@@ -167,7 +167,10 @@ object Plans {
     "emb_ood",
     // round 11 (cont. 11): one agg to ≤|variants| rows, 1-row loud
     // control broadcast, row-local TOST arithmetic
-    "aud_tost")
+    "aud_tost",
+    // round 11 (cont. 12): digest-keyed side flags, one agg + 1-row
+    // count — strictly cheaper than the exact dedup it rides on
+    "dd_capture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

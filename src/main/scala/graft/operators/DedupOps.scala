@@ -741,4 +741,40 @@ object DedupOps {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** CAPTURE–RECAPTURE corpus-size estimate (Chapman '51) — "how big is
+    * the population our two collection passes are both sampling": treat
+    * the two sides (two crawls, two vendors, two time windows) as
+    * capture samples keyed by exact text digest; the overlap rate
+    * estimates total coverage exactly like tagged fish. n̂ = (n_a+1)·
+    * (n_b+1)/(m+1) − 1, the bias-corrected estimator (defined even at
+    * m = 0). The dedup-family companion to [[minhashIndex]]: dedup asks
+    * "what did we collect twice", this asks "how much did we never
+    * collect at all" — the number a coverage-driven crawl budget needs.
+    * Emits one row `(n_a, n_b, n_overlap, chapman_est)`.
+    *
+    * Exactness: side membership reduces per digest to two MAX flags;
+    * the three counts are exact; the estimate is ONE division of exact
+    * integers then one subtraction — engine-stable.
+    *
+    * Scale shape: text hashes to a 128-bit digest at the scan ([[
+    * exactDups]]' discipline — text never shuffles); one map-side-
+    * combined digest aggregate, then a 1-row global count. At 100 TB
+    * this is the cheapest estimator that exists: strictly less work
+    * than the exact dedup already being run.
+    */
+  def captureRecapture(docs: DataFrame, sideACol: Column): DataFrame = {
+    OpContract.requireCols(docs, "DedupOps.captureRecapture", "text")
+    val k = docs.select(md5(col("text")).as("dg"),
+        when(sideACol, 1L).otherwise(0L).as("a"),
+        when(sideACol, 0L).otherwise(1L).as("b"))
+      .groupBy("dg")
+      .agg(max(col("a")).as("a"), max(col("b")).as("b"))
+    k.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * col("b")).as("n_overlap"))
+      .select(col("n_a"), col("n_b"), col("n_overlap"),
+        (((col("n_a") + 1) * (col("n_b") + 1)).cast("double") /
+          (col("n_overlap") + 1).cast("double") - lit(1.0))
+          .as("chapman_est"))
+  }
 }

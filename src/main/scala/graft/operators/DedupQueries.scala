@@ -27,6 +27,12 @@ object DedupQueries {
       val docs = t(s, d, "documents")
       DedupOps.exactDedupStats(docs.unionAll(docs))
     }),
+    // Chapman capture-recapture between the even/odd doc_id halves
+    // (stand-ins for two collection passes): exact digest-overlap
+    // counts, the estimate one division + one subtraction.
+    "dd_capture" -> ((s, d) =>
+      DedupOps.captureRecapture(t(s, d, "documents"),
+        pmod(col("doc_id"), lit(2)) === 0)),
     // Gate-determinism sorts live HERE, not in the library ops: the ops
     // return unordered relations (a trailing global Sort+Exchange would
     // charge every 100 TB user for oracle hash stability).
@@ -388,6 +394,18 @@ object DedupQueries {
           |SELECT CAST(SUM(copies) AS BIGINT) AS n_input, COUNT(*) AS n_unique,
           |  CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_removed
           |FROM cl""".stripMargin,
+      // capture–recapture: per-digest MAX side flags, three exact
+      // counts, Chapman as one division then one subtraction
+      "dd_capture" ->
+        """WITH k AS (SELECT md5(text) AS dg,
+          |    MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+          |    MAX(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS b
+          |  FROM documents GROUP BY dg)
+          |SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+          |  CAST(SUM(a * b) AS BIGINT) AS n_overlap,
+          |  CAST((SUM(a) + 1) * (SUM(b) + 1) AS DOUBLE)
+          |    / CAST(SUM(a * b) + 1 AS DOUBLE) - 1.0 AS chapman_est
+          |FROM k""".stripMargin,
       "dd_ngram_jaccard" -> ngramJaccardOracle,
       "dd_prefix_jaccard" -> prefixJaccardOracle,
       // Containment: both directions emitted from the unordered-pair CTE;

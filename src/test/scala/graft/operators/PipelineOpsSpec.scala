@@ -432,6 +432,21 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("captureRecapture: hand overlap, Chapman estimate, duplicate-insensitive sides") {
+    import spark.implicits._
+    // A (even ids): {x,y,z}; B (odd ids): {y,z,w,w dup} -> na=3 nb=3 m=2
+    // Chapman = 4*4/3 - 1 = 13/3; true population 4
+    val docs = Seq((0L, "x"), (2L, "y"), (4L, "z"),
+      (1L, "y"), (3L, "z"), (5L, "w"), (7L, "w"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.captureRecapture(docs,
+      org.apache.spark.sql.functions.pmod(col("doc_id"), lit(2)) === 0)
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 2,
+      r.toString)
+    assert(r.getDouble(3) == 16.0 / 3.0 - 1.0)
+  }
+
   test("codeDetectReport: symbol cross-multiply flag, keyword threshold, hand counts") {
     import spark.implicits._
     // d1: "def f(x): return x;" -> syms ( ) ; : is not in set -> ( ) ; = 3
