@@ -170,7 +170,10 @@ object Plans {
     "aud_tost",
     // round 11 (cont. 12): digest-keyed side flags, one agg + 1-row
     // count — strictly cheaper than the exact dedup it rides on
-    "dd_capture")
+    "dd_capture",
+    // round 11 (cont. 13): distinct (user, week) reduction first, one
+    // user-partitioned lag/lead window, re-agg to ≤|weeks| rows
+    "ev_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

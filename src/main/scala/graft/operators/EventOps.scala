@@ -468,6 +468,57 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** GROWTH ACCOUNTING per week — the new/retained/resurrected/churned
+    * decomposition (the "quick ratio" inputs) every DAU/WAU dashboard is
+    * built from: over the distinct (user, week) presence set (the
+    * [[cohortRetention]] reduction), each presence classifies by the
+    * user's PREVIOUS presence week — `new` (none), `retained` (exactly
+    * the week before), `resurrected` (a gap) — and a user present at
+    * week w with no presence at w+1 contributes `churned` to week w+1
+    * (capped at the corpus max week: churn past the observation horizon
+    * is unknowable, not zero). Emits per week:
+    * `(week, n_new, n_retained, n_resurrected, n_churned)`.
+    *
+    * Identity the spec pins: active(w) = new + retained + resurrected,
+    * and retained(w) = active(w−1) − churned(w). All counts exact.
+    *
+    * Scale shape: events reduce to the distinct (user, week) set FIRST
+    * (map-side combined); the lag/lead run in one window over that set,
+    * partitioned by user (per-user week lists are tiny and sort in
+    * parallel); contributions re-aggregate to ≤|weeks| rows. The corpus
+    * max week is a 1-row broadcast. Same 100 TB shape as
+    * [[cohortRetention]] — nothing global ever sorts.
+    */
+  def growthAccounting(events: DataFrame, tsUs: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.growthAccounting", "user_id")
+    val uw = e.select(col("user_id"),
+        call_function("div", tsUs, lit(WeekUs)).as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val seq0 = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .withColumn("nxt", lead(col("week"), 1).over(w))
+      .crossJoin(broadcast(uw.agg(max(col("week")).as("max_week"))))
+    val present = seq0.select(col("week"),
+      when(col("prev").isNull, 1L).otherwise(0L).as("n_new"),
+      when(col("prev") === col("week") - 1, 1L).otherwise(0L).as("n_retained"),
+      when(col("prev").isNotNull && col("prev") < col("week") - 1, 1L)
+        .otherwise(0L).as("n_resurrected"),
+      lit(0L).as("n_churned"))
+    val churned = seq0
+      .filter((col("nxt").isNull || col("nxt") > col("week") + 1) &&
+        col("week") + 1 <= col("max_week"))
+      .select((col("week") + 1).as("week"), lit(0L).as("n_new"),
+        lit(0L).as("n_retained"), lit(0L).as("n_resurrected"),
+        lit(1L).as("n_churned"))
+    present.unionAll(churned).groupBy("week")
+      .agg(sum("n_new").as("n_new"), sum("n_retained").as("n_retained"),
+        sum("n_resurrected").as("n_resurrected"),
+        sum("n_churned").as("n_churned"))
+      .orderBy("week")
+  }
+
   /** Decade bucket edges in µs (1 µs … 10¹¹ µs ≈ 28 h) for
     * [[hazardReport]] — shared verbatim with the SQL oracle so the
     * bucket index is a pure chain of integer comparisons in both

@@ -156,6 +156,13 @@ object EventQueries {
           call_function("div", col("ts").cast("long"), lit(1000L)))
         .orderBy("cohort_week", "week_offset")),
 
+    // Growth accounting over the same (user, week) presence set:
+    // new/retained/resurrected by previous presence, churn charged to
+    // the following week and capped at the observation horizon.
+    "ev_lifecycle" -> ((s, d) =>
+      EventOps.growthAccounting(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)))),
+
     // Ingestion dedup: the events feed doubled (simulating at-least-once
     // redelivery), deduplicated on event_id, then summarized. event_id is
     // unique in the source and the duplicates are bit-identical rows, so
@@ -346,6 +353,34 @@ object EventQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Retention: DISTINCT (user, week) first, so COUNT(*) is the
+    // growth accounting: LAG/LEAD over the distinct (user, week) set,
+    // churn contributions unioned at week+1, horizon-capped
+    "ev_lifecycle" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |s AS (SELECT user_id, week,
+        |    LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+        |    LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+        |  FROM uw),
+        |m AS (SELECT MAX(week) AS max_week FROM uw),
+        |c AS (SELECT week,
+        |    CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS n_new,
+        |    CASE WHEN prev = week - 1 THEN 1 ELSE 0 END AS n_retained,
+        |    CASE WHEN prev IS NOT NULL AND prev < week - 1 THEN 1 ELSE 0 END
+        |      AS n_resurrected,
+        |    0 AS n_churned
+        |  FROM s
+        |  UNION ALL
+        |  SELECT week + 1, 0, 0, 0, 1
+        |  FROM s, m WHERE (nxt IS NULL OR nxt > week + 1)
+        |    AND week + 1 <= m.max_week)
+        |SELECT CAST(week AS BIGINT) AS week,
+        |  CAST(SUM(n_new) AS BIGINT) AS n_new,
+        |  CAST(SUM(n_retained) AS BIGINT) AS n_retained,
+        |  CAST(SUM(n_resurrected) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(n_churned) AS BIGINT) AS n_churned
+        |FROM c GROUP BY week ORDER BY week""".stripMargin,
+
     // distinct-user count — same reduction order as the Spark side.
     "ev_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,

@@ -432,6 +432,27 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("growthAccounting: hand-classified weeks, horizon-capped churn, accounting identities") {
+    import spark.implicits._
+    // weeks via WeekUs ticks: u1 {0,1,3}, u2 {1}, u3 {0,2,3}
+    val wk = 604800000000L
+    val e = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L),
+      (3L, 0L), (3L, 2L), (3L, 3L), (3L, 3L))
+      .map { case (u, w) => (u, w * wk + 5L) }.toDF("user_id", "us")
+    val out = EventOps.growthAccounting(e, col("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, 0L, 0L), (1L, 1L, 1L, 0L, 1L),
+      (2L, 0L, 0L, 1L, 2L), (3L, 0L, 1L, 1L, 0L)), out.toSeq)
+    // identities: active(w) = new+ret+res; retained(w) = active(w-1) - churned(w)
+    val active = out.map(r => r._1 -> (r._2 + r._3 + r._4)).toMap
+    out.filter(_._1 > 0).foreach { r =>
+      assert(r._3 == active(r._1 - 1) - r._5,
+        s"retained(${r._1}) must equal active(${r._1 - 1}) - churned(${r._1})")
+    }
+  }
+
   test("captureRecapture: hand overlap, Chapman estimate, duplicate-insensitive sides") {
     import spark.implicits._
     // A (even ids): {x,y,z}; B (odd ids): {y,z,w,w dup} -> na=3 nb=3 m=2
