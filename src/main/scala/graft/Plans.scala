@@ -173,7 +173,10 @@ object Plans {
     "dd_capture",
     // round 11 (cont. 13): distinct (user, week) reduction first, one
     // user-partitioned lag/lead window, re-agg to ≤|weeks| rows
-    "ev_lifecycle")
+    "ev_lifecycle",
+    // round 11 (cont. 14): tokens hash to 8 bytes before the distinct,
+    // fit over ≤|sources| decimal points
+    "tx_heaps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

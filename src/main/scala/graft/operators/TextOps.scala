@@ -1617,6 +1617,53 @@ object TextOps {
     * map-side-combined aggregation to ≤|groups| rows. Nothing shuffles
     * but the counter rows.
     */
+  /** HEAPS'-LAW vocabulary-growth fit across sources — V = K·Nᵝ
+    * (Heaps '78): each source contributes one (log₂ total tokens,
+    * log₂ distinct tokens) point and ONE least-squares line is fit
+    * across the sources. The scaling audit behind tokenizer/vocab
+    * sizing and dedup sanity: natural corpora sit near β ≈ 0.5–0.7 — a
+    * source family fitting β ≈ 1 is template/random sludge (every doc
+    * new vocabulary), β ≈ 0 is a copy farm (no new vocabulary) — the
+    * corpus-level complement of [[zipfSlope]] (which fits WITHIN-source
+    * rank-frequency; the two exponents are theoretically linked).
+    * Emits one row `(n_sources, beta, log2_k)`.
+    *
+    * FP discipline (the [[zipfSlope]] contract): log₂ of exact integer
+    * counts rounded once to 7 decimals and fixed as DECIMAL(12,7), so
+    * all moment sums are exact in any order; slope = the round(·,6)
+    * num/den division; the intercept's a−b·c shape (FMA-contractible)
+    * is round(·,6)-pinned after the division by n.
+    *
+    * Scale shape: tokens hash to 8-byte values before the distinct
+    * (text never shuffles — the [[DedupOps]] discipline); per-source
+    * totals are one map-side-combined agg; the fit runs over ≤|sources|
+    * decimal points in a second tiny agg.
+    */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = spread(OpContract.requireCols(docs, "TextOps.heapsFit",
+      "source", "text"))
+    val per = d.select(col("source"), explode(words).as("w"))
+      .select(col("source"), graft.functions.CrossHash.mdint(col("w")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("tt"), count_distinct(col("h")).as("vt"))
+    val pts = per.select(
+      round(log2(col("tt").cast("double")), 7).cast(DecimalType(12, 7)).as("x"),
+      round(log2(col("vt").cast("double")), 7).cast(DecimalType(12, 7)).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+    val beta = round(
+      round(col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double"), 6) /
+      round(col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"), 6), 6)
+    m.select(col("n").as("n_sources"), beta.as("beta"),
+      round((col("sy").cast("double") - beta * col("sx").cast("double")) /
+        col("n").cast("double"), 6).as("log2_k"))
+  }
+
   /** CODE-CONTAMINATION screen per group (source/domain) — the mix audit
     * for "how much of this prose source is actually source code" (and
     * vice versa: a code source full of prose): per doc, two exact

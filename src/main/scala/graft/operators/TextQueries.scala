@@ -66,6 +66,9 @@ object TextQueries {
     // counts, integer cross-multiply flag, one division.
     "tx_code_detect" -> ((s, d) =>
       TextOps.codeDetectReport(t(s, d, "documents"), "source")),
+    // Heaps'-law vocabulary-growth exponent across sources: one decimal
+    // log-log point per source, the zipf least-squares contract.
+    "tx_heaps" -> ((s, d) => TextOps.heapsFit(t(s, d, "documents"))),
     // Gopher rule filter: defaults (minWords 50 splits the 10–99-token
     // corpus; the stop/unique rules split on marker vocabulary / length).
     "tx_gopher_rules" -> ((s, d) =>
@@ -777,6 +780,34 @@ object TextQueries {
         |UNION ALL
         |SELECT doc_id, n_tokens, n_windows, mattr FROM s
         |ORDER BY doc_id""".stripMargin,
+    // Heaps: per-source token totals + hash-distinct vocabulary, log2
+    // rounded once into DECIMAL(12,7), the zipf round(.,6) num/den
+    // slope, the FMA-shaped intercept round(.,6)-pinned
+    "tx_heaps" -> {
+      val h = graft.functions.CrossHash.sqlMdint("w")
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tt,
+         |    CAST(COUNT(DISTINCT $h) AS BIGINT) AS vt
+         |  FROM tok GROUP BY source),
+         |pts AS (SELECT
+         |    CAST(round(log2(CAST(tt AS DOUBLE)), 7) AS DECIMAL(12, 7)) AS x,
+         |    CAST(round(log2(CAST(vt AS DOUBLE)), 7) AS DECIMAL(12, 7)) AS y
+         |  FROM per),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         |    SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |  FROM pts),
+         |b AS (SELECT n, sx, sy,
+         |    round(round(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 6)
+         |      / round(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 6), 6) AS beta
+         |  FROM m WHERE n >= 2)
+         |SELECT n AS n_sources, beta,
+         |  round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS log2_k
+         |FROM b""".stripMargin
+    },
     // code screen: identical character-class / \b-alternation semantics
     // in Java regex and RE2; the flag is integer cross-multiplication
     "tx_code_detect" ->

@@ -432,6 +432,21 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("heapsFit: exact-line sources recover beta=0.5, log2_k=0") {
+    import spark.implicits._
+    // (tt, vt) = (4,2), (16,4), (64,8): log2 points (2,1),(4,2),(6,3)
+    def rep(toks: Seq[String], times: Int) =
+      Seq.fill(times)(toks).flatten.mkString(" ")
+    val docs = Seq(
+      ("s1", rep(Seq("a", "b"), 2)),
+      ("s2", rep(Seq("a", "b", "c", "d"), 4)),
+      ("s3", rep((0 until 8).map("t" + _), 8)))
+      .toDF("source", "text")
+    val r = TextOps.heapsFit(docs).collect().head
+    assert(r.getLong(0) == 3 && r.getDouble(1) == 0.5 &&
+      r.getDouble(2) == 0.0, r.toString)
+  }
+
   test("growthAccounting: hand-classified weeks, horizon-capped churn, accounting identities") {
     import spark.implicits._
     // weeks via WeekUs ticks: u1 {0,1,3}, u2 {1}, u3 {0,2,3}
