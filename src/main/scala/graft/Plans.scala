@@ -176,7 +176,10 @@ object Plans {
     "ev_lifecycle",
     // round 11 (cont. 14): tokens hash to 8 bytes before the distinct,
     // fit over ≤|sources| decimal points
-    "tx_heaps")
+    "tx_heaps",
+    // round 11 (cont. 15): synth projection → mapPartitions pixel
+    // decode, embarrassingly parallel, no shuffle before the sort
+    "mm_image_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

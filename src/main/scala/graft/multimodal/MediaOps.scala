@@ -182,6 +182,65 @@ object MediaOps {
   /** One perceptual-hash row per asset from [[perceptualHash]]. */
   final case class PHash(doc_id: Long, decoded: Boolean, phash: String)
 
+  final case class ImageStats(doc_id: Long, decoded: Boolean, width: Long,
+      height: Long, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** PER-IMAGE CHANNEL STATISTICS over a binary payload column — the
+    * first real feature-extraction step of an image-curation pipeline
+    * (brightness/color-cast filters, black-frame and solid-color
+    * detection all read off these sums): a REAL `javax.imageio` decode
+    * per asset, then exact integer R/G/B sums over every pixel and one
+    * division per channel mean. Undecodable payloads emit a
+    * `decoded = false` zero row (the [[thumbnailPixels]] fallback
+    * convention — column totals stay complete).
+    *
+    * Exactness: channel sums are exact longs (each pixel contributes
+    * 0–255; 2⁶³ covers ~10¹⁶ pixels); each mean is ONE division of
+    * exact integers — over [[MediaStub.synthPng]] payloads the whole
+    * decode is arithmetically predictable, which is how the gate
+    * value-oracles a real pixel decode end-to-end.
+    *
+    * Scale shape: the [[MediaStub.decodeAll]] mapPartitions discipline —
+    * iterator-to-iterator, one decoder lifecycle per partition,
+    * embarrassingly parallel, no shuffle at any scale.
+    */
+  def imageStats(spark: SparkSession, docsWithPayload: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.imageStats", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val decoded = try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        } catch { case _: Exception => None }
+        decoded match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF
+                sg += (rgb >> 8) & 0xFF
+                sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val np = w.toLong * h
+            ImageStats(id, decoded = true, w.toLong, h.toLong, np, sr, sg, sb,
+              sr.toDouble / np.toDouble, sg.toDouble / np.toDouble,
+              sb.toDouble / np.toDouble)
+          case None =>
+            ImageStats(id, decoded = false, 0L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0)
+        }
+      })
+  }
+
   /** Difference-hash (dHash) perceptual image fingerprint — the standard
     * 64-bit near-duplicate signature for image dedup: luma-downscale to a
     * 9×8 grid, set bit (y·8 + x) when cell (x, y) is darker than its

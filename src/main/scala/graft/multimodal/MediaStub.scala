@@ -127,6 +127,37 @@ object MediaStub {
     bb.array()
   }
 
+  /** Synthesize a REAL PNG with a deterministic per-pixel gradient —
+    * pixel (x, y) carries r = (7x+3y+id) mod 256, g = (5x+11y+2id) mod
+    * 256, b = (13x+y+5id) mod 256 — via `java.awt.image.BufferedImage` +
+    * `javax.imageio`. PNG is lossless, so a decoder must recover every
+    * pixel EXACTLY; [[graft.multimodal.MediaOps.imageStats]]' channel
+    * sums over these payloads are therefore arithmetically predictable,
+    * which is what lets the gate value-oracle a real image decode (the
+    * [[synthWav]]/[[synthMp4]] cross-check pattern, applied to pixels
+    * instead of headers).
+    */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"synthPng: bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7L * x + 3L * y + id) % 256).toInt
+        val g = ((5L * x + 11L * y + 2L * id) % 256).toInt
+        val b = ((13L * x + y + 5L * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Extracted per-asset VIDEO container metadata (the `moov/mvhd` header
     * fields a real probe reports before any codec work).
     */

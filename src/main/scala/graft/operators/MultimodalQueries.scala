@@ -52,6 +52,25 @@ object MultimodalQueries {
     // javax.sound.sampled header decoder — the oracle recomputes every
     // field from the same arithmetic, so a bug in either the writer's
     // or the parser's header layout fails the hash. All exact integers.
+    // REAL pixel decode as a value-oracled gate: per doc, a lossless
+    // PNG with a deterministic per-pixel gradient is synthesized
+    // (BufferedImage + imageio), decoded back through the independent
+    // ImageIO read path, and the channel sums must equal the closed-form
+    // arithmetic the oracle recomputes over (x, y, doc_id) — a wrong
+    // pixel anywhere fails the hash. Means are single exact divisions.
+    "mm_image_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, MediaStub.synthPng(id,
+            w = 4 + (id % 5).toInt, h = 3 + (id % 4).toInt))
+        })
+        .toDF("doc_id", "payload")
+        .transform(df => MediaOps.imageStats(s, df).toDF())
+        .orderBy("doc_id")
+    }),
+
     "mm_audio_meta" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents").filter(col("doc_id") < 100)
@@ -170,6 +189,29 @@ object MultimodalQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // header arithmetic mirror of synthWav: blockAlign = ch·2 (16-bit),
     // n_bytes = 44 + frames·blockAlign, duration = frames·10⁶ // rate
+    // pixel decode: the oracle recomputes the gradient sums in closed
+    // form over (x, y, doc_id) — never touches PNG bytes, so only a
+    // CORRECT write→decode round trip can match
+    "mm_image_stats" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT d.id, d.w, d.h, gx.x, gy.y
+        |  FROM d, unnest(generate_series(0, d.w - 1)) AS gx(x),
+        |       unnest(generate_series(0, d.h - 1)) AS gy(y)),
+        |s AS (SELECT id, w, h,
+        |    CAST(SUM((7*x + 3*y + id) % 256) AS BIGINT) AS sr,
+        |    CAST(SUM((5*x + 11*y + 2*id) % 256) AS BIGINT) AS sg,
+        |    CAST(SUM((13*x + y + 5*id) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY id, w, h)
+        |SELECT id AS doc_id, TRUE AS decoded, w AS width, h AS height,
+        |  w * h AS n_pixels, sr AS sum_r, sg AS sum_g, sb AS sum_b,
+        |  CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_r,
+        |  CAST(sg AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
+        |  CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "mm_audio_meta" ->
       s"""WITH p AS (SELECT doc_id,
          |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,

@@ -275,4 +275,26 @@ class MediaSpec extends SparkTestBase {
       imgPairs(0).getLong(0) == 10L && imgPairs(0).getLong(1) == 11L &&
       imgPairs(0).getLong(2) == 0L, imgPairs.mkString(","))
   }
+
+  test("imageStats: synthPng round trip recovers the closed-form gradient sums; garbage falls back") {
+    import spark.implicits._
+    val (id, w, h) = (9L, 4, 3)
+    // closed-form expectation over the gradient
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (7L * x + 3L * y + id) % 256
+      sg += (5L * x + 11L * y + 2L * id) % 256
+      sb += (13L * x + y + 5L * id) % 256
+    }
+    val payloads = Seq((id, MediaStub.synthPng(id, w, h)),
+      (99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = MediaOps.imageStats(spark, payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    val a = out(id)
+    assert(a.decoded && a.width == w && a.height == h && a.n_pixels == 12L)
+    assert(a.sum_r == sr && a.sum_g == sg && a.sum_b == sb, a.toString)
+    assert(a.mean_r == sr.toDouble / 12.0 && a.mean_b == sb.toDouble / 12.0)
+    val bad = out(99L)
+    assert(!bad.decoded && bad.n_pixels == 0L && bad.mean_r == 0.0)
+  }
 }
