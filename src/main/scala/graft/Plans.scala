@@ -179,7 +179,10 @@ object Plans {
     "tx_heaps",
     // round 11 (cont. 15): synth projection → mapPartitions pixel
     // decode, embarrassingly parallel, no shuffle before the sort
-    "mm_image_stats")
+    "mm_image_stats",
+    // round 11 (cont. 16): the abtest agg + 1-row control broadcast,
+    // row-local power arithmetic
+    "aud_mde")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1892,6 +1892,62 @@ object AuditOps {
       .orderBy("variant")
   }
 
+  /** MINIMUM DETECTABLE EFFECT at the CURRENT sample sizes — the
+    * experiment-design readout that closes the A/B family ([[
+    * abTestReport]] significance, [[tostReport]] equivalence,
+    * [[mannWhitneyReport]] nonparametric, [[bootstrapCiReport]]
+    * resampling): per variant-vs-control comparison, the smallest true
+    * rate difference the test would detect with 80% power at two-sided
+    * α=0.05 — mde_abs = (z_{α/2}+z_{0.8})·se = 2.8016·se with the
+    * unpooled se ([[tostReport]]'s form), and mde_rel = mde_abs/rate₀.
+    * Read it BEFORE trusting a null [[abTestReport]]: "no significant
+    * difference" with an MDE of 8pp means the experiment couldn't see
+    * anything smaller than 8pp, not that none exists. Emits
+    * `(variant, n, conv, rate, se, mde_abs, mde_rel)`; the control row
+    * carries NULLs.
+    *
+    * FP discipline: se² is the [[tostReport]] two-divisions-plus-one-
+    * fixed-order-add chain; se one sqrt; mde_abs ONE multiply by the
+    * 4-dp constant; rate₀ and mde_rel single divisions — every op
+    * individually correctly rounded on engine-identical inputs.
+    * Scale shape: identical to [[abTestReport]].
+    */
+  def mdeReport(df: DataFrame, variantCol: Column, successCol: Column,
+      control: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(variantCol.isNotNull)
+      .select(variantCol.as("variant"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
+    val ctl = g.agg(
+        max(when(col("variant") === control, col("n"))).as("n0m"),
+        max(when(col("variant") === control, col("conv"))).as("c0m"))
+      .select(
+        coalesce(col("n0m"), raise_error(lit(
+          s"AuditOps.mdeReport: control variant '$control' matched no" +
+            " rows (or the input is empty) — check the label and the input"))
+          .cast("long")).as("n0"),
+        coalesce(col("c0m"), raise_error(lit(
+          s"AuditOps.mdeReport: control variant '$control' matched no" +
+            " rows (or the input is empty) — check the label and the input"))
+          .cast("long")).as("c0"))
+    val j = g.crossJoin(broadcast(ctl))
+    val se2 =
+      (col("conv").cast(dec) * (col("n") - col("conv"))).cast("double") /
+        (col("n").cast(dec) * col("n") * col("n")).cast("double") +
+      (col("c0").cast(dec) * (col("n0") - col("c0"))).cast("double") /
+        (col("n0").cast(dec) * col("n0") * col("n0")).cast("double")
+    val live = col("variant") =!= control && se2 > 0
+    val mdeAbs = when(live, lit(2.8016) * sqrt(se2))
+    val rate0 = col("c0").cast("double") / col("n0").cast("double")
+    j.select(col("variant"), col("n"), col("conv"),
+        (col("conv").cast("double") / col("n").cast("double")).as("rate"),
+        when(live, sqrt(se2)).as("se"), mdeAbs.as("mde_abs"),
+        when(live && rate0 > 0, mdeAbs / rate0).as("mde_rel"))
+      .orderBy("variant")
+  }
+
   /** Per-group [[ksReport]] — the data-card form (one KS row per source/
     * domain/shard). Same distinct-value construction, but the cumulative
     * CDF window partitions by the group key, so groups rank in parallel

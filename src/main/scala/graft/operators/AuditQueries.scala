@@ -186,6 +186,13 @@ object AuditQueries {
         concat(lit("v"), pmod(col("user_id"), lit(3))),
         col("event_type") === "purchase", "v0", margin = 0.02)),
 
+    // MDE at the current exposure: 2.8016·se (80% power, two-sided 5%),
+    // the design readout to consult before trusting a null aud_abtest.
+    "aud_mde" -> ((s, d) =>
+      AuditOps.mdeReport(t(s, d, "events"),
+        concat(lit("v"), pmod(col("user_id"), lit(3))),
+        col("event_type") === "purchase", "v0")),
+
     // Nonparametric A/B companion: Mann–Whitney U of the quantized value
     // between even/odd user cohorts per event type — rank arithmetic on
     // the 2×-scale trick, tie-corrected variance, ±0.5 continuity.
@@ -1186,6 +1193,36 @@ object AuditQueries {
     // two-proportion z mirrored as the same split fractions over HUGEINT
     // integers: div, div, mul, sqrt — each a single correctly-rounded op
     // on engine-identical inputs
+    // MDE: the TOST se² chain, one multiply by the 4-dp power constant,
+    // rate₀ and the relative form single divisions
+    "aud_mde" ->
+      """WITH g AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ctl AS (SELECT n AS n0, conv AS c0 FROM g WHERE variant = 'v0'),
+        |j AS (SELECT g.variant, g.n, g.conv, ctl.n0, ctl.c0,
+        |    CAST(g.conv AS HUGEINT) * (g.n - g.conv) AS sa,
+        |    CAST(g.n AS HUGEINT) * g.n * g.n AS na3,
+        |    CAST(ctl.c0 AS HUGEINT) * (ctl.n0 - ctl.c0) AS sb,
+        |    CAST(ctl.n0 AS HUGEINT) * ctl.n0 * ctl.n0 AS nb3
+        |  FROM g, ctl),
+        |k AS (SELECT variant, n, conv, n0, c0,
+        |    CAST(sa AS DOUBLE) / CAST(na3 AS DOUBLE)
+        |      + CAST(sb AS DOUBLE) / CAST(nb3 AS DOUBLE) AS se2
+        |  FROM j)
+        |SELECT variant, CAST(n AS BIGINT) AS n, conv,
+        |  CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  CASE WHEN variant <> 'v0' AND se2 > 0 THEN sqrt(se2) END AS se,
+        |  CASE WHEN variant <> 'v0' AND se2 > 0
+        |    THEN 2.8016 * sqrt(se2) END AS mde_abs,
+        |  CASE WHEN variant <> 'v0' AND se2 > 0
+        |      AND CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) > 0
+        |    THEN (2.8016 * sqrt(se2))
+        |      / (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) END AS mde_rel
+        |FROM k ORDER BY variant""".stripMargin,
+
     // TOST: diff one division, se² two divisions + one fixed-order add
     // (variant term then control term), each z one add/sub + one divide
     "aud_tost" ->

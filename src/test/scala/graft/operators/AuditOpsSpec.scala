@@ -931,6 +931,27 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("mdeReport: hand-computed MDE at 80% power; control row nulls; zero-rate control guard") {
+    import spark.implicits._
+    def arm(v: String, n: Int, conv: Int) =
+      (0 until n).map(i => (v, i < conv))
+    val df = (arm("c", 1000, 500) ++ arm("t", 1000, 510)).toDF("variant", "ok")
+    val out = AuditOps.mdeReport(df, col("variant"), col("ok"), "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val se2 = (510.0 * 490.0) / 1.0e9 + (500.0 * 500.0) / 1.0e9
+    val t = out("t")
+    assert(t.getDouble(4) == math.sqrt(se2))
+    assert(t.getDouble(5) == 2.8016 * math.sqrt(se2))
+    assert(t.getDouble(6) == (2.8016 * math.sqrt(se2)) / 0.5)
+    val c = out("c")
+    assert(c.isNullAt(4) && c.isNullAt(5) && c.isNullAt(6))
+    // all-zero control rate: mde_rel undefined, mde_abs still live
+    val z = (arm("c", 100, 0) ++ arm("t", 100, 10)).toDF("variant", "ok")
+    val zt = AuditOps.mdeReport(z, col("variant"), col("ok"), "c")
+      .collect().map(r => r.getString(0) -> r).toMap.apply("t")
+    assert(!zt.isNullAt(5) && zt.isNullAt(6), zt.toString)
+  }
+
   test("independenceReport: hand-computed 2x2 chi2/V; dof=0 guard; nulls excluded; determinism") {
     import spark.implicits._
     // contingency x/u=4, x/v=1, y/u=2, y/v=3: chi2 = 5/3, dof = 1
