@@ -182,7 +182,10 @@ object Plans {
     "mm_image_stats",
     // round 11 (cont. 16): the abtest agg + 1-row control broadcast,
     // row-local power arithmetic
-    "aud_mde")
+    "aud_mde",
+    // round 11 (cont. 17): pairs → bounded confusion matrix in one agg,
+    // |classes|²-sized everything after
+    "tx_langid_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

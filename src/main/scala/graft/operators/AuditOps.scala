@@ -2178,6 +2178,54 @@ object AuditOps {
       .orderBy("bucket")
   }
 
+  /** PER-CLASS PRECISION / RECALL / F1 from exact confusion counts —
+    * the multiclass evaluation row ([[aucReport]]/[[thresholdReport]]
+    * cover binary scorers; this covers any hard multiclass predictor:
+    * language ID, the trained quality classifier, a source router).
+    * Per class c over (actual, predicted) pairs: tp, fp, fn, support =
+    * tp+fn, precision = tp/(tp+fp), recall = tp/support, and F1 in the
+    * single-division form 2·tp/(2·tp+fp+fn) — algebraically the
+    * harmonic mean but ONE division of exact integers instead of an
+    * FP chain. Classes with no predictions report NULL precision
+    * (undefined, not zero); classes never seen as actual report NULL
+    * recall.
+    *
+    * Scale shape: pairs reduce to the (actual, predicted) contingency
+    * table in one map-side-combined agg ([[independenceReport]]'s
+    * shape); per-class tp/fp/fn are sums over that bounded table —
+    * everything after the first agg is |classes|²-sized.
+    */
+  def classificationReport(df: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.classificationReport",
+      actualCol, predictedCol)
+    val m = df.filter(col(actualCol).isNotNull && col(predictedCol).isNotNull)
+      .select(col(actualCol).cast("string").as("a"),
+        col(predictedCol).cast("string").as("p"))
+      .groupBy("a", "p").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val byA = m.groupBy(col("a").as("label"))
+      .agg(sum(when(col("a") === col("p"), col("cnt")).otherwise(0L)).as("tp"),
+        sum(when(col("a") =!= col("p"), col("cnt")).otherwise(0L)).as("fn"))
+    val byP = m.groupBy(col("p").as("label"))
+      .agg(sum(when(col("a") =!= col("p"), col("cnt")).otherwise(0L)).as("fp"))
+    byA.join(byP, Seq("label"), "full_outer")
+      .select(col("label"),
+        (coalesce(col("tp"), lit(0L)) + coalesce(col("fn"), lit(0L)))
+          .as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", when(col("support") > 0,
+        col("tp").cast("double") / col("support").cast("double")))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+      .orderBy("label")
+  }
+
   /** Poisson(1) inverse-CDF thresholds at 2^60 scale: a 60-bit hash h
     * draws weight w = #{k : h ≥ T_k} (i.e. w=0 below T(0), w=k for
     * h ∈ [T(k−1), T(k)), capped at 8 above T(7); P(w>8) ≈ 1.1e-6, a

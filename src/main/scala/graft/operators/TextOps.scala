@@ -192,6 +192,29 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** Per-document language predictions — [[langId]]'s per-doc stage
+    * exposed for evaluation composition ([[graft.operators.AuditOps
+    * .classificationReport]] consumes `(lang, predicted)` pairs). Same
+    * marker-count argmax, same NULL-text convention.
+    */
+  def langPredictions(docs: DataFrame): DataFrame = {
+    val hitCols = markers.map { case (l, ms) =>
+      sum(when(col("word").isin(ms.map(lit(_)): _*), 1).otherwise(0)).as(s"c_$l")
+    }
+    val counts = spread(docs)
+      .select(col("doc_id"), col("lang"), col("text").isNull.as("tnull"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .groupBy("doc_id", "lang", "tnull")
+      .agg(hitCols.head, hitCols.tail: _*)
+    val predicted =
+      when(col("tnull"), "fr")
+        .when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+        .when(col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
+        .when(col("c_es") >= col("c_fr"), "es")
+        .otherwise("fr")
+    counts.select(col("doc_id"), col("lang"), predicted.as("predicted"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): positional 3-gram hashes → minimum per sliding window of
     * 8 → the distinct minima are the document's fingerprint set. Guarantees

@@ -54,6 +54,12 @@ object TextQueries {
       TextOps.quality(t(s, d, "documents").filter(col("doc_id") < 200))
         .orderBy("doc_id")),
     "tx_langid" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // Per-class precision/recall/F1 of the langid predictions against
+    // the lang column — exact confusion counts, F1 in the
+    // single-division 2tp/(2tp+fp+fn) form.
+    "tx_langid_eval" -> ((s, d) =>
+      AuditOps.classificationReport(
+        TextOps.langPredictions(t(s, d, "documents")), "lang", "predicted")),
     // MATTR lexical diversity (w=20): per-window distinct counts fold
     // into one exact-integer fraction per doc.
     "tx_mattr" -> ((s, d) =>
@@ -910,6 +916,45 @@ object TextQueries {
          |       ELSE 'fr' END AS predicted,
          |  COUNT(*) AS n_docs
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-class eval over the same per-doc prediction CTE: exact
+    // confusion sums over the bounded matrix, single-division F1
+    "tx_langid_eval" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    ${sqlMarkerCount(markers(0)._2)} AS c_en,
+         |    ${sqlMarkerCount(markers(1)._2)} AS c_de,
+         |    ${sqlMarkerCount(markers(2)._2)} AS c_es,
+         |    ${sqlMarkerCount(markers(3)._2)} AS c_fr
+         |  FROM documents),
+         |pr AS (SELECT lang AS a,
+         |  CASE WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+         |       WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es'
+         |       ELSE 'fr' END AS p
+         |  FROM h WHERE lang IS NOT NULL),
+         |m AS (SELECT a, p, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM pr GROUP BY a, p),
+         |ba AS (SELECT a AS label,
+         |    CAST(SUM(CASE WHEN a = p THEN cnt ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN a <> p THEN cnt ELSE 0 END) AS BIGINT) AS fn
+         |  FROM m GROUP BY a),
+         |bp AS (SELECT p AS label,
+         |    CAST(SUM(CASE WHEN a <> p THEN cnt ELSE 0 END) AS BIGINT) AS fp
+         |  FROM m GROUP BY p),
+         |f AS (SELECT COALESCE(ba.label, bp.label) AS label,
+         |    COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+         |    COALESCE(fn, 0) AS fn
+         |  FROM ba FULL OUTER JOIN bp ON ba.label = bp.label)
+         |SELECT label, CAST(tp + fn AS BIGINT) AS support,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |  CASE WHEN 2*tp + fp + fn > 0 THEN CAST(2*tp AS DOUBLE)
+         |    / CAST(2*tp + fp + fn AS DOUBLE) END AS f1
+         |FROM f ORDER BY label""".stripMargin,
     "tx_winnow" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
         |sh0 AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM ws WHERE len(w) >= 3),

@@ -931,6 +931,29 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("classificationReport: hand confusion counts; never-predicted and never-actual classes; F1 single-division form") {
+    import spark.implicits._
+    // actual->predicted: a->a x3, a->b x1, b->b x2, b->c x1, c never
+    // actual but predicted once (from b), d actual never predicted
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "c"), ("d", "a"))
+      .toDF("actual", "pred")
+    val out = AuditOps.classificationReport(df, "actual", "pred").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 3 && a.getLong(3) == 1 &&
+      a.getLong(4) == 1, a.toString)
+    assert(a.getDouble(5) == 3.0 / 4.0 && a.getDouble(6) == 3.0 / 4.0 &&
+      a.getDouble(7) == 6.0 / 8.0)
+    val c = out("c")
+    assert(c.getLong(1) == 0 && c.getLong(3) == 1 && c.isNullAt(6),
+      "never-actual class: recall undefined, " + c)
+    val d = out("d")
+    assert(d.getLong(1) == 1 && d.getLong(2) == 0 && d.getLong(3) == 0 &&
+      d.isNullAt(5) && d.getDouble(6) == 0.0,
+      "never-predicted class: precision undefined, recall 0: " + d)
+  }
+
   test("mdeReport: hand-computed MDE at 80% power; control row nulls; zero-rate control guard") {
     import spark.implicits._
     def arm(v: String, n: Int, conv: Int) =
