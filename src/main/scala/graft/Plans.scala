@@ -185,7 +185,10 @@ object Plans {
     "aud_mde",
     // round 11 (cont. 17): pairs → bounded confusion matrix in one agg,
     // |classes|²-sized everything after
-    "tx_langid_eval")
+    "tx_langid_eval",
+    // round 11 (cont. 18): Range → codegen'd bit arithmetic → 1-row
+    // agg — shuffle-free like every sim plan
+    "sim_qmc_vdc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -77,6 +77,33 @@ object SimQueries {
   private def walkStep: String = s"CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1 ELSE -1 END"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // QUASI-Monte Carlo — the low-discrepancy companion to the
+    // pseudo-random battery (van der Corput base-2 radical inverse,
+    // the 1-D Halton/Sobol' building block): x_i = bitrev20(i)/2^20
+    // over a Range, estimating ∫₀¹x²dx with O(log n/n) error where
+    // plain MC pays O(1/√n). The radical inverse is pure integer
+    // bit arithmetic (20 shift-mask-scale terms — codegen'd, shuffle-
+    // free, the sim-family scale shape); Σr² is an exact decimal sum;
+    // the estimate ONE division by the exact constant n·2^40; abs_err
+    // one subtraction against the correctly-rounded literal 1/3.
+    "sim_qmc_vdc" -> ((spark, _) => {
+      import org.apache.spark.sql.types.DataTypes
+      val dec = DataTypes.createDecimalType(38, 0)
+      val bits = 20
+      val r = (0 until bits).map(b =>
+          shiftright(col("id"), b).bitwiseAND(lit(1L)) *
+            lit(1L << (bits - 1 - b)))
+        .reduce(_ + _)
+      spark.range(4096).select(r.as("r"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("r") * col("r")).cast(dec)).as("ss"))
+        .select(col("n"), col("ss").cast("long").as("sum_sq"),
+          (col("ss").cast("double") /
+            (col("n") * lit(1L << 40)).cast("double")).as("estimate"),
+          abs(col("ss").cast("double") /
+            (col("n") * lit(1L << 40)).cast("double") - lit(1.0 / 3.0))
+            .as("abs_err"))
+    }),
     // Full trace content, one CSV string per simulation — bit-level parity.
     "sim_coin_traces" -> ((spark, _) => {
       new MCBattery(spark, RngFamily.CounterHash).simulate(coinSpecs)
@@ -456,6 +483,21 @@ object SimQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the same 20 shift-mask-scale terms, HUGEINT square sum, one
+    // division by the exact 2^52 constant
+    "sim_qmc_vdc" -> {
+      val terms = (0 until 20)
+        .map(b => s"((i >> $b) & 1) * ${1L << (19 - b)}").mkString(" + ")
+      s"""WITH i AS (SELECT unnest(generate_series(0, 4095)) AS i),
+         |r AS (SELECT CAST($terms AS BIGINT) AS r FROM i)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(r AS HUGEINT) * r) AS BIGINT) AS sum_sq,
+         |  CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE)
+         |    / CAST(COUNT(*) * ${1L << 40} AS DOUBLE) AS estimate,
+         |  abs(CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE)
+         |    / CAST(COUNT(*) * ${1L << 40} AS DOUBLE) - 1.0/3.0) AS abs_err
+         |FROM r""".stripMargin
+    },
     "sim_gbm_stats" -> {
       // drift/vol embedded as exact round-tripping double literals; the
       // Box-Muller/exp chain mirrors core.McGenHelper.gbmTrace term for term

@@ -228,6 +228,22 @@ class BatterySpec extends SparkTestBase {
     assert(math.abs(frac - 0.7) < 5 * se, s"frac=$frac se=$se")
   }
 
+  test("sim_qmc_vdc: the 4096-point van der Corput net is exactly {k/4096}, closed-form sum of squares") {
+    // bitrev20 over 0..4095 = {k << 8}: the net is every k/4096 once, so
+    // sum_sq = 2^16 * sum k^2 and the estimate is the closed-form
+    // left-endpoint Riemann sum of x^2 — both pinned exactly.
+    val out = graft.operators.SimQueries.queries("sim_qmc_vdc")(spark, "")
+      .collect().head
+    val n = 4095L
+    val sumK2 = n * (n + 1) * (2 * n + 1) / 6
+    val ss = 65536L * sumK2
+    assert(out.getLong(0) == 4096L && out.getLong(1) == ss, out.toString)
+    val est = ss.toDouble / (4096L * (1L << 40)).toDouble
+    assert(out.getDouble(2) == est)
+    assert(out.getDouble(3) == math.abs(est - 1.0 / 3.0) &&
+      out.getDouble(3) < 2.0e-4, s"QMC error must be ~1/(2n): $out")
+  }
+
   test("simulation plan is shuffle-free (Range -> Project, no Exchange)") {
     val df = battery.simulate(Seq(
       SimulationSpec(0, "coin_sequence", 1000, 8, Seq(0.5), Nil, 42),
