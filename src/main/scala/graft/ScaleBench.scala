@@ -610,7 +610,35 @@ object ScaleBench {
             e.filter(col("vec_id") % 50 === 0).limit(500)
               .select("vec_id", "embedding"))
         }
-      })
+      },
+      // round-11 additions: bootstrap (the ×B explode rides the scan —
+      // the exponent tests "B× CPU, zero extra data movement"), hazard
+      // (one user_id exchange + censoring broadcast, bounded cumulative),
+      // lifecycle (distinct (user, week) reduction first), heaps (the
+      // token-hash distinct is the one real shuffle — term space grows
+      // with the substituted copies), and OOD (labels×dim model state +
+      // a scoring projection — the exponent tests the one-scan claim)
+      "aud_bootstrap" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.bootstrapCiReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          "event_type", "event_id", "value")),
+      "ev_hazard" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.hazardReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)))),
+      "ev_lifecycle" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.growthAccounting(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)))),
+      "tx_heaps" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.heapsFit(
+          s.read.parquet(s"$d/documents.parquet"))),
+      "emb_ood" -> ((s: SparkSession, d: String, _: Double) =>
+        SimilarityOps.oodReport(
+          s.read.parquet(s"$d/embeddings.parquet"), 0.2)))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
