@@ -188,7 +188,10 @@ object Plans {
     "tx_langid_eval",
     // round 11 (cont. 18): Range → codegen'd bit arithmetic → 1-row
     // agg — shuffle-free like every sim plan
-    "sim_qmc_vdc")
+    "sim_qmc_vdc",
+    // round 11 (cont. 19): one count agg to ≤|variants| rows, quantized
+    // goodness-of-fit arithmetic on the bounded table
+    "aud_srm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1892,6 +1892,69 @@ object AuditOps {
       .orderBy("variant")
   }
 
+  /** SAMPLE-RATIO MISMATCH test — the first check on any experiment
+    * dashboard, run BEFORE reading [[abTestReport]]: do the observed
+    * variant counts match the intended allocation? A mismatched split
+    * (broken bucketing, bot filtering biased to one arm, a crashed
+    * logger) invalidates every downstream readout, and it is invisible
+    * to the outcome tests themselves. Chi-square goodness-of-fit of the
+    * observed per-variant counts against integer allocation weights
+    * `expected` (e.g. v0→1, v1→1, v2→2 for a 25/25/50 split); variants
+    * observed but not in the design (weight 0) fail loudly — that IS an
+    * SRM. Emits one row
+    * `(n, n_variants, dof, chi2, crit, mismatch)`.
+    *
+    * FP discipline (the [[independenceReport]] pattern): with W = Σw,
+    * χ² = Σ_v (W·O_v − n·w_v)²/(W·n·w_v) — each term is the quantized
+    * integer floor division ((W·O−n·w)²·10⁹) div (W·n·w), bit-identical
+    * cross-engine, summed exactly; χ² is ONE double division by 10⁹;
+    * the runtime-dof Wilson–Hilferty critical value (α=0.001, the SRM
+    * convention — splits are exact by design, so the alarm threshold is
+    * strict: z₀.₉₉₉ = 3.090) is round(·,12)-pinned before cubing.
+    *
+    * Scale shape: one map-side-combined count aggregate to ≤|variants|
+    * rows; everything after is variant-bounded arithmetic.
+    */
+  def srmReport(df: DataFrame, variantCol: Column,
+      expected: Seq[(String, Long)]): DataFrame = {
+    require(expected.nonEmpty && expected.forall(_._2 > 0),
+      "AuditOps.srmReport: expected weights must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "AuditOps.srmReport: duplicate variant in expected")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = 1000000000L
+    val bigW = expected.map(_._2).sum
+    val wCol = expected.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (v, w)) => acc.when(col("variant") === v, w)
+    }
+    val g = df.filter(variantCol.isNotNull)
+      .select(variantCol.cast("string").as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("o"))
+      .withColumn("w", coalesce(wCol, raise_error(concat(
+        lit("AuditOps.srmReport: observed variant '"), col("variant"),
+        lit("' is not in the experiment design — that IS a sample-ratio" +
+          " mismatch"))).cast("long")))
+    val tot = g.agg(sum(col("o")).as("n"), count(lit(1)).as("n_variants"))
+    val terms = g.crossJoin(broadcast(tot))
+      .select(call_function("div",
+        (lit(bigW) * col("o").cast(dec) - col("n").cast(dec) * col("w")) *
+          (lit(bigW) * col("o").cast(dec) - col("n").cast(dec) * col("w")) *
+          lit(q),
+        lit(bigW).cast(dec) * col("n") * col("w")).as("tq"))
+      .agg(sum(col("tq")).cast(dec).as("tq"))
+    val x = broadcast(tot).crossJoin(broadcast(terms))
+      .withColumn("dof", (col("n_variants") - 1).cast("long"))
+      .withColumn("chi2", col("tq").cast("double") / lit(q).cast("double"))
+    val cc = round(
+      (lit(1.0) - lit(2.0) / (lit(9.0) * col("dof"))) +
+        lit(3.090) * sqrt(lit(2.0) / (lit(9.0) * col("dof"))), 12)
+    val crit = when(col("dof") > 0, col("dof") * (cc * cc * cc))
+    x.select(col("n"), col("n_variants"), col("dof"), col("chi2"),
+      crit.as("crit"),
+      coalesce(col("dof") > 0 && col("chi2") >= crit, lit(false))
+        .as("mismatch"))
+  }
+
   /** MINIMUM DETECTABLE EFFECT at the CURRENT sample sizes — the
     * experiment-design readout that closes the A/B family ([[
     * abTestReport]] significance, [[tostReport]] equivalence,

@@ -193,6 +193,14 @@ object AuditQueries {
         concat(lit("v"), pmod(col("user_id"), lit(3))),
         col("event_type") === "purchase", "v0")),
 
+    // Sample-ratio mismatch vs the intended 1:1:1 split — run BEFORE
+    // reading aud_abtest; quantized floor-division chi-square, strict
+    // α=0.001 Wilson–Hilferty alarm.
+    "aud_srm" -> ((s, d) =>
+      AuditOps.srmReport(t(s, d, "events"),
+        concat(lit("v"), pmod(col("user_id"), lit(3))),
+        Seq("v0" -> 1L, "v1" -> 1L, "v2" -> 1L))),
+
     // Nonparametric A/B companion: Mann–Whitney U of the quantized value
     // between even/odd user cohorts per event type — rank arithmetic on
     // the 2×-scale trick, tie-corrected variance, ±0.5 continuity.
@@ -1193,6 +1201,31 @@ object AuditQueries {
     // two-proportion z mirrored as the same split fractions over HUGEINT
     // integers: div, div, mul, sqrt — each a single correctly-rounded op
     // on engine-identical inputs
+    // SRM: quantized floor-division goodness-of-fit terms, one double
+    // division, round(cc,12)-pinned strict critical value
+    "aud_srm" ->
+      """WITH g AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |w AS (SELECT variant, o, CASE variant WHEN 'v0' THEN 1
+        |    WHEN 'v1' THEN 1 WHEN 'v2' THEN 1 END AS w FROM g),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS nv FROM g),
+        |s AS (SELECT CAST(SUM(
+        |    ((3*CAST(o AS HUGEINT) - CAST(t.n AS HUGEINT)*w)
+        |     * (3*CAST(o AS HUGEINT) - CAST(t.n AS HUGEINT)*w)
+        |     * 1000000000)
+        |    // (CAST(3 AS HUGEINT) * t.n * w)) AS HUGEINT) AS tq
+        |  FROM w, t),
+        |x AS (SELECT t.n, t.nv, t.nv - 1 AS dof,
+        |    CAST(s.tq AS DOUBLE) / 1000000000.0 AS chi2 FROM t, s),
+        |k AS (SELECT *, round((1.0 - 2.0/(9.0*dof))
+        |    + 3.090*sqrt(2.0/(9.0*dof)), 12) AS cc FROM x)
+        |SELECT n, nv AS n_variants, CAST(dof AS BIGINT) AS dof, chi2,
+        |  CASE WHEN dof > 0 THEN dof*(cc*cc*cc) END AS crit,
+        |  COALESCE(dof > 0 AND chi2 >= dof*(cc*cc*cc), FALSE) AS mismatch
+        |FROM k""".stripMargin,
+
     // MDE: the TOST se² chain, one multiply by the 4-dp power constant,
     // rate₀ and the relative form single divisions
     "aud_mde" ->

@@ -931,6 +931,29 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("srmReport: hand chi-square at 1:1; balanced vs broken splits; off-design variant fails loudly") {
+    import spark.implicits._
+    def mk(a: Int, b: Int) =
+      (Seq.fill(a)("v0") ++ Seq.fill(b)("v1")).toDF("v")
+    val exp = Seq("v0" -> 1L, "v1" -> 1L)
+    // 40/60 at 1:1 -> chi2 = (20^2/50 + 20^2/50) = 4*... exact: 4.0
+    val ok = AuditOps.srmReport(mk(40, 60), col("v"), exp).collect().head
+    assert(ok.getLong(0) == 100 && ok.getLong(2) == 1L)
+    assert(ok.getDouble(3) == 4.0, ok.toString)
+    assert(!ok.getBoolean(5), "chi2 4 < strict crit ~11")
+    // 10/90 -> chi2 = 64 -> mismatch
+    val bad = AuditOps.srmReport(mk(10, 90), col("v"), exp).collect().head
+    assert(bad.getDouble(3) == 64.0 && bad.getBoolean(5), bad.toString)
+    // observed variant outside the design raises loudly
+    val err = intercept[Exception] {
+      AuditOps.srmReport(Seq("v0", "vX").toDF("v"), col("v"), exp).collect()
+    }
+    assert(err.getMessage != null)
+    intercept[IllegalArgumentException] {
+      AuditOps.srmReport(mk(1, 1), col("v"), Seq("v0" -> 0L, "v1" -> 1L))
+    }
+  }
+
   test("classificationReport: hand confusion counts; never-predicted and never-actual classes; F1 single-division form") {
     import spark.implicits._
     // actual->predicted: a->a x3, a->b x1, b->b x2, b->c x1, c never
