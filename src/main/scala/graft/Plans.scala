@@ -191,7 +191,10 @@ object Plans {
     "sim_qmc_vdc",
     // round 11 (cont. 19): one count agg to ≤|variants| rows, quantized
     // goodness-of-fit arithmetic on the bounded table
-    "aud_srm")
+    "aud_srm",
+    // round 11 (cont. 20): the same bounded contingency reduction;
+    // marginal products over ≤|classes| rows
+    "tx_langid_kappa")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1892,6 +1892,50 @@ object AuditOps {
       .orderBy("variant")
   }
 
+  /** COHEN'S KAPPA chance-corrected agreement between two labelings —
+    * the one-number companion to [[classificationReport]]: raw accuracy
+    * flatters any classifier on a skewed class mix (predict-the-
+    * majority scores 0.9 on a 90/10 corpus); κ = (p_o − p_e)/(1 − p_e)
+    * subtracts the agreement two INDEPENDENT labelers with the same
+    * marginals would reach by chance. The standard readout for
+    * classifier-vs-ground-truth, annotator-vs-annotator, and
+    * old-model-vs-new-model drift. Emits one row
+    * `(n, n_agree, po, pe, kappa)`.
+    *
+    * FP discipline: p_o = agree/n is ONE division of exact integers;
+    * p_e = Σ_c row_c·col_c / n² — the numerator is an exact
+    * DECIMAL(38,0) sum over the bounded class set, the denominator the
+    * exact integer n², one division; κ is two subtractions of
+    * engine-identical doubles and one final division — no products of
+    * doubles anywhere, nothing can FMA-contract. κ is NULL when
+    * p_e = 1 (both sides constant — agreement is vacuous, not perfect).
+    *
+    * Scale shape: one map-side-combined reduction to the (a, b)
+    * contingency table ([[independenceReport]]); marginals and the
+    * p_e sum are |classes|-bounded.
+    */
+  def kappaReport(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.kappaReport", aCol, bCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val m = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ra = m.groupBy("a").agg(sum("cnt").as("ra"))
+    val cb = m.groupBy(col("b").as("a")).agg(sum("cnt").as("cb"))
+    val pe = ra.join(cb, Seq("a"), "inner")
+      .agg(sum(col("ra").cast(dec) * col("cb")).as("penum"))
+    val tot = m.agg(sum("cnt").as("n"),
+      sum(when(col("a") === col("b"), col("cnt")).otherwise(0L)).as("agree"))
+    broadcast(tot).crossJoin(broadcast(pe))
+      .select(col("n"), col("agree").as("n_agree"),
+        (col("agree").cast("double") / col("n").cast("double")).as("po"),
+        (coalesce(col("penum"), lit(0L).cast(dec)).cast("double") /
+          (col("n").cast(dec) * col("n")).cast("double")).as("pe"))
+      .withColumn("kappa", when(col("pe") < 1.0,
+        (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
   /** SAMPLE-RATIO MISMATCH test — the first check on any experiment
     * dashboard, run BEFORE reading [[abTestReport]]: do the observed
     * variant counts match the intended allocation? A mismatched split

@@ -60,6 +60,13 @@ object TextQueries {
     "tx_langid_eval" -> ((s, d) =>
       AuditOps.classificationReport(
         TextOps.langPredictions(t(s, d, "documents")), "lang", "predicted")),
+    // Chance-corrected agreement of the same predictions: raw accuracy
+    // flatters a skewed class mix; kappa subtracts the marginal-chance
+    // agreement. No FP products anywhere — two subtractions, three
+    // divisions over exact integers.
+    "tx_langid_kappa" -> ((s, d) =>
+      AuditOps.kappaReport(
+        TextOps.langPredictions(t(s, d, "documents")), "lang", "predicted")),
     // MATTR lexical diversity (w=20): per-window distinct counts fold
     // into one exact-integer fraction per doc.
     "tx_mattr" -> ((s, d) =>
@@ -916,6 +923,40 @@ object TextQueries {
          |       ELSE 'fr' END AS predicted,
          |  COUNT(*) AS n_docs
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // kappa over the same prediction CTE: exact marginal products,
+    // p_o/p_e single divisions, the correction pure subtract/divide
+    "tx_langid_kappa" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    ${sqlMarkerCount(markers(0)._2)} AS c_en,
+         |    ${sqlMarkerCount(markers(1)._2)} AS c_de,
+         |    ${sqlMarkerCount(markers(2)._2)} AS c_es,
+         |    ${sqlMarkerCount(markers(3)._2)} AS c_fr
+         |  FROM documents),
+         |pr AS (SELECT lang AS a,
+         |  CASE WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+         |       WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es'
+         |       ELSE 'fr' END AS b
+         |  FROM h WHERE lang IS NOT NULL),
+         |m AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM pr GROUP BY a, b),
+         |ra AS (SELECT a, CAST(SUM(cnt) AS BIGINT) AS ra FROM m GROUP BY a),
+         |cb AS (SELECT b AS a, CAST(SUM(cnt) AS BIGINT) AS cb
+         |  FROM m GROUP BY b),
+         |pe AS (SELECT CAST(SUM(CAST(ra.ra AS HUGEINT) * cb.cb) AS HUGEINT)
+         |    AS penum FROM ra JOIN cb USING (a)),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS agree FROM m),
+         |x AS (SELECT t.n, t.agree AS n_agree,
+         |    CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
+         |    CAST(COALESCE(pe.penum, 0) AS DOUBLE)
+         |      / CAST(CAST(t.n AS HUGEINT) * t.n AS DOUBLE) AS pe
+         |  FROM t, pe)
+         |SELECT n, n_agree, po, pe,
+         |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+         |FROM x""".stripMargin,
     // per-class eval over the same per-doc prediction CTE: exact
     // confusion sums over the bounded matrix, single-division F1
     "tx_langid_eval" ->

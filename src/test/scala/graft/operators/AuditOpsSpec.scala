@@ -931,6 +931,27 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("kappaReport: textbook 2x2 kappa; perfect agreement; constant-labeler NULL") {
+    import spark.implicits._
+    // classic example: a/a 20, a/b 5, b/a 10, b/b 15 -> po=0.7,
+    // pe = (25*30 + 25*20)/50^2 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = AuditOps.kappaReport(rows.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getLong(0) == 50 && r.getLong(1) == 35)
+    assert(r.getDouble(2) == 0.7 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == (0.7 - 0.5) / 0.5, r.toString)
+    // perfect agreement on a varied mix -> kappa 1.0
+    val p = AuditOps.kappaReport(
+      Seq(("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(p.getDouble(4) == 1.0)
+    // both sides constant -> pe = 1 -> kappa NULL (vacuous, not perfect)
+    val c = AuditOps.kappaReport(
+      Seq(("a", "a"), ("a", "a")).toDF("x", "y"), "x", "y").collect().head
+    assert(c.getDouble(3) == 1.0 && c.isNullAt(4), c.toString)
+  }
+
   test("srmReport: hand chi-square at 1:1; balanced vs broken splits; off-design variant fails loudly") {
     import spark.implicits._
     def mk(a: Int, b: Int) =
