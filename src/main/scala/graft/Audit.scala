@@ -163,6 +163,34 @@ object Audit {
           s""""z":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
           s""""significant":${r.getBoolean(5)}}""")
       }
+    // the experiment panel (r11): SRM first — a broken split invalidates
+    // every readout below it — then the design MDE, the equivalence
+    // verdict, and the resampled uncertainty envelope
+    val variant = concat(lit("v"), pmod(col("user_id"), lit(3)))
+    val purchased = col("event_type") === "purchase"
+    val srm = AuditOps.srmReport(ev, variant,
+      Seq("v0" -> 1L, "v1" -> 1L, "v2" -> 1L)).collect()(0)
+    println(s"""{"detector":"srm","n":${srm.getLong(0)},""" +
+      s""""chi2":${srm.getDouble(3)},"mismatch":${srm.getBoolean(5)}}""")
+    AuditOps.mdeReport(ev, variant, purchased, "v0")
+      .filter(col("variant") =!= "v0").collect().foreach { r =>
+        println(s"""{"detector":"mde","variant":"${r.getString(0)}",""" +
+          s""""n":${r.getLong(1)},"rate":${r.getDouble(3)},""" +
+          s""""mde_abs":${if (r.isNullAt(5)) "null" else r.getDouble(5)}}""")
+      }
+    AuditOps.tostReport(ev, variant, purchased, "v0", margin = 0.02)
+      .filter(col("variant") =!= "v0").collect().foreach { r =>
+        println(s"""{"detector":"tost","variant":"${r.getString(0)}",""" +
+          s""""diff":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
+          s""""equivalent":${r.getBoolean(8)}}""")
+      }
+    AuditOps.bootstrapCiReport(ev, "event_type", "event_id", "value")
+      .collect().foreach { r =>
+        println(s"""{"detector":"bootstrap","group":"${r.getString(0)}",""" +
+          s""""mean":${r.getDouble(2)},""" +
+          s""""ci_lo":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
+          s""""ci_hi":${if (r.isNullAt(5)) "null" else r.getDouble(5)}}""")
+      }
     // targeting curve: decile cumulative gains/lift of the same pair —
     // the whole curve next to the AUC's one number (r9)
     AuditOps.gainsReport(ev, floor(col("value")), col("event_type") === "error")
@@ -237,6 +265,13 @@ object Audit {
     println(s"""{"detector":"gini","categories":${gini.getLong(0)},""" +
       s""""rows":${gini.getLong(1)},"gini":${
         if (gini.isNullAt(2)) "null" else gini.getDouble(2)}}""")
+    // collection-bias check: is language independent of source? (r11 —
+    // the cross-margin question the per-source drift rows can't answer)
+    val ind = AuditOps.independenceReport(docs, "lang", "source").collect()(0)
+    println(s"""{"detector":"chisq_indep","n":${ind.getLong(0)},""" +
+      s""""chi2":${ind.getDouble(4)},""" +
+      s""""cramers_v":${if (ind.isNullAt(6)) "null" else ind.getDouble(6)},""" +
+      s""""dependent":${ind.getBoolean(7)}}""")
 
     val failed = dq.count(_.getLong(6) == 0L)
     println(s"""{"audit":"done","checks":${dq.length},"failed":$failed}""")
