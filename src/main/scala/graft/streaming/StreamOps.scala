@@ -1200,6 +1200,94 @@ object StreamOps {
       }
   }
 
+  /** STREAMING sample-ratio-mismatch monitor — the windowed twin of
+    * [[graft.operators.AuditOps.srmReport]], and the row to read BEFORE
+    * [[abTestStream]]'s: a live experiment whose split breaks mid-flight
+    * (a deploy that re-buckets, a bot filter biased to one arm) shows up
+    * here within one window, long before the outcome metrics drift.
+    * Per event-time tumbling window the per-variant exposure counts are
+    * held as state (≤\|variants\| longs per open window); when the
+    * watermark closes the window, ONE row ships:
+    * `(win, n, n_variants, dof, chi2, crit, mismatch, off_design)` in
+    * the batch op's exact arithmetic — quantized BigInt floor-division
+    * χ² terms and the round(·,12)-pinned strict (α=0.001) critical
+    * value — so a closed window's verdict is bit-identical to running
+    * [[graft.operators.AuditOps.srmReport]] over the same landed slice
+    * (the spec pins the twin equality). The batch op FAILS LOUDLY on an
+    * off-design variant; a stream must not die mid-query, so here
+    * off-design exposures are counted in `off_design`, excluded from
+    * χ², and force `mismatch = true` (an unknown arm IS a mismatch).
+    *
+    * State GC: event-time timeout at window end (the [[abTestStream]]
+    * discipline, same ceil/clamp boundary handling) — total state is
+    * open-windows × variants, independent of stream length.
+    */
+  def srmStream(events: DataFrame, variantCol: Column,
+      expected: Seq[(String, Long)], windowUs: Long = 86400000000L)
+      : Dataset[(Long, Long, Long, Long, Double, Option[Double],
+        Boolean, Long)] = {
+    import events.sparkSession.implicits._
+    require(expected.nonEmpty && expected.forall(_._2 > 0),
+      "srmStream: expected weights must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "srmStream: duplicate variant in expected")
+    require(windowUs >= 1L, s"windowUs >= 1, got $windowUs")
+    val weights = expected.toMap
+    val bigW = expected.map(_._2).sum
+    val q = 1000000000L
+    val typed = events
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", "0 seconds")
+      .filter(variantCol.isNotNull)
+      .select(call_function("div", unix_micros(col("etime")), lit(windowUs))
+          .as("win"),
+        variantCol.cast("string").as("variant"), col("etime"))
+      .as[(Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+        (Long, Long, Long, Long, Double, Option[Double], Boolean, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val (inDesign, off) = counts.partition(kv => weights.contains(kv._1))
+            val offN = off.values.sum
+            val n = inDesign.values.sum
+            val nVariants = inDesign.size.toLong
+            val dof = nVariants - 1L
+            // the batch op's quantized floor-division terms, verbatim
+            val tq = inDesign.foldLeft(BigInt(0)) { case (acc, (v, o)) =>
+              val w = weights(v)
+              val d = BigInt(bigW) * o - BigInt(n) * w
+              acc + (d * d * q) / (BigInt(bigW) * n * w)
+            }
+            val chi2 = tq.toDouble / 1.0e9
+            val crit = if (dof > 0) {
+              val cc = BigDecimal(
+                (1.0 - 2.0 / (9.0 * dof)) + 3.090 * math.sqrt(2.0 / (9.0 * dof)))
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Some(dof.toDouble * (cc * cc * cc))
+            } else None
+            val mismatch = offN > 0 || crit.exists(chi2 >= _)
+            Iterator.single((win, n, nVariants, dof, chi2, crit, mismatch, offN))
+          } else if (((win + 1L) * windowUs + 999L) / 1000L
+              < state.getCurrentWatermarkMs()) {
+            Iterator.empty
+          } else {
+            val m = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              (acc, r) => acc.updated(r._2, acc.getOrElse(r._2, 0L) + 1L)
+            }
+            state.update(m)
+            state.setTimeoutTimestamp(math.max(((win + 1L) * windowUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
 
   /** STREAMING categorical drift monitor — the windowed twin of
     * [[graft.operators.AuditOps.categoricalDrift]]: per event-time

@@ -797,6 +797,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("srmStream: a closed window's verdict equals the batch srmReport bit-for-bit; off-design arm forces mismatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.srmStream(input.toDF().toDF("ts", "variant"),
+        col("variant"), Seq("v0" -> 1L, "v1" -> 1L))
+      .toDF("win", "n", "n_variants", "dof", "chi2", "crit", "mismatch",
+        "off_design")
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode("append").start()
+    try {
+      // day 0: the AuditOpsSpec 10/90 broken split; day 1: a 2/2 clean
+      // split plus one off-design arm
+      input.addData((1 to 10).map(i => (ns(0.1 * i), "v0")) ++
+        (1 to 90).map(i => (ns(0.1 * i + 10), "v1")): _*)
+      input.addData((ns(25), "v0"), (ns(26), "v0"), (ns(27), "v1"),
+        (ns(28), "v1"), (ns(29), "vX"))
+      q.processAllAvailable()
+      input.addData((ns(49), "v0")); q.processAllAvailable()
+      input.addData((ns(50), "v0")); q.processAllAvailable()
+      val rows = spark.table("srm_out").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val day0 = rows(0L)
+      val batch = graft.operators.AuditOps.srmReport(
+        ((1 to 10).map(_ => "v0") ++ (1 to 90).map(_ => "v1")).toDF("v"),
+        col("v"), Seq("v0" -> 1L, "v1" -> 1L)).collect().head
+      assert(day0.getLong(1) == batch.getLong(0) &&
+        day0.getDouble(4) == batch.getDouble(3) &&
+        day0.getDouble(5) == batch.getDouble(4) &&
+        day0.getBoolean(6) == batch.getBoolean(5),
+        s"stream $day0 vs batch $batch")
+      assert(day0.getBoolean(6), "10/90 at 1:1 is a mismatch")
+      val day1 = rows(1L)
+      assert(day1.getLong(1) == 4 && day1.getLong(7) == 1 &&
+        day1.getBoolean(6), "off-design arm must force mismatch: " + day1)
+      assert(day1.getDouble(4) == 0.0, "in-design split is exactly even")
+    } finally q.stop()
+  }
+
   test("abTestStream/driftStream: late rows for a closed window are dropped, not fatal") {
     // flatMapGroupsWithState does NOT auto-drop late rows; without the
     // watermark guard a late event re-creates state for a closed window
