@@ -194,7 +194,10 @@ object Plans {
     "aud_srm",
     // round 11 (cont. 20): the same bounded contingency reduction;
     // marginal products over ≤|classes| rows
-    "tx_langid_kappa")
+    "tx_langid_kappa",
+    // round 11 (cont. 21): ADC ranking joined to exact truth on
+    // (query, vec) ids — the measurement loop for the quantized path
+    "knn_eval_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

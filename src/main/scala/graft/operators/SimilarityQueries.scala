@@ -203,6 +203,31 @@ object SimilarityQueries {
        |  WHERE q.vec_id < $N_QUERIES) x
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
 
+  // the former inline knn_pq oracle, lifted so knn_eval_pq can wrap it
+  private lazy val knnPqOracleSql: String = {
+    val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
+    s"""WITH $sqlPqSeeds,
+       |$chains,
+       |$sqlPqLuts,
+       |$sqlPqCodesCte,
+       |scored AS (SELECT l0.query_id, codes.vec_id,
+       |    round((((l0.p + l1.p) + l2.p) + l3.p) /
+       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+       |       sqrt((((l0.n2 + l1.n2) + l2.n2) + l3.n2))), 6) AS cos
+       |  FROM codes
+       |  JOIN lut0 l0 ON l0.cid = codes.c0
+       |  JOIN lut1 l1 ON l1.cid = codes.c1 AND l1.query_id = l0.query_id
+       |  JOIN lut2 l2 ON l2.cid = codes.c2 AND l2.query_id = l0.query_id
+       |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = l0.query_id
+       |  JOIN embeddings q ON q.vec_id = l0.query_id
+       |  WHERE codes.vec_id <> l0.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+  }
+
   private lazy val knnLshOracleSql: String = {
     val u = DeterministicRng.uniformSql("(777 + l.l*131)", "j.j", "0", "i.i")
     s"""WITH planes AS (
@@ -346,6 +371,17 @@ object SimilarityQueries {
       val e = t(s, d, "embeddings")
       SimilarityOps.annRecall(
         SimilarityOps.lshTopK(e, queriesOf(e), TOP_K),
+        SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K), TOP_K)
+        .orderBy("query_id")
+    }),
+
+    // Recall of the quantized (ADC) path vs exact truth — what one byte
+    // of codes costs in retrieval quality, measured per query; knn_eval
+    // covers the LSH path with the same frame.
+    "knn_eval_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.annRecall(
+        SimilarityOps.pqTopK(e, queriesOf(e), TOP_K),
         SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K), TOP_K)
         .orderBy("query_id")
     }),
@@ -892,29 +928,22 @@ object SimilarityQueries {
     // Full value oracle for ADC: per-(query, subspace) LUTs of partial
     // dot products / codeword norms, summed LEFT-ASSOCIATIVELY exactly as
     // the Spark expression, one division + round(·,6), same rank window.
-    "knn_pq" -> {
-      val chains = (0 until PQ_M).map(sqlPqChain).mkString(",\n")
-      s"""WITH $sqlPqSeeds,
-         |$chains,
-         |$sqlPqLuts,
-         |$sqlPqCodesCte,
-         |scored AS (SELECT l0.query_id, codes.vec_id,
-         |    round((((l0.p + l1.p) + l2.p) + l3.p) /
-         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-         |       sqrt((((l0.n2 + l1.n2) + l2.n2) + l3.n2))), 6) AS cos
-         |  FROM codes
-         |  JOIN lut0 l0 ON l0.cid = codes.c0
-         |  JOIN lut1 l1 ON l1.cid = codes.c1 AND l1.query_id = l0.query_id
-         |  JOIN lut2 l2 ON l2.cid = codes.c2 AND l2.query_id = l0.query_id
-         |  JOIN lut3 l3 ON l3.cid = codes.c3 AND l3.query_id = l0.query_id
-         |  JOIN embeddings q ON q.vec_id = l0.query_id
-         |  WHERE codes.vec_id <> l0.query_id)
-         |SELECT query_id, rank, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored) x
-         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
-    },
+    "knn_pq" -> knnPqOracleSql,
+
+    // PQ recall vs exact truth — the knn_eval hits/recall frame with the
+    // ADC ranking as the candidate side (completes the eval loop for the
+    // quantized path; knn_eval covers LSH)
+    "knn_eval_pq" ->
+      s"""WITH tru AS (SELECT * FROM ($knnBruteOracleSql) bx),
+         |res AS (SELECT * FROM ($knnPqOracleSql) px),
+         |hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+         |  FROM tru t JOIN res r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+         |  GROUP BY t.query_id),
+         |tt AS (SELECT query_id, COUNT(*) AS n_truth FROM tru GROUP BY query_id)
+         |SELECT tt.query_id AS query_id, COALESCE(h.n_hits, 0) AS n_hits, tt.n_truth,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tt.n_truth AS recall
+         |FROM tt LEFT JOIN hits h ON h.query_id = tt.query_id
+         |ORDER BY tt.query_id""".stripMargin,
 
     // Full value oracle for IVFADC: the knn_ivf probe/assign CTEs feed a
     // candidate set; the knn_pq LUT scoring runs over candidates only.

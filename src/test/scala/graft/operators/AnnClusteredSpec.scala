@@ -543,6 +543,36 @@ class AnnClusteredSpec extends SparkTestBase {
     semPairs.foreach { case (a, b) => assert(asg(a) == asg(b), s"cross-cluster pair ($a,$b)") }
   }
 
+  test("annRecall over the PQ path: frame equals an independent intersection; PQ misses rank order, never clusters") {
+    val e = corpusDf.select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pq = SimilarityOps.pqTopK(e, qs, 5)
+    val tru = SimilarityOps.bruteTopK(e, qs, 5)
+    val rec = SimilarityOps.annRecall(pq, tru, 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rec.size == 4)
+    // independent expectation: per-query intersection of the two rankings
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pairs(pq).intersect(pairs(tru))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rec.foreach { case (q, r) =>
+      assert(r.getLong(2) == 5L, s"truth must have k rows: $r")
+      assert(r.getLong(1) == hits.getOrElse(q, 0L),
+        s"annRecall hits must equal the independent intersection: $r")
+      assert(r.getDouble(3) == r.getLong(1).toDouble / 5.0)
+    }
+    // PQ's documented trade on tight clusters: within-cluster order may
+    // collapse (recall@k can be low) but retrieval NEVER crosses clusters
+    val byCluster = corpusDf.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs(pq).foreach { case (q, v) =>
+      assert(byCluster(q) == byCluster(v), s"cross-cluster PQ hit ($q,$v)")
+    }
+  }
+
   test("oodReport: hand-computed cosines vs the decimal-pinned label centroid; threshold split; singleton label") {
     import spark.implicits._
     def r6(x: Double) =
