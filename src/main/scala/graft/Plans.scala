@@ -197,7 +197,10 @@ object Plans {
     "tx_langid_kappa",
     // round 11 (cont. 21): ADC ranking joined to exact truth on
     // (query, vec) ids — the measurement loop for the quantized path
-    "knn_eval_pq")
+    "knn_eval_pq",
+    // round 11 (cont. 22): the cusum plan — stats pass, one group
+    // exchange, per-partition sorted streaming fold
+    "aud_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -891,6 +891,84 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** EWMA control chart per group — the small-persistent-shift detector
+    * between [[cusumReport]] (fastest on sustained shifts past k) and
+    * [[anomalyReport]]'s point outliers (Roberts '59): the smoothed
+    * level z_t = λ·x_t + (1−λ)·z_{t−1} forgets old data geometrically,
+    * so a drift too small for the z-score screen and too slow to trip a
+    * point alarm accumulates in z and crosses the ±h band. λ = 1/`el`
+    * in the INTEGER-FLOOR form z_t = (x_t + (el−1)·z_{t−1}) floorDiv el
+    * seeded at the floor group mean — the whole recursion is exact
+    * integer arithmetic (the per-step floor loses < 1 value unit, a
+    * quantization the chart's h-band dwarfs), so it is bit-identical
+    * cross-engine AND cross-partitioning, the [[cusumReport]]
+    * discipline. Alarm when \|n·z_t − Σx\| > n·h (cross-multiplied — no
+    * division touches data). Emits per group:
+    * `(grp, n, n_alarms, first_alarm_id, final_ewma, max_dev)` with
+    * max_dev = max\|n·z−Σx\|/n as the ONE final division.
+    *
+    * Scale shape: one stats pass, then ONE group hash exchange + per-
+    * partition sorted streaming fold (groups sequence in parallel, the
+    * [[cusumReport]] plan — the true-recursion shape Catalyst can't
+    * express as a window). Values are expected nonnegative (floor
+    * division is floor in both engines for nonnegative operands; the
+    * gate quantizes a nonnegative metric).
+    */
+  def ewmaReport(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, valueCol: String, el: Long = 4L, h: Long = 20L): DataFrame = {
+    require(el >= 2 && h >= 1,
+      s"AuditOps.ewmaReport: need el >= 2 and h >= 1, got el=$el h=$h")
+    OpContract.requireCols(df, "AuditOps.ewmaReport",
+      groupCol, orderCol, idCol, valueCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(orderCol).cast("long").as("ord"), col(idCol).cast("long").as("id"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val stats = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val rows = base.join(broadcast(stats), Seq("grp"))
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "ord", "id")
+      .select(col("grp"), col("id"), col("x"), col("n"), col("s"))
+      .as[(String, Long, Long, Long, Long)]
+    val ll = el; val hh = h
+    val folded = rows.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Option[Long], Long, Long)]
+      var curGrp: String = null
+      var curN = 0L; var z = 0L; var maxDev = 0L; var alarms = 0L
+      var lastZ = 0L; var firstId: java.lang.Long = null
+      def flush(): Unit = if (curGrp != null)
+        out += ((curGrp, curN, alarms, Option(firstId).map(_.longValue),
+          lastZ, maxDev))
+      it.foreach { case (grp, id, x, n, s) =>
+        if (grp != curGrp) {
+          flush()
+          curGrp = grp; curN = n
+          z = Math.floorDiv(s, n); maxDev = 0L; alarms = 0L; firstId = null
+        }
+        z = Math.floorDiv(
+          Math.addExact(x, Math.multiplyExact(ll - 1L, z)), ll)
+        lastZ = z
+        val dev = Math.abs(Math.subtractExact(Math.multiplyExact(n, z), s))
+        maxDev = math.max(maxDev, dev)
+        if (dev > Math.multiplyExact(n, hh)) {
+          alarms += 1
+          if (firstId == null) firstId = id
+        }
+      }
+      flush()
+      out.iterator
+    }
+    folded.toDF("grp", "n", "n_alarms", "first_alarm_id", "final_z", "max_d")
+      .select(col("grp"), col("n"), col("n_alarms"), col("first_alarm_id"),
+        col("final_z").cast("double").as("final_ewma"),
+        (col("max_d").cast("double") / col("n").cast("double")).as("max_dev"))
+      .orderBy("grp")
+  }
+
   /** Wald–Wolfowitz RUNS test per group — the randomness-of-sequence
     * audit next to [[cusumReport]]'s drift detector: binarize each value
     * against its group MEAN (exact cross-multiply n·x > Σx — no

@@ -58,6 +58,14 @@ object AuditQueries {
       AuditOps.cusumReport(t(s, d, "events"), "event_type", "ts", "event_id",
         "value", k = 30L, h = 150L)),
 
+    // EWMA control chart per event type: the small-persistent-shift
+    // detector between CUSUM and the point-outlier screen; integer-floor
+    // recursion (lambda = 1/4) seeded at the floor mean, cross-multiplied
+    // +-20 band.
+    "aud_ewma" -> ((s, d) =>
+      AuditOps.ewmaReport(t(s, d, "events"), "event_type", "ts", "event_id",
+        "value", el = 4L, h = 20L)),
+
     // Wald–Wolfowitz runs test per event type: too few runs = stuck
     // metric, too many = oscillation — the sequence-randomness audit
     // the point/drift detectors can't see.
@@ -517,6 +525,37 @@ object AuditQueries {
         |    AS first_alarm_id,
         |  CAST(MAX(tp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_up,
         |  CAST(MAX(tn) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_down
+        |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // EWMA: the cusum recursive-CTE frame with the integer-floor
+    // smoothing step (HUGEINT // is floor for nonnegative operands,
+    // identical to the fold's Math.floorDiv)
+    "aud_ewma" ->
+      """WITH RECURSIVE b AS (SELECT event_type AS grp, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s FROM b GROUP BY grp),
+        |r AS (SELECT b.grp, b.event_id, st.n, st.s,
+        |    CAST(b.x AS HUGEINT) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY b.grp ORDER BY b.ts, b.event_id)
+        |      AS rn
+        |  FROM b JOIN st ON st.grp = b.grp),
+        |f(grp, rn, z) AS (
+        |  SELECT grp, CAST(0 AS BIGINT), s // n FROM st
+        |  UNION ALL
+        |  SELECT r.grp, r.rn, (r.x + 3 * f.z) // 4
+        |  FROM f JOIN r ON r.grp = f.grp AND r.rn = f.rn + 1),
+        |al AS (SELECT f.grp, f.rn, f.z, r.event_id, r.n,
+        |    CASE WHEN abs(r.n * f.z - r.s) > r.n * 20 THEN 1 ELSE 0 END
+        |      AS alarm,
+        |    abs(r.n * f.z - r.s) AS dev
+        |  FROM f JOIN r ON r.grp = f.grp AND r.rn = f.rn)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(alarm) AS BIGINT) AS n_alarms,
+        |  arg_min(event_id, rn) FILTER (WHERE alarm = 1) AS first_alarm_id,
+        |  CAST(arg_max(z, rn) AS DOUBLE) AS final_ewma,
+        |  CAST(MAX(dev) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_dev
         |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
 
     // runs test: mean-side flags by exact cross-multiply, one lag +

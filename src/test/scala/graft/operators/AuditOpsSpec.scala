@@ -931,6 +931,27 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("ewmaReport: hand-folded integer-floor recursion, alarm band, determinism") {
+    import spark.implicits._
+    // x = [10,10,10,50,50]: seed 26, z = 22,19,16,24,30;
+    // dev = 20,35,50,10,20; h=6 -> n*h=30 -> alarms at rows 2,3
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 50.0), (5L, 50.0))
+      .map { case (i, v) => ("g", i, i, v) }
+      .toDF("grp0", "ord0", "id0", "v")
+    val r = AuditOps.ewmaReport(df, "grp0", "ord0", "id0", "v",
+      el = 4L, h = 6L).collect().head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 2, r.toString)
+    assert(r.getLong(3) == 2L, "first alarm at the second row")
+    assert(r.getDouble(4) == 30.0 && r.getDouble(5) == 10.0, r.toString)
+    // determinism across partitionings (the fold re-sorts per group)
+    val again = AuditOps.ewmaReport(df.repartition(5), "grp0", "ord0",
+      "id0", "v", el = 4L, h = 6L).collect().head
+    assert(again.toString == r.toString)
+    intercept[IllegalArgumentException] {
+      AuditOps.ewmaReport(df, "grp0", "ord0", "id0", "v", el = 1L, h = 6L)
+    }
+  }
+
   test("kappaReport: textbook 2x2 kappa; perfect agreement; constant-labeler NULL") {
     import spark.implicits._
     // classic example: a/a 20, a/b 5, b/a 10, b/b 15 -> po=0.7,
