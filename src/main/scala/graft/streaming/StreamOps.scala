@@ -534,6 +534,44 @@ object StreamOps {
       }
   }
 
+  /** STREAMING EWMA control chart — the stateful twin of
+    * [[graft.operators.AuditOps.ewmaReport]] (the [[cusumStream]]
+    * pattern): per group the state is ONE long (the current smoothed
+    * level z, seeded at the caller's baseline `mu` — the batch op seeds
+    * at the floor group mean, which a stream cannot know up-front, so
+    * the baseline is explicit model state exactly like [[cusumStream]]'s
+    * mu); each arriving row advances the integer-floor recursion
+    * z ← (x + (el−1)·z) floorDiv el and emits `(grp, id, x, z, dev)`
+    * when \|z − mu\| > h. Rows inside a micro-batch process in
+    * (ord, id) order, so on an ordered feed the alarm sequence equals
+    * the batch fold run with the same seed — including recursions that
+    * straddle micro-batch boundaries, which the carried z stitches (the
+    * spec splits the feed mid-group and pins equality). State: one long
+    * per group, bounded forever.
+    */
+  def ewmaStream(rows: Dataset[AnomRow], mu: Long, el: Long = 4L,
+      h: Long = 20L): Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(el >= 2 && h >= 1, s"ewmaStream needs el >= 2 and h >= 1, got el=$el h=$h")
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[AnomRow], state: GroupState[Long]) =>
+          var z = state.getOption.getOrElse(mu)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          it.toSeq.sortBy(r => (r.ord, r.id)).foreach { r =>
+            z = Math.floorDiv(
+              Math.addExact(r.x, Math.multiplyExact(el - 1L, z)), el)
+            val dev = Math.abs(Math.subtractExact(z, mu))
+            if (dev > h) out += ((grp, r.id, r.x, z, dev))
+          }
+          state.update(z)
+          out.iterator
+      }
+  }
+
   /** State for [[transitionsStream]]: the user's last-seen event — one
     * small row per user, bounded forever. */
   final case class LastEvent(ord: Long, id: Long, tpe: String)

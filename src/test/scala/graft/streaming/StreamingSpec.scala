@@ -288,6 +288,42 @@ class StreamingSpec extends SparkTestBase {
     assert(split == single, s"split $split vs single $single")
   }
 
+  test("ewmaStream: alarm sequence equals the batch fold across a mid-series split; baseline-seeded twin equality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ewmaReport spec's series: x = 10,10,10,50,50; seed mu=26 (the
+    // batch floor mean), el=4, h=6 -> z = 22,19,16,24,30;
+    // dev = |z-26| = 4,7,10,2,4 -> alarms at rows 2 (dev 7), 3 (dev 10)
+    val rows = Seq(10L, 10L, 10L, 50L, 50L).zipWithIndex.map { case (x, i) =>
+      StreamOps.AnomRow("g", i + 1L, i + 1L, x)
+    }
+    def run(batches: Seq[Seq[StreamOps.AnomRow]], name: String) = {
+      val input = MemoryStream[StreamOps.AnomRow]
+      val q = StreamOps.ewmaStream(input.toDS(), mu = 26L, el = 4L, h = 6L)
+        .toDF("grp", "id", "x", "z", "dev")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      } finally q.stop()
+    }
+    val single = run(Seq(rows), "ewma_one")
+    assert(single == Set((2L, 19L, 7L), (3L, 16L, 10L)), single.toString)
+    // the carried z stitches a mid-series split
+    val split = run(Seq(rows.take(2), rows.drop(2)), "ewma_two")
+    assert(split == single, s"split $split vs single $single")
+    // twin check: same alarm rows the batch ewmaReport counts (n_alarms 2,
+    // first at id 2) when its seed equals this baseline
+    val batch = graft.operators.AuditOps.ewmaReport(
+      rows.map(r => ("g", r.ord, r.id, r.x.toDouble))
+        .toDF("grp0", "ord0", "id0", "v"), "grp0", "ord0", "id0", "v",
+      el = 4L, h = 6L).collect().head
+    assert(batch.getLong(2) == single.size.toLong &&
+      batch.getLong(3) == single.map(_._1).min, batch.toString)
+  }
+
   test("transitionsStream: edge multiset equals batch transitions across a mid-user split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
