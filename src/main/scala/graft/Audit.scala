@@ -163,6 +163,14 @@ object Audit {
           s""""z":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
           s""""significant":${r.getBoolean(5)}}""")
       }
+    // EWMA chart next to the CUSUM rows: the small-persistent-shift
+    // detector (r11)
+    AuditOps.ewmaReport(ev, "event_type", "ts", "event_id", "value",
+        el = 4L, h = 20L).collect().foreach { r =>
+      println(s"""{"detector":"ewma","group":"${r.getString(0)}",""" +
+        s""""n":${r.getLong(1)},"n_alarms":${r.getLong(2)},""" +
+        s""""max_dev":${r.getDouble(5)}}""")
+    }
     // the experiment panel (r11): SRM first — a broken split invalidates
     // every readout below it — then the design MDE, the equivalence
     // verdict, and the resampled uncertainty envelope

@@ -64,7 +64,13 @@ class DeterminismSpec extends SparkTestBase {
     "tx_readability",       // pooled regex counts + FMA-pinned tail
     "tx_code_detect",       // cross-multiply flag + one division
     "ev_hazard",            // censored risk-set cumulative
-    "emb_ood")              // decimal centroid + round-6 cosine mean
+    "emb_ood",              // decimal centroid + round-6 cosine mean
+    "aud_srm",              // quantized goodness-of-fit terms
+    "aud_mde",              // two-division se² + power multiply
+    "tx_langid_kappa",      // marginal products + chance correction
+    "aud_ewma",             // integer-floor recursion fold
+    "knn_eval_pq",          // ADC ranking ∩ exact truth
+    "sim_qmc_vdc")          // bit-reversal net + exact square sum
 
   test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
