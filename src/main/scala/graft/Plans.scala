@@ -200,7 +200,10 @@ object Plans {
     "knn_eval_pq",
     // round 11 (cont. 22): the cusum plan — stats pass, one group
     // exchange, per-partition sorted streaming fold
-    "aud_ewma")
+    "aud_ewma",
+    // round 11 (cont. 23): the retention reduction + bounded cohort ×
+    // offset windows
+    "ev_ltv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -468,6 +468,55 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** COHORT LTV CURVE — [[cohortRetention]] with money: per (cohort
+    * week, week offset), the active-user count AND the exact revenue
+    * those users generated that week, plus the running cumulative
+    * LTV-per-cohort-user — the curve a payback-period decision reads
+    * ("week-N revenue per user acquired in week W"). Emits
+    * `(cohort_week, week_offset, n_users, revenue, cum_revenue,
+    * cum_ltv_per_user)` where the cohort size (offset-0 user count)
+    * divides the cumulative ONCE.
+    *
+    * Exactness: revenue quantizes each value ONCE to DECIMAL(28,6)
+    * ([[rfmReport]]'s order-independent accumulation); the cumulative
+    * runs over the bounded (cohort × offset) table; both emitted
+    * doubles are single divisions/casts of exact decimals.
+    *
+    * Scale shape: events reduce to (user, week, decimal revenue)
+    * map-side, the cohort tag is one per-user min window over the
+    * reduced set, and everything after is ≤\|cohorts × offsets\| rows —
+    * the [[cohortRetention]] plan with one extra decimal column.
+    */
+  def cohortLtv(events: DataFrame, tsUs: org.apache.spark.sql.Column,
+      valueCol: String): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.cohortLtv",
+      "user_id", valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val uw = e.select(col("user_id"),
+        call_function("div", tsUs, lit(WeekUs)).as("week"),
+        coalesce(col(valueCol), lit(0.0)).cast(dec).as("v"))
+      .groupBy("user_id", "week").agg(sum(col("v")).as("v"))
+    val tagged = uw.withColumn("cohort_week",
+      min(col("week")).over(Window.partitionBy("user_id")))
+    val cells = tagged
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("v")).as("rev"))
+    val wcum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wsize = Window.partitionBy("cohort_week")
+      .orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(wcum))
+      .withColumn("cohort_size", first(col("n_users")).over(wsize))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("rev").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        (col("cum_rev").cast("double") / col("cohort_size").cast("double"))
+          .as("cum_ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** GROWTH ACCOUNTING per week — the new/retained/resurrected/churned
     * decomposition (the "quick ratio" inputs) every DAU/WAU dashboard is
     * built from: over the distinct (user, week) presence set (the

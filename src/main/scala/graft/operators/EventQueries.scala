@@ -156,6 +156,13 @@ object EventQueries {
           call_function("div", col("ts").cast("long"), lit(1000L)))
         .orderBy("cohort_week", "week_offset")),
 
+    // Cohort LTV curve: the retention frame with exact DECIMAL(28,6)
+    // revenue; cumulative over the bounded cohort x offset table,
+    // per-user LTV one division by the offset-0 cohort size.
+    "ev_ltv" -> ((s, d) =>
+      EventOps.cohortLtv(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)), "value")),
+
     // Growth accounting over the same (user, week) presence set:
     // new/retained/resurrected by previous presence, churn charged to
     // the following week and capped at the observation horizon.
@@ -353,6 +360,32 @@ object EventQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Retention: DISTINCT (user, week) first, so COUNT(*) is the
+    // LTV: the retention CTE with exact decimal revenue; cumulative and
+    // cohort-size windows over the bounded cohort x offset table
+    "ev_ltv" ->
+      """WITH uw AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+        |    SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(28, 6))) AS v
+        |  FROM events GROUP BY user_id, week),
+        |c AS (SELECT user_id, week, v,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw),
+        |cells AS (SELECT cohort_week, week - cohort_week AS week_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users, SUM(v) AS rev
+        |  FROM c GROUP BY 1, 2),
+        |x AS (SELECT cohort_week, week_offset, n_users, rev,
+        |    SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+        |    first_value(n_users) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      UNBOUNDED FOLLOWING) AS cohort_size
+        |  FROM cells)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset, n_users,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(cum_rev AS DOUBLE) AS cum_revenue,
+        |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+        |    AS cum_ltv_per_user
+        |FROM x ORDER BY cohort_week, week_offset""".stripMargin,
+
     // growth accounting: LAG/LEAD over the distinct (user, week) set,
     // churn contributions unioned at week+1, horizon-capped
     "ev_lifecycle" ->

@@ -432,6 +432,23 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("cohortLtv: hand-computed cohort cells, cumulative per-user curve, null revenue coalesced") {
+    import spark.implicits._
+    val wk = 604800000000L
+    val e = Seq(
+      (1L, 0L, Some(10.5)), (1L, 1L, Some(2.25)), (2L, 0L, Some(1.0)),
+      (2L, 0L, None), (3L, 1L, Some(4.0)))
+      .map { case (u, w, v) => (u, w * wk + 9L, v) }
+      .toDF("user_id", "us", "value")
+    val out = EventOps.cohortLtv(e, col("us"), "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 11.5, 11.5, 5.75),
+      (0L, 1L, 1L, 2.25, 13.75, 6.875),
+      (1L, 0L, 1L, 4.0, 4.0, 4.0)), out.toSeq)
+  }
+
   test("heapsFit: exact-line sources recover beta=0.5, log2_k=0") {
     import spark.implicits._
     // (tt, vt) = (4,2), (16,4), (64,8): log2 points (2,1),(4,2),(6,3)
