@@ -203,7 +203,10 @@ object Plans {
     "aud_ewma",
     // round 11 (cont. 23): the retention reduction + bounded cohort ×
     // offset windows
-    "ev_ltv")
+    "ev_ltv",
+    // round 11 (cont. 24): one moment agg to ≤k rows, k-bounded
+    // quantized arithmetic
+    "aud_anova")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

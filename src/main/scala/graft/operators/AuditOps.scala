@@ -891,6 +891,64 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** ONE-WAY ANOVA across groups — the k-group parametric question the
+    * pairwise family can't pose in one test ([[abTestReport]] is
+    * two-proportion, [[mannWhitneyReport]] two-sample): does the
+    * quantized metric's MEAN differ across event types / sources /
+    * shards at all? Emits one row
+    * `(k, n, ss_between, ss_within, f_stat, eta2)` — the F statistic
+    * for significance lookup and η² = SSB/(SSB+SSW) as the effect size
+    * (how much of the variance the grouping explains).
+    *
+    * FP discipline (the [[independenceReport]] quantization): from the
+    * exact per-group moments (n_g, Σx, Σx²), each mean-square term
+    * (Σx_g)²·10⁶ div n_g is an integer FLOOR division — bit-identical
+    * cross-engine — so SSB_q = Σt_g − T_q and SSW_q = 10⁶·Σx² − Σt_g
+    * are exact integers (clamped at 0: the per-term floors can push a
+    * true-zero sum a few quanta negative); F = (SSB_q·(n−k)) /
+    * (SSW_q·(k−1)) and η² = SSB_q/(SSB_q+SSW_q) are each ONE division
+    * of exact integers, and the reported sums of squares divide once by
+    * 10⁶. F is NULL when SSW_q = 0 or dof degenerate. Width bound: each
+    * quantized term is ~n_g·mean²·10⁶ and must fit the engines' 64-bit
+    * division result — fine to ~10⁹ rows/group at 3-digit means;
+    * pre-aggregate daily first beyond that (the detector family's
+    * standing advice).
+    *
+    * Scale shape: ONE map-side-combined moment aggregation to ≤k rows;
+    * everything after is k-bounded arithmetic.
+    */
+  def anovaReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.anovaReport", groupCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = 1000000L
+    val g = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        floor(col(valueCol)).cast("long").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("ng"), sum(col("x").cast(dec)).as("sg"),
+        sum((col("x").cast(dec) * col("x"))).as("qg"))
+    val agg = g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").cast(dec).as("s"), sum("qg").cast(dec).as("qq"),
+        sum(call_function("div", col("sg") * col("sg") * lit(q),
+          col("ng").cast(dec))).cast(dec).as("tsum"))
+      .withColumn("tq", call_function("div", col("s") * col("s") * lit(q),
+        col("n").cast(dec)))
+      .withColumn("ssb", greatest(lit(0L).cast(dec),
+        (col("tsum") - col("tq")).cast(dec)))
+      .withColumn("ssw", greatest(lit(0L).cast(dec),
+        (col("qq") * lit(q) - col("tsum")).cast(dec)))
+    agg.select(col("k"), col("n"),
+      (col("ssb").cast("double") / lit(q).cast("double")).as("ss_between"),
+      (col("ssw").cast("double") / lit(q).cast("double")).as("ss_within"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+        (col("ssb") * (col("n") - col("k")).cast(dec)).cast("double") /
+          (col("ssw") * (col("k") - 1).cast(dec)).cast("double"))
+        .as("f_stat"),
+      when(col("ssb") + col("ssw") > 0,
+        col("ssb").cast("double") / (col("ssb") + col("ssw")).cast("double"))
+        .as("eta2"))
+  }
+
   /** EWMA control chart per group — the small-persistent-shift detector
     * between [[cusumReport]] (fastest on sustained shifts past k) and
     * [[anomalyReport]]'s point outliers (Roberts '59): the smoothed

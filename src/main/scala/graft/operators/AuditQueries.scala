@@ -58,6 +58,12 @@ object AuditQueries {
       AuditOps.cusumReport(t(s, d, "events"), "event_type", "ts", "event_id",
         "value", k = 30L, h = 150L)),
 
+    // One-way ANOVA of the quantized value across event types: F and
+    // eta^2 from quantized floor-division sums of squares — the k-group
+    // question the pairwise tests can't pose in one shot.
+    "aud_anova" -> ((s, d) =>
+      AuditOps.anovaReport(t(s, d, "events"), "event_type", "value")),
+
     // EWMA control chart per event type: the small-persistent-shift
     // detector between CUSUM and the point-outlier screen; integer-floor
     // recursion (lambda = 1/4) seeded at the floor mean, cross-multiplied
@@ -526,6 +532,36 @@ object AuditQueries {
         |  CAST(MAX(tp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_up,
         |  CAST(MAX(tn) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_down
         |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // ANOVA: exact HUGEINT moments, quantized floor-division mean-square
+    // terms, F and eta^2 each one division of exact integers
+    "aud_anova" ->
+      """WITH b AS (SELECT event_type AS grp,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS ng,
+        |    CAST(SUM(x) AS HUGEINT) AS sg,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+        |  FROM b GROUP BY grp),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS HUGEINT) AS s,
+        |    CAST(SUM(qg) AS HUGEINT) AS qq,
+        |    CAST(SUM((sg * sg * 1000000) // ng) AS HUGEINT) AS tsum
+        |  FROM g),
+        |x AS (SELECT k, n, tsum, qq,
+        |    (s * s * 1000000) // n AS tq FROM a),
+        |y AS (SELECT k, n,
+        |    GREATEST(CAST(0 AS HUGEINT), tsum - tq) AS ssb,
+        |    GREATEST(CAST(0 AS HUGEINT), qq * 1000000 - tsum) AS ssw
+        |  FROM x)
+        |SELECT k, n, CAST(ssb AS DOUBLE) / 1000000.0 AS ss_between,
+        |  CAST(ssw AS DOUBLE) / 1000000.0 AS ss_within,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        |    CAST(ssb * (n - k) AS DOUBLE) / CAST(ssw * (k - 1) AS DOUBLE)
+        |  END AS f_stat,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END AS eta2
+        |FROM y""".stripMargin,
 
     // EWMA: the cusum recursive-CTE frame with the integer-floor
     // smoothing step (HUGEINT // is floor for nonnegative operands,

@@ -931,6 +931,31 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("anovaReport: textbook two-group F and eta2; zero-within-variance and single-group guards") {
+    import spark.implicits._
+    // a=[1,1], b=[3,5]: SSB=9, SSW=2, F=(9*2)/(2*1)=9, eta2=9/11
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 5.0))
+      .toDF("grp0", "v")
+    val r = AuditOps.anovaReport(df, "grp0", "v").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 9.0 && r.getDouble(3) == 2.0, r.toString)
+    assert(r.getDouble(4) == 9.0 && r.getDouble(5) == 9.0 / 11.0, r.toString)
+    // all groups constant: SSW 0 -> F null, eta2 1
+    val c = AuditOps.anovaReport(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)).toDF("grp0", "v"),
+      "grp0", "v").collect().head
+    assert(c.isNullAt(4) && c.getDouble(5) == 1.0, c.toString)
+    // single group: F null
+    val one = AuditOps.anovaReport(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("grp0", "v"), "grp0", "v")
+      .collect().head
+    assert(one.getLong(0) == 1 && one.isNullAt(4))
+    // determinism across partitionings
+    val again = AuditOps.anovaReport(df.repartition(5), "grp0", "v")
+      .collect().head
+    assert(again.toString == r.toString)
+  }
+
   test("ewmaReport: hand-folded integer-floor recursion, alarm band, determinism") {
     import spark.implicits._
     // x = [10,10,10,50,50]: seed 26, z = 22,19,16,24,30;
