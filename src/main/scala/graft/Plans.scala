@@ -206,7 +206,10 @@ object Plans {
     "ev_ltv",
     // round 11 (cont. 24): one moment agg to ≤k rows, k-bounded
     // quantized arithmetic
-    "aud_anova")
+    "aud_anova",
+    // round 11 (cont. 25): (sample, value) counts, rank window over the
+    // bounded distinct-value table, k-bounded tail
+    "aud_kruskal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1396,6 +1396,74 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** KRUSKAL–WALLIS rank test across k samples — the nonparametric
+    * k-group cell completing the test matrix ([[abTestReport]] 2-group
+    * parametric, [[mannWhitneyReport]] 2-group nonparametric,
+    * [[anovaReport]] k-group parametric): does the quantized metric's
+    * DISTRIBUTION differ across event types at all, with no normality
+    * assumption. Tie-corrected H, one row out:
+    * `(k, n, h, crit, significant)` — H ~ χ²(k−1) under H0, the verdict
+    * via the runtime-dof Wilson–Hilferty value ([[independenceReport]]'s
+    * round(·,12) discipline).
+    *
+    * FP discipline: ranks come from the distinct-value count table —
+    * 2×rank of a value is the INTEGER 2·cum_prev + c + 1, so each
+    * sample's doubled rank sum R2_g is exact; the fraction tower
+    * collapses through two integer floor divisions (per-sample
+    * 3·R2_g² div n_g, then ·10⁶ div n(n+1)) — bit-identical
+    * cross-engine, error < k/10⁶ rank units — and the tie-corrected H
+    * is ONE division of exact integers. Width bound: Σ3·R2_g²/n_g ≈
+    * 12·n³/k must fit 64 bits — fine to ~10⁵·k^(1/3) million rows;
+    * pre-aggregate beyond (the [[anovaReport]] note).
+    *
+    * Scale shape: one (sample, value) count aggregation; the global
+    * rank window runs over the DISTINCT-VALUE table (bounded by the
+    * quantized metric's range, the [[ksReport]] argument), and the
+    * final arithmetic is k-bounded.
+    */
+  def kruskalReport(df: DataFrame, sampleCol: String, valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.kruskalReport", sampleCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = 1000000L
+    val base = df.filter(col(valueCol).isNotNull && col(sampleCol).isNotNull)
+      .select(col(sampleCol).cast("string").as("s"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val sx = base.groupBy("s", "x").agg(count(lit(1)).as("cgx"))
+    val cx = sx.groupBy("x").agg(sum(col("cgx")).as("c"))
+      .withColumn("cum_prev", coalesce(sum(col("c")).over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val perS = sx.join(cx, "x")
+      .groupBy("s")
+      .agg(sum(col("cgx")).as("ng"),
+        sum(col("cgx").cast(dec) *
+          (lit(2L) * col("cum_prev") + col("c") + 1L).cast(dec)).as("r2"))
+    val ties = cx.agg(
+      sum(col("c").cast(dec) * col("c") * col("c") - col("c")).cast(dec)
+        .as("tt"))
+    val agg = perS.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum(call_function("div", lit(3L) * col("r2") * col("r2"),
+          col("ng").cast(dec))).cast(dec).as("tsum"))
+      .crossJoin(broadcast(ties))
+      .withColumn("a", call_function("div", col("tsum") * lit(q),
+        (col("n").cast(dec) * (col("n") + 1L))))
+      .withColumn("hq", greatest(lit(0L).cast(dec),
+        (col("a").cast(dec) - lit(3L) * (col("n") + 1L).cast(dec) * lit(q))
+          .cast(dec)))
+      .withColumn("n3n",
+        (col("n").cast(dec) * col("n") * col("n") - col("n")).cast(dec))
+    val h = when(col("n3n") > col("tt"),
+      (col("hq") * col("n3n")).cast("double") /
+        ((col("n3n") - col("tt")) * lit(q)).cast("double"))
+    val dof = (col("k") - 1).cast("long")
+    val cc = round(
+      (lit(1.0) - lit(2.0) / (lit(9.0) * dof)) +
+        lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * dof)), 12)
+    val crit = when(dof > 0, dof * (cc * cc * cc))
+    agg.select(col("k"), col("n"), h.as("h"), crit.as("crit"),
+      coalesce(dof > 0 && h >= crit, lit(false)).as("significant"))
+  }
+
   /** Gini concentration of a categorical column — "how unbalanced is the
     * corpus across sources/languages/shards", the single number a mixture
     * rebalance ([[graft.operators.TextOps.mixtureWeights]]) is judged by:

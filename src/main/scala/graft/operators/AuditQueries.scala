@@ -64,6 +64,12 @@ object AuditQueries {
     "aud_anova" -> ((s, d) =>
       AuditOps.anovaReport(t(s, d, "events"), "event_type", "value")),
 
+    // Kruskal-Wallis: the nonparametric k-group cell completing the test
+    // matrix — integer doubled rank sums from the distinct-value table,
+    // tie-corrected H one division of exact integers.
+    "aud_kruskal" -> ((s, d) =>
+      AuditOps.kruskalReport(t(s, d, "events"), "event_type", "value")),
+
     // EWMA control chart per event type: the small-persistent-shift
     // detector between CUSUM and the point-outlier screen; integer-floor
     // recursion (lambda = 1/4) seeded at the floor mean, cross-multiplied
@@ -532,6 +538,41 @@ object AuditQueries {
         |  CAST(MAX(tp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_up,
         |  CAST(MAX(tn) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_down
         |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Kruskal-Wallis: the mannwhitney 2x-rank construction globalized,
+    // two floor divisions collapsing the fraction tower, tie-corrected
+    // H one exact division, runtime-dof Wilson-Hilferty verdict
+    "aud_kruskal" ->
+      """WITH b AS (SELECT event_type AS s, CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |sx AS (SELECT s, x, CAST(COUNT(*) AS BIGINT) AS cgx
+        |  FROM b GROUP BY s, x),
+        |cx AS (SELECT x, CAST(SUM(cgx) AS BIGINT) AS c FROM sx GROUP BY x),
+        |cx2 AS (SELECT x, c, COALESCE(CAST(SUM(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS cum_prev FROM cx),
+        |ps AS (SELECT s, CAST(SUM(cgx) AS HUGEINT) AS ng,
+        |    CAST(SUM(CAST(cgx AS HUGEINT) * (2*cum_prev + c + 1)) AS HUGEINT)
+        |      AS r2
+        |  FROM sx JOIN cx2 USING (x) GROUP BY s),
+        |tt AS (SELECT CAST(SUM(CAST(c AS HUGEINT)*c*c - c) AS HUGEINT) AS tt
+        |  FROM cx),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM((3*r2*r2) // ng) AS HUGEINT) AS tsum FROM ps),
+        |x2 AS (SELECT a.k, a.n, tt.tt,
+        |    (a.tsum * 1000000) // (CAST(a.n AS HUGEINT) * (a.n + 1)) AS aa,
+        |    CAST(a.n AS HUGEINT)*a.n*a.n - a.n AS n3n FROM a, tt),
+        |y AS (SELECT k, n, tt, n3n, GREATEST(CAST(0 AS HUGEINT),
+        |    aa - 3*(CAST(n AS HUGEINT)+1)*1000000) AS hq FROM x2),
+        |z AS (SELECT k, n, CASE WHEN n3n > tt THEN
+        |    CAST(hq * n3n AS DOUBLE) / CAST((n3n - tt) * 1000000 AS DOUBLE)
+        |  END AS h, k - 1 AS dof FROM y),
+        |w AS (SELECT *, round((1.0 - 2.0/(9.0*dof))
+        |    + 1.645*sqrt(2.0/(9.0*dof)), 12) AS cc FROM z)
+        |SELECT k, n, h, CASE WHEN dof > 0 THEN dof*(cc*cc*cc) END AS crit,
+        |  COALESCE(dof > 0 AND h >= dof*(cc*cc*cc), FALSE) AS significant
+        |FROM w""".stripMargin,
 
     // ANOVA: exact HUGEINT moments, quantized floor-division mean-square
     // terms, F and eta^2 each one division of exact integers

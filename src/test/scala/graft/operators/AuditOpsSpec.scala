@@ -931,6 +931,28 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("kruskalReport: textbook no-tie H; tie-corrected separated samples significant; all-equal guard") {
+    import spark.implicits._
+    // a=[1,2], b=[3,4]: no ties, H = 2.4 exactly through the integer chain
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("s0", "v")
+    val r = AuditOps.kruskalReport(df, "s0", "v").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.4, r.toString)
+    assert(!r.getBoolean(4), "H 2.4 < crit ~3.75")
+    // fully separated tied samples: hand integer chain -> H = 19, significant
+    val sep = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("b", 2.0)))
+      .toDF("s0", "v")
+    val r2 = AuditOps.kruskalReport(sep, "s0", "v").collect().head
+    val hq = BigInt(32460) * 1000000 / 420 - BigInt(63) * 1000000
+    val expected = (hq * 7980).toDouble / (BigInt(6000) * 1000000).toDouble
+    assert(r2.getDouble(2) == expected && r2.getBoolean(4), r2.toString)
+    // all values identical: tie correction degenerate -> H null, false
+    val flat = Seq(("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("s0", "v")
+    val r3 = AuditOps.kruskalReport(flat, "s0", "v").collect().head
+    assert(r3.isNullAt(2) && !r3.getBoolean(4), r3.toString)
+  }
+
   test("anovaReport: textbook two-group F and eta2; zero-within-variance and single-group guards") {
     import spark.implicits._
     // a=[1,1], b=[3,5]: SSB=9, SSW=2, F=(9*2)/(2*1)=9, eta2=9/11
