@@ -70,7 +70,10 @@ class DeterminismSpec extends SparkTestBase {
     "tx_langid_kappa",      // marginal products + chance correction
     "aud_ewma",             // integer-floor recursion fold
     "knn_eval_pq",          // ADC ranking ∩ exact truth
-    "sim_qmc_vdc")          // bit-reversal net + exact square sum
+    "sim_qmc_vdc",          // bit-reversal net + exact square sum
+    "ev_ltv",               // decimal revenue cumulative per cohort
+    "aud_anova",            // quantized floor-division sums of squares
+    "aud_kruskal")          // doubled rank sums + tie-corrected H
 
   test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
