@@ -209,7 +209,10 @@ object Plans {
     "aud_anova",
     // round 11 (cont. 25): (sample, value) counts, rank window over the
     // bounded distinct-value table, k-bounded tail
-    "aud_kruskal")
+    "aud_kruskal",
+    // round 11 (cont. 26): reduced (user, day) set, ×7 window explode,
+    // day spine from a 1-row span
+    "ev_stickiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

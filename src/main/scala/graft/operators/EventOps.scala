@@ -468,6 +468,48 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** DAU/WAU STICKINESS per day — the engagement-frequency ratio next
+    * to [[growthAccounting]]'s composition ("of the people active this
+    * week, what share showed up today"): per day d in the corpus span,
+    * `dau` = distinct users that day and `wau` = distinct users over
+    * the trailing 7 days [d−6, d], stickiness = dau/wau (1/7 = weekly
+    * habit, →1 = daily habit). Exact distinct counts — each (user, day)
+    * presence contributes to the 7 windows it falls in by an explode,
+    * and the per-window distinct collapses duplicates.
+    * Emits `(day, dau, wau, stickiness)` for every day in
+    * [min_day, max_day]; days with no events carry dau = 0 and the
+    * trailing wau.
+    *
+    * Exactness: counts exact, stickiness ONE division (NULL when wau=0).
+    * Scale shape: events reduce to the distinct (user, day) set first
+    * (map-side combined); the ×7 window explode and second distinct
+    * move 16-byte pairs — 7× the reduced set, linear in users·days, no
+    * corpus-sized window anywhere. The day spine is a driver-bounded
+    * sequence from a 1-row min/max aggregate.
+    */
+  def stickinessReport(events: DataFrame, tsUs: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.stickinessReport", "user_id")
+    val dayUs = 86400000000L
+    val ud = e.select(col("user_id"),
+        call_function("div", tsUs, lit(dayUs)).as("day"))
+      .distinct()
+    val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + 6L)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness", when(col("wau") > 0,
+        col("dau").cast("double") / col("wau").cast("double")))
+      .orderBy("day")
+  }
+
   /** COHORT LTV CURVE — [[cohortRetention]] with money: per (cohort
     * week, week offset), the active-user count AND the exact revenue
     * those users generated that week, plus the running cumulative

@@ -156,6 +156,12 @@ object EventQueries {
           call_function("div", col("ts").cast("long"), lit(1000L)))
         .orderBy("cohort_week", "week_offset")),
 
+    // DAU/WAU stickiness per day: exact distinct counts via the x7
+    // window explode over the reduced (user, day) set, one division.
+    "ev_stickiness" -> ((s, d) =>
+      EventOps.stickinessReport(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)))),
+
     // Cohort LTV curve: the retention frame with exact DECIMAL(28,6)
     // revenue; cumulative over the bounded cohort x offset table,
     // per-user LTV one division by the offset-0 cohort size.
@@ -360,6 +366,29 @@ object EventQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Retention: DISTINCT (user, week) first, so COUNT(*) is the
+    // stickiness: the same reduced-set + window-explode construction,
+    // day spine from the 1-row span
+    "ev_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+        |spine AS (SELECT unnest(generate_series(span.d0, span.d1)) AS day
+        |  FROM span),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |wx AS (SELECT DISTINCT user_id, day + o.o AS day
+        |  FROM ud, unnest(generate_series(0, 6)) AS o(o)),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM wx GROUP BY day)
+        |SELECT CAST(spine.day AS BIGINT) AS day,
+        |  COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau,
+        |  CASE WHEN COALESCE(wau.wau, 0) > 0 THEN
+        |    CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+        |  END AS stickiness
+        |FROM spine LEFT JOIN dau ON dau.day = spine.day
+        |LEFT JOIN wau ON wau.day = spine.day
+        |ORDER BY day""".stripMargin,
+
     // LTV: the retention CTE with exact decimal revenue; cumulative and
     // cohort-size windows over the bounded cohort x offset table
     "ev_ltv" ->

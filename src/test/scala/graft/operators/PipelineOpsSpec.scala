@@ -432,6 +432,23 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("stickinessReport: hand-computed trailing windows, empty-day spine, ratio") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // u1 days {0,1}, u2 {0}, u3 {8} -> span 0..8
+    val e = Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L), (3L, 8L))
+      .map { case (u, d) => (u, d * dayUs + 3L) }.toDF("user_id", "us")
+    val out = EventOps.stickinessReport(e, col("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(out.length == 9, "one row per day in the span")
+    assert(out(0) == ((0L, 2L, 2L, 1.0)) && out(1) == ((1L, 1L, 2L, 0.5)),
+      out.toSeq)
+    (2 to 6).foreach(d => assert(out(d) == ((d.toLong, 0L, 2L, 0.0)),
+      out(d).toString))
+    assert(out(7) == ((7L, 0L, 1L, 0.0)) && out(8) == ((8L, 1L, 1L, 1.0)))
+  }
+
   test("cohortLtv: hand-computed cohort cells, cumulative per-user curve, null revenue coalesced") {
     import spark.implicits._
     val wk = 604800000000L
