@@ -212,7 +212,10 @@ object Plans {
     "aud_kruskal",
     // round 11 (cont. 26): reduced (user, day) set, ×7 window explode,
     // day spine from a 1-row span
-    "ev_stickiness")
+    "ev_stickiness",
+    // round 11 (cont. 27): slice projection feeding the brute frame —
+    // the 4× cheaper first-stage scan measured against full-dim truth
+    "emb_dim_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -386,6 +386,22 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // Truncated-dimension recall (the Matryoshka question): exact brute
+    // retrieval on the FIRST 16 of 64 dims vs full-dim truth — what a
+    // 4x cheaper first-stage scan costs in recall, per query. Both
+    // sides the spec-pinned brute machinery; truncation is a pure
+    // slice projection.
+    "emb_dim_eval" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      def cut(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.withColumn(c, slice(col(c), 1, 16))
+      SimilarityOps.annRecall(
+        SimilarityOps.bruteTopK(cut(e, "embedding"),
+          cut(queriesOf(e), "qe"), TOP_K),
+        SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K), TOP_K)
+        .orderBy("query_id")
+    }),
+
     // Hybrid retrieval: the BM25 lexical TOP-10 (tx_bm25's terms, ranked
     // by score with a doc_id tie-break) fused with the exact cosine
     // top-10 for query vector 0 via reciprocal-rank fusion. doc_id and
@@ -936,6 +952,26 @@ object SimilarityQueries {
     "knn_eval_pq" ->
       s"""WITH tru AS (SELECT * FROM ($knnBruteOracleSql) bx),
          |res AS (SELECT * FROM ($knnPqOracleSql) px),
+         |hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+         |  FROM tru t JOIN res r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+         |  GROUP BY t.query_id),
+         |tt AS (SELECT query_id, COUNT(*) AS n_truth FROM tru GROUP BY query_id)
+         |SELECT tt.query_id AS query_id, COALESCE(h.n_hits, 0) AS n_hits, tt.n_truth,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tt.n_truth AS recall
+         |FROM tt LEFT JOIN hits h ON h.query_id = tt.query_id
+         |ORDER BY tt.query_id""".stripMargin,
+
+    // truncated-dim recall: the brute frame with both sides sliced to
+    // the first 16 dims on the candidate side, full-dim truth
+    "emb_dim_eval" ->
+      s"""WITH tru AS (SELECT * FROM ($knnBruteOracleSql) bx),
+         |res AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding[1:16]", "e.embedding[1:16]")}
+         |        DESC, e.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $N_QUERIES) x WHERE rank <= $TOP_K),
          |hits AS (SELECT t.query_id, COUNT(*) AS n_hits
          |  FROM tru t JOIN res r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
          |  GROUP BY t.query_id),

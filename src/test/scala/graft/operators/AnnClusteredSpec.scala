@@ -573,6 +573,32 @@ class AnnClusteredSpec extends SparkTestBase {
     }
   }
 
+  test("truncated-dim retrieval: head-dim corpora keep recall 1, tail-dim corpora lose everything") {
+    import spark.implicits._
+    def vec(head: Seq[Float], tail: Seq[Float]): Array[Float] =
+      (head.padTo(16, 0f) ++ tail.padTo(48, 0f)).toArray
+    def run(vs: Seq[(Long, Array[Float])]) = {
+      val e = vs.toDF("vec_id", "embedding")
+      val qs = e.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      def cut(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.withColumn(c, slice(col(c), 1, 16))
+      SimilarityOps.annRecall(
+        SimilarityOps.bruteTopK(cut(e, "embedding"), cut(qs, "qe"), 2),
+        SimilarityOps.bruteTopK(e, qs, 2), 2).collect().head.getDouble(3)
+    }
+    // signal entirely in the first 16 dims: truncation is lossless
+    val head = (0L to 4L).map(i => i -> vec(
+      Seq(1f, i.toFloat / 10f), Seq(0f)))
+    assert(run(head) == 1.0, "head-dim corpus must keep recall 1")
+    // signal entirely in dims 17+ (full top-2 = {4,3} by rising tail
+    // alignment): every truncated vector is the identical head, ties
+    // break to {1,2} — recall collapses to 0
+    val tail = (0L to 4L).map(i => i -> vec(
+      Seq(1f), Seq(if (i == 0) 4f else i.toFloat)))
+    assert(run(tail) == 0.0, "tail-dim structure must be invisible at 16 dims")
+  }
+
   test("oodReport: hand-computed cosines vs the decimal-pinned label centroid; threshold split; singleton label") {
     import spark.implicits._
     def r6(x: Double) =
