@@ -215,7 +215,10 @@ object Plans {
     "ev_stickiness",
     // round 11 (cont. 27): slice projection feeding the brute frame —
     // the 4× cheaper first-stage scan measured against full-dim truth
-    "emb_dim_eval")
+    "emb_dim_eval",
+    // round 11 (cont. 28): the dwell lead window, moments to ≤|types|
+    // rows
+    "ev_burstiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -84,6 +84,47 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** BURSTINESS of the inter-event process per event type — the
+    * traffic-pattern audit next to [[dwellReport]]'s "how fast"
+    * (Goh–Barabási '08): from the same per-user next-event gaps,
+    * the squared coefficient of variation cv² = (n·Σg² − (Σg)²)/(Σg)²
+    * and B = (cv − 1)/(cv + 1) ∈ (−1, 1) — a Poisson process sits at
+    * B ≈ 0, B → 1 is bursty (machine retries, scraper storms,
+    * incident-driven traffic), B → −1 is a metronome (cron/heartbeat
+    * traffic posing as users). Emits
+    * `(event_type, n_gaps, mean_gap_us, cv2, burstiness)`.
+    *
+    * FP discipline: gap moments are exact DECIMAL(38,0); cv² is ONE
+    * division of exact integers; B is the mirrored √ → (two one-op
+    * sums) → ÷ chain on engine-identical inputs (no a·b+c shape).
+    * Scale shape: the [[dwellReport]] plan — one user-partitioned lead
+    * window, then a map-side-combined aggregate to ≤\|types\| rows.
+    */
+  def burstinessReport(events: DataFrame,
+      tsUs: org.apache.spark.sql.Column): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.burstinessReport",
+      "user_id", "event_id", "event_type")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = e.select(col("user_id"), tsUs.as("us"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("g", col("next_us") - col("us"))
+    val agg = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("g").cast(dec)).as("sg"),
+        sum(col("g").cast(dec) * col("g")).as("qg"))
+    val cv2 = when(col("sg") > 0,
+      (col("n").cast(dec) * col("qg") - col("sg") * col("sg")).cast("double") /
+        (col("sg") * col("sg")).cast("double"))
+    val b = when(cv2.isNotNull,
+      (sqrt(cv2) - lit(1.0)) / (sqrt(cv2) + lit(1.0)))
+    agg.select(col("event_type"), col("n").as("n_gaps"),
+        (col("sg").cast("double") / col("n").cast("double")).as("mean_gap_us"),
+        cv2.as("cv2"), b.as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** RFM SEGMENTATION — the classic recency/frequency/monetary user
     * scoring (Hughes '94) behind lifecycle cohorts and churn targeting:
     * per user, recency = whole `unitTicks` units between the user's last

@@ -156,6 +156,13 @@ object EventQueries {
           call_function("div", col("ts").cast("long"), lit(1000L)))
         .orderBy("cohort_week", "week_offset")),
 
+    // Burstiness of the inter-event process per type: exact gap moments
+    // from the dwell lead window, cv2 one division, B the mirrored
+    // sqrt -> sum -> divide chain.
+    "ev_burstiness" -> ((s, d) =>
+      EventOps.burstinessReport(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)))),
+
     // DAU/WAU stickiness per day: exact distinct counts via the x7
     // window explode over the reduced (user, day) set, one division.
     "ev_stickiness" -> ((s, d) =>
@@ -366,6 +373,30 @@ object EventQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Retention: DISTINCT (user, week) first, so COUNT(*) is the
+    // burstiness: the dwell LEAD window, HUGEINT gap moments, the same
+    // single-division cv2 and mirrored sqrt chain
+    "ev_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS g
+        |  FROM e),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+        |    CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS qg
+        |  FROM g WHERE g IS NOT NULL GROUP BY event_type),
+        |c AS (SELECT event_type, n, sg,
+        |    CASE WHEN sg > 0 THEN
+        |      CAST(CAST(n AS HUGEINT) * qg - sg * sg AS DOUBLE)
+        |        / CAST(sg * sg AS DOUBLE) END AS cv2
+        |  FROM a)
+        |SELECT event_type, n AS n_gaps,
+        |  CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us, cv2,
+        |  CASE WHEN cv2 IS NOT NULL THEN
+        |    (sqrt(cv2) - 1.0) / (sqrt(cv2) + 1.0) END AS burstiness
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // stickiness: the same reduced-set + window-explode construction,
     // day spine from the 1-row span
     "ev_stickiness" ->

@@ -432,6 +432,28 @@ class PipelineOpsSpec extends SparkTestBase {
       again.sorted == out.values.map(_.toString).toSeq.sorted)
   }
 
+  test("burstinessReport: metronome gaps hit B = -1; hand moments; censored last events excluded") {
+    import spark.implicits._
+    // A: u1 at 0,10,20,30 -> gaps 10,10,10 -> cv2 = 0, B = -1
+    // B: u2 at 0,1,101 -> gaps 1,100 -> cv2 = 9801/10201
+    val e = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "A"), (1L, 20L, 3L, "A"),
+      (1L, 30L, 4L, "A"),
+      (2L, 0L, 5L, "B"), (2L, 1L, 6L, "B"), (2L, 101L, 7L, "B"))
+      .toDF("user_id", "tk", "event_id", "event_type")
+    val out = EventOps.burstinessReport(e, col("tk")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 3 && a.getDouble(2) == 10.0)
+    assert(a.getDouble(3) == 0.0 && a.getDouble(4) == -1.0, a.toString)
+    val b = out("B")
+    val cv2 = 9801.0 / 10201.0
+    assert(b.getLong(1) == 2 && b.getDouble(3) == cv2, b.toString)
+    assert(b.getDouble(4) ==
+      (math.sqrt(cv2) - 1.0) / (math.sqrt(cv2) + 1.0))
+    // a user's LAST event has no gap: n_gaps sums to rows - users
+    assert(out.values.map(_.getLong(1)).sum == 7 - 2)
+  }
+
   test("stickinessReport: hand-computed trailing windows, empty-day spine, ratio") {
     import spark.implicits._
     val dayUs = 86400000000L
