@@ -73,7 +73,10 @@ class DeterminismSpec extends SparkTestBase {
     "sim_qmc_vdc",          // bit-reversal net + exact square sum
     "ev_ltv",               // decimal revenue cumulative per cohort
     "aud_anova",            // quantized floor-division sums of squares
-    "aud_kruskal")          // doubled rank sums + tie-corrected H
+    "aud_kruskal",          // doubled rank sums + tie-corrected H
+    "ev_stickiness",        // double-distinct window explode
+    "emb_dim_eval",         // sliced-dim cosine ranking ∩ truth
+    "ev_burstiness")        // exact gap moments + mirrored sqrt chain
 
   test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
