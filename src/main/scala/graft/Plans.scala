@@ -218,7 +218,10 @@ object Plans {
     "emb_dim_eval",
     // round 11 (cont. 28): the dwell lead window, moments to ≤|types|
     // rows
-    "ev_burstiness")
+    "ev_burstiness",
+    // round 11 (cont. 29): synth projection → mapPartitions PCM decode,
+    // embarrassingly parallel
+    "mm_audio_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -186,6 +186,60 @@ object MediaOps {
       height: Long, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  final case class AudioStats(doc_id: Long, decoded: Boolean, channels: Long,
+      n_samples: Long, sum_abs: Long, mean_abs: Double)
+
+  /** PER-CLIP PCM SAMPLE STATISTICS — the audio sibling of
+    * [[imageStats]] and the first real feature-extraction step past
+    * [[audioMeta]]'s header fields (silence/clipping detection, level
+    * normalization all read off these sums): a REAL
+    * `javax.sound.sampled` decode to the PCM stream, then the exact
+    * integer sum of \|16-bit LE sample\| over every frame×channel and
+    * ONE division for the mean level. Undecodable or non-16-bit
+    * payloads emit a `decoded = false` zero row.
+    *
+    * Over [[MediaStub.synthWav]] payloads the data bytes are the
+    * deterministic (i·31 mod 251) pattern, so the whole decode is
+    * arithmetically predictable — the gate's oracle recomputes the
+    * sample sum in closed form over the byte indices and never touches
+    * RIFF bytes: only a correct header-parse → PCM round trip matches.
+    *
+    * Scale shape: the [[MediaStub.decodeAll]] mapPartitions discipline —
+    * embarrassingly parallel, no shuffle at any scale.
+    */
+  def audioStats(spark: SparkSession, docsWithPayload: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.audioStats", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val decoded = try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+          else {
+            val data = in.readAllBytes()
+            var i = 0; var sum = 0L; var n = 0L
+            while (i + 1 < data.length) {
+              val s = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort
+              sum += math.abs(s.toLong)
+              n += 1
+              i += 2
+            }
+            Some((fmt.getChannels.toLong, n, sum))
+          }
+        } catch { case _: Exception => None }
+        decoded match {
+          case Some((ch, n, sum)) =>
+            AudioStats(id, decoded = true, ch, n, sum,
+              if (n > 0) sum.toDouble / n.toDouble else 0.0)
+          case None => AudioStats(id, decoded = false, 0L, 0L, 0L, 0.0)
+        }
+      })
+  }
+
   /** PER-IMAGE CHANNEL STATISTICS over a binary payload column — the
     * first real feature-extraction step of an image-curation pipeline
     * (brightness/color-cast filters, black-frame and solid-color

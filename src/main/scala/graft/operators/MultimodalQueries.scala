@@ -71,6 +71,24 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PCM decode as a value-oracled gate (the mm_image_stats
+    // pattern for audio): mono 16-bit synth WAVs whose data bytes are
+    // the deterministic (i*31 mod 251) pattern; the oracle recomputes
+    // the |sample| sum in closed form over byte indices — only a
+    // correct header-parse -> PCM round trip matches.
+    "mm_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, MediaStub.synthWav(sampleRate = 8000, channels = 1,
+            bitsPerSample = 16, nFrames = 40 + (id % 20).toInt))
+        })
+        .toDF("doc_id", "payload")
+        .transform(df => MediaOps.audioStats(s, df).toDF())
+        .orderBy("doc_id")
+    }),
+
     "mm_audio_meta" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents").filter(col("doc_id") < 100)
@@ -211,6 +229,26 @@ object MultimodalQueries {
         |  CAST(sg AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
         |  CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // PCM stats: closed-form (i*31 mod 251) bytes -> signed 16-bit LE
+    // samples -> exact |sample| sums; mean one division
+    "mm_audio_stats" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(40 + doc_id % 20 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT id, frames, f.f
+        |  FROM d, unnest(generate_series(0, d.frames - 1)) AS f(f)),
+        |s AS (SELECT id, frames,
+        |    ((2*f*31) % 251) + 256*(((2*f+1)*31) % 251) AS raw FROM fr),
+        |v AS (SELECT id, frames,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+        |  FROM s),
+        |a AS (SELECT id, frames, CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs
+        |  FROM v GROUP BY id, frames)
+        |SELECT id AS doc_id, TRUE AS decoded, CAST(1 AS BIGINT) AS channels,
+        |  frames AS n_samples, sum_abs,
+        |  CAST(sum_abs AS DOUBLE) / CAST(frames AS DOUBLE) AS mean_abs
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "mm_audio_meta" ->
       s"""WITH p AS (SELECT doc_id,

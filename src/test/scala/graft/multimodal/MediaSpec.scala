@@ -276,6 +276,27 @@ class MediaSpec extends SparkTestBase {
       imgPairs(0).getLong(2) == 0L, imgPairs.mkString(","))
   }
 
+  test("audioStats: synthWav PCM round trip recovers the closed-form sample sums; garbage falls back") {
+    import spark.implicits._
+    val frames = 7
+    // independent closed form over the (i*31 % 251) data bytes
+    var expected = 0L
+    for (f <- 0 until frames) {
+      val raw = ((2 * f * 31) % 251) + 256 * (((2 * f + 1) * 31) % 251)
+      expected += math.abs(if (raw >= 32768) raw - 65536 else raw).toLong
+    }
+    val payloads = Seq(
+      (1L, MediaStub.synthWav(8000, 1, 16, frames)),
+      (2L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val out = MediaOps.audioStats(spark, payloads).collect()
+      .map(r => r.doc_id -> r).toMap
+    val a = out(1L)
+    assert(a.decoded && a.channels == 1 && a.n_samples == frames.toLong)
+    assert(a.sum_abs == expected, s"${a.sum_abs} != $expected")
+    assert(a.mean_abs == expected.toDouble / frames.toDouble)
+    assert(!out(2L).decoded && out(2L).sum_abs == 0L)
+  }
+
   test("imageStats: synthPng round trip recovers the closed-form gradient sums; garbage falls back") {
     import spark.implicits._
     val (id, w, h) = (9L, 4, 3)
