@@ -221,7 +221,10 @@ object Plans {
     "ev_burstiness",
     // round 11 (cont. 29): synth projection → mapPartitions PCM decode,
     // embarrassingly parallel
-    "mm_audio_stats")
+    "mm_audio_stats",
+    // round 11 (cont. 30): explicit-list pivot — two-phase aggregation,
+    // no values-discovery job, no Expand
+    "q44_pivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -240,6 +240,31 @@ object RelationalQueries {
     // ---- set operations ---------------------------------------------------
     // Distinct AND multiset (ALL) variants — exceptAll/intersectAll have
     // genuinely different semantics (bag difference/intersection).
+    // PIVOT surface: events wide-formed per day x event_type (the one
+    // relational verb not yet demonstrated) — Spark's RelationalGroupedDataset
+    // .pivot with an EXPLICIT value list, so the plan is a single
+    // aggregate with conditional sums (no values-discovery job) and the
+    // column set is deterministic. Counts exact; decimal value sums cast
+    // once.
+    "q44_pivot" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+      t(s, d, "events")
+        .select(call_function("div",
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          lit(86400000000L)).as("day"),
+          col("event_type"), col("value"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(col("value").cast(dec)))
+        .select(col("day"),
+          col("click").cast("double").as("click"),
+          col("view").cast("double").as("view"),
+          col("purchase").cast("double").as("purchase"),
+          col("signup").cast("double").as("signup"),
+          col("error").cast("double").as("error"))
+        .orderBy("day")
+    }),
+
     "q12_setops" -> ((s, d) => {
       val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
         .select(col("c_custkey").as("k"))
@@ -552,6 +577,23 @@ object RelationalQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
         |  FROM events WHERE event_type IN ('click', 'error')) x
         |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    // pivot: conditional decimal sums per explicit value — DuckDB CASE
+    // form, the exact relational equivalent of Spark's explicit-list
+    // pivot
+    "q44_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
     "q12_setops" ->
       """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
         |     big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000)

@@ -342,6 +342,17 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q44_pivot: explicit-list pivot — two-phase aggregation, no values-discovery job or Expand") {
+    // Spark lowers pivot to (day, type) partial agg -> pivot agg on day:
+    // exactly two aggregate pairs. The explicit value list is what keeps
+    // the plan free of BOTH a values-discovery collect job and an Expand
+    // (the multi-distinct shape q35 had to engineer away).
+    val p = plan("q44_pivot")
+    assert("HashAggregate".r.findAllIn(p).size == 4,
+      s"pivot must be the documented two-phase aggregation:\n$p")
+    assert(!p.contains("Expand"), "explicit-list pivot must not Expand")
+  }
+
   test("gainsReport: no unpartitioned WindowExec — banded descending prefix") {
     import org.apache.spark.sql.execution.window.WindowExec
     import graft.operators.AuditOps
