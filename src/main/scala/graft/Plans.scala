@@ -224,7 +224,10 @@ object Plans {
     "mm_audio_stats",
     // round 11 (cont. 30): explicit-list pivot — two-phase aggregation,
     // no values-discovery job, no Expand
-    "q44_pivot")
+    "q44_pivot",
+    // round 11 (cont. 31): two group-partitioned rank constructions,
+    // (grp, value) hash joins back, one moment agg
+    "aud_spearman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

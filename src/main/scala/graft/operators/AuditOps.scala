@@ -1396,6 +1396,64 @@ object AuditOps {
       .orderBy("grp")
   }
 
+  /** SPEARMAN rank correlation between two columns per group — the
+    * monotone-association audit ("does the metric track time/size/load
+    * at all, linearly or not"): ρ_s = Pearson correlation of the
+    * tie-averaged ranks, the nonparametric companion to
+    * [[autocorrReport]]'s Pearson machinery and the effect-size reading
+    * next to [[trendReport]]'s Mann–Kendall verdict. Emits per group
+    * `(grp, n, rho, significant)` with the \|ρ\|·√(n−1) > 1.96
+    * large-sample normal band.
+    *
+    * FP discipline: tie-averaged ranks are EXACT integers in doubled
+    * form (2·rank = 2·cum_prev + c + 1 from each column's per-group
+    * count table — the [[mannWhitneyReport]] construction, applied to
+    * both columns); all five moments are exact DECIMAL(38,0); ρ is the
+    * mirrored cast→√·√→÷ five-op chain on engine-identical integers
+    * ([[autocorrReport]]'s contract), and the band compare reuses the
+    * same discipline.
+    *
+    * Scale shape: two per-group count tables + two group-partitioned
+    * cumulative windows rank the DISTINCT values; rows join their
+    * ranks back by (grp, value) hash joins, and everything reduces in
+    * one map-side-combined moment aggregation to ≤\|groups\| rows.
+    * Nothing global ever sorts.
+    */
+  def spearmanReport(df: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.spearmanReport", groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        xCol.cast("long").as("x"), floor(yCol).cast("long").as("y"))
+    def ranks(c: String) = {
+      val w = Window.partitionBy("grp").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy("grp", c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("grp"), col(c),
+          (lit(2L) * col("cum_prev") + col("cnt") + 1L).as(s"r$c"))
+    }
+    val joined = base
+      .join(ranks("x"), Seq("grp", "x"))
+      .join(ranks("y"), Seq("grp", "y"))
+    val m = joined.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+      sum(col("rx").cast(dec) * col("rx")).as("sxx"),
+      sum(col("ry").cast(dec) * col("ry")).as("syy"),
+      sum(col("rx").cast(dec) * col("ry")).as("sxy"))
+    val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+    val d1 = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val d2 = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
+    val rho = when(d1 > 0 && d2 > 0,
+      num.cast("double") /
+        (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+    m.select(col("grp"), col("n"), rho.as("rho"),
+        coalesce(abs(rho) * sqrt((col("n") - 1).cast("double")) >= 1.96,
+          lit(false)).as("significant"))
+      .orderBy("grp")
+  }
+
   /** KRUSKAL–WALLIS rank test across k samples — the nonparametric
     * k-group cell completing the test matrix ([[abTestReport]] 2-group
     * parametric, [[mannWhitneyReport]] 2-group nonparametric,

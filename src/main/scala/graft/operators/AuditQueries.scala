@@ -70,6 +70,14 @@ object AuditQueries {
     "aud_kruskal" -> ((s, d) =>
       AuditOps.kruskalReport(t(s, d, "events"), "event_type", "value")),
 
+    // Spearman rank correlation of value vs time per event type — the
+    // monotone-drift effect size next to aud_trend's verdict; doubled
+    // tie-averaged ranks, exact moments, the mirrored five-op chain.
+    "aud_spearman" -> ((s, d) =>
+      AuditOps.spearmanReport(t(s, d, "events"), "event_type",
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        col("value"))),
+
     // EWMA control chart per event type: the small-persistent-shift
     // detector between CUSUM and the point-outlier screen; integer-floor
     // recursion (lambda = 1/4) seeded at the floor mean, cross-multiplied
@@ -538,6 +546,45 @@ object AuditQueries {
         |  CAST(MAX(tp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_up,
         |  CAST(MAX(tn) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS max_cusum_down
         |FROM al GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Spearman: both columns ranked by the 2x tie-averaged construction
+    // per group, HUGEINT moments, the autocorr cast->sqrt*sqrt->div chain
+    "aud_spearman" ->
+      """WITH b AS (SELECT event_type AS grp, epoch_us(ts) AS x,
+        |    CAST(floor(value) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |rx AS (SELECT grp, x, 2*(COALESCE(CAST(SUM(cnt) OVER (PARTITION BY grp
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0)) + cnt + 1 AS rx
+        |  FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM b GROUP BY grp, x)),
+        |ry AS (SELECT grp, y, 2*(COALESCE(CAST(SUM(cnt) OVER (PARTITION BY grp
+        |      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0)) + cnt + 1 AS ry
+        |  FROM (SELECT grp, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM b GROUP BY grp, y)),
+        |j AS (SELECT b.grp, rx.rx, ry.ry
+        |  FROM b JOIN rx ON rx.grp = b.grp AND rx.x = b.x
+        |         JOIN ry ON ry.grp = b.grp AND ry.y = b.y),
+        |m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+        |  FROM j GROUP BY grp),
+        |z AS (SELECT grp, n,
+        |    CASE WHEN CAST(n AS HUGEINT)*sxx - sx*sx > 0
+        |          AND CAST(n AS HUGEINT)*syy - sy*sy > 0 THEN
+        |      CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+        |        / (sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE))
+        |           * sqrt(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)))
+        |    END AS rho
+        |  FROM m)
+        |SELECT grp, n, rho,
+        |  COALESCE(abs(rho) * sqrt(CAST(n - 1 AS DOUBLE)) >= 1.96, FALSE)
+        |    AS significant
+        |FROM z ORDER BY grp""".stripMargin,
 
     // Kruskal-Wallis: the mannwhitney 2x-rank construction globalized,
     // two floor divisions collapsing the fraction tower, tie-corrected

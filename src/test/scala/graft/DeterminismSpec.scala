@@ -76,7 +76,10 @@ class DeterminismSpec extends SparkTestBase {
     "aud_kruskal",          // doubled rank sums + tie-corrected H
     "ev_stickiness",        // double-distinct window explode
     "emb_dim_eval",         // sliced-dim cosine ranking ∩ truth
-    "ev_burstiness")        // exact gap moments + mirrored sqrt chain
+    "ev_burstiness",        // exact gap moments + mirrored sqrt chain
+    "aud_spearman",         // doubled tie-averaged ranks, five-op chain
+    "q44_pivot",            // explicit-list conditional decimal sums
+    "mm_audio_stats")       // PCM decode + exact sample sums
 
   test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")

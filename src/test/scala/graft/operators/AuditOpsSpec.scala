@@ -931,6 +931,28 @@ class AuditOpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("spearmanReport: perfect monotone +-1; hand tie-averaged case; constant-column guard") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Double)]) =
+      rows.map { case (x, y) => ("g", x, y) }.toDF("grp0", "x0", "v")
+    def run(rows: Seq[(Long, Double)]) =
+      AuditOps.spearmanReport(df(rows), "grp0", col("x0"), col("v"))
+        .collect().head
+    // the mirrored sqrt*sqrt chain: 24/(sqrt24*sqrt24), NOT exactly 1.0 —
+    // both engines produce the identical 1+2ulp value
+    val one = 24.0 / (math.sqrt(24.0) * math.sqrt(24.0))
+    assert(run(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))).getDouble(2) == one)
+    assert(run(Seq((1L, 30.0), (2L, 20.0), (3L, 10.0))).getDouble(2) == -one)
+    // tie case: doubled ranks x=(2,4,6), y=(3,3,6) -> rho = 18/(sqrt24*sqrt18)
+    val t = run(Seq((1L, 10.0), (2L, 10.0), (3L, 30.0)))
+    assert(t.getDouble(2) == 18.0 / (math.sqrt(24.0) * math.sqrt(18.0)),
+      t.toString)
+    assert(!t.getBoolean(3), "n=3: |rho|*sqrt(2) < 1.96")
+    // constant y: zero variance -> rho null, not significant
+    val c = run(Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)))
+    assert(c.isNullAt(2) && !c.getBoolean(3), c.toString)
+  }
+
   test("kruskalReport: textbook no-tie H; tie-corrected separated samples significant; all-equal guard") {
     import spark.implicits._
     // a=[1,2], b=[3,4]: no ties, H = 2.4 exactly through the integer chain
