@@ -19,7 +19,27 @@ import graft.operators.AuditOps.Check._
   * operators the DuckDB oracle hash-checks; this main only composes them.
   */
 object Audit {
+
+  /** The release data card over the documents corpus: the standing CLI
+    * panel's per-source metrics ([[graft.operators.AuditOps.dataCard]])
+    * with the same score/label/drift/privacy configuration the
+    * line-by-line detectors below print — one callable so the `--card`
+    * CLI and the spec pin the SAME composition.
+    */
+  def buildCard(spark: SparkSession, sfDir: String):
+      org.apache.spark.sql.DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .withColumn("len_band", expr("n_chars div 200"))
+    val thinned = docs.filter(col("doc_id") % 3 =!= 0)
+    AuditOps.dataCard(docs, thinned,
+      scoreCol = col("n_chars") / 2000.0, labelCol = col("lang") === "en",
+      groupCol = "source", driftCol = "lang",
+      quasiCols = Seq("lang", "len_band"), sensitiveCol = col("source"),
+      k = 5, l = 3)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--card")) { runCard(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -285,5 +305,37 @@ object Audit {
     println(s"""{"audit":"done","checks":${dq.length},"failed":$failed}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
+  }
+
+  /** `graft.Audit --card <sfDir> <cardRoot>` — compute the release data
+    * card and PUBLISH it as the next immutable
+    * [[graft.sources.SnapshotStore]] version at `cardRoot` (atomic
+    * `_latest` flip, row-count + digest manifest) — the data card lives
+    * next to the corpus manifests, versioned the same way, so "what did
+    * the corpus look like when v12 shipped" is one time-travel read.
+    * Prints one JSON line per card section summary plus the published
+    * version.
+    */
+  private def runCard(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cardRoot = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-card").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val card = buildCard(spark, sfDir).localCheckpoint()
+    val v = graft.sources.SnapshotStore.publish(card, cardRoot,
+      concat_ws(":", col("section"), col("source"), col("metric")))
+    card.groupBy("section").agg(count(lit(1)).as("rows"))
+      .orderBy("section").collect().foreach { r =>
+        println(s"""{"card_section":"${r.getString(0)}","rows":${r.getLong(1)}}""")
+      }
+    println(s"""{"card":"published","root":"$cardRoot","version":$v,"rows":${card.count()}}""")
+    spark.stop()
   }
 }

@@ -52,15 +52,18 @@ object Bench {
       // showed 3-4x one-off spikes (GC pause / page-cache eviction lands
       // entirely on one query) that polluted round totals — see BENCHNOTES.
       // The min of two runs is the steady-state cost of the plan, which is
-      // what the cross-round comparison needs.
+      // what the cross-round comparison needs. BOTH runs are kept so the
+      // summary can carry the ambient story (worst-run total + the top
+      // spike ratios) instead of every round re-litigating one-off spikes
+      // against controlled re-runs.
       val t = try {
-        val a = once(); val b = once(); math.min(a, b)
+        val a = once(); val b = once(); (math.min(a, b), math.max(a, b))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           // failed queries report a negative timing so they can't
           // masquerade as fast successes in the totals
-          -1.0
+          (-1.0, -1.0)
       }
       name -> t
     }
@@ -77,16 +80,25 @@ object Bench {
     // always fit inside 2000 chars, so a tail capture of ANY alignment ends
     // with at least one complete JSON object.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val entries = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val mins = results.map { case (k, (mn, _)) => k -> mn }
+    val entries = mins.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val failed = mins.filter(_._2 < 0).keys.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = mins.values.filter(_ >= 0).sum
+    // Both-runs total + the worst per-query spike ratios travel WITH the
+    // artifact: a query reading hot in one round self-documents as
+    // ambient (its min was flat) without a controlled re-run session.
+    val worstTotal = results.values.collect { case (mn, mx) if mn >= 0 => mx }.sum
+    val spikes = results.toSeq
+      .collect { case (k, (mn, mx)) if mn > 0.05 && mx / mn > 2.0 => (k, mx / mn) }
+      .sortBy(-_._2).take(4)
+      .map { case (k, r) => s"\"" + k + "\":" + fmt(r) }.mkString("{", ",", "}")
     // Keep the 8 slowest queries inline in the summary so even a
     // summary-only capture carries the hot-spot signal.
-    val slowest = results.toSeq.sortBy(-_._2).take(8)
+    val slowest = mins.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"slowest":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"runs":2,"worst_run_total":${fmt(worstTotal)},"spike_ratios":$spikes,"failed":$failedJson,"slowest":$slowest,"sf":"$sfDir"}"""
     // Pack alphabetized per-query entries into chunks of <=700 chars.
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       if (acc.last.map(_.length + 1).sum + e.length > 700) acc :+ Vector(e)

@@ -789,6 +789,61 @@ object ScaleBench {
     println(f"""{"metric":"bucketed_join","plain_sec":$plainSec%.3f,"bucketed_sec":$bucketedSec%.3f,"write_once_sec":$writeSec%.3f,"buckets":$nb,"join_subtree_has_exchange":$planHasExchange,"sf":"$sfDir"}""")
   }
 
+  /** ANN maintenance payoff: the SAME nprobe top-k probe served from an
+    * index carrying N `appends/version=*` subdirs vs the one compacted
+    * base [[graft.operators.SimilarityOps.compactIvfIndex]] folds them
+    * into. The claim: probe cost (and the files the scan plans over)
+    * grows with live version count and compaction restores it to the
+    * fresh-build flat — the amortization argument for riding
+    * `graft.Ingest --compact-every`. Serving-set equality is asserted,
+    * not assumed.
+    */
+  def runIvfCompact(spark: SparkSession, sfDir: String,
+      nVersions: Int = 24): Unit = {
+    import graft.operators.SimilarityOps
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val qs = e.filter(col("vec_id") % 97 === 0).limit(64)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val cents = e.limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcmp").toString
+    // base = 1/3 of the corpus; the other 2/3 arrive as nVersions appends
+    SimilarityOps.writeIvfIndex(e.filter(col("vec_id") % 3 === 0), cents, dir)
+    (0 until nVersions).foreach { v =>
+      SimilarityOps.appendVersionToIvfIndex(spark, dir, v.toLong,
+        e.filter(col("vec_id") % 3 =!= 0 &&
+          col("vec_id") % nVersions === v))
+      ()
+    }
+    def countFiles(d: java.io.File): Long =
+      if (d.isFile) { if (d.getName.endsWith(".parquet")) 1L else 0L }
+      else Option(d.listFiles()).map(_.map(countFiles).sum).getOrElse(0L)
+    def probe(): Set[(Long, Int, Long)] = {
+      val (c, l) = SimilarityOps.readIvfIndexAll(spark, dir)
+      SimilarityOps.ivfTopKFromIndex(l, qs, c, nprobe = 3, k = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    def time2s(body: => Unit): Double = {
+      def once = { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+      math.min(once, once)
+    }
+    val filesBefore = countFiles(new java.io.File(dir))
+    val servedBefore = probe()
+    val tBefore = time2s { probe(); () }
+    val folded = SimilarityOps.compactIvfIndex(spark, dir)
+    val filesAfter = countFiles(new java.io.File(dir))
+    val servedAfter = probe()
+    val tAfter = time2s { probe(); () }
+    require(servedAfter == servedBefore,
+      "compaction changed the served top-k — maintenance must be invisible")
+    println(f"""{"metric":"ivf_compact","versions":$nVersions,"folded":$folded,""" +
+      f""""probe_sec_appends":$tBefore%.3f,"probe_sec_compacted":$tAfter%.3f,""" +
+      f""""files_before":$filesBefore,"files_after":$filesAfter,""" +
+      f""""serving_equal":true,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -809,8 +864,9 @@ object ScaleBench {
       case "simdemo" => runSimDemo(spark)
       case "simdemo10x" => runSimDemo(spark, mult = 10)
       case "bucketed" => runBucketed(spark, sfDir)
+      case "ivfcompact" => runIvfCompact(spark, sfDir)
       case other =>
-        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x | bucketed)")
+        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x | bucketed | ivfcompact)")
     }
     spark.stop()
   }

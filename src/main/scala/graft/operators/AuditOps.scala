@@ -2747,4 +2747,96 @@ object AuditOps {
         coalesce(col("dof") > 0 && col("chi2") >= crit, lit(false))
           .as("dependent"))
   }
+
+  /** RELEASE DATA CARD — the full per-source audit panel composed into
+    * ONE long-format table `(section, source, metric, value DOUBLE)`,
+    * the shape a release pipeline publishes next to the corpus snapshot
+    * (the Datasheets-for-Datasets / Model-Cards reporting idea, Gebru et
+    * al. '18, expressed as a queryable table instead of prose). Every
+    * row is produced by the SAME gate-pinned operator the DuckDB oracle
+    * hash-checks — this function only relabels and unions:
+    *
+    *   - volume:          per-source row count
+    *   - ranking:         [[aucReportBy]] AUC of `scoreCol` vs `labelCol`
+    *   - calibration:     [[calibrationReportBy]] ECE
+    *   - operating_point: [[thresholdReportBy]] argmax-F1 (f1 row)
+    *   - gains:           [[gainsReportBy]] top-quintile lift
+    *   - drift:           [[categoricalDriftBy]] TVD of `driftCol` vs `ref`
+    *   - psi:             [[psiReportBy]] PSI of the same pair
+    *   - ks:              [[ksReportBy]] numeric KS of `scoreCol`, corpus
+    *                      side A vs `ref` side B
+    *   - privacy/concentration/independence: the corpus-global
+    *     [[kAnonymityReport]] / [[giniReport]] / [[independenceReport]]
+    *     verdicts under the reserved source `__corpus__` (booleans as
+    *     0/1, the gate type convention)
+    *
+    * Scale shape: each panel is one grouped aggregate over the corpus
+    * (the ops' own documented shapes — nothing here adds a shuffle);
+    * the union is plan-level, so Spark runs the panels as independent
+    * stages of one job. Output is ≤ sections × sources rows — a
+    * driver-safe release artifact for [[graft.sources.SnapshotStore]]
+    * publishing (`graft.Audit --card`).
+    */
+  def dataCard(docs: DataFrame, ref: DataFrame, scoreCol: Column,
+      labelCol: Column, groupCol: String, driftCol: String,
+      quasiCols: Seq[String], sensitiveCol: Column,
+      k: Int = 5, l: Int = 3): DataFrame = {
+    OpContract.requireCols(docs, "AuditOps.dataCard", groupCol, driftCol)
+    OpContract.requireCols(ref, "AuditOps.dataCard ref", groupCol, driftCol)
+    def shape(df: DataFrame, section: String, metric: String, v: Column) =
+      df.select(lit(section).as("section"), col("grp").cast("string").as("source"),
+        lit(metric).as("metric"), v.cast("double").as("value"))
+    def globalRow(df: DataFrame, section: String, metric: String, v: Column) =
+      df.select(lit(section).as("section"), lit("__corpus__").as("source"),
+        lit(metric).as("metric"), v.cast("double").as("value"))
+    val volume = shape(
+      docs.filter(col(groupCol).isNotNull)
+        .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n")),
+      "volume", "n_docs", col("n"))
+    val auc = shape(aucReportBy(docs, scoreCol, labelCol, groupCol),
+      "ranking", "auc", col("auc"))
+    val ece = shape(
+      calibrationReportBy(docs, scoreCol, labelCol, groupCol)
+        .select("grp", "ece").distinct(),
+      "calibration", "ece", col("ece"))
+    val f1 = shape(thresholdReportBy(docs, scoreCol, labelCol, groupCol),
+      "operating_point", "f1", col("f1"))
+    val lift = shape(
+      gainsReportBy(docs, scoreCol, labelCol, groupCol, 5)
+        .filter(col("bucket") === 1),
+      "gains", "top_quintile_lift", col("lift"))
+    val tvd = shape(
+      categoricalDriftBy(docs, ref, driftCol, groupCol)
+        .groupBy("grp").agg(min(col("tvd")).as("tvd")),
+      "drift", "tvd", col("tvd"))
+    val psi = shape(
+      psiReportBy(docs, ref, driftCol, groupCol)
+        .groupBy("grp").agg(min(col("psi")).as("psi")),
+      "psi", "psi", col("psi"))
+    val ks = shape(
+      ksReportBy(
+        docs.select(col(groupCol), scoreCol.as("card_ks_v"), lit(true).as("card_side"))
+          .unionByName(ref.select(col(groupCol), scoreCol.as("card_ks_v"),
+            lit(false).as("card_side"))),
+        col("card_ks_v"), col("card_side"), groupCol),
+      "ks", "ks", col("ks"))
+    val ka = kAnonymityReport(docs, quasiCols, sensitiveCol, k, l)
+    val privacy = globalRow(ka, "privacy", "k_anonymous",
+        when(col("k_anonymous"), 1.0).otherwise(0.0))
+      .unionByName(globalRow(ka, "privacy", "l_diverse",
+        when(col("l_diverse"), 1.0).otherwise(0.0)))
+      .unionByName(globalRow(ka, "privacy", "min_group_size",
+        col("min_group_size")))
+      .unionByName(globalRow(ka, "privacy", "frac_below_k",
+        coalesce(col("frac_below_k"), lit(0.0))))
+    val gini = globalRow(giniReport(docs, groupCol),
+      "concentration", "gini", col("gini"))
+    val ind = independenceReport(docs, driftCol, groupCol)
+    val indep = globalRow(ind, "independence", "cramers_v", col("cramers_v"))
+      .unionByName(globalRow(ind, "independence", "dependent",
+        when(col("dependent"), 1.0).otherwise(0.0)))
+    volume.unionByName(auc).unionByName(ece).unionByName(f1)
+      .unionByName(lift).unionByName(tvd).unionByName(psi).unionByName(ks)
+      .unionByName(privacy).unionByName(gini).unionByName(indep)
+  }
 }

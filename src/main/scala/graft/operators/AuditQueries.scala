@@ -366,7 +366,16 @@ object AuditQueries {
     // libm on data), deviation as the exact ppb cross-multiplication.
     "aud_benford" -> ((s, d) =>
       AuditOps.benfordReport(t(s, d, "orders"), col("o_totalprice"))
-        .orderBy("digit")))
+        .orderBy("digit")),
+
+    // The RELEASE DATA CARD (r12): the full per-source audit panel as
+    // ONE long-format table — every value produced by the same gate-
+    // pinned op graded elsewhere in this battery (DataCardSpec pins the
+    // relabeling; graft.Audit --card publishes it as a SnapshotStore
+    // version). The oracle re-derives each panel with the battle-tested
+    // by-source constructions.
+    "aud_card" -> ((s, d) =>
+      graft.Audit.buildCard(s, d).orderBy("section", "source", "metric")))
 
   /** One instance of the q34 exact-percentile CTE chain (binWidth 1024,
     * bins 1024 — the [[AuditOps]] defaults) at the given integer
@@ -1530,7 +1539,7 @@ object AuditQueries {
       s"""WITH g AS (SELECT source AS cat, COUNT(*) AS cnt FROM documents
          |  WHERE source IS NOT NULL GROUP BY source)
          |SELECT cat, cnt + (${geo(0)}) - (${geo(1)}) AS noisy_count,
-         |  0.5 AS epsilon
+         |  CAST(0.5 AS DOUBLE) AS epsilon
          |FROM g ORDER BY cat""".stripMargin
     },
 
@@ -1630,5 +1639,214 @@ object AuditQueries {
         |  CAST(abs(CAST(COALESCE(g.cnt, 0) AS HUGEINT) * 1000000000
         |           - t.n * e.exp_ppb) AS DOUBLE)
         |    / CAST(t.n * 1000000000 AS DOUBLE) AS dev
-        |FROM e LEFT JOIN g ON g.digit = e.digit, t ORDER BY digit""".stripMargin)
+        |FROM e LEFT JOIN g ON g.digit = e.digit, t ORDER BY digit""".stripMargin,
+
+
+    // The data card: each panel is the corresponding by-source oracle
+    // reduced to its one card metric; globals unnest to (metric, value)
+    // pairs. Score n_chars vs the op's n_chars/2000.0 is deliberate —
+    // AUC/F1/lift/KS are rank statistics, invariant under the strictly
+    // monotone rescale, so the integer form stays exact.
+    "aud_card" ->
+      """SELECT 'volume' AS section, CAST(source AS VARCHAR) AS source, 'n_docs' AS metric,
+        |  CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM documents WHERE source IS NOT NULL GROUP BY source
+        |UNION ALL
+        |SELECT 'ranking', CAST(grp AS VARCHAR), 'auc', auc FROM (
+        |  WITH b AS (SELECT source AS grp, n_chars AS s,
+        |      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+        |    WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |  g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY grp, s),
+        |  r AS (SELECT grp, s, cnt, pos, COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g)
+        |  SELECT grp,
+        |    CASE WHEN SUM(pos) > 0 AND SUM(cnt) - SUM(pos) > 0 THEN
+        |      CAST(SUM(pos * (2 * cum + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+        |        / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE)
+        |    END AS auc
+        |  FROM r GROUP BY grp)
+        |UNION ALL
+        |SELECT 'calibration', CAST(grp AS VARCHAR), 'ece', ece FROM (
+        |  WITH b AS (SELECT source AS grp,
+        |      GREATEST(LEAST(CAST(floor((n_chars / 2000.0) * 10) AS BIGINT), 9), 0) AS bin,
+        |      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |    FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |  g AS (SELECT grp, bin, COUNT(*) AS n, SUM(y) AS n_pos FROM b GROUP BY grp, bin)
+        |  SELECT grp, CAST(SUM(abs(20 * n_pos - n * (2 * bin + 1))) AS DOUBLE)
+        |      / CAST(20 * SUM(n) AS DOUBLE) AS ece
+        |  FROM g GROUP BY grp)
+        |UNION ALL
+        |SELECT 'operating_point', CAST(grp AS VARCHAR), 'f1', f1 FROM (
+        |  WITH b AS (SELECT source AS grp, n_chars AS s,
+        |      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |    FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |  g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY grp, s),
+        |  c AS (SELECT grp, s,
+        |      COALESCE(CAST(SUM(cnt) OVER ew AS HUGEINT), 0) AS cumc,
+        |      COALESCE(CAST(SUM(pos) OVER ew AS HUGEINT), 0) AS cump,
+        |      CAST(SUM(cnt) OVER gw AS HUGEINT) AS n,
+        |      CAST(SUM(pos) OVER gw AS HUGEINT) AS p
+        |    FROM g WINDOW ew AS (PARTITION BY grp ORDER BY s
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                gw AS (PARTITION BY grp)),
+        |  conf AS (SELECT grp, s, CAST(p - cump AS BIGINT) AS tp,
+        |      CAST(n - p - (cumc - cump) AS BIGINT) AS fp, CAST(cump AS BIGINT) AS fn
+        |    FROM c),
+        |  f AS (SELECT grp, s, CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |        CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |      ELSE 0.0 END AS f1
+        |    FROM conf),
+        |  r AS (SELECT grp, f1,
+        |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY f1 DESC, s) AS rk FROM f)
+        |  SELECT grp, f1 FROM r WHERE rk = 1)
+        |UNION ALL
+        |SELECT 'gains', CAST(grp AS VARCHAR), 'top_quintile_lift', lift FROM (
+        |  WITH b AS (SELECT source AS grp, n_chars AS s,
+        |      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |    FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |  g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY grp, s),
+        |  c AS (SELECT grp, s, cnt, pos,
+        |      COALESCE(CAST(SUM(cnt) OVER dw AS BIGINT), 0) AS above,
+        |      CAST(SUM(cnt) OVER gw AS BIGINT) AS n,
+        |      CAST(SUM(pos) OVER gw AS BIGINT) AS p
+        |    FROM g WINDOW dw AS (PARTITION BY grp ORDER BY s DESC
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  gw AS (PARTITION BY grp)),
+        |  d AS (SELECT grp, (above * 5) // n + 1 AS bucket, cnt, pos, n, p FROM c),
+        |  bk AS (SELECT grp, bucket, CAST(SUM(cnt) AS BIGINT) AS n_bucket,
+        |      CAST(SUM(pos) AS BIGINT) AS pos_bucket, MIN(n) AS n, MIN(p) AS p
+        |    FROM d GROUP BY grp, bucket),
+        |  cm AS (SELECT grp, bucket, n, p,
+        |      CAST(SUM(n_bucket) OVER cw AS BIGINT) AS cum_n,
+        |      CAST(SUM(pos_bucket) OVER cw AS BIGINT) AS cum_pos
+        |    FROM bk WINDOW cw AS (PARTITION BY grp ORDER BY bucket
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  SELECT grp, CASE WHEN p > 0 THEN
+        |      CAST(CAST(cum_pos AS HUGEINT) * n AS DOUBLE) /
+        |        CAST(CAST(cum_n AS HUGEINT) * p AS DOUBLE) END AS lift
+        |  FROM cm WHERE bucket = 1)
+        |UNION ALL
+        |SELECT 'drift', CAST(grp AS VARCHAR), 'tvd', tvd FROM (
+        |  WITH o AS (SELECT source AS grp, lang AS cat, COUNT(*) AS o_cnt
+        |    FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    GROUP BY source, lang),
+        |  nw AS (SELECT source AS grp, lang AS cat, COUNT(*) AS n_cnt
+        |    FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |      AND doc_id % 3 <> 0 GROUP BY source, lang),
+        |  j AS (SELECT COALESCE(o.grp, nw.grp) AS grp,
+        |      CAST(COALESCE(o.o_cnt, 0) AS HUGEINT) AS o_cnt,
+        |      CAST(COALESCE(nw.n_cnt, 0) AS HUGEINT) AS n_cnt
+        |    FROM o FULL OUTER JOIN nw ON o.grp = nw.grp AND o.cat = nw.cat),
+        |  t AS (SELECT grp, CAST(SUM(o_cnt) AS HUGEINT) AS no,
+        |      CAST(SUM(n_cnt) AS HUGEINT) AS nn FROM j GROUP BY grp),
+        |  tv AS (SELECT j.grp,
+        |      CAST(SUM(abs(j.o_cnt * t.nn - j.n_cnt * t.no)) AS HUGEINT) AS tvd_num
+        |    FROM j JOIN t ON t.grp = j.grp GROUP BY j.grp)
+        |  SELECT tv.grp, CASE WHEN t.no > 0 AND t.nn > 0 THEN
+        |      CAST(tv.tvd_num AS DOUBLE) / CAST(2 * t.no * t.nn AS DOUBLE) END AS tvd
+        |  FROM tv JOIN t ON t.grp = tv.grp)
+        |UNION ALL
+        |SELECT 'psi', CAST(grp AS VARCHAR), 'psi', psi FROM (
+        |  WITH o AS (SELECT source AS grp, lang AS cat, COUNT(*) AS o_cnt
+        |    FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    GROUP BY source, lang),
+        |  nw AS (SELECT source AS grp, lang AS cat, COUNT(*) AS n_cnt
+        |    FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |      AND doc_id % 3 <> 0 GROUP BY source, lang),
+        |  j AS (SELECT COALESCE(o.grp, nw.grp) AS grp,
+        |      CAST(COALESCE(o.o_cnt, 0) AS HUGEINT) AS o_cnt,
+        |      CAST(COALESCE(nw.n_cnt, 0) AS HUGEINT) AS n_cnt
+        |    FROM o FULL OUTER JOIN nw ON o.grp = nw.grp AND o.cat = nw.cat),
+        |  t AS (SELECT grp, CAST(SUM(o_cnt) AS HUGEINT) AS no,
+        |      CAST(SUM(n_cnt) AS HUGEINT) AS nn FROM j GROUP BY grp),
+        |  w AS (SELECT j.grp, t.no, t.nn,
+        |      CAST(j.o_cnt * t.nn - j.n_cnt * t.no AS DECIMAL(20, 0)) AS num,
+        |      CASE WHEN j.o_cnt > 0 AND j.n_cnt > 0 THEN
+        |        CAST(round(ln(CAST(j.o_cnt * t.nn AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |        - CAST(round(ln(CAST(j.n_cnt * t.no AS DOUBLE)), 7) AS DECIMAL(12, 7))
+        |      END AS dl
+        |    FROM j JOIN t ON t.grp = j.grp),
+        |  tt AS (SELECT grp, MIN(no) AS no, MIN(nn) AS nn,
+        |      SUM(num * dl) AS psi_num FROM w GROUP BY grp)
+        |  SELECT grp, CASE WHEN no > 0 AND nn > 0 THEN
+        |      CAST(psi_num AS DOUBLE) / CAST(no * nn AS DOUBLE) END AS psi
+        |  FROM tt)
+        |UNION ALL
+        |SELECT 'ks', CAST(grp AS VARCHAR), 'ks', ks FROM (
+        |  WITH b AS (SELECT source AS grp, n_chars AS s, 1 AS a FROM documents
+        |      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |    UNION ALL
+        |    SELECT source, n_chars, 0 FROM documents
+        |      WHERE n_chars IS NOT NULL AND source IS NOT NULL AND doc_id % 3 <> 0),
+        |  g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(a) AS ca FROM b GROUP BY grp, s),
+        |  c AS (SELECT grp, s,
+        |      CAST(SUM(ca) OVER iw AS HUGEINT) AS cum_a,
+        |      CAST(SUM(cnt - ca) OVER iw AS HUGEINT) AS cum_b,
+        |      CAST(SUM(ca) OVER gw AS HUGEINT) AS n_a,
+        |      CAST(SUM(cnt - ca) OVER gw AS HUGEINT) AS n_b
+        |    FROM g WINDOW iw AS (PARTITION BY grp ORDER BY s
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                gw AS (PARTITION BY grp)),
+        |  d AS (SELECT grp, abs(cum_a * n_b - cum_b * n_a) AS d, n_a, n_b,
+        |      MAX(abs(cum_a * n_b - cum_b * n_a)) OVER (PARTITION BY grp) AS dm
+        |    FROM c)
+        |  SELECT grp, CASE WHEN MIN(n_a) > 0 AND MIN(n_b) > 0 THEN
+        |      CAST(MIN(dm) AS DOUBLE) / CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) END AS ks
+        |  FROM d WHERE d = dm GROUP BY grp)
+        |UNION ALL
+        |SELECT 'privacy', '__corpus__', m, v FROM (
+        |  WITH g AS (SELECT lang, n_chars // 200 AS len_band,
+        |      COUNT(*) AS cnt, COUNT(DISTINCT source) AS lv
+        |    FROM documents GROUP BY lang, n_chars // 200),
+        |  s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |      CAST(MIN(cnt) AS BIGINT) AS min_group_size,
+        |      CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k,
+        |      CAST(MIN(lv) AS BIGINT) AS min_l FROM g)
+        |  SELECT unnest(['k_anonymous', 'l_diverse', 'min_group_size', 'frac_below_k']) AS m,
+        |    unnest([CASE WHEN min_group_size >= 5 THEN 1.0 ELSE 0.0 END,
+        |            CASE WHEN min_l >= 3 THEN 1.0 ELSE 0.0 END,
+        |            CAST(min_group_size AS DOUBLE),
+        |            CASE WHEN n_rows > 0 THEN
+        |              CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |            ELSE 0.0 END]) AS v
+        |  FROM s)
+        |UNION ALL
+        |SELECT 'concentration', '__corpus__', 'gini', gini FROM (
+        |  WITH g AS (SELECT source AS cat, CAST(COUNT(*) AS HUGEINT) AS cnt
+        |    FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |  n AS (SELECT CAST(SUM(abs(a.cnt - b.cnt)) AS HUGEINT) AS num
+        |    FROM g a, g b),
+        |  t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |      CAST(SUM(cnt) AS HUGEINT) AS n_rows FROM g)
+        |  SELECT CASE WHEN t.n_categories > 0 AND t.n_rows > 0 THEN
+        |      CAST(n.num AS DOUBLE) / CAST(2 * t.n_categories * t.n_rows AS DOUBLE)
+        |    END AS gini
+        |  FROM n, t)
+        |UNION ALL
+        |SELECT 'independence', '__corpus__', m, v FROM (
+        |  WITH o AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |      CAST(source AS VARCHAR) AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |    FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |    GROUP BY a, b),
+        |  r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY a),
+        |  c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY b),
+        |  n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |      CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+        |      CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM o),
+        |  t AS (SELECT CAST(SUM((CAST(o.o AS HUGEINT)*o.o*n.n*1000000000)
+        |        // (CAST(r.ra AS HUGEINT)*c.cb)) AS HUGEINT) AS tq
+        |    FROM o JOIN r USING (a) JOIN c USING (b) CROSS JOIN n),
+        |  x AS (SELECT n.n, n.r, n.c, (n.r-1)*(n.c-1) AS dof,
+        |      CAST(CAST(n.n AS HUGEINT)*t.tq
+        |          - CAST(n.n AS HUGEINT)*n.n*1000000000 AS DOUBLE)
+        |        / (1000000000.0 * CAST(n.n AS DOUBLE)) AS chi2
+        |    FROM n CROSS JOIN t),
+        |  k AS (SELECT *, round((1.0 - 2.0/(9.0*dof))
+        |      + 1.645*sqrt(2.0/(9.0*dof)), 12) AS cc FROM x)
+        |  SELECT unnest(['cramers_v', 'dependent']) AS m,
+        |    unnest([CASE WHEN dof > 0
+        |        THEN sqrt(chi2/CAST(n*(least(r,c)-1) AS DOUBLE)) END,
+        |      CASE WHEN dof > 0 AND chi2 >= dof*(cc*cc*cc) THEN 1.0 ELSE 0.0 END]) AS v
+        |  FROM k)
+        |ORDER BY 1, 2, 3""".stripMargin)
 }

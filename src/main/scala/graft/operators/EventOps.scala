@@ -139,10 +139,13 @@ object EventOps {
     *
     * FP discipline: frequency/recency are exact integers; monetary
     * quantizes each double ONCE to DECIMAL(28,6) ([[AuditOps.winsorize]]'s
-    * order-independent accumulation), and the m-score compares the
-    * single correctly-rounded decimal→double cast against the literal
-    * cutpoints — every comparison engine-stable. All-null users score
-    * m via COALESCE(·, 0).
+    * order-independent accumulation), accumulates exactly, and is
+    * EMITTED through one final decimal→double cast (the battery-wide
+    * convention — a raw decimal sum's result width is the engine's
+    * choice, so cross-engine decimal output is not portable); the
+    * m-score compares that same correctly-rounded double against the
+    * literal cutpoints — every comparison engine-stable. All-null users
+    * score m via COALESCE(·, 0).
     *
     * Scale shape: ONE map-side-combined per-user aggregation (no window
     * — the corpus never sorts), a 1-row global-max broadcast crossJoin,
@@ -184,8 +187,8 @@ object EventOps {
       .withColumn("recency",
         call_function("div", col("gmx") - col("mx"), lit(unitTicks)))
       .select(col("user_id"), col("recency"), col("frequency"),
-        col("monetary"), rScore.as("r_score"), fScore.as("f_score"),
-        mScore.as("m_score"))
+        col("monetary").cast("double").as("monetary"),
+        rScore.as("r_score"), fScore.as("f_score"), mScore.as("m_score"))
       .withColumn("rfm",
         col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
       .orderBy("user_id")

@@ -216,7 +216,8 @@ object EventQueries {
 
     // RFM segmentation on the µs values (the ev_dwell convention):
     // recency in whole hours vs the corpus-latest event, frequency,
-    // exact DECIMAL(28,6) monetary; quartile-ish cutpoints as config
+    // monetary accumulated exactly in DECIMAL(28,6) and emitted via one
+    // final double cast; quartile-ish cutpoints as config
     // (2/7/14 h, 60/66/73 events, 2900/3300/3650 value).
     "ev_rfm" -> ((s, d) =>
       EventOps.rfmReport(t(s, d, "events"),
@@ -537,27 +538,35 @@ object EventQueries {
          |FROM c ORDER BY event_type, bucket""".stripMargin
     },
 
-    // RFM: per-user aggregate, 1-row global max, row-local scoring; the
-    // m-score compares the one decimal→double cast against the literals.
+    // RFM: per-user aggregate, 1-row global max, row-local scoring. The
+    // decimal accumulation is exact; `monetary` is EMITTED through one
+    // final decimal→double cast (the ev_gap_fill convention — a raw
+    // decimal sum's result width is the engine's choice), and the
+    // m-score compares that same double against the literals. Scores via
+    // CASE WHEN, the join explicit CROSS JOIN — the dialect-stable
+    // idioms of the passing ev_ family.
     "ev_rfm" ->
       """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS frequency,
-        |    SUM(CAST(value AS DECIMAL(28,6))) AS monetary,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS monetary,
         |    MAX(epoch_us(ts)) AS mx
         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
         |g AS (SELECT MAX(mx) AS gmx FROM u),
         |s AS (SELECT user_id, (g.gmx - u.mx) // 3600000000 AS recency,
-        |    frequency, monetary,
-        |    COALESCE(CAST(monetary AS DOUBLE), 0.0) AS md FROM u, g),
+        |    frequency, monetary, COALESCE(monetary, 0.0) AS md
+        |  FROM u CROSS JOIN g),
         |sc AS (SELECT user_id, recency, frequency, monetary,
-        |    1 + CAST(recency <= 14 AS BIGINT) + CAST(recency <= 7 AS BIGINT)
-        |      + CAST(recency <= 2 AS BIGINT) AS r_score,
-        |    1 + CAST(frequency >= 60 AS BIGINT) + CAST(frequency >= 66 AS BIGINT)
-        |      + CAST(frequency >= 73 AS BIGINT) AS f_score,
-        |    1 + CAST(md >= 2900.0 AS BIGINT) + CAST(md >= 3300.0 AS BIGINT)
-        |      + CAST(md >= 3650.0 AS BIGINT) AS m_score
+        |    CAST(1 + (CASE WHEN recency <= 14 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency <= 7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+        |    CAST(1 + (CASE WHEN frequency >= 60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency >= 66 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency >= 73 THEN 1 ELSE 0 END) AS BIGINT) AS f_score,
+        |    CAST(1 + (CASE WHEN md >= 2900.0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN md >= 3300.0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN md >= 3650.0 THEN 1 ELSE 0 END) AS BIGINT) AS m_score
         |  FROM s)
         |SELECT user_id, recency, frequency, monetary, r_score, f_score,
-        |  m_score, r_score*100 + f_score*10 + m_score AS rfm
+        |  m_score, CAST(r_score*100 + f_score*10 + m_score AS BIGINT) AS rfm
         |FROM sc ORDER BY user_id""".stripMargin,
     // Transitions: LEAD over the same (µs, event_id) per-user order; p is
     // one exact-integer division

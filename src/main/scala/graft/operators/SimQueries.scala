@@ -604,7 +604,8 @@ object SimQueries {
     "sim_trace_stats" ->
       s"""WITH v AS (
          |  SELECT m.model_id,
-         |    CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN 1.0 ELSE 0.0 END AS v
+         |    CASE WHEN $u < CAST(m.bias AS DOUBLE) THEN CAST(1 AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS v
          |  FROM ${coinValues(estSpecs)}
          |  CROSS JOIN generate_series(0, 4999) AS s(sim_id)
          |  CROSS JOIN generate_series(0, 15) AS st(step))

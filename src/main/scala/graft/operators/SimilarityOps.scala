@@ -1196,6 +1196,12 @@ object SimilarityOps {
   def writeIvfIndex(e0: DataFrame, cents: DataFrame, dir: String): Unit = {
     OpContract.requireCols(e0, "SimilarityOps.writeIvfIndex corpus", "vec_id", "embedding")
     OpContract.requireCols(cents, "SimilarityOps.writeIvfIndex centroids", "cid", "ce")
+    // a FRESH build owns the dir: stale appends/drift were assigned under
+    // the PREVIOUS centroids (their cid routing is meaningless now) and a
+    // leftover base pointer would alias the new lists.parquet away
+    java.nio.file.Files.deleteIfExists(ivfPointerPath(dir))
+    graft.sources.SnapshotStore.deleteRecursively(s"$dir/appends")
+    graft.sources.SnapshotStore.deleteRecursively(s"$dir/drift")
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     assignToCentroids(e, cents)
@@ -1215,7 +1221,88 @@ object SimilarityOps {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/centroids.parquet"),
-      spark.read.parquet(s"$dir/lists.parquet"))
+      spark.read.parquet(s"$dir/${ivfBaseState(dir)._1}"))
+
+  /** Atomic base pointer of a compacted IVF index: `_base` holds the
+    * live base-lists subdir name (line 1) and the comma-joined snapshot
+    * versions already FOLDED into it (line 2), replaced by atomic rename
+    * — the [[graft.sources.SnapshotStore]] `_latest` discipline. Absent
+    * file = the original [[writeIvfIndex]] layout (`lists.parquet`,
+    * nothing folded), so pre-compaction indexes read unchanged.
+    */
+  private def ivfPointerPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_base")
+
+  /** (live base subdir name, versions folded into it) — see
+    * [[ivfPointerPath]]. */
+  private[graft] def ivfBaseState(dir: String): (String, Set[Long]) = {
+    val p = ivfPointerPath(dir)
+    if (!java.nio.file.Files.isRegularFile(p)) ("lists.parquet", Set.empty)
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
+      val folded = if (lines.length < 2 || lines(1).trim.isEmpty) Set.empty[Long]
+        else lines(1).trim.split(",").map(_.toLong).toSet
+      (lines(0).trim, folded)
+    }
+  }
+
+  /** MAINTENANCE: fold every committed-but-unfolded `appends/version=*`
+    * subdir into ONE new base-lists directory and atomically flip the
+    * [[ivfPointerPath]] pointer at it — the ANN twin of
+    * [[graft.streaming.StreamOps.compactIngestLog]]. Continuous ingest
+    * otherwise accretes one append subdir per published version, and a
+    * probe reads its nprobe cid dirs under the base PLUS EVERY append
+    * version — after N batches the file count (not bytes) dominates the
+    * read path. Compaction restores the one-dir-per-list invariant: the
+    * union is shuffled BY cid before the partitioned write, so each
+    * inverted list lands in O(1) files regardless of how many appends
+    * fed it, and probe cost is flat in the number of folded versions.
+    *
+    * Crash discipline (every window leaves a correct, readable index):
+    * write the new base dir → ATOMIC pointer flip (base name + folded
+    * set change together, so a reader never sees a version both in the
+    * base and as a live append) → vacuum the folded subdirs and any
+    * unpointed base dirs. A crash before the flip leaves garbage the
+    * next run overwrites; after it, garbage the next run vacuums.
+    * Folded versions stay ANN-covered for
+    * [[graft.streaming.StreamOps.reconcileIvfAppends]] via the pointer's
+    * folded set ([[annIndexedVersions]]); their drift history is
+    * untouched (`drift/` is pointer-independent metadata). Returns the
+    * number of versions folded (0 = nothing to do, no write happened).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val (_, folded0) = ivfBaseState(dir)
+    // heal first: a crash between a previous run's pointer flip and its
+    // vacuum leaves folded versions' subdirs lingering (readers already
+    // exclude them via the pointer — this is garbage collection only)
+    annAppendedVersions(dir).filter(folded0).foreach(v =>
+      graft.sources.SnapshotStore.deleteRecursively(s"$dir/appends/version=$v"))
+    val toFold = annAppendedVersions(dir).filterNot(folded0)
+    if (toFold.isEmpty) return 0L
+    val (_, lists) = readIvfIndexAll(spark, dir)
+    val newName = s"lists_c=${toFold.max}.parquet"
+    lists.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$newName")
+    val content = newName + "\n" +
+      (folded0 ++ toFold).toSeq.sorted.mkString(",")
+    val tmp = java.nio.file.Paths.get(dir, s"_base.tmp.${toFold.max}")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, ivfPointerPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // vacuum: folded append subdirs + every base dir the pointer left
+    (folded0 ++ toFold).foreach(v => graft.sources.SnapshotStore
+      .deleteRecursively(s"$dir/appends/version=$v"))
+    val kids = new java.io.File(dir).listFiles()
+    if (kids != null) kids.toSeq
+      .filter(f => f.isDirectory && f.getName != newName &&
+        (f.getName == "lists.parquet" || f.getName.startsWith("lists_c=")))
+      .foreach(f => graft.sources.SnapshotStore.deleteRecursively(f.getPath))
+    toFold.size.toLong
+  }
 
   /** Assignment-quality summary of a persisted IVF index: (n, p10, p50)
     * of each indexed vector's cosine to its own list's centroid — the
@@ -1349,7 +1436,12 @@ object SimilarityOps {
   def readIvfIndexAll(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val (cents, base) = readIvfIndex(spark, dir)
-    val lists = annAppendedVersions(dir) match {
+    // versions already folded into the base are EXCLUDED even if their
+    // append subdir still exists (the compaction crash window between
+    // pointer flip and vacuum) — the pointer's folded set and base name
+    // flip in one atomic rename, so no version is ever read twice
+    val folded = ivfBaseState(dir)._2
+    val lists = annAppendedVersions(dir).filterNot(folded) match {
       case Nil => base
       case vs => base.unionByName(
         spark.read.option("basePath", s"$dir/appends")
@@ -1369,6 +1461,15 @@ object SimilarityOps {
       .map(_.getName.stripPrefix("version=").toLong).sorted
   }
 
+  /** Every snapshot version the ANN index COVERS: live append subdirs
+    * plus versions [[compactIvfIndex]] folded into the base (their
+    * subdirs are vacuumed, the pointer remembers them) — the reconcile
+    * contract ([[graft.streaming.StreamOps.reconcileIvfAppends]] must
+    * not re-append a folded version's vectors).
+    */
+  private[graft] def annIndexedVersions(dir: String): Seq[Long] =
+    (annAppendedVersions(dir).toSet ++ ivfBaseState(dir)._2).toSeq.sorted
+
   /** The persisted drift-report history of a versioned-append index, one
     * row per appended snapshot version, version-ordered — "when did the
     * arriving data start drifting off the trained centroids" as a table
@@ -1376,8 +1477,16 @@ object SimilarityOps {
     */
   def ivfDriftHistory(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val vs = annAppendedVersions(dir)
-      .filter(v => new java.io.File(s"$dir/drift/version=$v/_SUCCESS").isFile)
+    // drift/ is listed directly (not via the appends subdirs): a version
+    // folded by compactIvfIndex keeps its drift row — history survives
+    // maintenance
+    val dd = new java.io.File(s"$dir/drift")
+    val vs =
+      (if (!dd.isDirectory || dd.listFiles() == null) Nil
+       else dd.listFiles().toSeq
+         .filter(f => f.isDirectory && f.getName.startsWith("version=") &&
+           new java.io.File(f, "_SUCCESS").isFile)
+         .map(_.getName.stripPrefix("version=").toLong).sorted)
     require(vs.nonEmpty, s"SimilarityOps.ivfDriftHistory: no drift reports at $dir")
     spark.read.option("basePath", s"$dir/drift")
       .parquet(vs.map(v => s"$dir/drift/version=$v"): _*)

@@ -883,7 +883,9 @@ object StreamOps {
   def reconcileIvfAppends(spark: org.apache.spark.sql.SparkSession,
       snapRoot: String, annDir: String): Unit = {
     val published = graft.sources.SnapshotStore.manifestVersions(snapRoot)
-    val covered = graft.operators.SimilarityOps.annAppendedVersions(annDir).toSet
+    // covered = live append subdirs ∪ versions compactIvfIndex folded
+    // into the base (their subdirs are gone; re-appending would duplicate)
+    val covered = graft.operators.SimilarityOps.annIndexedVersions(annDir).toSet
     val missing = published.filterNot(covered)
     if (missing.isEmpty) return
     val ceType = spark.read.parquet(s"$annDir/centroids.parquet")
@@ -1135,8 +1137,15 @@ object StreamOps {
                   compactIngestLog(spark, snapRoot, keepFull)
                   // the compacted full's docs are all ANN-indexed under
                   // their original increments — the heal writes its empty
-                  // presence marker now instead of at the next restart
-                  annIndexDir.foreach(reconcileIvfAppends(spark, snapRoot, _))
+                  // presence marker now instead of at the next restart;
+                  // then the ANN index rides the same maintenance cycle:
+                  // fold the accreted append subdirs into the base lists
+                  // so probe cost stays flat in version count
+                  annIndexDir.foreach { d =>
+                    reconcileIvfAppends(spark, snapRoot, d)
+                    graft.operators.SimilarityOps.compactIvfIndex(spark, d)
+                    ()
+                  }
                   ()
                 }
               }

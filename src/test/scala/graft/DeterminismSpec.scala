@@ -1,21 +1,21 @@
 package graft
 
-/** Determinism under PARALLELISM (VERDICT r10 #7): the repo's FP
-  * discipline (decimal exact sums, single correctly-rounded final ops,
-  * integer gate comparisons) promises results independent of partial-
-  * aggregate merge order — which `spark.sql.shuffle.partitions` directly
-  * perturbs. The correctness gate proves cross-ENGINE equality (Spark vs
-  * DuckDB at one partitioning); this spec proves cross-PARTITIONING
-  * equality: a representative gate slice re-runs at 4 vs 32 shuffle
-  * partitions and every output must match row-for-row, bit-for-bit
-  * (Double.toString is shortest-unique per bit pattern, so string
-  * equality is bit equality).
+/** Determinism under PARALLELISM (VERDICT r10 #7, widened to the FULL
+  * battery in r12 per VERDICT r11 #4): the repo's FP discipline (decimal
+  * exact sums, single correctly-rounded final ops, integer gate
+  * comparisons) promises results independent of partial-aggregate merge
+  * order — which `spark.sql.shuffle.partitions` directly perturbs. The
+  * correctness gate proves cross-ENGINE equality (Spark vs DuckDB at one
+  * partitioning); this spec proves cross-PARTITIONING equality: EVERY
+  * `SparkEntry.queries` gate re-runs at 4 vs 32 shuffle partitions and
+  * every output must match row-for-row, bit-for-bit (Double.toString is
+  * shortest-unique per bit pattern, so string equality is bit equality).
   *
-  * The slice deliberately over-weights the families where merge order
-  * bites: decimal-sum aggregates (pricing, perplexity, entropy, BM25,
-  * covariance), rank/percentile arithmetic, iterative convergence
-  * (clusters, CUSUM), sketches (KMV, AMS), similarity scoring, and the
-  * hash-derived samplers.
+  * Two tests: the curated high-risk slice (fast, runs the families where
+  * merge order bites hardest — kept as the quick dev signal) and the
+  * battery-wide sweep over every remaining gate, no exclusions (even the
+  * sketch/approx family is merge-order independent by construction:
+  * HLL/KMV/CMS merges are max/min/sum lattice ops).
   */
 class DeterminismSpec extends SparkTestBase {
 
@@ -81,7 +81,7 @@ class DeterminismSpec extends SparkTestBase {
     "q44_pivot",            // explicit-list conditional decimal sums
     "mm_audio_stats")       // PCM decode + exact sample sums
 
-  test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
+  private def sweep(gates: Seq[String]): Unit = {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAt(name: String, parts: String): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -89,9 +89,9 @@ class DeterminismSpec extends SparkTestBase {
         .collect().map(_.toString).sorted.toSeq
     }
     try {
-      val missing = GATES.filterNot(SparkEntry.queries.contains)
+      val missing = gates.filterNot(SparkEntry.queries.contains)
       assert(missing.isEmpty, s"unknown gates in the sweep: $missing")
-      val diffs = GATES.flatMap { g =>
+      val diffs = gates.flatMap { g =>
         val at4 = runAt(g, "4")
         val at32 = runAt(g, "32")
         if (at4 == at32) None
@@ -102,5 +102,13 @@ class DeterminismSpec extends SparkTestBase {
       assert(diffs.isEmpty,
         s"outputs changed with shuffle partitioning:\n${diffs.mkString("\n")}")
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
+  test("gate outputs are identical at shuffle.partitions 4 vs 32 (merge-order independence)") {
+    sweep(GATES)
+  }
+
+  test("EVERY remaining gate is identical at shuffle.partitions 4 vs 32 (battery-wide sweep)") {
+    sweep(SparkEntry.queries.keys.toSeq.filterNot(GATES.toSet).sorted)
   }
 }

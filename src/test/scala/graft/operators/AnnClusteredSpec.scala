@@ -384,6 +384,81 @@ class AnnClusteredSpec extends SparkTestBase {
       "same-manifold appends must not recommend retrain")
   }
 
+  test("compactIvfIndex: folds appends into the base, serving equality, bounded dirs, reconcile coverage, crash-window exclusion") {
+    val df = corpusDf
+    val build = df.filter(col("cluster") < 8).select("vec_id", "embedding")
+    val b1 = df.filter(col("cluster") === 8).select("vec_id", "embedding")
+    val b2 = df.filter(col("cluster") === 9 && col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val b3 = df.filter(col("cluster") === 9 && col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val cents = df.filter(col("vec_id") % PER_CLUSTER === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcmp").toString
+    SimilarityOps.writeIvfIndex(build, cents, dir)
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 1L, b1)
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 2L, b2)
+    def serve() = {
+      val (c, l) = SimilarityOps.readIvfIndexAll(spark, dir)
+      SimilarityOps.ivfTopKFromIndex(l, queriesDf(df), c, nprobe = 3, k = TOP_K)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val before = serve()
+
+    assert(SimilarityOps.compactIvfIndex(spark, dir) == 2L,
+      "both committed append versions must fold")
+    // serving is unchanged by maintenance
+    assert(serve() == before, "compaction must not change what the index serves")
+    // the folded subdirs are vacuumed; coverage survives in the pointer
+    // (reconcile must never re-append a folded version)
+    assert(SimilarityOps.annAppendedVersions(dir).isEmpty,
+      "folded append subdirs must be vacuumed")
+    assert(SimilarityOps.annIndexedVersions(dir) == Seq(1L, 2L),
+      "folded versions stay ANN-covered")
+    // drift history survives the fold
+    val hist = SimilarityOps.ivfDriftHistory(spark, dir).collect()
+      .map(_.getAs[Long]("version")).toSeq
+    assert(hist == Seq(1L, 2L), s"drift history must survive compaction: $hist")
+    // bounded layout: exactly ONE base dir, one subdir per inverted list,
+    // and (post-cid-shuffle) O(1) part files per list
+    val bases = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory &&
+        (f.getName == "lists.parquet" || f.getName.startsWith("lists_c=")))
+    assert(bases.length == 1 && bases(0).getName == "lists_c=2.parquet", bases.mkString(","))
+    val worstFiles = bases(0).listFiles().filter(_.getName.startsWith("cid="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(worstFiles <= 2, s"compacted lists must be O(1) files per cid, worst=$worstFiles")
+    // legacy single-dir reader resolves the pointer too
+    assert(SimilarityOps.readIvfIndex(spark, dir)._2.count() ==
+      build.count() + b1.count() + b2.count())
+    // idempotent: nothing left to fold
+    assert(SimilarityOps.compactIvfIndex(spark, dir) == 0L)
+
+    // CRASH WINDOW between pointer flip and vacuum: a folded version's
+    // subdir reappearing on disk must NOT be read twice — the pointer's
+    // folded set excludes it atomically with the base swap
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 2L, b2)
+    val total = build.count() + b1.count() + b2.count()
+    assert(SimilarityOps.readIvfIndexAll(spark, dir)._2.count() == total,
+      "a folded version's lingering subdir must be excluded from reads")
+    SimilarityOps.compactIvfIndex(spark, dir) // vacuum heals the lingering dir
+    assert(SimilarityOps.annAppendedVersions(dir).isEmpty)
+
+    // life goes on: a post-compaction append serves and re-folds
+    SimilarityOps.appendVersionToIvfIndex(spark, dir, 3L, b3)
+    assert(SimilarityOps.readIvfIndexAll(spark, dir)._2.count() == df.count())
+    assert(SimilarityOps.compactIvfIndex(spark, dir) == 1L)
+    assert(SimilarityOps.readIvfIndex(spark, dir)._2.count() == df.count())
+    assert(SimilarityOps.annIndexedVersions(dir) == Seq(1L, 2L, 3L))
+
+    // a FRESH build owns the dir: stale pointer/appends/drift from the
+    // previous centroids are cleared, reads resolve to lists.parquet
+    SimilarityOps.writeIvfIndex(build, cents, dir)
+    assert(SimilarityOps.annIndexedVersions(dir).isEmpty,
+      "rebuild must clear the folded-set pointer and appends")
+    assert(SimilarityOps.readIvfIndex(spark, dir)._2.count() == build.count())
+  }
+
   test("bitextMineLsh recovers the exhaustive margins on clustered sides") {
     // even/odd halves of the clustered corpus as the two "languages":
     // cluster-mates sit at cos ~0.98, so the LSH buckets that work for

@@ -591,7 +591,7 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out.size == 3, "null user_id row must be dropped")
     assert(out(1L).getLong(1) == 0 && out(1L).getLong(2) == 2 &&
-      out(1L).getDecimal(3).doubleValue == 30.75 && out(1L).getLong(7) == 434,
+      out(1L).getDouble(3) == 30.75 && out(1L).getLong(7) == 434,
       out(1L).toString)
     assert(out(2L).isNullAt(3) && out(2L).getLong(7) == 421, out(2L).toString)
     assert(out(3L).getLong(1) == 7 && out(3L).getLong(7) == 242,
