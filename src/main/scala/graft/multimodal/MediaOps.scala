@@ -189,6 +189,60 @@ object MediaOps {
   final case class AudioStats(doc_id: Long, decoded: Boolean, channels: Long,
       n_samples: Long, sum_abs: Long, mean_abs: Double)
 
+  final case class AudioZcr(doc_id: Long, decoded: Boolean, n_samples: Long,
+      n_crossings: Long, zcr: Double, max_abs: Long)
+
+  /** ZERO-CROSSING RATE + peak level per clip — the cheapest useful
+    * audio features after [[audioStats]]'s mean level (ZCR separates
+    * voiced/unvoiced/noise segments and is the classic first column of
+    * every audio-quality screen; max\|sample\| is the clipping
+    * detector): a real `javax.sound.sampled` decode to 16-bit LE PCM,
+    * then the exact count of adjacent-sample sign changes (sign =
+    * `sample >= 0`, the textbook convention) and the exact peak.
+    * `zcr = crossings/(n−1)` is ONE division of exact integers.
+    * Undecodable or non-16-bit payloads emit `decoded = false` zeros.
+    *
+    * Scale shape: the [[MediaStub.decodeAll]] mapPartitions discipline —
+    * embarrassingly parallel, no shuffle at any scale; per-clip state is
+    * three longs.
+    */
+  def audioZcr(spark: SparkSession, docsWithPayload: DataFrame): Dataset[AudioZcr] = {
+    import spark.implicits._
+    graft.operators.OpContract.requireCols(docsWithPayload,
+        "MediaOps.audioZcr", "doc_id", "payload")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val decoded = try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+          else {
+            val data = in.readAllBytes()
+            var i = 0; var n = 0L; var cross = 0L; var mx = 0L
+            var prevNonNeg = false
+            while (i + 1 < data.length) {
+              val s = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort
+              val nonNeg = s >= 0
+              if (n > 0 && nonNeg != prevNonNeg) cross += 1
+              prevNonNeg = nonNeg
+              if (math.abs(s.toLong) > mx) mx = math.abs(s.toLong)
+              n += 1
+              i += 2
+            }
+            Some((n, cross, mx))
+          }
+        } catch { case _: Exception => None }
+        decoded match {
+          case Some((n, cross, mx)) =>
+            AudioZcr(id, decoded = true, n, cross,
+              if (n > 1) cross.toDouble / (n - 1).toDouble else 0.0, mx)
+          case None => AudioZcr(id, decoded = false, 0L, 0L, 0.0, 0L)
+        }
+      })
+  }
+
   /** PER-CLIP PCM SAMPLE STATISTICS — the audio sibling of
     * [[imageStats]] and the first real feature-extraction step past
     * [[audioMeta]]'s header fields (silence/clipping detection, level

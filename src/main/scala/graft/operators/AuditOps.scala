@@ -2748,6 +2748,185 @@ object AuditOps {
           .as("dependent"))
   }
 
+  /** WELCH'S UNEQUAL-VARIANCE t TEST per group — the continuous-metric
+    * A/B readout between [[abTestReport]] (proportions) and
+    * [[mannWhitneyReport]] (ranks): does the MEAN of the quantized
+    * metric differ between arms when the variances may not match
+    * (Welch '47 — the default over Student's t in every modern stats
+    * text)? Emits per group `(grp, n_a, n_b, mean_a, mean_b, diff, se,
+    * t, significant)` with the large-sample \|t\| ≥ 1.96 verdict (the
+    * [[mannWhitneyReport]] convention; Welch dof adds nothing at the
+    * row counts this family audits and its ν formula is the one shape
+    * that can FMA-contract cross-engine, so it is deliberately not
+    * emitted).
+    *
+    * FP discipline (the [[tostReport]] unpooled-se chain on exact
+    * moments): from per-arm exact (n, Σx, Σx²) over floor-quantized
+    * values, mean = Σx/n is one division; each var/n term is ONE
+    * division of exact integers — (n·Σx² − (Σx)²) / (n²·(n−1)) — then
+    * se² is one add of correctly-rounded doubles, se = √se², and
+    * t = diff/se one subtract + one divide, every step mirrored
+    * op-for-op in the oracle. t is NULL when either arm has < 2 rows or
+    * se² = 0. Width bound: n·Σx² fits DECIMAL(38,0) to ~10¹⁸ row-value²
+    * mass — beyond any per-group slice this family sees.
+    *
+    * Scale shape: ONE map-side-combined (grp, arm) moment aggregation
+    * to ≤ 2·groups rows; everything after is row-local arithmetic.
+    */
+  def welchReport(df: DataFrame, groupCol: String, armACol: Column,
+      valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.welchReport", groupCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        when(armACol, 1L).otherwise(0L).as("arm"),
+        floor(col(valueCol)).cast("long").as("x"))
+      .groupBy("grp", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s"),
+        sum(col("x").cast(dec) * col("x")).as("q"))
+    def side(a: Int, name: String) = g.filter(col("arm") === a)
+      .select(col("grp"), col("n").as(s"n_$name"), col("s").as(s"s_$name"),
+        col("q").as(s"q_$name"))
+    val j = side(1, "a").join(side(0, "b"), Seq("grp"), "inner")
+    def mean(n: Column, s: Column) = s.cast("double") / n.cast("double")
+    // var/n in ONE exact-integer division: (n·Σx² − (Σx)²) / (n²·(n−1))
+    def varOverN(n: Column, s: Column, q: Column) =
+      (n.cast(dec) * q - s * s).cast("double") /
+        (n.cast(dec) * n * (n - 1)).cast("double")
+    val se2 = varOverN(col("n_a"), col("s_a"), col("q_a")) +
+      varOverN(col("n_b"), col("s_b"), col("q_b"))
+    val live = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    val diff = mean(col("n_a"), col("s_a")) - mean(col("n_b"), col("s_b"))
+    val t = when(live, diff / sqrt(se2))
+    j.select(col("grp"), col("n_a"), col("n_b"),
+        mean(col("n_a"), col("s_a")).as("mean_a"),
+        mean(col("n_b"), col("s_b")).as("mean_b"), diff.as("diff"),
+        when(live, sqrt(se2)).as("se"), t.as("t"),
+        coalesce(abs(t) >= 1.96, lit(false)).as("significant"))
+      .orderBy("grp")
+  }
+
+  /** EXACT 1-WASSERSTEIN (earth mover's) DISTANCE per group between two
+    * arms' empirical distributions of the quantized metric — the
+    * magnitude companion to [[ksReport]]'s max-gap: KS says the worst
+    * CDF gap, W₁ integrates \|F_A − F_B\| over the value axis, so it
+    * sees a small shift of the whole mass that KS under-weights (the
+    * metric behind distribution-shift monitors and embedding-drift
+    * alarms; Ramdas et al. '17 for the 1-D closed form). Emits per
+    * group `(grp, n_a, n_b, w1)`.
+    *
+    * FP discipline: on the sorted distinct values, W₁ = Σ_i
+    * \|cumA_i·n_b − cumB_i·n_a\| · (x_{i+1} − x_i) accumulated as ONE
+    * exact DECIMAL(38,0) sum (the [[ksReport]] cross-multiplication ×
+    * the exact integer gap), divided ONCE by n_a·n_b. Bit-identical
+    * cross-engine at any partitioning. NULL when either side is empty.
+    *
+    * Scale shape: one (grp, value) pre-aggregation, one group-
+    * partitioned ordered window for the prefix sums + value gap, one
+    * map-side-combined reduction to ≤\|groups\| rows — the exact
+    * [[ksReport]] plan plus a lead().
+    */
+  def wassersteinReport(df: DataFrame, groupCol: String, armACol: Column,
+      valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.wassersteinReport", groupCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        floor(col(valueCol)).cast("long").as("s"),
+        when(armACol, 1L).otherwise(0L).as("a"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
+    val iw = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gw = Window.partitionBy("grp")
+    val c = g.select(col("grp"), col("s"),
+      sum(col("ca")).over(iw).cast(dec).as("cum_a"),
+      sum(col("cnt") - col("ca")).over(iw).cast(dec).as("cum_b"),
+      sum(col("ca")).over(gw).cast(dec).as("n_a"),
+      sum(col("cnt") - col("ca")).over(gw).cast(dec).as("n_b"),
+      (lead(col("s"), 1).over(Window.partitionBy("grp").orderBy("s"))
+        - col("s")).as("gap"))
+    c.filter(col("gap").isNotNull)
+      .groupBy("grp")
+      .agg(min(col("n_a")).as("na"), min(col("n_b")).as("nb"),
+        sum((abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          * col("gap")).cast(dec)).as("num"))
+      .select(col("grp"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          coalesce(col("num"), lit(0L).cast(dec)).cast("double") /
+            (col("na") * col("nb")).cast("double")).as("w1"))
+      .orderBy("grp")
+  }
+
+  /** BROWN–FORSYTHE (median-based Levene) VARIANCE-HOMOGENEITY test
+    * across groups — the question [[anovaReport]] silently assumes away
+    * (its F compares means under equal variances; when spreads differ,
+    * the mean readout misleads) and the robust form of Levene '60 that
+    * survives heavy tails (Brown & Forsythe '74): ANOVA's F computed on
+    * the absolute deviations z = \|x − median_g\| from each group's OWN
+    * median. Emits one row `(k, n, f_stat, max_mean_absdev,
+    * min_mean_absdev)` — F for the verdict, the extreme per-group mean
+    * deviations as the effect direction.
+    *
+    * FP discipline: medians are the LOWER MEDIAN (rank ⌈n/2⌉ in
+    * (value, arrival) order) of the floor-quantized values — an exact
+    * integer both engines select identically, no interpolation; the z
+    * deviations are then exact integers and the F chain is byte-for-byte
+    * [[anovaReport]]'s quantized floor-division arithmetic (same 10⁶
+    * quantum, same width bound). F NULL on degenerate dof or zero SSW.
+    *
+    * Scale shape: one (grp, value) count aggregation, one group-
+    * partitioned window for the median rank (groups rank in parallel;
+    * the distinct-value table is far smaller than rows), a broadcast
+    * join of ≤\|groups\| medians back onto the rows, then the ANOVA
+    * moment reduction.
+    */
+  def leveneReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.leveneReport", groupCol, valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = 1000000L
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val vc = base.groupBy("grp", "x").agg(count(lit(1)).as("cnt"))
+    val iw = Window.partitionBy("grp").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gw = Window.partitionBy("grp")
+    // lower median: the first value whose inclusive cumulative count
+    // reaches ⌈n/2⌉ — pure integer selection, no interpolation
+    val med = vc.select(col("grp"), col("x"),
+        sum(col("cnt")).over(iw).as("cum"), sum(col("cnt")).over(gw).as("n"))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("grp").agg(min(col("x")).as("med"))
+    val z = base.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), abs(col("x") - col("med")).as("z"))
+    val g = z.groupBy("grp")
+      .agg(count(lit(1)).as("ng"), sum(col("z").cast(dec)).as("sg"),
+        sum(col("z").cast(dec) * col("z")).as("qg"))
+    val agg = g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").cast(dec).as("s"), sum("qg").cast(dec).as("qq"),
+        sum(call_function("div", col("sg") * col("sg") * lit(q),
+          col("ng").cast(dec))).cast(dec).as("tsum"),
+        // per-group mean absdev = ONE exact-integer division each; the
+        // max/min compare those correctly-rounded doubles (comparison,
+        // not arithmetic — engine-stable)
+        max(col("sg").cast("double") / col("ng").cast("double")).as("mx"),
+        min(col("sg").cast("double") / col("ng").cast("double")).as("mn"))
+      .withColumn("tq", call_function("div", col("s") * col("s") * lit(q),
+        col("n").cast(dec)))
+      .withColumn("ssb", greatest(lit(0L).cast(dec),
+        (col("tsum") - col("tq")).cast(dec)))
+      .withColumn("ssw", greatest(lit(0L).cast(dec),
+        (col("qq") * lit(q) - col("tsum")).cast(dec)))
+    agg.select(col("k"), col("n"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+        (col("ssb") * (col("n") - col("k")).cast(dec)).cast("double") /
+          (col("ssw") * (col("k") - 1).cast(dec)).cast("double"))
+        .as("f_stat"),
+      col("mx").as("max_mean_absdev"), col("mn").as("min_mean_absdev"))
+  }
+
   /** RELEASE DATA CARD — the full per-source audit panel composed into
     * ONE long-format table `(section, source, metric, value DOUBLE)`,
     * the shape a release pipeline publishes next to the corpus snapshot

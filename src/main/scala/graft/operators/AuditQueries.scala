@@ -64,6 +64,24 @@ object AuditQueries {
     "aud_anova" -> ((s, d) =>
       AuditOps.anovaReport(t(s, d, "events"), "event_type", "value")),
 
+    // Welch's unequal-variance t per event type between even/odd user
+    // cohorts — the continuous-mean A/B cell of the test matrix
+    // (abtest = proportions, mannwhitney = ranks, this = means).
+    "aud_welch" -> ((s, d) =>
+      AuditOps.welchReport(t(s, d, "events"), "event_type",
+        pmod(col("user_id"), lit(2)) === 0, "value")),
+
+    // Exact 1-Wasserstein distance between the same cohorts — the
+    // shift-magnitude companion to aud_ks's max-gap.
+    "aud_wasserstein" -> ((s, d) =>
+      AuditOps.wassersteinReport(t(s, d, "events"), "event_type",
+        pmod(col("user_id"), lit(2)) === 0, "value")),
+
+    // Brown–Forsythe variance homogeneity across event types — the
+    // spread question aud_anova's mean F assumes away.
+    "aud_levene" -> ((s, d) =>
+      AuditOps.leveneReport(t(s, d, "events"), "event_type", "value")),
+
     // Kruskal-Wallis: the nonparametric k-group cell completing the test
     // matrix — integer doubled rank sums from the distinct-value table,
     // tie-corrected H one division of exact integers.
@@ -1275,6 +1293,90 @@ object AuditQueries {
     // Mann–Whitney: 2×-scaled average ranks over the (grp, value) count
     // table, exact HUGEINT tie/variance factors, z the mirrored
     // ÷→√→halve→÷ chain
+    // Welch t: per-arm exact moments; each var/n ONE exact-integer
+    // division, se2 one add, t the mirrored subtract->sqrt->divide chain
+    "aud_welch" ->
+      """WITH b AS (SELECT event_type AS grp,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT grp, arm, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |  FROM b GROUP BY grp, arm),
+        |j AS (SELECT a.grp, a.n AS n_a, a.s AS s_a, a.q AS q_a,
+        |    bb.n AS n_b, bb.s AS s_b, bb.q AS q_b
+        |  FROM g a JOIN g bb ON a.grp = bb.grp AND a.arm = 1 AND bb.arm = 0),
+        |c AS (SELECT grp, n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |    CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+        |        / CAST(n_a * n_a * (n_a - 1) AS DOUBLE)
+        |      + CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+        |        / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS se2
+        |  FROM j)
+        |SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  mean_a, mean_b, mean_a - mean_b AS diff,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN sqrt(se2) END AS se,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |    THEN (mean_a - mean_b) / sqrt(se2) END AS t,
+        |  COALESCE(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |    THEN abs((mean_a - mean_b) / sqrt(se2)) >= 1.96 END, FALSE) AS significant
+        |FROM c ORDER BY grp""".stripMargin,
+
+    // W1: the ks cross-multiplication x the exact integer value gap,
+    // one DECIMAL-exact sum, one final division by n_a*n_b
+    "aud_wasserstein" ->
+      """WITH b AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS s,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT grp, s, COUNT(*) AS cnt, SUM(a) AS ca FROM b GROUP BY grp, s),
+        |c AS (SELECT grp, s,
+        |    CAST(SUM(ca) OVER iw AS HUGEINT) AS cum_a,
+        |    CAST(SUM(cnt - ca) OVER iw AS HUGEINT) AS cum_b,
+        |    CAST(SUM(ca) OVER gw AS HUGEINT) AS n_a,
+        |    CAST(SUM(cnt - ca) OVER gw AS HUGEINT) AS n_b,
+        |    LEAD(s) OVER (PARTITION BY grp ORDER BY s) - s AS gap
+        |  FROM g WINDOW iw AS (PARTITION BY grp ORDER BY s
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |              gw AS (PARTITION BY grp))
+        |SELECT grp, CAST(MIN(n_a) AS BIGINT) AS n_a, CAST(MIN(n_b) AS BIGINT) AS n_b,
+        |  CASE WHEN MIN(n_a) > 0 AND MIN(n_b) > 0 THEN
+        |    CAST(COALESCE(SUM(abs(cum_a * n_b - cum_b * n_a) * gap), 0) AS DOUBLE)
+        |      / CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) END AS w1
+        |FROM c WHERE gap IS NOT NULL GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Brown-Forsythe: exact lower medians from the distinct-value
+    // cumulative, then the aud_anova quantized floor-division F on |z|
+    "aud_levene" ->
+      """WITH b AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |vc AS (SELECT grp, x, COUNT(*) AS cnt FROM b GROUP BY grp, x),
+        |m AS (SELECT grp, MIN(x) AS med FROM (
+        |    SELECT grp, x, SUM(cnt) OVER (PARTITION BY grp ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(cnt) OVER (PARTITION BY grp) AS n
+        |    FROM vc) q WHERE cum * 2 >= n GROUP BY grp),
+        |z AS (SELECT b.grp, abs(b.x - m.med) AS z FROM b JOIN m ON m.grp = b.grp),
+        |g AS (SELECT grp, COUNT(*) AS ng,
+        |    CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sg,
+        |    CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qg
+        |  FROM z GROUP BY grp),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS HUGEINT) AS s, CAST(SUM(qg) AS HUGEINT) AS qq,
+        |    CAST(SUM((sg * sg * 1000000) // CAST(ng AS HUGEINT)) AS HUGEINT) AS tsum,
+        |    MAX(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS mx,
+        |    MIN(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS mn
+        |  FROM g),
+        |x AS (SELECT k, n,
+        |    GREATEST(tsum - (s * s * 1000000) // CAST(n AS HUGEINT), 0) AS ssb,
+        |    GREATEST(qq * 1000000 - tsum, 0) AS ssw, mx, mn FROM a)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        |    CAST(ssb * (n - k) AS DOUBLE) / CAST(ssw * (k - 1) AS DOUBLE) END AS f_stat,
+        |  mx AS max_mean_absdev, mn AS min_mean_absdev
+        |FROM x""".stripMargin,
+
     "aud_mannwhitney" ->
       """WITH b AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS x,
         |    (user_id % 2 = 0) AS a

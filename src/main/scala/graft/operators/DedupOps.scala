@@ -777,4 +777,49 @@ object DedupOps {
           (col("n_overlap") + 1).cast("double") - lit(1.0))
           .as("chapman_est"))
   }
+  /** CROSS-SOURCE VOCABULARY OVERLAP — the pairwise token-Jaccard
+    * matrix between corpus slices ("how much does the web slice share
+    * with the books slice"), the mixture-design diagnostic next to
+    * [[graft.operators.AuditOps.independenceReport]]'s one-number
+    * dependence verdict: per group, the DISTINCT token set of its
+    * documents (the house single-space tokenizer); per ordered pair
+    * (a < b), `jaccard = |A∩B| / (|A|+|B|−|A∩B|)` — one division of
+    * exact integers. Pairs that share nothing still emit their zero row
+    * (the matrix is complete by construction). Emits
+    * `(src_a, src_b, n_a, n_b, intersection, jaccard)`.
+    *
+    * Scale shape: one (group, token) DISTINCT reduction — the shuffle
+    * carries each (group, token) pair once, and the result is
+    * vocabulary-sized per group, orders of magnitude under the corpus;
+    * the pair join runs over token-keyed postings (each token
+    * contributes its ≤\|groups\|² group pairs), and the output is the
+    * ≤\|groups\|² matrix. At extreme vocabularies hash the token to 8
+    * bytes pre-shuffle (the [[minhashIndex]] discipline) — kept as raw
+    * strings here so the oracle is exact, not collision-modulo.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val d = OpContract.requireCols(docs, "DedupOps.sourceOverlap",
+      groupCol, "text")
+    val toks = d.filter(col(groupCol).isNotNull && col("text").isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = toks.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("src_a"), col("y.g").as("src_b"))
+      .agg(count(lit(1)).as("intersection"))
+    val pairs = sizes.as("a").join(sizes.as("b"),
+        col("a.g") < col("b.g"))
+      .select(col("a.g").as("src_a"), col("b.g").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("intersection"), lit(0L)).as("intersection"),
+        (coalesce(col("intersection"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("intersection"), lit(0L)))
+            .cast("double")).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -23,6 +23,11 @@ object DedupQueries {
     "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-source vocabulary overlap: pairwise token-Jaccard matrix
+    // between corpus slices (complete — zero-overlap pairs emit rows).
+    "dd_source_overlap" -> ((s, d) =>
+      DedupOps.sourceOverlap(t(s, d, "documents"))),
+
     "dd_exact" -> ((s, d) => {
       val docs = t(s, d, "documents")
       DedupOps.exactDedupStats(docs.unionAll(docs))
@@ -387,6 +392,24 @@ object DedupQueries {
           |       WHEN od <> nd THEN 'changed' ELSE 'unchanged' END AS status
           |FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // pairwise token-Jaccard: distinct (source, token) sets, postings
+      // self-join on the token, complete matrix via the sizes left join
+      "dd_source_overlap" ->
+        """WITH tk AS (SELECT DISTINCT g, tok FROM (
+          |    SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+          |    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL) q),
+          |sz AS (SELECT g, COUNT(*) AS n FROM tk GROUP BY g),
+          |inter AS (SELECT x.g AS src_a, y.g AS src_b, COUNT(*) AS i
+          |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.g < y.g GROUP BY 1, 2)
+          |SELECT a.g AS src_a, b.g AS src_b, CAST(a.n AS BIGINT) AS n_a,
+          |  CAST(b.n AS BIGINT) AS n_b,
+          |  CAST(COALESCE(i.i, 0) AS BIGINT) AS intersection,
+          |  CAST(COALESCE(i.i, 0) AS DOUBLE)
+          |    / CAST(a.n + b.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+          |FROM sz a JOIN sz b ON a.g < b.g
+          |LEFT JOIN inter i ON i.src_a = a.g AND i.src_b = b.g
+          |ORDER BY src_a, src_b""".stripMargin,
+
       "dd_exact" ->
         """WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
           |cl AS (SELECT md5(text) AS digest, COUNT(*) AS copies, MIN(doc_id) AS keep_id

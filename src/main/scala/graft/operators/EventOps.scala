@@ -715,4 +715,136 @@ object EventOps {
         col("n_events").cast("double") / col("n_at_risk").cast("double"))
       .orderBy("event_type", "bucket")
   }
+
+  /** MULTI-STEP ORDERED FUNNEL — the k-step generalization of
+    * [[attribution]]'s two-event question and the product-analytics
+    * staple ("of the users who clicked, how many then viewed, then
+    * purchased?"): per user, step 1 anchors at the user's FIRST
+    * `steps(0)` event; each later step `i` matches the user's first
+    * `steps(i)` event STRICTLY AFTER the step-(i−1) match and within
+    * `horizonTicks` of it. Emits one row per step:
+    * `(step, step_name, n_users, conv_from_prev, conv_from_first)` —
+    * each conversion ONE division of exact counts.
+    *
+    * Determinism: every anchor is a min() over the tick values — tie
+    * ticks share the min, no ordering ambiguity anywhere.
+    *
+    * Scale shape: step 1 is one map-side-combined per-user min; each
+    * later step joins the events of ONE type against the previous
+    * step's per-user anchor — all joins hash on user_id, so AQE reuses
+    * the same partitioning down the chain, and each stage's state is
+    * ≤ the surviving-user count. Nothing global except the ≤k-row
+    * count table.
+    */
+  def funnelSteps(events: DataFrame, tsTicks: Column, steps: Seq[String],
+      horizonTicks: Long): DataFrame = {
+    require(steps.size >= 2, s"funnelSteps: need >= 2 steps, got $steps")
+    require(horizonTicks > 0, s"funnelSteps: horizonTicks > 0, got $horizonTicks")
+    val e = OpContract.requireCols(events, "EventOps.funnelSteps",
+        "user_id", "event_type")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), tsTicks.as("tk"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("tk")).as("t"))
+    val anchors = steps.toList.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .filter(col("tk") > col("pt") && col("tk") <= col("pt") + horizonTicks)
+        .groupBy("user_id").agg(min(col("tk")).as("t"))
+    }
+    val counts = anchors.zip(steps).map { case (a, st) =>
+      a.agg(count(lit(1)).as("n")).select(lit(st).as("step_name"), col("n"))
+    }
+    val labeled = counts.zipWithIndex.map { case (c, i) =>
+      c.select(lit(i + 1L).as("step"), col("step_name"), col("n"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val w = Window.orderBy("step")
+    labeled
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("first_n", first_value(col("n")).over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("step"), col("step_name"), col("n").as("n_users"),
+        when(col("prev_n") > 0,
+          col("n").cast("double") / col("prev_n").cast("double"))
+          .as("conv_from_prev"),
+        when(col("first_n") > 0,
+          col("n").cast("double") / col("first_n").cast("double"))
+          .as("conv_from_first"))
+      .orderBy("step")
+  }
+
+  /** TOP SESSION-OPENING PATHS — the "where do journeys start" panel
+    * next to [[transitionCounts]]'s one-step matrix: per user, the
+    * first `depth` event types in `(tick, event_id)` order concatenated
+    * as `a>b>c` (shorter journeys keep their shorter path), then the
+    * top `k` paths by user count. Emits `(rank, path, n_users)`.
+    *
+    * Scale shape: ONE user-partitioned rank window (groups rank in
+    * parallel), a per-user conditional-max fold to one row per user
+    * (map-side combined), a path hash-aggregate down to ≤\|types\|^depth
+    * rows, and a TakeOrdered top-k — raw events shuffle once as
+    * (user, tick, id, type).
+    */
+  def topPaths(events: DataFrame, tsTicks: Column, depth: Int = 3,
+      k: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"topPaths: depth in [1,8], got $depth")
+    require(k >= 1, s"topPaths: k >= 1, got $k")
+    val e = OpContract.requireCols(events, "EventOps.topPaths",
+        "user_id", "event_id", "event_type")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsTicks.as("tk"))
+    val w = Window.partitionBy("user_id").orderBy(col("tk"), col("event_id"))
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+    val perUser = ranked.groupBy("user_id")
+      .agg(concat_ws(">", (1 to depth).map(i =>
+        max(when(col("rn") === i, col("event_type")))): _*).as("path"))
+    val counts = perUser.groupBy("path").agg(count(lit(1)).as("n_users"))
+    val top = Window.orderBy(col("n_users").desc, col("path"))
+    counts.withColumn("rank", row_number().over(top).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("path"), col("n_users"))
+      .orderBy("rank")
+  }
+
+  /** ACTIVITY CONCENTRATION (Pareto/Lorenz point) — "what share of all
+    * events do the top decile of users produce": per-user event counts,
+    * users ranked by (count desc, user_id), the top ⌈U/10⌉ users' share
+    * as ONE division of exact integers. The power-user readout behind
+    * rate-limit and abuse thresholds, and the user-axis companion to
+    * [[graft.operators.AuditOps.giniReport]]'s category concentration.
+    * Emits one row `(n_users, top_users, top_events, total_events,
+    * top_share)`.
+    *
+    * Scale shape: one map-side-combined per-user count (users-sized —
+    * orders of magnitude under the event count), then ONE rank window
+    * over that aggregate. The global sort is over users, not events;
+    * past ~10⁹ users switch to an exact-percentile threshold on the
+    * count distribution ([[graft.operators.SketchOps]]) — documented
+    * trade, not a silent cap.
+    */
+  def paretoReport(events: DataFrame): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.paretoReport", "user_id")
+      .filter(col("user_id").isNotNull)
+    val perUser = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    // the ranked table feeds both the totals and the top-decile slice —
+    // checkpoint so the users-sized sort runs once (the rfmReport pattern)
+    val ranked = perUser.withColumn("rk", row_number().over(w))
+      .localCheckpoint(false)
+    ranked.agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"))
+      .crossJoin(broadcast(
+        // ⌈U/10⌉ via the already-ranked table: rank ≤ (U + 9) div 10
+        ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("u"))))
+          .filter(col("rk") <=
+            call_function("div", col("u") + 9L, lit(10L)))
+          .agg(count(lit(1)).as("top_users"), sum(col("n")).as("top_events"))))
+      .select(col("n_users"), col("top_users"), col("top_events"),
+        col("total_events"),
+        when(col("total_events") > 0,
+          col("top_events").cast("double") / col("total_events").cast("double"))
+          .as("top_share"))
+  }
 }

@@ -226,6 +226,24 @@ object EventQueries {
         cutR = (2L, 7L, 14L), cutF = (60L, 66L, 73L),
         cutM = (2900.0, 3300.0, 3650.0))),
 
+    // 3-step ordered funnel signup→click→purchase, 24 h per hop on the
+    // µs values; every anchor a min() — no ordering ambiguity.
+    "ev_funnel3" -> ((s, d) =>
+      EventOps.funnelSteps(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        Seq("signup", "click", "purchase"), horizonTicks = 86400000000L)),
+
+    // Top journey-opening paths: first 3 event types per user in the
+    // (µs, event_id) order, top-10 by user count.
+    "ev_paths" -> ((s, d) =>
+      EventOps.topPaths(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        depth = 3, k = 10)),
+
+    // Activity concentration: the top-decile users' share of all events
+    // (exact rank over the per-user aggregate, one division).
+    "ev_pareto" -> ((s, d) => EventOps.paretoReport(t(s, d, "events"))),
+
     // Markov transition matrix of user journeys (next-event panel):
     // per-user (µs, event_id) sequencing — the ev_scd2 ordering
     // convention, so both engines break ties identically.
@@ -537,6 +555,67 @@ object EventQueries {
          |    AS hazard
          |FROM c ORDER BY event_type, bucket""".stripMargin
     },
+
+    // 3-step funnel: per-step per-user min anchors as chained CTEs; the
+    // two conversions each one division over the <=3-row count table
+    "ev_funnel3" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tk FROM events
+        |  WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, MIN(tk) AS t FROM e WHERE event_type = 'signup'
+        |  GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.tk) AS t FROM e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.tk > s1.t AND e.tk <= s1.t + 86400000000
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.tk) AS t FROM e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tk > s2.t AND e.tk <= s2.t + 86400000000
+        |  GROUP BY e.user_id),
+        |c AS (SELECT 1 AS step, 'signup' AS step_name, (SELECT COUNT(*) FROM s1) AS n
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name, CAST(n AS BIGINT) AS n_users,
+        |  CASE WHEN LAG(n) OVER (ORDER BY step) > 0 THEN
+        |    CAST(n AS DOUBLE) / CAST(LAG(n) OVER (ORDER BY step) AS DOUBLE)
+        |  END AS conv_from_prev,
+        |  CASE WHEN FIRST_VALUE(n) OVER (ORDER BY step) > 0 THEN
+        |    CAST(n AS DOUBLE) / CAST(FIRST_VALUE(n) OVER (ORDER BY step) AS DOUBLE)
+        |  END AS conv_from_first
+        |FROM c ORDER BY step""".stripMargin,
+
+    // first-3 path concat (concat_ws skips the NULL tail in both
+    // engines); top-10 by (n_users desc, path)
+    "ev_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tk, event_id) AS rn
+        |  FROM e),
+        |p AS (SELECT user_id, concat_ws('>',
+        |    MAX(CASE WHEN rn = 1 THEN event_type END),
+        |    MAX(CASE WHEN rn = 2 THEN event_type END),
+        |    MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+        |SELECT CAST(rank AS BIGINT) AS rank, path, CAST(n_users AS BIGINT) AS n_users
+        |FROM (SELECT path, n_users,
+        |    ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS rank FROM c) q
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // exact rank over per-user counts; the top-decile cut is the same
+    // ceil-division on both sides; share one division
+    "ev_pareto" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk FROM u),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(n) AS BIGINT) AS total_events FROM r),
+        |tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS top_users,
+        |    CAST(SUM(n) AS BIGINT) AS top_events
+        |  FROM r, t WHERE rk <= (t.n_users + 9) // 10)
+        |SELECT t.n_users, tp.top_users, tp.top_events, t.total_events,
+        |  CASE WHEN t.total_events > 0 THEN
+        |    CAST(tp.top_events AS DOUBLE) / CAST(t.total_events AS DOUBLE)
+        |  END AS top_share
+        |FROM t, tp""".stripMargin,
 
     // RFM: per-user aggregate, 1-row global max, row-local scoring. The
     // decimal accumulation is exact; `monetary` is EMITTED through one

@@ -89,6 +89,23 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // ZCR + peak over the same synth-PCM payloads as mm_audio_stats:
+    // the oracle recomputes sign changes and the max |sample| in closed
+    // form over the (i*31 mod 251) byte pattern — only a correct
+    // header-parse -> PCM -> lag walk matches.
+    "mm_audio_zcr" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, MediaStub.synthWav(sampleRate = 8000, channels = 1,
+            bitsPerSample = 16, nFrames = 40 + (id % 20).toInt))
+        })
+        .toDF("doc_id", "payload")
+        .transform(df => MediaOps.audioZcr(s, df).toDF())
+        .orderBy("doc_id")
+    }),
+
     "mm_audio_meta" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents").filter(col("doc_id") < 100)
@@ -249,6 +266,31 @@ object MultimodalQueries {
         |  frames AS n_samples, sum_abs,
         |  CAST(sum_abs AS DOUBLE) / CAST(frames AS DOUBLE) AS mean_abs
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // ZCR: the mm_audio_stats closed-form samples + a LAG sign-change
+    // count; zcr one division, max_abs exact
+    "mm_audio_zcr" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(40 + doc_id % 20 AS BIGINT) AS frames
+         |  FROM documents WHERE doc_id < 100),
+         |fr AS (SELECT id, frames, f.f
+         |  FROM d, unnest(generate_series(0, d.frames - 1)) AS f(f)),
+         |v AS (SELECT id, frames, f,
+         |    CASE WHEN ((2*f*31) % 251) + 256*(((2*f+1)*31) % 251) >= 32768
+         |      THEN ((2*f*31) % 251) + 256*(((2*f+1)*31) % 251) - 65536
+         |      ELSE ((2*f*31) % 251) + 256*(((2*f+1)*31) % 251) END AS sv
+         |  FROM fr),
+         |l AS (SELECT id, frames, sv,
+         |    LAG(sv) OVER (PARTITION BY id ORDER BY f) AS pv FROM v),
+         |a AS (SELECT id, frames,
+         |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((sv >= 0) <> (pv >= 0))
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         |    CAST(MAX(abs(sv)) AS BIGINT) AS mx
+         |  FROM l GROUP BY id, frames)
+         |SELECT id AS doc_id, TRUE AS decoded, frames AS n_samples, cr AS n_crossings,
+         |  CASE WHEN frames > 1 THEN CAST(cr AS DOUBLE) / CAST(frames - 1 AS DOUBLE)
+         |    ELSE 0.0 END AS zcr,
+         |  mx AS max_abs
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "mm_audio_meta" ->
       s"""WITH p AS (SELECT doc_id,

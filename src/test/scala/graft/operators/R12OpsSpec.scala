@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Hand-computed pins for the round-12 additions: the Welch /
+  * Wasserstein / Brown–Forsythe statistics cells, the k-step funnel /
+  * top-paths / Pareto product panel, PCM zero-crossing rate, and the
+  * cross-source vocabulary overlap matrix.
+  */
+class R12OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("welchReport: exact-moment unequal-variance t, hand-computed") {
+    // arm A: x = 0,2,4 (mean 2, var 4); arm B: x = 1,1 (mean 1, var 0)
+    val df = Seq((1L, "g", 0.0), (1L, "g", 2.0), (1L, "g", 4.0),
+      (2L, "g", 1.0), (2L, "g", 1.0))
+      .toDF("user_id", "grp", "value")
+    val r = AuditOps.welchReport(df, "grp", col("user_id") === 1L, "value")
+      .collect()(0)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0)
+    val se2 = (3.0 * 20 - 36) / (9.0 * 2) + 0.0
+    assert(r.getDouble(7) == 1.0 / math.sqrt(se2), r.toString)
+    assert(!r.getBoolean(8))
+    // an arm with < 2 rows: t NULL, verdict a real false
+    val one = Seq((1L, "g", 5.0), (2L, "g", 1.0), (2L, "g", 3.0))
+      .toDF("user_id", "grp", "value")
+    val r1 = AuditOps.welchReport(one, "grp", col("user_id") === 1L, "value")
+      .collect()(0)
+    assert(r1.isNullAt(7) && !r1.getBoolean(8), r1.toString)
+  }
+
+  test("wassersteinReport: exact W1 between {0,2} and {1} is 1.0") {
+    val df = Seq((1L, "g", 0.0), (1L, "g", 2.0), (2L, "g", 1.0))
+      .toDF("user_id", "grp", "value")
+    val r = AuditOps.wassersteinReport(df, "grp", col("user_id") === 1L, "value")
+      .collect()(0)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 1.0, r.toString)
+    // shifting one side by a constant c shifts W1 by exactly c
+    val sh = Seq((1L, "g", 0.0), (1L, "g", 2.0), (2L, "g", 4.0))
+      .toDF("user_id", "grp", "value")
+    val r2 = AuditOps.wassersteinReport(sh, "grp", col("user_id") === 1L, "value")
+      .collect()(0)
+    assert(r2.getDouble(3) == 3.0, r2.toString)
+  }
+
+  test("leveneReport: lower medians + anova-quantized F on |z|, hand-computed") {
+    val df = Seq(("g1", 0.0), ("g1", 0.0), ("g1", 10.0),
+      ("g2", 5.0), ("g2", 5.0)).toDF("grp", "value")
+    val r = AuditOps.leveneReport(df, "grp", "value").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 5)
+    // z(g1)=[0,0,10] -> sg=10,qg=100; z(g2)=[0,0]
+    // tsum=(100e6 div 3)=33333333; tq=20000000; ssb=13333333; ssw=66666667
+    assert(r.getDouble(2) == (13333333L * 3).toDouble / 66666667L.toDouble,
+      r.toString)
+    assert(r.getDouble(3) == 10.0 / 3.0 && r.getDouble(4) == 0.0)
+  }
+
+  test("funnelSteps: strictly-after within-horizon anchors, per-step conversions") {
+    // u1 completes a@0 -> b@5 -> c@14 (each hop <= 10); u2 stalls (b@20
+    // outside the horizon); u3 never did step 1
+    val df = Seq((1L, "a", 0L), (1L, "b", 5L), (1L, "c", 14L),
+      (2L, "a", 0L), (2L, "b", 20L), (3L, "b", 1L), (3L, "c", 2L))
+      .toDF("user_id", "event_type", "tk")
+    val rows = EventOps.funnelSteps(df, col("tk"), Seq("a", "b", "c"), 10L)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 2L), (2L, "b", 1L), (3L, "c", 1L)), rows.toSeq)
+    assert(rows(0).isNullAt(3) && rows(1).getDouble(3) == 0.5 &&
+      rows(2).getDouble(3) == 1.0)
+    assert(rows(1).getDouble(4) == 0.5 && rows(2).getDouble(4) == 0.5)
+  }
+
+  test("topPaths: first-depth types in (tick, id) order; short journeys keep short paths") {
+    val df = Seq((1L, 10L, 0L, "a"), (1L, 11L, 1L, "b"), (1L, 12L, 2L, "c"),
+      (1L, 13L, 3L, "d"), (2L, 20L, 0L, "a"), (2L, 21L, 1L, "b"),
+      (3L, 30L, 0L, "a"), (3L, 31L, 1L, "b"), (3L, 32L, 2L, "c"))
+      .toDF("user_id", "event_id", "tk", "event_type")
+    val rows = EventOps.topPaths(df, col("tk"), depth = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a>b>c", 2L), (2L, "a>b", 1L)), rows.toSeq)
+  }
+
+  test("paretoReport: top-decile share, exact ceil cut") {
+    val df = (Seq.fill(10)(1L) ++ Seq(2L, 3L, 4L, 5L)).map(u => (u, "e"))
+      .toDF("user_id", "event_type")
+    val r = EventOps.paretoReport(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 1L, 10L, 14L)), r.toString)
+    assert(r.getDouble(4) == 10.0 / 14.0)
+  }
+
+  test("audioZcr: sign-change count and peak over the synth PCM pattern") {
+    // frames 0..3 of the (i*31 mod 251) pattern: +7936, +23870, -25732,
+    // -9798 -> exactly one crossing; peak 25732
+    val df = Seq((7L, graft.multimodal.MediaStub.synthWav(8000, 1, 16, 4)))
+      .toDF("doc_id", "payload")
+    val r = graft.multimodal.MediaOps.audioZcr(spark, df).collect()(0)
+    assert(r.decoded && r.n_samples == 4 && r.n_crossings == 1, r.toString)
+    assert(r.zcr == 1.0 / 3.0 && r.max_abs == 25732L, r.toString)
+    // garbage payload -> decoded=false zero row, never a throw
+    val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val rb = graft.multimodal.MediaOps.audioZcr(spark, bad).collect()(0)
+    assert(!rb.decoded && rb.n_samples == 0 && rb.zcr == 0.0)
+  }
+
+  test("sourceOverlap: complete pairwise token-Jaccard matrix incl. zero rows") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s1", "a d"),
+      (3L, "s2", "a b"), (4L, "s3", "zz"))
+      .toDF("doc_id", "source", "text")
+    val rows = DedupOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("s1", "s2", 4L, 2L, 2L, 0.5),
+      ("s1", "s3", 4L, 1L, 0L, 0.0),
+      ("s2", "s3", 2L, 1L, 0L, 0.0)), rows.toSeq)
+  }
+}
