@@ -809,6 +809,126 @@ object EventOps {
       .orderBy("rank")
   }
 
+  /** CO-ENGAGEMENT MATRIX — for each pair of event types, how many
+    * users did BOTH (and the Jaccard share of their user bases): the
+    * feature-adoption companion to [[transitionCounts]]' sequential
+    * matrix — transitions say "b follows a", co-engagement says "the a
+    * crowd and the b crowd are the same people". Pairs sharing no users
+    * still emit their zero row. Emits `(type_a, type_b, users_a,
+    * users_b, users_both, jaccard)` with jaccard ONE division of exact
+    * integers.
+    *
+    * Scale shape: one DISTINCT (user, type) reduction (the shuffle
+    * carries each pair once); the pair join runs user-keyed over that
+    * reduced set — each user contributes its ≤\|types\|² pairs — and
+    * the output is the ≤\|types\|² matrix ([[graft.operators.DedupOps
+    * .sourceOverlap]]'s plan with users as the tokens).
+    */
+  def coEngagement(events: DataFrame): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.coEngagement",
+        "user_id", "event_type")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").as("u"), col("event_type").as("t"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = e.groupBy("t").agg(count(lit(1)).as("n"))
+    val both = e.as("x").join(e.as("y"),
+        col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("users_both"))
+    sizes.as("a").join(sizes.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
+        col("a.n").as("users_a"), col("b.n").as("users_b"))
+      .join(both, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        coalesce(col("users_both"), lit(0L)).as("users_both"),
+        (coalesce(col("users_both"), lit(0L)).cast("double") /
+          (col("users_a") + col("users_b")
+            - coalesce(col("users_both"), lit(0L))).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** k-STEP-AHEAD MARKOV DISTRIBUTION — power-iterate the
+    * [[transitionCounts]] matrix from the uniform start: where do
+    * journeys concentrate after `iters` steps (the stationary-
+    * distribution readout for the journey simulator; π converges
+    * geometrically, so 3 steps already ranks the absorbing types).
+    * Emits `(event_type, pi)`.
+    *
+    * FP discipline: p quantizes ONCE as round(n/tot, 6) →
+    * DECIMAL(12,6) (the round-before-cast tie convention); each
+    * iteration is exact decimal multiply-sum re-quantized through the
+    * same round-6 — every number bit-identical cross-engine. π mass can
+    * drift from 1 by the quantization (≤k·10⁻⁶/step) and by types with
+    * no outgoing edges — both mirrored exactly in the oracle.
+    *
+    * Scale shape: the matrix is ≤\|types\|² rows — after
+    * [[transitionCounts]]' one exchange, everything here is bounded
+    * model-table arithmetic (localCheckpointed per step, the
+    * trainCentroids discipline).
+    */
+  def markovStepAhead(events: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6,
+      s"markovStepAhead: iters in [1,6], got $iters")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 6)
+    val p = transitionCounts(events)
+      .select(col("from_type"), col("to_type"),
+        round(col("p"), 6).cast(dec).as("p6"))
+      .localCheckpoint(false)
+    val types = p.select(col("from_type").as("event_type")).distinct()
+      .localCheckpoint(false)
+    val k = types.count()
+    val pi0 = types.withColumn("pi",
+      round(lit(1.0) / lit(k.toDouble), 6).cast(dec))
+    val fin = (1 to iters).foldLeft(pi0) { (pi, _) =>
+      pi.join(p, col("event_type") === col("from_type"))
+        .groupBy(col("to_type").as("event_type"))
+        .agg(round(sum(col("pi") * col("p6")).cast("double"), 6)
+          .cast(dec).as("pi"))
+        .localCheckpoint(false)
+    }
+    fin.select(col("event_type"), col("pi").cast("double").as("pi"))
+      .orderBy("event_type")
+  }
+
+  /** LORENZ CURVE of user activity — the full decile-by-decile
+    * generalization of [[paretoReport]]'s one point: users ranked by
+    * (event count desc, user_id), split into 10 equal-width rank
+    * buckets ([[graft.operators.AuditOps.gainsReportBy]]'s exclusive-
+    * prefix bucketing), each emitting its exact event mass and the
+    * cumulative share. Emits `(decile, n_users, n_events, cum_events,
+    * cum_share)`.
+    *
+    * Scale shape: per-user counts (users-sized), one rank window over
+    * that aggregate, a ≤10-row bucket table — the [[paretoReport]]
+    * plan with the full curve instead of one cut.
+    */
+  def lorenzReport(events: DataFrame): DataFrame = {
+    val e = OpContract.requireCols(events, "EventOps.lorenzReport", "user_id")
+      .filter(col("user_id").isNotNull)
+    val perUser = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = perUser.withColumn("rk", row_number().over(w))
+      .localCheckpoint(false)
+    val u = ranked.agg(count(lit(1)).as("nu"))
+    val b = ranked.crossJoin(broadcast(u))
+      .withColumn("decile",
+        call_function("div", (col("rk") - 1L) * 10L, col("nu")) + 1L)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val cw = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(sum(col("n_events")).as("te"))
+    b.withColumn("cum_events", sum(col("n_events")).over(cw))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("cum_events"),
+        when(col("te") > 0, col("cum_events").cast("double") /
+          col("te").cast("double")).as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** ACTIVITY CONCENTRATION (Pareto/Lorenz point) — "what share of all
     * events do the top decile of users produce": per-user event counts,
     * users ranked by (count desc, user_id), the top ⌈U/10⌉ users' share

@@ -226,6 +226,23 @@ object EventQueries {
         cutR = (2L, 7L, 14L), cutF = (60L, 66L, 73L),
         cutM = (2900.0, 3300.0, 3650.0))),
 
+    // Co-engagement matrix: users doing BOTH of each type pair, with
+    // the Jaccard share of the two user bases.
+    "ev_coengagement" -> ((s, d) =>
+      EventOps.coEngagement(t(s, d, "events"))),
+
+    // 3-step-ahead Markov distribution from uniform, over the
+    // ev_transitions matrix (round-6 decimal quantization per step).
+    "ev_markov3" -> ((s, d) =>
+      EventOps.markovStepAhead(
+        t(s, d, "events").withColumn("ts",
+          call_function("div", col("ts").cast("long"), lit(1000L))),
+        iters = 3)),
+
+    // Lorenz curve of user activity: decile-by-decile cumulative event
+    // share (the full curve behind ev_pareto's one point).
+    "ev_lorenz" -> ((s, d) => EventOps.lorenzReport(t(s, d, "events"))),
+
     // 3-step ordered funnel signup→click→purchase, 24 h per hop on the
     // µs values; every anchor a min() — no ordering ambiguity.
     "ev_funnel3" -> ((s, d) =>
@@ -555,6 +572,73 @@ object EventQueries {
          |    AS hazard
          |FROM c ORDER BY event_type, bucket""".stripMargin
     },
+
+    // co-engagement: distinct (user, type) sets, user-keyed pair join,
+    // complete matrix via the sizes left join
+    "ev_coengagement" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT t, COUNT(*) AS n FROM e GROUP BY t),
+        |b AS (SELECT x.t AS type_a, y.t AS type_b, COUNT(*) AS users_both
+        |  FROM e x JOIN e y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+        |SELECT a.t AS type_a, bb.t AS type_b, CAST(a.n AS BIGINT) AS users_a,
+        |  CAST(bb.n AS BIGINT) AS users_b,
+        |  CAST(COALESCE(b.users_both, 0) AS BIGINT) AS users_both,
+        |  CAST(COALESCE(b.users_both, 0) AS DOUBLE) /
+        |    CAST(a.n + bb.n - COALESCE(b.users_both, 0) AS DOUBLE) AS jaccard
+        |FROM sz a JOIN sz bb ON a.t < bb.t
+        |LEFT JOIN b ON b.type_a = a.t AND b.type_b = bb.t
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // 3 unrolled power-iteration CTEs on the round-6 quantized matrix;
+    // every step exact decimal multiply-sum + the round-before-cast
+    // re-quantization
+    "ev_markov3" ->
+      """WITH pr AS (SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM pr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |p AS (SELECT c.from_type, c.to_type,
+        |    CAST(round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS p6
+        |  FROM c JOIN t USING (from_type)),
+        |ty AS (SELECT DISTINCT from_type AS et FROM p),
+        |k AS (SELECT COUNT(*) AS k FROM ty),
+        |i0 AS (SELECT et, CAST(round(CAST(1 AS DOUBLE) / k.k, 6) AS DECIMAL(12,6)) AS pi
+        |  FROM ty, k),
+        |i1 AS (SELECT p.to_type AS et,
+        |    CAST(round(CAST(SUM(i0.pi * p.p6) AS DOUBLE), 6) AS DECIMAL(12,6)) AS pi
+        |  FROM i0 JOIN p ON p.from_type = i0.et GROUP BY 1),
+        |i2 AS (SELECT p.to_type AS et,
+        |    CAST(round(CAST(SUM(i1.pi * p.p6) AS DOUBLE), 6) AS DECIMAL(12,6)) AS pi
+        |  FROM i1 JOIN p ON p.from_type = i1.et GROUP BY 1),
+        |i3 AS (SELECT p.to_type AS et,
+        |    CAST(round(CAST(SUM(i2.pi * p.p6) AS DOUBLE), 6) AS DECIMAL(12,6)) AS pi
+        |  FROM i2 JOIN p ON p.from_type = i2.et GROUP BY 1)
+        |SELECT et AS event_type, CAST(pi AS DOUBLE) AS pi FROM i3 ORDER BY event_type""".stripMargin,
+
+    // exclusive-prefix decile bucketing over the ranked per-user counts;
+    // cumulative share one division
+    "ev_lorenz" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk FROM u),
+        |nu AS (SELECT COUNT(*) AS nu FROM r),
+        |b AS (SELECT ((rk - 1) * 10) // nu.nu + 1 AS decile, COUNT(*) AS n_users,
+        |    CAST(SUM(n) AS BIGINT) AS n_events
+        |  FROM r, nu GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS te FROM b)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+        |  n_events,
+        |  CAST(SUM(n_events) OVER cw AS BIGINT) AS cum_events,
+        |  CASE WHEN t.te > 0 THEN CAST(SUM(n_events) OVER cw AS DOUBLE)
+        |    / CAST(t.te AS DOUBLE) END AS cum_share
+        |FROM b, t
+        |WINDOW cw AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
 
     // 3-step funnel: per-step per-user min anchors as chained CTEs; the
     // two conversions each one division over the <=3-row count table

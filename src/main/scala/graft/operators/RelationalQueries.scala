@@ -246,6 +246,23 @@ object RelationalQueries {
     // aggregate with conditional sums (no values-discovery job) and the
     // column set is deterministic. Counts exact; decimal value sums cast
     // once.
+    // Rank-statistics window panel: percent_rank + cume_dist of account
+    // balance within market segment (standard-SQL formulas, each one
+    // division of exact integers in both engines); output bounded to the
+    // top-3 rows per segment by the deterministic (acctbal desc, custkey)
+    // tiebreak.
+    "q45_percent_rank" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val wv = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+      val wr = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(wv).as("pr"), cume_dist().over(wv).as("cd"),
+          row_number().over(wr).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
     "q44_pivot" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
       t(s, d, "events")
@@ -580,6 +597,18 @@ object RelationalQueries {
     // pivot: conditional decimal sums per explicit value — DuckDB CASE
     // form, the exact relational equivalent of Spark's explicit-list
     // pivot
+    "q45_percent_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, pr, cd, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    percent_rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC) AS pr,
+        |    cume_dist() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC) AS cd,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) x
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
     "q44_pivot" ->
       """SELECT epoch_us(ts) // 86400000000 AS day,
         |  CAST(SUM(CASE WHEN event_type = 'click'

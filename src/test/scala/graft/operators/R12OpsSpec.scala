@@ -106,6 +106,54 @@ class R12OpsSpec extends SparkTestBase {
     assert(!rb.decoded && rb.n_samples == 0 && rb.zcr == 0.0)
   }
 
+  test("coEngagement: complete type-pair matrix over distinct user sets") {
+    // users: 1 does a+b, 2 does a, 3 does b, 4 does c only
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (3L, "b"),
+      (4L, "c")).toDF("user_id", "event_type")
+    val rows = EventOps.coEngagement(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("a", "b", 2L, 2L, 1L, 1.0 / 3.0),
+      ("a", "c", 2L, 1L, 0L, 0.0),
+      ("b", "c", 2L, 1L, 0L, 0.0)), rows.toSeq)
+  }
+
+  test("markovStepAhead: deterministic chain converges to the absorbing-ish type") {
+    // chain a->b, b->b (mostly): users repeat a,b,b,b so after 3 steps
+    // mass concentrates on b. Hand-check one iteration exactly:
+    // p(a->b)=1, p(b->a)=1/3 (one user goes back), p(b->b)=2/3
+    val df = Seq(
+      (1L, 1L, 0L, "a"), (1L, 2L, 1L, "b"), (1L, 3L, 2L, "b"),
+      (1L, 4L, 3L, "b"), (2L, 5L, 0L, "b"), (2L, 6L, 1L, "a"),
+      (2L, 7L, 2L, "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val one = EventOps.markovStepAhead(df, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // transitions: a->b x2; b->b x2, b->a x1 => p(a->b)=1,
+    // p(b->a)=0.333333, p(b->b)=0.666667 (round-6 quantization).
+    // pi0=(0.5,0.5) -> pi1(a)=round6(0.5*0.333333)=0.166667,
+    // pi1(b)=round6(0.5*1+0.5*0.666667)=0.833334
+    assert(one == Map("a" -> 0.166667, "b" -> 0.833334), one.toString)
+    val three = EventOps.markovStepAhead(df, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact decimal HALF_UP chain: pi2=(0.277778,0.722223),
+    // pi3=(0.240741,0.759260)
+    assert(three == Map("a" -> 0.240741, "b" -> 0.759260), three.toString)
+  }
+
+  test("lorenzReport: exact decile masses and cumulative shares") {
+    // 10 users with counts 10,9,...,1 -> one user per decile
+    val rows = (1 to 10).flatMap(u => Seq.fill(11 - u)((u.toLong, "e")))
+      .toDF("user_id", "event_type")
+    val out = EventOps.lorenzReport(rows).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).forall(_ == 1L), "one user per decile")
+    assert(out.map(_.getLong(2)).toSeq == (1 to 10).reverse.map(_.toLong))
+    assert(out.last.getLong(3) == 55L && out.last.getDouble(4) == 1.0)
+    assert(out.head.getDouble(4) == 10.0 / 55.0)
+  }
+
   test("sourceOverlap: complete pairwise token-Jaccard matrix incl. zero rows") {
     val docs = Seq((1L, "s1", "a b c"), (2L, "s1", "a d"),
       (3L, "s2", "a b"), (4L, "s3", "zz"))
