@@ -43,7 +43,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * persisted drift report ([[graft.operators.SimilarityOps
   * .appendVersionToIvfIndex]]). Requires the landing schema to carry an
   * `embedding` column, so this CLI enables it only together with the
-  * flag (the default schema is doc_id + text).
+  * flag (the default schema is doc_id + text). With `--compact-every`
+  * the ANN index rides the same maintenance cycle: after each log
+  * compaction the accreted append subdirs fold into the base lists
+  * ([[graft.operators.SimilarityOps.compactIvfIndex]] — atomic pointer
+  * flip, probe cost flat in version count).
   */
 object Ingest {
   def main(args: Array[String]): Unit = {

@@ -227,7 +227,34 @@ object Plans {
     "q44_pivot",
     // round 11 (cont. 31): two group-partitioned rank constructions,
     // (grp, value) hash joins back, one moment agg
-    "aud_spearman")
+    "aud_spearman",
+    // round 12: the release data card — 11 independent panel aggregates
+    // unioned at plan level (one job, parallel stages), each the
+    // documented shape of its gate-pinned op
+    "aud_card",
+    // round 12 (cont.): per-arm moment agg to ≤2·groups rows (welch);
+    // the ks windows + lead over the (grp, value) count table (w1);
+    // distinct-value median selection + broadcast medians + the anova
+    // moment reduction (levene)
+    "aud_welch", "aud_wasserstein", "aud_levene",
+    // round 12 (cont. 2): chained per-user min anchors reusing the
+    // user_id partitioning; one user rank window + path agg +
+    // TakeOrdered; users-sized rank + ceil cut; decile buckets
+    "ev_funnel3", "ev_paths", "ev_pareto", "ev_lorenz",
+    // round 12 (cont. 3): distinct (user,type)/(source,token) sets,
+    // key-partitioned pair joins, complete bounded matrices
+    "ev_coengagement", "dd_source_overlap",
+    // round 12 (cont. 4): bounded ≤types² matrix power iteration,
+    // localCheckpointed per step
+    "ev_markov3",
+    // round 12 (cont. 5): synth projection → mapPartitions PCM decode +
+    // lag walk, embarrassingly parallel
+    "mm_audio_zcr",
+    // round 12 (cont. 6): broadcast exact-long weight table riding the
+    // shuffle-free sim grid; decimal-exact weighted sum per sim
+    "sim_ou_final",
+    // round 12 (cont. 7): segment-partitioned rank windows, top-3 filter
+    "q45_percent_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -644,6 +644,64 @@ object AuditOps {
     * (the psiReport convention — the emitted psi is the partial sum
     * over two-sided categories).
     */
+  /** JENSEN–SHANNON DIVERGENCE of each group's category mix against the
+    * GLOBAL mix — the bounded, symmetric member completing the
+    * f-divergence wing (TVD = worst-case mass moved, PSI = unbounded
+    * log-ratio drift, chi² = significance; JSD ∈ [0, ln 2] is the one
+    * that never blows up on a category one side lacks, Lin '91): with
+    * p = group mix, q = corpus mix, m = (p+q)/2,
+    * JSD = ½·KL(p‖m) + ½·KL(q‖m). The "which source least resembles the
+    * corpus" ranking behind mixture design. Emits
+    * `(grp, n, jsd, jsd_norm)` with jsd_norm = jsd/ln 2 ∈ [0,1].
+    *
+    * FP discipline (the [[psiReportBy]] ln idiom): every probability
+    * ratio is cross-multiplied into integer arguments —
+    * p/m = 2·o·N/(o·N + g·n_s), q/m = 2·g·n_s/(o·N + g·n_s) — each ln
+    * evaluated once on an exact-integer double and quantized
+    * round(·,7) → DECIMAL(12,7); the per-group sums Σo·Δln and Σg·Δln
+    * are exact decimals, each divided ONCE (by 2n_s / 2N), one add, and
+    * the normalizer is the exact double literal ln 2. Categories the
+    * group lacks contribute their q·ln 2 mass through the same general
+    * term (o = 0 → ratio 2). Bit-identical cross-engine.
+    *
+    * Scale shape: one (grp, cat) count reduction; the grid join and
+    * every ln run on the ≤groups×categories bounded table.
+    */
+  def jsdBySource(df: DataFrame, catCol: String, groupCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.jsdBySource", catCol, groupCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 7)
+    val dec7 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 7)
+    val o = df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"),
+        col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val ns = o.groupBy("grp").agg(sum(col("o")).as("ns"))
+    val g = o.groupBy("cat").agg(sum(col("o")).as("g"))
+    val tot = g.agg(sum(col("g")).as("nn"))
+    def ln7(x: Column) = round(log(x.cast("double")), 7).cast(dec7)
+    val grid = ns.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+      .join(o, Seq("grp", "cat"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+      .withColumn("common", col("o0") * col("nn") + col("g") * col("ns"))
+    val terms = grid.select(col("grp"), col("ns"), col("nn"),
+      when(col("o0") > 0,
+        (col("o0") * (ln7(col("o0") * col("nn") * 2) - ln7(col("common"))))
+          .cast(dec)).otherwise(lit(0L).cast(dec)).as("tp"),
+      (col("g") * (ln7(col("g") * col("ns") * 2) - ln7(col("common"))))
+        .cast(dec).as("tq"))
+    val ln2 = 0.6931471805599453
+    terms.groupBy("grp")
+      .agg(min(col("ns")).as("n"), min(col("nn")).as("nn"),
+        sum(col("tp")).cast(dec).as("sp"), sum(col("tq")).cast(dec).as("sq"))
+      .select(col("grp"), col("n"),
+        (col("sp").cast("double") / (lit(2L) * col("n")).cast("double") +
+          col("sq").cast("double") / (lit(2L) * col("nn")).cast("double"))
+          .as("jsd"))
+      .withColumn("jsd_norm", col("jsd") / lit(ln2))
+      .orderBy("grp")
+  }
+
   def psiReportBy(oldDf: DataFrame, newDf: DataFrame, catCol: String,
       groupCol: String): DataFrame = {
     OpContract.requireCols(oldDf, "AuditOps.psiReportBy old", catCol, groupCol)
@@ -1024,6 +1082,80 @@ object AuditOps {
       .select(col("grp"), col("n"), col("n_alarms"), col("first_alarm_id"),
         col("final_z").cast("double").as("final_ewma"),
         (col("max_d").cast("double") / col("n").cast("double")).as("max_dev"))
+      .orderBy("grp")
+  }
+
+  /** HOLT DOUBLE-EXPONENTIAL SMOOTHING per group — the forecasting
+    * chart completing the smoother family ([[ewmaReport]] tracks a
+    * LEVEL; Holt '57 adds a TREND state, so a steadily ramping metric is
+    * predicted instead of lagged): ℓ_t = (x_t + 3·(ℓ_{t−1}+b_{t−1}))
+    * intDiv 4, b_t = ((ℓ_t − ℓ_{t−1}) + 3·b_{t−1}) intDiv 4 — both
+    * recursions α=β=1/4 in TRUNCATING integer form (Java `/`, which is
+    * exactly DuckDB's `//` on negatives — measured: (−1)//4 = 0, i.e.
+    * truncation toward zero, NOT floor; the trend state goes negative on
+    * every cooling series, so the division convention is load-bearing;
+    * the per-step truncation loses < 1 value unit, the [[ewmaReport]]
+    * quantization argument), seeded ℓ₀ = floor group mean, b₀ = 0. Emits per group
+    * `(grp, n, final_level, final_trend, forecast_next,
+    * mean_abs_one_step_err)` — forecast_next = ℓ_n + b_n, the error the
+    * exact Σ\|x_t − (ℓ_{t−1}+b_{t−1})\| over ONE division (how good a
+    * one-step forecaster the smoother was on this group's history).
+    *
+    * Scale shape: the [[cusumReport]]/[[ewmaReport]] plan — one stats
+    * pass, ONE group hash exchange + per-partition sorted streaming fold
+    * (groups sequence in parallel; the true two-accumulator recursion a
+    * window cannot express). Exact-integer state throughout; overflow
+    * raises (addExact/multiplyExact) rather than wrapping.
+    */
+  def holtReport(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.holtReport",
+      groupCol, orderCol, idCol, valueCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(orderCol).cast("long").as("ord"), col(idCol).cast("long").as("id"),
+        floor(col(valueCol)).cast("long").as("x"))
+    val stats = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val rows = base.join(broadcast(stats), Seq("grp"))
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "ord", "id")
+      .select(col("grp"), col("id"), col("x"), col("n"), col("s"))
+      .as[(String, Long, Long, Long, Long)]
+    val folded = rows.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long)]
+      var curGrp: String = null
+      var curN = 0L; var l = 0L; var b = 0L; var absErr = 0L
+      def flush(): Unit = if (curGrp != null)
+        out += ((curGrp, curN, l, b, absErr))
+      it.foreach { case (grp, _, x, n, s) =>
+        if (grp != curGrp) {
+          flush()
+          curGrp = grp; curN = n
+          // seed is a MEAN of nonnegative-sum counts at the gate, but
+          // stay truncating here too for sign-consistency with the steps
+          l = s / n; b = 0L; absErr = 0L
+        }
+        val fc = Math.addExact(l, b)
+        absErr = Math.addExact(absErr, Math.abs(Math.subtractExact(x, fc)))
+        val l1 = Math.addExact(x, Math.multiplyExact(3L, fc)) / 4L
+        b = Math.addExact(Math.subtractExact(l1, l),
+          Math.multiplyExact(3L, b)) / 4L
+        l = l1
+      }
+      flush()
+      out.iterator
+    }
+    folded.toDF("grp", "n", "fl", "fb", "ae")
+      .select(col("grp"), col("n"),
+        col("fl").cast("double").as("final_level"),
+        col("fb").cast("double").as("final_trend"),
+        (col("fl") + col("fb")).cast("double").as("forecast_next"),
+        (col("ae").cast("double") / col("n").cast("double"))
+          .as("mean_abs_one_step_err"))
       .orderBy("grp")
   }
 

@@ -64,6 +64,19 @@ object AuditQueries {
     "aud_anova" -> ((s, d) =>
       AuditOps.anovaReport(t(s, d, "events"), "event_type", "value")),
 
+    // Holt double-exponential smoothing per event type: level + trend
+    // integer-floor recursions (the ewma chart with a trend state),
+    // one-step forecast + its exact mean absolute error.
+    "aud_holt" -> ((s, d) =>
+      AuditOps.holtReport(t(s, d, "events"), "event_type", "ts",
+        "event_id", "value")),
+
+    // Jensen–Shannon divergence of each source's language mix vs the
+    // corpus mix — the bounded symmetric member of the f-divergence
+    // wing (TVD/PSI/chi²/JSD).
+    "aud_jsd_source" -> ((s, d) =>
+      AuditOps.jsdBySource(t(s, d, "documents"), "lang", "source")),
+
     // Welch's unequal-variance t per event type between even/odd user
     // cohorts — the continuous-mean A/B cell of the test matrix
     // (abtest = proportions, mannwhitney = ranks, this = means).
@@ -1293,6 +1306,70 @@ object AuditQueries {
     // Mann–Whitney: 2×-scaled average ranks over the (grp, value) count
     // table, exact HUGEINT tie/variance factors, z the mirrored
     // ÷→√→halve→÷ chain
+    // Holt: the aud_ewma recursive-CTE fold with a second (trend)
+    // accumulator; // TRUNCATES toward zero on negatives (measured:
+    // (-1)//4 = 0), exactly Java's / — the op uses plain long division
+    // so the negative trend states divide identically
+    "aud_holt" ->
+      """WITH RECURSIVE b0 AS (SELECT event_type AS grp, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s FROM b0 GROUP BY grp),
+        |r AS (SELECT b0.grp, st.n, CAST(b0.x AS HUGEINT) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY b0.grp ORDER BY b0.ts, b0.event_id) AS rn
+        |  FROM b0 JOIN st ON st.grp = b0.grp),
+        |f(grp, rn, l, b, ae) AS (
+        |  SELECT grp, CAST(0 AS BIGINT), s // n, CAST(0 AS HUGEINT),
+        |    CAST(0 AS HUGEINT) FROM st
+        |  UNION ALL
+        |  SELECT r.grp, r.rn,
+        |    (r.x + 3 * (f.l + f.b)) // 4,
+        |    (((r.x + 3 * (f.l + f.b)) // 4) - f.l + 3 * f.b) // 4,
+        |    f.ae + abs(r.x - (f.l + f.b))
+        |  FROM f JOIN r ON r.grp = f.grp AND r.rn = f.rn + 1)
+        |SELECT f.grp, CAST(MAX(st.n) AS BIGINT) AS n,
+        |  CAST(arg_max(f.l, f.rn) AS DOUBLE) AS final_level,
+        |  CAST(arg_max(f.b, f.rn) AS DOUBLE) AS final_trend,
+        |  CAST(arg_max(f.l + f.b, f.rn) AS DOUBLE) AS forecast_next,
+        |  CAST(MAX(f.ae) AS DOUBLE) / CAST(MAX(st.n) AS DOUBLE)
+        |    AS mean_abs_one_step_err
+        |FROM f JOIN st ON st.grp = f.grp
+        |WHERE f.rn > 0
+        |GROUP BY f.grp ORDER BY f.grp""".stripMargin,
+
+    // JSD: every ratio cross-multiplied into exact-integer ln arguments,
+    // round(ln,7) decimals (the psi idiom), two divisions + one add;
+    // absent categories ride the general o0=0 term
+    "aud_jsd_source" ->
+      """WITH o AS (SELECT source AS grp, lang AS cat, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS ns FROM o GROUP BY grp),
+        |g AS (SELECT cat, CAST(SUM(o) AS BIGINT) AS g FROM o GROUP BY cat),
+        |t AS (SELECT CAST(SUM(g) AS BIGINT) AS nn FROM g),
+        |grid AS (SELECT ns.grp, ns.ns, g.cat, g.g, t.nn, COALESCE(o.o, 0) AS o0
+        |  FROM ns CROSS JOIN g CROSS JOIN t
+        |  LEFT JOIN o ON o.grp = ns.grp AND o.cat = g.cat),
+        |tm AS (SELECT grp, ns, nn,
+        |    CASE WHEN o0 > 0 THEN o0 *
+        |      (CAST(round(ln(CAST(o0 * nn * 2 AS DOUBLE)), 7) AS DECIMAL(12,7))
+        |       - CAST(round(ln(CAST(o0 * nn + g * ns AS DOUBLE)), 7) AS DECIMAL(12,7)))
+        |      ELSE 0 END AS tp,
+        |    g * (CAST(round(ln(CAST(g * ns * 2 AS DOUBLE)), 7) AS DECIMAL(12,7))
+        |       - CAST(round(ln(CAST(o0 * nn + g * ns AS DOUBLE)), 7) AS DECIMAL(12,7)))
+        |      AS tq
+        |  FROM grid),
+        |a AS (SELECT grp, MIN(ns) AS n, MIN(nn) AS nn, SUM(tp) AS sp, SUM(tq) AS sq
+        |  FROM tm GROUP BY grp)
+        |SELECT grp, n,
+        |  CAST(sp AS DOUBLE) / CAST(2 * n AS DOUBLE)
+        |    + CAST(sq AS DOUBLE) / CAST(2 * nn AS DOUBLE) AS jsd,
+        |  (CAST(sp AS DOUBLE) / CAST(2 * n AS DOUBLE)
+        |    + CAST(sq AS DOUBLE) / CAST(2 * nn AS DOUBLE)) / 0.6931471805599453
+        |    AS jsd_norm
+        |FROM a ORDER BY grp""".stripMargin,
+
     // Welch t: per-arm exact moments; each var/n ONE exact-integer
     // division, se2 one add, t the mirrored subtract->sqrt->divide chain
     "aud_welch" ->

@@ -34,6 +34,24 @@ object GbmLogRet {
   def driftTotal(points: Int): Double = (mu - sigma * sigma / 2.0) * dt * points
 }
 
+/** Exact OU weight table shared by the sim_ou_final gate and its oracle:
+  * w(model, step) = a^(points−1−step) · 10^15 as an exact long (a = 0.9
+  * for model 0, 0.8 for model 1 — both powers terminate at 15 decimals
+  * for exponents ≤ 15), so Spark VALUES and DuckDB VALUES carry the SAME
+  * integers and no decimal literal ever crosses an engine boundary.
+  */
+object OuWeights {
+  val unitScale: Double = 32768.0 * 1e15 // 2^15·10^15 — exactly representable
+  private val as = Seq(0 -> BigDecimal("0.9"), 1 -> BigDecimal("0.8"))
+  def unitRows(points: Int): Seq[(Int, Int, Long)] =
+    for ((m, a) <- as; st <- 0 until points)
+      yield (m, st,
+        (a.pow(points - 1 - st) * BigDecimal(10).pow(15)).toLongExact)
+  def sqlValues(points: Int): String =
+    unitRows(points).map { case (m, st, w) => s"($m, $st, $w)" }
+      .mkString("(VALUES ", ", ", ") AS w(model_id, step, w)")
+}
+
 object SimQueries {
   import DeterministicRng.uniformSql
 
@@ -283,6 +301,45 @@ object SimQueries {
         .orderBy("model_id")
     }),
 
+    // ORNSTEIN–UHLENBECK mean-reverting process (Vasicek-class — rates,
+    // spreads, temperature models; the mean-reverting counterpart of the
+    // GBM/random-walk zoo). Exact-discretization form around mean 0:
+    //   x_n = Σ_i a^{n-1-i}·z_i   (a = e^{-θΔt}, chosen so a is an exact
+    // 1-digit decimal: 0.9 / 0.8 per model — the decay IS the config).
+    // Everything integer-exact until one final scaling: the weights are
+    // a^k·10^15 as exact longs (a^k terminates at 15 decimals for
+    // k ≤ 15), z the Irwin–Hall integer units, so the weighted sum is an
+    // exact DECIMAL(38,0); per-sim x quantizes through ONE correctly-
+    // rounded cast + division by the exactly-representable
+    // 2^15·10^15, round(…, 6) (the sim_gbm_stats discipline), and the
+    // final stats are decimal-exact sums + the shared percentile.
+    "sim_ou_final" -> ((spark, _) => {
+      import org.apache.spark.sql.types.{DataTypes, DecimalType}
+      val (sims, points) = (1000, 16)
+      val grid = MCBattery.explodeTraces(
+        new MCBattery(spark, RngFamily.CounterHash).simulate(Seq(
+          SimulationSpec(0, "coin_sequence", sims, points, Seq(0.5), Nil, 61),
+          SimulationSpec(1, "coin_sequence", sims, points, Seq(0.5), Nil, 62))))
+      val seedCol = when(col("model_id") === 0, lit(61L)).otherwise(lit(62L))
+      import spark.implicits._
+      val weights = OuWeights.unitRows(points).toDF("model_id", "step", "w")
+      val dec = DataTypes.createDecimalType(38, 0)
+      val s1 = sum(col("qx").cast(DecimalType(18, 6))).cast("double")
+      val s2 = sum((col("qx") * col("qx")).cast(DecimalType(30, 12))).cast("double")
+      val n = count(lit(1))
+      grid.withColumn("z_units", zUnitsCol(seedCol))
+        .join(broadcast(weights), Seq("model_id", "step"))
+        .groupBy(col("model_id"), col("sim_id"))
+        .agg(sum(col("w").cast(dec) * col("z_units")).as("xu"))
+        .select(col("model_id"),
+          round(col("xu").cast("double") / lit(OuWeights.unitScale), 6).as("qx"))
+        .groupBy("model_id")
+        .agg(n.as("n_sims"), round(s1 / n, 4).as("mean_x"),
+          round(sqrt((s2 - s1 * s1 / n) / n), 4).as("sd_x"),
+          round(expr("percentile(qx, 0.05)"), 4).as("p05_x"))
+        .orderBy("model_id")
+    }),
+
     // GBM price-path statistics (the README's stock-price use case): mean /
     // dispersion of final prices plus a 5% quantile (~VaR shape). No DuckDB
     // oracle — libm cos/log differ in final ulps across engines (SURVEY
@@ -498,6 +555,36 @@ object SimQueries {
          |    / CAST(COUNT(*) * ${1L << 40} AS DOUBLE) - 1.0/3.0) AS abs_err
          |FROM r""".stripMargin
     },
+    // OU: the z CTE is sim_gbm_logret's Irwin–Hall integer units; the
+    // weighted sum stays HUGEINT-exact; one int→double cast, one division
+    // by the exact 2^15·10^15, round(6) — then the gbm_stats agg idioms
+    "sim_ou_final" -> {
+      val uj = uniformSql("m.seed", "m.model_id", "s.sim_id", "st.step * 12 + j.j")
+      s"""WITH z AS (
+         |  SELECT m.model_id, s.sim_id, st.step,
+         |    CAST(SUM(CAST(floor($uj * 32768) AS BIGINT)) - 196608 AS BIGINT) AS z_units
+         |  FROM (VALUES (0, 61), (1, 62)) AS m(model_id, seed)
+         |  CROSS JOIN generate_series(0, 999) AS s(sim_id)
+         |  CROSS JOIN generate_series(0, 15) AS st(step)
+         |  CROSS JOIN generate_series(0, 11) AS j(j)
+         |  GROUP BY 1, 2, 3),
+         |x AS (SELECT z.model_id,
+         |    round(CAST(SUM(CAST(w.w AS HUGEINT) * z.z_units) AS DOUBLE)
+         |      / 3.2768e19, 6) AS qx
+         |  FROM z JOIN ${OuWeights.sqlValues(16)}
+         |    ON w.model_id = z.model_id AND w.step = z.step
+         |  GROUP BY z.model_id, z.sim_id),
+         |agg AS (SELECT model_id, COUNT(*) AS n,
+         |    CAST(SUM(CAST(qx AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(qx * qx AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+         |    quantile_cont(qx, 0.05) AS p05
+         |  FROM x GROUP BY model_id)
+         |SELECT model_id, n AS n_sims, round(s1 / n, 4) AS mean_x,
+         |  round(sqrt((s2 - s1 * s1 / n) / n), 4) AS sd_x,
+         |  round(p05, 4) AS p05_x
+         |FROM agg ORDER BY model_id""".stripMargin
+    },
+
     "sim_gbm_stats" -> {
       // drift/vol embedded as exact round-tripping double literals; the
       // Box-Muller/exp chain mirrors core.McGenHelper.gbmTrace term for term

@@ -154,6 +154,81 @@ class R12OpsSpec extends SparkTestBase {
     assert(out.head.getDouble(4) == 10.0 / 55.0)
   }
 
+  test("holtReport: two-accumulator truncating recursion, hand-traced incl. negative trend") {
+    // ramp x = 4, 8, 12; l0 = 8, b0 = 0 (truncating division):
+    //   t1: fc=8, ae=4,  l=(4+24)/4=7,  b=(-1)/4 = 0
+    //   t2: fc=7, ae=5,  l=(8+21)/4=7,  b=0
+    //   t3: fc=7, ae=10, l=(12+21)/4=8, b=1/4 = 0
+    val df = Seq(("g", 1L, 1L, 4.0), ("g", 2L, 2L, 8.0), ("g", 3L, 3L, 12.0))
+      .toDF("grp", "ts", "event_id", "value")
+    val r = AuditOps.holtReport(df, "grp", "ts", "event_id", "value")
+      .collect()(0)
+    assert(r.getLong(1) == 3 && r.getDouble(2) == 8.0 &&
+      r.getDouble(3) == 0.0 && r.getDouble(4) == 8.0, r.toString)
+    assert(r.getDouble(5) == 10.0 / 3.0, r.toString)
+    // crash x = 100, 0: the trend state goes NEGATIVE and the division
+    // convention becomes load-bearing — trunc((-5)/4) = -1 where floor
+    // would give -2 (DuckDB // truncates; the op must match):
+    //   t1: fc=50, ae=50,  l=(100+150)/4=62, b=12/4=3
+    //   t2: fc=65, ae=115, l=(0+195)/4=48,   b=((48-62)+9)/4=(-5)/4=-1
+    val dn = Seq(("g", 1L, 1L, 100.0), ("g", 2L, 2L, 0.0))
+      .toDF("grp", "ts", "event_id", "value")
+    val r2 = AuditOps.holtReport(dn, "grp", "ts", "event_id", "value")
+      .collect()(0)
+    assert(r2.getDouble(2) == 48.0 && r2.getDouble(3) == -1.0 &&
+      r2.getDouble(4) == 47.0 && r2.getDouble(5) == 57.5, r2.toString)
+    // determinism across partitionings (the fold crosses partitions)
+    val again = AuditOps.holtReport(df.repartition(5), "grp", "ts",
+      "event_id", "value").collect()(0)
+    assert(again.toString == r.toString)
+  }
+
+  test("jsdBySource: 0 on identical mixes; hand-computed on disjoint mixes") {
+    def r7(x: Double): BigDecimal =
+      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    val same = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("B", "y"), ("B", "y"))
+      .toDF("source", "lang")
+    val s = AuditOps.jsdBySource(same, "lang", "source").collect()
+    assert(s.forall(_.getDouble(2) == 0.0), s.toSeq.toString)
+    // A = all x, B = all y vs the 50/50 corpus: JSD = ln2-bounded mix
+    val disj = Seq.fill(4)(("A", "x")) ++ Seq.fill(4)(("B", "y"))
+    val d = AuditOps.jsdBySource(disj.toDF("source", "lang"), "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // sp(A) = 4·(r7(ln 64) − r7(ln 48)); sq(A) = 4·(r7(ln 32) − r7(ln 48))
+    //   + 4·(r7(ln 32) − r7(ln 16)); jsd = sp/(2·4) + sq/(2·8)
+    val sp = (BigDecimal(4) * (r7(math.log(64)) - r7(math.log(48)))).toDouble
+    val sq = (BigDecimal(4) * (r7(math.log(32)) - r7(math.log(48))) +
+      BigDecimal(4) * (r7(math.log(32)) - r7(math.log(16)))).toDouble
+    val expect = sp / 8.0 + sq / 16.0
+    assert(d("A") == expect && d("B") == expect, s"$d vs $expect")
+    // true JSD of these mixes is ~0.2157616 nats — the quantized chain
+    // must sit within 1e-6 of it
+    assert(math.abs(d("A") - 0.21576158) < 1e-6)
+  }
+
+  test("sim_ou_final: exact weight table + mean-reversion statistics") {
+    // weight exactness: a^(15-step)·10^15 as exact longs
+    val w = OuWeights.unitRows(16)
+      .map { case (m, st, v) => (m, st) -> v }.toMap
+    assert(w((0, 15)) == 1000000000000000L)
+    assert(w((0, 0)) == 205891132094649L)  // 0.9^15·10^15 = 9^15
+    assert(w((1, 0)) == 35184372088832L)   // 0.8^15·10^15 = 2^45
+    // statistical pin (the SimModelSpec style): the OU variance is
+    // Σ a^2k (z has unit variance), so both models must sit near theory
+    // and BELOW the pure walk's sd = 4; a=0.8 reverts harder than a=0.9
+    val rows = SimQueries.queries("sim_ou_final")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    def theory(a: Double) =
+      math.sqrt((0 to 15).map(k => math.pow(a, 2.0 * k)).sum)
+    assert(math.abs(rows(0)._1) < 0.2 && math.abs(rows(1)._1) < 0.2,
+      s"OU mean must sit near 0: $rows")
+    assert(math.abs(rows(0)._2 - theory(0.9)) / theory(0.9) < 0.15, rows.toString)
+    assert(math.abs(rows(1)._2 - theory(0.8)) / theory(0.8) < 0.15, rows.toString)
+    assert(rows(1)._2 < rows(0)._2 && rows(0)._2 < 4.0,
+      s"stronger reversion => smaller spread: $rows")
+  }
+
   test("sourceOverlap: complete pairwise token-Jaccard matrix incl. zero rows") {
     val docs = Seq((1L, "s1", "a b c"), (2L, "s1", "a d"),
       (3L, "s2", "a b"), (4L, "s3", "zz"))
