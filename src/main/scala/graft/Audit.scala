@@ -191,6 +191,32 @@ object Audit {
         s""""n":${r.getLong(1)},"n_alarms":${r.getLong(2)},""" +
         s""""max_dev":${r.getDouble(5)}}""")
     }
+    // Holt level+trend smoother: the one-step forecaster next to the
+    // EWMA level chart (r12)
+    AuditOps.holtReport(ev, "event_type", "ts", "event_id", "value")
+      .collect().foreach { r =>
+        println(s"""{"detector":"holt","group":"${r.getString(0)}",""" +
+          s""""level":${r.getDouble(2)},"trend":${r.getDouble(3)},""" +
+          s""""forecast":${r.getDouble(4)},"mae":${r.getDouble(5)}}""")
+      }
+    // Welch t + exact W1 between even/odd user cohorts per type — the
+    // continuous-mean and shift-magnitude A/B cells (r12)
+    val armA = pmod(col("user_id"), lit(2)) === 0
+    AuditOps.welchReport(ev, "event_type", armA, "value")
+      .collect().foreach { r =>
+        println(s"""{"detector":"welch","group":"${r.getString(0)}",""" +
+          s""""t":${if (r.isNullAt(7)) "null" else r.getDouble(7)},""" +
+          s""""significant":${r.getBoolean(8)}}""")
+      }
+    AuditOps.wassersteinReport(ev, "event_type", armA, "value")
+      .collect().foreach { r =>
+        println(s"""{"detector":"wasserstein","group":"${r.getString(0)}",""" +
+          s""""w1":${if (r.isNullAt(3)) "null" else r.getDouble(3)}}""")
+      }
+    // Brown–Forsythe spread homogeneity across types (r12)
+    val lev = AuditOps.leveneReport(ev, "event_type", "value").collect()(0)
+    println(s"""{"detector":"levene","k":${lev.getLong(0)},""" +
+      s""""f":${if (lev.isNullAt(2)) "null" else lev.getDouble(2)}}""")
     // the experiment panel (r11): SRM first — a broken split invalidates
     // every readout below it — then the design MDE, the equivalence
     // verdict, and the resampled uncertainty envelope
@@ -279,6 +305,13 @@ object Audit {
       .orderBy("grp").collect().foreach { r =>
         println(s"""{"detector":"psi_by_source","source":"${r.getString(0)}",""" +
           s""""psi":${if (r.isNullAt(1)) "null" else r.getDouble(1)}}""")
+      }
+    // JSD of each source's language mix vs the corpus mix — the bounded
+    // symmetric f-divergence next to TVD/PSI (r12)
+    AuditOps.jsdBySource(docs, "lang", "source")
+      .collect().foreach { r =>
+        println(s"""{"detector":"jsd_source","source":"${r.getString(0)}",""" +
+          s""""jsd_norm":${r.getDouble(3)}}""")
       }
     // privacy release gate: k-anonymity / l-diversity of the
     // (lang, length-band) quasi-identifiers vs source (r9)

@@ -638,7 +638,35 @@ object ScaleBench {
           s.read.parquet(s"$d/documents.parquet"))),
       "emb_ood" -> ((s: SparkSession, d: String, _: Double) =>
         SimilarityOps.oodReport(
-          s.read.parquet(s"$d/embeddings.parquet"), 0.2)))
+          s.read.parquet(s"$d/embeddings.parquet"), 0.2)),
+      // round-12 additions: postings self-joins over DISTINCT sets (the
+      // exponent tests "pairs ∝ shared keys, not corpus"), the W1
+      // windows over the (grp, value) count table, the per-user rank
+      // window behind paths, the 11-panel composed card, and the
+      // sorted-fold smoother
+      "dd_source_overlap" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.DedupOps.sourceOverlap(
+          s.read.parquet(s"$d/documents.parquet"))),
+      "ev_coengagement" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.coEngagement(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")))),
+      "aud_wasserstein" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.wassersteinReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          "event_type", pmod(col("user_id"), lit(2)) === 0, "value")),
+      "ev_paths" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.topPaths(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          depth = 3, k = 10)),
+      "aud_holt" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.AuditOps.holtReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          "event_type", "ts", "event_id", "value")))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
