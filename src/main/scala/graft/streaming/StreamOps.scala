@@ -572,6 +572,52 @@ object StreamOps {
       }
   }
 
+  /** State for [[holtStream]]: the level and trend accumulators — two
+    * longs per group, bounded forever. */
+  final case class HoltState(l: Long, b: Long)
+
+  /** STREAMING HOLT forecaster — the stateful twin of
+    * [[graft.operators.AuditOps.holtReport]] (the [[ewmaStream]]
+    * pattern with the second, TREND accumulator): per group the state
+    * is (ℓ, b) seeded at the caller's baseline `mu` (trend 0); each
+    * arriving row first scores the ONE-STEP FORECAST ℓ+b against the
+    * observed x — emitting `(grp, id, x, forecast, err)` when
+    * \|x − (ℓ+b)\| > h, the forecast-miss alarm stream — then advances
+    * both TRUNCATING integer recursions exactly as the batch op
+    * (Java `/`, the DuckDB `//` convention; negative trend states
+    * divide identically everywhere). Rows inside a micro-batch process
+    * in (ord, id) order, so on an ordered feed the alarm sequence
+    * equals the batch fold with the same seed — recursions straddling
+    * micro-batch boundaries are stitched by the carried (ℓ, b)
+    * (StreamingSpec splits the feed mid-group and pins equality).
+    * State: two longs per group, bounded forever.
+    */
+  def holtStream(rows: Dataset[AnomRow], mu: Long,
+      h: Long = 20L): Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(h >= 1, s"holtStream needs h >= 1, got $h")
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[HoltState, (String, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[AnomRow], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(mu, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          it.toSeq.sortBy(r => (r.ord, r.id)).foreach { r =>
+            val fc = Math.addExact(st.l, st.b)
+            val err = Math.abs(Math.subtractExact(r.x, fc))
+            if (err > h) out += ((grp, r.id, r.x, fc, err))
+            val l1 = Math.addExact(r.x, Math.multiplyExact(3L, fc)) / 4L
+            val b1 = Math.addExact(Math.subtractExact(l1, st.l),
+              Math.multiplyExact(3L, st.b)) / 4L
+            st = HoltState(l1, b1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** State for [[transitionsStream]]: the user's last-seen event — one
     * small row per user, bounded forever. */
   final case class LastEvent(ord: Long, id: Long, tpe: String)

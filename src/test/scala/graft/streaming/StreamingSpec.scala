@@ -324,6 +324,47 @@ class StreamingSpec extends SparkTestBase {
       batch.getLong(3) == single.map(_._1).min, batch.toString)
   }
 
+  test("holtStream: forecast-miss alarms equal the batch fold across a mid-series split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // x = 10,10,10,50,50 seeded at mu=26 (the batch floor mean), h=12.
+    // Hand trace (truncating division, the batch convention):
+    //   t1: fc=26 err=16*  l=22 b=-1      t2: fc=21 err=11  l=18 b=-1
+    //   t3: fc=17 err=7    l=15 b=-1      t4: fc=14 err=36* l=23 b=1
+    //   t5: fc=24 err=26*  l=30 b=2
+    val rows = Seq(10L, 10L, 10L, 50L, 50L).zipWithIndex.map { case (x, i) =>
+      StreamOps.AnomRow("g", i + 1L, i + 1L, x)
+    }
+    def run(batches: Seq[Seq[StreamOps.AnomRow]], name: String) = {
+      val input = MemoryStream[StreamOps.AnomRow]
+      val q = StreamOps.holtStream(input.toDS(), mu = 26L, h = 12L)
+        .toDF("grp", "id", "x", "forecast", "err")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      } finally q.stop()
+    }
+    val single = run(Seq(rows), "holt_one")
+    assert(single == Set((1L, 26L, 16L), (4L, 14L, 36L), (5L, 24L, 26L)),
+      single.toString)
+    // the carried (l, b) stitches a mid-series split
+    val split = run(Seq(rows.take(2), rows.drop(2)), "holt_two")
+    assert(split == single, s"split $split vs single $single")
+    // twin check: the batch holtReport over the same series (its floor-
+    // mean seed IS 26 here) must land on the final state this stream
+    // carried: level 30, trend 2, forecast 32, mae 96/5
+    val batch = graft.operators.AuditOps.holtReport(
+      rows.map(r => ("g", r.ord, r.id, r.x.toDouble))
+        .toDF("grp0", "ord0", "id0", "v"), "grp0", "ord0", "id0", "v")
+      .collect().head
+    assert(batch.getDouble(2) == 30.0 && batch.getDouble(3) == 2.0 &&
+      batch.getDouble(4) == 32.0 && batch.getDouble(5) == 96.0 / 5.0,
+      batch.toString)
+  }
+
   test("transitionsStream: edge multiset equals batch transitions across a mid-user split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
