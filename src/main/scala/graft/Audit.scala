@@ -238,6 +238,16 @@ object Audit {
           s""""diff":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
           s""""equivalent":${r.getBoolean(8)}}""")
       }
+    // CUPED: pre-period covariate adjustment + the variance reduction
+    // the panel's tests gain from it (r12)
+    AuditOps.cupedReport(ev, concat(lit("v"), pmod(col("user_id"), lit(3))),
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        "value", cutoffTicks = 1705276800000000L)
+      .collect().foreach { r =>
+        println(s"""{"detector":"cuped","variant":"${r.getString(0)}",""" +
+          s""""mean_adj":${if (r.isNullAt(4)) "null" else r.getDouble(4)},""" +
+          s""""var_reduction":${if (r.isNullAt(6)) "null" else r.getDouble(6)}}""")
+      }
     AuditOps.bootstrapCiReport(ev, "event_type", "event_id", "value")
       .collect().foreach { r =>
         println(s"""{"detector":"bootstrap","group":"${r.getString(0)}",""" +

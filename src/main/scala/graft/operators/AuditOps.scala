@@ -644,6 +644,78 @@ object AuditOps {
     * (the psiReport convention — the emitted psi is the partial sum
     * over two-sided categories).
     */
+  /** CUPED ADJUSTED A/B READOUT (Deng, Xu, Kohavi & Walker, WSDM '13) —
+    * the variance-reduction step every mature experiment platform runs
+    * before the significance tests in this panel: each user's PRE-period
+    * metric (before `cutoffTicks`) is a covariate for their POST-period
+    * metric; the adjusted mean ŷ_v = mean(post_v) − θ·(mean(pre_v) −
+    * mean(pre)) removes the variance the pre-period explains, shrinking
+    * required sample sizes by the squared pre/post correlation. Emits
+    * per variant `(variant, n_users, mean_pre, mean_post, mean_adj,
+    * theta, var_reduction)` — θ = cov(pre,post)/var(pre) POOLED (the
+    * paper's recommendation — a per-arm θ re-introduces bias), and
+    * var_reduction = corr²(pre, post), the fraction of metric variance
+    * CUPED removes.
+    *
+    * FP discipline: per-user pre/post are exact integer sums of the
+    * floor-quantized metric (users missing a side contribute 0 — the
+    * paper's convention for triggered-user analysis); all five global
+    * moments are exact DECIMAL(38,0); θ and corr² are each ONE division
+    * of exact integers (corr² numerator/denominator both products of
+    * exact covariance integers — width ≤ 10²⁸ at gate scales, inside
+    * both engines' 38 digits); mean_adj is the one composite double
+    * chain (subtract, multiply, subtract) and is round(·, 9)-pinned —
+    * the FMA-contraction guard, values O(10²) so 9 decimals keep ~1e-7
+    * headroom over a 1-ulp contraction difference.
+    *
+    * Scale shape: ONE map-side-combined per-user conditional aggregate
+    * (users-sized), one 1-row global-moment broadcast, a ≤\|variants\|
+    * aggregate — nothing corpus-sized past the first reduction.
+    */
+  def cupedReport(df: DataFrame, variantCol: Column, tsTicks: Column,
+      valueCol: String, cutoffTicks: Long): DataFrame = {
+    OpContract.requireCols(df, "AuditOps.cupedReport", "user_id", valueCol)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val u = df.filter(col("user_id").isNotNull && col(valueCol).isNotNull)
+      .select(col("user_id"), variantCol.cast("string").as("variant"),
+        tsTicks.cast("long").as("tk"),
+        floor(col(valueCol)).cast("long").as("x"))
+      .groupBy("user_id")
+      .agg(min(col("variant")).as("variant"),
+        coalesce(sum(when(col("tk") < cutoffTicks, col("x"))), lit(0L))
+          .as("pre"),
+        coalesce(sum(when(col("tk") >= cutoffTicks, col("x"))), lit(0L))
+          .as("post"))
+      .localCheckpoint(false)
+    val g = u.agg(count(lit(1)).as("n"),
+      sum(col("pre").cast(dec)).as("sx"), sum(col("post").cast(dec)).as("sy"),
+      sum(col("pre").cast(dec) * col("pre")).as("sxx"),
+      sum(col("post").cast(dec) * col("post")).as("syy"),
+      sum(col("pre").cast(dec) * col("post")).as("sxy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast(dec)
+    val glob = g.select(col("n"), col("sx"),
+        when(varX > 0, covN.cast("double") / varX.cast("double")).as("theta"),
+        when(varX > 0 && varY > 0,
+          (covN * covN).cast("double") / (varX * varY).cast("double"))
+          .as("var_reduction"))
+      .withColumn("gmx", col("sx").cast("double") / col("n").cast("double"))
+    val v = u.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre").cast(dec)).as("vx"), sum(col("post").cast(dec)).as("vy"))
+    v.crossJoin(broadcast(glob))
+      .select(col("variant"), col("n_users"),
+        (col("vx").cast("double") / col("n_users").cast("double")).as("mean_pre"),
+        (col("vy").cast("double") / col("n_users").cast("double")).as("mean_post"),
+        round(col("vy").cast("double") / col("n_users").cast("double")
+          - col("theta") *
+            (col("vx").cast("double") / col("n_users").cast("double")
+              - col("gmx")), 9).as("mean_adj"),
+        col("theta"), col("var_reduction"))
+      .orderBy("variant")
+  }
+
   /** JENSEN–SHANNON DIVERGENCE of each group's category mix against the
     * GLOBAL mix — the bounded, symmetric member completing the
     * f-divergence wing (TVD = worst-case mass moved, PSI = unbounded

@@ -64,6 +64,15 @@ object AuditQueries {
     "aud_anova" -> ((s, d) =>
       AuditOps.anovaReport(t(s, d, "events"), "event_type", "value")),
 
+    // CUPED adjusted A/B readout: user pre-period (before the mid-month
+    // cutoff) as the covariate for the post-period metric; pooled theta,
+    // corr² variance reduction (Deng et al. '13).
+    "aud_cuped" -> ((s, d) =>
+      AuditOps.cupedReport(t(s, d, "events"),
+        concat(lit("v"), pmod(col("user_id"), lit(3))),
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        "value", cutoffTicks = 1705276800000000L)),
+
     // Holt double-exponential smoothing per event type: level + trend
     // integer-floor recursions (the ewma chart with a trend state),
     // one-step forecast + its exact mean absolute error.
@@ -1306,6 +1315,45 @@ object AuditQueries {
     // Mann–Whitney: 2×-scaled average ranks over the (grp, value) count
     // table, exact HUGEINT tie/variance factors, z the mirrored
     // ÷→√→halve→÷ chain
+    // CUPED: per-user conditional sums, five exact HUGEINT moments,
+    // theta/corr² each one division; mean_adj the round-9-pinned chain
+    "aud_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN('v' || CAST(user_id % 3 AS VARCHAR)) AS variant,
+        |    COALESCE(SUM(CASE WHEN epoch_us(ts) < 1705276800000000
+        |      THEN CAST(floor(value) AS BIGINT) END), 0) AS pre,
+        |    COALESCE(SUM(CASE WHEN epoch_us(ts) >= 1705276800000000
+        |      THEN CAST(floor(value) AS BIGINT) END), 0) AS post
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(pre) AS HUGEINT) AS sx, CAST(SUM(post) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(post AS HUGEINT) * post) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy
+        |  FROM u),
+        |gg AS (SELECT n, sx,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    END AS theta,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |      CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+        |        / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+        |    END AS var_reduction,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gmx
+        |  FROM g),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(pre) AS HUGEINT) AS vx, CAST(SUM(post) AS HUGEINT) AS vy
+        |  FROM u GROUP BY variant)
+        |SELECT v.variant, v.n_users,
+        |  CAST(v.vx AS DOUBLE) / CAST(v.n_users AS DOUBLE) AS mean_pre,
+        |  CAST(v.vy AS DOUBLE) / CAST(v.n_users AS DOUBLE) AS mean_post,
+        |  round(CAST(v.vy AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+        |    - gg.theta * (CAST(v.vx AS DOUBLE) / CAST(v.n_users AS DOUBLE) - gg.gmx),
+        |    9) AS mean_adj,
+        |  gg.theta, gg.var_reduction
+        |FROM v, gg ORDER BY v.variant""".stripMargin,
+
     // Holt: the aud_ewma recursive-CTE fold with a second (trend)
     // accumulator; // TRUNCATES toward zero on negatives (measured:
     // (-1)//4 = 0), exactly Java's / — the op uses plain long division

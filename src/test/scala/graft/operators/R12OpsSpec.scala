@@ -207,6 +207,29 @@ class R12OpsSpec extends SparkTestBase {
     assert(math.abs(d("A") - 0.21576158) < 1e-6)
   }
 
+  test("cupedReport: perfectly-correlated covariate adjusts both arms to the same mean") {
+    // post = 2·pre for every user => theta=2, corr²=1, and CUPED removes
+    // the pre-period imbalance entirely: both arms adjust to 5.0
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 20L, 2.0), (2L, 0L, 3.0), (2L, 20L, 6.0),
+      (3L, 0L, 2.0), (3L, 20L, 4.0), (4L, 0L, 4.0), (4L, 20L, 8.0))
+      .toDF("user_id", "tk", "value")
+    val out = AuditOps.cupedReport(df,
+        when(col("user_id") <= 2, "A").otherwise("B"), col("tk"),
+        "value", cutoffTicks = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("A") == ((2L, 2.0, 4.0, 5.0, 2.0, 1.0)), out.toString)
+    assert(out("B") == ((2L, 3.0, 6.0, 5.0, 2.0, 1.0)), out.toString)
+    // constant pre (zero variance): theta/var_reduction NULL, means raw
+    val flat = Seq((1L, 0L, 5.0), (1L, 20L, 2.0), (2L, 0L, 5.0),
+      (2L, 20L, 6.0)).toDF("user_id", "tk", "value")
+    val r = AuditOps.cupedReport(flat, lit("A"), col("tk"), "value", 10L)
+      .collect()(0)
+    assert(r.isNullAt(5) && r.isNullAt(6), r.toString)
+  }
+
   test("sim_ou_final: exact weight table + mean-reversion statistics") {
     // weight exactness: a^(15-step)·10^15 as exact longs
     val w = OuWeights.unitRows(16)
