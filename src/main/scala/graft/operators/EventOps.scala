@@ -716,6 +716,48 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** KAPLAN–MEIER SURVIVAL CURVE per event type — the survival function
+    * completing [[hazardReport]]'s pair (hazard = instantaneous risk per
+    * bucket; KM = the probability of SURVIVING past it, the curve a
+    * retention/latency analysis actually plots; Kaplan & Meier '58):
+    * over the same censored decade buckets, S_k = Π_{j≤k}(1 − d_j/n_j).
+    * Emits `(event_type, bucket, n_at_risk, n_events, survival)`.
+    *
+    * FP discipline: each factor is ONE exact-integer division +
+    * subtract, round(·,6)-quantized; the running product re-quantizes
+    * through the same round-6 per step (the [[markovStepAhead]]
+    * convention — every scale-12 intermediate is < 10, hence EXACTLY
+    * representable as a double, so the re-quantization is engine-stable
+    * and the oracle's recursive CTE reproduces the chain bit-for-bit).
+    *
+    * Scale shape: the [[hazardReport]] reduction does all the data work
+    * (one lead window + one aggregate); the KM fold runs on the
+    * collected ≤\|types\|×12 cell table — bounded model state, the
+    * trainCentroids collect discipline.
+    */
+  def survivalReport(events: DataFrame, tsUs: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells = hazardReport(events, tsUs)
+      .select("event_type", "bucket", "n_events", "n_at_risk")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    def r6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    val out = cells.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      var s = java.math.BigDecimal.ONE.setScale(6)
+      rows.sortBy(_._2).map { case (_, bucket, d, n) =>
+        val f = r6(1.0 - d.toDouble / n.toDouble)
+        // exact scale-12 product, value < 10 => .doubleValue is exact;
+        // re-quantize through the same round-6 the oracle CTE applies
+        s = r6(s.multiply(f).doubleValue)
+        (tpe, bucket, n, d, s.doubleValue)
+      }
+    }.sortBy(t => (t._1, t._2))
+    out.toDF("event_type", "bucket", "n_at_risk", "n_events", "survival")
+  }
+
   /** MULTI-STEP ORDERED FUNNEL — the k-step generalization of
     * [[attribution]]'s two-event question and the product-analytics
     * staple ("of the users who clicked, how many then viewed, then

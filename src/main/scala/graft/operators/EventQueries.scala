@@ -214,6 +214,12 @@ object EventQueries {
       EventOps.hazardReport(t(s, d, "events"),
         call_function("div", col("ts").cast("long"), lit(1000L)))),
 
+    // Kaplan–Meier survival over the hazard buckets: the curve the
+    // hazard panel plots; per-step round-6 product (markov convention).
+    "ev_survival" -> ((s, d) =>
+      EventOps.survivalReport(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)))),
+
     // RFM segmentation on the µs values (the ev_dwell convention):
     // recency in whole hours vs the corpus-latest event, frequency,
     // monetary accumulated exactly in DECIMAL(28,6) and emitted via one
@@ -571,6 +577,53 @@ object EventQueries {
          |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |    AS hazard
          |FROM c ORDER BY event_type, bucket""".stripMargin
+    },
+
+    // KM: the hazard cells + a recursive CTE folding the round-6
+    // product per type (every scale-12 intermediate < 10 -> the
+    // decimal->double hop is exact, the markov re-quantization)
+    "ev_survival" -> {
+      val bucket = graft.operators.EventOps.DecadeUs
+        .map(t => s"(CASE WHEN t_us >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |    event_type FROM events),
+         |m AS (SELECT MAX(us) AS corpus_max_us FROM e),
+         |g AS (SELECT event_type, us,
+         |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS next_us
+         |  FROM e),
+         |t AS (SELECT event_type,
+         |    CASE WHEN next_us IS NOT NULL THEN next_us - us
+         |         ELSE m.corpus_max_us - us END AS t_us,
+         |    next_us IS NOT NULL AS observed
+         |  FROM g, m),
+         |c AS (SELECT event_type, CAST($bucket AS BIGINT) AS bucket,
+         |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_events,
+         |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_censored
+         |  FROM t GROUP BY event_type, bucket),
+         |o AS (SELECT event_type, bucket, n_events,
+         |    CAST(SUM(n_events + n_censored) OVER (PARTITION BY event_type
+         |      ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS BIGINT) AS n_at_risk,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS rn
+         |  FROM c),
+         |f(event_type, rn, sv) AS (
+         |  SELECT event_type, CAST(0 AS BIGINT),
+         |    CAST(1 AS DECIMAL(12,6)) FROM (SELECT DISTINCT event_type FROM o) q
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn,
+         |    CAST(round(CAST(f.sv *
+         |      CAST(round(1 - CAST(o.n_events AS DOUBLE)
+         |        / CAST(o.n_at_risk AS DOUBLE), 6) AS DECIMAL(12,6))
+         |      AS DOUBLE), 6) AS DECIMAL(12,6))
+         |  FROM f JOIN o ON o.event_type = f.event_type AND o.rn = f.rn + 1)
+         |SELECT o.event_type, o.bucket, o.n_at_risk, o.n_events,
+         |  CAST(f.sv AS DOUBLE) AS survival
+         |FROM f JOIN o ON o.event_type = f.event_type AND o.rn = f.rn
+         |ORDER BY o.event_type, o.bucket""".stripMargin
     },
 
     // co-engagement: distinct (user, type) sets, user-keyed pair join,

@@ -207,6 +207,26 @@ class R12OpsSpec extends SparkTestBase {
     assert(math.abs(d("A") - 0.21576158) < 1e-6)
   }
 
+  test("survivalReport: KM product over the hazard cells, hand-computed") {
+    // the hazardReport spec's scenario — A: gap 5 (bucket 1) + censored
+    // t=0 (bucket 0); B: gap 995 (bucket 3) + censored t=1000 (bucket 4)
+    val e = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "B"), (1L, 1000L, 3L, "A"),
+      (2L, 0L, 4L, "B")).toDF("user_id", "tk", "event_id", "event_type")
+    val out = EventOps.survivalReport(e, col("tk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // A: bucket0 d=0/n=2 -> S=1; bucket1 d=1/n=1 -> S=0 (all die)
+    // B: bucket3 d=1/n=2 -> S=0.5; bucket4 d=0/n=1 -> S stays 0.5
+    assert(out.toSeq == Seq(
+      ("A", 0L, 2L, 0L, 1.0), ("A", 1L, 1L, 1L, 0.0),
+      ("B", 3L, 2L, 1L, 0.5), ("B", 4L, 1L, 0L, 0.5)), out.toSeq)
+    // survival is monotone nonincreasing per type — the KM invariant
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val svs = rows.sortBy(_._2).map(_._5)
+      assert(svs.zip(svs.tail).forall { case (a, b) => b <= a }, svs.toSeq)
+    }
+  }
+
   test("cupedReport: perfectly-correlated covariate adjusts both arms to the same mean") {
     // post = 2·pre for every user => theta=2, corr²=1, and CUPED removes
     // the pre-period imbalance entirely: both arms adjust to 5.0
