@@ -28,7 +28,14 @@ object Audit {
     */
   def buildCard(spark: SparkSession, sfDir: String):
       org.apache.spark.sql.DataFrame = {
+    // the card's 11 panels run as parallel stages of ONE plan-level
+    // union; keep the input a pruned column projection and let each
+    // panel scan it (measured A/B in BENCHNOTES r12: a localCheckpoint
+    // here is 60% SLOWER — it serializes the parallel scans behind one
+    // materialization; the columnar scans are cheap, the parallelism is
+    // not)
     val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
       .withColumn("len_band", expr("n_chars div 200"))
     val thinned = docs.filter(col("doc_id") % 3 =!= 0)
     AuditOps.dataCard(docs, thinned,
