@@ -816,6 +816,45 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** TIME-TO-CONVERT DISTRIBUTION — the latency readout behind
+    * [[funnelSteps]]' counts ("HOW LONG does signup→click take for the
+    * users who convert"): per user, the gap between the first `fromType`
+    * event and the first `toType` event strictly after it within
+    * `horizonTicks`; emits ONE row `(n_converted, mean_gap, p50_gap,
+    * p90_gap, max_gap)` over the converting users. The SLA/funnel-decay
+    * panel every growth team plots next to the conversion rate.
+    *
+    * FP discipline: gaps are exact tick integers; the mean is one exact
+    * sum + one division; p50/p90 are the shared exact interpolated
+    * percentile (Spark `percentile` ↔ DuckDB `quantile_cont`, the
+    * q22/gbm convention).
+    *
+    * Scale shape: the [[funnelSteps]] anchor joins (hash on user_id,
+    * partitioning reused), then one 1-row global aggregate; the
+    * percentile runs over the converting-user gap table (users-sized).
+    */
+  def timeToConvert(events: DataFrame, tsTicks: Column, fromType: String,
+      toType: String, horizonTicks: Long): DataFrame = {
+    require(horizonTicks > 0, s"timeToConvert: horizonTicks > 0, got $horizonTicks")
+    val e = OpContract.requireCols(events, "EventOps.timeToConvert",
+        "user_id", "event_type")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), tsTicks.as("tk"))
+    val a = e.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(col("tk")).as("t1"))
+    val gaps = e.filter(col("event_type") === toType)
+      .join(a, "user_id")
+      .filter(col("tk") > col("t1") && col("tk") <= col("t1") + horizonTicks)
+      .groupBy("user_id")
+      .agg((min(col("tk")) - min(col("t1"))).as("gap"))
+    gaps.agg(count(lit(1)).as("n_converted"),
+      (sum(col("gap")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_gap"),
+      expr("percentile(gap, 0.5)").as("p50_gap"),
+      expr("percentile(gap, 0.9)").as("p90_gap"),
+      max(col("gap")).as("max_gap"))
+  }
+
   /** TOP SESSION-OPENING PATHS — the "where do journeys start" panel
     * next to [[transitionCounts]]'s one-step matrix: per user, the
     * first `depth` event types in `(tick, event_id)` order concatenated

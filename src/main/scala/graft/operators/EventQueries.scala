@@ -256,6 +256,13 @@ object EventQueries {
         call_function("div", col("ts").cast("long"), lit(1000L)),
         Seq("signup", "click", "purchase"), horizonTicks = 86400000000L)),
 
+    // Time-to-convert distribution for the funnel's first hop: exact
+    // gap integers, shared interpolated percentiles.
+    "ev_time_to_convert" -> ((s, d) =>
+      EventOps.timeToConvert(t(s, d, "events"),
+        call_function("div", col("ts").cast("long"), lit(1000L)),
+        "signup", "click", horizonTicks = 86400000000L)),
+
     // Top journey-opening paths: first 3 event types per user in the
     // (µs, event_id) order, top-10 by user count.
     "ev_paths" -> ((s, d) =>
@@ -736,6 +743,25 @@ object EventQueries {
         |FROM (SELECT path, n_users,
         |    ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS rank FROM c) q
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // anchor joins mirrored; mean one division over exact integer gaps;
+    // percentile <-> quantile_cont (the q22 convention)
+    "ev_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tk FROM events
+        |  WHERE user_id IS NOT NULL),
+        |a AS (SELECT user_id, MIN(tk) AS t1 FROM e WHERE event_type = 'signup'
+        |  GROUP BY user_id),
+        |g AS (SELECT e.user_id, MIN(e.tk) - MIN(a.t1) AS gap
+        |  FROM e JOIN a ON a.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.tk > a.t1
+        |    AND e.tk <= a.t1 + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap,
+        |  quantile_cont(gap, 0.5) AS p50_gap,
+        |  quantile_cont(gap, 0.9) AS p90_gap,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap
+        |FROM g""".stripMargin,
 
     // exact rank over per-user counts; the top-decile cut is the same
     // ceil-division on both sides; share one division

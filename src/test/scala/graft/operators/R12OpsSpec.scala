@@ -83,6 +83,20 @@ class R12OpsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1L, "a>b>c", 2L), (2L, "a>b", 1L)), rows.toSeq)
   }
 
+  test("timeToConvert: converting-user gap distribution, hand-computed") {
+    // u1 converts at gap 5; u2 at gap 9 (first click after t1 within 10);
+    // u3's click precedes signup (no convert); u4 outside the horizon
+    val df = Seq((1L, "a", 0L), (1L, "b", 5L), (1L, "b", 7L),
+      (2L, "a", 1L), (2L, "b", 10L), (3L, "b", 0L), (3L, "a", 2L),
+      (4L, "a", 0L), (4L, "b", 20L))
+      .toDF("user_id", "event_type", "tk")
+    val r = EventOps.timeToConvert(df, col("tk"), "a", "b", 10L).collect()(0)
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 7.0, r.toString)
+    assert(r.getDouble(2) == 7.0 && r.getLong(4) == 9L, r.toString)
+    // p90 of {5, 9}: interpolated at rank 1 + 0.9 = 5 + 0.9*4
+    assert(r.getDouble(3) == 5.0 + 0.9 * 4.0, r.toString)
+  }
+
   test("paretoReport: top-decile share, exact ceil cut") {
     val df = (Seq.fill(10)(1L) ++ Seq(2L, 3L, 4L, 5L)).map(u => (u, "e"))
       .toDF("user_id", "event_type")
