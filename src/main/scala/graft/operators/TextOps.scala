@@ -1745,4 +1745,33 @@ object TextOps {
             col("words").cast("double")), 12)))
       .orderBy("grp")
   }
+
+  /** TOKENIZER FERTILITY by corpus slice — tokens-per-word under a
+    * trained BPE merge table, the standard "how well does my tokenizer
+    * fit this domain" readout (fertility ≫ 1 on a source means its text
+    * fragments into many subwords — under-served by the vocab; the
+    * metric behind multilingual vocab-allocation decisions): compose
+    * [[bpeTrain]] → [[bpeEncode]] and reduce per `groupCol`. Emits
+    * `(source, n_docs, n_words, n_bpe_tokens, fertility)` — fertility
+    * ONE division of exact integers.
+    *
+    * Scale shape: [[bpeEncode]]'s per-doc encoding is the only
+    * data-sized work (pure projection + per-doc aggregate); this adds
+    * one broadcast join of (doc_id → group) and a ≤\|groups\| reduction.
+    */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)],
+      groupCol: String = "source"): DataFrame = {
+    OpContract.requireCols(docs, "TextOps.bpeFertility", groupCol)
+    bpeEncode(docs, merges)
+      .join(docs.select(col("doc_id"), col(groupCol).as("grp")), "doc_id")
+      .filter(col("grp").isNotNull)
+      .groupBy(col("grp").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("source")
+  }
 }

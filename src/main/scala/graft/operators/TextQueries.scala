@@ -220,6 +220,15 @@ object TextQueries {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(docs, merges).orderBy("doc_id")
     }),
+    // Tokenizer fertility by source under the same 3-merge vocab —
+    // the domain-fit readout behind vocab allocation.
+    "tx_bpe_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextOps.bpeTrain(docs, 3).orderBy("merge_round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeFertility(docs, merges)
+    }),
+
     "tx_bigram_ppl" -> ((s, d) =>
       TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
     "tx_trigram_ppl" -> ((s, d) =>
@@ -665,6 +674,35 @@ object TextQueries {
          |      AS DOUBLE) /
          |    CAST(SUM(nc) AS DOUBLE) AS compression
          |FROM de3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fertility: the tx_bpe_encode chain reduced per source; one division
+    "tx_bpe_fertility" ->
+      s"""WITH ${bpeChainSql(3)},
+         |dw AS (SELECT d.doc_id, d.source, w.word FROM documents d,
+         |    unnest(string_split(d.text, ' ')) AS w(word)
+         |  WHERE length(w.word) > 0 AND d.source IS NOT NULL),
+         |de0 AS (SELECT doc_id, source,
+         |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS e
+         |  FROM dw),
+         |de1 AS (SELECT doc_id, source, replace(e,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS e FROM de0, m1 m),
+         |de2 AS (SELECT doc_id, source, replace(e,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS e FROM de1, m2 m),
+         |de3 AS (SELECT doc_id, source, replace(e,
+         |    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         |    chr(1) || m.l || m.r || chr(1)) AS e FROM de2, m3 m),
+         |pd AS (SELECT doc_id, source, COUNT(*) AS n_words,
+         |    SUM(len(string_split(trim(e, chr(1)), chr(1) || chr(1))))
+         |      AS n_tok
+         |  FROM de3 GROUP BY doc_id, source)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_tok) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
     "tx_pii_redact" -> {
       val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
         s"'${TextOps.emailRe}', '<EMAIL>', 'g'), " +

@@ -286,6 +286,25 @@ class R12OpsSpec extends SparkTestBase {
       s"stronger reversion => smaller spread: $rows")
   }
 
+  test("bpeFertility: merged-pair source compresses below the unmerged one") {
+    // source A repeats "ab" (the merge candidate); source B is unmergeable
+    // single chars — after training on the union, A's fertility drops
+    // below B's (B stays at chars-per-word)
+    val docs = Seq((1L, "A", "ab ab ab ab"), (2L, "A", "ab ab"),
+      (3L, "B", "xq zw"), (4L, "B", "qz wx"))
+      .toDF("doc_id", "source", "text")
+    val merges = TextOps.bpeTrain(docs, 1).orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b")), merges.toString)
+    val out = TextOps.bpeFertility(docs, merges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A: 6 words, each "ab" -> 1 token: fertility 1.0
+    assert(out("A") == ((2L, 6L, 6L, 1.0)), out.toString)
+    // B: 4 words x 2 chars, no merge applies: fertility 2.0
+    assert(out("B") == ((2L, 4L, 8L, 2.0)), out.toString)
+  }
+
   test("sourceOverlap: complete pairwise token-Jaccard matrix incl. zero rows") {
     val docs = Seq((1L, "s1", "a b c"), (2L, "s1", "a d"),
       (3L, "s2", "a b"), (4L, "s3", "zz"))
