@@ -254,7 +254,18 @@ object Plans {
     // shuffle-free sim grid; decimal-exact weighted sum per sim
     "sim_ou_final",
     // round 12 (cont. 7): segment-partitioned rank windows, top-3 filter
-    "q45_percent_rank")
+    "q45_percent_rank",
+    // round 12 (cont. 8): the cusum/ewma sorted fold with the trend
+    // accumulator; the psi-idiom ln table over groups×categories
+    "aud_holt", "aud_jsd_source",
+    // round 12 (cont. 9): per-user conditional sums, 1-row moment
+    // broadcast, ≤variants reduction
+    "aud_cuped",
+    // round 12 (cont. 10): the hazard reduction + the bounded-collect KM
+    // fold; the funnel anchor join + users-sized percentile
+    "ev_survival", "ev_time_to_convert",
+    // round 12 (cont. 11): bpe encode projection + broadcast source join
+    "tx_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
