@@ -200,7 +200,9 @@ object MediaOps {
     * then the exact count of adjacent-sample sign changes (sign =
     * `sample >= 0`, the textbook convention) and the exact peak.
     * `zcr = crossings/(n−1)` is ONE division of exact integers.
-    * Undecodable or non-16-bit payloads emit `decoded = false` zeros.
+    * Undecodable, non-16-bit, or multi-channel payloads emit
+    * `decoded = false` zeros (interleaved stereo would count sign
+    * changes across channels — demuxing is the caller's job).
     *
     * Scale shape: the [[MediaStub.decodeAll]] mapPartitions discipline —
     * embarrassingly parallel, no shuffle at any scale; per-clip state is
@@ -217,7 +219,14 @@ object MediaOps {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val fmt = in.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+          // Mono only: the sign-change walk below reads interleaved PCM
+          // as ONE sequence, so on stereo it would count crossings
+          // ACROSS channels — semantically wrong ZCR. Multi-channel
+          // clips emit decoded=false like the other unsupported formats
+          // (audioStats, which sums |sample| symmetrically, still
+          // accepts them).
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              fmt.getChannels != 1) None
           else {
             val data = in.readAllBytes()
             var i = 0; var n = 0L; var cross = 0L; var mx = 0L

@@ -1189,12 +1189,21 @@ object AuditOps {
       .select(col(groupCol).cast("string").as("grp"),
         col(orderCol).cast("long").as("ord"), col(idCol).cast("long").as("id"),
         floor(col(valueCol)).cast("long").as("x"))
+    // The seed sum accumulates as DECIMAL(38,0) (the battery convention)
+    // so the one pre-fold reduction can't wrap silently the way Spark's
+    // non-ANSI sum(long) does — every fold step is addExact/multiplyExact
+    // guarded, and the seed now matches that discipline. The seed itself
+    // is ONE truncating integral divide (Spark `div` == Java `/` ==
+    // DuckDB `//`: toward zero on negatives), shipped per group as a long.
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val stats = base.groupBy("grp")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(decS)).as("sdec"))
+      .select(col("grp"), col("n"),
+        expr("CAST(sdec DIV n AS LONG)").as("seed"))
     val rows = base.join(broadcast(stats), Seq("grp"))
       .repartition(col("grp"))
       .sortWithinPartitions("grp", "ord", "id")
-      .select(col("grp"), col("id"), col("x"), col("n"), col("s"))
+      .select(col("grp"), col("id"), col("x"), col("n"), col("seed"))
       .as[(String, Long, Long, Long, Long)]
     val folded = rows.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer
@@ -1203,13 +1212,13 @@ object AuditOps {
       var curN = 0L; var l = 0L; var b = 0L; var absErr = 0L
       def flush(): Unit = if (curGrp != null)
         out += ((curGrp, curN, l, b, absErr))
-      it.foreach { case (grp, _, x, n, s) =>
+      it.foreach { case (grp, _, x, n, seed) =>
         if (grp != curGrp) {
           flush()
           curGrp = grp; curN = n
-          // seed is a MEAN of nonnegative-sum counts at the gate, but
-          // stay truncating here too for sign-consistency with the steps
-          l = s / n; b = 0L; absErr = 0L
+          // seed = truncating floor-mean, computed exactly upstream in
+          // DECIMAL(38,0) (sign-consistent with the truncating steps)
+          l = seed; b = 0L; absErr = 0L
         }
         val fc = Math.addExact(l, b)
         absErr = Math.addExact(absErr, Math.abs(Math.subtractExact(x, fc)))
@@ -3050,11 +3059,17 @@ object AuditOps {
       sum(col("cnt") - col("ca")).over(gw).cast(dec).as("n_b"),
       (lead(col("s"), 1).over(Window.partitionBy("grp").orderBy("s"))
         - col("s")).as("gap"))
-    c.filter(col("gap").isNotNull)
-      .groupBy("grp")
+    // Aggregate BEFORE dropping the last row's NULL lead-gap: a group
+    // whose values collapse to one distinct quantized value has ONLY
+    // that row, and filtering first would silently omit its
+    // (grp, n_a, n_b, w1 = 0) output row. The gap-less terms contribute
+    // nothing to the sum (guarded NULL inside), so every live group
+    // emits exactly one row as documented.
+    c.groupBy("grp")
       .agg(min(col("n_a")).as("na"), min(col("n_b")).as("nb"),
-        sum((abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
-          * col("gap")).cast(dec)).as("num"))
+        sum(when(col("gap").isNotNull,
+          (abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+            * col("gap")).cast(dec))).as("num"))
       .select(col("grp"), col("na").cast("long").as("n_a"),
         col("nb").cast("long").as("n_b"),
         when(col("na") > 0 && col("nb") > 0,

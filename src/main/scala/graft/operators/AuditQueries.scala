@@ -1467,9 +1467,10 @@ object AuditQueries {
         |              gw AS (PARTITION BY grp))
         |SELECT grp, CAST(MIN(n_a) AS BIGINT) AS n_a, CAST(MIN(n_b) AS BIGINT) AS n_b,
         |  CASE WHEN MIN(n_a) > 0 AND MIN(n_b) > 0 THEN
-        |    CAST(COALESCE(SUM(abs(cum_a * n_b - cum_b * n_a) * gap), 0) AS DOUBLE)
+        |    CAST(COALESCE(SUM(CASE WHEN gap IS NOT NULL
+        |        THEN abs(cum_a * n_b - cum_b * n_a) * gap END), 0) AS DOUBLE)
         |      / CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) END AS w1
-        |FROM c WHERE gap IS NOT NULL GROUP BY grp ORDER BY grp""".stripMargin,
+        |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
 
     // Brown-Forsythe: exact lower medians from the distinct-value
     // cumulative, then the aud_anova quantized floor-division F on |z|

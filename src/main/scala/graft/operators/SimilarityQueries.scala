@@ -275,13 +275,13 @@ object SimilarityQueries {
     * shared table is bit-identical to what each gate trained alone —
     * the oracle CTE chains are untouched.
     */
-  private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Small LRU, not an unbounded map (ADVICE r12) — see [[GateMemo]].
+  private val trainedCache = new GateMemo
   private def trainedCents(s: SparkSession, d: String): DataFrame =
-    trainedCache.computeIfAbsent((s, d), { _ =>
+    trainedCache.cached(s, d) {
       val e = t(s, d, "embeddings")
-      SimilarityOps.trainCentroids(e, firstCentroids(e), 2).localCheckpoint()
-    })
+      SimilarityOps.trainCentroids(e, firstCentroids(e), 2)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

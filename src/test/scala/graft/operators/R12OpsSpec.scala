@@ -118,6 +118,12 @@ class R12OpsSpec extends SparkTestBase {
     val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
     val rb = graft.multimodal.MediaOps.audioZcr(spark, bad).collect()(0)
     assert(!rb.decoded && rb.n_samples == 0 && rb.zcr == 0.0)
+    // stereo payload -> decoded=false: the single-sequence sign walk
+    // would count crossings ACROSS interleaved channels (ADVICE r12)
+    val st = Seq((9L, graft.multimodal.MediaStub.synthWav(8000, 2, 16, 4)))
+      .toDF("doc_id", "payload")
+    val rs = graft.multimodal.MediaOps.audioZcr(spark, st).collect()(0)
+    assert(!rs.decoded && rs.n_samples == 0 && rs.n_crossings == 0, rs.toString)
   }
 
   test("coEngagement: complete type-pair matrix over distinct user sets") {
