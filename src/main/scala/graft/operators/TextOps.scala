@@ -1774,4 +1774,227 @@ object TextOps {
           .as("fertility"))
       .orderBy("source")
   }
+
+  // ---- Unigram-LM (SentencePiece-style) tokenizer training ------------
+  //
+  // The family member next to the BPE trio: where BPE GROWS a vocabulary
+  // bottom-up by merging the most frequent adjacent pair, the unigram LM
+  // (Kudo '18) starts from a LARGE candidate piece set and re-estimates
+  // piece probabilities by EM over the segmentation lattice. This
+  // implementation is the hard-EM (Viterbi) variant — each E-step
+  // assigns every word its single BEST segmentation under the current
+  // model and re-counts pieces from those segmentations — which is the
+  // published alternating optimization SentencePiece itself exposes, and
+  // the one whose arithmetic can be made bit-identical cross-engine:
+  // scores are exact BIGINT sums of per-piece log-probs that were
+  // rounded ONCE to 7 decimals and scaled by 1e7 (the psi/jsd ln idiom),
+  // so the DP, its max, and its deterministic tie-break (longest piece
+  // wins on equal score) produce the same segmentation in Spark and in
+  // the oracle's recursive-CTE mirror — zero floating point in the DP.
+
+  /** Scaled log-prob column: round(ln(cnt), 7) held as DECIMAL(12,7),
+    * then ×1e7 into an exact BIGINT — the one rounded transcendental per
+    * piece; everything downstream is integer arithmetic.
+    */
+  private def ln7(c: Column): Column =
+    (round(log(c.cast("double")), 7)
+      .cast(org.apache.spark.sql.types.DecimalType(12, 7)) * lit(10000000))
+      .cast("long")
+
+  /** Sentinel for a piece absent from the model: far below any real
+    * path score (|lp| ≤ ~1.8e8 per piece, words ≪ 5000 chars) yet far
+    * from Long overflow when accumulated along a word. The ORACLE uses
+    * the same literal, so even degenerate all-absent paths score
+    * identically in both engines.
+    */
+  private val UniNeg = -1000000000000000L
+
+  /** Viterbi segmentation of one word under scaled log-probs — exact
+    * BIGINT dp, tie-break prefers the LONGER piece (mirrors the oracle's
+    * k=3,2,1 CASE priority).
+    */
+  private def viterbiPieces(word: String, lp: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int): List[String] = {
+    val n = word.length
+    val dp = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var bestK = 1
+      var k = 1
+      val kMax = math.min(maxLen, i)
+      while (k <= kMax) {
+        val l = lp.get(word.substring(i - k, i))
+        val cand = dp(i - k) + (if (l == null) UniNeg else l.longValue)
+        if (cand > best || (cand == best && k > bestK)) {
+          best = cand; bestK = k
+        }
+        k += 1
+      }
+      dp(i) = best
+      back(i) = bestK
+      i += 1
+    }
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) {
+      val k = back(p)
+      out = word.substring(p - k, p) :: out
+      p -= k
+    }
+    out
+  }
+
+  /** Scaled log-prob map (piece → round(ln cnt,7)·1e7 − round(ln Σcnt,7)
+    * ·1e7) from a `(piece, cnt)` model table — the bounded driver-side
+    * state each EM round segments under, and the public bridge that
+    * lets [[unigramFertility]] run under a trained [[unigramModel]].
+    */
+  def unigramLp(m: DataFrame): Map[String, Long] = {
+    OpContract.requireCols(m, "TextOps.unigramLp", "piece", "cnt")
+    val tot7 = m.agg(ln7(sum(col("cnt")))).collect()(0).getLong(0)
+    m.select(col("piece"), ln7(col("cnt"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) - tot7)).toMap
+  }
+
+  /** The trained unigram model itself — the full `(piece, cnt)` table
+    * after `rounds` hard-EM rounds (what [[unigramTrain]] ranks and what
+    * [[unigramFertility]] segments under). See [[unigramTrain]] for the
+    * algorithm and determinism contract.
+    */
+  def unigramModel(docs: DataFrame, candN: Int = 500, maxPieceLen: Int = 3,
+      rounds: Int = 2): DataFrame = {
+    require(candN >= 1 && maxPieceLen >= 1 && maxPieceLen <= 4 &&
+      rounds >= 1 && rounds <= 8,
+      s"unigramModel: bad params ($candN, $maxPieceLen, $rounds)")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    // localCheckpoint, not cache: the vocabulary is read by the candidate
+    // pass and by every EM round; checkpoint blocks are reclaimed by the
+    // ContextCleaner once the returned plan is dropped (no unpersist
+    // bookkeeping to leak — the GateMemo/ADVICE-r12 discipline)
+    val w = spread(OpContract.requireCols(docs, "TextOps.unigramModel", "text"))
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val cand = w.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)), i ->
+            transform(sequence(1, least($maxPieceLen, length(word) - i + 1)),
+              k -> substring(word, i, k))))""")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    val m0 = cand.orderBy(col("cnt").desc, col("piece")).limit(candN)
+      .union(cand.filter(length(col("piece")) === 1))
+      .distinct()
+    def lpMapOf(m: DataFrame): java.util.HashMap[String, java.lang.Long] = {
+      val out = new java.util.HashMap[String, java.lang.Long]()
+      unigramLp(m).foreach { case (k, v) => out.put(k, v) }
+      out
+    }
+    var model = lpMapOf(m0)
+    var counts: DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      val bc = sp.sparkContext.broadcast(model)
+      val mpl = maxPieceLen
+      counts = w.as[(String, Long)].mapPartitions { it =>
+        val lp = bc.value
+        it.flatMap { case (word, freq) =>
+          viterbiPieces(word, lp, mpl).map(p => (p, freq)) }
+      }.toDF("piece", "freq")
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      if (r < rounds) model = lpMapOf(counts)
+      r += 1
+    }
+    counts
+  }
+
+  /** UNIGRAM-LM TOKENIZER TRAINING (Kudo '18, hard-EM/Viterbi variant),
+    * distributed: build the candidate piece set from every substring of
+    * length 1..`maxPieceLen` of the corpus vocabulary (occurrence-
+    * weighted), keep the `candN` most frequent plus ALL single
+    * characters (initial coverage), then run `rounds` alternating
+    * steps: Viterbi-segment every DISTINCT word under the current
+    * piece log-probs and re-estimate probabilities from the
+    * frequency-weighted piece counts of those best segmentations.
+    * Emits the `topK` surviving pieces: `(rank, piece, n_uses)` by
+    * (n_uses DESC, piece).
+    *
+    * Model-selection determinism: candidate cut is (cnt DESC, piece)
+    * — a total order; log-probs are round(ln,7)-scaled BIGINTs (one
+    * rounded ln per piece per round, the [[ln7]] idiom); the DP and its
+    * longest-piece tie-break are exact integer arithmetic, so the whole
+    * trainer is value-oracled (the oracle unrolls each EM round as a
+    * model CTE + a recursive Viterbi CTE carrying a 3-deep dp window +
+    * best-path string). Pieces dropped by an EM round (every occurrence
+    * absorbed into longer pieces) stay dropped — later DP rounds price
+    * them with the shared [[UniNeg]] sentinel in both engines.
+    *
+    * Scale shape (the trainCentroids discipline): the corpus reduces
+    * ONCE to the (word, freq) vocabulary; candidate extraction and both
+    * E-steps run over that vocabulary-sized table, never raw tokens;
+    * the model state collected to the driver between rounds is
+    * ≤ candN + |alphabet| rows; per-round cluster work is one
+    * mapPartitions projection + one map-side-combined count reduction.
+    * Nothing corpus-sized ever shuffles.
+    */
+  def unigramTrain(docs: DataFrame, candN: Int = 500, maxPieceLen: Int = 3,
+      rounds: Int = 2, topK: Int = 20): DataFrame =
+    unigramTopK(unigramModel(docs, candN, maxPieceLen, rounds), topK)
+
+  /** Rank a trained model's pieces: `(rank, piece, n_uses)` by
+    * (n_uses DESC, piece) — split from [[unigramModel]] so a gate can
+    * share ONE training between the train and fertility readouts.
+    */
+  def unigramTopK(model: DataFrame, topK: Int = 20): DataFrame = {
+    OpContract.requireCols(model, "TextOps.unigramTopK", "piece", "cnt")
+    val topWin = Window.orderBy(col("n_uses").desc, col("piece"))
+    model.orderBy(col("cnt").desc, col("piece")).limit(topK)
+      .select(col("piece"), col("cnt").as("n_uses"))
+      .select(row_number().over(topWin).cast("long").as("rank"),
+        col("piece"), col("n_uses"))
+      .orderBy("rank")
+  }
+
+  /** Tokenizer fertility by source under the TRAINED unigram model —
+    * the [[bpeFertility]] readout parameterized to the other vocab
+    * family: Viterbi-segment each (doc, word) occurrence under `model`
+    * (a piece → scaled-log-prob map, [[unigramTrain]]'s internal state
+    * re-derivable from its published counts) and reduce tokens-per-word
+    * per source. Same output shape as [[bpeFertility]], so vocab A/B
+    * comparisons are a single union.
+    *
+    * Scale shape: segmentation is a shuffle-free mapPartitions over
+    * (doc_id, word) projections with the dim-bounded model broadcast;
+    * the only exchange is the per-source aggregation of three integer
+    * counters.
+    */
+  def unigramFertility(docs: DataFrame, model: Map[String, Long],
+      maxPieceLen: Int = 3, groupCol: String = "source"): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val d = spread(OpContract.requireCols(docs, "TextOps.unigramFertility",
+      "doc_id", "text", groupCol))
+    val lpMap = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (k, v) => lpMap.put(k, v) }
+    val bc = sp.sparkContext.broadcast(lpMap)
+    val mpl = maxPieceLen
+    d.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val lp = bc.value
+        it.map { case (grp, word) =>
+          (grp, 1L, viterbiPieces(word, lp, mpl).size.toLong) }
+      }
+      .toDF("source", "n_words_one", "n_tok")
+      .groupBy("source")
+      .agg(sum(col("n_words_one")).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("source")
+  }
 }

@@ -26,6 +26,107 @@ object TextQueries {
     bpeMergesDf(s, d).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  // ONE unigram-LM training per (session, dir), shared by the train and
+  // fertility gates (same GateMemo discipline as BPE/Lloyd).
+  private val uniCache = new GateMemo
+  private def uniModelDf(s: SparkSession, d: String): DataFrame =
+    uniCache.cached(s, d) {
+      TextOps.unigramModel(t(s, d, "documents"), candN = 500,
+        maxPieceLen = 3, rounds = 2)
+    }
+
+  /** One Viterbi-DP round of the unigram trainer as a DuckDB RECURSIVE
+    * CTE (`v` under model `m`): each step extends every word by one
+    * character position, carrying a 3-deep dp window (d0..d2 = dp at
+    * pos, pos−1, pos−2) plus the best-path piece string for each — so
+    * the k∈{1,2,3}-piece transitions and the longest-piece-wins
+    * tie-break (CASE priority k=3,2,1) mirror TextOps.viterbiPieces
+    * exactly in BIGINT arithmetic. Absent pieces price at the shared
+    * −1e15 sentinel; out-of-range k slots at −2e15 and are guarded out
+    * of the path CASE by the pos conditions.
+    */
+  private def uniDpSql(v: String, m: String): String =
+    s"""$v(word, freq, pos, d0, p0, d1, p1, d2, p2) AS (
+       |  SELECT word, freq, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
+       |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM w
+       |  UNION ALL
+       |  SELECT word, freq, pos + 1, greatest(c1, c2, c3),
+       |    CASE WHEN pos >= 2 AND c3 = greatest(c1, c2, c3)
+       |           THEN p2 || chr(1) || s3
+       |         WHEN pos >= 1 AND c2 = greatest(c1, c2, c3)
+       |           THEN p1 || chr(1) || s2
+       |         ELSE p0 || chr(1) || s1 END,
+       |    d0, p0, d1, p1
+       |  FROM (
+       |    SELECT r.*,
+       |      substr(r.word, CAST(r.pos + 1 AS INTEGER), 1) AS s1,
+       |      substr(r.word, CAST(r.pos AS INTEGER), 2) AS s2,
+       |      substr(r.word, CAST(r.pos - 1 AS INTEGER), 3) AS s3,
+       |      r.d0 + COALESCE(a.lp, -1000000000000000) AS c1,
+       |      CASE WHEN r.pos >= 1
+       |           THEN r.d1 + COALESCE(b.lp, -1000000000000000)
+       |           ELSE -2000000000000000 END AS c2,
+       |      CASE WHEN r.pos >= 2
+       |           THEN r.d2 + COALESCE(c.lp, -1000000000000000)
+       |           ELSE -2000000000000000 END AS c3
+       |    FROM $v r
+       |    LEFT JOIN $m a
+       |      ON a.piece = substr(r.word, CAST(r.pos + 1 AS INTEGER), 1)
+       |    LEFT JOIN $m b
+       |      ON r.pos >= 1 AND b.piece = substr(r.word, CAST(r.pos AS INTEGER), 2)
+       |    LEFT JOIN $m c
+       |      ON r.pos >= 2 AND c.piece = substr(r.word, CAST(r.pos - 1 AS INTEGER), 3)
+       |    WHERE r.pos < length(r.word)))""".stripMargin
+
+  /** Piece counts of a finished DP round: split each word's best path on
+    * the chr(1) separator, weight by word frequency. */
+  private def uniCountSql(c: String, v: String): String =
+    s"""$c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(string_split(ltrim(p0, chr(1)), chr(1))) AS piece
+       |    FROM $v WHERE pos = length(word)) GROUP BY piece)""".stripMargin
+
+  /** Scaled log-probs from a (piece, cnt) model CTE — the TextOps.ln7
+    * idiom: ONE round(ln,7) DECIMAL(12,7) per value, ×1e7 into BIGINT,
+    * subtraction exact. */
+  private def uniLpSql(m: String, c: String, tt: String): String =
+    s"""$tt AS (SELECT CAST(CAST(round(ln(CAST(SUM(cnt) AS DOUBLE)), 7)
+       |    AS DECIMAL(12,7)) * 10000000 AS BIGINT) AS lt FROM $c),
+       |$m AS (SELECT piece,
+       |    CAST(CAST(round(ln(CAST(cnt AS DOUBLE)), 7) AS DECIMAL(12,7))
+       |      * 10000000 AS BIGINT) - (SELECT lt FROM $tt) AS lp
+       |  FROM $c)""".stripMargin
+
+  /** The shared head + two unrolled EM rounds of the unigram trainer
+    * (mirrors TextOps.unigramModel with candN=500, maxPieceLen=3,
+    * rounds=2): vocabulary `w`, substring candidates, the (cnt DESC,
+    * piece) top-500 cut ∪ all single chars, then per round a model CTE
+    * + recursive Viterbi CTE + count CTE. Ends at `c2t` = the trained
+    * (piece, cnt) table.
+    */
+  private def uniChainSql: String =
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |pp0 AS (SELECT word, freq,
+       |    unnest(generate_series(1, length(word))) AS i FROM w),
+       |pp1 AS (SELECT word, freq, i,
+       |    unnest(generate_series(1, least(3, length(word) - i + 1))) AS k
+       |  FROM pp0),
+       |cand AS (SELECT substr(word, CAST(i AS INTEGER), CAST(k AS INTEGER))
+       |      AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM pp1 GROUP BY 1),
+       |sel AS (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT 500),
+       |c0t AS (SELECT DISTINCT piece, cnt FROM (
+       |    SELECT piece, cnt FROM sel
+       |    UNION ALL SELECT piece, cnt FROM cand WHERE length(piece) = 1)),
+       |${uniLpSql("m0", "c0t", "t0")},
+       |${uniDpSql("v1", "m0")},
+       |${uniCountSql("c1t", "v1")},
+       |${uniLpSql("m1", "c1t", "t1")},
+       |${uniDpSql("v2", "m1")},
+       |${uniCountSql("c2t", "v2")}""".stripMargin
+
   /** The BPE trainer as a DuckDB CTE chain: vocabulary `w`, initial
     * framed encoding `e0`, then per round k a pair-count `pk`, argmax
     * `mk(merge_round, l, r, cnt)` and merged encoding `ek`. Mirrors
@@ -237,6 +338,17 @@ object TextQueries {
     // the domain-fit readout behind vocab allocation.
     "tx_bpe_fertility" -> ((s, d) =>
       TextOps.bpeFertility(t(s, d, "documents"), bpeMergePairs(s, d))),
+    // Unigram-LM (SentencePiece-style) trainer: 2 hard-EM rounds over
+    // the top-500 substring candidates ∪ all single chars — the other
+    // tokenizer family next to BPE (Kudo '18). Training shared with the
+    // fertility gate via GateMemo; fully value-oracled (each EM round
+    // unrolls as a model CTE + recursive Viterbi CTE).
+    "tx_unigram_train" -> ((s, d) => TextOps.unigramTopK(uniModelDf(s, d), 20)),
+    // The bpe_fertility readout parameterized to the unigram vocab —
+    // tokens-per-word per source under the TRAINED unigram model.
+    "tx_unigram_fertility" -> ((s, d) =>
+      TextOps.unigramFertility(t(s, d, "documents"),
+        TextOps.unigramLp(uniModelDf(s, d)))),
 
     "tx_bigram_ppl" -> ((s, d) =>
       TextOps.bigramPerplexity(t(s, d, "documents")).orderBy("doc_id")),
@@ -683,6 +795,37 @@ object TextQueries {
          |      AS DOUBLE) /
          |    CAST(SUM(nc) AS DOUBLE) AS compression
          |FROM de3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Unigram trainer mirrored round-for-round: candidate cut, two
+    // model/DP/count blocks, then rank the trained pieces. All-BIGINT
+    // dp (one rounded ln per piece per round), recursive Viterbi with
+    // the 3-deep window — see uniDpSql.
+    "tx_unigram_train" ->
+      s"""WITH RECURSIVE $uniChainSql
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
+         |    AS rank, piece, cnt AS n_uses
+         |FROM c2t ORDER BY rank LIMIT 20""".stripMargin,
+    // fertility under the trained unigram model: ONE more Viterbi pass
+    // (v3 under m2) over the vocabulary, then per-source occurrence-
+    // weighted tokens-per-word; one division
+    "tx_unigram_fertility" ->
+      s"""WITH RECURSIVE $uniChainSql,
+         |${uniLpSql("m2", "c2t", "t2")},
+         |${uniDpSql("v3", "m2")},
+         |nt AS (SELECT word,
+         |    CAST(len(string_split(ltrim(p0, chr(1)), chr(1))) AS BIGINT)
+         |      AS n_tok
+         |  FROM v3 WHERE pos = length(word)),
+         |dw AS (SELECT d.source, ww.word FROM documents d,
+         |    unnest(string_split(d.text, ' ')) AS ww(word)
+         |  WHERE length(ww.word) > 0 AND d.source IS NOT NULL),
+         |oc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS occ
+         |  FROM dw GROUP BY 1, 2)
+         |SELECT oc.source, CAST(SUM(oc.occ) AS BIGINT) AS n_words,
+         |  CAST(SUM(oc.occ * nt.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(oc.occ * nt.n_tok) AS DOUBLE) / CAST(SUM(oc.occ) AS DOUBLE)
+         |    AS fertility
+         |FROM oc JOIN nt ON nt.word = oc.word
+         |GROUP BY oc.source ORDER BY oc.source""".stripMargin,
     // fertility: the tx_bpe_encode chain reduced per source; one division
     "tx_bpe_fertility" ->
       s"""WITH ${bpeChainSql(3)},
