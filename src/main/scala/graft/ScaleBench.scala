@@ -666,7 +666,31 @@ object ScaleBench {
         graft.operators.AuditOps.holtReport(
           graft.operators.Tables.normalizeTs(
             s.read.parquet(s"$d/events.parquet")),
-          "event_type", "ts", "event_id", "value")))
+          "event_type", "ts", "event_id", "value")),
+      // round-13 additions (VERDICT r12 #5): the k-step funnel (every
+      // step join hashes on user_id — the exponent tests "cost ∝ events,
+      // not ∝ users²"), Kaplan–Meier (events reduce to ≤types×12 cells
+      // before the bounded driver fold), the 11-panel composed data card
+      // (each panel individually curve-graded; the exponent tests that
+      // composition stays scan-bound), and the unigram trainer (corpus
+      // term is the one vocabulary-building scan; EM rounds run over the
+      // vocab table — the bpe_train claim for the other family)
+      "ev_funnel3" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.funnelSteps(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)),
+          Seq("signup", "click", "purchase"), horizonTicks = 86400000000L)),
+      "ev_survival" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.EventOps.survivalReport(
+          graft.operators.Tables.normalizeTs(
+            s.read.parquet(s"$d/events.parquet")),
+          call_function("div", col("ts").cast("long"), lit(1000L)))),
+      "aud_card" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.Audit.buildCard(s, d)),
+      "tx_unigram_train" -> ((s: SparkSession, d: String, _: Double) =>
+        graft.operators.TextOps.unigramTrain(
+          s.read.parquet(s"$d/documents.parquet"))))
     val scales = Seq(1.0 -> sfDir, 10.0 -> tenxDir, 30.0 -> thirtyDir)
     println("| query | 1x s | 10x s | 30x s | fitted exponent | rows@1x/10x/30x |")
     println("|---|---|---|---|---|---|")
