@@ -1957,6 +1957,44 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Per-document token statistics under the TRAINED unigram model —
+    * the [[bpeEncode]] readout for the other vocab family (same output
+    * shape: `(doc_id, n_words, n_chars, n_tokens, compression)`, so
+    * tokenizer A/B budget comparisons are a single join). Viterbi
+    * segmentation per word occurrence with the dim-bounded log-prob map
+    * broadcast; `compression` is tokens per character, ONE double
+    * division of exact integer sums.
+    *
+    * Scale shape: shuffle-free mapPartitions projection; the only
+    * exchange is the per-doc aggregation of three integer counters —
+    * [[bpeEncode]]'s plan with the replace-chain swapped for the DP.
+    */
+  def unigramEncode(docs: DataFrame, model: Map[String, Long],
+      maxPieceLen: Int = 3): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val d = spread(OpContract.requireCols(docs, "TextOps.unigramEncode",
+      "doc_id", "text"))
+    val lpMap = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (k, v) => lpMap.put(k, v) }
+    val bc = sp.sparkContext.broadcast(lpMap)
+    val mpl = maxPieceLen
+    d.select(col("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val lp = bc.value
+        it.map { case (id, word) =>
+          (id, word.length.toLong, viterbiPieces(word, lp, mpl).size.toLong) }
+      }
+      .toDF("doc_id", "nc", "nt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"))
+      .withColumn("compression",
+        col("n_tokens").cast("double") / col("n_chars").cast("double"))
+  }
+
   /** Tokenizer fertility by source under the TRAINED unigram model —
     * the [[bpeFertility]] readout parameterized to the other vocab
     * family: Viterbi-segment each (doc, word) occurrence under `model`

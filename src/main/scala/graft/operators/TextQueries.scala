@@ -344,6 +344,11 @@ object TextQueries {
     // fertility gate via GateMemo; fully value-oracled (each EM round
     // unrolls as a model CTE + recursive Viterbi CTE).
     "tx_unigram_train" -> ((s, d) => TextOps.unigramTopK(uniModelDf(s, d), 20)),
+    // The bpe_encode readout under the trained unigram vocab: per-doc
+    // token budget + compression (same shape, single-join tokenizer A/B).
+    "tx_unigram_encode" -> ((s, d) =>
+      TextOps.unigramEncode(t(s, d, "documents"),
+        TextOps.unigramLp(uniModelDf(s, d))).orderBy("doc_id")),
     // The bpe_fertility readout parameterized to the unigram vocab —
     // tokens-per-word per source under the TRAINED unigram model.
     "tx_unigram_fertility" -> ((s, d) =>
@@ -804,6 +809,27 @@ object TextQueries {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
          |    AS rank, piece, cnt AS n_uses
          |FROM c2t ORDER BY rank LIMIT 20""".stripMargin,
+    // encode under the trained unigram model: ONE more Viterbi pass
+    // (v3 under m2) over the vocabulary, then per-doc occurrence-weighted
+    // integer sums; one division
+    "tx_unigram_encode" ->
+      s"""WITH RECURSIVE $uniChainSql,
+         |${uniLpSql("m2", "c2t", "t2")},
+         |${uniDpSql("v3", "m2")},
+         |nt AS (SELECT word, CAST(length(word) AS BIGINT) AS nc,
+         |    CAST(len(string_split(ltrim(p0, chr(1)), chr(1))) AS BIGINT)
+         |      AS n_tok
+         |  FROM v3 WHERE pos = length(word)),
+         |dw AS (SELECT d.doc_id, ww.word FROM documents d,
+         |    unnest(string_split(d.text, ' ')) AS ww(word)
+         |  WHERE length(ww.word) > 0)
+         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(nt.nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(nt.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(nt.n_tok) AS DOUBLE) / CAST(SUM(nt.nc) AS DOUBLE)
+         |    AS compression
+         |FROM dw JOIN nt ON nt.word = dw.word
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
     // fertility under the trained unigram model: ONE more Viterbi pass
     // (v3 under m2) over the vocabulary, then per-source occurrence-
     // weighted tokens-per-word; one division

@@ -45,6 +45,16 @@ class R13OpsSpec extends SparkTestBase {
       rows.toSeq)
   }
 
+  test("unigramEncode: per-doc token budget under the trained vocab") {
+    // doc 1: "ab"(2 chars → 1 token) ×2 + "b"(1 → 1): 3 words, 5 chars,
+    // 3 tokens, compression 0.6
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val lp = TextOps.unigramLp(TextOps.unigramModel(docs, candN = 100))
+    val r = TextOps.unigramEncode(docs, lp).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((1L, 3L, 5L, 3L, 0.6)), r.toString)
+  }
+
   test("unigramFertility: unknown text segments deterministically under the sentinel") {
     // model trained on "ab" corpus lacks 'c' entirely: "cc" still
     // segments deterministically — ONE sentinel-priced piece beats two
