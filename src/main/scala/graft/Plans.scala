@@ -265,7 +265,10 @@ object Plans {
     // fold; the funnel anchor join + users-sized percentile
     "ev_survival", "ev_time_to_convert",
     // round 12 (cont. 11): bpe encode projection + broadcast source join
-    "tx_bpe_fertility")
+    "tx_bpe_fertility",
+    "tx_unigram_train",
+    "tx_unigram_encode",
+    "tx_unigram_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
