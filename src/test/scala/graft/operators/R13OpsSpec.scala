@@ -69,6 +69,40 @@ class R13OpsSpec extends SparkTestBase {
       r.toString)
   }
 
+  test("unigram invariants on random corpora: segmentation covers, budgets bound, train/encode agree") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // words over a tiny alphabet maximize piece collisions/tie pressure;
+    // sizes kept small — every trial is 2 EM rounds of Spark jobs
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
+    val docGen = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, docGen))
+    val p = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val model = TextOps.unigramModel(docs, candN = 50)
+      val lp = TextOps.unigramLp(model)
+      val enc = TextOps.unigramEncode(docs, lp).collect()
+      val byDoc = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.split(" ").filter(_.nonEmpty)) }.toMap
+      val perDocOk = enc.forall { r =>
+        val ws = byDoc(r.getLong(0))
+        r.getLong(1) == ws.length &&                 // n_words
+        r.getLong(2) == ws.map(_.length).sum &&      // n_chars exact
+        r.getLong(3) >= r.getLong(1) &&              // >= 1 token per word
+        r.getLong(3) <= r.getLong(2)                 // <= 1 token per char
+      }
+      // conservation: the trained model's counts ARE the occurrence-
+      // weighted pieces of the final segmentation, so Σ cnt == Σ n_tokens
+      val modelTotal = model.agg(sum("cnt")).collect()(0).getLong(0)
+      val encTotal = enc.map(_.getLong(3)).sum
+      perDocOk && modelTotal == encTotal
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.toString)
+  }
+
   test("wassersteinReport: single-distinct-value group emits w1 = 0 (ADVICE r12)") {
     val df = Seq((1L, "g", 5.0), (2L, "g", 5.0), (1L, "h", 0.0),
       (1L, "h", 2.0), (2L, "h", 1.0)).toDF("user_id", "grp", "value")
