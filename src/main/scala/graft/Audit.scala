@@ -28,7 +28,7 @@ object Audit {
     */
   def buildCard(spark: SparkSession, sfDir: String):
       org.apache.spark.sql.DataFrame = {
-    // the card's 11 panels run as parallel stages of ONE plan-level
+    // the card's 12 panels run as parallel stages of ONE plan-level
     // union; keep the input a pruned column projection and let each
     // panel scan it (measured A/B in BENCHNOTES r12: a localCheckpoint
     // here is 60% SLOWER — it serializes the parallel scans behind one

@@ -3163,6 +3163,9 @@ object AuditOps {
     *   - psi:             [[psiReportBy]] PSI of the same pair
     *   - ks:              [[ksReportBy]] numeric KS of `scoreCol`, corpus
     *                      side A vs `ref` side B
+    *   - mix (r13):       [[jsdBySource]] normalized JSD of each source's
+    *                      `driftCol` mix vs the corpus mix — the bounded
+    *                      symmetric member completing the drift wing
     *   - privacy/concentration/independence: the corpus-global
     *     [[kAnonymityReport]] / [[giniReport]] / [[independenceReport]]
     *     verdicts under the reserved source `__corpus__` (booleans as
@@ -3218,6 +3221,13 @@ object AuditOps {
             lit(false).as("card_side"))),
         col("card_ks_v"), col("card_side"), groupCol),
       "ks", "ks", col("ks"))
+    // mix: each source's category mix vs the corpus mix as the bounded
+    // symmetric divergence — completes the card's drift wing (TVD/PSI/KS
+    // compare release vs reference; JSD exposes the source whose mix
+    // diverges from the corpus it ships in). Same gate-pinned op as
+    // aud_jsd_source (r13).
+    val mix = shape(jsdBySource(docs, driftCol, groupCol),
+      "mix", "jsd_norm", col("jsd_norm"))
     val ka = kAnonymityReport(docs, quasiCols, sensitiveCol, k, l)
     val privacy = globalRow(ka, "privacy", "k_anonymous",
         when(col("k_anonymous"), 1.0).otherwise(0.0))
@@ -3235,6 +3245,7 @@ object AuditOps {
         when(col("dependent"), 1.0).otherwise(0.0)))
     volume.unionByName(auc).unionByName(ece).unionByName(f1)
       .unionByName(lift).unionByName(tvd).unionByName(psi).unionByName(ks)
+      .unionByName(mix)
       .unionByName(privacy).unionByName(gini).unionByName(indep)
   }
 }

@@ -2022,6 +2022,33 @@ object AuditQueries {
         |      CAST(MIN(dm) AS DOUBLE) / CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) END AS ks
         |  FROM d WHERE d = dm GROUP BY grp)
         |UNION ALL
+        |SELECT 'mix', CAST(grp AS VARCHAR), 'jsd_norm', jsd_norm FROM (
+        |  WITH o AS (SELECT source AS grp, lang AS cat, CAST(COUNT(*) AS BIGINT) AS o
+        |      FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |      GROUP BY 1, 2),
+        |  ns AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS ns FROM o GROUP BY grp),
+        |  g AS (SELECT cat, CAST(SUM(o) AS BIGINT) AS g FROM o GROUP BY cat),
+        |  t AS (SELECT CAST(SUM(g) AS BIGINT) AS nn FROM g),
+        |  grid AS (SELECT ns.grp, ns.ns, g.cat, g.g, t.nn, COALESCE(o.o, 0) AS o0
+        |    FROM ns CROSS JOIN g CROSS JOIN t
+        |    LEFT JOIN o ON o.grp = ns.grp AND o.cat = g.cat),
+        |  tm AS (SELECT grp, ns, nn,
+        |      CASE WHEN o0 > 0 THEN o0 *
+        |        (CAST(round(ln(CAST(o0 * nn * 2 AS DOUBLE)), 7) AS DECIMAL(12,7))
+        |         - CAST(round(ln(CAST(o0 * nn + g * ns AS DOUBLE)), 7) AS DECIMAL(12,7)))
+        |        ELSE 0 END AS tp,
+        |      g * (CAST(round(ln(CAST(g * ns * 2 AS DOUBLE)), 7) AS DECIMAL(12,7))
+        |         - CAST(round(ln(CAST(o0 * nn + g * ns AS DOUBLE)), 7) AS DECIMAL(12,7)))
+        |        AS tq
+        |    FROM grid),
+        |  a AS (SELECT grp, MIN(ns) AS n, MIN(nn) AS nn, SUM(tp) AS sp, SUM(tq) AS sq
+        |    FROM tm GROUP BY grp)
+        |  SELECT grp,
+        |    (CAST(sp AS DOUBLE) / CAST(2 * n AS DOUBLE)
+        |      + CAST(sq AS DOUBLE) / CAST(2 * nn AS DOUBLE)) / 0.6931471805599453
+        |      AS jsd_norm
+        |  FROM a)
+        |UNION ALL
         |SELECT 'privacy', '__corpus__', m, v FROM (
         |  WITH g AS (SELECT lang, n_chars // 200 AS len_band,
         |      COUNT(*) AS cnt, COUNT(DISTINCT source) AS lv

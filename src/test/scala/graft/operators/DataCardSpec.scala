@@ -73,6 +73,9 @@ class DataCardSpec extends SparkTestBase {
       .unionByName(ref.select(col("source"), score.as("v"), lit(false).as("side")))
     assert(metric("ks", "ks") ==
       byGrp(AuditOps.ksReportBy(both, col("v"), col("side"), "source"), "ks"))
+    // mix (r13): per-source JSD vs the corpus lang mix — the jsdBySource op
+    assert(metric("mix", "jsd_norm") ==
+      byGrp(AuditOps.jsdBySource(docs, "lang", "source"), "jsd_norm"))
   }
 
   test("corpus-global privacy/concentration/independence rows equal the global ops") {
