@@ -670,7 +670,7 @@ object ScaleBench {
       // round-13 additions (VERDICT r12 #5): the k-step funnel (every
       // step join hashes on user_id — the exponent tests "cost ∝ events,
       // not ∝ users²"), Kaplan–Meier (events reduce to ≤types×12 cells
-      // before the bounded driver fold), the 11-panel composed data card
+      // before the bounded driver fold), the 12-panel composed data card
       // (each panel individually curve-graded; the exponent tests that
       // composition stays scan-bound), and the unigram trainer (corpus
       // term is the one vocabulary-building scan; EM rounds run over the

@@ -22,20 +22,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[operators] final class GateMemo {
   private val m =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
         size() > 2
     }
 
-  /** Memoized checkpoint of `train` keyed by the LIVE (session, dir)
-    * pair — a new session or a different sf dir never reuses a stale
-    * plan. The builder result is `localCheckpoint`-pinned so each
-    * caller gate still measures exactly its own downstream work.
+  /** Memoized checkpoint of `train` keyed by the LIVE (session, dir,
+    * shuffle-partitions) triple — a new session or a different sf dir
+    * never reuses a stale plan, and the partitions component keeps the
+    * determinism sweep HONEST: DeterminismSpec re-runs every gate at
+    * shuffle.partitions 4 vs 32 in one session, and a memo keyed only
+    * by (session, dir) would hand the 32-partition pass the 4-partition
+    * training verbatim — silently exempting the training computation
+    * from the sweep's bit-identity claim. The builder result is
+    * `localCheckpoint`-pinned so each caller gate still measures
+    * exactly its own downstream work.
     */
   def cached(s: SparkSession, d: String)(train: => DataFrame): DataFrame =
     m.synchronized {
-      val k = (s, d)
+      val k = (s, d, s.conf.get("spark.sql.shuffle.partitions", ""))
       val hit = m.get(k)
       if (hit != null) hit
       else {

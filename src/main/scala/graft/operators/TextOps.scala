@@ -1802,12 +1802,22 @@ object TextOps {
       .cast("long")
 
   /** Sentinel for a piece absent from the model: far below any real
-    * path score (|lp| ≤ ~1.8e8 per piece, words ≪ 5000 chars) yet far
-    * from Long overflow when accumulated along a word. The ORACLE uses
-    * the same literal, so even degenerate all-absent paths score
-    * identically in both engines.
+    * path score (|lp| ≤ ~1.8e8 per piece) yet far from Long overflow
+    * when accumulated along a word. The ORACLE uses the same literal,
+    * so even degenerate all-absent paths score identically in both
+    * engines.
     */
   private val UniNeg = -1000000000000000L
+
+  /** Floor every DP candidate is clamped to, in BOTH engines (the
+    * oracle wraps each candidate in GREATEST(·, UniClamp)): without it
+    * a pathological word of ~9200+ model-absent characters accumulates
+    * UniNeg past Long.MinValue — silent wraparound in the JVM, an
+    * overflow ERROR in DuckDB's BIGINT. Clamped, dp is bounded below by
+    * UniClamp − UniNeg regardless of word length, and the clamp never
+    * binds for real text (it needs ~400 consecutive absent pieces).
+    */
+  private val UniClamp = -400000000000000000L
 
   /** Viterbi segmentation of one word under scaled log-probs — exact
     * BIGINT dp, tie-break prefers the LONGER piece (mirrors the oracle's
@@ -1826,7 +1836,8 @@ object TextOps {
       val kMax = math.min(maxLen, i)
       while (k <= kMax) {
         val l = lp.get(word.substring(i - k, i))
-        val cand = dp(i - k) + (if (l == null) UniNeg else l.longValue)
+        val raw = dp(i - k) + (if (l == null) UniNeg else l.longValue)
+        val cand = if (raw < UniClamp) UniClamp else raw
         if (cand > best || (cand == best && k > bestK)) {
           best = cand; bestK = k
         }
@@ -1853,9 +1864,25 @@ object TextOps {
     */
   def unigramLp(m: DataFrame): Map[String, Long] = {
     OpContract.requireCols(m, "TextOps.unigramLp", "piece", "cnt")
-    val tot7 = m.agg(ln7(sum(col("cnt")))).collect()(0).getLong(0)
+    val totRow = m.agg(ln7(sum(col("cnt")))).collect()(0)
+    // empty model (empty corpus / all-blank text): sum(cnt) is NULL —
+    // return the empty map so every word segments under the sentinel
+    // instead of NPE-ing the whole trainer
+    if (totRow.isNullAt(0)) return Map.empty
+    val tot7 = totRow.getLong(0)
     m.select(col("piece"), ln7(col("cnt"))).collect()
       .map(r => r.getString(0) -> (r.getLong(1) - tot7)).toMap
+  }
+
+  /** The model map as the broadcast JVM HashMap the DP tasks read —
+    * one place for the Map→HashMap conversion all three segmentation
+    * entry points share.
+    */
+  private def bcastModel(sp: org.apache.spark.sql.SparkSession, model: Map[String, Long])
+      : org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (k, v) => m.put(k, v) }
+    sp.sparkContext.broadcast(m)
   }
 
   /** The trained unigram model itself — the full `(piece, cnt)` table
@@ -1884,19 +1911,19 @@ object TextOps {
             transform(sequence(1, least($maxPieceLen, length(word) - i + 1)),
               k -> substring(word, i, k))))""")).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    // checkpoint each model table before unigramLp reads it: lp needs
+    // TWO collects (total + pieces), and an unmaterialized plan would
+    // re-run the candidate scan / the whole segmentation pass once per
+    // collect — the checkpoint halves per-round cluster work
     val m0 = cand.orderBy(col("cnt").desc, col("piece")).limit(candN)
       .union(cand.filter(length(col("piece")) === 1))
       .distinct()
-    def lpMapOf(m: DataFrame): java.util.HashMap[String, java.lang.Long] = {
-      val out = new java.util.HashMap[String, java.lang.Long]()
-      unigramLp(m).foreach { case (k, v) => out.put(k, v) }
-      out
-    }
-    var model = lpMapOf(m0)
+      .localCheckpoint()
+    var model = unigramLp(m0)
     var counts: DataFrame = null
     var r = 1
     while (r <= rounds) {
-      val bc = sp.sparkContext.broadcast(model)
+      val bc = bcastModel(sp, model)
       val mpl = maxPieceLen
       counts = w.as[(String, Long)].mapPartitions { it =>
         val lp = bc.value
@@ -1904,7 +1931,10 @@ object TextOps {
           viterbiPieces(word, lp, mpl).map(p => (p, freq)) }
       }.toDF("piece", "freq")
         .groupBy("piece").agg(sum(col("freq")).as("cnt"))
-      if (r < rounds) model = lpMapOf(counts)
+      if (r < rounds) {
+        counts = counts.localCheckpoint()
+        model = unigramLp(counts)
+      }
       r += 1
     }
     counts
@@ -1975,9 +2005,7 @@ object TextOps {
     import sp.implicits._
     val d = spread(OpContract.requireCols(docs, "TextOps.unigramEncode",
       "doc_id", "text"))
-    val lpMap = new java.util.HashMap[String, java.lang.Long]()
-    model.foreach { case (k, v) => lpMap.put(k, v) }
-    val bc = sp.sparkContext.broadcast(lpMap)
+    val bc = bcastModel(sp, model)
     val mpl = maxPieceLen
     d.select(col("doc_id"), explode(words).as("word"))
       .filter(length(col("word")) > 0)
@@ -2014,9 +2042,7 @@ object TextOps {
     import sp.implicits._
     val d = spread(OpContract.requireCols(docs, "TextOps.unigramFertility",
       "doc_id", "text", groupCol))
-    val lpMap = new java.util.HashMap[String, java.lang.Long]()
-    model.foreach { case (k, v) => lpMap.put(k, v) }
-    val bc = sp.sparkContext.broadcast(lpMap)
+    val bc = bcastModel(sp, model)
     val mpl = maxPieceLen
     d.filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"), explode(words).as("word"))

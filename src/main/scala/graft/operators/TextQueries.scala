@@ -43,7 +43,9 @@ object TextQueries {
     * tie-break (CASE priority k=3,2,1) mirror TextOps.viterbiPieces
     * exactly in BIGINT arithmetic. Absent pieces price at the shared
     * −1e15 sentinel; out-of-range k slots at −2e15 and are guarded out
-    * of the path CASE by the pos conditions.
+    * of the path CASE by the pos conditions; every candidate clamps at
+    * the shared −4e17 floor (TextOps.UniClamp) so degenerate all-absent
+    * words can never overflow BIGINT in either engine.
     */
   private def uniDpSql(v: String, m: String): String =
     s"""$v(word, freq, pos, d0, p0, d1, p1, d2, p2) AS (
@@ -63,12 +65,15 @@ object TextQueries {
        |      substr(r.word, CAST(r.pos + 1 AS INTEGER), 1) AS s1,
        |      substr(r.word, CAST(r.pos AS INTEGER), 2) AS s2,
        |      substr(r.word, CAST(r.pos - 1 AS INTEGER), 3) AS s3,
-       |      r.d0 + COALESCE(a.lp, -1000000000000000) AS c1,
+       |      greatest(r.d0 + COALESCE(a.lp, -1000000000000000),
+       |               -400000000000000000) AS c1,
        |      CASE WHEN r.pos >= 1
-       |           THEN r.d1 + COALESCE(b.lp, -1000000000000000)
+       |           THEN greatest(r.d1 + COALESCE(b.lp, -1000000000000000),
+       |                         -400000000000000000)
        |           ELSE -2000000000000000 END AS c2,
        |      CASE WHEN r.pos >= 2
-       |           THEN r.d2 + COALESCE(c.lp, -1000000000000000)
+       |           THEN greatest(r.d2 + COALESCE(c.lp, -1000000000000000),
+       |                         -400000000000000000)
        |           ELSE -2000000000000000 END AS c3
        |    FROM $v r
        |    LEFT JOIN $m a

@@ -69,7 +69,7 @@ class R13OpsSpec extends SparkTestBase {
       r.toString)
   }
 
-  test("unigram invariants on random corpora: segmentation covers, budgets bound, train/encode agree") {
+  test("unigram invariants on random corpora: segmentation covers, budgets bound, encode/fertility agree") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // words over a tiny alphabet maximize piece collisions/tie pressure;
     // sizes kept small — every trial is 2 EM rounds of Spark jobs
@@ -79,8 +79,8 @@ class R13OpsSpec extends SparkTestBase {
       .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
     val corpusGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, docGen))
     val p = Prop.forAll(corpusGen) { texts =>
-      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+        .toDF("doc_id", "text", "source")
       val model = TextOps.unigramModel(docs, candN = 50)
       val lp = TextOps.unigramLp(model)
       val enc = TextOps.unigramEncode(docs, lp).collect()
@@ -93,11 +93,14 @@ class R13OpsSpec extends SparkTestBase {
         r.getLong(3) >= r.getLong(1) &&              // >= 1 token per word
         r.getLong(3) <= r.getLong(2)                 // <= 1 token per char
       }
-      // conservation: the trained model's counts ARE the occurrence-
-      // weighted pieces of the final segmentation, so Σ cnt == Σ n_tokens
-      val modelTotal = model.agg(sum("cnt")).collect()(0).getLong(0)
+      // encode and fertility segment under the SAME lp, so their token
+      // totals must agree exactly (NOT the trained model's Σcnt — those
+      // counts came from segmenting under the PREVIOUS round's model,
+      // and hard-EM need not reach a fixed point in 2 rounds)
+      val fert = TextOps.unigramFertility(docs, lp).collect()(0)
       val encTotal = enc.map(_.getLong(3)).sum
-      perDocOk && modelTotal == encTotal
+      val encWords = enc.map(_.getLong(1)).sum
+      perDocOk && fert.getLong(1) == encWords && fert.getLong(2) == encTotal
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
     assert(res.passed, res.toString)

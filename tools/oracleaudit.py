@@ -248,7 +248,6 @@ def castbool_findings(name, sql):
         o = s.index('(', m.start())
         c = match_paren_fwd(s, o)
         arg = s[o + 1:c]
-        asm = re.search(r'\bAS\s+(\w+)', arg[::-1][::-1], re.I)
         # argument before the trailing AS <type>
         arg_expr = re.sub(r'\bAS\s+\w+(\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*$',
                           '', arg, flags=re.I)
@@ -276,30 +275,36 @@ def cast_spans(s):
     return spans
 
 
-def baresum_findings(name, sql):
-    s = strip_strings(sql)
-    depth, last = 0, -1
+def final_select_lists(s):
+    """The select list of EVERY depth-0 SELECT (oracles like aud_card are
+    depth-0 UNION ALL chains — each member SHIPS rows, so each member's
+    outputs must be audited, not just the last one's)."""
+    starts = []
+    depth = 0
     for i, c in enumerate(s):
         if c == '(':
             depth += 1
         elif c == ')':
             depth -= 1
         elif depth == 0 and s[i:i + 6].upper() == 'SELECT':
-            last = i
-    if last < 0:
-        return []
-    endm = None
-    depth = 0
-    for i in range(last, len(s)):
-        c = s[i]
-        if c == '(':
-            depth += 1
-        elif c == ')':
-            depth -= 1
-        elif depth == 0 and s[i:i + 4].upper() == 'FROM':
-            endm = i
-            break
-    sel = s[last:endm] if endm else s[last:]
+            starts.append(i)
+    out = []
+    for st in starts:
+        endm, depth = None, 0
+        for i in range(st, len(s)):
+            c = s[i]
+            if c == '(':
+                depth += 1
+            elif c == ')':
+                depth -= 1
+            elif depth == 0 and s[i:i + 4].upper() == 'FROM':
+                endm = i
+                break
+        out.append(s[st:endm] if endm else s[st:])
+    return out
+
+
+def baresum_in(sel):
     spans = cast_spans(sel)
     out = []
     for m in re.finditer(r'\bSUM\s*\(', sel, re.I):
@@ -330,6 +335,14 @@ def baresum_findings(name, sql):
             continue
         out.append(("bare-sum", sel[m.start():close + 1]
                     .replace('\n', ' ')[:70]))
+    return out
+
+
+def baresum_findings(name, sql):
+    s = strip_strings(sql)
+    out = []
+    for sel in final_select_lists(s):
+        out.extend(baresum_in(sel))
     return out
 
 
