@@ -309,12 +309,24 @@ object AuditOps {
   def aucReportBy(df: DataFrame, scoreCol: Column, labelCol: Column,
       groupCol: String): DataFrame = {
     OpContract.requireCols(df, "AuditOps.aucReportBy", groupCol)
+    aucFromScoreCounts(
+      df.filter(scoreCol.isNotNull)
+        .select(col(groupCol).as("grp"), scoreCol.as("s"),
+          when(labelCol, 1L).otherwise(0L).as("y"))
+        .groupBy("grp", "s")
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos")))
+  }
+
+  /** [[aucReportBy]]'s arithmetic over a caller-built
+    * `(grp, s, cnt, pos)` per-score count table — the [[dataCard]]
+    * composition seam: the card feeds auc / calibration / threshold /
+    * gains the SAME score-counts DataFrame, so exchange reuse computes
+    * the per-(group, score) corpus reduction once for the quartet.
+    */
+  def aucFromScoreCounts(g: DataFrame): DataFrame = {
+    OpContract.requireCols(g, "AuditOps.aucFromScoreCounts",
+      "grp", "s", "cnt", "pos")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(scoreCol.isNotNull)
-      .select(col(groupCol).as("grp"), scoreCol.as("s"),
-        when(labelCol, 1L).otherwise(0L).as("y"))
-      .groupBy("grp", "s")
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -440,14 +452,39 @@ object AuditOps {
       groupCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"calibrationReportBy needs bins >= 2, got $bins")
     OpContract.requireCols(df, "AuditOps.calibrationReportBy", groupCol)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"),
-        greatest(least(floor(scoreCol * bins).cast("long"), lit(bins - 1L)),
+    calibrationFromBinCounts(
+      df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).as("grp"),
+          greatest(least(floor(scoreCol * bins).cast("long"), lit(bins - 1L)),
+            lit(0L)).as("bin"),
+          when(labelCol, 1L).otherwise(0L).as("y"))
+        .groupBy("grp", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos")),
+      bins)
+  }
+
+  /** [[calibrationReportBy]] over a caller-built `(grp, s, cnt, pos)`
+    * per-score count table — the [[dataCard]] composition seam (see
+    * [[aucFromScoreCounts]]): bins are re-derived from the DISTINCT
+    * scores (the bin map is a pure function of the score, so summing
+    * per-score counts into bins is exactly the per-row aggregation).
+    */
+  def calibrationFromScoreCounts(g: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationFromScoreCounts needs bins >= 2, got $bins")
+    OpContract.requireCols(g, "AuditOps.calibrationFromScoreCounts",
+      "grp", "s", "cnt", "pos")
+    calibrationFromBinCounts(
+      g.select(col("grp"),
+        greatest(least(floor(col("s") * bins).cast("long"), lit(bins - 1L)),
           lit(0L)).as("bin"),
-        when(labelCol, 1L).otherwise(0L).as("y"))
-      .groupBy("grp", "bin")
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        col("cnt"), col("pos"))
+        .groupBy("grp", "bin")
+        .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos")),
+      bins)
+  }
+
+  private def calibrationFromBinCounts(g: DataFrame, bins: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val tot = g.groupBy("grp").agg(
       sum(col("n")).cast(dec).as("nn"),
       sum(abs(lit(2L * bins).cast(dec) * col("n_pos") -
@@ -534,12 +571,28 @@ object AuditOps {
       groupCol: String): DataFrame = {
     OpContract.requireCols(oldDf, "AuditOps.categoricalDriftBy old", catCol, groupCol)
     OpContract.requireCols(newDf, "AuditOps.categoricalDriftBy new", catCol, groupCol)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    def counts(df: DataFrame, as: String) =
+    def counts(df: DataFrame) =
       df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
         .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
-        .agg(count(lit(1)).as(as))
-    val j = counts(oldDf, "o_cnt").join(counts(newDf, "n_cnt"),
+        .agg(count(lit(1)).as("cnt"))
+    categoricalDriftFromCounts(counts(oldDf), counts(newDf))
+  }
+
+  /** [[categoricalDriftBy]]'s arithmetic over caller-built `(grp, cat,
+    * cnt)` count tables — the [[dataCard]] composition seam: the card
+    * feeds tvd / psi / mix / independence the SAME counts DataFrame, so
+    * exchange reuse (`spark.sql.exchange.reuse`) computes the corpus
+    * reduction once per side instead of once per panel.
+    */
+  def categoricalDriftFromCounts(oCounts: DataFrame,
+      nCounts: DataFrame): DataFrame = {
+    OpContract.requireCols(oCounts, "AuditOps.categoricalDriftFromCounts old",
+      "grp", "cat", "cnt")
+    OpContract.requireCols(nCounts, "AuditOps.categoricalDriftFromCounts new",
+      "grp", "cat", "cnt")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val j = oCounts.select(col("grp"), col("cat"), col("cnt").as("o_cnt"))
+      .join(nCounts.select(col("grp"), col("cat"), col("cnt").as("n_cnt")),
         Seq("grp", "cat"), "full_outer")
       .select(col("grp"), col("cat"),
         coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
@@ -739,15 +792,28 @@ object AuditOps {
     * Scale shape: one (grp, cat) count reduction; the grid join and
     * every ln run on the ≤groups×categories bounded table.
     */
-  def jsdBySource(df: DataFrame, catCol: String, groupCol: String): DataFrame = {
-    OpContract.requireCols(df, "AuditOps.jsdBySource", catCol, groupCol)
+  def jsdBySource(df: DataFrame, catCol: String, groupCol: String): DataFrame =
+    jsdFromCounts(
+      df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("grp"),
+          col(catCol).cast("string").as("cat"))
+        .agg(count(lit(1)).as("o")))
+
+  /** [[jsdBySource]]'s arithmetic over a caller-built `(grp, cat, o)`
+    * count table — the composition seam [[dataCard]] uses so the mix
+    * panel rides the card's one union job instead of checkpointing its
+    * own copy of the counts (the r13 card regression: a mid-union
+    * `localCheckpoint` materialized ahead of the otherwise-parallel
+    * panel scans). The counts plan is referenced four times (per-group
+    * totals, per-category totals, the grand total, and the grid join);
+    * all four are the IDENTICAL aggregate subplan, so exchange reuse
+    * (`spark.sql.exchange.reuse`, on by default) computes the shuffle
+    * once — no checkpoint needed for single-query consumers.
+    */
+  def jsdFromCounts(o: DataFrame): DataFrame = {
+    OpContract.requireCols(o, "AuditOps.jsdFromCounts", "grp", "cat", "o")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 7)
     val dec7 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 7)
-    val o = df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("grp"),
-        col(catCol).cast("string").as("cat"))
-      .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
     val ns = o.groupBy("grp").agg(sum(col("o")).as("ns"))
     val g = o.groupBy("cat").agg(sum(col("o")).as("g"))
     val tot = g.agg(sum(col("g")).as("nn"))
@@ -778,14 +844,27 @@ object AuditOps {
       groupCol: String): DataFrame = {
     OpContract.requireCols(oldDf, "AuditOps.psiReportBy old", catCol, groupCol)
     OpContract.requireCols(newDf, "AuditOps.psiReportBy new", catCol, groupCol)
+    def counts(df: DataFrame) =
+      df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+        .agg(count(lit(1)).as("cnt"))
+    psiFromCounts(counts(oldDf), counts(newDf))
+  }
+
+  /** [[psiReportBy]]'s arithmetic over caller-built `(grp, cat, cnt)`
+    * count tables — the [[dataCard]] composition seam (see
+    * [[categoricalDriftFromCounts]]).
+    */
+  def psiFromCounts(oCounts: DataFrame, nCounts: DataFrame): DataFrame = {
+    OpContract.requireCols(oCounts, "AuditOps.psiFromCounts old",
+      "grp", "cat", "cnt")
+    OpContract.requireCols(nCounts, "AuditOps.psiFromCounts new",
+      "grp", "cat", "cnt")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val dec7 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 7)
     val dec20 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0)
-    def counts(df: DataFrame, as: String) =
-      df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
-        .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
-        .agg(count(lit(1)).as(as))
-    val j = counts(oldDf, "o_cnt").join(counts(newDf, "n_cnt"),
+    val j = oCounts.select(col("grp"), col("cat"), col("cnt").as("o_cnt"))
+      .join(nCounts.select(col("grp"), col("cat"), col("cnt").as("n_cnt")),
         Seq("grp", "cat"), "full_outer")
       .select(col("grp"), col("cat"),
         coalesce(col("o_cnt"), lit(0L)).cast(dec).as("o_cnt"),
@@ -1752,9 +1831,19 @@ object AuditOps {
     */
   def giniReport(df: DataFrame, catCol: String): DataFrame = {
     OpContract.requireCols(df, "AuditOps.giniReport", catCol)
+    giniFromCounts(
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("cnt")))
+  }
+
+  /** [[giniReport]]'s arithmetic over a caller-built `(cat, cnt)` count
+    * table — the [[dataCard]] composition seam (see
+    * [[categoricalDriftFromCounts]]): the card's volume panel already
+    * aggregates the per-source counts this op pairs up.
+    */
+  def giniFromCounts(g: DataFrame): DataFrame = {
+    OpContract.requireCols(g, "AuditOps.giniFromCounts", "cat", "cnt")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(col(catCol).isNotNull)
-      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("cnt"))
     val pairs = g.select(col("cnt").as("ca"))
       .crossJoin(broadcast(g.select(col("cnt").as("cb"))))
     pairs.agg(
@@ -2185,12 +2274,22 @@ object AuditOps {
   def thresholdReportBy(df: DataFrame, scoreCol: Column, labelCol: Column,
       groupCol: String): DataFrame = {
     OpContract.requireCols(df, "AuditOps.thresholdReportBy", groupCol)
+    thresholdFromScoreCounts(
+      df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).as("grp"), scoreCol.as("s"),
+          when(labelCol, 1L).otherwise(0L).as("y"))
+        .groupBy("grp", "s")
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos")))
+  }
+
+  /** [[thresholdReportBy]]'s arithmetic over a caller-built
+    * `(grp, s, cnt, pos)` per-score count table — the [[dataCard]]
+    * composition seam (see [[aucFromScoreCounts]]).
+    */
+  def thresholdFromScoreCounts(g: DataFrame): DataFrame = {
+    OpContract.requireCols(g, "AuditOps.thresholdFromScoreCounts",
+      "grp", "s", "cnt", "pos")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"), scoreCol.as("s"),
-        when(labelCol, 1L).otherwise(0L).as("y"))
-      .groupBy("grp", "s")
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     val ew = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2545,12 +2644,26 @@ object AuditOps {
     // NULL group keys are dropped (a NULL group is not a data card row;
     // the oracle filters identically). NULL side counts as sample B —
     // the family convention, matching the oracle's CASE..ELSE 0.
-    val g = df.filter(valCol.isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"), valCol.as("s"),
-        when(sideCol, 1L).otherwise(0L).as("a"))
-      .groupBy("grp", "s")
-      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
-      .withColumn("cb", col("cnt") - col("ca"))
+    ksFromSideCounts(
+      df.filter(valCol.isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).as("grp"), valCol.as("s"),
+          when(sideCol, 1L).otherwise(0L).as("a"))
+        .groupBy("grp", "s")
+        .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
+        .withColumn("cb", col("cnt") - col("ca"))
+        .select(col("grp"), col("s"), col("ca"), col("cb")))
+  }
+
+  /** [[ksReportBy]]'s arithmetic over a caller-built `(grp, s, ca, cb)`
+    * per-value side-count table — the [[dataCard]] composition seam (see
+    * [[aucFromScoreCounts]]): the card's side A is exactly its shared
+    * score-counts table, so only the reference side aggregates anew.
+    */
+  def ksFromSideCounts(g0: DataFrame): DataFrame = {
+    OpContract.requireCols(g0, "AuditOps.ksFromSideCounts",
+      "grp", "s", "ca", "cb")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = g0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -2669,12 +2782,25 @@ object AuditOps {
     require(buckets >= 2 && buckets <= 10000,
       s"AuditOps.gainsReportBy: buckets must be in [2, 10000], got $buckets")
     OpContract.requireCols(df, "AuditOps.gainsReportBy", groupCol)
+    gainsFromScoreCounts(
+      df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).as("grp"), scoreCol.as("s"),
+          when(labelCol, 1L).otherwise(0L).as("y"))
+        .groupBy("grp", "s")
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos")),
+      buckets)
+  }
+
+  /** [[gainsReportBy]]'s arithmetic over a caller-built
+    * `(grp, s, cnt, pos)` per-score count table — the [[dataCard]]
+    * composition seam (see [[aucFromScoreCounts]]).
+    */
+  def gainsFromScoreCounts(g: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"AuditOps.gainsFromScoreCounts: buckets must be in [2, 10000], got $buckets")
+    OpContract.requireCols(g, "AuditOps.gainsFromScoreCounts",
+      "grp", "s", "cnt", "pos")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = df.filter(scoreCol.isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"), scoreCol.as("s"),
-        when(labelCol, 1L).otherwise(0L).as("y"))
-      .groupBy("grp", "s")
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     val dw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("s").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2929,11 +3055,20 @@ object AuditOps {
     */
   def independenceReport(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     OpContract.requireCols(df, "AuditOps.independenceReport", aCol, bCol)
+    independenceFromCounts(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("o")))
+  }
+
+  /** [[independenceReport]]'s arithmetic over a caller-built `(a, b, o)`
+    * contingency count table — the [[dataCard]] composition seam (see
+    * [[categoricalDriftFromCounts]]).
+    */
+  def independenceFromCounts(o: DataFrame): DataFrame = {
+    OpContract.requireCols(o, "AuditOps.independenceFromCounts", "a", "b", "o")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val q = 1000000000L
-    val o = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("o"))
     val ra = o.groupBy("a").agg(sum("o").as("ra"))
     val cb = o.groupBy("b").agg(sum("o").as("cb"))
     val tot = o.agg(sum("o").as("n"), count_distinct(col("a")).as("r"),
@@ -3190,43 +3325,82 @@ object AuditOps {
     def globalRow(df: DataFrame, section: String, metric: String, v: Column) =
       df.select(lit(section).as("section"), lit("__corpus__").as("source"),
         lit(metric).as("metric"), v.cast("double").as("value"))
-    val volume = shape(
-      docs.filter(col(groupCol).isNotNull)
-        .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n")),
-      "volume", "n_docs", col("n"))
-    val auc = shape(aucReportBy(docs, scoreCol, labelCol, groupCol),
+    // volume + concentration share one per-source count table (r14)
+    val srcCounts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n"))
+    val volume = shape(srcCounts, "volume", "n_docs", col("n"))
+    // the score/label quartet's shared reduction (r14): auc /
+    // calibration / operating-point / gains all consume the one
+    // per-(group, score) count table — identical subplans, so exchange
+    // reuse computes the corpus reduction once for the four panels.
+    // NULL-group rows are dropped (the by-source family convention;
+    // auc standalone keeps them, but a card panel keyed by source has
+    // no NULL source row to report).
+    val scoreCounts = docs
+      .filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), scoreCol.as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val auc = shape(aucFromScoreCounts(scoreCounts),
       "ranking", "auc", col("auc"))
     val ece = shape(
-      calibrationReportBy(docs, scoreCol, labelCol, groupCol)
+      calibrationFromScoreCounts(scoreCounts)
         .select("grp", "ece").distinct(),
       "calibration", "ece", col("ece"))
-    val f1 = shape(thresholdReportBy(docs, scoreCol, labelCol, groupCol),
+    val f1 = shape(thresholdFromScoreCounts(scoreCounts),
       "operating_point", "f1", col("f1"))
     val lift = shape(
-      gainsReportBy(docs, scoreCol, labelCol, groupCol, 5)
+      gainsFromScoreCounts(scoreCounts, 5)
         .filter(col("bucket") === 1),
       "gains", "top_quintile_lift", col("lift"))
+    // the drift wing's shared reduction (r14): tvd / psi / mix /
+    // independence all consume the one (grp, cat) count table per side
+    // — identical subplans, so exchange reuse computes each corpus
+    // reduction ONCE per side inside the card's single union job (the
+    // r13 mix panel instead localCheckpointed its own copy, which
+    // materialized ahead of the otherwise-parallel panel scans — the
+    // 3.40 → 4.97 s card regression). Keys are cast to string, a no-op
+    // for the string-typed columns the card contract documents.
+    def gcCounts(df: DataFrame) =
+      df.filter(col(driftCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("grp"),
+          col(driftCol).cast("string").as("cat"))
+        .agg(count(lit(1)).as("cnt"))
+    val docCounts = gcCounts(docs)
+    val refCounts = gcCounts(ref)
     val tvd = shape(
-      categoricalDriftBy(docs, ref, driftCol, groupCol)
+      categoricalDriftFromCounts(docCounts, refCounts)
         .groupBy("grp").agg(min(col("tvd")).as("tvd")),
       "drift", "tvd", col("tvd"))
     val psi = shape(
-      psiReportBy(docs, ref, driftCol, groupCol)
+      psiFromCounts(docCounts, refCounts)
         .groupBy("grp").agg(min(col("psi")).as("psi")),
       "psi", "psi", col("psi"))
+    // ks (r14): side A's per-(group, value) counts ARE the shared
+    // score-counts table; only the reference side aggregates anew —
+    // replaces the two-scan union the panel rode through r13.
+    val refScoreCounts = ref
+      .filter(scoreCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), scoreCol.as("s"))
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("cb"))
     val ks = shape(
-      ksReportBy(
-        docs.select(col(groupCol), scoreCol.as("card_ks_v"), lit(true).as("card_side"))
-          .unionByName(ref.select(col(groupCol), scoreCol.as("card_ks_v"),
-            lit(false).as("card_side"))),
-        col("card_ks_v"), col("card_side"), groupCol),
+      ksFromSideCounts(
+        scoreCounts.select(col("grp"), col("s"), col("cnt").as("ca"))
+          .join(refScoreCounts, Seq("grp", "s"), "full_outer")
+          .select(col("grp"), col("s"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))),
       "ks", "ks", col("ks"))
     // mix: each source's category mix vs the corpus mix as the bounded
     // symmetric divergence — completes the card's drift wing (TVD/PSI/KS
     // compare release vs reference; JSD exposes the source whose mix
     // diverges from the corpus it ships in). Same gate-pinned op as
     // aud_jsd_source (r13).
-    val mix = shape(jsdBySource(docs, driftCol, groupCol),
+    val mix = shape(
+      jsdFromCounts(docCounts.select(col("grp"), col("cat"),
+        col("cnt").as("o"))),
       "mix", "jsd_norm", col("jsd_norm"))
     val ka = kAnonymityReport(docs, quasiCols, sensitiveCol, k, l)
     val privacy = globalRow(ka, "privacy", "k_anonymous",
@@ -3237,9 +3411,12 @@ object AuditOps {
         col("min_group_size")))
       .unionByName(globalRow(ka, "privacy", "frac_below_k",
         coalesce(col("frac_below_k"), lit(0.0))))
-    val gini = globalRow(giniReport(docs, groupCol),
+    val gini = globalRow(
+      giniFromCounts(srcCounts.select(col("grp").as("cat"),
+        col("n").as("cnt"))),
       "concentration", "gini", col("gini"))
-    val ind = independenceReport(docs, driftCol, groupCol)
+    val ind = independenceFromCounts(docCounts.select(col("cat").as("a"),
+      col("grp").as("b"), col("cnt").as("o")))
     val indep = globalRow(ind, "independence", "cramers_v", col("cramers_v"))
       .unionByName(globalRow(ind, "independence", "dependent",
         when(col("dependent"), 1.0).otherwise(0.0)))
