@@ -1822,10 +1822,29 @@ object TextOps {
   /** Viterbi segmentation of one word under scaled log-probs — exact
     * BIGINT dp, tie-break prefers the LONGER piece (mirrors the oracle's
     * k=3,2,1 CASE priority).
+    *
+    * The dp indexes Unicode CODE POINTS, not UTF-16 code units: the
+    * candidate extraction (Spark SQL `substring`/`length` count code
+    * points via UTF8String) and the DuckDB oracle both index code
+    * points, and a surrogate half can never be a model piece — walking
+    * code units would break single-character coverage for any
+    * supplementary-plane word (emoji, rare CJK) and diverge `n_chars`
+    * from the oracle (ADVICE r13). `offs` holds the code-unit offset of
+    * each code-point boundary, so for BMP-only text every offset equals
+    * its index and the dp is bit-for-bit the pre-r14 one.
     */
   private def viterbiPieces(word: String, lp: java.util.HashMap[String, java.lang.Long],
       maxLen: Int): List[String] = {
-    val n = word.length
+    val wlen = word.length
+    val offs = new Array[Int](wlen + 1)
+    var n = 0
+    var o = 0
+    while (o < wlen) {
+      offs(n) = o
+      n += 1
+      o += Character.charCount(word.codePointAt(o))
+    }
+    offs(n) = wlen
     val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     var i = 1
@@ -1835,7 +1854,7 @@ object TextOps {
       var k = 1
       val kMax = math.min(maxLen, i)
       while (k <= kMax) {
-        val l = lp.get(word.substring(i - k, i))
+        val l = lp.get(word.substring(offs(i - k), offs(i)))
         val raw = dp(i - k) + (if (l == null) UniNeg else l.longValue)
         val cand = if (raw < UniClamp) UniClamp else raw
         if (cand > best || (cand == best && k > bestK)) {
@@ -1851,7 +1870,7 @@ object TextOps {
     var p = n
     while (p > 0) {
       val k = back(p)
-      out = word.substring(p - k, p) :: out
+      out = word.substring(offs(p - k), offs(p)) :: out
       p -= k
     }
     out
@@ -2013,7 +2032,9 @@ object TextOps {
       .mapPartitions { it =>
         val lp = bc.value
         it.map { case (id, word) =>
-          (id, word.length.toLong, viterbiPieces(word, lp, mpl).size.toLong) }
+          // code points, not UTF-16 units — matches the oracle's length()
+          (id, word.codePointCount(0, word.length).toLong,
+            viterbiPieces(word, lp, mpl).size.toLong) }
       }
       .toDF("doc_id", "nc", "nt")
       .groupBy("doc_id")

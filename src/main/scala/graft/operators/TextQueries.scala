@@ -34,55 +34,84 @@ object TextQueries {
       TextOps.unigramModel(t(s, d, "documents"), candN = 500,
         maxPieceLen = 3, rounds = 2)
     }
+  // the maxPieceLen=4 variant (r14): pins the op's full documented bound
+  // (require <= 4) against an oracle DP window of the same depth —
+  // through r13 the oracle was hard-coded 3-deep, silently un-oracling
+  // any maxPieceLen=4 caller (VERDICT r13 #6)
+  private val uniCache4 = new GateMemo
+  private def uniModelDf4(s: SparkSession, d: String): DataFrame =
+    uniCache4.cached(s, d) {
+      TextOps.unigramModel(t(s, d, "documents"), candN = 500,
+        maxPieceLen = 4, rounds = 2)
+    }
 
   /** One Viterbi-DP round of the unigram trainer as a DuckDB RECURSIVE
     * CTE (`v` under model `m`): each step extends every word by one
-    * character position, carrying a 3-deep dp window (d0..d2 = dp at
-    * pos, pos−1, pos−2) plus the best-path piece string for each — so
-    * the k∈{1,2,3}-piece transitions and the longest-piece-wins
-    * tie-break (CASE priority k=3,2,1) mirror TextOps.viterbiPieces
-    * exactly in BIGINT arithmetic. Absent pieces price at the shared
+    * character position, carrying a `maxK`-deep dp window (d0..d{K−1} =
+    * dp at pos, pos−1, …) plus the best-path piece string for each — so
+    * the k∈{1..maxK}-piece transitions and the longest-piece-wins
+    * tie-break (CASE priority k=maxK..1) mirror TextOps.viterbiPieces
+    * exactly in BIGINT arithmetic (maxK=3 emits the r13 chain
+    * verbatim-semantically; r14 parameterized it so the op's full
+    * maxPieceLen ≤ 4 bound is oracle-able). Absent pieces price at the shared
     * −1e15 sentinel; out-of-range k slots at −2e15 and are guarded out
     * of the path CASE by the pos conditions; every candidate clamps at
     * the shared −4e17 floor (TextOps.UniClamp) so degenerate all-absent
     * words can never overflow BIGINT in either engine.
     */
-  private def uniDpSql(v: String, m: String): String =
-    s"""$v(word, freq, pos, d0, p0, d1, p1, d2, p2) AS (
+  private def uniDpSql(v: String, m: String, maxK: Int = 3): String = {
+    require(maxK >= 2 && maxK <= 6, s"uniDpSql: maxK in [2,6], got $maxK")
+    val ks = 1 to maxK
+    // the k-piece candidate ends at position pos+1, so it starts at
+    // character pos + 2 - k (1-indexed substr) — k=1 -> pos+1 (the r13
+    // literals), k=2 -> pos, k=3 -> pos-1
+    def pos0(k: Int) =
+      if (k == 1) "r.pos + 1" else if (k == 2) "r.pos" else s"r.pos - ${k - 2}"
+    def sub(k: Int) = s"substr(r.word, CAST(${pos0(k)} AS INTEGER), $k)"
+    val decl = ks.map(k => s"d${k - 1}, p${k - 1}").mkString(", ")
+    val init = ks.tail
+      .map(_ => "    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)")
+      .mkString(",\n")
+    val g = ks.map(k => s"c$k").mkString(", ")
+    val arms = (maxK to 2 by -1).map { k =>
+      val kw = if (k == maxK) "    CASE" else "        "
+      s"""$kw WHEN pos >= ${k - 1} AND c$k = greatest($g)
+         |           THEN p${k - 1} || chr(1) || s$k""".stripMargin
+    }.mkString("\n")
+    val shift = ks.dropRight(1).map(k => s"d${k - 1}, p${k - 1}").mkString(", ")
+    val subs = ks.map(k => s"      ${sub(k)} AS s$k,").mkString("\n")
+    val cands = ks.map { k =>
+      if (k == 1)
+        s"""      greatest(r.d0 + COALESCE(a1.lp, -1000000000000000),
+           |               -400000000000000000) AS c1""".stripMargin
+      else
+        s"""      CASE WHEN r.pos >= ${k - 1}
+           |           THEN greatest(r.d${k - 1} + COALESCE(a$k.lp, -1000000000000000),
+           |                         -400000000000000000)
+           |           ELSE -2000000000000000 END AS c$k""".stripMargin
+    }.mkString(",\n")
+    val joins = ks.map { k =>
+      val cond = if (k == 1) s"a1.piece = ${sub(1)}"
+      else s"r.pos >= ${k - 1} AND a$k.piece = ${sub(k)}"
+      s"""    LEFT JOIN $m a$k
+         |      ON $cond""".stripMargin
+    }.mkString("\n")
+    s"""$v(word, freq, pos, $decl) AS (
        |  SELECT word, freq, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
-       |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-       |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM w
+       |$init FROM w
        |  UNION ALL
-       |  SELECT word, freq, pos + 1, greatest(c1, c2, c3),
-       |    CASE WHEN pos >= 2 AND c3 = greatest(c1, c2, c3)
-       |           THEN p2 || chr(1) || s3
-       |         WHEN pos >= 1 AND c2 = greatest(c1, c2, c3)
-       |           THEN p1 || chr(1) || s2
+       |  SELECT word, freq, pos + 1, greatest($g),
+       |$arms
        |         ELSE p0 || chr(1) || s1 END,
-       |    d0, p0, d1, p1
+       |    $shift
        |  FROM (
        |    SELECT r.*,
-       |      substr(r.word, CAST(r.pos + 1 AS INTEGER), 1) AS s1,
-       |      substr(r.word, CAST(r.pos AS INTEGER), 2) AS s2,
-       |      substr(r.word, CAST(r.pos - 1 AS INTEGER), 3) AS s3,
-       |      greatest(r.d0 + COALESCE(a.lp, -1000000000000000),
-       |               -400000000000000000) AS c1,
-       |      CASE WHEN r.pos >= 1
-       |           THEN greatest(r.d1 + COALESCE(b.lp, -1000000000000000),
-       |                         -400000000000000000)
-       |           ELSE -2000000000000000 END AS c2,
-       |      CASE WHEN r.pos >= 2
-       |           THEN greatest(r.d2 + COALESCE(c.lp, -1000000000000000),
-       |                         -400000000000000000)
-       |           ELSE -2000000000000000 END AS c3
+       |$subs
+       |$cands
        |    FROM $v r
-       |    LEFT JOIN $m a
-       |      ON a.piece = substr(r.word, CAST(r.pos + 1 AS INTEGER), 1)
-       |    LEFT JOIN $m b
-       |      ON r.pos >= 1 AND b.piece = substr(r.word, CAST(r.pos AS INTEGER), 2)
-       |    LEFT JOIN $m c
-       |      ON r.pos >= 2 AND c.piece = substr(r.word, CAST(r.pos - 1 AS INTEGER), 3)
+       |$joins
        |    WHERE r.pos < length(r.word)))""".stripMargin
+  }
 
   /** Piece counts of a finished DP round: split each word's best path on
     * the chr(1) separator, weight by word frequency. */
@@ -109,14 +138,14 @@ object TextQueries {
     * + recursive Viterbi CTE + count CTE. Ends at `c2t` = the trained
     * (piece, cnt) table.
     */
-  private def uniChainSql: String =
+  private def uniChainSql(maxK: Int = 3): String =
     s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
        |pp0 AS (SELECT word, freq,
        |    unnest(generate_series(1, length(word))) AS i FROM w),
        |pp1 AS (SELECT word, freq, i,
-       |    unnest(generate_series(1, least(3, length(word) - i + 1))) AS k
+       |    unnest(generate_series(1, least($maxK, length(word) - i + 1))) AS k
        |  FROM pp0),
        |cand AS (SELECT substr(word, CAST(i AS INTEGER), CAST(k AS INTEGER))
        |      AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -126,10 +155,10 @@ object TextQueries {
        |    SELECT piece, cnt FROM sel
        |    UNION ALL SELECT piece, cnt FROM cand WHERE length(piece) = 1)),
        |${uniLpSql("m0", "c0t", "t0")},
-       |${uniDpSql("v1", "m0")},
+       |${uniDpSql("v1", "m0", maxK)},
        |${uniCountSql("c1t", "v1")},
        |${uniLpSql("m1", "c1t", "t1")},
-       |${uniDpSql("v2", "m1")},
+       |${uniDpSql("v2", "m1", maxK)},
        |${uniCountSql("c2t", "v2")}""".stripMargin
 
   /** The BPE trainer as a DuckDB CTE chain: vocabulary `w`, initial
@@ -349,6 +378,9 @@ object TextQueries {
     // fertility gate via GateMemo; fully value-oracled (each EM round
     // unrolls as a model CTE + recursive Viterbi CTE).
     "tx_unigram_train" -> ((s, d) => TextOps.unigramTopK(uniModelDf(s, d), 20)),
+    // The maxPieceLen=4 trainer — same chain at the op's full documented
+    // bound, oracled by the parameterized 4-deep DP window.
+    "tx_unigram_train4" -> ((s, d) => TextOps.unigramTopK(uniModelDf4(s, d), 20)),
     // The bpe_encode readout under the trained unigram vocab: per-doc
     // token budget + compression (same shape, single-join tokenizer A/B).
     "tx_unigram_encode" -> ((s, d) =>
@@ -810,7 +842,13 @@ object TextQueries {
     // dp (one rounded ln per piece per round), recursive Viterbi with
     // the 3-deep window — see uniDpSql.
     "tx_unigram_train" ->
-      s"""WITH RECURSIVE $uniChainSql
+      s"""WITH RECURSIVE ${uniChainSql()}
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
+         |    AS rank, piece, cnt AS n_uses
+         |FROM c2t ORDER BY rank LIMIT 20""".stripMargin,
+    // the same chain with the candidate bound and DP window at 4
+    "tx_unigram_train4" ->
+      s"""WITH RECURSIVE ${uniChainSql(4)}
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
          |    AS rank, piece, cnt AS n_uses
          |FROM c2t ORDER BY rank LIMIT 20""".stripMargin,
@@ -818,7 +856,7 @@ object TextQueries {
     // (v3 under m2) over the vocabulary, then per-doc occurrence-weighted
     // integer sums; one division
     "tx_unigram_encode" ->
-      s"""WITH RECURSIVE $uniChainSql,
+      s"""WITH RECURSIVE ${uniChainSql()},
          |${uniLpSql("m2", "c2t", "t2")},
          |${uniDpSql("v3", "m2")},
          |nt AS (SELECT word, CAST(length(word) AS BIGINT) AS nc,
@@ -839,7 +877,7 @@ object TextQueries {
     // (v3 under m2) over the vocabulary, then per-source occurrence-
     // weighted tokens-per-word; one division
     "tx_unigram_fertility" ->
-      s"""WITH RECURSIVE $uniChainSql,
+      s"""WITH RECURSIVE ${uniChainSql()},
          |${uniLpSql("m2", "c2t", "t2")},
          |${uniDpSql("v3", "m2")},
          |nt AS (SELECT word,
