@@ -54,7 +54,8 @@ object Ingest {
     if (args.length < 3) {
       System.err.println(
         "usage: graft.Ingest <landingDir> <corpusParquet> <outRoot>" +
-          " [minScore] [--follow] [--compact-every=N] [--keep=K]")
+          " [minScore] [--follow] [--compact-every=N] [--keep=K]" +
+          " [--ann-index=DIR] [--tokenizer=DIR]")
       sys.exit(2)
     }
     val Array(landing, corpusPath, outRoot) = args.take(3)
@@ -91,6 +92,30 @@ object Ingest {
     // the floor's evidence column.
     val model = graft.operators.TextOps.trainPerceptron(
       corpus, col("lang") === "en", iters = 3).localCheckpoint()
+    // `--tokenizer=DIR`: a restart loads the persisted unigram model
+    // instead of re-training it every process (TextOps.writeTokenizer —
+    // the ANN index's train-once/serve-many contract, for tokenizer
+    // state); the released corpus's fertility under it prints as
+    // startup evidence the artifact round-tripped
+    args.collectFirst {
+      case a if a.startsWith("--tokenizer=") => a.stripPrefix("--tokenizer=")
+    }.foreach { dir =>
+      import graft.operators.TextOps
+      val loaded = TextOps.tokenizerExists(dir)
+      val (_, tokModel, mpl) =
+        if (loaded) TextOps.readTokenizer(spark, dir)
+        else {
+          val m = TextOps.unigramModel(corpus, candN = 500, maxPieceLen = 3,
+            rounds = 2)
+          TextOps.writeTokenizer(m, dir, "unigram", 3)
+          ("unigram", m, 3)
+        }
+      val f = TextOps.unigramFertility(corpus, TextOps.unigramLp(tokModel), mpl,
+          groupCol = "lang")
+        .agg(sum("n_words").cast("long"), sum("n_tokens").cast("long")).collect()(0)
+      println(s"""{"cli":"ingest","tokenizer":"${CliJson.str(dir)}","loaded":$loaded,""" +
+        s""""n_words":${f.getLong(0)},"n_tokens":${f.getLong(1)}}""")
+    }
     val schema = StructType(
       Seq(StructField("doc_id", LongType), StructField("text", StringType)) ++
         annIndexDir.map(_ => StructField("embedding",

@@ -7,7 +7,7 @@ import graft.operators.{AuditOps, DedupOps, GraphOps, SimilarityOps, TextOps}
 /** End-to-end training-corpus build — the library's operators chained the
   * way a production pipeline runs them, in one command:
   *
-  *   sbt "runMain graft.Pipeline <sfDir> <outDir> [--bucketed]"
+  *   sbt "runMain graft.Pipeline <sfDir> <outDir> [--bucketed] [--tokenizer=DIR]"
   *
   * With `--bucketed` the document-side dedup runs over a
   * doc_id-bucketed corpus table ([[graft.operators.LayoutOps.writeBucketed]]):
@@ -52,7 +52,15 @@ object Pipeline {
     // plans). At 100 TB this is the difference between re-shuffling the
     // wide text column per stage and never shuffling it at all.
     val bucketed = args.contains("--bucketed")
-    val pos = args.filterNot(_ == "--bucketed")
+    // `--tokenizer=DIR`: train-once/serve-many for the token budget —
+    // first build trains a BPE tokenizer on the cleaned corpus and
+    // persists it (TextOps.writeTokenizer); every later build LOADS the
+    // artifact instead of re-training (the IVF-index restart contract,
+    // now for tokenizer model state).
+    val tokenizerDir = args.collectFirst {
+      case a if a.startsWith("--tokenizer=") => a.stripPrefix("--tokenizer=")
+    }
+    val pos = args.filterNot(_.startsWith("--"))
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = pos.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
@@ -222,6 +230,29 @@ object Pipeline {
     val mixed = stage("mixture_applied",
       TextOps.applyMixtureRows(good)
         .select(good.columns.map(col).toSeq: _*))
+
+    // 5b. token budget under a PERSISTED tokenizer: load the artifact if
+    //     one exists, else train on this build's cleaned corpus and
+    //     persist it for every later build/restart
+    tokenizerDir.foreach { dir =>
+      val loaded = TextOps.tokenizerExists(dir)
+      val (family, model, mpl) =
+        if (loaded) TextOps.readTokenizer(spark, dir)
+        else {
+          val m = TextOps.bpeTrain(good, nMerges = 8).localCheckpoint()
+          TextOps.writeTokenizer(m, dir, "bpe")
+          ("bpe", m, 3)
+        }
+      val enc =
+        if (family == "bpe")
+          TextOps.bpeEncode(mixed, TextOps.bpeMergeSeq(model))
+            .withColumnRenamed("n_bpe_tokens", "n_tokens")
+        else TextOps.unigramEncode(mixed, TextOps.unigramLp(model), mpl)
+      val b = enc.agg(sum("n_words").cast("long"), sum("n_tokens").cast("long"))
+        .collect()(0)
+      println(s"""{"stage":"token_budget","family":"$family","loaded":$loaded,""" +
+        s""""n_words":${b.getLong(0)},"n_tokens":${b.getLong(1)}}""")
+    }
 
     // 6. pack into fixed token budgets and persist, partitioned by lang
     val packs = TextOps.packSequences(mixed, capacity = 2048)

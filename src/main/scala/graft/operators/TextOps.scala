@@ -2082,4 +2082,84 @@ object TextOps {
           .as("fertility"))
       .orderBy("source")
   }
+
+  // ---- Persisted tokenizer artifacts (r14) ---------------------------
+  //
+  // Train-once / serve-many for the tokenizer families — the contract
+  // the ANN index already honors ([[SimilarityOps.writeIvfIndex]]) and
+  // the MinHash index pioneered ([[DedupOps.writeMinhashIndex]]):
+  // GateMemo shares a training within one JVM session, but a production
+  // pipeline restarts; the artifact is what survives the process.
+
+  /** [[bpeTrain]] output → the ordered merge-pair list [[bpeEncode]] /
+    * [[bpeFertility]] consume (training order = merge_round ASC; the
+    * replace-chain fold is order-sensitive).
+    */
+  def bpeMergeSeq(merges: DataFrame): Seq[(String, String)] = {
+    OpContract.requireCols(merges, "TextOps.bpeMergeSeq",
+      "merge_round", "lhs", "rhs")
+    merges.orderBy("merge_round").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
+  /** Persist a trained tokenizer model: `model.parquet` (the BPE merge
+    * table `(merge_round, lhs, rhs, pair_count)` or the unigram
+    * `(piece, cnt)` table) plus a tiny `manifest` properties file
+    * pinning the family and its segmentation parameter, written LAST by
+    * atomic rename — a reader that sees the manifest sees a complete
+    * artifact (the [[graft.sources.SnapshotStore]] `_latest`
+    * discipline). Model tables are k-row driver state (merges ≤ 64,
+    * pieces ≤ candN + alphabet), so the artifact is kilobytes at any
+    * corpus scale.
+    */
+  def writeTokenizer(model: DataFrame, dir: String, family: String,
+      maxPieceLen: Int = 3): Unit = {
+    require(family == "bpe" || family == "unigram",
+      s"writeTokenizer: family must be bpe|unigram, got $family")
+    require(maxPieceLen >= 1 && maxPieceLen <= 4,
+      s"writeTokenizer: maxPieceLen in [1,4], got $maxPieceLen")
+    if (family == "bpe")
+      OpContract.requireCols(model, "TextOps.writeTokenizer bpe",
+        "merge_round", "lhs", "rhs", "pair_count")
+    else
+      OpContract.requireCols(model, "TextOps.writeTokenizer unigram",
+        "piece", "cnt")
+    model.write.mode("overwrite").parquet(s"$dir/model.parquet")
+    val tmp = java.nio.file.Paths.get(dir, "_manifest.tmp")
+    java.nio.file.Files.write(tmp,
+      s"family=$family\nmax_piece_len=$maxPieceLen\nversion=1\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Reload a persisted [[writeTokenizer]]: `(family, model, maxPieceLen)`
+    * — feed the model to [[bpeMergeSeq]]→[[bpeEncode]]/[[bpeFertility]]
+    * (family `bpe`) or [[unigramLp]]→[[unigramEncode]]/
+    * [[unigramFertility]] with the manifest's maxPieceLen (family
+    * `unigram`). Round-trip equality with a freshly trained model is
+    * pinned in R14OpsSpec. Raises loudly on a missing/torn artifact
+    * (no manifest = the write never committed).
+    */
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, DataFrame, Int) = {
+    val mf = java.nio.file.Paths.get(dir, "manifest")
+    require(java.nio.file.Files.exists(mf),
+      s"readTokenizer: no manifest in $dir (incomplete or absent artifact)")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(mf)
+    try props.load(in) finally in.close()
+    val family = props.getProperty("family")
+    require(family == "bpe" || family == "unigram",
+      s"readTokenizer: bad family '$family' in $dir/manifest")
+    val mpl = props.getProperty("max_piece_len", "3").toInt
+    (family, spark.read.parquet(s"$dir/model.parquet"), mpl)
+  }
+
+  /** `manifest` present = a complete [[writeTokenizer]] artifact lives
+    * here — the "train or load?" probe for restart-safe pipelines.
+    */
+  def tokenizerExists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "manifest"))
 }

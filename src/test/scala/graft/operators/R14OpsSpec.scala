@@ -73,6 +73,53 @@ class R14OpsSpec extends SparkTestBase {
     }
   }
 
+  test("writeTokenizer/readTokenizer: loaded model equals freshly trained " +
+      "for BOTH families; torn artifacts raise") {
+    val docs = Seq(
+      (1L, "s", "en", "abab ab ab cd cd ab", 19L),
+      (2L, "s", "en", "abab cd ab ba ba", 16L))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft-tokspec").toString
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+
+    // BPE: merge list round-trips in training order, encode identical
+    val merges = TextOps.bpeTrain(docs, 4)
+    TextOps.writeTokenizer(merges, s"$root/bpe", "bpe")
+    assert(TextOps.tokenizerExists(s"$root/bpe"))
+    val (bf, bm, _) = TextOps.readTokenizer(spark, s"$root/bpe")
+    assert(bf == "bpe")
+    assert(TextOps.bpeMergeSeq(bm) == TextOps.bpeMergeSeq(merges))
+    assert(canon(TextOps.bpeEncode(docs, TextOps.bpeMergeSeq(bm))) ==
+      canon(TextOps.bpeEncode(docs, TextOps.bpeMergeSeq(merges))))
+
+    // unigram: (piece, cnt) + maxPieceLen round-trip, encode identical
+    val uni = TextOps.unigramModel(docs, candN = 10, maxPieceLen = 4, rounds = 2)
+    TextOps.writeTokenizer(uni, s"$root/uni", "unigram", maxPieceLen = 4)
+    val (uf, um, umpl) = TextOps.readTokenizer(spark, s"$root/uni")
+    assert(uf == "unigram" && umpl == 4)
+    assert(TextOps.unigramLp(um) == TextOps.unigramLp(uni))
+    assert(canon(TextOps.unigramEncode(docs, TextOps.unigramLp(um), umpl)) ==
+      canon(TextOps.unigramEncode(docs, TextOps.unigramLp(uni), 4)))
+
+    // overwrite is idempotent (a re-train replaces the artifact cleanly)
+    TextOps.writeTokenizer(merges, s"$root/bpe", "bpe")
+    assert(TextOps.readTokenizer(spark, s"$root/bpe")._1 == "bpe")
+
+    // torn/absent artifact: model parquet without a manifest must raise
+    val torn = s"$root/torn"
+    merges.write.mode("overwrite").parquet(s"$torn/model.parquet")
+    assert(!TextOps.tokenizerExists(torn))
+    intercept[IllegalArgumentException] { TextOps.readTokenizer(spark, torn) }
+    // family/param validation on write
+    intercept[IllegalArgumentException] {
+      TextOps.writeTokenizer(merges, s"$root/x", "wordpiece")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.writeTokenizer(uni, s"$root/x", "unigram", maxPieceLen = 9)
+    }
+  }
+
   test("dataCard seams: fromCounts variants equal their public ops exactly") {
     val docs = Seq(
       (1L, "a", "en", 0.9, true), (2L, "a", "en", 0.4, false),

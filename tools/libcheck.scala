@@ -61,6 +61,22 @@ def runLibcheck(): Unit = {
   check("TextOps.weightedSample")(TextOps.weightedSample(docs, "n_chars", 10))
   check("TextOps.capPerGroup")(TextOps.capPerGroup(docs, "source", col("n_chars"), 3))
   check("TextOps.bpePairs")(TextOps.bpePairs(docs))
+  // persisted tokenizer artifacts (r14): train -> write -> read -> serve,
+  // both families, via the public jar surface only
+  val tokRoot = java.nio.file.Files.createTempDirectory("graft-tok").toString
+  val tinyDocs = docs.filter(col("doc_id") < 300)
+  val bpeM = TextOps.bpeTrain(tinyDocs, 3)
+  TextOps.writeTokenizer(bpeM, s"$tokRoot/bpe", "bpe")
+  val (bpeFam, bpeLoaded, _) = TextOps.readTokenizer(spark, s"$tokRoot/bpe")
+  require(bpeFam == "bpe", s"tokenizer family round-trip: $bpeFam")
+  check("TextOps.write/readTokenizer bpe")(
+    TextOps.bpeEncode(tinyDocs, TextOps.bpeMergeSeq(bpeLoaded)))
+  val uniM = TextOps.unigramModel(tinyDocs, candN = 50, maxPieceLen = 3, rounds = 1)
+  TextOps.writeTokenizer(uniM, s"$tokRoot/uni", "unigram", 3)
+  val (uniFam, uniLoaded, uniMpl) = TextOps.readTokenizer(spark, s"$tokRoot/uni")
+  require(uniFam == "unigram" && uniMpl == 3, s"unigram manifest: $uniFam/$uniMpl")
+  check("TextOps.write/readTokenizer uni")(
+    TextOps.unigramEncode(tinyDocs, TextOps.unigramLp(uniLoaded), uniMpl))
   check("TextOps.bigramPerplexity")(TextOps.bigramPerplexity(docs))
   check("TextOps.trigramPerplexity")(TextOps.trigramPerplexity(docs))
   check("TextOps.mixWeights")(TextOps.mixWeights(docs))
