@@ -51,3 +51,30 @@ private[operators] final class GateMemo {
       }
     }
 }
+
+/** [[GateMemo]] for DRIVER-VALUE model state (e.g. the PQ codebooks —
+  * a [[SimilarityOps.PqModel]] Seq, not a DataFrame): same 2-entry LRU,
+  * same (session, dir, shuffle-partitions) key so the determinism sweep
+  * re-trains per partitioning, but no checkpoint — the value holds no
+  * Spark resources at all.
+  */
+private[operators] final class ValueMemo[A <: AnyRef] {
+  private val m =
+    new java.util.LinkedHashMap[(SparkSession, String, String), A](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), A]): Boolean =
+        size() > 2
+    }
+
+  def cached(s: SparkSession, d: String)(build: => A): A =
+    m.synchronized {
+      val k = (s, d, s.conf.get("spark.sql.shuffle.partitions", ""))
+      val hit = m.get(k)
+      if (hit != null) hit
+      else {
+        val v = build
+        m.put(k, v)
+        v
+      }
+    }
+}

@@ -25,6 +25,12 @@ object SimilarityOps {
 
   val DIM = 64
 
+  /** A trained PQ model: one `(sub, cid, codeword)` per codeword —
+    * m·ks rows of driver state (the [[pqModel]] / [[pqCodes]] /
+    * [[pqTopK]] / [[ivfPqTopK]] train-once/serve-many seam).
+    */
+  type PqModel = Seq[(Int, Long, Array[Double])]
+
   /** Exact cosine between two float-array columns, rounded to 6 decimals.
     * Delegates to the native codegen'd [[graft.functions.DotProduct]]
     * expression — same left-to-right double accumulation as the
@@ -232,6 +238,20 @@ object SimilarityOps {
     * same round-6 cosine argmax with smallest-cid tie-break, same decimal
     * Lloyd means; empty codewords drop exactly as there.
     */
+  /** Train the PQ codebooks and return them as driver state — the
+    * explicit-model seam (r14): the PQ family gates each re-ran the
+    * IDENTICAL deterministic training chain (seed TakeOrdered + two
+    * Lloyd-iteration scans ≈ 5 jobs) before their measured op; training
+    * once and feeding the model to the [[pqCodes]]/[[pqTopK]]/
+    * [[ivfPqTopK]] model overloads is the same train-once/serve-many
+    * contract [[trainCentroids]] + [[ivfPqTopK]]'s `cents` parameter
+    * already expose for the coarse quantizer. Training is deterministic
+    * (seeded init, decimal-exact means, smallest-cid tie-break), so the
+    * shared model is bit-identical to what each gate trained alone.
+    */
+  def pqModel(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
+      iters: Int = 2): PqModel = pqTrain(e0, m, subDim, ks, iters)
+
   private def pqTrain(e0: DataFrame, m: Int, subDim: Int, ks: Int,
       iters: Int): Seq[(Int, Long, Array[Double])] = {
     OpContract.requireCols(e0, "SimilarityOps.pqTrain", "vec_id", "embedding")
@@ -386,10 +406,15 @@ object SimilarityOps {
     * row; scan → project → write, nothing else.
     */
   def pqCodes(e0: DataFrame, m: Int = 4, subDim: Int = 16, ks: Int = 4,
-      iters: Int = 2): DataFrame = {
-    val model = pqTrain(e0, m, subDim, ks, iters)
+      iters: Int = 2): DataFrame =
+    pqCodes(e0, pqTrain(e0, m, subDim, ks, iters), m, subDim)
+
+  /** [[pqCodes]] under a caller-trained [[PqModel]] — the encode is the
+    * same single shuffle-free projection; only the training moved to the
+    * caller ([[pqModel]]).
+    */
+  def pqCodes(e0: DataFrame, model: PqModel, m: Int, subDim: Int): DataFrame =
     pqEncode(e0, model, m, subDim)
-  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay exact,
     * corpus vectors are represented by their codewords. Per query the
@@ -446,9 +471,14 @@ object SimilarityOps {
 
   def pqTopK(e0: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
       subDim: Int = 16, ks: Int = 4, iters: Int = 2,
-      excludeQueryId: Boolean = true): DataFrame = {
+      excludeQueryId: Boolean = true): DataFrame =
+    pqTopK(e0, queries, k, pqTrain(e0, m, subDim, ks, iters), m, subDim,
+      excludeQueryId)
+
+  /** [[pqTopK]] under a caller-trained [[PqModel]] (see [[pqModel]]). */
+  def pqTopK(e0: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+      m: Int, subDim: Int, excludeQueryId: Boolean): DataFrame = {
     OpContract.requireCols(queries, "SimilarityOps.pqTopK queries", "query_id", "qe")
-    val model = pqTrain(e0, m, subDim, ks, iters)
     val codes = pqEncode(e0, model, m, subDim)
     val q = pqLutQueries(queries, model, m, subDim)
     val self = if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true)
@@ -470,13 +500,22 @@ object SimilarityOps {
     */
   def ivfPqTopK(e0: DataFrame, queries: DataFrame, cents: DataFrame,
       nprobe: Int, k: Int, m: Int = 4, subDim: Int = 16, ks: Int = 4,
-      iters: Int = 2, excludeQueryId: Boolean = true): DataFrame = {
+      iters: Int = 2, excludeQueryId: Boolean = true): DataFrame =
+    ivfPqTopK(e0, queries, cents, nprobe, k,
+      pqTrain(e0, m, subDim, ks, iters), m, subDim, excludeQueryId)
+
+  /** [[ivfPqTopK]] under a caller-trained [[PqModel]] (see [[pqModel]]) —
+    * the fine-quantizer counterpart of the `cents` parameter, completing
+    * the train-once/serve-many seam for both IVFADC stages.
+    */
+  def ivfPqTopK(e0: DataFrame, queries: DataFrame, cents: DataFrame,
+      nprobe: Int, k: Int, model: PqModel, m: Int, subDim: Int,
+      excludeQueryId: Boolean): DataFrame = {
     OpContract.requireCols(e0, "SimilarityOps.ivfPqTopK corpus", "vec_id", "embedding")
     OpContract.requireCols(queries, "SimilarityOps.ivfPqTopK queries", "query_id", "qe")
     OpContract.requireCols(cents, "SimilarityOps.ivfPqTopK centroids", "cid", "ce")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val assigned = assignToCentroids(e, cents).select(col("vec_id"), col("cid"))
-    val model = pqTrain(e0, m, subDim, ks, iters)
     val codes = pqEncode(e0, model, m, subDim)
     val qw = Window.partitionBy(col("query_id")).orderBy(col("qcsim").desc, col("cid"))
     val probes = queries

@@ -283,6 +283,20 @@ object SimilarityQueries {
       SimilarityOps.trainCentroids(e, firstCentroids(e), 2)
     }
 
+  /** The default-config PQ codebooks SHARED by the five PQ-family gates
+    * (emb_pq_codes / knn_pq / knn_ivfpq / knn_ivfpq_trained /
+    * knn_eval_pq) — the [[trainedCents]] pattern extended to the fine
+    * quantizer (r14): each gate re-ran the identical deterministic
+    * 5-job training chain before its measured encode/ADC work. Driver
+    * value state (m·ks codeword arrays), memoized per (session, dir,
+    * shuffle-partitions) like every shared training.
+    */
+  private val pqModelCache = new ValueMemo[SimilarityOps.PqModel]
+  private def pqModelOf(s: SparkSession, d: String): SimilarityOps.PqModel =
+    pqModelCache.cached(s, d) {
+      SimilarityOps.pqModel(t(s, d, "embeddings"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // IVF with TRAINED centroids: seed from the first vectors, run two
@@ -402,7 +416,8 @@ object SimilarityQueries {
     "knn_eval_pq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.annRecall(
-        SimilarityOps.pqTopK(e, queriesOf(e), TOP_K),
+        SimilarityOps.pqTopK(e, queriesOf(e), TOP_K, pqModelOf(s, d), 4, 16,
+          excludeQueryId = true),
         SimilarityOps.bruteTopK(e, queriesOf(e), TOP_K), TOP_K)
         .orderBy("query_id")
     }),
@@ -518,13 +533,15 @@ object SimilarityQueries {
     // trained with two Lloyd iterations per subspace (the ivf_trained
     // pattern, unrolled per-subspace in the oracle).
     "emb_pq_codes" -> ((s, d) =>
-      SimilarityOps.pqCodes(t(s, d, "embeddings")).orderBy("vec_id")),
+      SimilarityOps.pqCodes(t(s, d, "embeddings"), pqModelOf(s, d), 4, 16)
+        .orderBy("vec_id")),
 
     // ADC top-k over the PQ codes — the IVFADC building block; queries
     // exact, corpus represented by codewords, fixed-association LUT sums.
     "knn_pq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      SimilarityOps.pqTopK(e, queriesOf(e), TOP_K)
+      SimilarityOps.pqTopK(e, queriesOf(e), TOP_K, pqModelOf(s, d), 4, 16,
+        excludeQueryId = true)
     }),
 
     // IVFADC: coarse lists (the knn_ivf deterministic quantizer) prune,
@@ -533,7 +550,7 @@ object SimilarityQueries {
     "knn_ivfpq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.ivfPqTopK(e, queriesOf(e), broadcast(firstCentroids(e)),
-        N_PROBE, TOP_K)
+        N_PROBE, TOP_K, pqModelOf(s, d), 4, 16, excludeQueryId = true)
     }),
 
     // IVFADC with the TRAINED coarse quantizer — the knn_ivf_trained Lloyd
@@ -543,7 +560,8 @@ object SimilarityQueries {
     "knn_ivfpq_trained" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cents = trainedCents(s, d)
-      SimilarityOps.ivfPqTopK(e, queriesOf(e), cents, N_PROBE, TOP_K)
+      SimilarityOps.ivfPqTopK(e, queriesOf(e), cents, N_PROBE, TOP_K,
+        pqModelOf(s, d), 4, 16, excludeQueryId = true)
     }))
 
   def oracleSql: Map[String, String] = Map(

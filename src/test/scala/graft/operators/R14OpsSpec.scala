@@ -161,4 +161,30 @@ class R14OpsSpec extends SparkTestBase {
     assert(canon(AuditOps.giniFromCounts(src)) ==
       canon(AuditOps.giniReport(docs, "source")))
   }
+
+  test("PQ model seam: caller-trained pqModel feeds pqCodes/pqTopK/ivfPqTopK " +
+      "identically to self-trained (the r14 shared-training overloads)") {
+    import graft.core.DeterministicRng
+    val dim = SimilarityOps.DIM
+    val vecs = (0 until 40).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        (DeterministicRng.uniform(31L, id.toLong, 0L, i.toLong) - 0.5).toFloat).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding").repartition(3)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val model = SimilarityOps.pqModel(e)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(SimilarityOps.pqCodes(e, model, 4, 16)) ==
+      canon(SimilarityOps.pqCodes(e)))
+    assert(canon(SimilarityOps.pqTopK(e, q, 5, model, 4, 16,
+        excludeQueryId = true)) ==
+      canon(SimilarityOps.pqTopK(e, q, 5)))
+    assert(canon(SimilarityOps.ivfPqTopK(e, q, cents, 2, 5, model, 4, 16,
+        excludeQueryId = true)) ==
+      canon(SimilarityOps.ivfPqTopK(e, q, cents, 2, 5)))
+  }
 }
