@@ -716,16 +716,8 @@ object SimilarityOps {
     * means ride into the projection as one small literal array.
     */
   def normalizeEmbeddings(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     OpContract.requireCols(e, "SimilarityOps.normalizeEmbeddings", "vec_id", "embedding")
-    val meansRows = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("dim")
-      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
-        count(lit(1))).as("m"))
-      .collect()
-    val means = new Array[Double](meansRows.length)
-    meansRows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    val means = dimMeans(e)
     e.withColumn("cent", zip_with(col("embedding"), typedLit(means),
         (x, m) => x.cast("double") - m))
       .withColumn("nrm",
@@ -734,6 +726,55 @@ object SimilarityOps {
         .otherwise(transform(col("cent"), x => round(x / col("nrm"), 6))))
       .withColumn("norm", round(col("nrm"), 6))
       .drop("cent", "nrm")
+  }
+
+  /** Per-dim decimal-exact means — [[normalizeEmbeddings]]' model state.
+    * The (dim, x) explode aggregates map-side (the shuffle carries only
+    * dim-keyed decimal partials, never vectors), so the scan's own
+    * parallelism is enough: no spreading repartition — that was a full
+    * shuffle of every embedding just to re-balance a pass whose per-row
+    * work is one explode.
+    */
+  private def dimMeans(e: DataFrame): Array[Double] = {
+    import org.apache.spark.sql.types.DecimalType
+    val meansRows = e
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .collect()
+    val means = new Array[Double](meansRows.length)
+    meansRows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    means
+  }
+
+  /** [[normalizeEmbeddings]] in MELTED (vec_id, dim, v, norm, label) form —
+    * row-for-row and bit-for-bit the array op followed by
+    * `posexplode(embedding)`, restructured so the per-element work runs
+    * ONCE: the array op's posexplode-of-a-derived-array shape makes
+    * Catalyst push the generator's inferred `size(...) > 0` filter below
+    * the projections, inlining the whole center→norm→divide→round tree
+    * into a Filter that re-evaluates it several times per row (and
+    * bloats codegen). Here the norm is projected once per VECTOR before
+    * the explode, the explode runs over the cheap centered array, and
+    * the divide+round runs once per ELEMENT after it. Same means, same
+    * arithmetic, same row multiplicity (the generator sees the same
+    * centered array), so the melted gate hash is unchanged.
+    */
+  def normalizeEmbeddingsMelted(e: DataFrame): DataFrame = {
+    OpContract.requireCols(e, "SimilarityOps.normalizeEmbeddingsMelted",
+      "vec_id", "embedding", "label")
+    val means = dimMeans(e)
+    val cent = zip_with(col("embedding"), typedLit(means),
+      (x, m) => x.cast("double") - m)
+    e.select(col("vec_id"), col("label"), cent.as("cent"),
+        sqrt(graft.functions.VectorFunctions.dot_product(cent, cent)).as("nrm"))
+      .select(col("vec_id"), col("label"), col("nrm"),
+        posexplode(col("cent")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("nrm") === 0.0, col("x"))
+          .otherwise(round(col("x") / col("nrm"), 6)).as("v"),
+        round(col("nrm"), 6).as("norm"), col("label"))
   }
 
   /** Random-projection dimensionality reduction (Achlioptas-style sparse

@@ -467,12 +467,10 @@ object SimilarityQueries {
     // melts the double array to (vec_id, dim, v) rows — double VALUES
     // compare exactly through parquet/duckdb, double STRING rendering
     // does not (the emb_quantize CSV convention is integer-only).
+    // Melted op form: identical values/rows to normalizeEmbeddings +
+    // posexplode, without the duplicated-expression Filter (r14).
     "emb_normalize" -> ((s, d) =>
-      SimilarityOps.normalizeEmbeddings(t(s, d, "embeddings"))
-        .select(col("vec_id"), col("label"), col("norm"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"),
-          col("norm"), col("label"))
+      SimilarityOps.normalizeEmbeddingsMelted(t(s, d, "embeddings"))
         .orderBy("vec_id", "dim")),
 
     // Per-label class centroids — decimal-exact means, the lloydStep

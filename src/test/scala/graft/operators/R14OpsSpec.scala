@@ -187,4 +187,27 @@ class R14OpsSpec extends SparkTestBase {
         excludeQueryId = true)) ==
       canon(SimilarityOps.ivfPqTopK(e, q, cents, 2, 5)))
   }
+
+  test("normalizeEmbeddingsMelted == normalizeEmbeddings + posexplode, " +
+      "bit-for-bit incl. the zero-norm passthrough (r14 gate restructure)") {
+    // means (2,2); centered (-1,1),(1,-1),(0,0); vec 3 exercises the
+    // nrm == 0 branch (unrounded centered values pass through)
+    val e = Seq((1L, Array(1f, 3f), 7), (2L, Array(3f, 1f), 7),
+        (3L, Array(2f, 2f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val viaArray = SimilarityOps.normalizeEmbeddings(e)
+      .select(col("vec_id"), col("label"), col("norm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"),
+        col("norm"), col("label"))
+    val melted = SimilarityOps.normalizeEmbeddingsMelted(e)
+    def bits(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), r.getInt(4))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(bits(melted) == bits(viaArray))
+    assert(melted.columns.toSeq ==
+      Seq("vec_id", "dim", "v", "norm", "label"))
+  }
 }
