@@ -917,8 +917,17 @@ object ScaleBench {
       case "simdemo10x" => runSimDemo(spark, mult = 10)
       case "bucketed" => runBucketed(spark, sfDir)
       case "ivfcompact" => runIvfCompact(spark, sfDir)
+      // corpus build only (all five fact tables), for running the FULL
+      // battery at Nx via `SPARK_GRAFT_SF_DIR=<dir> runMain graft.Bench`
+      // with the unscaled dims symlinked in — the r13 10x full-battery
+      // procedure, generalized so the 30x point (VERDICT-r13 #5) uses
+      // the same composed-rotation corpus scheme.
+      case "build" =>
+        val outDir = args(1)
+        val copies = args(2).toInt
+        buildCorpus(spark, sfDir, outDir, copies = copies)
       case other =>
-        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x | bucketed | ivfcompact)")
+        sys.error(s"unknown mode $other (corpus10x | curve | simdemo | simdemo10x | bucketed | ivfcompact | build)")
     }
     spark.stop()
   }
