@@ -63,7 +63,14 @@ object Bench {
       val t = try {
         val a = once(); val b = once()
         val lo = math.min(a, b); val hi = math.max(a, b)
-        val mn = if (lo > 0.05 && hi / lo > 3.0) math.min(lo, once()) else lo
+        // The tie-break run must not be able to FAIL the gate: two valid
+        // timings already exist, so a throw here (one-off OOM/GC artifact)
+        // falls back to their min instead of reporting (-1,-1,-1)
+        // (ADVICE r13).
+        val mn =
+          if (lo > 0.05 && hi / lo > 3.0)
+            try math.min(lo, once()) catch { case _: Throwable => lo }
+          else lo
         (mn, a, b)
       } catch {
         case e: Throwable =>
