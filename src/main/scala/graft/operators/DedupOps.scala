@@ -188,10 +188,16 @@ object DedupOps {
     // the exploded+hashed postings feed THREE consumers (df counts, the
     // rank join, the verify stage) — checkpoint once so the corpus
     // scan/shingle/hash pipeline runs once, not three times (the
-    // tfidfPairs postings discipline; measured 4.0 -> ~2.6 s at sf0.1)
+    // tfidfPairs postings discipline; measured 4.0 -> ~2.6 s at sf0.1).
+    // Only the 64-bit hash is checkpointed — every consumer (df counts,
+    // rank window, candidate join, verify counts) keys on shx; the
+    // shingle STRING (~25 B/row vs 8 B) was materialized and carried
+    // through the rank window join without ever being read (guide §6 /
+    // §2.3: narrower types, project before the exchange).
     val inv = sets.select(col("doc_id"), col("lang"), col("sz"),
         explode(col("sh")).as("shingle"))
-      .withColumn("shx", xxhash64(col("shingle")))
+      .select(col("doc_id"), col("lang"), col("sz"),
+        xxhash64(col("shingle")).as("shx"))
       .localCheckpoint()
     val dfreq = inv.groupBy("lang", "shx").agg(count(lit(1)).as("df"))
     val ranked = inv.join(dfreq, Seq("lang", "shx"))

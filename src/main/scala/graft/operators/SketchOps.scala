@@ -437,36 +437,45 @@ object SketchOps {
   private[operators] def refineFromCounts(binned: DataFrame, counts: DataFrame,
       permille: Seq[Int]): DataFrame = {
     require(permille.forall(p => p >= 0 && p <= 1000), s"permille out of range: $permille")
-    val spark = binned.sparkSession
-    import spark.implicits._
-    // cum_prev = rows strictly before this bin within the group — window
-    // over the ≤ groups×bins counter table, not the data
-    val cumc = counts.withColumn("cum_prev",
-      coalesce(sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val n = counts.groupBy("g").agg(sum(col("cnt")).as("n"))
-    // integer rank targets per (group, p): idxnum = (n-1)*permille
-    val targets = n.crossJoin(permille.toDF("p"))
-      .withColumn("idxnum", (col("n") - 1) * col("p"))
-      .withColumn("fr", col("idxnum") % 1000)
-      .withColumn("rank_lo", expr("idxnum div 1000") + 1)
-      .withColumn("rank_hi",
-        expr("idxnum div 1000") + when(col("fr") > 0, 2).otherwise(1))
-      .select("g", "p", "n", "fr", "rank_lo", "rank_hi")
-    // the bins holding the target ranks: rank ∈ (cum_prev, cum_prev+cnt]
-    val needed = targets.join(cumc.withColumnRenamed("g", "cg"),
-        col("cg") === col("g") && (
-          (col("rank_lo") > col("cum_prev") && col("rank_lo") <= col("cum_prev") + col("cnt")) ||
-          (col("rank_hi") > col("cum_prev") && col("rank_hi") <= col("cum_prev") + col("cnt"))))
-      .select(col("g"), col("bin"), col("cum_prev")).distinct()
+    // ONE ordered window pass over the ≤ groups×bins counter table computes
+    // BOTH cum_prev (rows strictly before this bin within the group) and the
+    // group total n (full-frame sum over the same partition/order spec, so
+    // Catalyst evaluates both in a single Window over a single exchange).
+    // The previous shape paid a second groupBy(g) aggregate for n, a
+    // crossJoin building a per-(g,p) targets table, a join+distinct locating
+    // the needed bins, and a second broadcast join re-attaching the targets
+    // to the survivors — four extra plan stages per refine whose values are
+    // all derivable per row from (n, cum_prev, cnt) and the permille
+    // LITERALS (guide §2.4: remove shuffles outright). Rank arithmetic is
+    // unchanged integer-for-integer: idxnum = (n-1)*permille,
+    // rank_lo/rank_hi its floor-div bracket.
+    val w = Window.partitionBy(col("g")).orderBy(col("bin"))
+    val cumc = counts
+      .withColumn("cum_prev", coalesce(sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // the bins holding any target rank: rank ∈ (cum_prev, cum_prev+cnt]
+    def rankLo(p: Int) = expr(s"((n - 1) * $p) div 1000") + lit(1L)
+    def rankHi(p: Int) =
+      rankLo(p) + when(((col("n") - 1) * p) % 1000 > 0, 1L).otherwise(0L)
+    def hits(r: Column) = r > col("cum_prev") && r <= col("cum_prev") + col("cnt")
+    val needed = cumc
+      .filter(permille.map(p => hits(rankLo(p)) || hits(rankHi(p))).reduce(_ || _))
+      .select(col("g"), col("bin"), col("cum_prev"), col("n"))
     // pass 2: only target-bin rows are sorted; global rank = cum_prev + rn
     val survivors = binned.join(broadcast(needed), Seq("g", "bin"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("g"), col("bin")).orderBy(col("v"))))
       .withColumn("grank", col("cum_prev") + col("rn"))
-    survivors.join(broadcast(targets).withColumnRenamed("g", "tg"),
-        col("tg") === col("g") &&
-          (col("grank") === col("rank_lo") || col("grank") === col("rank_hi")))
+    survivors.select(col("g"), col("n"), col("v"), col("grank"),
+        explode(typedLit(permille)).as("p"))
+      .withColumn("idxnum", (col("n") - 1) * col("p"))
+      .withColumn("fr", col("idxnum") % 1000)
+      .withColumn("rank_lo", expr("idxnum div 1000") + 1)
+      .withColumn("rank_hi",
+        expr("idxnum div 1000") + when(col("fr") > 0, 2).otherwise(1))
+      .filter(col("grank") === col("rank_lo") || col("grank") === col("rank_hi"))
       .groupBy(col("g"), col("p"), col("n"), col("fr"))
       .agg(max(when(col("grank") === col("rank_lo"), col("v"))).as("v_lo"),
         max(when(col("grank") === col("rank_hi"), col("v"))).as("v_hi"))
