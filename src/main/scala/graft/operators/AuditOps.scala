@@ -3402,24 +3402,37 @@ object AuditOps {
       jsdFromCounts(docCounts.select(col("grp"), col("cat"),
         col("cnt").as("o"))),
       "mix", "jsd_norm", col("jsd_norm"))
+    // the single-row global reports fan out to several card rows each;
+    // emitting them through ONE explode per report (instead of one union
+    // branch per metric) keeps exactly one copy of each report subtree in
+    // the initial plan — the 4 privacy + 2 independence branches were
+    // re-analyzed/re-optimized copies of the same kAnonymity/independence
+    // reduction (guide §3.3's plan-size cost; runtime was already deduped
+    // by exchange reuse, planning was not)
+    def globalRows(df: DataFrame, section: String,
+        metrics: Seq[(String, Column)]): DataFrame =
+      df.select(explode(array(metrics.map { case (m, v) =>
+          struct(lit(section).as("section"),
+            lit("__corpus__").as("source"), lit(m).as("metric"),
+            v.cast("double").as("value"))
+        }: _*)).as("r"))
+        .select(col("r.section").as("section"), col("r.source").as("source"),
+          col("r.metric").as("metric"), col("r.value").as("value"))
     val ka = kAnonymityReport(docs, quasiCols, sensitiveCol, k, l)
-    val privacy = globalRow(ka, "privacy", "k_anonymous",
-        when(col("k_anonymous"), 1.0).otherwise(0.0))
-      .unionByName(globalRow(ka, "privacy", "l_diverse",
-        when(col("l_diverse"), 1.0).otherwise(0.0)))
-      .unionByName(globalRow(ka, "privacy", "min_group_size",
-        col("min_group_size")))
-      .unionByName(globalRow(ka, "privacy", "frac_below_k",
-        coalesce(col("frac_below_k"), lit(0.0))))
+    val privacy = globalRows(ka, "privacy", Seq(
+      "k_anonymous" -> when(col("k_anonymous"), 1.0).otherwise(0.0),
+      "l_diverse" -> when(col("l_diverse"), 1.0).otherwise(0.0),
+      "min_group_size" -> col("min_group_size"),
+      "frac_below_k" -> coalesce(col("frac_below_k"), lit(0.0))))
     val gini = globalRow(
       giniFromCounts(srcCounts.select(col("grp").as("cat"),
         col("n").as("cnt"))),
       "concentration", "gini", col("gini"))
     val ind = independenceFromCounts(docCounts.select(col("cat").as("a"),
       col("grp").as("b"), col("cnt").as("o")))
-    val indep = globalRow(ind, "independence", "cramers_v", col("cramers_v"))
-      .unionByName(globalRow(ind, "independence", "dependent",
-        when(col("dependent"), 1.0).otherwise(0.0)))
+    val indep = globalRows(ind, "independence", Seq(
+      "cramers_v" -> col("cramers_v"),
+      "dependent" -> when(col("dependent"), 1.0).otherwise(0.0)))
     volume.unionByName(auc).unionByName(ece).unionByName(f1)
       .unionByName(lift).unionByName(tvd).unionByName(psi).unionByName(ks)
       .unionByName(mix)

@@ -1508,8 +1508,15 @@ object TextOps {
     require(maxDf >= 2, s"tfidfPairs needs maxDf >= 2, got $maxDf")
     require(minCos >= 0.0 && minCos <= 1.0, s"minCos in [0,1], got $minCos")
     val d = spread(OpContract.requireCols(docs, "TextOps.tfidfPairs", "doc_id", "text"))
+    // the shingle STRING never reaches the output — every downstream use
+    // (tf/df group keys, the pair self-join key) only tests equality — so
+    // the term space is keyed by the 64-bit xxhash of the shingle from the
+    // explode on (the dd-family candidate-stage convention: ~25 B string ->
+    // 8 B key in both checkpoints and the self-join shuffle; collisions
+    // ~|shingles|^2/2^64, value-oracle-checked at every SF)
     val tf = d.filter(size(words) >= 3)
-      .select(col("doc_id"), explode(positionalShingles(3)).as("s"))
+      .select(col("doc_id"), explode(positionalShingles(3)).as("sw"))
+      .select(col("doc_id"), xxhash64(col("sw")).as("s"))
       .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val st = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
