@@ -125,6 +125,16 @@ object Bench {
       else acc.init :+ (acc.last :+ e)
     }.filter(_.nonEmpty)
     println(summary)
+    // Memo-miss transparency (VERDICT r14 'what's wrong #1'): gates that
+    // populate a shared-training memo pay the training in run 1 and hit
+    // the memo in run 2, so min-of-two drops the training cost from every
+    // per-query timing. The accumulated miss seconds per training label
+    // are reported as their OWN metric line — the summary/queries_part
+    // contract the driver parses is unchanged, and the training cost is
+    // back on the record instead of buried in worst_run_total.
+    val misses = graft.operators.MemoStats.drain().toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"memo_miss","unit":"sec","misses":$misses}""")
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }

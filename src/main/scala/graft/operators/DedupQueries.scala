@@ -32,7 +32,7 @@ object DedupQueries {
     * verified candidates (≤ true near-dups, never corpus-sized), so the
     * checkpoint pins bounded state like every memoized model table.
     */
-  private val pairsCache = new GateMemo
+  private val pairsCache = new GateMemo("dd_pair_table")
   private def minhashPairsOf(s: SparkSession, d: String): DataFrame =
     pairsCache.cached(s, d)(DedupOps.minhashPairs(t(s, d, "documents")))
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by Spark's ContextCleaner once the RDD is unreferenced — no explicit
   * unpersist hook exists or is needed.
   */
-private[operators] final class GateMemo {
+private[operators] final class GateMemo(label: String = "") {
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -45,11 +45,36 @@ private[operators] final class GateMemo {
       val hit = m.get(k)
       if (hit != null) hit
       else {
+        val t0 = System.nanoTime()
         val v = train.localCheckpoint()
+        MemoStats.record(label, (System.nanoTime() - t0) / 1e9)
         m.put(k, v)
         v
       }
     }
+}
+
+/** Per-label accumulated memo-MISS seconds, drained by [[graft.Bench]]
+  * into a `{"metric":"memo_miss",...}` line: the min-of-two bench
+  * interacts with the memos so that a memo-populating gate's FIRST run
+  * pays training and its second run hits — min picks the cheap run and
+  * the training cost would otherwise appear in no gate's reported
+  * timing, only in worst_run_total (VERDICT r14 'what's wrong #1').
+  * Misses are timed where they happen (inside whatever gate ran first),
+  * so reporting them is pure bookkeeping — no timing semantics change.
+  */
+object MemoStats {
+  private val m = scala.collection.mutable.Map.empty[String, Double]
+  private[operators] def record(label: String, sec: Double): Unit =
+    if (label.nonEmpty) m.synchronized {
+      m.update(label, m.getOrElse(label, 0.0) + sec)
+    }
+  /** Accumulated miss seconds per label since the last drain. */
+  def drain(): Map[String, Double] = m.synchronized {
+    val out = m.toMap
+    m.clear()
+    out
+  }
 }
 
 /** [[GateMemo]] for DRIVER-VALUE model state (e.g. the PQ codebooks —
@@ -58,7 +83,7 @@ private[operators] final class GateMemo {
   * re-trains per partitioning, but no checkpoint — the value holds no
   * Spark resources at all.
   */
-private[operators] final class ValueMemo[A <: AnyRef] {
+private[operators] final class ValueMemo[A <: AnyRef](label: String = "") {
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String, String), A](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -72,7 +97,9 @@ private[operators] final class ValueMemo[A <: AnyRef] {
       val hit = m.get(k)
       if (hit != null) hit
       else {
+        val t0 = System.nanoTime()
         val v = build
+        MemoStats.record(label, (System.nanoTime() - t0) / 1e9)
         m.put(k, v)
         v
       }

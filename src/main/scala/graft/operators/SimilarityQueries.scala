@@ -276,7 +276,7 @@ object SimilarityQueries {
     * the oracle CTE chains are untouched.
     */
   // Small LRU, not an unbounded map (ADVICE r12) — see [[GateMemo]].
-  private val trainedCache = new GateMemo
+  private val trainedCache = new GateMemo("lloyd_centroids")
   private def trainedCents(s: SparkSession, d: String): DataFrame =
     trainedCache.cached(s, d) {
       val e = t(s, d, "embeddings")
@@ -291,7 +291,7 @@ object SimilarityQueries {
     * value state (m·ks codeword arrays), memoized per (session, dir,
     * shuffle-partitions) like every shared training.
     */
-  private val pqModelCache = new ValueMemo[SimilarityOps.PqModel]
+  private val pqModelCache = new ValueMemo[SimilarityOps.PqModel]("pq_train")
   private def pqModelOf(s: SparkSession, d: String): SimilarityOps.PqModel =
     pqModelCache.cached(s, d) {
       SimilarityOps.pqModel(t(s, d, "embeddings"))

@@ -17,7 +17,7 @@ object TextQueries {
 
   // ONE BPE training per (session, dir), shared by the three tokenizer
   // gates — see the tx_bpe_train gate comment and [[GateMemo]].
-  private val bpeCache = new GateMemo
+  private val bpeCache = new GateMemo("bpe_train")
   private def bpeMergesDf(s: SparkSession, d: String): DataFrame =
     bpeCache.cached(s, d) {
       TextOps.bpeTrain(t(s, d, "documents"), 3).orderBy("merge_round")
@@ -28,7 +28,7 @@ object TextQueries {
 
   // ONE unigram-LM training per (session, dir), shared by the train and
   // fertility gates (same GateMemo discipline as BPE/Lloyd).
-  private val uniCache = new GateMemo
+  private val uniCache = new GateMemo("unigram_train")
   private def uniModelDf(s: SparkSession, d: String): DataFrame =
     uniCache.cached(s, d) {
       TextOps.unigramModel(t(s, d, "documents"), candN = 500,
@@ -38,7 +38,7 @@ object TextQueries {
   // (require <= 4) against an oracle DP window of the same depth —
   // through r13 the oracle was hard-coded 3-deep, silently un-oracling
   // any maxPieceLen=4 caller (VERDICT r13 #6)
-  private val uniCache4 = new GateMemo
+  private val uniCache4 = new GateMemo("unigram_train4")
   private def uniModelDf4(s: SparkSession, d: String): DataFrame =
     uniCache4.cached(s, d) {
       TextOps.unigramModel(t(s, d, "documents"), candN = 500,
