@@ -847,12 +847,42 @@ object SimilarityOps {
     * under a quarter of all-pairs (12-bit/24-table configuration).
     */
   def nearPairsLsh(e0: DataFrame, threshold: Double, bits: Int, tables: Int,
-      seed: Long): DataFrame = {
+      seed: Long, maxCandidates: Long = 200000000L): DataFrame = {
     OpContract.requireCols(e0, "SimilarityOps.nearPairsLsh", "vec_id", "embedding")
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val sigArr = graft.functions.VectorFunctions.lsh_signatures(
       col("embedding"), seed, tables, bits, DIM)
-    val sigs = e.select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
+    val sigs0 = e.select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
+    // SATURATION GUARD (r15): a fixed (bits, tables) blocking saturates
+    // when the corpus outgrows 2^bits — every bucket goes quadratic and
+    // the candidate shuffle explodes long before the verify stage can
+    // prune (at 30x the gate corpus this op OOM'd a 64 g heap and filled
+    // ~79 GB of shuffle disk before dying). Estimate the candidate count
+    // from bucket occupancies (Σ c·(c−1)/2 — one cheap aggregate over the
+    // signature rows, broadcast as a scalar) and refuse LOUDLY on the
+    // FIRST map-side row of the candidate shuffle, before any pair is
+    // written. The guard is plan-internal and lazy: at sane occupancy it
+    // is a constant-true filter, and the only added cost is the broadcast
+    // job's signature scan+agg. The estimate is a guard, not an output —
+    // a double sum is deliberate (an exact integer Σc² would itself
+    // overflow at exactly the corpus sizes the guard exists for).
+    // (estimate from the raw scan, not the repartitioned branch — the
+    // guard needs bucket counts only, and re-running the repartition
+    // exchange inside the broadcast job would double its cost)
+    val est = e0.select(posexplode(sigArr).as(Seq("tbl", "sig")))
+      .groupBy("tbl", "sig").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c").cast("double") * (col("c") - 1) / 2.0),
+        lit(0.0)).as("est_cand"))
+    val sigs = sigs0.crossJoin(broadcast(est))
+      .filter(when(col("est_cand") <= lit(maxCandidates.toDouble), lit(true))
+        .otherwise(raise_error(concat(
+          lit("SimilarityOps.nearPairsLsh: ~"), col("est_cand").cast("long"),
+          lit(s" candidate pairs from the (bits=$bits, tables=$tables) " +
+            s"blocking exceed maxCandidates=$maxCandidates — the fixed-width " +
+            "signature is saturated at this corpus size; scale bits with " +
+            "log2(n) (the near_pairs_lsh_09_scaledbits twin) or raise " +
+            "maxCandidates"))).cast("boolean")))
+      .select(col("vec_id"), col("tbl"), col("sig"))
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -57,6 +57,30 @@ class R15OpsSpec extends SparkTestBase {
     assert(got(("t", 0.9)) == ((5.2, 7L)), got.toString)
   }
 
+  test("nearPairsLsh saturation guard: loud refusal before the pair join" +
+      " when estimated candidates exceed maxCandidates; pass-through and" +
+      " identical pairs at sane occupancy") {
+    val e = (1 to 12).map(i => (i.toLong,
+      Array.tabulate(graft.operators.SimilarityOps.DIM)(d =>
+        (((i * 31 + d * 17) % 7) - 3).toFloat))).toDF("vec_id", "embedding")
+    val ok = SimilarityOps.nearPairsLsh(e, 0.4, 4, 8, 4241L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tiny cap -> the guard must throw BEFORE any pair is produced, with
+    // the actionable message naming the scaled-bits twin
+    val ex = intercept[Exception] {
+      SimilarityOps.nearPairsLsh(e, 0.4, 4, 8, 4241L, maxCandidates = 1L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("saturated") &&
+      m.contains("maxCandidates=1")), msgs(ex).mkString(" | "))
+    // default cap: guard is a constant-true filter — pairs unchanged
+    val dflt = SimilarityOps.nearPairsLsh(e, 0.4, 4, 8, 4241L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == ok)
+  }
+
   test("refineFromCounts: agrees with built-in percentile on a 2-group" +
       " random-ish integer load (the q22/q34 tie, small form)") {
     val vals = (1 to 97).map(i => (if (i % 3 == 0) "u" else "v",
