@@ -1762,9 +1762,15 @@ object AuditOps {
     * collapses through two integer floor divisions (per-sample
     * 3·R2_g² div n_g, then ·10⁶ div n(n+1)) — bit-identical
     * cross-engine, error < k/10⁶ rank units — and the tie-corrected H
-    * is ONE division of exact integers. Width bound: Σ3·R2_g²/n_g ≈
-    * 12·n³/k must fit 64 bits — fine to ~10⁵·k^(1/3) million rows;
-    * pre-aggregate beyond (the [[anovaReport]] note).
+    * is ONE division of exact integers. The floor divisions are
+    * evaluated as EXACT DECIMAL(38,0) arithmetic ((a − a mod b)/b — the
+    * remainder is exact, the quotient an exact multiple, so no rounding
+    * anywhere), not Spark's IntegralDivide, whose LONG result overflowed
+    * at ~12·n²·n_g > 2⁶³ ≈ 1.8M rows (the r14 30× failure; DuckDB's
+    * HUGEINT `//` never had the bound). Width bound now: 3·R2_g² ≈
+    * 12·n⁴/k² and hq·n³ ≈ 10⁶·n⁴ must fit 38 digits — fine to ~10⁸ rows
+    * per test; pre-aggregate beyond (the [[anovaReport]] note). Past it
+    * the DECIMAL overflow still fails LOUDLY under ANSI.
     *
     * Scale shape: one (sample, value) count aggregation; the global
     * rank window runs over the DISTINCT-VALUE table (bounded by the
@@ -1791,11 +1797,17 @@ object AuditOps {
     val ties = cx.agg(
       sum(col("c").cast(dec) * col("c") * col("c") - col("c")).cast(dec)
         .as("tt"))
+    // exact decimal floor division for NONNEGATIVE operands: the decimal
+    // remainder is exact and (a − a mod b) is an exact multiple of b, so
+    // the division introduces no rounding — unlike IntegralDivide, the
+    // quotient never passes through LONG (whose 2⁶³ bound this op's
+    // 12·n²·n_g term crossed at 30× the gate corpus)
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast(dec)
     val agg = perS.agg(count(lit(1)).as("k"), sum("ng").as("n"),
-        sum(call_function("div", lit(3L) * col("r2") * col("r2"),
+        sum(fdiv(lit(3L).cast(dec) * col("r2") * col("r2"),
           col("ng").cast(dec))).cast(dec).as("tsum"))
       .crossJoin(broadcast(ties))
-      .withColumn("a", call_function("div", col("tsum") * lit(q),
+      .withColumn("a", fdiv(col("tsum") * lit(q),
         (col("n").cast(dec) * (col("n") + 1L))))
       .withColumn("hq", greatest(lit(0L).cast(dec),
         (col("a").cast(dec) - lit(3L) * (col("n") + 1L).cast(dec) * lit(q))
