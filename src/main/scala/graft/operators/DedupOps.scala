@@ -218,7 +218,7 @@ object DedupOps {
     // postings shuffle carries 8-byte keys (the candidate-stage
     // convention; collisions ~|shingles|²/2^64, value-oracle-checked)
     verifyJaccard(cand, inv.select(col("doc_id"), col("sz"),
-        col("shx").as("shingle")),
+        col("shx").as("h")),
       "doc_a", "doc_b")
   }
 
@@ -282,8 +282,14 @@ object DedupOps {
   private def minhashBands(docs: DataFrame): (DataFrame, DataFrame) = {
     val sets = docShingleSets(docs).select(col("doc_id"), col("sh"))
       .withColumn("sz", size(col("sh")))
+    // per-doc rows carry the 60-bit cross-engine hash ONLY: the signature
+    // min-hashes and the verify join both key on h, and the shingle STRING
+    // (~25 B vs 8 B) was being shuffled through the corpus-sized verify
+    // join — and persisted in every minhash index artifact — unread
+    // (§2.3 narrower types; the prefix/ngram candidate-stage convention,
+    // collisions ~|shingles|²/2^60, value-oracle-checked)
     val hashed = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-      .withColumn("h", mdint(col("shingle")))
+      .select(col("doc_id"), col("sz"), mdint(col("shingle")).as("h"))
     val sigCols = (0 until K).map(i => min(minhash(col("h"), i)).as(s"s$i"))
     val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until BANDS).map { bnd =>
@@ -295,7 +301,9 @@ object DedupOps {
   }
 
   /** Shared exact-Jaccard verification of a candidate pair table against
-    * the per-doc shingle-hash rows; emits (aCol, bCol, jac ≥ JACCARD_T).
+    * the per-doc (doc_id, sz, h) shingle-HASH rows; emits
+    * (aCol, bCol, jac ≥ JACCARD_T). Shared-shingle counts join on the
+    * integer hash column `h`, never a string.
     */
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
       aCol: String, bCol: String): DataFrame =
@@ -308,11 +316,11 @@ object DedupOps {
   private def verifyJaccard2(cand: DataFrame, hashedA: DataFrame,
       hashedB: DataFrame, aCol: String, bCol: String): DataFrame = {
     val ia = hashedA.select(col("doc_id").as(aCol), col("sz").as("sz_a"),
-      col("shingle"))
+      col("h"))
     val ib = hashedB.select(col("doc_id").as("vj_b"), col("sz").as("sz_b"),
-      col("shingle").as("shingle2"))
+      col("h").as("h2"))
     cand.join(ia, aCol)
-      .join(ib, col(bCol) === col("vj_b") && col("shingle") === col("shingle2"))
+      .join(ib, col(bCol) === col("vj_b") && col("h") === col("h2"))
       .groupBy(aCol, bCol, "sz_a", "sz_b")
       .agg(count(lit(1)).as("common"))
       .withColumn("jac",

@@ -420,7 +420,7 @@ class StreamingIngestSpec extends SparkTestBase {
     // the healed index covers the published docs exactly once: a doubled
     // shingle table would corrupt jaccard verify counts
     val hashed = spark.read.parquet(s"$snapRoot/_ingest_index/hashed")
-    val dupShingles = hashed.groupBy("doc_id", "shingle")
+    val dupShingles = hashed.groupBy("doc_id", "h")
       .count().filter(col("count") > 1).count()
     assert(dupShingles == 0L, "healed index must not double-index any doc")
   }
