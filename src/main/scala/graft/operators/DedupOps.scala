@@ -129,10 +129,16 @@ object DedupOps {
     // Join on a 64-bit hash of the shingle, not the string — 8-byte keys
     // in the shuffle instead of ~25-byte strings (collisions: ~|shingles|²
     // /2^64, irrelevant; the oracle compares final jaccards, unchanged).
+    // Checkpointed (r15): the a/b sides of the self-join carry different
+    // column aliases, so exchange reuse never fires and the corpus
+    // scan+shingle+hash pipeline ran TWICE; one materialization of the
+    // 8-byte-keyed postings serves both sides (the prefixJaccard/tfidf
+    // postings discipline, measured win in the same-session pair).
     val inv = sets.select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("sz"),
         xxhash64(col("shingle")).as("shx"))
+      .localCheckpoint()
     val a = inv.select(col("lang"), col("bucket"), col("shx"),
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = inv.select(col("lang").as("l2"), col("bucket").as("bkt2"),
@@ -244,6 +250,12 @@ object DedupOps {
     */
   def containmentPairs(docs: DataFrame): DataFrame = {
     val sets = docShingleSets(docs).withColumn("sz", size(col("sh")))
+    // NOT checkpointed: the same-session A/B that added the postings
+    // checkpoint to [[ngramJaccardPairs]] (two aliased self-join sides,
+    // exchange reuse never fires) made containment consistently SLOWER
+    // (1.37/1.48 -> 1.59-1.73 s at sf0.1 across three pairs) — without
+    // the size-ratio prune its join blocks dominate, and the eager
+    // materialization job costs more than the duplicated lazy scan.
     val inv = sets.select(col("doc_id"), col("lang"), col("sz"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("lang"), col("sz"), xxhash64(col("shingle")).as("shx"))
