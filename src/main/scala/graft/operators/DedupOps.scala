@@ -433,11 +433,17 @@ object DedupOps {
     val bitCols = (0 until 32).map(j =>
       sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
     val bitSums = wc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    // (no persist: see minhashPairs — builder-scoped persists leak for the
-    // session; the two-sided recompute of this small aggregate is cheap)
+    // Checkpointed (r15): the chunk self-join's x/y sides carry different
+    // aliases, so exchange reuse never deduplicated the corpus
+    // scan+explode+bitsum pipeline — it ran TWICE per invocation (and
+    // dd_eval pays it next to ngramJaccardPairs). The per-doc signature
+    // table is 2 longs/doc — the cheapest possible materialization point
+    // (the ngram/prefix/tfidf postings discipline, measured in the
+    // same-session pair).
     val sig = bitSums.select(col("doc_id"),
       (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _).as("sig"))
+      .localCheckpoint()
     val chunks = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

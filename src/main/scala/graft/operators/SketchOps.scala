@@ -134,7 +134,7 @@ object SketchOps {
     * `est_jaccard`, plus `exact_jaccard` — the expensive comparison path
     * the sketch replaces at scale, same contract as [[kmvDistinct]]'s
     * `exact_distinct` (drop it in production; it is a full distinct +
-    * key-equality self-join).
+    * hash-equality self-join over the per-group hash sets).
     *
     * FP discipline: both ratios are a SINGLE division of exact integers —
     * bit-identical cross-engine. Null keys are excluded from both the
@@ -175,11 +175,15 @@ object SketchOps {
         sum(col("in_a") * col("in_b")).as("n_both"))
       .withColumn("est_jaccard",
         col("n_both").cast("double") / col("n_union_kept").cast("double"))
-    // exact comparison path: distinct keys, equality self-join
-    val keys = nn.select(col(groupCol).as("g"), keyCol.cast("string").as("key")).distinct()
-    val dPer = keys.groupBy(col("g")).agg(count(lit(1)).as("d"))
-    val inter = keys.select(col("g").as("ia"), col("key"))
-      .join(keys.select(col("g").as("ib"), col("key")), Seq("key"))
+    // exact comparison path (r15): the SAME distinct (g, h) table the
+    // sketch is built from — per-group cardinalities and the equality
+    // self-join key on the 60-bit hash, so the raw key string is never
+    // distinct'd a second time and never shuffles through the self-join
+    // (~25 B/row -> 8 B/row; collision-free at gate scale,
+    // oracle-verified — the dd-family candidate-stage convention).
+    val dPer = hashed.groupBy(col("g")).agg(count(lit(1)).as("d"))
+    val inter = hashed.select(col("g").as("ia"), col("h"))
+      .join(hashed.select(col("g").as("ib"), col("h")), Seq("h"))
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_inter"))
     est

@@ -467,12 +467,16 @@ object TextOps {
     * division of exact integers (the mean of per-window ratios with a
     * COMMON denominator folds into a single fraction — no per-window FP).
     *
-    * Scale shape: the window runs PARTITIONED by doc_id with an O(w)
-    * frame (collect_set over ROWS CURRENT..w−1 FOLLOWING) — per-doc cost
-    * is tokens×w, parallel across docs, and the corpus reduces to one
-    * row per document. The frame aggregate is an ObjectWindowFunction
-    * (no codegen) — acceptable because the state is w strings, never the
-    * document.
+    * Scale shape (r15): Σ over window starts of the window's distinct
+    * count is computed in CLOSED FORM per token occurrence — an
+    * occurrence at position p is the first occurrence of its token (and
+    * therefore the one counted) in exactly the windows starting at
+    * s ∈ [max(0, p−w+1, prev_p+1), min(p, n−w)], where prev_p is the
+    * token's previous position in the doc (−1 if none). One lag() over
+    * (doc_id, token) plus exact integer arithmetic replaces the r14
+    * O(tokens×w) sliding collect_set of token STRINGS (an
+    * ObjectWindowFunction holding w strings per row) — same dcount sum,
+    * bit-identical mattr, per-row O(1) codegen expressions.
     */
   def mattr(docs: DataFrame, w: Int = 20): DataFrame = {
     OpContract.requireCols(docs, "TextOps.mattr", "doc_id", "text")
@@ -483,16 +487,21 @@ object TextOps {
       .select(col("doc_id"), col("n").as("n_tokens"), lit(1L).as("n_windows"),
         (size(array_distinct(col("toks"))).cast("double") /
           col("n").cast("double")).as("mattr"))
-    val fw = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(0, w - 1L)
+    val ow = Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))
     val slid = base.filter(col("n") >= w)
       .select(col("doc_id"), col("n"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("dcount", size(collect_set(col("tok")).over(fw)).cast("long"))
-      .filter(col("pos") <= col("n") - w)
+      .withColumn("p", col("pos").cast("long"))
+      .withColumn("prev", coalesce(lag(col("p"), 1).over(ow), lit(-1L)))
+      .withColumn("contrib",
+        greatest(
+          least(col("p"), col("n") - w) -
+            greatest(col("p") - (w - 1), col("prev") + 1L, lit(0L)) + 1L,
+          lit(0L)))
       .groupBy("doc_id")
-      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_windows"),
-        sum(col("dcount")).as("sd"))
+      .agg(max(col("n")).as("n_tokens"),
+        (max(col("n")) - (w - 1)).as("n_windows"),
+        sum(col("contrib")).as("sd"))
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         (col("sd").cast("double") /
           (col("n_windows") * w).cast("double")).as("mattr"))
@@ -1417,31 +1426,48 @@ object TextOps {
     * are order-independent exact arithmetic (the [[bigramPerplexity]]
     * discipline) — one cast to double at the end.
     *
-    * Scale shape: the df table is |terms| rows (broadcast), doc lengths
-    * are a map-side-combined count, and scoring touches only rows whose
-    * token matches a query term — the corpus is scanned once.
+    * Scale shape (r15): the query terms are a handful of literals, so
+    * per-doc `tf` is a pure ARRAY expression (`size(filter(words, ...))`)
+    * — the corpus is never exploded and no (doc, token) row ever
+    * shuffles. Corpus stats and the per-term document frequencies reduce
+    * map-side to ONE row; scoring is a second projection against that
+    * broadcast row. (The pre-r15 shape exploded every token into a
+    * doc-length groupBy plus a (doc, term) groupBy — two corpus-sized
+    * exchanges carrying ~0 bits per row — and then joined them back.)
+    * Every factor is built from the same exact integers through the same
+    * expression trees, so scores are bit-identical to the exploded form.
     */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val d = spread(OpContract.requireCols(docs, "TextOps.bm25", "doc_id", "text"))
-    val toks = d.select(col("doc_id"), explode(words).as("w"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-    val tf = toks.filter(col("w").isin(terms.map(x => x: Any): _*))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfT), "w").join(dl, "doc_id").crossJoin(stats)
+    val qs = terms.distinct
+    val d = OpContract.requireCols(docs, "TextOps.bm25", "doc_id", "text")
+      .filter(col("text").isNotNull)
+    def tfOf(term: String): Column =
+      size(filter(words, x => x === lit(term))).cast("long")
+    val base = d.select(
+      Seq(col("doc_id"), size(words).cast("long").as("dl")) ++
+        qs.indices.map(i => tfOf(qs(i)).as(s"tf_$i")): _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total")) ++
+      qs.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val joined = base.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("tfpart",
-        col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-      .withColumn("t", round(col("idf") * col("tfpart"), 7).cast(DecimalType(12, 7)))
-    scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("t")).cast("double").as("bm25"))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(12, 7))
+    val ts = qs.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      val tfpart = col(s"tf_$i") * lit(k1 + 1) /
+        (col(s"tf_$i") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+      when(col(s"tf_$i") > 0, round(idf * tfpart, 7).cast(DecimalType(12, 7)))
+    }
+    joined
+      .filter(qs.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        qs.indices.map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms"),
+        ts.map(t => coalesce(t, zero)).reduce(_ + _).cast("double").as("bm25"))
   }
 
   /** Text normalization (the C4/RefinedWeb pre-dedup cleanup, restricted
